@@ -1,0 +1,26 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator: a Spark implementation plus (when the
+  * semantics are SQL-expressible) an equivalent DuckDB oracle query.
+  *
+  * Determinism contract (so the driver's hash compare is exact):
+  *  - non-integer measures are aggregated in DECIMAL and only then cast
+  *    to DOUBLE (same bits in any engine / any partitioning);
+  *  - dates/timestamps are emitted as formatted strings;
+  *  - every result carries a total ORDER BY on a unique key.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    /** headline queries are the ones Bench times */
+    headline: Boolean = false)
+
+object Q {
+  /** All registered operators, in registration order. */
+  def registry: Seq[Q] =
+    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
+      GraphOps.all ++ Multimodal.all
+}

@@ -1,0 +1,457 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Data-plane relational surface (SURVEY.md §2.F): the SQL constructs the
+  * reference's governed models execute — scans, projection/cast pipelines,
+  * filters, CTE chains, equi/left/semi/anti joins, hash aggregates with
+  * CASE-sums, windows, incremental watermark appends, rollups, set ops, and
+  * dbt generic data tests expressed as violation queries.
+  *
+  * Scale notes (100 TB design): every query is a declarative DataFrame plan —
+  * filters/projections push to the parquet scan, small dims are explicitly
+  * broadcast, aggregates are partial (map-side) by construction, and no
+  * driver-side collect happens anywhere. Aggregation is done in DECIMAL so
+  * results are bit-identical under any partitioning/merge order.
+  */
+object Relational {
+
+  /** Exact (order-insensitive) aggregation domain: DECIMAL(18,6). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+  private def ts(s: String): Column = to_timestamp(lit(s))
+  private def d8(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
+  // ---------------------------------------------------------------- q01
+  /** Pricing summary: multi-measure hash aggregate (TPC-H Q1 analog).
+    * Reference analog: orders.sql case-sum aggregation
+    * (test-projects/split/split_proj/models/marts/orders.sql:93-115). */
+  def q01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= ts("2001-09-01 00:00:00"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dbl(sum(dec($"l_quantity"))).as("sum_qty"),
+        dbl(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        dbl(round(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))), 2))
+          .as("sum_disc_price"),
+        (dbl(sum(dec($"l_quantity"))) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** Staging-model projection: rename + cast + arithmetic + filter
+    * (stg_orders.sql:15-29 analog incl. the cents_to_dollars macro,
+    * macros/cents_to_dollars.sql:3-5). Filter + projection push to scan. */
+  def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" <= ts("2000-12-31 00:00:00"))
+      .select(
+        $"o_orderkey",
+        $"o_custkey",
+        lower($"o_orderstatus").as("status"),
+        d8($"o_orderdate").as("order_date"),
+        dbl(round(dec($"o_totalprice") * lit(0.01).cast(DecimalType(8, 6)), 2)).as("total_dollars"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q02Sql: String =
+    """SELECT o_orderkey, o_custkey, lower(o_orderstatus) AS status,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  CAST(round(CAST(o_totalprice AS DECIMAL(18,6)) * CAST(0.01 AS DECIMAL(8,6)), 2) AS DOUBLE) AS total_dollars
+      |FROM orders WHERE o_orderdate <= TIMESTAMP '2000-12-31 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  /** Filtered 3-way join + agg + deterministic top-10 (TPC-H Q3 analog). */
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val o = Tables.t(s, dir, "orders").filter($"o_orderdate" < ts("1999-01-01 00:00:00"))
+    val l = Tables.t(s, dir, "lineitem").filter($"l_shipdate" > ts("1999-01-01 00:00:00"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"l_orderkey", d8($"o_orderdate").as("order_date"))
+      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
+      .orderBy($"rev".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"order_date", dbl(round($"rev", 2)).as("revenue"))
+      .orderBy($"l_orderkey")
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, order_date, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue FROM (
+      |  SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |    AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+      |  GROUP BY l_orderkey, order_date
+      |  ORDER BY rev DESC, l_orderkey LIMIT 10)
+      |ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  /** Left join + CASE-sum per order (orders.sql:93-115 order_items join). */
+  def q04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.t(s, dir, "lineitem")
+    val p = Tables.t(s, dir, "part")
+    l.join(p, l("l_partkey") === p("p_partkey"), "left")
+      .groupBy($"l_orderkey")
+      .agg(
+        count(lit(1)).as("n_items"),
+        dbl(sum(dec($"l_extendedprice"))).as("gross"),
+        sum(when($"p_size" > 25, 1).otherwise(0)).as("n_large_parts"))
+      .orderBy($"l_orderkey")
+  }
+
+  val q04Sql: String =
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS gross,
+      |  SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS n_large_parts
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  /** CASE-conditional aggregate by two keys. */
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when($"o_totalprice" > 250000, 1).otherwise(0)).as("n_big"),
+        dbl(sum(when($"o_totalprice" > 250000, dec($"o_totalprice"))
+          .otherwise(lit(0).cast(DecimalType(18, 6))))).as("big_total"))
+      .orderBy($"o_orderstatus", $"o_orderpriority")
+  }
+
+  val q05Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |  SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big,
+      |  CAST(SUM(CASE WHEN o_totalprice > 250000 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS big_total
+      |FROM orders GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  /** lag/lead window per key — the Python-model analog
+    * (customer_status_histories.py:17-18 groupby-shift ≈ lag/lead). */
+  def q06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+      .withColumn("next_date", lead($"o_orderdate", 1).over(w))
+      .select(
+        $"o_orderkey", $"o_custkey",
+        d8($"o_orderdate").as("order_date"),
+        d8($"prev_date").as("prev_date"),
+        datediff($"o_orderdate", $"prev_date").as("days_since_prev"),
+        d8($"next_date").as("next_date"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q06Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  strftime(prev_date, '%Y-%m-%d') AS prev_date,
+      |  CAST(datediff('day', prev_date, o_orderdate) AS INT) AS days_since_prev,
+      |  strftime(next_date, '%Y-%m-%d') AS next_date
+      |FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+      |    lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_date
+      |  FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** CTE pipeline → per-customer lifetime mart (customers.sql analog). */
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stg = Tables.t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderdate", dec($"o_totalprice").as("price"))
+    val lifetime = stg.groupBy($"o_custkey").agg(
+      d8(min($"o_orderdate")).as("first_order_date"),
+      d8(max($"o_orderdate")).as("last_order_date"),
+      count(lit(1)).as("n_orders"),
+      dbl(sum($"price")).as("lifetime_value"))
+    val c = Tables.t(s, dir, "customer")
+    c.join(lifetime, c("c_custkey") === lifetime("o_custkey"), "left")
+      .select(
+        $"c_custkey", $"c_name", $"c_mktsegment",
+        $"first_order_date", $"last_order_date",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"lifetime_value", lit(0.0)).as("lifetime_value"))
+      .orderBy($"c_custkey")
+  }
+
+  val q07Sql: String =
+    """WITH stg AS (
+      |  SELECT o_custkey, o_orderdate, CAST(o_totalprice AS DECIMAL(18,6)) AS price FROM orders
+      |), lifetime AS (
+      |  SELECT o_custkey,
+      |    strftime(min(o_orderdate), '%Y-%m-%d') AS first_order_date,
+      |    strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_date,
+      |    COUNT(*) AS n_orders, CAST(SUM(price) AS DOUBLE) AS lifetime_value
+      |  FROM stg GROUP BY o_custkey)
+      |SELECT c_custkey, c_name, c_mktsegment, first_order_date, last_order_date,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(lifetime_value, 0.0) AS lifetime_value
+      |FROM customer LEFT JOIN lifetime ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Incremental materialization batch: rows newer than the watermark
+    * `max(ordered_at) from {{ this }}` (orders.sql:1-24 is_incremental). */
+  def q08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val wm = o.agg(date_trunc("month", max($"o_orderdate")).as("wm"))
+    o.join(broadcast(wm), o("o_orderdate") >= wm("wm"))
+      .select($"o_orderkey", d8($"o_orderdate").as("order_date"), $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val q08Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+      |FROM orders
+      |WHERE o_orderdate >= (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** dbt generic data tests as one violation-count query: not_null,
+    * unique, relationships, accepted_values
+    * (models/staging/__models.yml:8-11, marts/__models.yml:35-47). */
+  def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val l = Tables.t(s, dir, "lineitem")
+    val notNull = o.agg(
+      sum(when($"o_custkey".isNull, 1).otherwise(0)).cast(LongType).as("violations"))
+      .select(lit("not_null_o_custkey").as("test_name"), $"violations")
+    val uniq = o.groupBy($"o_orderkey").count().filter($"count" > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("unique_o_orderkey").as("test_name"), $"violations")
+    val rel = l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("relationships_lineitem_orders").as("test_name"), $"violations")
+    val accepted = o.filter(!$"o_orderstatus".isin("O", "F", "P"))
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("accepted_values_o_orderstatus").as("test_name"), $"violations")
+    notNull.union(uniq).union(rel).union(accepted).orderBy($"test_name")
+  }
+
+  val q09Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'not_null_o_custkey' AS test_name,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM orders
+      |  UNION ALL
+      |  SELECT 'unique_o_orderkey', CAST(COUNT(*) AS BIGINT) FROM
+      |    (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'relationships_lineitem_orders', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |  UNION ALL
+      |  SELECT 'accepted_values_o_orderstatus', CAST(COUNT(*) AS BIGINT) FROM orders
+      |    WHERE o_orderstatus NOT IN ('O','F','P'))
+      |ORDER BY test_name""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** Semi/anti join: customers with an open order and no finished order. */
+  def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+    val o = Tables.t(s, dir, "orders")
+    val open = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+    val done = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    c.join(open, c("c_custkey") === open("o_custkey"), "left_semi")
+      .join(done, c("c_custkey") === done("o_custkey"), "left_anti")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q10Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Deterministic top-k per group via row_number. */
+  def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables.t(s, dir, "customer")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"c_mktsegment", $"rank", $"c_custkey", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"rank")
+  }
+
+  val q11Sql: String =
+    """SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank
+      |  FROM customer)
+      |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** 5-way star join with broadcast dims — the flagship plan shape for
+    * 100 TB: fact table streams once, all dims broadcast, one shuffle for
+    * the final aggregate. */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.t(s, dir, "lineitem")
+    val o = Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" >= ts("1996-01-01 00:00:00"))
+      .select($"o_orderkey")
+    val sup = Tables.t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val n = Tables.t(s, dir, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+    val r = Tables.t(s, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        dbl(round(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))), 2)).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q12Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Event-stream tumbling-window aggregate (batch view of the streaming
+    * hourly rollup; see graft.streaming for the readStream form). */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy(
+        $"event_type",
+        date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm").as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dbl(sum(dec($"value"))).as("total_value"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type", $"hour")
+  }
+
+  val q13Sql: String =
+    """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type, hour ORDER BY event_type, hour""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** ROLLUP hierarchy aggregate (grouping sets family). */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dbl(sum(dec($"l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_qty", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val q14Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Exact distinct-count aggregate. */
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .groupBy($"l_linestatus")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q15Sql: String =
+    """SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** Set operations: INTERSECT / EXCEPT with distinct semantics. */
+  def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+    val l = Tables.t(s, dir, "lineitem")
+    val finished = o.filter($"o_orderstatus" === "F").select($"o_orderkey")
+    val big = o.filter($"o_totalprice" > 300000).select($"o_orderkey")
+    val discounted = l.filter($"l_discount" > 0.08)
+      .select($"l_orderkey".as("o_orderkey"))
+    finished.intersect(big).except(discounted)
+      .orderBy($"o_orderkey")
+  }
+
+  val q16Sql: String =
+    """(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+      | INTERSECT
+      | SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+      |EXCEPT
+      |SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_discount > 0.08
+      |ORDER BY o_orderkey""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
+    Q("q02_stg_projection", q02, Some(q02Sql)),
+    Q("q03_top_revenue", q03, Some(q03Sql), headline = true),
+    Q("q04_left_join_case", q04, Some(q04Sql), headline = true),
+    Q("q05_case_sum", q05, Some(q05Sql)),
+    Q("q06_window_lag", q06, Some(q06Sql), headline = true),
+    Q("q07_customer_lifetime", q07, Some(q07Sql)),
+    Q("q08_incremental_batch", q08, Some(q08Sql)),
+    Q("q09_dq_tests", q09, Some(q09Sql)),
+    Q("q10_semi_anti", q10, Some(q10Sql)),
+    Q("q11_topk_per_group", q11, Some(q11Sql)),
+    Q("q12_star_join", q12, Some(q12Sql), headline = true),
+    Q("q13_events_hourly", q13, Some(q13Sql)),
+    Q("q14_rollup", q14, Some(q14Sql)),
+    Q("q15_distinct_count", q15, Some(q15Sql)),
+    Q("q16_set_ops", q16, Some(q16Sql)))
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Dev-only harness mimicking the driver's correctness gate:
+run graft.Verify output (parquet per query) against DuckDB oracle SQL.
+Usage: python3 tools/localverify.py <sfDir> <outDir>
+(Run `sbt "runMain graft.Verify <sfDir> <outDir>"` first.)
+NOT part of the shipped library — the Scala code has no Python deps.
+"""
+import sys, os, json, math
+import duckdb
+
+def canon(rows, cols):
+    # driver sorts columns by name before hashing values; mimic + sort rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)  # exact-match goal; round only vs repr noise
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    tables = ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        pq_path = os.path.join(out_dir, name)
+        if not os.path.isdir(pq_path):
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM '{pq_path}/*.parquet'")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+            exp = con.execute(sql)
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if sorted(got_cols) != sorted(exp_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} vs {sorted(exp_cols)}")
+            n_fail += 1; continue
+        g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
+        if g != e:
+            bad = [i for i, (a, b) in enumerate(zip(g, e)) if a != b][:3]
+            print(f"FAIL {name}: value mismatch at rows {bad}")
+            for i in bad:
+                print(f"  got {g[i]}\n  exp {e[i]}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
