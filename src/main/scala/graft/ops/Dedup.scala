@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators over `documents`:
+  *  - d01: exact dedup (hash-groupBy on raw + normalized text),
+  *  - d02: n-gram Jaccard near-dup via a shingle inverted-index join,
+  *  - d03: MinHash + LSH banding (64 perms, 32 bands × 2 rows) with exact
+  *    Jaccard verification of band-bucket candidates.
+  *
+  * All hashing is deterministic int64 arithmetic (polynomial rolling hash
+  * mod 1e9+7; affine permutations (2j+1)·h + j mod p), so d03 output is a
+  * pure function of the data — the DuckDB oracle mirrors it exactly.
+  *
+  * Scale (100 TB): the shingle join is the classic inverted-index
+  * candidate-pair pattern — it shuffles on the shingle key, so hot shingles
+  * skew; at scale add AQE skew-join or drop top-frequency shingles
+  * (standard "stopword shingle" pruning). LSH banding (d03) is the scale
+  * path: candidates come from equality joins on 32 short band keys instead
+  * of the full inverted index, bounding pair fan-out.
+  */
+object Dedup {
+
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+
+  /** distinct word-3-gram shingles per doc: (doc_id, s). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .select($"doc_id", explode(array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+        .as("s"))
+  }
+
+  /** (da, db, jaccard) for all pairs sharing ≥1 shingle, jaccard ≥ minJ. */
+  private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
+      .withColumn("jac", dbl($"i") / (col("sa.n") + col("sb.n") - $"i"))
+      .filter($"jac" >= minJ)
+      .select($"da", $"db", round($"jac", 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup stats per source: hash-groupBy on raw and normalized
+    * text. At scale this is one shuffle on the (cheap) group key; the
+    * distincts are partial-aggregated map-side. */
+  def d01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"text").as("n_distinct"),
+        countDistinct(lower(trim($"text"))).as("n_distinct_norm"),
+        (count(lit(1)) - countDistinct($"text")).as("n_exact_dups"))
+      .orderBy($"source")
+  }
+
+  val d01Sql: String =
+    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
+      |  COUNT(DISTINCT lower(trim(text))) AS n_distinct_norm,
+      |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  /** n-gram Jaccard near-dup pairs (threshold 0.5) via shingle join. */
+  def d02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    jaccardPairs(s, dir, 0.5).orderBy($"da", $"db")
+  }
+
+  val d02Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |ORDER BY da, db""".stripMargin
+
+  // ---------------------------------------------------------------- d03
+  /** MinHash + LSH banding near-dup: 64 affine permutations of the shingle
+    * rolling hash, 32 bands × 2 rows; band-bucket equality join yields
+    * candidates, verified with exact Jaccard ≥ 0.5. */
+  def d03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+      .withColumn("h", TextAnalysis.rollingHash($"s"))
+    val sig = sh
+      .withColumn("j", explode(sequence(lit(0), lit(63))))
+      .groupBy($"doc_id", $"j")
+      .agg(min(((lit(2) * $"j" + 1) * $"h" + $"j") % 1000000007L).as("sig"))
+    val bands = sig
+      .groupBy($"doc_id", ($"j" / 2).cast(IntegerType).as("band"))
+      .agg(
+        max(when($"j" % 2 === 0, $"sig")).as("s0"),
+        max(when($"j" % 2 === 1, $"sig")).as("s1"))
+      .select($"doc_id", concat_ws(":", $"band", $"s0", $"s1").as("key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    jaccardPairs(s, dir, 0.5)
+      .join(cand, Seq("da", "db"), "left_semi")
+      .orderBy($"da", $"db")
+  }
+
+  val d03Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |shh AS (SELECT doc_id, list_reduce(list_transform(string_split(s, ''),
+      |          c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |        FROM sh),
+      |sig AS (SELECT doc_id, j, min(((2 * j + 1) * h + j) % 1000000007) AS sig
+      |        FROM shh, UNNEST(generate_series(0, 63)) AS u(j) GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, CONCAT(j // 2, ':', max(CASE WHEN j % 2 = 0 THEN sig END),
+      |            ':', max(CASE WHEN j % 2 = 1 THEN sig END)) AS key
+      |          FROM sig GROUP BY doc_id, j // 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT inter.da, inter.db,
+      |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN cand ON inter.da = cand.da AND inter.db = cand.db
+      |JOIN sizes sa ON inter.da = sa.doc_id JOIN sizes sb ON inter.db = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |ORDER BY inter.da, inter.db""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("d01_exact_dedup", d01, Some(d01Sql)),
+    Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
+    Q("d03_minhash_lsh", d03, Some(d03Sql), headline = true))
+}

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token statistics, quality scoring, heuristic language-ID, and document
+  * fingerprinting (rolling hash).
+  *
+  * All math is integer or single-division double so results are
+  * bit-identical in any engine: ratios are one IEEE division of two exact
+  * integers; fingerprints are int64 polynomial hashes mod 1e9+7.
+  *
+  * Scale: all ops are row-local (narrow) — no shuffle at all; they pipeline
+  * into whatever downstream partitioning exists. Codegen-friendly: built-in
+  * higher-order functions only, no UDFs.
+  */
+object TextAnalysis {
+
+  private def dbl(c: Column): Column = c.cast(DoubleType)
+
+  /** words of `text` (space-separated). */
+  private def words(c: Column): Column = split(c, " ")
+
+  /** int64 polynomial rolling hash mod 1e9+7 over the chars of `c`.
+    * Matches a left fold with init 0: h = (h*31 + ascii(char)) % p. */
+  def rollingHash(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+
+  // ---------------------------------------------------------------- t01
+  /** Token counting: whitespace tokens, distinct tokens, char lengths. */
+  def t01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(words($"text")).cast(LongType).as("n_tokens"),
+        size(array_distinct(words($"text"))).cast(LongType).as("n_distinct_tokens"),
+        length($"text").cast(LongType).as("len_chars"),
+        (dbl(length($"text") - (size(words($"text")) - 1)) /
+          size(words($"text"))).as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val t01Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(length(text) AS BIGINT) AS len_chars,
+      |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  /** Quality scoring: stopword ratio, lexical diversity, length gate. */
+  val stopwords: Seq[String] = Seq("the", "a", "data", "row", "value")
+
+  def t02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = words($"text")
+    val nTok = size(ws)
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
+    val nDist = size(array_distinct(ws))
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        nStop.cast(LongType).as("n_stopwords"),
+        (dbl(nStop) / nTok).as("stopword_ratio"),
+        (dbl(nDist) / nTok).as("distinct_ratio"),
+        (nTok >= 20 && nTok <= 90 && (dbl(nStop) / nTok) < lit(0.5))
+          .as("is_quality"))
+      .orderBy($"doc_id")
+  }
+
+  val t02Sql: String = {
+    val set = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS BIGINT) AS n_stopwords,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS distinct_ratio,
+       |  (len(string_split(text, ' ')) BETWEEN 20 AND 90
+       |    AND CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS DOUBLE)
+       |        / len(string_split(text, ' ')) < 0.5) AS is_quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t03
+  /** Heuristic language-ID: marker-word scores per language, argmax with a
+    * fixed priority tiebreak (en > de > es > fr > zh). */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("row", "column"),
+    "es" -> Seq("slow", "fast"),
+    "fr" -> Seq("query", "scan"),
+    "zh" -> Seq("join", "merge"))
+
+  def t03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = words($"text")
+    def score(ms: Seq[String]): Column =
+      size(filter(ws, w => w.isin(ms: _*))).cast(LongType)
+    val scored = Tables.t(s, dir, "documents").select(
+      $"doc_id" +: $"lang".as("labeled_lang") +:
+        markers.map { case (l, ms) => score(ms).as(s"score_$l") }: _*)
+    val langs = markers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elsEx) =>
+        val ge = langs.drop(i + 1)
+          .map(o => col(s"score_$l") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(ge, lit(l)).otherwise(elsEx)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("is_match", $"pred_lang" === $"labeled_lang")
+      .orderBy($"doc_id")
+  }
+
+  val t03Sql: String = {
+    def cnt(ms: Seq[String]) = {
+      val set = ms.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS BIGINT)"
+    }
+    val scores = markers
+      .map { case (l, ms) => s"      ${cnt(ms)} AS score_$l" }.mkString(",\n")
+    val langs = markers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""SELECT doc_id, labeled_lang, score_en, score_de, score_es, score_fr, score_zh,
+       |  pred_lang, pred_lang = labeled_lang AS is_match
+       |FROM (
+       |  SELECT *, CASE $cases ELSE '${langs.last}' END AS pred_lang FROM (
+       |    SELECT doc_id, lang AS labeled_lang,
+       |$scores
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t04
+  /** Document fingerprinting: whole-text rolling hash + a content key from
+    * the sorted distinct-token list (shingle-free near-canonical form). */
+  def t04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        rollingHash($"text").as("fingerprint"),
+        rollingHash(concat_ws(" ", array_sort(array_distinct(words($"text")))))
+          .as("vocab_fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val t04Sql: String =
+    """SELECT doc_id,
+      |  list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+      |              (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+      |  list_reduce(list_transform(
+      |      string_split(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '), ''),
+      |      c -> CAST(ascii(c) AS BIGINT)),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS vocab_fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("t01_token_stats", t01, Some(t01Sql)),
+    Q("t02_quality_score", t02, Some(t02Sql)),
+    Q("t03_langid", t03, Some(t03Sql)),
+    Q("t04_fingerprint", t04, Some(t04Sql), headline = true))
+}
