@@ -1,0 +1,211 @@
+package graft.core.parse
+
+import graft.core.model._
+import graft.core.yaml._
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Native project loader: replaces the reference's `dbt parse` process
+  * boundary (`dbt_projects.py:272-298`) with direct file walking + the
+  * JinjaLite extraction passes. Produces a Manifest with resolved
+  * depends_on edges and adjacency maps.
+  */
+object ProjectLoader {
+
+  def load(root: Path): (ProjectConfig, Manifest) = {
+    val projFile = root.resolve("dbt_project.yml")
+    require(Files.exists(projFile), s"no dbt_project.yml under $root")
+    val projYaml = Yaml.parseMap(Files.readString(projFile))
+    val cfg = ProjectConfig(
+      name = projYaml("name").asStr,
+      modelPaths = strList(projYaml.get("model-paths")).getOrElse(Vector("models")),
+      seedPaths = strList(projYaml.get("seed-paths")).getOrElse(Vector("seeds")),
+      macroPaths = strList(projYaml.get("macro-paths")).getOrElse(Vector("macros")),
+      vars = projYaml.get("vars").collect { case m: YMap => m }.getOrElse(YMap.empty),
+      raw = projYaml)
+    (cfg, buildManifest(root, cfg))
+  }
+
+  private def strList(y: Option[Y]): Option[Vector[String]] = y.collect {
+    case YList(items) => items.map(_.asStr)
+    case YStr(s) => Vector(s)
+  }
+
+  private def walk(dir: Path, ext: String): Vector[Path] =
+    if (!Files.exists(dir)) Vector.empty
+    else Files.walk(dir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(ext))
+      .toVector.sortBy(_.toString)
+
+  private def buildManifest(root: Path, cfg: ProjectConfig): Manifest = {
+    val proj = cfg.name
+
+    // ---- macros
+    val macroDefs = cfg.macroPaths.flatMap(mp => walk(root.resolve(mp), ".sql")).flatMap { p =>
+      val text = Files.readString(p)
+      JinjaLite.findMacroDefs(text).map(md => (md, root.relativize(p).toString, text))
+    }
+    val macroNames = macroDefs.map(_._1.name).toSet
+    val macros = macroDefs.map { case (md, rel, _) =>
+      val id = s"macro.$proj.${md.name}"
+      id -> MacroNode(id, md.name, proj, rel, md.body,
+        dependsOnMacros = JinjaLite.findMacroCalls(md.body)
+          .filter(macroNames).map(n => s"macro.$proj.$n"))
+    }.toMap
+
+    // ---- docs blocks (.md files under model paths)
+    val docs = cfg.modelPaths.flatMap(mp => walk(root.resolve(mp), ".md")).flatMap { p =>
+      val text = Files.readString(p)
+      JinjaLite.findBlocks(text, "docs").map { b =>
+        val id = s"doc.$proj.${b.name}"
+        id -> Documentation(id, b.name, proj, root.relativize(p).toString, b.content)
+      }
+    }.toMap
+
+    // ---- YAML property files
+    val ymlFiles = cfg.modelPaths.flatMap { mp =>
+      walk(root.resolve(mp), ".yml") ++ walk(root.resolve(mp), ".yaml")
+    }
+    var sources = Map.empty[String, SourceDefinition]
+    var groups = Map.empty[String, GroupNode]
+    var exposures = Map.empty[String, Exposure]
+    var semanticModels = Map.empty[String, SemanticModel]
+    var modelPatches = Map.empty[String, (String, YMap)] // model name -> (patch path, entry)
+
+    ymlFiles.foreach { p =>
+      val rel = root.relativize(p).toString
+      val doc = Yaml.parseMap(Files.readString(p))
+      doc.get("sources").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
+        case src: YMap =>
+          val srcName = src("name").asStr
+          val db = src.get("database").map(_.asStr).getOrElse("main")
+          val schema = src.get("schema").map(_.asStr).getOrElse(srcName)
+          src.get("tables").collect { case YList(ts) => ts }.getOrElse(Vector.empty).foreach {
+            case t: YMap =>
+              val tn = t("name").asStr
+              val ident = t.get("identifier").map(_.asStr).getOrElse(tn)
+              val id = s"source.$proj.$srcName.$tn"
+              sources += id -> SourceDefinition(id, tn, srcName, proj, rel,
+                relationName = Some(s"$db.$schema.$ident"))
+            case _ =>
+          }
+        case _ =>
+      }
+      doc.get("groups").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
+        case g: YMap =>
+          val n = g("name").asStr
+          val owner = g.get("owner").collect { case o: YMap =>
+            Owner(o.get("name").map(_.asStr), o.get("email").map(_.asStr))
+          }.getOrElse(Owner())
+          val id = s"group.$proj.$n"
+          groups += id -> GroupNode(id, n, proj, rel, owner)
+        case _ =>
+      }
+      doc.get("exposures").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
+        case e: YMap =>
+          val n = e("name").asStr
+          val refStrings = e.get("depends_on").collect { case YList(ds) => ds.map(_.asStr) }
+            .getOrElse(Vector.empty)
+          val deps = refStrings.flatMap(s => JinjaLite.findRefs(s).map(r => s"model.$proj.${r.name}"))
+          val id = s"exposure.$proj.$n"
+          exposures += id -> Exposure(id, n, proj, rel, DependsOn(nodes = deps), refStrings)
+        case _ =>
+      }
+      doc.get("semantic_models").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
+        case sm: YMap =>
+          val n = sm("name").asStr
+          val modelRef = sm.get("model").map(_.asStr).getOrElse("")
+          val deps = JinjaLite.findRefs(modelRef).map(r => s"model.$proj.${r.name}")
+          val id = s"semantic_model.$proj.$n"
+          semanticModels += id -> SemanticModel(id, n, proj, rel, modelRef, DependsOn(nodes = deps))
+        case _ =>
+      }
+      doc.get("models").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
+        case m: YMap => modelPatches += m("name").asStr -> (rel, m)
+        case _ =>
+      }
+    }
+
+    // ---- model files
+    val sourceByPair = sources.values.map(s => (s.sourceName, s.name) -> s.uniqueId).toMap
+    val modelFiles = cfg.modelPaths.flatMap { mp =>
+      walk(root.resolve(mp), ".sql") ++ walk(root.resolve(mp), ".py")
+    }
+    val modelNames = modelFiles.map(p => baseName(p)).toSet
+
+    var nodes = Map.empty[String, ModelNode]
+    var tests = Map.empty[String, TestNode]
+
+    modelFiles.foreach { p =>
+      val name = baseName(p)
+      val rel = root.relativize(p).toString
+      val code = Files.readString(p)
+      val lang = if (p.toString.endsWith(".py")) "python" else "sql"
+      val id = s"model.$proj.$name"
+      val refDeps = JinjaLite.findRefs(code).filter(_.project.forall(_ == proj))
+        .filter(r => modelNames(r.name)).map(r => s"model.$proj.${r.name}")
+      val srcDeps = JinjaLite.findSources(code).flatMap(sc => sourceByPair.get((sc.sourceName, sc.table)))
+      val macroDeps = JinjaLite.findMacroCalls(code).filter(macroNames).map(n => s"macro.$proj.$n")
+      val conf = JinjaLite.findConfig(code)
+      val patch = modelPatches.get(name)
+      val patchEntry = patch.map(_._2).getOrElse(YMap.empty)
+      val patchConfig = patchEntry.get("config").collect { case m: YMap => m }.getOrElse(YMap.empty)
+      val access = patchEntry.get("access").map(a => AccessType.parse(a.asStr))
+        .getOrElse(AccessType.Protected)
+      val schema = conf.getOrElse("schema", proj)
+      nodes += id -> ModelNode(
+        uniqueId = id, name = name, packageName = proj, filePath = rel,
+        rawCode = code, language = lang,
+        dependsOn = DependsOn(nodes = (refDeps ++ srcDeps).distinct, macros = macroDeps.distinct),
+        patchPath = patch.map(_._1),
+        access = access,
+        group = patchEntry.get("group").map(_.asStr),
+        version = patchEntry.get("versions").collect { case YList(vs) =>
+          vs.collect { case vm: YMap => vm("v").asStr.toLong }.maxOption
+        }.flatten,
+        latestVersion = patchEntry.get("latest_version").collect { case YInt(i) => i },
+        materialized = conf.getOrElse("materialized",
+          patchConfig.get("materialized").map(_.asStr).getOrElse("view")),
+        uniqueKey = conf.get("unique_key").orElse(patchConfig.get("unique_key").map(_.asStr)),
+        contractEnforced = patchConfig.get("contract").collect {
+          case cm: YMap => cm.get("enforced").contains(YBool(true))
+        }.getOrElse(false),
+        relationName = Some(s"main.$schema.$name"),
+        config = patchConfig)
+
+      // generic tests declared on columns of this model's patch
+      patchEntry.get("columns").collect { case YList(cols) => cols }.getOrElse(Vector.empty).foreach {
+        case colEntry: YMap =>
+          val colName = colEntry("name").asStr
+          val testList = colEntry.get("tests").orElse(colEntry.get("data_tests"))
+            .collect { case YList(ts) => ts }.getOrElse(Vector.empty)
+          testList.foreach { t =>
+            val (tType, tConf) = t match {
+              case YStr(s) => (s, YMap.empty)
+              case m: YMap if m.entries.size == 1 =>
+                (m.entries.head._1, m.entries.head._2 match {
+                  case c: YMap => c
+                  case _ => YMap.empty
+                })
+              case _ => ("custom", YMap.empty)
+            }
+            val tid = s"test.$proj.${tType}_${name}_$colName"
+            val extraDeps = tConf.get("to").toSeq.flatMap(to =>
+              JinjaLite.findRefs(to.asStr).map(r => s"model.$proj.${r.name}"))
+            tests += tid -> TestNode(tid, s"${tType}_${name}_$colName", proj,
+              patch.map(_._1).getOrElse(rel),
+              DependsOn(nodes = (id +: extraDeps).distinct.toVector),
+              testType = tType, column = Some(colName), config = tConf)
+          }
+        case _ =>
+      }
+    }
+
+    Manifest(proj, nodes, sources, macros, docs, exposures, semanticModels, groups, tests)
+  }
+
+  private def baseName(p: Path): String = {
+    val f = p.getFileName.toString
+    f.substring(0, f.lastIndexOf('.'))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.mesh
+
+import graft.core.changes._
+import graft.core.graph.Dag
+import graft.core.model._
+import graft.core.yaml._
+
+/** C8/C9 — the split planner (`storage/dbt_project_editors.py:171-290`):
+  * moves the selected resources into a new subproject, applies boundary
+  * governance (contracts + public access), rewrites refs on both sides of
+  * the cut, and registers the cross-project dependency. Ordering matters:
+  * later rewrites chain on earlier pending changes (SURVEY §7
+  * "change chaining order-sensitivity").
+  */
+object SubprojectCreator {
+
+  final case class ProjectCycle(msg: String) extends RuntimeException(msg)
+
+  /** A9: boundary models of the subproject = interface nodes of the
+    * test-free selected subgraph, restricted to parent-owned models
+    * (`storage/dbt_project_editors.py:90-104`). */
+  def boundaryModels(manifest: Manifest, selected: Set[String]): Set[String] =
+    Dag.identifyInterface(Dag.cleanSubgraph(manifest.childMap),
+      selected.filterNot(_.startsWith("test.")))
+      .filter(_.startsWith("model."))
+      .filter(id => manifest.nodes.get(id).exists(_.packageName == manifest.projectName))
+
+  /** Full split plan. `contractFor` supplies contract patch data (from the
+    * catalog / a materialized schema); `readFile` reads parent files. */
+  def initialize(
+      manifest: Manifest,
+      cfg: ProjectConfig,
+      subName: String,
+      selected: Set[String],
+      targetDir: String,
+      readFile: String => String,
+      contractFor: ModelNode => Option[YMap] = _ => None): ChangeSet = {
+
+    // guard: two-sided frontier = illegal split (A5, main.py:250-255)
+    if (Dag.createsCycle(manifest.parentMap, manifest.childMap, selected))
+      throw ProjectCycle(
+        s"splitting $subName would create a project dependency cycle: " +
+          "the subproject both feeds and consumes the parent")
+
+    val subDir = (p: String) => s"$targetDir/$p"
+    val moved = selected.filter(id =>
+      id.startsWith("model.") || id.startsWith("test.") || id.startsWith("seed."))
+
+    // 1. scaffold + project file (C9: minimal merge of the parent config)
+    val projYaml = YMap.of(
+      "name" -> YStr(subName),
+      "version" -> YStr("1.0.0"),
+      "profile" -> (cfg.raw.get("profile").getOrElse(YStr(cfg.name))),
+      "model-paths" -> YList.of(YStr("models")),
+      "macro-paths" -> YList.of(YStr("macros")))
+    val scaffold = ChangeSet(Vector(
+      DirectoryChange(Operation.Add, targetDir),
+      FileChange(Operation.Add, subDir("dbt_project.yml"), Some(Yaml.dump(projYaml)))))
+
+    // 2. per-resource move: code file + YAML entry
+    val movedModels = moved.toSeq.sorted.flatMap(manifest.nodes.get)
+    val fileMoves = movedModels.foldLeft(ChangeSet()) { (cs, m) =>
+      val cs1 = cs + FileChange(Operation.Move, subDir(m.filePath), None, Some(m.filePath))
+      m.patchPath.fold(cs1) { pp =>
+        val entry = readModelEntry(readFile, pp, m.name)
+        cs1 +
+          ResourceChange(Operation.Remove, EntityType.Model, m.name, pp) +
+          ResourceChange(Operation.Add, EntityType.Model, m.name, subDir(pp),
+            entry.getOrElse(YMap.of("name" -> YStr(m.name))))
+      }
+    }
+
+    // 3. macro closure (A10) + referenced docs (A11) move with the models
+    val macroIds = Dag.macroClosure(manifest, moved)
+    val macroMoves = macroIds.toSeq.sorted.flatMap(manifest.macros.get)
+      .map(mc => FileChange(Operation.Copy, subDir(mc.filePath), None, Some(mc.filePath)))
+    val docIds = Dag.referencedDocs(manifest, moved,
+      p => try Some(readFile(p)) catch { case _: Throwable => None })
+    val docMoves = docIds.toSeq.sorted.flatMap(manifest.docs.get)
+      .map(d => FileChange(Operation.Append, subDir(d.filePath), Some(d.blockContents)))
+
+    // 4. boundary governance on the subproject side: public + contract
+    val boundary = boundaryModels(manifest, selected)
+    val governance = boundary.toSeq.sorted.flatMap(manifest.nodes.get).foldLeft(ChangeSet()) {
+      (cs, m) =>
+        val patchPath = subDir(m.patchPath.getOrElse(s"models/_${m.name}.yml"))
+        val withAccess = cs + ResourceChange(Operation.Update, EntityType.Model,
+          m.name, patchPath, YMap.of("access" -> YStr(AccessType.Public.name)))
+        contractFor(m).fold(withAccess)(data =>
+          withAccess + ResourceChange(Operation.Update, EntityType.Model, m.name,
+            patchPath, data))
+    }
+
+    // 5. ref rewrites: children left behind (D7) + moved models' own refs
+    // to parents left behind (D8) + macros (D10)
+    val childRewrites = References.childRefUpdates(manifest, subName, moved, readFile)
+    val parentRewrites = References.parentRefUpdates(manifest, cfg.name, moved, readFile)
+    val leftBehindNames = moved.flatMap(manifest.parentMap.getOrElse(_, Set.empty))
+      .filterNot(moved).flatMap(manifest.nodes.get).map(_.name)
+    val macroRewrites = macroIds.toSeq.sorted.flatMap(manifest.macros.get)
+      .flatMap(mc => References.macroRefUpdate(mc, cfg.name, leftBehindNames, readFile))
+
+    // 6. parent-side governance for upstream boundary models
+    val upstreamBoundary = Dag.xprojParents(manifest.parentMap, moved)
+      .filter(_.startsWith("model."))
+    val parentGovernance = upstreamBoundary.toSeq.sorted.flatMap(manifest.nodes.get)
+      .foldLeft(ChangeSet()) { (cs, m) =>
+        val withAccess = cs + Grouper.accessChange(m, AccessType.Public, m.group)
+        contractFor(m).fold(withAccess)(data =>
+          withAccess + ResourceChange(
+            if (m.patchPath.isDefined) Operation.Update else Operation.Add,
+            EntityType.Model, m.name,
+            m.patchPath.getOrElse(s"models/_${m.name}.yml"), data))
+      }
+
+    // 7. dependency registration: downstream side depends on upstream side
+    val subIsUpstream = Dag.xprojChildren(manifest.childMap, moved).nonEmpty
+    val depChange =
+      if (subIsUpstream) Dependencies.addDependency(cfg.name, subName)
+      else Dependencies.addDependency(subName, cfg.name, subDir("dependencies.yml"))
+
+    scaffold ++ fileMoves ++ ChangeSet(macroMoves.toVector) ++
+      ChangeSet(docMoves.toVector) ++ governance ++ childRewrites ++
+      parentRewrites ++ ChangeSet(macroRewrites.toVector) ++
+      parentGovernance ++ depChange
+  }
+
+  private def readModelEntry(readFile: String => String, path: String,
+      name: String): Option[YMap] =
+    try {
+      Yaml.parseMap(readFile(path)).get("models").collect { case YList(ms) =>
+        ms.collectFirst { case m: YMap if m.get("name").exists(_.asStr == name) => m }
+      }.flatten
+    } catch { case _: Throwable => None }
+}
