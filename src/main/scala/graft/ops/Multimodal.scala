@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column operators: image/audio/video handled as opaque
+  * `BinaryType` columns with a typed metadata struct, per the standard
+  * lakehouse pattern (path/bytes/metadata columns + batch decode).
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (see [[fakeDecode]]); everything
+  * around it — binary schema, metadata struct, partition-batched decode
+  * plumbing, frame sampling, downsampling — is real and oracle-checked.
+  * The payloads are derived from `documents.text` (UTF-8 bytes) so DuckDB
+  * can verify byte-exact semantics.
+  *
+  * Scale (100 TB): media pipelines are embarrassingly parallel over rows;
+  * the plan below never shuffles before the final (tiny) ordered output.
+  * Batch size in [[m02]] bounds decoder memory per task exactly like an
+  * Arrow `mapInPandas` batch would; binary payloads stay columnar in
+  * parquet and are never collected to the driver.
+  */
+object Multimodal {
+
+  /** One media row as the decode stub sees it. */
+  final case class MediaRow(doc_id: Long, bytes: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, f0: Long, f1: Long, f2: Long, f3: Long,
+      f4: Long, f5: Long, f6: Long, f7: Long)
+
+  private val P = 1000000007L
+
+  /** THE STUB: stands in for a real image/audio decoder (libjpeg/ffmpeg
+    * not present in this container). Deterministic fake "feature
+    * extraction": 8 accumulators, byte i feeds accumulator i % 8 as
+    * acc = (acc * 31 + byte) mod P. A real deployment swaps only this
+    * function body for e.g. a JNI decode + model forward pass; the
+    * surrounding batched-partition plumbing is unchanged. */
+  private def fakeDecode(bytes: Array[Byte]): Array[Long] = {
+    val acc = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) {
+      val k = i % 8
+      acc(k) = (acc(k) * 31 + (bytes(i) & 0xffL)) % P
+      i += 1
+    }
+    acc
+  }
+
+  /** documents with a synthesized binary media column + metadata struct:
+    * the canonical multimodal schema (id, bytes, meta{fmt,n_bytes,sha}). */
+  def mediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        $"source",
+        encode($"text", "UTF-8").as("bytes"))
+      .withColumn("meta", struct(
+        lit("utf8").as("fmt"),
+        length($"bytes").as("n_bytes"),
+        md5($"bytes").as("checksum")))
+  }
+
+  // ---------------------------------------------------------------- m01
+  /** Binary ingest + metadata projection: per-doc byte length and MD5
+    * checksum from the typed metadata struct. Pure narrow plan — the only
+    * shuffle is the final presentation sort. */
+  def m01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(
+        $"doc_id",
+        $"meta.fmt".as("fmt"),
+        $"meta.n_bytes".cast(LongType).as("n_bytes"),
+        $"meta.checksum".as("checksum"))
+      .orderBy($"doc_id")
+  }
+
+  val m01Sql: String =
+    """SELECT doc_id, 'utf8' AS fmt, octet_length(encode(text)) AS n_bytes,
+      |  md5(text) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m02
+  /** Batched partition decode: Dataset[MediaRow] → mapPartitions in
+    * fixed-size batches (the Arrow/`mapInPandas` batch shape) → 8-dim
+    * feature vector per doc via [[fakeDecode]]. This is the Scala-native
+    * equivalent of a Pandas-UDF decode stage: per-task batching bounds
+    * decoder memory, rows never leave the executor. */
+  def m02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRow] = mediaTable(s, dir)
+      .select($"doc_id", $"bytes").as[MediaRow]
+    val batchSize = 64
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // batch boundary = where a real decoder would run vectorized
+        batch.iterator.map { r =>
+          val f = fakeDecode(r.bytes)
+          MediaFeatures(r.doc_id, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+        }
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
+  /** Oracle mirrors fakeDecode: byte i → accumulator i%8, acc*31+b mod P.
+    * list_reduce carries (acc, idx) packed as acc*8+idx is messy; instead
+    * compute each accumulator independently over its byte subsequence. */
+  val m02Sql: String = {
+    val accs = (0 until 8).map { k =>
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(list_filter(generate_series(1, length(text)),
+         |      i -> (i - 1) % 8 = $k), i -> CAST(ascii(text[i]) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 1000000007) AS f$k""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,\n  $accs\nFROM documents ORDER BY doc_id"""
+  }
+
+  // ---------------------------------------------------------------- m03
+  /** Frame sampling: treat the payload as fixed 16-byte "frames" with
+    * stride 32 (sample every 2nd frame — the video keyframe pattern);
+    * emit frame count and a rolling checksum per sampled frame, then
+    * aggregate per doc. Pure `functions._` (sequence/transform/aggregate)
+    * — fully codegen'd, no UDF, no shuffle except the output sort. */
+  def m03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .withColumn("txt", decode($"bytes", "UTF-8"))
+      .withColumn("n_frames",
+        greatest(lit(0), floor((length($"txt") - 16) / 32) + 1).cast(LongType))
+      .withColumn("frame_sum", expr(
+        """aggregate(
+          |  transform(sequence(0, cast(n_frames as int) - 1),
+          |    k -> aggregate(
+          |      transform(sequence(1, 16), i -> cast(ascii(substr(txt, k * 32 + i, 1)) as bigint)),
+          |      cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)),
+          |  cast(0 as bigint), (a, h) -> (a + h) % 1000000007)""".stripMargin))
+      .select($"doc_id", $"n_frames", $"frame_sum")
+      .orderBy($"doc_id")
+  }
+
+  val m03Sql: String =
+    """SELECT doc_id,
+      |  greatest(0, (length(text) - 16) // 32 + 1) AS n_frames,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(generate_series(0, CAST(greatest(0, (length(text) - 16) // 32 + 1) AS INT) - 1),
+      |      k -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |             list_transform(generate_series(1, 16),
+      |               i -> CAST(ascii(text[k * 32 + i]) AS BIGINT))),
+      |             (a, b) -> (a * 31 + b) % 1000000007))),
+      |    (a, h) -> (a + h) % 1000000007) AS frame_sum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m04
+  /** Downsample ("resize"): keep every 4th byte of the payload, emit the
+    * new length and MD5 of the downsampled bytes. Narrow, codegen'd. */
+  def m04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .withColumn("txt", decode($"bytes", "UTF-8"))
+      .withColumn("small", expr(
+        """concat_ws('', transform(
+          |  sequence(1, cast(ceil(length(txt) / 4.0) as int)),
+          |  i -> substr(txt, (i - 1) * 4 + 1, 1)))""".stripMargin))
+      .select(
+        $"doc_id",
+        length($"small").cast(LongType).as("n_bytes_small"),
+        md5(encode($"small", "UTF-8")).as("checksum_small"))
+      .orderBy($"doc_id")
+  }
+
+  val m04Sql: String =
+    """WITH small AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_transform(generate_series(1, CAST(ceil(length(text) / 4.0) AS INT)),
+      |      i -> text[(i - 1) * 4 + 1]),
+      |    (a, b) -> a || b) AS s
+      |  FROM documents)
+      |SELECT doc_id, length(s) AS n_bytes_small, md5(s) AS checksum_small
+      |FROM small ORDER BY doc_id""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("m01_binary_meta", m01, Some(m01Sql)),
+    Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
+    Q("m03_frame_sample", m03, Some(m03Sql)),
+    Q("m04_resize", m04, Some(m04Sql)))
+}

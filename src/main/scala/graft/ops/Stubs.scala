@@ -2,4 +2,3 @@ package graft.ops
 
 /** Placeholder registries — filled in as each module lands. */
 object GraphOps { def all: Seq[Q] = Seq.empty }
-object Multimodal { def all: Seq[Q] = Seq.empty }
