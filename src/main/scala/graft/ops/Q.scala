@@ -21,6 +21,6 @@ final case class Q(
 object Q {
   /** All registered operators, in registration order. */
   def registry: Seq[Q] =
-    Relational.all ++ TextAnalysis.all ++ Dedup.all ++ Similarity.all ++
-      GraphOps.all ++ Multimodal.all
+    Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all ++
+      Similarity.all ++ GraphOps.all ++ Multimodal.all
 }

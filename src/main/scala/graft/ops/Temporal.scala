@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Event-time operators over `events`: sessionization and as-of join —
+  * the temporal surface a streaming-flavored pipeline needs in batch form
+  * (the streaming forms live in [[graft.streaming.Streams]]).
+  *
+  * Scale (100 TB):
+  *  - q17 sessionization uses Spark's native `session_window` aggregate —
+  *    one shuffle on user_id, sessions merged map-side; no per-user
+  *    collect, no window-function full sort.
+  *  - q18 as-of join uses the union+running-last pattern: tag both sides,
+  *    single shuffle on the key, one ordered window pass carrying the
+  *    last right-side value forward. This is THE scalable as-of plan — a
+  *    naive range join explodes to |X|·|Y| per key, this stays |X|+|Y|.
+  */
+object Temporal {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 6))
+  private def dbl(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  // ---------------------------------------------------------------- q17
+  /** 30-minute-gap sessionization per user via native `session_window`:
+    * session = maximal run of events with consecutive gaps < 30 min;
+    * session end = last event + gap (Spark session_window semantics). */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        dbl(sum(dec($"value"))).as("total_value"))
+      .select(
+        $"user_id",
+        date_format($"sw.start", TsFmt).as("session_start"),
+        date_format($"sw.end", TsFmt).as("session_end"),
+        $"n_events",
+        $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Gaps-and-islands formulation of the same semantics for the oracle. */
+  val q17Sql: String =
+    """WITH flags AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** As-of join: each click event picks up the value/time of the most
+    * recent purchase (ts <= click ts) by the same user. Implemented as
+    * union + running `last(..., ignoreNulls)` window — purchases sort
+    * before clicks at equal ts to match ASOF's `<=` semantics. Values
+    * pass through without arithmetic, so doubles stay bit-exact. */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val clicks = e.filter($"event_type" === "click").select(
+      $"user_id", $"ts", lit(1).as("side"), $"event_id", $"value")
+    val purchases = e.filter($"event_type" === "purchase").select(
+      $"user_id", $"ts", lit(0).as("side"),
+      lit(null).cast(LongType).as("event_id"), $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("purchase_value",
+        last(when($"side" === 0, $"value"), ignoreNulls = true).over(w))
+      .withColumn("purchase_ts",
+        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select(
+        $"event_id",
+        $"user_id",
+        date_format($"ts", TsFmt).as("click_ts"),
+        $"value".as("click_value"),
+        $"purchase_value",
+        date_format($"purchase_ts", TsFmt).as("purchase_ts"))
+      .orderBy($"event_id")
+  }
+
+  val q18Sql: String =
+    """SELECT x.event_id, x.user_id,
+      |  strftime(x.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |  x.value AS click_value,
+      |  y.value AS purchase_value,
+      |  strftime(y.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') x
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') y
+      |  ON x.user_id = y.user_id AND y.ts <= x.ts
+      |ORDER BY x.event_id""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("q17_sessionize", q17, Some(q17Sql), headline = true),
+    Q("q18_asof_join", q18, Some(q18Sql)))
+}
