@@ -26,19 +26,26 @@ object ResourceFileEditor {
 
   /** Merge `data` for entry `identifier` under `pluralKey` into properties
     * document `doc` (Add and Update share semantics: deep merge via
-    * NamedList-indexed safeUpdate; `storage/file_content_editors.py:164-244`). */
-  def upsertEntry(doc: YMap, pluralKey: String, identifier: String, data: YMap): YMap = {
+    * NamedList-indexed safeUpdate; `storage/file_content_editors.py:164-244`).
+    * When `sourceName` is set the edit targets the *source* entry keyed by
+    * that name (`update_resource`, file_content_editors.py:165-176): `data`
+    * is the source-entry payload carrying the table under `tables`, and the
+    * recursive NamedList merge lands the table by name without clobbering
+    * the stanza's other tables. */
+  def upsertEntry(doc: YMap, pluralKey: String, identifier: String, data: YMap,
+      sourceName: Option[String] = None): YMap = {
     val base = doc.get(pluralKey) match {
       case Some(l: YList) => l
       case _ => YList(Vector.empty)
     }
+    val entryKey = sourceName.getOrElse(identifier)
     val idxField = if (pluralKey == "versions") "v" else "name"
     val existingIdx = base.items.indexWhere {
-      case m: YMap => m.get("name").exists(_.asStr == identifier)
+      case m: YMap => m.get("name").exists(_.asStr == entryKey)
       case _ => false
     }
     val withName = if (data.contains("name")) data else
-      YMap(("name" -> (YStr(identifier): Y)) +: data.entries)
+      YMap(("name" -> (YStr(entryKey): Y)) +: data.entries)
     val merged =
       if (existingIdx >= 0) {
         val cur = base.items(existingIdx).asMap
@@ -117,7 +124,8 @@ final class FileEditors(root: Path) {
       val p = abs(rc.path)
       rc.op match {
         case Operation.Add | Operation.Update | Operation.Append =>
-          writeDoc(p, ResourceFileEditor.upsertEntry(readDoc(p), plural, rc.identifier, rc.data))
+          writeDoc(p, ResourceFileEditor.upsertEntry(
+            readDoc(p), plural, rc.identifier, rc.data, rc.sourceName))
         case Operation.Remove =>
           ResourceFileEditor.removeEntry(readDoc(p), plural, rc.identifier, rc.sourceName) match {
             case Some(doc) => writeDoc(p, doc)

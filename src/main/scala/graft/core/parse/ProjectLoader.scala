@@ -1,5 +1,6 @@
 package graft.core.parse
 
+import graft.core.catalog.Contracts
 import graft.core.model._
 import graft.core.yaml._
 import java.nio.file.{Files, Path}
@@ -153,6 +154,17 @@ object ProjectLoader {
       val access = patchEntry.get("access").map(a => AccessType.parse(a.asStr))
         .getOrElse(AccessType.Protected)
       val schema = conf.getOrElse("schema", proj)
+      // contract columns from typed patch columns; a declared-enforced
+      // contract with no typed columns would silently verify nothing —
+      // fail loudly instead (dbt-core errors on this too).
+      val contractEnforced = patchConfig.get("contract").collect {
+        case cm: YMap => cm.get("enforced").contains(YBool(true))
+      }.getOrElse(false)
+      val contract = Contracts.fromYaml(patchEntry)
+      if (contractEnforced && contract.isEmpty)
+        throw new IllegalArgumentException(
+          s"model $name declares config.contract.enforced: true but no columns " +
+            "carry data_type — the contract would verify nothing")
       nodes += id -> ModelNode(
         uniqueId = id, name = name, packageName = proj, filePath = rel,
         rawCode = code, language = lang,
@@ -167,9 +179,8 @@ object ProjectLoader {
         materialized = conf.getOrElse("materialized",
           patchConfig.get("materialized").map(_.asStr).getOrElse("view")),
         uniqueKey = conf.get("unique_key").orElse(patchConfig.get("unique_key").map(_.asStr)),
-        contractEnforced = patchConfig.get("contract").collect {
-          case cm: YMap => cm.get("enforced").contains(YBool(true))
-        }.getOrElse(false),
+        contractEnforced = contractEnforced,
+        contract = contract,
         relationName = Some(s"main.$schema.$name"),
         config = patchConfig)
 

@@ -15,6 +15,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   * dbt-core enforces this at parse time; on Spark the natural hook is plan
   * analysis — we walk the unresolved relations of a plan and fail before
   * execution.
+  *
+  * All state is scoped per SparkSession (a [[MeshRegistry]] held in a weak
+  * map keyed by session), so concurrent Runners on different sessions never
+  * observe each other's grants. Within one session the Runner never relies
+  * on the mutable ambient context either: it passes an explicit [[Context]]
+  * to [[MeshRegistry.checkPlan]], so concurrent DAG subtrees of one session
+  * are also race-free. The ambient `context` field only serves ad-hoc user
+  * SQL flowing through the injected analysis rule.
   */
 object AccessControl {
 
@@ -28,55 +36,78 @@ object AccessControl {
         s"cannot read ${grant.access.name} relation `$relation` of ${grant.project}" +
         grant.group.fold("")(g => s" (group $g)"))
 
-  /** registry: relation/view name (lowercase) -> grant. Session-scoped
-    * state set up by the Runner (or by users registering their mesh). */
-  private val registry = new java.util.concurrent.ConcurrentHashMap[String, Grant]()
-  @volatile private var context: Option[Context] = None
+  /** Session-scoped governance state: relation/view name (lowercase) ->
+    * grant, plus the ambient identity ad-hoc queries run as. */
+  final class MeshRegistry {
+    private val grants = new java.util.concurrent.ConcurrentHashMap[String, Grant]()
+    @volatile private var ambient: Option[Context] = None
 
-  def register(relation: String, grant: Grant): Unit =
-    registry.put(relation.toLowerCase, grant)
-  def registerManifest(m: Manifest, viewName: String => String): Unit =
-    m.nodes.values.foreach(n =>
-      register(viewName(n.name), Grant(m.projectName, n.group, n.access)))
-  def setContext(ctx: Option[Context]): Unit = context = ctx
-  def clear(): Unit = { registry.clear(); context = None }
+    def register(relation: String, grant: Grant): Unit =
+      grants.put(relation.toLowerCase, grant)
 
-  def checkRelation(name: String): Unit = {
-    val ctx = context.getOrElse(return)
-    val grant = Option(registry.get(name.toLowerCase)).getOrElse(return)
-    val ok = grant.access match {
-      case AccessType.Public => true
-      case AccessType.Protected => grant.project == ctx.project
-      case AccessType.Private =>
-        grant.project == ctx.project && grant.group == ctx.group
+    def registerManifest(m: Manifest, viewName: String => String): Unit =
+      m.nodes.values.foreach(n =>
+        register(viewName(n.name), Grant(m.projectName, n.group, n.access)))
+
+    /** Identity for ad-hoc queries checked by the injected AccessRule. */
+    def setContext(ctx: Option[Context]): Unit = ambient = ctx
+    def context: Option[Context] = ambient
+
+    def clear(): Unit = { grants.clear(); ambient = None }
+
+    def checkRelation(name: String, ctx: Context): Unit = {
+      val grant = Option(grants.get(name.toLowerCase)).getOrElse(return)
+      val ok = grant.access match {
+        case AccessType.Public => true
+        case AccessType.Protected => grant.project == ctx.project
+        case AccessType.Private =>
+          grant.project == ctx.project && grant.group == ctx.group
+      }
+      if (!ok) throw MeshAccessViolation(name, grant, ctx)
     }
-    if (!ok) throw MeshAccessViolation(name, grant, ctx)
+
+    /** Walk a (possibly unresolved) plan, enforcing every table reference
+      * under an explicit identity. */
+    def checkPlan(plan: LogicalPlan, ctx: Context): Unit =
+      plan.foreach {
+        case u: UnresolvedRelation =>
+          checkRelation(u.multipartIdentifier.mkString("."), ctx)
+        case _ => ()
+      }
+
+    /** Enforce on raw SQL using the session parser (no execution). */
+    def checkSql(spark: SparkSession, sql: String, ctx: Context): Unit =
+      checkPlan(spark.sessionState.sqlParser.parsePlan(sql), ctx)
   }
 
-  /** Walk a (possibly unresolved) plan and enforce every table reference. */
-  def checkPlan(plan: LogicalPlan): Unit =
-    plan.foreach {
-      case u: UnresolvedRelation => checkRelation(u.multipartIdentifier.mkString("."))
-      case _ => ()
-    }
+  // Weak keys: a dropped SparkSession must not leak its registry.
+  private val sessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, MeshRegistry]())
 
-  /** Enforce on raw SQL using the session parser (no execution). */
-  def checkSql(spark: SparkSession, sql: String): Unit =
-    checkPlan(spark.sessionState.sqlParser.parsePlan(sql))
+  /** The governance registry for this session (created on first use). */
+  def forSession(spark: SparkSession): MeshRegistry =
+    sessions.computeIfAbsent(spark, _ => new MeshRegistry)
+
+  /** Registry only if one was ever created for this session. */
+  def get(spark: SparkSession): Option[MeshRegistry] =
+    Option(sessions.get(spark))
 }
 
-/** Analysis-time rule: fails any query that touches a governed relation it
-  * may not read. Inject with
+/** Analysis-time rule: fails any query that touches a governed relation the
+  * session's ambient context may not read. Inject with
   * `.withExtensions(new graft.enforce.MeshExtensions)` or
   * `spark.sql.extensions=graft.enforce.MeshExtensions`. */
-class AccessRule extends Rule[LogicalPlan] {
+class AccessRule(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    AccessControl.checkPlan(plan)
+    for {
+      reg <- AccessControl.get(session)
+      ctx <- reg.context
+    } reg.checkPlan(plan, ctx)
     plan
   }
 }
 
 class MeshExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    e.injectResolutionRule(_ => new AccessRule)
+    e.injectResolutionRule(session => new AccessRule(session))
 }

@@ -64,7 +64,7 @@ final class Runner(
   /** Execute all models in topological order; returns produced frames. */
   def run(selected: Option[Set[String]] = None): Map[String, DataFrame] = {
     if (enforceAccess)
-      AccessControl.registerManifest(manifest, viewName)
+      AccessControl.forSession(spark).registerManifest(manifest, viewName)
     val modelIds = manifest.nodes.keySet
       .filter(id => selected.forall(_.contains(id)))
     val order = Dag.topoSort(
@@ -95,11 +95,11 @@ final class Runner(
 
   private def execSql(m: ModelNode, isIncremental: Boolean): DataFrame = {
     val sql = renderSql(m, isIncremental)
-    if (enforceAccess) {
-      AccessControl.setContext(Some(AccessControl.Context(m.packageName, m.group)))
-      try AccessControl.checkSql(spark, sql)
-      finally AccessControl.setContext(None)
-    }
+    // explicit per-model identity — no ambient mutable context, so
+    // concurrent DAG subtrees on this session cannot interleave identities
+    if (enforceAccess)
+      AccessControl.forSession(spark)
+        .checkSql(spark, sql, AccessControl.Context(m.packageName, m.group))
     spark.sql(sql)
   }
 

@@ -70,6 +70,41 @@ object SubprojectCreator {
       }
     }
 
+    // 2b. non-code resources move as YAML-entry Add+Remove pairs
+    // (`move_resource_yml_entry`, dbt_project_editors.py:353-388). Source
+    // moves are keyed by source_name: the Add payload is the source entry
+    // carrying just the one table, merged under the stanza's tables list.
+    val sourceMoves = selected.filter(_.startsWith("source."))
+      .toSeq.sorted.flatMap(manifest.sources.get).foldLeft(ChangeSet()) { (cs, src) =>
+        val entry = readSourceEntry(readFile, src.filePath, src.sourceName, src.name)
+          .getOrElse(YMap.of(
+            "name" -> YStr(src.sourceName),
+            "tables" -> YList.of(YMap.of("name" -> YStr(src.name)))))
+        cs +
+          ResourceChange(Operation.Add, EntityType.Source, src.name,
+            subDir(src.filePath), entry, Some(src.sourceName)) +
+          ResourceChange(Operation.Remove, EntityType.Source, src.name,
+            src.filePath, sourceName = Some(src.sourceName))
+      }
+    val exposureMoves = selected.filter(_.startsWith("exposure."))
+      .toSeq.sorted.flatMap(manifest.exposures.get).foldLeft(ChangeSet()) { (cs, e) =>
+        val entry = readNamedEntry(readFile, e.filePath, "exposures", e.name)
+          .getOrElse(YMap.of("name" -> YStr(e.name)))
+        cs +
+          ResourceChange(Operation.Add, EntityType.Exposure, e.name,
+            subDir(e.filePath), entry) +
+          ResourceChange(Operation.Remove, EntityType.Exposure, e.name, e.filePath)
+      }
+    val semanticMoves = selected.filter(_.startsWith("semantic_model."))
+      .toSeq.sorted.flatMap(manifest.semanticModels.get).foldLeft(ChangeSet()) { (cs, sm) =>
+        val entry = readNamedEntry(readFile, sm.filePath, "semantic_models", sm.name)
+          .getOrElse(YMap.of("name" -> YStr(sm.name)))
+        cs +
+          ResourceChange(Operation.Add, EntityType.SemanticModel, sm.name,
+            subDir(sm.filePath), entry) +
+          ResourceChange(Operation.Remove, EntityType.SemanticModel, sm.name, sm.filePath)
+      }
+
     // 3. macro closure (A10) + referenced docs (A11) move with the models
     val macroIds = Dag.macroClosure(manifest, moved)
     val macroMoves = macroIds.toSeq.sorted.flatMap(manifest.macros.get)
@@ -119,7 +154,8 @@ object SubprojectCreator {
       if (subIsUpstream) Dependencies.addDependency(cfg.name, subName)
       else Dependencies.addDependency(subName, cfg.name, subDir("dependencies.yml"))
 
-    scaffold ++ fileMoves ++ ChangeSet(macroMoves.toVector) ++
+    scaffold ++ fileMoves ++ sourceMoves ++ exposureMoves ++ semanticMoves ++
+      ChangeSet(macroMoves.toVector) ++
       ChangeSet(docMoves.toVector) ++ governance ++ childRewrites ++
       parentRewrites ++ ChangeSet(macroRewrites.toVector) ++
       parentGovernance ++ depChange
@@ -127,9 +163,24 @@ object SubprojectCreator {
 
   private def readModelEntry(readFile: String => String, path: String,
       name: String): Option[YMap] =
+    readNamedEntry(readFile, path, "models", name)
+
+  private def readNamedEntry(readFile: String => String, path: String,
+      pluralKey: String, name: String): Option[YMap] =
     try {
-      Yaml.parseMap(readFile(path)).get("models").collect { case YList(ms) =>
+      Yaml.parseMap(readFile(path)).get(pluralKey).collect { case YList(ms) =>
         ms.collectFirst { case m: YMap if m.get("name").exists(_.asStr == name) => m }
       }.flatten
     } catch { case _: Throwable => None }
+
+  /** The source entry at `path` reduced to the single table `table`
+    * (`load_resource_yml`, dbt_project_editors.py:78-86). */
+  private def readSourceEntry(readFile: String => String, path: String,
+      sourceName: String, table: String): Option[YMap] =
+    readNamedEntry(readFile, path, "sources", sourceName).map { src =>
+      val one = src.get("tables").collect { case YList(ts) =>
+        ts.collectFirst { case t: YMap if t.get("name").exists(_.asStr == table) => t }
+      }.flatten.getOrElse(YMap.of("name" -> YStr(table)))
+      src.updated("tables", YList.of(one))
+    }
 }

@@ -30,6 +30,10 @@ object Dedup {
     import s.implicits._
     Tables.t(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("ws"))
+      // docs with <3 words have no 3-gram shingles; without this guard
+      // Spark's sequence(0, size-3) would go DESCENDING for size<3 and
+      // fabricate null-padded shingles (DuckDB generate_series is empty)
+      .filter(size($"ws") >= 3)
       .select($"doc_id", explode(array_distinct(expr(
         "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
         .as("s"))

@@ -130,13 +130,15 @@ object Multimodal {
       .withColumn("txt", decode($"bytes", "UTF-8"))
       .withColumn("n_frames",
         greatest(lit(0), floor((length($"txt") - 16) / 32) + 1).cast(LongType))
+      // n_frames=0 guard: Spark sequence(0,-1) is DESCENDING, not empty,
+      // so payloads shorter than one frame would fabricate two frames
       .withColumn("frame_sum", expr(
-        """aggregate(
+        """if(n_frames = 0, cast(0 as bigint), aggregate(
           |  transform(sequence(0, cast(n_frames as int) - 1),
           |    k -> aggregate(
           |      transform(sequence(1, 16), i -> cast(ascii(substr(txt, k * 32 + i, 1)) as bigint)),
           |      cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)),
-          |  cast(0 as bigint), (a, h) -> (a + h) % 1000000007)""".stripMargin))
+          |  cast(0 as bigint), (a, h) -> (a + h) % 1000000007))""".stripMargin))
       .select($"doc_id", $"n_frames", $"frame_sum")
       .orderBy($"doc_id")
   }
@@ -160,10 +162,11 @@ object Multimodal {
     import s.implicits._
     mediaTable(s, dir)
       .withColumn("txt", decode($"bytes", "UTF-8"))
+      // empty-payload guard: sequence(1,0) is [1,0] in Spark, not empty
       .withColumn("small", expr(
-        """concat_ws('', transform(
+        """if(length(txt) = 0, '', concat_ws('', transform(
           |  sequence(1, cast(ceil(length(txt) / 4.0) as int)),
-          |  i -> substr(txt, (i - 1) * 4 + 1, 1)))""".stripMargin))
+          |  i -> substr(txt, (i - 1) * 4 + 1, 1))))""".stripMargin))
       .select(
         $"doc_id",
         length($"small").cast(LongType).as("n_bytes_small"),
@@ -173,10 +176,10 @@ object Multimodal {
 
   val m04Sql: String =
     """WITH small AS (
-      |  SELECT doc_id, list_reduce(
+      |  SELECT doc_id, CASE WHEN length(text) = 0 THEN '' ELSE list_reduce(
       |    list_transform(generate_series(1, CAST(ceil(length(text) / 4.0) AS INT)),
       |      i -> text[(i - 1) * 4 + 1]),
-      |    (a, b) -> a || b) AS s
+      |    (a, b) -> a || b) END AS s
       |  FROM documents)
       |SELECT doc_id, length(s) AS n_bytes_small, md5(s) AS checksum_small
       |FROM small ORDER BY doc_id""".stripMargin

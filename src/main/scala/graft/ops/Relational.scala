@@ -127,7 +127,7 @@ object Relational {
   val q04Sql: String =
     """SELECT l_orderkey, COUNT(*) AS n_items,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS gross,
-      |  SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS n_large_parts
+      |  CAST(SUM(CASE WHEN p_size > 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large_parts
       |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
       |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
@@ -147,7 +147,7 @@ object Relational {
 
   val q05Sql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-      |  SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big,
+      |  CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
       |  CAST(SUM(CASE WHEN o_totalprice > 250000 THEN CAST(o_totalprice AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS big_total
       |FROM orders GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
