@@ -50,6 +50,27 @@ object Contracts {
     if (cols.isEmpty) None else Some(StructType(cols))
   }
 
+  /** Contract for an enforced model. dbt-core errors when any column of a
+    * contracted model lacks data_type — partially-typed contracts would
+    * silently verify only the typed subset, so fail loudly on those (and
+    * on a contract with no typed columns at all). Only called for models
+    * with `config.contract.enforced: true`; non-enforced models never
+    * parse their data_type strings (which may be docs-only vocabulary
+    * outside our type whitelist). */
+  def enforcedFromYaml(model: String, entry: YMap): StructType = {
+    val cols = entry.get("columns").collect { case YList(cs) => cs }
+      .getOrElse(Vector.empty).collect { case c: YMap => c }
+    val untyped = cols.filterNot(_.contains("data_type")).map(_("name").asStr)
+    if (untyped.nonEmpty)
+      throw new IllegalArgumentException(
+        s"model $model has an enforced contract but columns " +
+          s"${untyped.mkString(", ")} lack data_type — contracted models " +
+          "require data_type for each column")
+    fromYaml(entry).getOrElse(throw new IllegalArgumentException(
+      s"model $model declares config.contract.enforced: true but no columns " +
+        "carry data_type — the contract would verify nothing"))
+  }
+
   /** Generate the contract patch data from a produced schema, preserving
     * YAML-declared column case via a lower->original map
     * (`utilities/contractor.py:14-47`). */

@@ -154,17 +154,17 @@ object ProjectLoader {
       val access = patchEntry.get("access").map(a => AccessType.parse(a.asStr))
         .getOrElse(AccessType.Protected)
       val schema = conf.getOrElse("schema", proj)
-      // contract columns from typed patch columns; a declared-enforced
-      // contract with no typed columns would silently verify nothing —
-      // fail loudly instead (dbt-core errors on this too).
+      // Contract columns are parsed only for enforced contracts: a
+      // non-enforced model's data_type strings are docs/catalog vocabulary
+      // (varchar(255), array<string>, …) that must not abort the load.
+      // For enforced contracts, every declared column needs a data_type
+      // (dbt-core errors on partially-typed contracts too).
       val contractEnforced = patchConfig.get("contract").collect {
         case cm: YMap => cm.get("enforced").contains(YBool(true))
       }.getOrElse(false)
-      val contract = Contracts.fromYaml(patchEntry)
-      if (contractEnforced && contract.isEmpty)
-        throw new IllegalArgumentException(
-          s"model $name declares config.contract.enforced: true but no columns " +
-            "carry data_type — the contract would verify nothing")
+      val contract =
+        if (contractEnforced) Some(Contracts.enforcedFromYaml(name, patchEntry))
+        else None
       nodes += id -> ModelNode(
         uniqueId = id, name = name, packageName = proj, filePath = rel,
         rawCode = code, language = lang,

@@ -74,35 +74,37 @@ object SubprojectCreator {
     // (`move_resource_yml_entry`, dbt_project_editors.py:353-388). Source
     // moves are keyed by source_name: the Add payload is the source entry
     // carrying just the one table, merged under the stanza's tables list.
+    // When the entry cannot be read (missing/unparseable file) the move is
+    // skipped entirely — fabricating a stub would drop the source's
+    // database/schema/loader config and plan a Remove against a file that
+    // never held the entry (`move_resource_yml_entry` skips the same way).
     val sourceMoves = selected.filter(_.startsWith("source."))
       .toSeq.sorted.flatMap(manifest.sources.get).foldLeft(ChangeSet()) { (cs, src) =>
-        val entry = readSourceEntry(readFile, src.filePath, src.sourceName, src.name)
-          .getOrElse(YMap.of(
-            "name" -> YStr(src.sourceName),
-            "tables" -> YList.of(YMap.of("name" -> YStr(src.name)))))
-        cs +
-          ResourceChange(Operation.Add, EntityType.Source, src.name,
-            subDir(src.filePath), entry, Some(src.sourceName)) +
-          ResourceChange(Operation.Remove, EntityType.Source, src.name,
-            src.filePath, sourceName = Some(src.sourceName))
+        readSourceEntry(readFile, src.filePath, src.sourceName, src.name).fold(cs) { entry =>
+          cs +
+            ResourceChange(Operation.Add, EntityType.Source, src.name,
+              subDir(src.filePath), entry, Some(src.sourceName)) +
+            ResourceChange(Operation.Remove, EntityType.Source, src.name,
+              src.filePath, sourceName = Some(src.sourceName))
+        }
       }
     val exposureMoves = selected.filter(_.startsWith("exposure."))
       .toSeq.sorted.flatMap(manifest.exposures.get).foldLeft(ChangeSet()) { (cs, e) =>
-        val entry = readNamedEntry(readFile, e.filePath, "exposures", e.name)
-          .getOrElse(YMap.of("name" -> YStr(e.name)))
-        cs +
-          ResourceChange(Operation.Add, EntityType.Exposure, e.name,
-            subDir(e.filePath), entry) +
-          ResourceChange(Operation.Remove, EntityType.Exposure, e.name, e.filePath)
+        readNamedEntry(readFile, e.filePath, "exposures", e.name).fold(cs) { entry =>
+          cs +
+            ResourceChange(Operation.Add, EntityType.Exposure, e.name,
+              subDir(e.filePath), entry) +
+            ResourceChange(Operation.Remove, EntityType.Exposure, e.name, e.filePath)
+        }
       }
     val semanticMoves = selected.filter(_.startsWith("semantic_model."))
       .toSeq.sorted.flatMap(manifest.semanticModels.get).foldLeft(ChangeSet()) { (cs, sm) =>
-        val entry = readNamedEntry(readFile, sm.filePath, "semantic_models", sm.name)
-          .getOrElse(YMap.of("name" -> YStr(sm.name)))
-        cs +
-          ResourceChange(Operation.Add, EntityType.SemanticModel, sm.name,
-            subDir(sm.filePath), entry) +
-          ResourceChange(Operation.Remove, EntityType.SemanticModel, sm.name, sm.filePath)
+        readNamedEntry(readFile, sm.filePath, "semantic_models", sm.name).fold(cs) { entry =>
+          cs +
+            ResourceChange(Operation.Add, EntityType.SemanticModel, sm.name,
+              subDir(sm.filePath), entry) +
+            ResourceChange(Operation.Remove, EntityType.SemanticModel, sm.name, sm.filePath)
+        }
       }
 
     // 3. macro closure (A10) + referenced docs (A11) move with the models

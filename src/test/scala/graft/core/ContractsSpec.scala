@@ -1,0 +1,79 @@
+package graft.core
+
+import graft.core.catalog.Contracts
+import graft.core.yaml._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C1 contract bridge (`utilities/contractor.py:14-47`) + the enforced-
+  * contract load rules (dbt-core: contracted models require data_type for
+  * every column; non-enforced models never parse their data_type docs). */
+class ContractsSpec extends AnyFunSuite {
+
+  private def entry(cols: (String, Option[String])*): YMap =
+    YMap.of("columns" -> YList(cols.toVector.map { case (n, dt) =>
+      val base = YMap.of("name" -> YStr(n))
+      dt.fold(base)(t => base.updated("data_type", YStr(t))): Y
+    }))
+
+  test("parseType covers the dbt/duckdb vocabulary") {
+    assert(Contracts.parseType("INTEGER") == IntegerType)
+    assert(Contracts.parseType("varchar") == StringType)
+    assert(Contracts.parseType("numeric(16,2)") == DecimalType(16, 2))
+    assert(Contracts.parseType("double precision") == DoubleType)
+    assert(Contracts.parseType("timestamp") == TimestampType)
+    intercept[IllegalArgumentException](Contracts.parseType("varchar(255)"))
+  }
+
+  test("fromYaml keeps only typed columns") {
+    val c = Contracts.fromYaml(entry("a" -> Some("integer"), "b" -> None))
+    assert(c.contains(StructType(Seq(StructField("a", IntegerType)))))
+    assert(Contracts.fromYaml(entry("a" -> None)).isEmpty)
+  }
+
+  test("enforcedFromYaml rejects partially-typed contracts") {
+    val e = intercept[IllegalArgumentException](
+      Contracts.enforcedFromYaml("m", entry("a" -> Some("integer"), "b" -> None)))
+    assert(e.getMessage.contains("b"))
+    assert(e.getMessage.contains("data_type"))
+  }
+
+  test("enforcedFromYaml rejects a contract with no typed columns") {
+    intercept[IllegalArgumentException](
+      Contracts.enforcedFromYaml("m", entry("a" -> None, "b" -> None)))
+    intercept[IllegalArgumentException](
+      Contracts.enforcedFromYaml("m", YMap.empty))
+  }
+
+  test("enforcedFromYaml accepts a fully-typed contract") {
+    val c = Contracts.enforcedFromYaml("m",
+      entry("a" -> Some("bigint"), "b" -> Some("varchar")))
+    assert(c == StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType))))
+  }
+
+  test("check: order-insensitive, case-insensitive name+type match") {
+    val contract = StructType(Seq(
+      StructField("A", IntegerType), StructField("b", StringType)))
+    // matching schema in different order/case passes
+    Contracts.check("m", StructType(Seq(
+      StructField("b", StringType), StructField("a", IntegerType))), contract)
+    val v = intercept[Contracts.ContractViolation](
+      Contracts.check("m", StructType(Seq(
+        StructField("a", LongType), StructField("c", StringType))), contract))
+    assert(v.problems.exists(_.contains("expected integer")))
+    assert(v.problems.exists(_.contains("missing column b")))
+    assert(v.problems.exists(_.contains("undeclared column c")))
+  }
+
+  test("contractPatch preserves YAML-declared case and emits enforced flag") {
+    val p = Contracts.contractPatch(
+      StructType(Seq(StructField("order_id", IntegerType))),
+      declaredCase = Map("order_id" -> "Order_ID"))
+    val cols = p("columns").asInstanceOf[YList].items
+    assert(cols.head.asInstanceOf[YMap]("name").asStr == "Order_ID")
+    val enforced = p("config").asInstanceOf[YMap]("contract")
+      .asInstanceOf[YMap]("enforced")
+    assert(enforced == YBool(true))
+  }
+}
