@@ -152,8 +152,88 @@ object Dedup {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
       |ORDER BY inter.da, inter.db""".stripMargin
 
+  // ---------------------------------------------------------------- d04
+  /** SimHash near-dup: a 60-bit term-frequency simhash (two independent
+    * 30-bit polynomial word hashes, multipliers 31/37), banded 4×15 bits
+    * for candidate generation, verified at hamming distance ≤ 1.
+    *
+    * Pigeonhole: 4 equal-width bands catch every pair at distance ≤ 3, so
+    * the ≤ 1 cut is exact (no false negatives). All bit math is integer
+    * (shiftright/&/^/bit_count — codegen'd), no UDFs.
+    *
+    * Scale (100 TB): the signature is 3 cheap aggregations (word TF →
+    * per-bit contribution → 60-bit fold), each with map-side partial agg;
+    * the candidate join is an equality join on short band keys — the same
+    * bounded fan-out shape as d03, no all-pairs stage anywhere. */
+  def d04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.t(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"doc_id", $"w")
+      .agg(count(lit(1)).as("cnt"))
+    val wh = tf
+      .withColumn("h1", TextAnalysis.rollingHashWith($"w", 31))
+      .withColumn("h2", TextAnalysis.rollingHashWith($"w", 37))
+    val bits = wh
+      .withColumn("b", explode(sequence(lit(0), lit(59))))
+      .withColumn("bit",
+        expr("(shiftright(CASE WHEN b < 30 THEN h1 ELSE h2 END, b % 30) & 1) * 2 - 1"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum($"cnt" * $"bit").as("contrib"))
+    val sim = bits.groupBy($"doc_id")
+      .agg(sum(expr(
+        "CASE WHEN contrib > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .as("sh"))
+    val bands = sim
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .select($"doc_id", $"sh", $"b", expr("shiftright(sh, b * 15) & 32767").as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter($"hamming" <= 1)
+      .select($"da", $"db", $"hamming")
+      .orderBy($"da", $"db")
+  }
+
+  val d04Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS cnt FROM words WHERE w <> '' GROUP BY doc_id, w),
+      |wh AS (
+      |  SELECT doc_id, cnt,
+      |    list_reduce(list_transform(string_split(w, ''),
+      |      c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS h1,
+      |    list_reduce(list_transform(string_split(w, ''),
+      |      c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 37 + b) % 1000000007) AS h2
+      |  FROM tf),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(cnt * ((((CASE WHEN b < 30 THEN h1 ELSE h2 END) >> (b % 30)) & 1) * 2 - 1)) AS contrib
+      |  FROM wh, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY doc_id, b),
+      |sim AS (
+      |  SELECT doc_id, SUM(CASE WHEN contrib > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+      |  FROM sim, UNNEST(generate_series(0, 3)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+      |ORDER BY da, db""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
-    Q("d03_minhash_lsh", d03, Some(d03Sql), headline = true))
+    Q("d03_minhash_lsh", d03, Some(d03Sql), headline = true),
+    Q("d04_simhash", d04, Some(d04Sql), headline = true))
 }

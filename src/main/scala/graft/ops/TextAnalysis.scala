@@ -24,12 +24,14 @@ object TextAnalysis {
   private def words(c: Column): Column = split(c, " ")
 
   /** int64 polynomial rolling hash mod 1e9+7 over the chars of `c`.
-    * Matches a left fold with init 0: h = (h*31 + ascii(char)) % p. */
-  def rollingHash(c: Column): Column =
+    * Matches a left fold with init 0: h = (h*mult + ascii(char)) % p. */
+  def rollingHashWith(c: Column, mult: Long): Column =
     aggregate(
       filter(split(c, ""), ch => length(ch) > 0),
       lit(0L),
-      (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L)
+      (acc, ch) => (acc * mult + ascii(ch)) % 1000000007L)
+
+  def rollingHash(c: Column): Column = rollingHashWith(c, 31L)
 
   // ---------------------------------------------------------------- t01
   /** Token counting: whitespace tokens, distinct tokens, char lengths. */
