@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+/** Structured Streaming forms of the temporal operators (SURVEY §2.F
+  * "incremental/streaming-flavored materialization"; the batch forms live
+  * in [[graft.ops.Temporal]]).
+  *
+  * Each transform takes a (possibly streaming) events DataFrame with the
+  * `events` table schema (`event_id, user_id, event_type, ts, value`) and
+  * returns a lazily-planned result; callers pick the sink. The aggregates
+  * mirror their batch twins exactly (decimal-then-double sums) so a
+  * backfill (batch) and the live path (stream) produce identical rows —
+  * the kappa-architecture property a governed pipeline needs.
+  *
+  * Scale: all stateful ops key their state by (window/session, group key)
+  * and rely on watermarks to bound state size — state is O(open windows),
+  * not O(history). `foreachBatch` merges are idempotent per unique_key, so
+  * replays after failure are safe.
+  */
+object Streams {
+
+  /** Hourly per-type rollup with a watermark — streaming twin of
+    * q13_events_hourly. Append-mode emits each (hour, type) row exactly
+    * once, when the watermark passes the window end. */
+  def hourly(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select($"w.start".as("hour"), $"event_type", $"n_events", $"total_value")
+  }
+
+  /** 30-minute-gap sessionization via native `session_window` — streaming
+    * twin of q17_sessionize; sessions close (and emit, in append mode)
+    * once the watermark passes last-event + gap. */
+  def sessions(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy($"user_id", session_window($"ts", gap).as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events", $"total_value")
+  }
+
+  final case class Evt(user_id: Long, ts: Timestamp, value: Double)
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, total_value: Double)
+  /** Open-session accumulator carried in GroupState. */
+  final case class SessionState(
+      start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Custom-state sessionization via `flatMapGroupsWithState` with
+    * event-time timeout — the escape hatch for session semantics
+    * `session_window` can't express (per-event state updates, value-
+    * dependent gap rules, emit-on-update). Semantics here match
+    * [[sessions]]: gap-separated runs, session_end = last event + gap.
+    *
+    * State per user is ONE open session (constant size); the event-time
+    * timeout fires when the watermark passes lastTs + gap, emitting and
+    * clearing the state — so total state is O(active users). */
+  def sessionsStateful(
+      events: Dataset[Evt],
+      gapMs: Long = 30L * 60 * 1000,
+      watermarkDelay: String = "30 minutes"): Dataset[Session] = {
+    val s = events.sparkSession
+    import s.implicits._
+
+    def emit(uid: Long, st: SessionState): Session =
+      Session(uid, new Timestamp(st.start), new Timestamp(st.lastTs + gapMs),
+        st.n, st.total)
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(st) if t - st.lastTs < gapMs =>
+                  open = Some(SessionState(st.start, t, st.n + 1, st.total + e.value))
+                case Some(st) =>
+                  closed += emit(uid, st)
+                  open = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastTs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming incremental materialization: each micro-batch is merged
+    * into the parquet target by `uniqueKey` (delete-insert, the parquet
+    * analog of MERGE INTO — same semantics as the batch Runner's
+    * incremental path). Idempotent per key, so micro-batch replays after
+    * failure converge. */
+  def incrementalMerge(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      uniqueKey: String): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val deduped = batch.dropDuplicates(uniqueKey)
+        val merged =
+          if (!new java.io.File(path).exists) deduped
+          else {
+            val existing = spark.read.parquet(path)
+            existing.join(deduped.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
+              .unionByName(deduped)
+          }
+        val tmp = path + "__tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
