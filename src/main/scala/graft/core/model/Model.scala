@@ -76,7 +76,10 @@ final case class MacroNode(
     name: String,
     packageName: String,
     filePath: String,
+    /** the macro BODY (between the header and endmacro). */
     macroSql: String,
+    /** parameter names with optional defaults, from the macro header. */
+    params: Vector[(String, Option[String])] = Vector.empty,
     dependsOnMacros: Vector[String] = Vector.empty) extends Resource
 
 final case class Documentation(

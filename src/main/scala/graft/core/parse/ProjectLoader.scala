@@ -49,7 +49,7 @@ object ProjectLoader {
     val macroNames = macroDefs.map(_._1.name).toSet
     val macros = macroDefs.map { case (md, rel, _) =>
       val id = s"macro.$proj.${md.name}"
-      id -> MacroNode(id, md.name, proj, rel, md.body,
+      id -> MacroNode(id, md.name, proj, rel, md.body, params = md.params,
         dependsOnMacros = JinjaLite.findMacroCalls(md.body)
           .filter(macroNames).map(n => s"macro.$proj.$n"))
     }.toMap

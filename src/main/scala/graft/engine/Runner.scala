@@ -35,11 +35,7 @@ final class Runner(
 
   private val macroDefs: Map[String, JinjaLite.MacroDef] =
     manifest.macros.values.map(m =>
-      m.name -> JinjaLite.MacroDef(m.name, Vector.empty, m.macroSql)).toMap ++
-      // reparse with params from the original files when available
-      manifest.macros.values.flatMap { m =>
-        JinjaLite.findMacroDefs(s"{% macro ${m.name}() %}${m.macroSql}{% endmacro %}")
-      }.map(md => md.name -> md)
+      m.name -> JinjaLite.MacroDef(m.name, m.params, m.macroSql)).toMap
 
   private def vars: Map[String, String] =
     cfg.vars.entries.map { case (k, v) => k -> v.asStr }.toMap

@@ -42,9 +42,16 @@ object References {
     re.replaceAllIn(code, Regex.quoteReplacement(s"""dbt.ref("$project", "$model")"""))
   }
 
-  /** D5a: exposure depends_on ref-string swap. */
-  def updateRefString(refString: String, model: String, project: String): String =
-    updateSqlRefs(refString, model, project)
+  /** D5a: exposure depends_on ref-string swap. YAML ref strings are BARE
+    * `ref('m')` (no `{{ }}`), and the rewrite emits the bare two-arg form
+    * (`update_yml_resource_references`, utilities/references.py:150-171). */
+  def updateRefString(refString: String, model: String, project: String): String = {
+    val re = (s"""ref\\s*\\(\\s*(['"])${q(model)}\\1\\s*(,\\s*(?:v|version)\\s*=\\s*\\d+\\s*)?\\)""").r
+    re.replaceAllIn(refString, m => {
+      val v = Option(m.group(2)).getOrElse("")
+      Regex.quoteReplacement(s"ref('$project', '$model'$v)")
+    })
+  }
 
   /** D6: dispatch by language (`utilities/references.py:173-213`),
     * threading any pending FileChange for the same file (D7/D8 chaining,

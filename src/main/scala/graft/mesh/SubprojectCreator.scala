@@ -137,8 +137,10 @@ object SubprojectCreator {
     val macroRewrites = macroIds.toSeq.sorted.flatMap(manifest.macros.get)
       .flatMap(mc => References.macroRefUpdate(mc, cfg.name, leftBehindNames, readFile))
 
-    // 6. parent-side governance for upstream boundary models
-    val upstreamBoundary = Dag.xprojParents(manifest.parentMap, moved)
+    // 6. parent-side governance for upstream boundary models — frontier is
+    // computed over the FULL selection (like the cycle guard): a selected
+    // exposure/source must not read as a cross-boundary edge
+    val upstreamBoundary = Dag.xprojParents(manifest.parentMap, selected)
       .filter(_.startsWith("model."))
     val parentGovernance = upstreamBoundary.toSeq.sorted.flatMap(manifest.nodes.get)
       .foldLeft(ChangeSet()) { (cs, m) =>
@@ -151,7 +153,7 @@ object SubprojectCreator {
       }
 
     // 7. dependency registration: downstream side depends on upstream side
-    val subIsUpstream = Dag.xprojChildren(manifest.childMap, moved).nonEmpty
+    val subIsUpstream = Dag.xprojChildren(manifest.childMap, selected).nonEmpty
     val depChange =
       if (subIsUpstream) Dependencies.addDependency(cfg.name, subName)
       else Dependencies.addDependency(subName, cfg.name, subDir("dependencies.yml"))

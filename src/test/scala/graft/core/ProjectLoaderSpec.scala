@@ -1,0 +1,135 @@
+package graft.core
+
+import graft.core.parse.ProjectLoader
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** Native project loading (replaces the `dbt parse` process boundary). */
+class ProjectLoaderSpec extends AnyFunSuite {
+
+  private def writeProject(files: Map[String, String]): Path = {
+    val root = Files.createTempDirectory("graft_loader")
+    files.foreach { case (rel, text) =>
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text)
+    }
+    root
+  }
+
+  private val baseProject = Map(
+    "dbt_project.yml" ->
+      """name: jaffle
+        |vars:
+        |  cutoff: '2024-01-01'
+        |""".stripMargin,
+    "models/staging/__sources.yml" ->
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    database: main
+        |    schema: raw
+        |    tables:
+        |      - name: orders
+        |""".stripMargin,
+    "models/staging/stg_orders.sql" ->
+      "select * from {{ source('raw', 'orders') }}",
+    "models/orders.sql" ->
+      "{{ config(materialized='table') }}\nselect * from {{ ref('stg_orders') }}",
+    "macros/helper.sql" ->
+      "{% macro helper(x) %}{{ x }} + 1{% endmacro %}")
+
+  test("loads models, sources, macros with resolved depends_on") {
+    val root = writeProject(baseProject)
+    val (cfg, m) = ProjectLoader.load(root)
+    assert(cfg.name == "jaffle")
+    assert(m.nodes.keySet == Set("model.jaffle.stg_orders", "model.jaffle.orders"))
+    assert(m.sources.keySet == Set("source.jaffle.raw.orders"))
+    assert(m.macros.keySet == Set("macro.jaffle.helper"))
+    assert(m.nodes("model.jaffle.stg_orders").dependsOn.nodes ==
+      Vector("source.jaffle.raw.orders"))
+    assert(m.nodes("model.jaffle.orders").dependsOn.nodes ==
+      Vector("model.jaffle.stg_orders"))
+    assert(m.nodes("model.jaffle.orders").materialized == "table")
+  }
+
+  test("non-enforced models with exotic data_type strings load fine") {
+    // data_type like varchar(255)/array<string> is docs vocabulary for
+    // non-contracted models; it must not abort the project load
+    val root = writeProject(baseProject ++ Map(
+      "models/__models.yml" ->
+        """version: 2
+          |models:
+          |  - name: orders
+          |    columns:
+          |      - name: id
+          |        data_type: varchar(255)
+          |      - name: tags
+          |        data_type: array<string>
+          |""".stripMargin))
+    val (_, m) = ProjectLoader.load(root)
+    val orders = m.nodes("model.jaffle.orders")
+    assert(!orders.contractEnforced)
+    assert(orders.contract.isEmpty)
+  }
+
+  test("enforced contract parses typed columns into a StructType") {
+    val root = writeProject(baseProject ++ Map(
+      "models/__models.yml" ->
+        """version: 2
+          |models:
+          |  - name: orders
+          |    config:
+          |      contract:
+          |        enforced: true
+          |    columns:
+          |      - name: id
+          |        data_type: bigint
+          |      - name: total
+          |        data_type: double
+          |""".stripMargin))
+    val (_, m) = ProjectLoader.load(root)
+    val orders = m.nodes("model.jaffle.orders")
+    assert(orders.contractEnforced)
+    assert(orders.contract.contains(StructType(Seq(
+      StructField("id", LongType), StructField("total", DoubleType)))))
+  }
+
+  test("enforced contract with a partially-typed column list aborts the load") {
+    val root = writeProject(baseProject ++ Map(
+      "models/__models.yml" ->
+        """version: 2
+          |models:
+          |  - name: orders
+          |    config:
+          |      contract:
+          |        enforced: true
+          |    columns:
+          |      - name: id
+          |        data_type: bigint
+          |      - name: untyped_col
+          |""".stripMargin))
+    val e = intercept[IllegalArgumentException](ProjectLoader.load(root))
+    assert(e.getMessage.contains("untyped_col"))
+  }
+
+  test("column tests become test nodes depending on their model") {
+    val root = writeProject(baseProject ++ Map(
+      "models/__models.yml" ->
+        """version: 2
+          |models:
+          |  - name: orders
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - not_null
+          |          - unique
+          |""".stripMargin))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.tests.keySet == Set(
+      "test.jaffle.not_null_orders_id", "test.jaffle.unique_orders_id"))
+    m.tests.values.foreach(t =>
+      assert(t.dependsOn.nodes.contains("model.jaffle.orders")))
+  }
+}

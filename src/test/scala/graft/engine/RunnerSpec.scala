@@ -1,0 +1,146 @@
+package graft.engine
+
+import graft.SparkFixture
+import graft.core.parse.ProjectLoader
+import graft.core.catalog.Contracts
+import graft.enforce.AccessControl
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** End-to-end data plane: load a mini dbt-shaped project, run it in DAG
+  * order on Spark, enforce contracts + access, run generic tests, and
+  * re-run an incremental model (SURVEY §7 "minimum end-to-end slice"). */
+class RunnerSpec extends AnyFunSuite with SparkFixture {
+
+  private def writeProject(files: Map[String, String]): Path = {
+    val root = Files.createTempDirectory("graft_runner")
+    files.foreach { case (rel, text) =>
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text)
+    }
+    root
+  }
+
+  private def mkRunner(root: Path, enforceAccess: Boolean = true) = {
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh")
+    (new Runner(spark, manifest, cfg, wh, enforceAccess = enforceAccess), manifest)
+  }
+
+  private val project = Map(
+    "dbt_project.yml" ->
+      """name: jaffle
+        |vars:
+        |  cutoff: '2099-01-01'
+        |""".stripMargin,
+    "models/__sources.yml" ->
+      """version: 2
+        |sources:
+        |  - name: raw
+        |    tables:
+        |      - name: raw_orders
+        |""".stripMargin,
+    "models/__models.yml" ->
+      """version: 2
+        |models:
+        |  - name: orders
+        |    access: private
+        |    group: core
+        |    config:
+        |      contract:
+        |        enforced: true
+        |    columns:
+        |      - name: id
+        |        data_type: bigint
+        |        tests:
+        |          - not_null
+        |          - unique
+        |      - name: dollars
+        |        data_type: decimal(16,2)
+        |""".stripMargin,
+    "macros/cents_to_dollars.sql" ->
+      "{% macro cents_to_dollars(col) %}cast({{ col }} / 100.0 as decimal(16,2)){% endmacro %}",
+    "models/stg_orders.sql" ->
+      """select id, cents from {{ source('raw', 'raw_orders') }}
+        |where id is not null and '{{ var('cutoff') }}' > '2000'""".stripMargin,
+    "models/orders.sql" ->
+      ("{{ config(materialized='table') }}\n" +
+        "select id, {{ cents_to_dollars('cents') }} as dollars from {{ ref('stg_orders') }}"))
+
+  test("runs the DAG end-to-end: source → staging → contracted mart") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 150L), (2L, 250L), (3L, 1000L)).toDF("id", "cents")
+      .createOrReplaceTempView("raw_orders")
+    val root = writeProject(project)
+    val (runner, _) = mkRunner(root)
+    val out = runner.run()
+    val orders = out("model.jaffle.orders").orderBy("id").collect()
+    assert(orders.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(orders.map(_.getDecimal(1).toString).toSeq == Seq("1.50", "2.50", "10.00"))
+    // generic tests all pass (0 violations)
+    assert(runner.runTests().values.forall(_ == 0L))
+  }
+
+  test("contract violation: produced schema must match the declared contract") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 150L)).toDF("id", "cents").createOrReplaceTempView("raw_orders")
+    val bad = project.updated("models/orders.sql",
+      "{{ config(materialized='table') }}\n" +
+        // dollars column missing, extra column present
+        "select id, cents as other from {{ ref('stg_orders') }}")
+    val root = writeProject(bad)
+    val (runner, _) = mkRunner(root)
+    val e = intercept[Contracts.ContractViolation](runner.run())
+    assert(e.problems.exists(_.contains("missing column dollars")))
+    assert(e.problems.exists(_.contains("undeclared column other")))
+  }
+
+  test("access enforcement: a foreign query cannot read a private model") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 150L)).toDF("id", "cents").createOrReplaceTempView("raw_orders")
+    val root = writeProject(project)
+    val (runner, manifest) = mkRunner(root)
+    runner.run()
+    val reg = AccessControl.forSession(s)
+    // same project+group reads fine
+    reg.checkSql(s, s"select * from ${runner.viewName("orders")}",
+      AccessControl.Context("jaffle", Some("core")))
+    // another project is rejected
+    intercept[AccessControl.MeshAccessViolation](
+      reg.checkSql(s, s"select * from ${runner.viewName("orders")}",
+        AccessControl.Context("other_proj", None)))
+    // same project, different group is rejected for private models
+    intercept[AccessControl.MeshAccessViolation](
+      reg.checkSql(s, s"select * from ${runner.viewName("orders")}",
+        AccessControl.Context("jaffle", Some("ops"))))
+  }
+
+  test("incremental model: second run appends only post-watermark rows and merges by key") {
+    val s = spark
+    import s.implicits._
+    val inc = Map(
+      "dbt_project.yml" -> "name: jaffle\n",
+      "models/events_agg.sql" ->
+        """{{ config(materialized='incremental', unique_key='id') }}
+          |select id, v from input_events
+          |{% if is_incremental() %}
+          |where id > (select max(id) from {{ this }})
+          |{% endif %}""".stripMargin)
+    val root = writeProject(inc)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").createOrReplaceTempView("input_events")
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_inc")
+    val runner = new Runner(spark, manifest, cfg, wh, enforceAccess = false)
+    runner.run()
+    // new batch arrives; id 3 is new, ids 1-2 unchanged
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("input_events")
+    val out2 = runner.run()("model.jaffle.events_agg").orderBy("id")
+    assert(out2.as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+}
