@@ -15,12 +15,23 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // bench files are single small parquet files; the default 128 MB
+      // split size would scan each on ONE core. At production scale the
+      // default is right — here the knob re-widens the scan stage.
+      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM + parquet-footer + view-registration warmup, excluded from timings.
+    // JVM + parquet-footer + view-registration warmup, excluded from
+    // timings; the shuffle job initializes codegen, the shuffle system,
+    // and the broadcast machinery so the first timed query isn't charged
+    // for one-time session setup.
     ops.Tables.load(spark, sfDir)
+    import org.apache.spark.sql.functions.expr
+    spark.range(1 << 20).groupBy(expr("id % 7")).count()
+      .queryExecution.toRdd.count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

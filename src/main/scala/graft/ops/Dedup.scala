@@ -101,28 +101,45 @@ object Dedup {
   // ---------------------------------------------------------------- d03
   /** MinHash + LSH banding near-dup: 64 affine permutations of the shingle
     * rolling hash, 32 bands × 2 rows; band-bucket equality join yields
-    * candidates, verified with exact Jaccard ≥ 0.5. */
+    * candidates, verified with exact Jaccard ≥ 0.5.
+    *
+    * Plan shape (the 100 TB path): signatures are ONE shuffle on doc_id
+    * with 64 partially-aggregated min columns (no 64× row explode);
+    * exact-Jaccard verification runs ONLY over candidate docs — the full
+    * inverted-index pair enumeration (d02's plan) never happens, which is
+    * the entire point of LSH. */
   def d03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir)
       .withColumn("h", TextAnalysis.rollingHash($"s"))
-    val sig = sh
-      .withColumn("j", explode(sequence(lit(0), lit(63))))
-      .groupBy($"doc_id", $"j")
-      .agg(min(((lit(2) * $"j" + 1) * $"h" + $"j") % 1000000007L).as("sig"))
-    val bands = sig
-      .groupBy($"doc_id", ($"j" / 2).cast(IntegerType).as("band"))
-      .agg(
-        max(when($"j" % 2 === 0, $"sig")).as("s0"),
-        max(when($"j" % 2 === 1, $"sig")).as("s1"))
-      .select($"doc_id", concat_ws(":", $"band", $"s0", $"s1").as("key"))
+    // ONE aggregation computes everything per doc: 64 minhash mins (map-
+    // side partial agg, no 64× row explode), the distinct-shingle count,
+    // and the shingle set itself for candidate verification. One shuffle
+    // of the corpus, ever; its exchange is reused by every consumer below.
+    val sigCols = (0 until 64).map(j =>
+      min(((lit(2L * j + 1)) * $"h" + lit(j.toLong)) % 1000000007L).as(s"sig$j"))
+    val aggCols = sigCols ++ Seq(
+      count(lit(1)).as("n"), collect_set($"s").as("ss"))
+    val perDoc = sh.groupBy($"doc_id").agg(aggCols.head, aggCols.tail: _*)
+    // band keys: 32 bands × 2 rows; the bands projection prunes n/ss away
+    val bandKeys = (0 until 32).map(b =>
+      concat_ws(":", lit(b), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+    val bands = perDoc.select($"doc_id", explode(array(bandKeys: _*)).as("key"))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    jaccardPairs(s, dir, 0.5)
-      .join(cand, Seq("da", "db"), "left_semi")
+    // exact Jaccard ONLY on candidate pairs: join each side's shingle set
+    // in and intersect — d02's full inverted-index pair enumeration never
+    // runs, which is the entire point of LSH at scale
+    val pa = perDoc.select($"doc_id".as("da"), $"n".as("na"), $"ss".as("ssa"))
+    val pb = perDoc.select($"doc_id".as("db"), $"n".as("nb"), $"ss".as("ssb"))
+    cand.join(pa, Seq("da")).join(pb, Seq("db"))
+      .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
+      .withColumn("jac", dbl($"i") / ($"na" + $"nb" - $"i"))
+      .filter($"jac" >= 0.5)
+      .select($"da", $"db", round($"jac", 6).as("jaccard"))
       .orderBy($"da", $"db")
   }
 

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two double arrays (deterministic).
+    * Codegen'd custom Expression — same index-order fold as
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, compiled instead of
+    * interpreted (see [[graft.functions.DotProduct]]). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   /** embeddings with double-cast vector and precomputed L2 norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
