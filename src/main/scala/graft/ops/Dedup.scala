@@ -39,8 +39,9 @@ object Dedup {
         .as("s"))
   }
 
-  /** (da, db, jaccard) for all pairs sharing ≥1 shingle, jaccard ≥ minJ. */
-  private def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+  /** (da, db, jaccard) for all pairs sharing ≥1 shingle, jaccard ≥ minJ.
+    * Package-visible: GraphOps builds its component graph on these edges. */
+  private[ops] def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -192,16 +193,19 @@ object Dedup {
     val wh = tf
       .withColumn("h1", TextAnalysis.rollingHashWith($"w", 31))
       .withColumn("h2", TextAnalysis.rollingHashWith($"w", 37))
-    val bits = wh
-      .withColumn("b", explode(sequence(lit(0), lit(59))))
-      .withColumn("bit",
-        expr("(shiftright(CASE WHEN b < 30 THEN h1 ELSE h2 END, b % 30) & 1) * 2 - 1"))
-      .groupBy($"doc_id", $"b")
-      .agg(sum($"cnt" * $"bit").as("contrib"))
-    val sim = bits.groupBy($"doc_id")
-      .agg(sum(expr(
-        "CASE WHEN contrib > 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
-        .as("sh"))
+    // 60 bit-contribution sums as agg columns in ONE groupBy(doc_id) —
+    // no 60× row explode, map-side partial agg (same shape as d03's
+    // signature aggregation)
+    val contribCols = (0 until 60).map { j =>
+      val h = if (j < 30) $"h1" else $"h2"
+      sum($"cnt" * ((shiftright(h, j % 30) % 2) * 2 - 1)).as(s"c$j")
+    }
+    val sim = wh.groupBy($"doc_id")
+      .agg(contribCols.head, contribCols.tail: _*)
+      .select($"doc_id",
+        (0 until 60).map(j =>
+          when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
     val bands = sim
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .select($"doc_id", $"sh", $"b", expr("shiftright(sh, b * 15) & 32767").as("bv"))

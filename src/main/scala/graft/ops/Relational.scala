@@ -437,6 +437,32 @@ object Relational {
       |SELECT l_orderkey AS o_orderkey FROM lineitem WHERE l_discount > 0.08
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q19
+  /** Semi-structured extraction: per-type stats over a JSON props column.
+    * `get_json_object` is a codegen'd path expression — the JSON parse
+    * happens once per row in the scan stage, no UDF; at scale prefer
+    * `from_json` with an explicit schema so the parse is vectorizable and
+    * the extracted column prunes/pushes like any other. */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val q19Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -453,5 +479,6 @@ object Relational {
     Q("q13_events_hourly", q13, Some(q13Sql)),
     Q("q14_rollup", q14, Some(q14Sql)),
     Q("q15_distinct_count", q15, Some(q15Sql)),
-    Q("q16_set_ops", q16, Some(q16Sql)))
+    Q("q16_set_ops", q16, Some(q16Sql)),
+    Q("q19_json_extract", q19, Some(q19Sql)))
 }
