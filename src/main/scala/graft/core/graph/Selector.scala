@@ -2,46 +2,82 @@ package graft.core.graph
 
 import graft.core.model.Manifest
 
-/** dbt node-selection syntax (the subset the reference's tests exercise:
-  * `name`, `+name`, `name+`, `+name+`, space-separated unions, and
-  * `--exclude` set-minus; `dbt_projects.py:351-376` shells to `dbt ls` —
-  * we evaluate natively over the adjacency maps). Unknown syntax
-  * (`tag:`, `path:`, `@`, intersections) fails loudly per SURVEY §7.
+/** dbt node-selection syntax, evaluated natively over the adjacency maps
+  * (the reference shells to `dbt ls`, `dbt_projects.py:351-376`).
+  *
+  * Supported grammar (the subset dbt projects actually lean on):
+  *  - `name` — by resource name or unique_id
+  *  - `+name` / `name+` / `+name+` — ancestors / descendants / both
+  *  - `@name` — name, its descendants, and all ancestors of those
+  *  - `tag:x` — models carrying tag x
+  *  - `path:models/staging` — resources under a path prefix
+  *  - space-separated tokens union; `a,b` intersects criteria
+  *  - `--exclude` is set-minus over the same grammar
+  * Anything else (`state:`, `result:`, `source:` methods…) fails loudly
+  * rather than silently selecting nothing (SURVEY §7).
   */
 object Selector {
 
-  final case class Criterion(ancestors: Boolean, name: String, descendants: Boolean)
+  final case class Criterion(
+      ancestors: Boolean, atOp: Boolean, method: Option[String],
+      name: String, descendants: Boolean)
+
+  private val knownMethods = Set("tag", "path")
 
   def parseCriterion(token: String): Criterion = {
-    if (token.contains(":") || token.startsWith("@") || token.contains(","))
-      throw new IllegalArgumentException(
-        s"unsupported selector syntax: '$token' (supported: name, +name, name+, unions, exclude)")
-    val anc = token.startsWith("+")
-    val desc = token.endsWith("+")
-    val name = token.stripPrefix("+").stripSuffix("+")
+    val atOp = token.startsWith("@")
+    val t0 = token.stripPrefix("@")
+    if (atOp && (t0.startsWith("+") || t0.endsWith("+")))
+      throw new IllegalArgumentException(s"cannot combine @ with +: '$token'")
+    val anc = t0.startsWith("+")
+    val desc = t0.endsWith("+")
+    val t1 = t0.stripPrefix("+").stripSuffix("+")
+    val (method, name) = t1.split(":", 2) match {
+      case Array(m, n) if knownMethods(m) => (Some(m), n)
+      case Array(m, _) => throw new IllegalArgumentException(
+        s"unsupported selector method '$m:' in '$token' (supported: tag:, path:)")
+      case Array(n) => (None, n)
+    }
     require(name.nonEmpty, s"empty selector token: '$token'")
-    Criterion(anc, name, desc)
+    Criterion(anc, atOp, method, name, desc)
   }
 
-  /** Resolve a bare name to resource unique ids (models and sources may
-    * share names across packages — all matches are selected, like dbt). */
-  private def resolve(manifest: Manifest, name: String): Set[String] = {
-    val all = manifest.allResources
-    // exact unique_id match wins
-    if (all.contains(name)) Set(name)
-    else all.collect { case (id, r) if r.name == name => id }.toSet
-  }
-
-  /** Evaluate `--select` / `--exclude` to a set of unique ids (A1). */
-  def select(manifest: Manifest, select: Seq[String], exclude: Seq[String] = Nil): Set[String] = {
-    def eval(tokens: Seq[String]): Set[String] =
-      tokens.flatMap { tok =>
-        val c = parseCriterion(tok)
-        val base = resolve(manifest, c.name)
-        base ++
-          (if (c.ancestors) base.flatMap(Dag.ancestors(manifest.parentMap, _)) else Set.empty) ++
-          (if (c.descendants) base.flatMap(Dag.descendants(manifest.childMap, _)) else Set.empty)
+  /** Resolve one criterion's base set (before graph operators). */
+  private def resolve(manifest: Manifest, c: Criterion): Set[String] = c.method match {
+    case Some("tag") =>
+      manifest.nodes.collect { case (id, n) if n.tags.contains(c.name) => id }.toSet
+    case Some("path") =>
+      manifest.allResources.collect {
+        case (id, r) if r.filePath.startsWith(c.name) => id
       }.toSet
+    case _ =>
+      val all = manifest.allResources
+      if (all.contains(c.name)) Set(c.name)
+      else all.collect { case (id, r) if r.name == c.name => id }.toSet
+  }
+
+  private def evalCriterion(manifest: Manifest, c: Criterion): Set[String] = {
+    val base = resolve(manifest, c)
+    if (c.atOp) {
+      // @x = x ∪ descendants(x) ∪ ancestors(x ∪ descendants(x))
+      val down = base ++ base.flatMap(Dag.descendants(manifest.childMap, _))
+      down ++ down.flatMap(Dag.ancestors(manifest.parentMap, _))
+    } else base ++
+      (if (c.ancestors) base.flatMap(Dag.ancestors(manifest.parentMap, _)) else Set.empty) ++
+      (if (c.descendants) base.flatMap(Dag.descendants(manifest.childMap, _)) else Set.empty)
+  }
+
+  /** Evaluate `--select` / `--exclude` to a set of unique ids (A1).
+    * Each token unions; `,`-joined criteria within a token intersect. */
+  def select(manifest: Manifest, select: Seq[String], exclude: Seq[String] = Nil): Set[String] = {
+    def evalToken(tok: String): Set[String] =
+      tok.split(",").filter(_.nonEmpty).toSeq match {
+        case Seq() => Set.empty
+        case parts => parts.map(p => evalCriterion(manifest, parseCriterion(p)))
+          .reduce(_ intersect _)
+      }
+    def eval(tokens: Seq[String]): Set[String] =
+      tokens.flatMap(evalToken).toSet
     eval(select) -- eval(exclude)
   }
 

@@ -59,6 +59,7 @@ final case class ModelNode(
     uniqueKey: Option[String] = None,
     contractEnforced: Boolean = false,
     contract: Option[StructType] = None,
+    tags: Vector[String] = Vector.empty,
     /** database.schema.identifier this model materializes to. */
     relationName: Option[String] = None,
     config: YMap = YMap.empty) extends Resource

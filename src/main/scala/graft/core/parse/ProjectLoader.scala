@@ -181,6 +181,11 @@ object ProjectLoader {
         uniqueKey = conf.get("unique_key").orElse(patchConfig.get("unique_key").map(_.asStr)),
         contractEnforced = contractEnforced,
         contract = contract,
+        tags = (patchEntry.get("tags").toSeq ++ patchConfig.get("tags").toSeq)
+          .flatMap {
+            case YList(ts) => ts.map(_.asStr)
+            case t => Seq(t.asStr)
+          }.toVector.distinct,
         relationName = Some(s"main.$schema.$name"),
         config = patchConfig)
 

@@ -33,6 +33,15 @@ final class Runner(
 
   def viewName(model: String): String = s"${manifest.projectName}__$model"
 
+  /** Cross-project refs (`ref('proj', 'model')`) resolve to the upstream
+    * project's published view under the same naming convention; bare refs
+    * stay project-local. */
+  private def refView(rc: JinjaLite.RefCall): String =
+    rc.project.filter(_ != manifest.projectName) match {
+      case Some(p) => s"${p}__${rc.name}"
+      case None => viewName(rc.name)
+    }
+
   private val macroDefs: Map[String, JinjaLite.MacroDef] =
     manifest.macros.values.map(m =>
       m.name -> JinjaLite.MacroDef(m.name, m.params, m.macroSql)).toMap
@@ -44,7 +53,7 @@ final class Runner(
   def renderSql(m: ModelNode, isIncremental: Boolean): String =
     JinjaLite.render(
       m.rawCode,
-      resolveRef = rc => viewName(rc.name),
+      resolveRef = refView,
       resolveSource = sc => {
         val src = manifest.sources.values
           .find(s => s.sourceName == sc.sourceName && s.name == sc.table)

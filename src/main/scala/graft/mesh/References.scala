@@ -101,35 +101,44 @@ object References {
   }
 
   /** D8: moved models that depend on models left behind rewrite their own
-    * refs to the parent project (`utilities/references.py:310-360`). */
+    * refs to the parent project (`utilities/references.py:310-360`).
+    * `pathFor` maps a moved model to the path the rewrite is WRITTEN to —
+    * the subproject location after the move (the reference resolves paths
+    * against the downstream project, `references.py:192-196`); the code is
+    * still READ from the original parent path. */
   def parentRefUpdates(manifest: Manifest, parentProject: String, moved: Set[String],
-      readFile: String => String): ChangeSet = {
+      readFile: String => String,
+      pathFor: ModelNode => String = _.filePath): ChangeSet = {
     val leftBehind = moved.flatMap(manifest.parentMap.getOrElse(_, Set.empty))
       .filterNot(moved).flatMap(manifest.nodes.get)
     moved.toSeq.sorted.flatMap(manifest.nodes.get).foldLeft(ChangeSet()) { case (acc, m) =>
       val ups = leftBehind.filter(u => m.dependsOn.nodes.contains(u.uniqueId))
       if (ups.isEmpty) acc
       else {
-        val code0 = currentCode(acc, m.filePath, readFile)
+        val target = pathFor(m)
+        val code0 = acc.latestFileChange(target).flatMap(_.data)
+          .getOrElse(readFile(m.filePath))
         val updated = ups.foldLeft(code0) { (c, u) =>
           if (m.language == "python") updatePythonRefs(c, u.name, parentProject)
           else updateSqlRefs(c, u.name, parentProject)
         }
-        acc + FileChange(Operation.Update, m.filePath, Some(updated))
+        acc + FileChange(Operation.Update, target, Some(updated))
       }
     }
   }
 
   /** D10: first ref() in macro SQL — if it targets a model left behind in
     * the parent, rewrite to cross-project form
-    * (`utilities/references.py:215-259`). */
+    * (`utilities/references.py:215-259`). `targetPath` is where the
+    * rewritten macro is written (the subproject copy). */
   def macroRefUpdate(macroNode: MacroNode, parentProject: String,
-      leftBehindModels: Set[String], readFile: String => String): Option[FileChange] = {
+      leftBehindModels: Set[String], readFile: String => String,
+      targetPath: Option[String] = None): Option[FileChange] = {
     val text = readFile(macroNode.filePath)
     graft.core.parse.JinjaLite.findRefs(text).headOption
       .filter(r => r.project.isEmpty && leftBehindModels.contains(r.name))
       .map { r =>
-        Some(FileChange(Operation.Update, macroNode.filePath,
+        Some(FileChange(Operation.Update, targetPath.getOrElse(macroNode.filePath),
           Some(updateSqlRefs(text, r.name, parentProject))))
       }.getOrElse(None)
   }

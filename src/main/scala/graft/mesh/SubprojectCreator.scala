@@ -130,12 +130,17 @@ object SubprojectCreator {
 
     // 5. ref rewrites: children left behind (D7) + moved models' own refs
     // to parents left behind (D8) + macros (D10)
+    // child rewrites stay at parent paths (those models don't move);
+    // moved-model and macro rewrites land at their NEW subproject paths
+    // (the reference resolves against the downstream project)
     val childRewrites = References.childRefUpdates(manifest, subName, moved, readFile)
-    val parentRewrites = References.parentRefUpdates(manifest, cfg.name, moved, readFile)
+    val parentRewrites = References.parentRefUpdates(manifest, cfg.name, moved,
+      readFile, m => subDir(m.filePath))
     val leftBehindNames = moved.flatMap(manifest.parentMap.getOrElse(_, Set.empty))
       .filterNot(moved).flatMap(manifest.nodes.get).map(_.name)
     val macroRewrites = macroIds.toSeq.sorted.flatMap(manifest.macros.get)
-      .flatMap(mc => References.macroRefUpdate(mc, cfg.name, leftBehindNames, readFile))
+      .flatMap(mc => References.macroRefUpdate(mc, cfg.name, leftBehindNames,
+        readFile, Some(subDir(mc.filePath))))
 
     // 6. parent-side governance for upstream boundary models — frontier is
     // computed over the FULL selection (like the cycle guard): a selected

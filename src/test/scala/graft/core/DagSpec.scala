@@ -76,7 +76,8 @@ class DagSpec extends AnyFunSuite {
     assert(Selector.select(m, Seq("a", "c")) == Set("model.p.a", "model.p.c"))
     assert(Selector.select(m, Seq("+c"), exclude = Seq("a")) ==
       Set("model.p.b", "model.p.c"))
-    intercept[IllegalArgumentException](Selector.select(m, Seq("tag:nightly")))
+    // tag:/path: are supported now (SelectorSpec); other methods still fail
+    intercept[IllegalArgumentException](Selector.select(m, Seq("state:modified")))
   }
 
   test("macro closure is a fixpoint over macro-macro deps") {

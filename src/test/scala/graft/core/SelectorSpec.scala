@@ -1,0 +1,67 @@
+package graft.core
+
+import graft.core.graph.Selector
+import graft.core.model._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A1 selection grammar over a diamond DAG with tags and paths. */
+class SelectorSpec extends AnyFunSuite {
+
+  //    src -> a -> b -> d ;  a -> c -> d  (diamond), e isolated
+  private val manifest: Manifest = {
+    def m(name: String, deps: Seq[String], tags: Vector[String] = Vector.empty,
+        path: Option[String] = None) =
+      ModelNode(s"model.p.$name", name, "p",
+        path.getOrElse(s"models/$name.sql"), "", dependsOn = DependsOn(deps.toVector),
+        tags = tags)
+    val src = SourceDefinition("source.p.raw.src", "src", "raw", "p", "models/__s.yml")
+    val a = m("a", Seq(src.uniqueId), Vector("nightly"), Some("models/staging/a.sql"))
+    val b = m("b", Seq(a.uniqueId), Vector("nightly"))
+    val c = m("c", Seq(a.uniqueId))
+    val d = m("d", Seq(b.uniqueId, c.uniqueId))
+    val e = m("e", Nil)
+    Manifest("p", nodes = Map(
+      a.uniqueId -> a, b.uniqueId -> b, c.uniqueId -> c,
+      d.uniqueId -> d, e.uniqueId -> e),
+      sources = Map(src.uniqueId -> src))
+  }
+
+  private def ids(s: Set[String]): Set[String] = s.map(_.stripPrefix("model.p."))
+
+  test("bare name, +name, name+, +name+") {
+    assert(ids(Selector.select(manifest, Seq("b"))) == Set("b"))
+    assert(Selector.select(manifest, Seq("+b")) ==
+      Set("model.p.b", "model.p.a", "source.p.raw.src"))
+    assert(ids(Selector.select(manifest, Seq("b+"))) == Set("b", "d"))
+    assert(Selector.select(manifest, Seq("+b+")) ==
+      Set("model.p.b", "model.p.a", "source.p.raw.src", "model.p.d"))
+  }
+
+  test("unions and exclude") {
+    assert(ids(Selector.select(manifest, Seq("b", "c"))) == Set("b", "c"))
+    assert(ids(Selector.select(manifest, Seq("a+"), Seq("d"))) == Set("a", "b", "c"))
+  }
+
+  test("tag: and path: methods") {
+    assert(ids(Selector.select(manifest, Seq("tag:nightly"))) == Set("a", "b"))
+    assert(ids(Selector.select(manifest, Seq("path:models/staging"))) == Set("a"))
+    assert(ids(Selector.select(manifest, Seq("tag:nightly+"), Seq("tag:nightly"))) ==
+      Set("c", "d"))
+  }
+
+  test("intersection with comma") {
+    // descendants of a that carry tag nightly
+    assert(ids(Selector.select(manifest, Seq("a+,tag:nightly"))) == Set("a", "b"))
+  }
+
+  test("@ operator: node, descendants, ancestors of those") {
+    assert(Selector.select(manifest, Seq("@c")) ==
+      Set("model.p.c", "model.p.d", // c and descendants
+        "model.p.a", "model.p.b", "source.p.raw.src")) // ancestors of those
+  }
+
+  test("unknown methods fail loudly") {
+    intercept[IllegalArgumentException](Selector.select(manifest, Seq("state:modified")))
+    intercept[IllegalArgumentException](Selector.select(manifest, Seq("@+x")))
+  }
+}
