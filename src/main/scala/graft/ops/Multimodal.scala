@@ -127,6 +127,10 @@ object Multimodal {
   def m03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
+      // fan-out: single-pass narrow plan over a compact scan — one cheap
+      // shuffle widens the per-frame work to every core (no subtree reuse
+      // here, so the shuffle is paid exactly once)
+      .repartition($"doc_id")
       .withColumn("txt", decode($"bytes", "UTF-8"))
       .withColumn("n_frames",
         greatest(lit(0), floor((length($"txt") - 16) / 32) + 1).cast(LongType))
@@ -161,6 +165,7 @@ object Multimodal {
   def m04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
+      .repartition($"doc_id") // fan-out, see m03
       .withColumn("txt", decode($"bytes", "UTF-8"))
       // empty-payload guard: sequence(1,0) is [1,0] in Spark, not empty
       .withColumn("small", expr(

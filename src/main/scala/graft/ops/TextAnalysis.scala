@@ -152,6 +152,9 @@ object TextAnalysis {
   def t04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "documents")
+      // fan-out: the two full-text rolling hashes are the most expensive
+      // narrow compute in this module — widen past the scan's parallelism
+      .repartition($"doc_id")
       .select(
         $"doc_id",
         rollingHash($"text").as("fingerprint"),
