@@ -24,12 +24,12 @@ object TextAnalysis {
   private def words(c: Column): Column = split(c, " ")
 
   /** int64 polynomial rolling hash mod 1e9+7 over the chars of `c`.
-    * Matches a left fold with init 0: h = (h*mult + ascii(char)) % p. */
+    * Matches a left fold with init 0: h = (h*mult + ascii(char)) % p.
+    * Compiled custom Expression (see [[graft.functions.RollingHash]]) —
+    * same fold, one tight loop per row instead of a per-char interpreted
+    * lambda over a split array. */
   def rollingHashWith(c: Column, mult: Long): Column =
-    aggregate(
-      filter(split(c, ""), ch => length(ch) > 0),
-      lit(0L),
-      (acc, ch) => (acc * mult + ascii(ch)) % 1000000007L)
+    graft.functions.RollingHash(c, mult)
 
   def rollingHash(c: Column): Column = rollingHashWith(c, 31L)
 
