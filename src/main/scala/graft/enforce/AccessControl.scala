@@ -3,7 +3,7 @@ package graft.enforce
 import graft.core.model.{AccessType, Manifest}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.SparkSessionExtensions
 
@@ -66,12 +66,20 @@ object AccessControl {
       if (!ok) throw MeshAccessViolation(name, grant, ctx)
     }
 
-    /** Walk a (possibly unresolved) plan, enforcing every table reference
-      * under an explicit identity. */
+    /** Walk a plan, enforcing every table reference under an explicit
+      * identity. Handles BOTH unresolved plans (parsed SQL — the Runner's
+      * pre-execution check) and resolved ones: when the injected rule
+      * fires, the built-in resolution rules in the same fixed-point batch
+      * have usually already replaced `UnresolvedRelation`s with
+      * `SubqueryAlias`-wrapped view plans, so governed names are matched
+      * on the alias identifier too. */
     def checkPlan(plan: LogicalPlan, ctx: Context): Unit =
       plan.foreach {
         case u: UnresolvedRelation =>
           checkRelation(u.multipartIdentifier.mkString("."), ctx)
+        case sa: SubqueryAlias =>
+          checkRelation(
+            (sa.identifier.qualifier :+ sa.identifier.name).mkString("."), ctx)
         case _ => ()
       }
 
