@@ -463,6 +463,44 @@ object Relational {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q20
+  /** Pure range join (no equi key): each purchase picks up the clicks of
+    * ANY user in the following 10 minutes. Naive is |P|·|C|; the scale
+    * plan buckets both sides on 10-minute windows and equi-joins on the
+    * bucket id (each purchase probes its own bucket and the next), turning
+    * the cross product into a partitioned hash join + residual range
+    * filter — the standard interval-bucketing range-join shape. */
+  def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val bucket = (c: Column) => floor(c.cast(DoubleType) / 600).cast(LongType)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"ts".as("pts"))
+      .withColumn("b", explode(array(bucket($"pts"), bucket($"pts") + 1)))
+    val c = e.filter($"event_type" === "click")
+      .select($"ts".as("cts"), $"value", bucket($"cts").as("b"))
+    val hits = p.join(c, Seq("b"))
+      .filter($"cts" > $"pts" && $"cts" <= $"pts" + expr("INTERVAL 10 MINUTES"))
+      .groupBy($"pid")
+      .agg(count(lit(1)).as("n_clicks"), sum(dec($"value")).as("sv"))
+    e.filter($"event_type" === "purchase").select($"event_id".as("pid"))
+      .join(hits, Seq("pid"), "left")
+      .select(
+        $"pid".as("event_id"),
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"),
+        dbl(coalesce($"sv", lit(0).cast(DecimalType(18, 6)))).as("click_value"))
+      .orderBy($"event_id")
+  }
+
+  val q20Sql: String =
+    """SELECT p.event_id,
+      |  COUNT(c.ts) AS n_clicks,
+      |  CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(18,6))), 0) AS DOUBLE) AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.ts > p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
+      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -480,5 +518,6 @@ object Relational {
     Q("q14_rollup", q14, Some(q14Sql)),
     Q("q15_distinct_count", q15, Some(q15Sql)),
     Q("q16_set_ops", q16, Some(q16Sql)),
-    Q("q19_json_extract", q19, Some(q19Sql)))
+    Q("q19_json_extract", q19, Some(q19Sql)),
+    Q("q20_range_join", q20, Some(q20Sql), headline = true))
 }

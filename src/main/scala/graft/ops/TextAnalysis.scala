@@ -173,9 +173,41 @@ object TextAnalysis {
       |    (a, b) -> (a * 31 + b) % 1000000007) AS vocab_fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t05
+  /** BPE-ish subword token counting: a GPT-2-style pre-tokenizer regex
+    * (letter runs | digit runs | single punctuation) plus the chars/4
+    * estimate LLM pipelines budget with. The alternation is kept to
+    * explicit character classes so Java regex (Spark) and RE2-ish
+    * (DuckDB) agree byte-for-byte. */
+  private val piece = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def t05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pieces = expr(s"regexp_extract_all(text, '$piece', 0)")
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        size(pieces).cast(LongType).as("n_pieces"),
+        size(filter(pieces, p => p.rlike("^[A-Za-z]"))).cast(LongType).as("n_word_pieces"),
+        size(filter(pieces, p => p.rlike("^[0-9]"))).cast(LongType).as("n_num_pieces"),
+        ceil(dbl(length($"text")) / 4).cast(LongType).as("est_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val t05Sql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$piece')) AS BIGINT) AS n_pieces,
+       |  CAST(len(list_filter(regexp_extract_all(text, '$piece'),
+       |    p -> regexp_matches(p, '^[A-Za-z]'))) AS BIGINT) AS n_word_pieces,
+       |  CAST(len(list_filter(regexp_extract_all(text, '$piece'),
+       |    p -> regexp_matches(p, '^[0-9]'))) AS BIGINT) AS n_num_pieces,
+       |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
     Q("t03_langid", t03, Some(t03Sql)),
-    Q("t04_fingerprint", t04, Some(t04Sql), headline = true))
+    Q("t04_fingerprint", t04, Some(t04Sql), headline = true),
+    Q("t05_bpe_tokens", t05, Some(t05Sql)))
 }
