@@ -121,6 +121,37 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drops rows whose key was already seen, with
+    * state bounded by the watermark (`dropDuplicatesWithinWatermark`) —
+    * the streaming twin of d01's exact dedup for an ingest pipeline.
+    * State is O(keys inside the watermark window), not O(history). */
+  def dedup(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Time-bounded stream-stream join: each click joins the purchases of
+    * the same user in the preceding 10 minutes. Both sides carry
+    * watermarks and the range predicate bounds join state on both sides
+    * (Spark drops buffered rows once the watermark passes the bound). */
+  def clickPurchaseJoin(
+      clicks: DataFrame, purchases: DataFrame,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      c("user_id") === p("p_user") &&
+        p("purchase_ts") <= c("click_ts") &&
+        p("purchase_ts") >= c("click_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("user_id"), col("click_ts"),
+        col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

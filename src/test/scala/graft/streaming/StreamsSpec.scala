@@ -101,6 +101,52 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dedup drops duplicate keys within the watermark window") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.dedup(in.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev(1, 1, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Ev(1, 1, "click", ts("2024-01-01 10:00:01"), 1.0), // dup key
+        Ev(2, 1, "click", ts("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, 1, "click", ts("2024-01-01 10:06:00"), 2.0)) // dup again
+      q.processAllAvailable()
+      assert(s.table("dedup_out").select("event_id").as[Long]
+        .collect().sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream-stream join: clicks pick up same-user purchases within 10 minutes") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = Streams.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      purchases.addData(
+        Ev(10, 1, "purchase", ts("2024-01-01 10:00:00"), 5.0),
+        Ev(11, 2, "purchase", ts("2024-01-01 10:00:00"), 7.0))
+      clicks.addData(
+        Ev(20, 1, "click", ts("2024-01-01 10:05:00"), 0.0), // joins p10
+        Ev(21, 1, "click", ts("2024-01-01 10:20:00"), 0.0), // outside 10 min
+        Ev(22, 3, "click", ts("2024-01-01 10:02:00"), 0.0)) // no purchase
+      q.processAllAvailable()
+      val rows = s.table("ssj_out")
+        .select("click_id", "purchase_value").as[(Long, Double)]
+        .collect().sorted.toSeq
+      assert(rows == Seq((20L, 5.0)))
+    } finally q.stop()
+  }
+
   test("incrementalMerge: delete-insert by unique key across micro-batch runs") {
     val s = spark
     import s.implicits._
