@@ -1,0 +1,49 @@
+package graft.mesh
+
+import graft.core.changes._
+import graft.core.model._
+import graft.core.yaml._
+import org.apache.spark.sql.SparkSession
+
+/** Command orchestration (SURVEY §3.2): compositions of the planners that
+  * the reference wires at the CLI layer. */
+object Commands {
+
+  /** The `group` command (`main.py:632-687`): create-group, then contract
+    * every model whose PLANNED access is non-private. The contract target
+    * set is derived from the just-planned (unwritten) changes — plans
+    * compose over pending state, the reference's "rock and a hard place"
+    * workaround (`main.py:665-685`). */
+  def group(
+      spark: SparkSession,
+      manifest: Manifest,
+      groupName: String,
+      owner: Owner,
+      selected: Set[String],
+      groupYamlPath: String,
+      viewName: String => String,
+      readFile: String => Option[String] = _ => None): ChangeSet = {
+    val groupChanges = Grouper.addGroup(manifest, groupName, owner, selected, groupYamlPath)
+
+    // re-derive the contract targets from the planned access patches
+    val contractTargets = groupChanges.changes.collect {
+      case rc: ResourceChange
+        if rc.entityType == EntityType.Model &&
+          rc.data.get("access").exists(_.asStr != AccessType.Private.name) =>
+        rc.identifier
+    }
+    val contracts = contractTargets.sorted.flatMap { name =>
+      manifest.nodes.values.find(_.name == name).map { m =>
+        val existing = m.patchPath.flatMap(readFile).map { text =>
+          Yaml.parseMap(text).get("models").collect {
+            case YList(ms) => ms.collectFirst {
+              case e: YMap if e.get("name").exists(_.asStr == name) => e
+            }
+          }.flatten.getOrElse(YMap.empty)
+        }.getOrElse(YMap.empty)
+        Contractor.generateContract(spark, m, viewName(m.name), existing)
+      }
+    }
+    groupChanges ++ ChangeSet(contracts.toVector)
+  }
+}

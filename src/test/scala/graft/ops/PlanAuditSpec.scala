@@ -1,0 +1,62 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits at sf0.001: the scale properties claimed in the
+  * scaladoc must be visible in the executed plan — filter pushdown to the
+  * parquet scan, column pruning in ReadSchema, broadcast joins for small
+  * dims, and whole-stage codegen spans. */
+class PlanAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** formatted mode carries scan details (PushedFilters/ReadSchema); simple
+    * mode carries codegen stars and exchange partitioning inline. */
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private def simplePlan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  test("q01: filter pushed to the parquet scan, codegen'd aggregate") {
+    val p = plan(Relational.q01(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed down:\n$p")
+    // AQE shows codegen spans only in the final (executed) plan
+    val df = Relational.q01(spark, dir)
+    df.queryExecution.toRdd.count()
+    val sp = df.queryExecution.executedPlan.toString
+    assert(sp.contains("*("), s"no whole-stage codegen span:\n$sp")
+    assert(sp.contains("HashAggregate"), "no hash aggregate")
+  }
+
+  test("q02: projection prunes the scan to the selected columns") {
+    val p = plan(Relational.q02(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // lineitem has 16 columns; the projection must not read them all
+    assert(readSchema.nonEmpty)
+    assert(!readSchema.contains("l_comment"),
+      s"scan reads unprojected columns: $readSchema")
+  }
+
+  test("q12: small dimensions join via BroadcastHashJoin") {
+    val p = plan(Relational.q12(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"star join not broadcast:\n$p")
+  }
+
+  test("q17: sessionization shuffles once on the session key") {
+    val p = simplePlan(Temporal.q17(spark, dir))
+    // session_window agg: exactly one hash exchange (plus the output sort's
+    // range exchange)
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("s01: corpus side streams, query side broadcasts") {
+    val p = plan(Similarity.s01(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries not broadcast:\n$p")
+  }
+}
