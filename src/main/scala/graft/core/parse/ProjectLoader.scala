@@ -127,14 +127,30 @@ object ProjectLoader {
       }
     }
 
+    // ---- seeds: CSV files under seed-paths become table-like nodes
+    // (`seed-paths`, SURVEY §2.F "Table scan of seed/source (CSV→table)")
+    val seedNodes: Map[String, ModelNode] =
+      cfg.seedPaths.flatMap(sp => walk(root.resolve(sp), ".csv")).map { p =>
+        val name = baseName(p)
+        val id = s"seed.$proj.$name"
+        id -> ModelNode(
+          uniqueId = id, name = name, packageName = proj,
+          filePath = root.relativize(p).toString, rawCode = "",
+          materialized = "seed",
+          relationName = Some(s"main.$proj.$name"))
+      }.toMap
+
     // ---- model files
     val sourceByPair = sources.values.map(s => (s.sourceName, s.name) -> s.uniqueId).toMap
     val modelFiles = cfg.modelPaths.flatMap { mp =>
       walk(root.resolve(mp), ".sql") ++ walk(root.resolve(mp), ".py")
     }
-    val modelNames = modelFiles.map(p => baseName(p)).toSet
+    // ref() resolves to models AND seeds by name
+    val nameToId: Map[String, String] =
+      modelFiles.map(p => baseName(p) -> s"model.$proj.${baseName(p)}").toMap ++
+        seedNodes.values.map(n => n.name -> n.uniqueId)
 
-    var nodes = Map.empty[String, ModelNode]
+    var nodes: Map[String, ModelNode] = seedNodes
     var tests = Map.empty[String, TestNode]
 
     modelFiles.foreach { p =>
@@ -144,7 +160,7 @@ object ProjectLoader {
       val lang = if (p.toString.endsWith(".py")) "python" else "sql"
       val id = s"model.$proj.$name"
       val refDeps = JinjaLite.findRefs(code).filter(_.project.forall(_ == proj))
-        .filter(r => modelNames(r.name)).map(r => s"model.$proj.${r.name}")
+        .flatMap(r => nameToId.get(r.name))
       val srcDeps = JinjaLite.findSources(code).flatMap(sc => sourceByPair.get((sc.sourceName, sc.table)))
       val macroDeps = JinjaLite.findMacroCalls(code).filter(macroNames).map(n => s"macro.$proj.$n")
       val conf = JinjaLite.findConfig(code)

@@ -29,7 +29,9 @@ final class Runner(
     warehouseDir: Path,
     /** resolve a source definition to an existing Spark view/table name. */
     sourceView: SourceDefinition => String = _.name,
-    enforceAccess: Boolean = true) {
+    enforceAccess: Boolean = true,
+    /** project root for reading seed CSVs (required to run seeds). */
+    projectRoot: Option[Path] = None) {
 
   def viewName(model: String): String = s"${manifest.projectName}__$model"
 
@@ -73,8 +75,9 @@ final class Runner(
     val modelIds = manifest.nodes.keySet
       .filter(id => selected.forall(_.contains(id)))
     val order = Dag.topoSort(
-      // include upstream models of the selection so refs resolve
-      modelIds.flatMap(id => Dag.ancestors(manifest.parentMap, id).filter(_.startsWith("model."))) ++ modelIds,
+      // include upstream models/seeds of the selection so refs resolve
+      modelIds.flatMap(id =>
+        Dag.ancestors(manifest.parentMap, id).filter(manifest.nodes.contains)) ++ modelIds,
       manifest.parentMap)
     order.flatMap { id =>
       manifest.nodes.get(id).map(m => id -> runModel(m))
@@ -89,6 +92,13 @@ final class Runner(
       case "view" | "ephemeral" => execSql(m, isIncremental = false)
       case "table" => persist(m, execSql(m, isIncremental = false))
       case "incremental" => runIncremental(m)
+      case "seed" =>
+        val root = projectRoot.getOrElse(throw new IllegalStateException(
+          s"seed ${m.name}: Runner needs projectRoot to read seed CSVs"))
+        spark.read
+          .option("header", "true")
+          .option("inferSchema", "true")
+          .csv(root.resolve(m.filePath).toString)
       case other => throw new IllegalArgumentException(s"unknown materialization: $other")
     }
     // contract check against the produced schema (SURVEY §4 item 2)

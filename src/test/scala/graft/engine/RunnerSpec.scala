@@ -119,6 +119,27 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
         AccessControl.Context("jaffle", Some("ops"))))
   }
 
+  test("seeds: CSV becomes a table and models ref() it") {
+    val s = spark
+    import s.implicits._
+    val files = Map(
+      "dbt_project.yml" -> "name: jaffle\nseed-paths: ['seeds']\n",
+      "seeds/raw_customers.csv" -> "id,name\n1,alice\n2,bob\n",
+      "models/stg_customers.sql" ->
+        "select id, name from {{ ref('raw_customers') }} where id > 1")
+    val root = writeProject(files)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    assert(manifest.nodes.contains("seed.jaffle.raw_customers"))
+    assert(manifest.nodes("model.jaffle.stg_customers").dependsOn.nodes ==
+      Vector("seed.jaffle.raw_customers"))
+    val runner = new Runner(s, manifest, cfg,
+      Files.createTempDirectory("wh_seed"), enforceAccess = false,
+      projectRoot = Some(root))
+    val out = runner.run()
+    assert(out("model.jaffle.stg_customers").as[(Int, String)].collect().toSeq ==
+      Seq((2, "bob")))
+  }
+
   test("incremental model: second run appends only post-watermark rows and merges by key") {
     val s = spark
     import s.implicits._
