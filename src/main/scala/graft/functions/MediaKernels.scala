@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled media-payload kernels for the multimodal operators — the same
+  * fold semantics as the nested HOF formulations in [[graft.ops.Multimodal]]
+  * (per-frame polynomial hash, then modular sum; every-Nth-char
+  * downsample), in one tight loop per row instead of per-element
+  * interpreted lambdas. */
+object MediaKernels {
+  private val P = 1000000007L
+
+  /** Sum over frames of the rolling hash of each frame's code points:
+    * frames are `frameLen` chars at offsets k*stride, k in [0, nFrames). */
+  def frameSum(s: UTF8String, frameLen: Int, stride: Int): Long = {
+    val str = s.toString
+    val n = str.length
+    // floorDiv: for 0 < n < frameLen, (n-frameLen)/stride must round DOWN
+    // (truncating division would fabricate one frame)
+    val nFrames = math.max(0, Math.floorDiv(n - frameLen, stride) + 1)
+    var total = 0L
+    var k = 0
+    while (k < nFrames) {
+      var h = 0L
+      var i = 0
+      while (i < frameLen) {
+        h = (h * 31 + str.codePointAt(k * stride + i)) % P
+        i += 1
+      }
+      total = (total + h) % P
+      k += 1
+    }
+    total
+  }
+
+  /** Every `step`-th character of the payload (the downsample/"resize"). */
+  def downsample(s: UTF8String, step: Int): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length / step + 1)
+    var i = 0
+    while (i < str.length) {
+      sb.append(str.charAt(i))
+      i += step
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+case class FrameSum(child: Expression, frameLen: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"frame_sum expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    MediaKernels.frameSum(input.asInstanceOf[UTF8String], frameLen, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaKernels.frameSum($c, $frameLen, $stride);")
+  override protected def withNewChildInternal(newChild: Expression): FrameSum =
+    copy(child = newChild)
+  override def prettyName: String = "frame_sum"
+}
+
+case class Downsample(child: Expression, step: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"downsample expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    MediaKernels.downsample(input.asInstanceOf[UTF8String], step)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaKernels.downsample($c, $step);")
+  override protected def withNewChildInternal(newChild: Expression): Downsample =
+    copy(child = newChild)
+  override def prettyName: String = "downsample"
+}
+
+object FrameSum {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def apply(c: Column, frameLen: Int, stride: Int): Column =
+    Bridge.column(FrameSum(Bridge.expression(c), frameLen, stride))
+}
+
+object Downsample {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def apply(c: Column, step: Int): Column =
+    Bridge.column(Downsample(Bridge.expression(c), step))
+}

@@ -122,8 +122,9 @@ object Multimodal {
   /** Frame sampling: treat the payload as fixed 16-byte "frames" with
     * stride 32 (sample every 2nd frame — the video keyframe pattern);
     * emit frame count and a rolling checksum per sampled frame, then
-    * aggregate per doc. Pure `functions._` (sequence/transform/aggregate)
-    * — fully codegen'd, no UDF, no shuffle except the output sort. */
+    * aggregate per doc. The per-frame fold runs in a compiled kernel
+    * ([[graft.functions.FrameSum]]) — one loop per row inside the codegen
+    * stage, no per-element lambdas, no shuffle except the output sort. */
   def m03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
@@ -134,15 +135,7 @@ object Multimodal {
       .withColumn("txt", decode($"bytes", "UTF-8"))
       .withColumn("n_frames",
         greatest(lit(0), floor((length($"txt") - 16) / 32) + 1).cast(LongType))
-      // n_frames=0 guard: Spark sequence(0,-1) is DESCENDING, not empty,
-      // so payloads shorter than one frame would fabricate two frames
-      .withColumn("frame_sum", expr(
-        """if(n_frames = 0, cast(0 as bigint), aggregate(
-          |  transform(sequence(0, cast(n_frames as int) - 1),
-          |    k -> aggregate(
-          |      transform(sequence(1, 16), i -> cast(ascii(substr(txt, k * 32 + i, 1)) as bigint)),
-          |      cast(0 as bigint), (a, b) -> (a * 31 + b) % 1000000007)),
-          |  cast(0 as bigint), (a, h) -> (a + h) % 1000000007))""".stripMargin))
+      .withColumn("frame_sum", graft.functions.FrameSum($"txt", 16, 32))
       .select($"doc_id", $"n_frames", $"frame_sum")
       .orderBy($"doc_id")
   }
@@ -161,17 +154,14 @@ object Multimodal {
 
   // ---------------------------------------------------------------- m04
   /** Downsample ("resize"): keep every 4th byte of the payload, emit the
-    * new length and MD5 of the downsampled bytes. Narrow, codegen'd. */
+    * new length and MD5 of the downsampled bytes. Narrow; the char-step
+    * loop is a compiled kernel ([[graft.functions.Downsample]]). */
   def m04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
       .repartition($"doc_id") // fan-out, see m03
       .withColumn("txt", decode($"bytes", "UTF-8"))
-      // empty-payload guard: sequence(1,0) is [1,0] in Spark, not empty
-      .withColumn("small", expr(
-        """if(length(txt) = 0, '', concat_ws('', transform(
-          |  sequence(1, cast(ceil(length(txt) / 4.0) as int)),
-          |  i -> substr(txt, (i - 1) * 4 + 1, 1))))""".stripMargin))
+      .withColumn("small", graft.functions.Downsample($"txt", 4))
       .select(
         $"doc_id",
         length($"small").cast(LongType).as("n_bytes_small"),
