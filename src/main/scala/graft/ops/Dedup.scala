@@ -58,18 +58,24 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d01
-  /** Exact dedup stats per source: hash-groupBy on raw and normalized
-    * text. At scale this is one shuffle on the (cheap) group key; the
-    * distincts are partial-aggregated map-side. */
+  /** Exact dedup stats per source, as a TWO-LEVEL aggregation: first
+    * collapse to distinct (source, text) groups (one shuffle carrying each
+    * distinct document once), then aggregate counts per source. A direct
+    * multi-countDistinct would Expand every row 3× and shuffle the full
+    * text payload three times — the pre-aggregate-by-dedup-key shape is
+    * the scalable plan. */
   def d01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.t(s, dir, "documents")
-      .groupBy($"source")
+    val per = Tables.t(s, dir, "documents")
+      .groupBy($"source", $"text")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("norm", lower(trim($"text")))
+    per.groupBy($"source")
       .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct($"text").as("n_distinct"),
-        countDistinct(lower(trim($"text"))).as("n_distinct_norm"),
-        (count(lit(1)) - countDistinct($"text")).as("n_exact_dups"))
+        sum($"cnt").as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        countDistinct($"norm").as("n_distinct_norm"),
+        (sum($"cnt") - count(lit(1))).as("n_exact_dups"))
       .orderBy($"source")
   }
 

@@ -185,6 +185,7 @@ object TextAnalysis {
     import s.implicits._
     val pieces = expr(s"regexp_extract_all(text, '$piece', 0)")
     Tables.t(s, dir, "documents")
+      .repartition($"doc_id") // fan-out: three regex passes per doc
       .select(
         $"doc_id",
         size(pieces).cast(LongType).as("n_pieces"),
