@@ -135,11 +135,15 @@ object References {
       leftBehindModels: Set[String], readFile: String => String,
       targetPath: Option[String] = None): Option[FileChange] = {
     val text = readFile(macroNode.filePath)
-    graft.core.parse.JinjaLite.findRefs(text).headOption
+    // operate on THIS macro's block (the file may hold several macros —
+    // the reference rewrites resource.macro_sql, not the file)
+    val block = graft.core.parse.JinjaLite.findBlocks(text, "macro")
+      .find(_.name == macroNode.name).map(_.content).getOrElse(text)
+    graft.core.parse.JinjaLite.findRefs(block).headOption
       .filter(r => r.project.isEmpty && leftBehindModels.contains(r.name))
       .map { r =>
         Some(FileChange(Operation.Update, targetPath.getOrElse(macroNode.filePath),
-          Some(updateSqlRefs(text, r.name, parentProject))))
+          Some(updateSqlRefs(block, r.name, parentProject))))
       }.getOrElse(None)
   }
 }

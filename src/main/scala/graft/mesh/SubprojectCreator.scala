@@ -107,10 +107,25 @@ object SubprojectCreator {
         }
       }
 
-    // 3. macro closure (A10) + referenced docs (A11) move with the models
+    // 3. macro closure (A10) + referenced docs (A11) move with the models.
+    // When the macro's jinja block span is extractable, only THAT block is
+    // appended to the subproject file (a shared macro file may carry
+    // macros that stay behind — `copy_jinja_block`,
+    // dbt_project_editors.py:242-248); whole-file copy is the fallback.
     val macroIds = Dag.macroClosure(manifest, moved)
     val macroMoves = macroIds.toSeq.sorted.flatMap(manifest.macros.get)
-      .map(mc => FileChange(Operation.Copy, subDir(mc.filePath), None, Some(mc.filePath)))
+      .map { mc =>
+        val block =
+          try graft.core.parse.JinjaLite
+            .findBlocks(readFile(mc.filePath), "macro").find(_.name == mc.name)
+          catch { case _: Throwable => None }
+        block match {
+          case Some(b) =>
+            FileChange(Operation.Append, subDir(mc.filePath), Some(b.content))
+          case None =>
+            FileChange(Operation.Copy, subDir(mc.filePath), None, Some(mc.filePath))
+        }
+      }
     val docIds = Dag.referencedDocs(manifest, moved,
       p => try Some(readFile(p)) catch { case _: Throwable => None })
     val docMoves = docIds.toSeq.sorted.flatMap(manifest.docs.get)

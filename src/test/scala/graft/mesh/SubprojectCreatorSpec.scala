@@ -145,6 +145,32 @@ class SubprojectCreatorSpec extends AnyFunSuite {
     })
   }
 
+  test("macro closure moves only the needed block from a shared macro file") {
+    // orders uses helper(); the shared file also defines unrelated()
+    val base = Fixtures.chain()
+    val helper = MacroNode("macro.jaffle.helper", "helper", "jaffle",
+      "macros/shared.sql", "{{ x }} + 1")
+    val orders = base.nodes("model.jaffle.orders").copy(
+      dependsOn = base.nodes("model.jaffle.orders").dependsOn.copy(
+        macros = Vector(helper.uniqueId)))
+    val m = base.copy(
+      nodes = base.nodes.updated(orders.uniqueId, orders),
+      macros = Map(helper.uniqueId -> helper))
+    val files = parentFiles ++ Map(
+      "macros/shared.sql" ->
+        ("{% macro helper(x) %}{{ x }} + 1{% endmacro %}\n" +
+          "{% macro unrelated() %}2{% endmacro %}\n"))
+    val cs = SubprojectCreator.initialize(m, ProjectConfig("jaffle"), "sub",
+      Set("model.jaffle.orders", "model.jaffle.report", "exposure.jaffle.dash"),
+      "sub_proj", files)
+    val macroChange = cs.changes.collectFirst {
+      case fc: FileChange if fc.path == "sub_proj/macros/shared.sql" => fc
+    }.get
+    assert(macroChange.op == Operation.Append)
+    assert(macroChange.data.get.contains("macro helper"))
+    assert(!macroChange.data.get.contains("unrelated"))
+  }
+
   test("unreadable source entry skips the move instead of fabricating a stub") {
     val noSourceYaml = parentFiles - "models/staging/__sources.yml"
     val cs = SubprojectCreator.initialize(manifest, ProjectConfig("jaffle"),
