@@ -9,6 +9,30 @@ import org.apache.spark.sql.SparkSession
   * the reference wires at the CLI layer. */
 object Commands {
 
+  /** The `split` command (§3.1, `main.py:213-265`): selection → cycle
+    * guard → subproject plan, with boundary contracts generated from the
+    * models' materialized Spark schemas (the reference's catalog lookup;
+    * here `spark.table(viewName)` is the catalog). Models without a
+    * materialized view simply get no contract (same as a catalog miss). */
+  def split(
+      spark: SparkSession,
+      manifest: Manifest,
+      cfg: ProjectConfig,
+      subName: String,
+      select: Seq[String],
+      targetDir: String,
+      readFile: String => String,
+      viewName: String => String): ChangeSet = {
+    val selected = graft.core.graph.Selector.select(manifest, select)
+    val contractFor: ModelNode => Option[YMap] = m =>
+      try {
+        val schema = spark.table(viewName(m.name)).schema
+        Some(graft.core.catalog.Contracts.contractPatch(schema))
+      } catch { case _: Throwable => None }
+    SubprojectCreator.initialize(manifest, cfg, subName, selected, targetDir,
+      readFile, contractFor)
+  }
+
   /** The `group` command (`main.py:632-687`): create-group, then contract
     * every model whose PLANNED access is non-private. The contract target
     * set is derived from the just-planned (unwritten) changes — plans

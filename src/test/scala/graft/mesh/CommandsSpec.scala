@@ -11,6 +11,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * ChangeSet, not from written state. */
 class CommandsSpec extends AnyFunSuite with SparkFixture {
 
+  test("split plans boundary contracts from materialized schemas") {
+    val s = spark
+    import s.implicits._
+    val m = Fixtures.chain()
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("jaffle__stg_orders")
+    val files = Map(
+      "models/stg_orders.sql" -> "select * from {{ source('raw', 'orders') }}",
+      "models/orders.sql" -> "select * from {{ ref('stg_orders') }}",
+      "models/report.sql" -> "select count(*) from {{ ref('orders') }}")
+    val cs = Commands.split(s, m, graft.core.model.ProjectConfig("jaffle"),
+      "sub", Seq("stg_orders", "source.jaffle.raw.orders"), "sub_proj",
+      files, name => s"jaffle__$name")
+    // stg_orders is the sub-side boundary: public access + schema contract
+    val contract = cs.changes.collectFirst {
+      case rc: ResourceChange if rc.entityType == EntityType.Model &&
+        rc.identifier == "stg_orders" && rc.data.contains("columns") => rc
+    }.get
+    assert(contract.path.startsWith("sub_proj/"))
+    val cols = contract.data("columns").asList.items.map(_.asMap("name").asStr)
+    assert(cols == Vector("id", "v"))
+  }
+
   test("group plans access for all, contracts only for the boundary") {
     val s = spark
     import s.implicits._
