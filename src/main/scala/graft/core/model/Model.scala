@@ -108,6 +108,13 @@ final case class SemanticModel(
     modelRef: String,
     dependsOn: DependsOn = DependsOn()) extends Resource
 
+final case class MetricNode(
+    uniqueId: String,
+    name: String,
+    packageName: String,
+    filePath: String,
+    dependsOn: DependsOn = DependsOn()) extends Resource
+
 final case class GroupNode(
     uniqueId: String,
     name: String,
@@ -137,10 +144,12 @@ final case class Manifest(
     exposures: Map[String, Exposure] = Map.empty,
     semanticModels: Map[String, SemanticModel] = Map.empty,
     groups: Map[String, GroupNode] = Map.empty,
-    tests: Map[String, TestNode] = Map.empty) {
+    tests: Map[String, TestNode] = Map.empty,
+    metrics: Map[String, MetricNode] = Map.empty) {
 
   def allResources: Map[String, Resource] =
-    nodes ++ sources ++ macros ++ docs ++ exposures ++ semanticModels ++ groups ++ tests
+    nodes ++ sources ++ macros ++ docs ++ exposures ++ semanticModels ++
+      groups ++ tests ++ metrics
 
   /** All depends_on edges (child -> parents). Tests and exposures and
     * semantic models have node deps; models have node + macro deps. */
@@ -149,7 +158,8 @@ final case class Manifest(
     val fromTests = tests.view.mapValues(_.dependsOn.nodes.toSet)
     val fromExp = exposures.view.mapValues(_.dependsOn.nodes.toSet)
     val fromSem = semanticModels.view.mapValues(_.dependsOn.nodes.toSet)
-    (fromModels ++ fromTests ++ fromExp ++ fromSem).toMap
+    val fromMet = metrics.view.mapValues(_.dependsOn.nodes.toSet)
+    (fromModels ++ fromTests ++ fromExp ++ fromSem ++ fromMet).toMap
       .withDefaultValue(Set.empty)
   }
 

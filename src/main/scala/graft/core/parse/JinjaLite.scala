@@ -33,6 +33,17 @@ object JinjaLite {
       RefCall(proj, name, Option(m.group(3)).map(_.toInt))
     }.toVector
 
+  /** Bare `ref('x')` / `ref('p', 'x')` strings (no `{{ }}`) — the form
+    * YAML fields use (exposure depends_on, semantic-model/metric model). */
+  private val bareRefRe: Regex =
+    """ref\s*\(\s*['"]([A-Za-z0-9_.\-]+)['"]\s*(?:,\s*['"]([A-Za-z0-9_.\-]+)['"]\s*)?\)""".r
+  def findBareRefs(text: String): Vector[RefCall] =
+    bareRefRe.findAllMatchIn(text).map { m =>
+      val (proj, name) =
+        if (m.group(2) != null) (Some(m.group(1)), m.group(2)) else (None, m.group(1))
+      RefCall(proj, name, None)
+    }.toVector
+
   def findSources(code: String): Vector[SourceCall] =
     sourceRe.findAllMatchIn(code).map(m => SourceCall(m.group(1), m.group(2))).toVector
 

@@ -71,6 +71,7 @@ object ProjectLoader {
     var groups = Map.empty[String, GroupNode]
     var exposures = Map.empty[String, Exposure]
     var semanticModels = Map.empty[String, SemanticModel]
+    var metrics = Map.empty[String, MetricNode]
     var modelPatches = Map.empty[String, (String, YMap)] // model name -> (patch path, entry)
 
     ymlFiles.foreach { p =>
@@ -107,7 +108,9 @@ object ProjectLoader {
           val n = e("name").asStr
           val refStrings = e.get("depends_on").collect { case YList(ds) => ds.map(_.asStr) }
             .getOrElse(Vector.empty)
-          val deps = refStrings.flatMap(s => JinjaLite.findRefs(s).map(r => s"model.$proj.${r.name}"))
+          // YAML ref strings are bare ref('x'), not {{ ref('x') }}
+          val deps = refStrings.flatMap(s =>
+            JinjaLite.findBareRefs(s).map(r => s"model.$proj.${r.name}"))
           val id = s"exposure.$proj.$n"
           exposures += id -> Exposure(id, n, proj, rel, DependsOn(nodes = deps), refStrings)
         case _ =>
@@ -116,9 +119,20 @@ object ProjectLoader {
         case sm: YMap =>
           val n = sm("name").asStr
           val modelRef = sm.get("model").map(_.asStr).getOrElse("")
-          val deps = JinjaLite.findRefs(modelRef).map(r => s"model.$proj.${r.name}")
+          val deps = JinjaLite.findBareRefs(modelRef).map(r => s"model.$proj.${r.name}")
           val id = s"semantic_model.$proj.$n"
           semanticModels += id -> SemanticModel(id, n, proj, rel, modelRef, DependsOn(nodes = deps))
+        case _ =>
+      }
+      doc.get("metrics").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
+        case met: YMap =>
+          val n = met("name").asStr
+          // metric model refs: `model: ref('x')` (simple metrics) or
+          // nested measures — resolve whatever bare ref() strings appear
+          val deps = JinjaLite.findBareRefs(Yaml.dump(met))
+            .map(r => s"model.$proj.${r.name}")
+          val id = s"metric.$proj.$n"
+          metrics += id -> MetricNode(id, n, proj, rel, DependsOn(nodes = deps))
         case _ =>
       }
       doc.get("models").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
@@ -233,7 +247,8 @@ object ProjectLoader {
       }
     }
 
-    Manifest(proj, nodes, sources, macros, docs, exposures, semanticModels, groups, tests)
+    Manifest(proj, nodes, sources, macros, docs, exposures, semanticModels,
+      groups, tests, metrics)
   }
 
   private def baseName(p: Path): String = {

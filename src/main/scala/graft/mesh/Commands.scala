@@ -33,6 +33,32 @@ object Commands {
       readFile, contractFor)
   }
 
+  /** The `connect` command (§3.3, `main.py:121-210`): sweep every project
+    * pair for source-hack/package dependencies (deduped), then resolve
+    * each into governance + rewrite changes. `installs(a, b)` answers
+    * "does a install b as a package" (packages.yml inspection). */
+  def connect(
+      projects: Seq[Manifest],
+      installs: (String, String) => Boolean,
+      contractData: Linker.ProjectDependency => Option[YMap],
+      readFile: (String, String) => String): ChangeSet = {
+    val byName = projects.map(m => m.projectName -> m).toMap
+    val deps: Set[Linker.ProjectDependency] =
+      projects.combinations(2).flatMap { case Seq(a, b) =>
+        Linker.sourceDependencies(a, b) ++
+          (if (installs(b.projectName, a.projectName))
+            Linker.packageDependencies(a, b) else Set.empty) ++
+          (if (installs(a.projectName, b.projectName))
+            Linker.packageDependencies(b, a) else Set.empty)
+      }.toSet
+    deps.toSeq.sortBy(d => (d.upstreamProject, d.downstreamProject, d.upstreamResource))
+      .foldLeft(ChangeSet()) { (cs, dep) =>
+        cs ++ Linker.resolveDependency(dep,
+          byName(dep.upstreamProject), byName(dep.downstreamProject),
+          contractData(dep), readFile)
+      }
+  }
+
   /** The `group` command (`main.py:632-687`): create-group, then contract
     * every model whose PLANNED access is non-private. The contract target
     * set is derived from the just-planned (unwritten) changes — plans

@@ -106,6 +106,15 @@ object SubprojectCreator {
             ResourceChange(Operation.Remove, EntityType.SemanticModel, sm.name, sm.filePath)
         }
       }
+    val metricMoves = selected.filter(_.startsWith("metric."))
+      .toSeq.sorted.flatMap(manifest.metrics.get).foldLeft(ChangeSet()) { (cs, met) =>
+        readNamedEntry(readFile, met.filePath, "metrics", met.name).fold(cs) { entry =>
+          cs +
+            ResourceChange(Operation.Add, EntityType.Metric, met.name,
+              subDir(met.filePath), entry) +
+            ResourceChange(Operation.Remove, EntityType.Metric, met.name, met.filePath)
+        }
+      }
 
     // 3. macro closure (A10) + referenced docs (A11) move with the models.
     // When the macro's jinja block span is extractable, only THAT block is
@@ -179,6 +188,7 @@ object SubprojectCreator {
       else Dependencies.addDependency(subName, cfg.name, subDir("dependencies.yml"))
 
     scaffold ++ fileMoves ++ sourceMoves ++ exposureMoves ++ semanticMoves ++
+      metricMoves ++
       ChangeSet(macroMoves.toVector) ++
       ChangeSet(docMoves.toVector) ++ governance ++ childRewrites ++
       parentRewrites ++ ChangeSet(macroRewrites.toVector) ++

@@ -114,6 +114,43 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("untyped_col"))
   }
 
+  test("exposures and semantic models resolve bare YAML ref strings") {
+    val root = writeProject(baseProject ++ Map(
+      "models/__exposures.yml" ->
+        """version: 2
+          |exposures:
+          |  - name: dash
+          |    type: dashboard
+          |    depends_on:
+          |      - ref('orders')
+          |semantic_models:
+          |  - name: orders_sm
+          |    model: ref('orders')
+          |""".stripMargin))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.exposures("exposure.jaffle.dash").dependsOn.nodes ==
+      Vector("model.jaffle.orders"))
+    assert(m.semanticModels("semantic_model.jaffle.orders_sm").dependsOn.nodes ==
+      Vector("model.jaffle.orders"))
+  }
+
+  test("metrics parse with resolved model refs") {
+    val root = writeProject(baseProject ++ Map(
+      "models/__metrics.yml" ->
+        """version: 2
+          |metrics:
+          |  - name: order_count
+          |    label: Orders
+          |    model: ref('orders')
+          |""".stripMargin))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.metrics.keySet == Set("metric.jaffle.order_count"))
+    assert(m.metrics("metric.jaffle.order_count").dependsOn.nodes ==
+      Vector("model.jaffle.orders"))
+    // metric is a child of its model in the adjacency
+    assert(m.childMap("model.jaffle.orders").contains("metric.jaffle.order_count"))
+  }
+
   test("column tests become test nodes depending on their model") {
     val root = writeProject(baseProject ++ Map(
       "models/__models.yml" ->

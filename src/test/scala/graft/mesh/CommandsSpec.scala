@@ -33,6 +33,35 @@ class CommandsSpec extends AnyFunSuite with SparkFixture {
     assert(cols == Vector("id", "v"))
   }
 
+  test("connect sweeps all pairs and resolves each dependency once") {
+    import graft.core.model._
+    val shared = Fixtures.model("up", "shared", "select 1",
+      relation = Some("main.up.shared"))
+    val up = Manifest("up", nodes = Map(shared.uniqueId -> shared))
+    val src = SourceDefinition("source.down.ext.shared", "shared", "ext",
+      "down", "models/__sources.yml", relationName = Some("main.up.shared"))
+    val consumer = Fixtures.model("down", "consumer",
+      "select * from {{ source('ext', 'shared') }}", deps = Seq(src.uniqueId))
+    val down = Manifest("down",
+      nodes = Map(consumer.uniqueId -> consumer),
+      sources = Map(src.uniqueId -> src))
+    val files = Map(
+      ("down", "models/consumer.sql") ->
+        "select * from {{ source('ext', 'shared') }}")
+    val cs = Commands.connect(Seq(up, down), (_, _) => false, _ => None,
+      (p, f) => files((p, f)))
+    assert(cs.changes.exists {
+      case fc: FileChange =>
+        fc.data.exists(_.contains("{{ ref('up', 'shared') }}"))
+      case _ => false
+    })
+    assert(cs.changes.exists {
+      case rc: ResourceChange => rc.entityType == EntityType.Project &&
+        rc.identifier == "up"
+      case _ => false
+    })
+  }
+
   test("group plans access for all, contracts only for the boundary") {
     val s = spark
     import s.implicits._
