@@ -149,8 +149,77 @@ object Similarity {
        |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.4
        |ORDER BY va, vb""".stripMargin
 
+  // ---------------------------------------------------------------- s04
+  /** Signed-random-projection LSH near-dup — the "LSH-bucketed" ANN scale
+    * path (vs s02's IVF cells): 16 deterministic ±1 hyperplanes give each
+    * vector a 16-bit sign signature; candidates come from equality joins
+    * on two 8-bit bands; exact cosine (≥ 0.4) verifies candidates only.
+    * Hyperplane weights are index arithmetic (w(i,j) = +1 iff
+    * (i·73 + j·151) mod 7 < 4) so both engines derive identical planes.
+    * All 16 projections are compiled DotProducts against literal arrays —
+    * no per-element lambdas, no all-pairs stage. */
+  def s04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def w(i: Int, j: Int): Double = if ((i * 73 + j * 151) % 7 < 4) 1.0 else -1.0
+    val all = vecs(s, dir)
+    val sig = all.withColumn("s",
+      (0 until 16).map { j =>
+        val plane = array((0 until 64).map(i => lit(w(i, j))): _*)
+        when(dot($"v", plane) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _))
+    val bands = sig
+      .withColumn("b", explode(array(lit(0), lit(1))))
+      .select($"vec_id", $"b",
+        when($"b" === 0, expr("s & 255")).otherwise(expr("shiftright(s, 8)")).as("bv"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val pa = all.select($"vec_id".as("va"), $"v".as("xa"), $"norm".as("na"))
+    val pb = all.select($"vec_id".as("vb"), $"v".as("xb"), $"norm".as("nb"))
+    cand.join(pa, Seq("va")).join(pb, Seq("vb"))
+      .withColumn("sim", dot($"xa", $"xb") / ($"na" * $"nb"))
+      .filter($"sim" >= 0.4)
+      .select($"va", $"vb", round($"sim", 4).as("sim"))
+      .orderBy($"va", $"vb")
+  }
+
+  val s04Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(generate_series(1, 64),
+      |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+      |      (x, y) -> x + y)) AS norm
+      |  FROM embeddings),
+      |sig AS (
+      |  SELECT vec_id, embedding, norm,
+      |    list_reduce(list_transform(generate_series(0, 15), j ->
+      |      CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+      |        i -> CAST(embedding[i] AS DOUBLE) *
+      |          (CASE WHEN ((i - 1) * 73 + j * 151) % 7 < 4 THEN 1.0 ELSE -1.0 END)),
+      |        (x, y) -> x + y) > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END),
+      |      (a, b) -> a + b) AS s
+      |  FROM v),
+      |bands AS (
+      |  SELECT vec_id, b, CASE WHEN b = 0 THEN s & 255 ELSE s >> 8 END AS bv
+      |  FROM sig, UNNEST(generate_series(0, 1)) AS t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.vec_id < b.vec_id),
+      |sim AS (
+      |  SELECT va, vb,
+      |    list_reduce(list_transform(generate_series(1, 64),
+      |      i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)),
+      |      (p, q) -> p + q) / (x.norm * y.norm) AS sim
+      |  FROM cand JOIN v x ON va = x.vec_id JOIN v y ON vb = y.vec_id)
+      |SELECT va, vb, round(sim, 4) AS sim FROM sim WHERE sim >= 0.4
+      |ORDER BY va, vb""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
-    Q("s03_embed_neardup", s03, Some(s03Sql)))
+    Q("s03_embed_neardup", s03, Some(s03Sql)),
+    Q("s04_srp_lsh", s04, Some(s04Sql), headline = true))
 }
