@@ -501,6 +501,42 @@ object Relational {
       |  ON c.ts > p.ts AND c.ts <= p.ts + INTERVAL 10 MINUTE
       |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q21
+  /** Skew-safe two-phase (salted) aggregation: `events` has ~5 distinct
+    * event types, so a direct groupBy at cluster scale lands the whole
+    * table on 5 reducers. Phase 1 aggregates on (key, salt) — 32-way
+    * spread of each hot key; phase 2 merges the 5×32 partials. The salt is
+    * derived from a row attribute (not random) so results are exact and
+    * re-runs are deterministic. Decimal-domain sums make the two-phase
+    * result bit-identical to a direct aggregation. */
+  def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      .withColumn("salt", pmod($"event_id", lit(32)))
+      .groupBy($"event_type", $"salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(dec($"value")).as("psum"),
+        min($"value").as("pmin"),
+        max($"value").as("pmax"))
+      .groupBy($"event_type")
+      .agg(
+        sum($"pn").as("n_events"),
+        dbl(sum($"psum")).as("total_value"),
+        min($"pmin").as("min_value"),
+        max($"pmax").as("max_value"))
+      .orderBy($"event_type")
+  }
+
+  /** The oracle is the DIRECT aggregation — the salted plan must be
+    * indistinguishable from it. */
+  val q21Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -519,5 +555,6 @@ object Relational {
     Q("q15_distinct_count", q15, Some(q15Sql)),
     Q("q16_set_ops", q16, Some(q16Sql)),
     Q("q19_json_extract", q19, Some(q19Sql)),
-    Q("q20_range_join", q20, Some(q20Sql), headline = true))
+    Q("q20_range_join", q20, Some(q20Sql), headline = true),
+    Q("q21_salted_agg", q21, Some(q21Sql)))
 }
