@@ -68,20 +68,41 @@ final class Runner(
       macros = macroDefs,
       isIncremental = isIncremental)
 
-  /** Execute all models in topological order; returns produced frames. */
-  def run(selected: Option[Set[String]] = None): Map[String, DataFrame] = {
+  /** Execute all models in topological order; returns produced frames.
+    * With `parallelism > 1`, each dependency level's models run as
+    * concurrent Spark jobs on this session (sessions are thread-safe;
+    * independent subtrees keep the executors busy while slow models
+    * materialize — the scheduler a 1000-executor cluster needs). */
+  def run(selected: Option[Set[String]] = None,
+      parallelism: Int = 1): Map[String, DataFrame] = {
     if (enforceAccess)
       AccessControl.forSession(spark).registerManifest(manifest, viewName)
     val modelIds = manifest.nodes.keySet
       .filter(id => selected.forall(_.contains(id)))
-    val order = Dag.topoSort(
-      // include upstream models/seeds of the selection so refs resolve
-      modelIds.flatMap(id =>
-        Dag.ancestors(manifest.parentMap, id).filter(manifest.nodes.contains)) ++ modelIds,
-      manifest.parentMap)
-    order.flatMap { id =>
-      manifest.nodes.get(id).map(m => id -> runModel(m))
-    }.toMap
+    val all = modelIds.flatMap(id =>
+      Dag.ancestors(manifest.parentMap, id).filter(manifest.nodes.contains)) ++ modelIds
+    val order = Dag.topoSort(all, manifest.parentMap)
+    if (parallelism <= 1)
+      order.flatMap(id => manifest.nodes.get(id).map(m => id -> runModel(m))).toMap
+    else {
+      // Kahn levels: a model's level = 1 + max level of its in-set parents
+      val level = scala.collection.mutable.Map.empty[String, Int]
+      order.foreach { id =>
+        val ps = manifest.parentMap.getOrElse(id, Set.empty).filter(all)
+        level(id) = if (ps.isEmpty) 0 else ps.map(level).max + 1
+      }
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        order.groupBy(level).toSeq.sortBy(_._1).flatMap { case (_, ids) =>
+          val fs = ids.flatMap(id => manifest.nodes.get(id).map(m =>
+            Future(id -> runModel(m))))
+          fs.map(Await.result(_, Duration.Inf))
+        }.toMap
+      } finally pool.shutdown()
+    }
   }
 
   def runModel(m: ModelNode): DataFrame = {
@@ -142,14 +163,23 @@ final class Runner(
           .unionByName(batch)
         case None => existing.unionByName(batch)
       }
-      // write to a temp dir then swap, since merged reads from p
+      // write to a temp dir then atomically swap the directories (merged
+      // reads from p, so p can't be overwritten in place; the swap costs a
+      // rename instead of a second full write)
       val tmp = warehouseDir.resolve(m.name + "__tmp")
       merged.write.mode("overwrite").parquet(tmp.toString)
-      val out = spark.read.parquet(tmp.toString)
-      out.write.mode("overwrite").parquet(p.toString)
+      deleteTree(p)
+      Files.move(tmp, p)
       spark.read.parquet(p.toString)
     }
   }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    }
 
   // ------------------------------------------------------------- tests
   /** Run generic data tests as violation queries; returns violations per

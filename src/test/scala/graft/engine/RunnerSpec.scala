@@ -119,6 +119,35 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
         AccessControl.Context("jaffle", Some("ops"))))
   }
 
+  test("parallel run: independent sibling models execute level-concurrently") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 100L), (2L, 200L)).toDF("id", "cents")
+      .createOrReplaceTempView("raw_orders")
+    val files = Map(
+      "dbt_project.yml" -> "name: jaffle\n",
+      "models/__sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: raw
+          |    tables:
+          |      - name: raw_orders
+          |""".stripMargin,
+      "models/base.sql" -> "select * from {{ source('raw', 'raw_orders') }}",
+      "models/agg_a.sql" -> "select sum(cents) as s from {{ ref('base') }}",
+      "models/agg_b.sql" -> "select count(*) as c from {{ ref('base') }}",
+      "models/top.sql" ->
+        "select s, c from {{ ref('agg_a') }} cross join {{ ref('agg_b') }}")
+    val root = writeProject(files)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val runner = new Runner(s, manifest, cfg,
+      Files.createTempDirectory("wh_par"), enforceAccess = false)
+    val out = runner.run(parallelism = 4)
+    assert(out.keySet.size == 4)
+    val row = out("model.jaffle.top").collect().head
+    assert((row.getLong(0), row.getLong(1)) == (300L, 2L))
+  }
+
   test("seeds: CSV becomes a table and models ref() it") {
     val s = spark
     import s.implicits._
