@@ -46,13 +46,18 @@ object SubprojectCreator {
     val moved = selected.filter(id =>
       id.startsWith("model.") || id.startsWith("test.") || id.startsWith("seed."))
 
-    // 1. scaffold + project file (C9: minimal merge of the parent config)
-    val projYaml = YMap.of(
-      "name" -> YStr(subName),
-      "version" -> YStr("1.0.0"),
-      "profile" -> (cfg.raw.get("profile").getOrElse(YStr(cfg.name))),
-      "model-paths" -> YList.of(YStr("models")),
-      "macro-paths" -> YList.of(YStr("macros")))
+    // 1. scaffold + project file (C9: merge the parent config under the
+    // new name, carrying vars/profile/require-dbt-version — the settings
+    // the reference's serialization preserves from the starter merge,
+    // `storage/dbt_project_editors.py:118-157`)
+    val carried = Vector("profile", "vars", "require-dbt-version")
+      .flatMap(k => cfg.raw.get(k).map(k -> _))
+    val projYaml = YMap(Vector(
+      "name" -> (YStr(subName): Y),
+      "version" -> (YStr("1.0.0"): Y)) ++ carried ++ Vector(
+      "model-paths" -> (YList.of(YStr("models")): Y),
+      "macro-paths" -> (YList.of(YStr("macros")): Y),
+      "seed-paths" -> (YList.of(YStr("seeds")): Y)))
     val scaffold = ChangeSet(Vector(
       DirectoryChange(Operation.Add, targetDir),
       FileChange(Operation.Add, subDir("dbt_project.yml"), Some(Yaml.dump(projYaml)))))
@@ -140,6 +145,18 @@ object SubprojectCreator {
     val docMoves = docIds.toSeq.sorted.flatMap(manifest.docs.get)
       .map(d => FileChange(Operation.Append, subDir(d.filePath), Some(d.blockContents)))
 
+    // 3b. indirect group closure (A12): groups referenced by the moved
+    // models COPY into the subproject (the parent keeps them — other
+    // parent models may belong to the same group; `copy_resource_yml`)
+    val groupIds = Dag.indirectGroups(manifest, moved)
+    val groupMoves = groupIds.toSeq.sorted.flatMap(manifest.groups.get)
+      .foldLeft(ChangeSet()) { (cs, g) =>
+        readNamedEntry(readFile, g.filePath, "groups", g.name).fold(cs) { entry =>
+          cs + ResourceChange(Operation.Add, EntityType.Group, g.name,
+            subDir(g.filePath), entry)
+        }
+      }
+
     // 4. boundary governance on the subproject side: public + contract
     val boundary = boundaryModels(manifest, selected)
     val governance = boundary.toSeq.sorted.flatMap(manifest.nodes.get).foldLeft(ChangeSet()) {
@@ -190,7 +207,7 @@ object SubprojectCreator {
     scaffold ++ fileMoves ++ sourceMoves ++ exposureMoves ++ semanticMoves ++
       metricMoves ++
       ChangeSet(macroMoves.toVector) ++
-      ChangeSet(docMoves.toVector) ++ governance ++ childRewrites ++
+      ChangeSet(docMoves.toVector) ++ groupMoves ++ governance ++ childRewrites ++
       parentRewrites ++ ChangeSet(macroRewrites.toVector) ++
       parentGovernance ++ depChange
   }

@@ -145,6 +145,42 @@ class SubprojectCreatorSpec extends AnyFunSuite {
     })
   }
 
+  test("indirect groups copy into the subproject; parent config carries over") {
+    val base = Fixtures.chain()
+    val g = GroupNode("group.jaffle.core", "core", "jaffle",
+      "models/_groups.yml", Owner(name = Some("team")))
+    val orders = base.nodes("model.jaffle.orders").copy(group = Some("core"))
+    val m = base.copy(
+      nodes = base.nodes.updated(orders.uniqueId, orders),
+      groups = Map(g.uniqueId -> g))
+    val files = parentFiles ++ Map(
+      "models/_groups.yml" ->
+        """groups:
+          |  - name: core
+          |    owner:
+          |      name: team
+          |""".stripMargin)
+    val cfg = ProjectConfig("jaffle", raw = graft.core.yaml.Yaml.parseMap(
+      "name: jaffle\nvars:\n  cutoff: '2024-01-01'\nrequire-dbt-version: '>=1.5.0'\n"))
+    val cs = SubprojectCreator.initialize(m, cfg, "sub",
+      Set("model.jaffle.orders", "model.jaffle.report", "exposure.jaffle.dash"),
+      "sub_proj", files)
+    // group entry copied (Add) into the subproject, parent untouched
+    val groupAdd = cs.changes.collectFirst {
+      case rc: ResourceChange if rc.entityType == EntityType.Group => rc
+    }.get
+    assert(groupAdd.op == Operation.Add)
+    assert(groupAdd.path == "sub_proj/models/_groups.yml")
+    assert(groupAdd.data.get("owner").exists(_.asMap.get("name")
+      .exists(_.asStr == "team")))
+    // project file carries vars + require-dbt-version
+    val projFile = cs.changes.collectFirst {
+      case fc: FileChange if fc.path == "sub_proj/dbt_project.yml" => fc
+    }.get
+    assert(projFile.data.get.contains("cutoff"))
+    assert(projFile.data.get.contains(">=1.5.0"))
+  }
+
   test("macro closure moves only the needed block from a shared macro file") {
     // orders uses helper(); the shared file also defines unrelated()
     val base = Fixtures.chain()
