@@ -36,12 +36,12 @@ object JinjaLite {
   /** Bare `ref('x')` / `ref('p', 'x')` strings (no `{{ }}`) — the form
     * YAML fields use (exposure depends_on, semantic-model/metric model). */
   private val bareRefRe: Regex =
-    """ref\s*\(\s*['"]([A-Za-z0-9_.\-]+)['"]\s*(?:,\s*['"]([A-Za-z0-9_.\-]+)['"]\s*)?\)""".r
+    """ref\s*\(\s*['"]([A-Za-z0-9_.\-]+)['"]\s*(?:,\s*['"]([A-Za-z0-9_.\-]+)['"]\s*)?(?:,\s*(?:v|version)\s*=\s*(\d+)\s*)?\)""".r
   def findBareRefs(text: String): Vector[RefCall] =
     bareRefRe.findAllMatchIn(text).map { m =>
       val (proj, name) =
         if (m.group(2) != null) (Some(m.group(1)), m.group(2)) else (None, m.group(1))
-      RefCall(proj, name, None)
+      RefCall(proj, name, Option(m.group(3)).map(_.toInt))
     }.toVector
 
   def findSources(code: String): Vector[SourceCall] =

@@ -86,7 +86,18 @@ object References {
           val code = currentCode(cs, child.filePath, readFile)
           cs + generateReferenceUpdate(subProject, up, child, code)
         case (cs, child: Exposure) =>
-          val newRefs = child.refStrings.map(updateRefString(_, up.name, subProject))
+          // REBUILD the list like update_yml_resource_references
+          // (references.py:150-171): normalize every ref string, drop the
+          // one matching the moved model, append the cross-project ref
+          val kept = child.refStrings.flatMap(s =>
+            graft.core.parse.JinjaLite.findBareRefs(s).headOption)
+            .filterNot(r => r.project.isEmpty && r.name == up.name && r.version.isEmpty)
+            .map { r =>
+              val proj = r.project.fold("")(p => s"'$p', ")
+              val v = r.version.fold("")(v => s", v=$v")
+              s"ref($proj'${r.name}'$v)"
+            }
+          val newRefs = kept :+ s"ref('$subProject', '${up.name}')"
           cs + ResourceChange(Operation.Update, EntityType.Exposure, child.name,
             child.filePath, graft.core.yaml.YMap.of(
               "depends_on" -> graft.core.yaml.YList(newRefs.map(graft.core.yaml.YStr(_)))))
