@@ -397,6 +397,31 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  // --------------------------------------------------------------- q14b
+  /** CUBE over returnflag × linestatus: all four grouping combinations in
+    * one pass (Catalyst expands grouping sets before the single shuffle —
+    * no per-combination rescans). Differs from q14's ROLLUP by the
+    * (ALL, linestatus) marginals. */
+  def q14b(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dbl(sum(dec($"l_extendedprice"))).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"sum_price", $"n")
+      .orderBy($"returnflag", $"linestatus")
+  }
+
+  val q14bSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   // ---------------------------------------------------------------- q15
   /** Exact distinct-count aggregate. */
   def q15(s: SparkSession, dir: String): DataFrame = {
@@ -552,6 +577,7 @@ object Relational {
     Q("q12_star_join", q12, Some(q12Sql), headline = true),
     Q("q13_events_hourly", q13, Some(q13Sql)),
     Q("q14_rollup", q14, Some(q14Sql)),
+    Q("q14b_cube", q14b, Some(q14bSql)),
     Q("q15_distinct_count", q15, Some(q15Sql)),
     Q("q16_set_ops", q16, Some(q16Sql)),
     Q("q19_json_extract", q19, Some(q19Sql)),
