@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkFixture
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{expr, max, timestamp_micros}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -144,6 +145,50 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
         .select("click_id", "purchase_value").as[(Long, Double)]
         .collect().sorted.toSeq
       assert(rows == Seq((20L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("kappa property: file-stream hourly equals batch hourly for closed windows") {
+    val s = spark
+    import s.implicits._
+    // the real driver testdata as a file stream (nanos ts normalized the
+    // same way Tables does for batch)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = "/root/testdata/sf0.001"
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val static = normalize(s.read.parquet(s"$dir/events.parquet"))
+    val batch = Streams.hourly(static)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+    // file sources stream DIRECTORIES; stage the file into one
+    val stage = Files.createTempDirectory("kappa_events")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    val stream = normalize(
+      s.readStream.schema(s.read.parquet(s"$dir/events.parquet").schema)
+        .parquet(stage.toString))
+    val q = Streams.hourly(stream)
+      .writeStream.format("memory").queryName("kappa_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val streamed = s.table("kappa_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // append mode emits only watermark-closed windows; every emitted row
+      // must be EXACTLY the batch row, and most windows must have closed
+      assert(streamed.nonEmpty)
+      assert(streamed.subsetOf(batch),
+        s"streaming rows diverge from batch: ${streamed -- batch}")
+      val maxTs = static.agg(max($"ts")).collect().head.getTimestamp(0)
+      val closed = batch.filter { case (hour, _, _, _) =>
+        // window end + 1h watermark delay <= max event time
+        hour.getTime + 2 * 3600 * 1000 <= maxTs.getTime
+      }
+      assert(closed.subsetOf(streamed),
+        s"closed windows missing from streaming output: ${closed -- streamed}")
     } finally q.stop()
   }
 
