@@ -108,7 +108,8 @@ final class Runner(
   def runModel(m: ModelNode): DataFrame = {
     if (m.language == "python")
       throw new UnsupportedOperationException(
-        s"python model ${m.name}: port to a DataFrame transform (lag/lead windows cover pandas shift)")
+        s"python model ${m.name}: port to a DataFrame transform — " +
+          "graft.engine.PandasPort covers the groupby shift/cumsum shapes")
     val out = m.materialized match {
       case "view" | "ephemeral" => execSql(m, isIncremental = false)
       case "table" => persist(m, execSql(m, isIncremental = false))
