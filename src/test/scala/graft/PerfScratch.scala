@@ -45,6 +45,12 @@ object PerfScratch {
     time("selfjoin")(selfJoin)
     time("selfjoin+agg")(selfJoin
       .groupBy(col("x.doc_id"), col("y.doc_id")).agg(count(lit(1))))
+    val selfJoinHinted = sh.as("x").hint("SHUFFLE_HASH").join(
+      sh.as("y").hint("SHUFFLE_HASH"),
+      col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+    time("selfjoin_shj")(selfJoinHinted)
+    time("selfjoin_shj+agg")(selfJoinHinted
+      .groupBy(col("x.doc_id"), col("y.doc_id")).agg(count(lit(1))))
     time("d02_full")(ops.Dedup.d02(spark, dir))
     time("d03_full")(ops.Dedup.d03(spark, dir))
     time("d04_full")(ops.Dedup.d04(spark, dir))
