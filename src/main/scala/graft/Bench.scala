@@ -32,6 +32,12 @@ object Bench {
     import org.apache.spark.sql.functions.expr
     spark.range(1 << 20).groupBy(expr("id % 7")).count()
       .queryExecution.toRdd.count()
+    // touch every table once: parquet footer + vectorized reader + AQE
+    // init would otherwise be charged to whichever query runs first
+    ops.Tables.all.foreach { t =>
+      try spark.table(t).limit(4).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

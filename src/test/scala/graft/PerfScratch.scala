@@ -51,6 +51,8 @@ object PerfScratch {
     time("selfjoin_shj")(selfJoinHinted)
     time("selfjoin_shj+agg")(selfJoinHinted
       .groupBy(col("x.doc_id"), col("y.doc_id")).agg(count(lit(1))))
+    time("d01_first")(ops.Dedup.d01(spark, dir))
+    time("d01_second")(ops.Dedup.d01(spark, dir))
     time("d02_full")(ops.Dedup.d02(spark, dir))
     time("d03_full")(ops.Dedup.d03(spark, dir))
     time("d04_full")(ops.Dedup.d04(spark, dir))
