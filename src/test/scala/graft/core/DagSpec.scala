@@ -80,6 +80,31 @@ class DagSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Selector.select(m, Seq("state:modified")))
   }
 
+  test("A2: subproject selection excludes what the subproject already has") {
+    val m = manifest
+    val already = Set("model.p.b")
+    assert(Selector.selectForSubproject(m, already, Seq("+c")) ==
+      Selector.select(m, Seq("+c")) - "model.p.b")
+  }
+
+  test("A11: referenced docs resolve doc() calls in code and patches") {
+    val doc = Documentation("doc.p.orders_doc", "orders_doc", "p",
+      "models/docs.md", "{% docs orders_doc %}x{% enddocs %}")
+    val a = ModelNode("model.p.a", "a", "p", "models/a.sql",
+      "select 1 -- {{ doc('orders_doc') }}",
+      patchPath = Some("models/_a.yml"))
+    val b = ModelNode("model.p.b", "b", "p", "models/b.sql", "select 2",
+      patchPath = Some("models/_b.yml"))
+    val m = Manifest("p",
+      nodes = Map(a.uniqueId -> a, b.uniqueId -> b),
+      docs = Map(doc.uniqueId -> doc))
+    // a references via raw code; b references via its patch YAML
+    val patches = Map("models/_b.yml" -> "description: '{{ doc(\"orders_doc\") }}'")
+    assert(Dag.referencedDocs(m, Set(a.uniqueId)) == Set(doc.uniqueId))
+    assert(Dag.referencedDocs(m, Set(b.uniqueId), patches.get) == Set(doc.uniqueId))
+    assert(Dag.referencedDocs(m, Set.empty) == Set.empty)
+  }
+
   test("macro closure is a fixpoint over macro-macro deps") {
     val m = Manifest("p",
       nodes = Map("model.p.a" -> ModelNode("model.p.a", "a", "p", "models/a.sql", "",

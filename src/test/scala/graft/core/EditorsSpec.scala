@@ -124,6 +124,21 @@ class EditorsSpec extends AnyFunSuite {
     assert(!Files.exists(root.resolve("never.sql"))) // later steps not applied
   }
 
+  test("E7: directory copy honors ignore patterns") {
+    val root = Files.createTempDirectory("graft_dircopy")
+    Files.createDirectories(root.resolve("tpl/models"))
+    Files.createDirectories(root.resolve("tpl/target"))
+    Files.writeString(root.resolve("tpl/models/a.sql"), "select 1")
+    Files.writeString(root.resolve("tpl/target/junk.json"), "{}")
+    Files.writeString(root.resolve("tpl/readme.md"), "hi")
+    new ChangeSetProcessor(root).process(Seq(ChangeSet(Vector(
+      DirectoryChange(Operation.Copy, "out", Some("tpl"),
+        ignore = Seq("target", "*.md"))))))
+    assert(Files.readString(root.resolve("out/models/a.sql")) == "select 1")
+    assert(!Files.exists(root.resolve("out/target")))
+    assert(!Files.exists(root.resolve("out/readme.md")))
+  }
+
   test("yaml dump round-trips through parse") {
     val doc = YMap.of(
       "version" -> YInt(2),

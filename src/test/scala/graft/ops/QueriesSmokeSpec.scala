@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkFixture}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must plan and execute at sf0.001 — the in-suite
+  * regression guard between DuckDB-oracle verification runs. Row counts
+  * are asserted non-negative only; exact values are the oracle's job. */
+class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every SparkEntry query executes; every query has an oracle") {
+    val queries = SparkEntry.queries
+    val oracles = SparkEntry.oracleSql
+    assert(queries.nonEmpty)
+    // the correctness gate only covers queries that declare an oracle —
+    // a query without one silently skips verification, so fail here
+    assert(queries.keySet == oracles.keySet,
+      s"queries without oracle: ${queries.keySet -- oracles.keySet}")
+    val failures = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, dir).queryExecution.toRdd.count(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("the flagship entry answers rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
