@@ -124,18 +124,20 @@ object Dedup {
     import s.implicits._
     val sh = shingles(s, dir)
       .withColumn("h", TextAnalysis.rollingHash($"s"))
-    // ONE aggregation computes everything per doc: 64 minhash mins (map-
-    // side partial agg, no 64× row explode), the distinct-shingle count,
-    // and the shingle set itself for candidate verification. One shuffle
-    // of the corpus, ever; its exchange is reused by every consumer below.
-    val sigCols = (0 until 64).map(j =>
-      min(((lit(2L * j + 1)) * $"h" + lit(j.toLong)) % 1000000007L).as(s"sig$j"))
-    val aggCols = sigCols ++ Seq(
-      count(lit(1)).as("n"), collect_set($"s").as("ss"))
-    val perDoc = sh.groupBy($"doc_id").agg(aggCols.head, aggCols.tail: _*)
+    // ONE aggregation computes everything per doc: the 64-perm minhash
+    // sketch via the custom TypedImperativeAggregate (a primitive-array
+    // buffer updated in one pass — SURVEY §7's designed extension), the
+    // distinct-shingle count, and the shingle set for candidate
+    // verification. One shuffle of the corpus, ever; its exchange is
+    // reused by every consumer below.
+    val perDoc = sh.groupBy($"doc_id").agg(
+      graft.functions.MinHashAgg($"h", 64).as("sigs"),
+      count(lit(1)).as("n"),
+      collect_set($"s").as("ss"))
     // band keys: 32 bands × 2 rows; the bands projection prunes n/ss away
     val bandKeys = (0 until 32).map(b =>
-      concat_ws(":", lit(b), col(s"sig${2 * b}"), col(s"sig${2 * b + 1}")))
+      concat_ws(":", lit(b),
+        element_at($"sigs", 2 * b + 1), element_at($"sigs", 2 * b + 2)))
     val bands = perDoc.select($"doc_id", explode(array(bandKeys: _*)).as("key"))
     val cand = bands.as("a")
       .join(bands.as("b"),

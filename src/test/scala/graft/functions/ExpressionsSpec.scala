@@ -49,6 +49,22 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("MinHashAgg equals the 64-min-column aggregation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 17L), (1L, 9999L), (1L, 123456789L), (2L, 42L))
+      .toDF("g", "h")
+    val viaAgg = df.groupBy($"g").agg(MinHashAgg($"h", 64).as("sigs"))
+      .orderBy($"g").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector))
+    val sigCols = (0 until 64).map(j =>
+      min(((lit(2L * j + 1)) * $"h" + lit(j.toLong)) % 1000000007L).as(s"s$j"))
+    val viaCols = df.groupBy($"g").agg(sigCols.head, sigCols.tail: _*)
+      .orderBy($"g").collect()
+      .map(r => (r.getLong(0), (1 to 64).map(r.getLong(_)).toVector))
+    assert(viaAgg.toSeq == viaCols.toSeq)
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._
