@@ -192,5 +192,6 @@ final case class ProjectConfig(
     modelPaths: Vector[String] = Vector("models"),
     seedPaths: Vector[String] = Vector("seeds"),
     macroPaths: Vector[String] = Vector("macros"),
+    testPaths: Vector[String] = Vector("tests"),
     vars: YMap = YMap.empty,
     raw: YMap = YMap.empty)

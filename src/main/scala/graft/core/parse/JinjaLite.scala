@@ -70,12 +70,17 @@ object JinjaLite {
 
   /** Macro definitions: name, params (with defaults), body. */
   final case class MacroDef(name: String, params: Vector[(String, Option[String])], body: String)
-  private val macroHeadRe =
-    """\{%\s*macro\s+([A-Za-z0-9_]+)\s*\(([^)]*)\)\s*%\}""".r
 
-  def findMacroDefs(text: String): Vector[MacroDef] =
-    findBlocks(text, "macro").flatMap { b =>
-      macroHeadRe.findFirstMatchIn(b.content).map { h =>
+  def findMacroDefs(text: String): Vector[MacroDef] = findDefs(text, "macro")
+
+  /** `{% test name(model[, column_name]) %}` blocks — dbt custom generic
+    * tests share the macro shape with a different keyword. */
+  def findTestDefs(text: String): Vector[MacroDef] = findDefs(text, "test")
+
+  private def findDefs(text: String, kind: String): Vector[MacroDef] = {
+    val headRe = (s"""\\{%\\s*$kind\\s+([A-Za-z0-9_]+)\\s*\\(([^)]*)\\)\\s*%\\}""").r
+    findBlocks(text, kind).flatMap { b =>
+      headRe.findFirstMatchIn(b.content).map { h =>
         val params = h.group(2).split(",").toVector.map(_.trim).filter(_.nonEmpty).map { p =>
           p.split("=", 2) match {
             case Array(n, d) => n.trim -> Some(d.trim.stripPrefix("'").stripSuffix("'"))
@@ -83,10 +88,11 @@ object JinjaLite {
           }
         }
         val body = b.content.substring(h.end - b.start)
-          .replaceAll("""\{%\s*endmacro\s*%\}\s*$""", "").trim
+          .replaceAll(s"""\\{%\\s*end$kind\\s*%\\}\\s*$$""", "").trim
         MacroDef(h.group(1), params, body)
       }
     }
+  }
 
   /** Names of macros called as `{{ name(...) }}` (excluding builtins). */
   private val builtins = Set("ref", "source", "var", "config", "doc", "this", "is_incremental")

@@ -22,6 +22,7 @@ object ProjectLoader {
       modelPaths = strList(projYaml.get("model-paths")).getOrElse(Vector("models")),
       seedPaths = strList(projYaml.get("seed-paths")).getOrElse(Vector("seeds")),
       macroPaths = strList(projYaml.get("macro-paths")).getOrElse(Vector("macros")),
+      testPaths = strList(projYaml.get("test-paths")).getOrElse(Vector("tests")),
       vars = projYaml.get("vars").collect { case m: YMap => m }.getOrElse(YMap.empty),
       raw = projYaml)
     (cfg, buildManifest(root, cfg))
@@ -41,11 +42,17 @@ object ProjectLoader {
   private def buildManifest(root: Path, cfg: ProjectConfig): Manifest = {
     val proj = cfg.name
 
-    // ---- macros
-    val macroDefs = cfg.macroPaths.flatMap(mp => walk(root.resolve(mp), ".sql")).flatMap { p =>
-      val text = Files.readString(p)
-      JinjaLite.findMacroDefs(text).map(md => (md, root.relativize(p).toString, text))
-    }
+    // ---- macros + custom generic test definitions ({% test %} blocks
+    // under test-paths share the macro namespace, like dbt)
+    val macroDefs =
+      cfg.macroPaths.flatMap(mp => walk(root.resolve(mp), ".sql")).flatMap { p =>
+        val text = Files.readString(p)
+        JinjaLite.findMacroDefs(text).map(md => (md, root.relativize(p).toString, text))
+      } ++
+        cfg.testPaths.flatMap(tp => walk(root.resolve(tp), ".sql")).flatMap { p =>
+          val text = Files.readString(p)
+          JinjaLite.findTestDefs(text).map(md => (md, root.relativize(p).toString, text))
+        }
     val macroNames = macroDefs.map(_._1.name).toSet
     val macros = macroDefs.map { case (md, rel, _) =>
       val id = s"macro.$proj.${md.name}"

@@ -209,8 +209,23 @@ final class Runner(
           val target = spark.table(viewName(manifest.nodes(toModel).name))
           df.filter(col(colName).isNotNull)
             .join(target, col(colName) === target(field), "left_anti").count()
-        case other =>
-          throw new UnsupportedOperationException(s"generic test type $other")
+        case custom =>
+          // custom generic test: a {% test %} block returning violating
+          // rows; `model` binds to the model's view, `column_name` to the
+          // tested column (`tests/generic/custom_generic_test.sql`)
+          val td = macroDefs.getOrElse(custom,
+            throw new UnsupportedOperationException(
+              s"generic test type $custom: no {% test $custom %} definition found"))
+          var sql = td.body
+            .replaceAll("""\{\{\s*model\s*\}\}""",
+              viewName(manifest.nodes(modelId).name))
+            .replaceAll("""\{\{\s*column_name\s*\}\}""", colName)
+          sql = JinjaLite.render(sql,
+            resolveRef = rc => viewName(rc.name),
+            resolveSource = _ => throw new IllegalArgumentException(
+              s"source() unsupported in generic test $custom"),
+            vars = vars)
+          spark.sql(sql).count()
       }
       tid -> violations
     }

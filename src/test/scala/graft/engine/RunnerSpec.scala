@@ -119,6 +119,47 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
         AccessControl.Context("jaffle", Some("ops"))))
   }
 
+  test("custom generic tests: {% test %} blocks compile to violation queries") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 150L), (2L, -5L)).toDF("id", "cents")
+      .createOrReplaceTempView("raw_orders")
+    val files = Map(
+      "dbt_project.yml" -> "name: jaffle\n",
+      "models/__sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: raw
+          |    tables:
+          |      - name: raw_orders
+          |""".stripMargin,
+      "models/__models.yml" ->
+        """version: 2
+          |models:
+          |  - name: stg
+          |    columns:
+          |      - name: cents
+          |        tests:
+          |          - positive_values
+          |          - always_passes
+          |""".stripMargin,
+      "models/stg.sql" -> "select * from {{ source('raw', 'raw_orders') }}",
+      "tests/generic/positive_values.sql" ->
+        ("{% test positive_values(model, column_name) %}\n" +
+          "select * from {{ model }} where {{ column_name }} <= 0\n" +
+          "{% endtest %}"),
+      "tests/generic/always_passes.sql" ->
+        "{% test always_passes(model) %}select true where false{% endtest %}")
+    val root = writeProject(files)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val runner = new Runner(s, manifest, cfg,
+      Files.createTempDirectory("wh_ct"), enforceAccess = false)
+    runner.run()
+    val results = runner.runTests()
+    assert(results("test.jaffle.positive_values_stg_cents") == 1L) // the -5 row
+    assert(results("test.jaffle.always_passes_stg_cents") == 0L)
+  }
+
   test("parallel run: independent sibling models execute level-concurrently") {
     val s = spark
     import s.implicits._
