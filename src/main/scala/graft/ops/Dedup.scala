@@ -265,9 +265,44 @@ object Dedup {
       |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
       |ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------- d05
+  /** Blocked edit-distance near-dup: block on (lang, source, length
+    * bucket) — cheap, selective keys every corpus has — then Levenshtein
+    * only within blocks. The classic record-linkage shape: blocking turns
+    * the quadratic distance pass into per-block work; the expensive
+    * metric (O(len²) DP per pair) never sees cross-block pairs. Both
+    * engines implement the same integer DP, so distances match exactly. */
+  def d05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source",
+        expr("n_chars div 50").as("lb"))
+    b.as("x")
+      .join(b.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.lb") === col("y.lb") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("dist",
+        levenshtein(col("x.text"), col("y.text")).cast("long"))
+      .filter($"dist" <= 100)
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), $"dist")
+      .orderBy($"da", $"db")
+  }
+
+  val d05Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text, lang, source, n_chars // 50 AS lb FROM documents)
+      |SELECT x.doc_id AS da, y.doc_id AS db,
+      |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
+      |FROM b x JOIN b y
+      |  ON x.lang = y.lang AND x.source = y.source AND x.lb = y.lb
+      | AND x.doc_id < y.doc_id
+      |WHERE levenshtein(x.text, y.text) <= 100
+      |ORDER BY da, db""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
     Q("d03_minhash_lsh", d03, Some(d03Sql), headline = true),
-    Q("d04_simhash", d04, Some(d04Sql), headline = true))
+    Q("d04_simhash", d04, Some(d04Sql), headline = true),
+    Q("d05_edit_blocked", d05, Some(d05Sql)))
 }

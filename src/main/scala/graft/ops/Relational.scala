@@ -562,6 +562,44 @@ object Relational {
       |  MAX(value) AS max_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q22
+  /** Exact median per group via rank arithmetic — percentile_cont's
+    * interpolation differs by ulps across engines, so the median is
+    * computed from the middle-ranked rows and averaged in DECIMAL, which
+    * is bit-exact everywhere. One shuffle (the window partition). */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+      .groupBy($"o_orderpriority")
+      .agg(
+        dbl(sum(when(expr("rn IN ((n + 1) div 2, (n + 2) div 2)"),
+          dec($"o_totalprice"))) /
+          count(when(expr("rn IN ((n + 1) div 2, (n + 2) div 2)"), lit(1))))
+          .as("median_price"),
+        max($"n").as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q22Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+      |      THEN CAST(o_totalprice AS DECIMAL(18,6)) END) /
+      |    COUNT(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN 1 END)
+      |    AS DOUBLE) AS median_price,
+      |  MAX(n) AS n_orders
+      |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -582,5 +620,6 @@ object Relational {
     Q("q16_set_ops", q16, Some(q16Sql)),
     Q("q19_json_extract", q19, Some(q19Sql)),
     Q("q20_range_join", q20, Some(q20Sql), headline = true),
-    Q("q21_salted_agg", q21, Some(q21Sql)))
+    Q("q21_salted_agg", q21, Some(q21Sql)),
+    Q("q22_exact_median", q22, Some(q22Sql)))
 }
