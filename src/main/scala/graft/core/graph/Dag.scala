@@ -14,20 +14,28 @@ object Dag {
 
   /** Full ancestor closure of `start` (not including start) via BFS. */
   def ancestors(parentMap: Map[String, Set[String]], start: String): Set[String] =
-    closure(parentMap, start)
+    closure(parentMap, start, Int.MaxValue)
 
   /** Full descendant closure of `start` (not including start). */
   def descendants(childMap: Map[String, Set[String]], start: String): Set[String] =
-    closure(childMap, start)
+    closure(childMap, start, Int.MaxValue)
 
-  private def closure(adj: Map[String, Set[String]], start: String): Set[String] = {
+  /** Depth-limited closures (dbt's `N+model` / `model+N` selectors). */
+  def ancestorsTo(parentMap: Map[String, Set[String]], start: String, depth: Int): Set[String] =
+    closure(parentMap, start, depth)
+  def descendantsTo(childMap: Map[String, Set[String]], start: String, depth: Int): Set[String] =
+    closure(childMap, start, depth)
+
+  private def closure(adj: Map[String, Set[String]], start: String,
+      maxDepth: Int): Set[String] = {
     val seen = mutable.Set.empty[String]
-    val queue = mutable.Queue(start)
+    val queue = mutable.Queue(start -> 0)
     while (queue.nonEmpty) {
-      val n = queue.dequeue()
-      adj.getOrElse(n, Set.empty).foreach { m =>
-        if (!seen.contains(m)) { seen += m; queue.enqueue(m) }
-      }
+      val (n, d) = queue.dequeue()
+      if (d < maxDepth)
+        adj.getOrElse(n, Set.empty).foreach { m =>
+          if (!seen.contains(m)) { seen += m; queue.enqueue(m -> (d + 1)) }
+        }
     }
     seen.toSet
   }

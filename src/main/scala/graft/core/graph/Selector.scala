@@ -19,19 +19,30 @@ import graft.core.model.Manifest
 object Selector {
 
   final case class Criterion(
-      ancestors: Boolean, atOp: Boolean, method: Option[String],
-      name: String, descendants: Boolean)
+      ancestors: Boolean, ancestorDepth: Int, atOp: Boolean,
+      method: Option[String], name: String,
+      descendants: Boolean, descendantDepth: Int)
 
   private val knownMethods = Set("tag", "path")
+  private val ancRe = """^(\d*)\+""".r
+  private val descRe = """\+(\d*)$""".r
 
   def parseCriterion(token: String): Criterion = {
     val atOp = token.startsWith("@")
     val t0 = token.stripPrefix("@")
-    if (atOp && (t0.startsWith("+") || t0.endsWith("+")))
+    if (atOp && (t0.contains("+")))
       throw new IllegalArgumentException(s"cannot combine @ with +: '$token'")
-    val anc = t0.startsWith("+")
-    val desc = t0.endsWith("+")
-    val t1 = t0.stripPrefix("+").stripSuffix("+")
+    // dbt graph operators: `+m`, `m+`, and depth-limited `N+m` / `m+N`
+    val ancM = ancRe.findFirstMatchIn(t0)
+    val anc = ancM.isDefined
+    val ancDepth = ancM.map(_.group(1)).filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(Int.MaxValue)
+    val t0a = ancM.fold(t0)(m => t0.substring(m.end))
+    val descM = descRe.findFirstMatchIn(t0a)
+    val desc = descM.isDefined
+    val descDepth = descM.map(_.group(1)).filter(_.nonEmpty)
+      .map(_.toInt).getOrElse(Int.MaxValue)
+    val t1 = descM.fold(t0a)(m => t0a.substring(0, m.start))
     val (method, name) = t1.split(":", 2) match {
       case Array(m, n) if knownMethods(m) => (Some(m), n)
       case Array(m, _) => throw new IllegalArgumentException(
@@ -39,7 +50,7 @@ object Selector {
       case Array(n) => (None, n)
     }
     require(name.nonEmpty, s"empty selector token: '$token'")
-    Criterion(anc, atOp, method, name, desc)
+    Criterion(anc, ancDepth, atOp, method, name, desc, descDepth)
   }
 
   /** Resolve one criterion's base set (before graph operators). */
@@ -63,8 +74,12 @@ object Selector {
       val down = base ++ base.flatMap(Dag.descendants(manifest.childMap, _))
       down ++ down.flatMap(Dag.ancestors(manifest.parentMap, _))
     } else base ++
-      (if (c.ancestors) base.flatMap(Dag.ancestors(manifest.parentMap, _)) else Set.empty) ++
-      (if (c.descendants) base.flatMap(Dag.descendants(manifest.childMap, _)) else Set.empty)
+      (if (c.ancestors)
+        base.flatMap(Dag.ancestorsTo(manifest.parentMap, _, c.ancestorDepth))
+      else Set.empty) ++
+      (if (c.descendants)
+        base.flatMap(Dag.descendantsTo(manifest.childMap, _, c.descendantDepth))
+      else Set.empty)
   }
 
   /** Evaluate `--select` / `--exclude` to a set of unique ids (A1).

@@ -600,6 +600,47 @@ object Relational {
       |  MAX(n) AS n_orders
       |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q23
+  /** Ordered conversion funnel (signup → click → purchase, each within a
+    * 48 h window of the previous stage's first event). Each stage is one
+    * groupBy over a key-partitioned join with the previous stage — the
+    * per-stage min-ts formulation never materializes event sequences per
+    * user, so stage state is one row per user, not the history. */
+  def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    def stage(prev: DataFrame, prevTs: String, evType: String, outTs: String): DataFrame =
+      e.filter($"event_type" === evType)
+        .join(prev, Seq("user_id"))
+        .filter($"ts" > col(prevTs) && $"ts" <= col(prevTs) + expr("INTERVAL 48 HOURS"))
+        .groupBy($"user_id").agg(min($"ts").as(outTs))
+    val signup = e.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t0"))
+    val click = stage(signup, "t0", "click", "t1")
+    val purchase = stage(click, "t1", "purchase", "t2")
+    signup.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(click.agg(count(lit(1)).as("n_click_within")))
+      .crossJoin(purchase.agg(count(lit(1)).as("n_purchase_within")))
+  }
+
+  val q23Sql: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(ts) AS t0 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t1
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |    AND e.ts > s.t0 AND e.ts <= s.t0 + INTERVAL 48 HOUR
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |    AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL 48 HOUR
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+      |       (SELECT COUNT(*) FROM c) AS n_click_within,
+      |       (SELECT COUNT(*) FROM p) AS n_purchase_within""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -621,5 +662,6 @@ object Relational {
     Q("q19_json_extract", q19, Some(q19Sql)),
     Q("q20_range_join", q20, Some(q20Sql), headline = true),
     Q("q21_salted_agg", q21, Some(q21Sql)),
-    Q("q22_exact_median", q22, Some(q22Sql)))
+    Q("q22_exact_median", q22, Some(q22Sql)),
+    Q("q23_funnel", q23, Some(q23Sql)))
 }

@@ -60,6 +60,15 @@ class SelectorSpec extends AnyFunSuite {
         "model.p.a", "model.p.b", "source.p.raw.src")) // ancestors of those
   }
 
+  test("depth-limited graph operators: N+name and name+N") {
+    // src -> a -> b -> d: 1+d reaches only b and c; d's full ancestors add a, src
+    assert(ids(Selector.select(manifest, Seq("1+d"))) == Set("d", "b", "c"))
+    assert(Selector.select(manifest, Seq("2+d")) ==
+      Set("model.p.d", "model.p.b", "model.p.c", "model.p.a"))
+    assert(ids(Selector.select(manifest, Seq("a+1"))) == Set("a", "b", "c"))
+    assert(ids(Selector.select(manifest, Seq("a+2"))) == Set("a", "b", "c", "d"))
+  }
+
   test("unknown methods fail loudly") {
     intercept[IllegalArgumentException](Selector.select(manifest, Seq("state:modified")))
     intercept[IllegalArgumentException](Selector.select(manifest, Seq("@+x")))
