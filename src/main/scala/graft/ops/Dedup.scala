@@ -270,27 +270,38 @@ object Dedup {
     * bucket) — cheap, selective keys every corpus has — then Levenshtein
     * only within blocks. The classic record-linkage shape: blocking turns
     * the quadratic distance pass into per-block work; the expensive
-    * metric (O(len²) DP per pair) never sees cross-block pairs. Both
-    * engines implement the same integer DP, so distances match exactly. */
+    * metric (O(len²) DP per pair) never sees cross-block pairs. The
+    * 10-char length bucket keeps within-block pair counts linear-ish in
+    * corpus size (pairs grow quadratically WITHIN a block — the block
+    * width is the knob that bounds the DP budget). Both engines implement
+    * the same integer DP, so distances match exactly. */
   def d05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = Tables.t(s, dir, "documents")
       .select($"doc_id", $"text", $"lang", $"source",
-        expr("n_chars div 50").as("lb"))
+        expr("n_chars div 10").as("lb"))
     b.as("x")
       .join(b.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
           col("x.lb") === col("y.lb") && col("x.doc_id") < col("y.doc_id"))
-      .withColumn("dist",
-        levenshtein(col("x.text"), col("y.text")).cast("long"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        col("x.text").as("ta"), col("y.text").as("tb"))
+      // the pair rows are BYTE-small but CPU-huge (O(len²) DP each), so
+      // AQE's size-based coalescing would collapse them onto one core.
+      // The repartition pins the width, and the checkpoint is a plan
+      // barrier: without it, predicate pushdown drags the levenshtein
+      // filter back below the repartition into the coalesced join stage.
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint()
+      .withColumn("dist", levenshtein($"ta", $"tb").cast("long"))
       .filter($"dist" <= 100)
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"), $"dist")
+      .select($"da", $"db", $"dist")
       .orderBy($"da", $"db")
   }
 
   val d05Sql: String =
     """WITH b AS (
-      |  SELECT doc_id, text, lang, source, n_chars // 50 AS lb FROM documents)
+      |  SELECT doc_id, text, lang, source, n_chars // 10 AS lb FROM documents)
       |SELECT x.doc_id AS da, y.doc_id AS db,
       |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS dist
       |FROM b x JOIN b y
