@@ -205,10 +205,43 @@ object TextAnalysis {
        |  CAST(ceil(CAST(length(text) AS DOUBLE) / 4) AS BIGINT) AS est_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t06
+  /** Repetition detection — the training-data filter that drops documents
+    * dominated by a repeated phrase: bigram counts per doc, the top
+    * bigram's share of all bigrams. One (doc, bigram) aggregation with
+    * map-side partial counts; the ratio is a single exact division. */
+  def t06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", words($"text").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
+        .as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_bigrams"),
+        max($"c").as("top_bigram_n"),
+        round(dbl(max($"c")) / sum($"c"), 6).as("repetition_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val t06Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+      |       WHERE len(ws) >= 2),
+      |cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+      |SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n,
+      |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition_ratio
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
     Q("t03_langid", t03, Some(t03Sql)),
     Q("t04_fingerprint", t04, Some(t04Sql), headline = true),
-    Q("t05_bpe_tokens", t05, Some(t05Sql)))
+    Q("t05_bpe_tokens", t05, Some(t05Sql)),
+    Q("t06_repetition", t06, Some(t06Sql)))
 }
