@@ -1,0 +1,166 @@
+package graft.cli
+
+import graft.core.changes.{ChangeSet, ChangeSetProcessor}
+import graft.core.graph.Selector
+import graft.core.model.Owner
+import graft.core.parse.ProjectLoader
+import graft.engine.Runner
+import graft.mesh._
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path, Paths}
+
+/** CLI mirroring the reference's command surface (`main.py`):
+  *
+  * {{{
+  * graft run            [--select S]* [--project-dir P]
+  * graft split NAME      --select S [--target-dir D] [--dry-run]
+  * graft create-group G  --select S [--owner-name N] [--group-yml-path F]
+  * graft group G         --select S [--owner-name N]   (create-group + contracts)
+  * graft contract        --select S                    (contracts only)
+  * graft version MODEL  [--prerelease|--increment|--latest] [--defined-in F]
+  * graft connect         --project-paths P1 P2 [--dry-run]
+  * }}}
+  *
+  * All commands are pure planners; `--dry-run` prints the plan instead of
+  * editing files (the reference's plan/execute split, `main.py:99-110`).
+  * Commands that need physical schemas (group/contract) run the project
+  * on a local SparkSession first.
+  */
+object Main {
+
+  private case class Args(
+      positional: Vector[String],
+      flags: Map[String, Vector[String]],
+      switches: Set[String])
+
+  private def parse(argv: Array[String]): Args = {
+    var pos = Vector.empty[String]
+    var flags = Map.empty[String, Vector[String]].withDefaultValue(Vector.empty)
+    var switches = Set.empty[String]
+    var i = 0
+    while (i < argv.length) {
+      val a = argv(i)
+      if (a == "--dry-run" || a == "--prerelease" || a == "--increment" || a == "--latest")
+        switches += a.stripPrefix("--")
+      else if (a.startsWith("--")) {
+        val key = a.stripPrefix("--")
+        val vals = Vector.newBuilder[String]
+        while (i + 1 < argv.length && !argv(i + 1).startsWith("--")) {
+          i += 1; vals += argv(i)
+        }
+        flags = flags.updated(key, flags(key) ++ vals.result())
+      } else pos :+= a
+      i += 1
+    }
+    Args(pos, flags, switches)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv.drop(1))
+    val command = argv.headOption.getOrElse("help")
+    val root = Paths.get(args.flags("project-dir").headOption.getOrElse("."))
+    val dryRun = args.switches("dry-run")
+
+    def apply(cs: ChangeSet, at: Path = root): Unit =
+      new ChangeSetProcessor(at, dryRun = dryRun, log = println).process(Seq(cs))
+    def readFile(p: String): String = Files.readString(root.resolve(p))
+    def spark(): SparkSession = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName("graft").config("spark.ui.enabled", "false").getOrCreate()
+
+    command match {
+      case "run" =>
+        val (cfg, m) = ProjectLoader.load(root)
+        val sel = args.flags("select") match {
+          case Vector() => None
+          case ts => Some(Selector.select(m, ts, args.flags("exclude")))
+        }
+        val out = new Runner(spark(), m, cfg,
+          Files.createTempDirectory("graft_wh"), projectRoot = Some(root)).run(sel)
+        out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
+
+      case "split" =>
+        val name = args.positional.head
+        val (cfg, m) = ProjectLoader.load(root)
+        val selected = Selector.select(m, args.flags("select"), args.flags("exclude"))
+        val target = args.flags("target-dir").headOption.getOrElse(s"${name}_proj")
+        apply(SubprojectCreator.initialize(m, cfg, name, selected, target, readFile))
+
+      case "create-group" | "group" =>
+        val name = args.positional.head
+        val (_, m) = ProjectLoader.load(root)
+        val selected = Selector.select(m, args.flags("select"), args.flags("exclude"))
+        val owner = Owner(name = args.flags("owner-name").headOption)
+        val path = args.flags("group-yml-path").headOption.getOrElse("models/_groups.yml")
+        if (command == "create-group")
+          apply(Grouper.addGroup(m, name, owner, selected, path))
+        else {
+          // group = create-group + contracts for non-private models; run
+          // the project first so schemas exist (the reference reads the
+          // warehouse catalog here)
+          val s = spark()
+          val (cfg2, m2) = ProjectLoader.load(root)
+          val runner = new Runner(s, m2, cfg2,
+            Files.createTempDirectory("graft_wh"), enforceAccess = false,
+            projectRoot = Some(root))
+          runner.run()
+          apply(Commands.group(s, m2, name, owner, selected, path,
+            runner.viewName, p => scala.util.Try(readFile(p)).toOption))
+        }
+
+      case "contract" =>
+        val s = spark()
+        val (cfg, m) = ProjectLoader.load(root)
+        val selected = Selector.select(m, args.flags("select"), args.flags("exclude"))
+        val runner = new Runner(s, m, cfg,
+          Files.createTempDirectory("graft_wh"), enforceAccess = false,
+          projectRoot = Some(root))
+        runner.run()
+        val cs = selected.toSeq.sorted.flatMap(m.nodes.get)
+          .filter(_.uniqueId.startsWith("model."))
+          .map(node => Contractor.generateContract(s, node, runner.viewName(node.name)))
+        apply(ChangeSet(cs.toVector))
+
+      case "version" =>
+        val modelName = args.positional.head
+        val (_, m) = ProjectLoader.load(root)
+        val node = m.nodes.values.find(_.name == modelName).getOrElse(
+          sys.error(s"model $modelName not found"))
+        val behavior =
+          if (args.switches("prerelease")) Versioner.Behavior.Prerelease
+          else if (args.switches("increment")) Versioner.Behavior.Increment
+          else Versioner.Behavior.Latest
+        val entry = node.patchPath.map { pp =>
+          graft.core.yaml.Yaml.parseMap(readFile(pp)).get("models").collect {
+            case graft.core.yaml.YList(ms) => ms.collectFirst {
+              case e: graft.core.yaml.YMap if e.get("name").exists(_.asStr == modelName) => e
+            }
+          }.flatten.getOrElse(graft.core.yaml.YMap.empty)
+        }.getOrElse(graft.core.yaml.YMap.empty)
+        apply(Versioner.version(node, entry,
+          behavior, args.flags("defined-in").headOption))
+
+      case "connect" =>
+        val paths = args.flags("project-paths").map(Paths.get(_))
+        require(paths.size >= 2, "connect needs --project-paths P1 P2 [...]")
+        val loaded = paths.map(p => p -> ProjectLoader.load(p)._2)
+        val byName = loaded.map { case (p, m) => m.projectName -> p }.toMap
+        val plans = Commands.connectPlans(loaded.map(_._2),
+          installs = (_, _) => false, contractData = _ => None,
+          readFile = (proj, f) => Files.readString(byName(proj).resolve(f)))
+        plans.toSeq.sortBy(_._1).foreach { case (proj, cs) =>
+          println(s"-- $proj --")
+          new ChangeSetProcessor(byName(proj), dryRun = dryRun, log = println)
+            .process(Seq(cs))
+        }
+
+      case other =>
+        println(
+          s"""unknown command: $other
+             |usage: graft {run|split|create-group|group|contract|version|connect} [options]
+             |""".stripMargin)
+        sys.exit(if (other == "help") 0 else 1)
+    }
+  }
+
+}

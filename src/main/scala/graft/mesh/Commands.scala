@@ -59,6 +59,41 @@ object Commands {
       }
   }
 
+  /** [[connect]], with the plan split per project root: the upstream gets
+    * its model governance patches (access/contract); the downstream gets
+    * the rewrites, source removals, and dependencies.yml registration —
+    * each side's ChangeSet executes against its own project directory. */
+  def connectPlans(
+      projects: Seq[Manifest],
+      installs: (String, String) => Boolean,
+      contractData: Linker.ProjectDependency => Option[YMap],
+      readFile: (String, String) => String): Map[String, ChangeSet] = {
+    val byName = projects.map(m => m.projectName -> m).toMap
+    val deps: Set[Linker.ProjectDependency] =
+      projects.combinations(2).flatMap { case Seq(a, b) =>
+        Linker.sourceDependencies(a, b) ++
+          (if (installs(b.projectName, a.projectName))
+            Linker.packageDependencies(a, b) else Set.empty) ++
+          (if (installs(a.projectName, b.projectName))
+            Linker.packageDependencies(b, a) else Set.empty)
+      }.toSet
+    deps.toSeq.sortBy(d => (d.upstreamProject, d.downstreamProject, d.upstreamResource))
+      .foldLeft(Map.empty[String, ChangeSet].withDefaultValue(ChangeSet())) { (acc, dep) =>
+        val cs = Linker.resolveDependency(dep,
+          byName(dep.upstreamProject), byName(dep.downstreamProject),
+          contractData(dep), readFile)
+        val (upChanges, downChanges) = cs.changes.partition {
+          case rc: ResourceChange => rc.entityType == EntityType.Model
+          case _ => false
+        }
+        acc
+          .updated(dep.upstreamProject,
+            acc(dep.upstreamProject) ++ ChangeSet(upChanges))
+          .updated(dep.downstreamProject,
+            acc(dep.downstreamProject) ++ ChangeSet(downChanges))
+      }
+  }
+
   /** The `group` command (`main.py:632-687`): create-group, then contract
     * every model whose PLANNED access is non-private. The contract target
     * set is derived from the just-planned (unwritten) changes — plans

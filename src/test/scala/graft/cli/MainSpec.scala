@@ -1,0 +1,86 @@
+package graft.cli
+
+import graft.core.parse.ProjectLoader
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** The CLI surface: commands parse, dry-run plans without writing, and
+  * execution edits the project like the underlying planners. */
+class MainSpec extends AnyFunSuite {
+
+  private def writeProject(files: Map[String, String]): Path = {
+    val root = Files.createTempDirectory("graft_cli")
+    files.foreach { case (rel, text) =>
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text)
+    }
+    root
+  }
+
+  private val project = Map(
+    "dbt_project.yml" -> "name: shop\n",
+    "models/stg.sql" -> "select 1 as id",
+    "models/mart.sql" -> "select * from {{ ref('stg') }}")
+
+  test("split: dry-run leaves the tree untouched; execution splits it") {
+    val root = writeProject(project)
+    Main.main(Array("split", "mart_proj", "--select", "mart",
+      "--project-dir", root.toString, "--target-dir", "marts", "--dry-run"))
+    assert(Files.exists(root.resolve("models/mart.sql")))
+    assert(!Files.exists(root.resolve("marts")))
+
+    Main.main(Array("split", "mart_proj", "--select", "mart",
+      "--project-dir", root.toString, "--target-dir", "marts"))
+    assert(!Files.exists(root.resolve("models/mart.sql")))
+    assert(Files.readString(root.resolve("marts/models/mart.sql"))
+      .contains("{{ ref('shop', 'stg') }}"))
+    val (_, sub) = ProjectLoader.load(root.resolve("marts"))
+    assert(sub.projectName == "mart_proj")
+  }
+
+  test("create-group applies access patches") {
+    val root = writeProject(project)
+    Main.main(Array("create-group", "core", "--select", "stg", "mart",
+      "--owner-name", "team", "--project-dir", root.toString))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.nodes("model.shop.mart").group.contains("core"))
+    assert(m.nodes("model.shop.stg").group.contains("core"))
+    assert(m.groups.values.exists(_.name == "core"))
+  }
+
+  test("version bumps a model from the CLI") {
+    val root = writeProject(project)
+    Main.main(Array("version", "mart", "--latest",
+      "--project-dir", root.toString))
+    assert(Files.exists(root.resolve("models/mart_v1.sql")))
+    assert(Files.exists(root.resolve("models/mart_v2.sql")))
+  }
+
+  test("connect rewrites the downstream and registers the dependency") {
+    val up = writeProject(Map(
+      "dbt_project.yml" -> "name: up_proj\n",
+      "models/shared.sql" -> "select 1 as id"))
+    val down = writeProject(Map(
+      "dbt_project.yml" -> "name: down_proj\n",
+      "models/__sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: ext
+          |    database: main
+          |    schema: up_proj
+          |    tables:
+          |      - name: shared
+          |""".stripMargin,
+      "models/consumer.sql" -> "select * from {{ source('ext', 'shared') }}"))
+    Main.main(Array("connect",
+      "--project-paths", up.toString, down.toString))
+    assert(Files.readString(down.resolve("models/consumer.sql"))
+      == "select * from {{ ref('up_proj', 'shared') }}")
+    val (_, upM) = ProjectLoader.load(up)
+    assert(upM.nodes("model.up_proj.shared").access ==
+      graft.core.model.AccessType.Public)
+    assert(Files.exists(down.resolve("dependencies.yml")))
+    assert(!Files.exists(up.resolve("dependencies.yml")))
+  }
+}
