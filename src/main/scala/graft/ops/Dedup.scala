@@ -5,21 +5,26 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Deduplication operators over `documents`:
-  *  - d01: exact dedup (hash-groupBy on raw + normalized text),
+  *  - d01: exact dedup (two-level hash aggregation on raw + normalized text),
   *  - d02: n-gram Jaccard near-dup via a shingle inverted-index join,
-  *  - d03: MinHash + LSH banding (64 perms, 32 bands × 2 rows) with exact
-  *    Jaccard verification of band-bucket candidates.
+  *  - d03: MinHash + LSH banding (64 perms via the MinHashAgg
+  *    TypedImperativeAggregate, 32 bands × 2 rows) with exact Jaccard
+  *    verification of band-bucket candidates only,
+  *  - d04: SimHash (60-bit TF signature, 4×15-bit banding, hamming ≤ 1),
+  *  - d05: blocked edit-distance (record-linkage blocking keys bound the
+  *    O(len²) Levenshtein pairs).
   *
   * All hashing is deterministic int64 arithmetic (polynomial rolling hash
-  * mod 1e9+7; affine permutations (2j+1)·h + j mod p), so d03 output is a
-  * pure function of the data — the DuckDB oracle mirrors it exactly.
+  * mod 1e9+7; affine permutations (2j+1)·h + j mod p), so outputs are a
+  * pure function of the data — the DuckDB oracles mirror them exactly.
   *
   * Scale (100 TB): the shingle join is the classic inverted-index
   * candidate-pair pattern — it shuffles on the shingle key, so hot shingles
   * skew; at scale add AQE skew-join or drop top-frequency shingles
-  * (standard "stopword shingle" pruning). LSH banding (d03) is the scale
-  * path: candidates come from equality joins on 32 short band keys instead
-  * of the full inverted index, bounding pair fan-out.
+  * (standard "stopword shingle" pruning). LSH banding (d03) and SimHash
+  * banding (d04) are the scale paths: candidates come from equality joins
+  * on short band keys instead of the full inverted index, bounding pair
+  * fan-out; d05's block keys bound the expensive metric the same way.
   */
 object Dedup {
 

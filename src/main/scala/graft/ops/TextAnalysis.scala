@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Text-analysis operators for a training-data pipeline over `documents`:
-  * token statistics, quality scoring, heuristic language-ID, and document
-  * fingerprinting (rolling hash).
+  * token statistics, quality scoring, heuristic language-ID, document
+  * fingerprinting (rolling hash), BPE-style subword counting, and
+  * repetition detection.
   *
   * All math is integer or single-division double so results are
   * bit-identical in any engine: ratios are one IEEE division of two exact
