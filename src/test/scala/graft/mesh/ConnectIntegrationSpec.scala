@@ -50,19 +50,13 @@ class ConnectIntegrationSpec extends AnyFunSuite {
     assert(dep.upstreamResource == "model.up_proj.shared_orders")
     assert(dep.downstreamResource == "source.down_proj.ext.shared_orders")
 
-    // B5: resolve and execute against each project's own root
-    val cs = Linker.resolveDependency(dep, up, down, None,
-      (proj, p) =>
+    // B5: resolve into per-project plans and execute each against its root
+    val plans = Commands.connectPlans(Seq(up, down),
+      installs = (_, _) => false, contractData = _ => None,
+      readFile = (proj, p) =>
         Files.readString((if (proj == "up_proj") upRoot else downRoot).resolve(p)))
-    val (upChanges, downChanges) = cs.changes.partition {
-      case rc: graft.core.changes.ResourceChange
-        if rc.entityType == graft.core.changes.EntityType.Model => true
-      case _ => false
-    }
-    new ChangeSetProcessor(upRoot).process(
-      Seq(graft.core.changes.ChangeSet(upChanges)))
-    new ChangeSetProcessor(downRoot).process(
-      Seq(graft.core.changes.ChangeSet(downChanges)))
+    new ChangeSetProcessor(upRoot).process(Seq(plans("up_proj")))
+    new ChangeSetProcessor(downRoot).process(Seq(plans("down_proj")))
 
     // upstream became public
     val (_, up2) = ProjectLoader.load(upRoot)
