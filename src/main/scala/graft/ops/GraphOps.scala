@@ -21,12 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** g01: connected components of the near-dup graph (d02 edges at
-    * jaccard ≥ 0.5). Returns (doc_id, component=min reachable doc_id)
-    * for every doc participating in at least one near-dup pair. */
-  def g01(s: SparkSession, dir: String): DataFrame = {
+  /** Connected components of an undirected graph given as an edge list
+    * (columns `da`, `db`): returns (doc_id, component = min reachable id)
+    * for every vertex appearing in an edge. Iterative min-label
+    * propagation; one shuffle per round; O(diameter) rounds. */
+  def components(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
     import s.implicits._
-    val edges = Dedup.jaccardPairs(s, dir, 0.5).select($"da", $"db")
+    val edges = edgesIn.select($"da", $"db")
       .localCheckpoint() // edges are reused every round: compute once
     val sym = edges.union(edges.select($"db".as("da"), $"da".as("db")))
     var labels = sym.select($"da".as("doc_id")).distinct()
@@ -44,7 +46,14 @@ object GraphOps {
       changed = updated.filter($"next" < $"component").count()
       labels = updated.select($"doc_id", $"next".as("component"))
     }
-    labels.orderBy($"doc_id")
+    labels
+  }
+
+  /** g01: connected components of the near-dup graph (d02 edges at
+    * jaccard ≥ 0.5). */
+  def g01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    components(Dedup.jaccardPairs(s, dir, 0.5)).orderBy($"doc_id")
   }
 
   /** Recursive-CTE mirror: component = min id reachable in the closure. */
