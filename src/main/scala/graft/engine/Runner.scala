@@ -121,6 +121,7 @@ final class Runner(
           .option("header", "true")
           .option("inferSchema", "true")
           .csv(root.resolve(m.filePath).toString)
+      case "snapshot" => runSnapshot(m)
       case other => throw new IllegalArgumentException(s"unknown materialization: $other")
     }
     // contract check against the produced schema (SURVEY §4 item 2)
@@ -167,6 +168,61 @@ final class Runner(
       // write to a temp dir then atomically swap the directories (merged
       // reads from p, so p can't be overwritten in place; the swap costs a
       // rename instead of a second full write)
+      val tmp = warehouseDir.resolve(m.name + "__tmp")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      deleteTree(p)
+      Files.move(tmp, p)
+      spark.read.parquet(p.toString)
+    }
+  }
+
+  /** Snapshot materialization (dbt's SCD2, timestamp strategy): track row
+    * versions over time. The target carries `dbt_valid_from` /
+    * `dbt_valid_to` (null = current). Each run, against the CURRENT rows:
+    *  - new keys insert as current;
+    *  - rows whose `updated_at` advanced close the old version (valid_to =
+    *    new updated_at) and insert the new one;
+    *  - unchanged rows and already-closed history pass through untouched.
+    * One shuffle on the key; history never rewrites more than the touched
+    * keys' rows (the full-outer join is key-partitioned). */
+  private def runSnapshot(m: ModelNode): DataFrame = {
+    val key = m.uniqueKey.getOrElse(throw new IllegalArgumentException(
+      s"snapshot ${m.name} needs unique_key"))
+    val updatedAt = m.config.get("updated_at").map(_.asStr)
+      .orElse(JinjaLite.findConfig(m.rawCode).get("updated_at"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot ${m.name} needs updated_at"))
+    val p = tablePath(m)
+    val source = execSql(m, isIncremental = false)
+    val stamped = source
+      .withColumn("dbt_valid_from", col(updatedAt))
+      .withColumn("dbt_valid_to", lit(null).cast(source.schema(updatedAt).dataType))
+    if (!Files.exists(p)) persist(m, stamped)
+    else {
+      val existing = spark.read.parquet(p.toString)
+      val closed = existing.filter(col("dbt_valid_to").isNotNull)
+      val current = existing.filter(col("dbt_valid_to").isNull)
+      val incoming = stamped.select(
+        col(key).as("_k"), col(updatedAt).as("_ts"), col("*"))
+      val joined = current.as("cur").join(
+        incoming.as("in"), col("cur." + key) === col("_k"), "full_outer")
+      val keptCurrent = joined // unchanged or no new row: keep as-is
+        .filter(col("cur." + key).isNotNull &&
+          (col("_k").isNull || col("_ts") <= col("cur.dbt_valid_from")))
+        .select(current.columns.map(c => col("cur." + c)): _*)
+      val closedNow = joined // superseded: close with the new timestamp
+        .filter(col("cur." + key).isNotNull && col("_k").isNotNull &&
+          col("_ts") > col("cur.dbt_valid_from"))
+        .select(current.columns.map {
+          case "dbt_valid_to" => col("_ts").as("dbt_valid_to")
+          case c => col("cur." + c)
+        }: _*)
+      val inserted = joined // new key or new version: insert as current
+        .filter(col("_k").isNotNull &&
+          (col("cur." + key).isNull || col("_ts") > col("cur.dbt_valid_from")))
+        .select(current.columns.map(c => col("in." + c)): _*)
+      val merged = closed.unionByName(keptCurrent)
+        .unionByName(closedNow).unionByName(inserted)
       val tmp = warehouseDir.resolve(m.name + "__tmp")
       merged.write.mode("overwrite").parquet(tmp.toString)
       deleteTree(p)

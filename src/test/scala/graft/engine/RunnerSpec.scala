@@ -119,6 +119,40 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
         AccessControl.Context("jaffle", Some("ops"))))
   }
 
+  test("snapshot: SCD2 timestamp strategy closes superseded versions") {
+    val s = spark
+    import s.implicits._
+    val files = Map(
+      "dbt_project.yml" -> "name: jaffle\n",
+      "models/dim_status.sql" ->
+        ("{{ config(materialized='snapshot', unique_key='id', updated_at='updated_at') }}\n" +
+          "select * from source_status"))
+    val root = writeProject(files)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("wh_snap")
+    val runner = new Runner(s, manifest, cfg, wh, enforceAccess = false)
+
+    Seq((1L, "new", "2024-01-01"), (2L, "new", "2024-01-01"))
+      .toDF("id", "status", "updated_at").createOrReplaceTempView("source_status")
+    runner.run()
+
+    // id 1 changed later; id 3 appeared; id 2 unchanged
+    Seq((1L, "shipped", "2024-02-01"), (2L, "new", "2024-01-01"),
+      (3L, "new", "2024-02-01"))
+      .toDF("id", "status", "updated_at").createOrReplaceTempView("source_status")
+    val out = runner.run()("model.jaffle.dim_status")
+      .select("id", "status", "dbt_valid_from", "dbt_valid_to")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), Option(r.getString(3))))
+      .sortBy(t => (t._1, t._3))
+
+    assert(out.toSeq == Seq(
+      (1L, "new", "2024-01-01", Some("2024-02-01")), // closed version
+      (1L, "shipped", "2024-02-01", None), // current
+      (2L, "new", "2024-01-01", None), // untouched
+      (3L, "new", "2024-02-01", None))) // inserted
+  }
+
   test("custom generic tests: {% test %} blocks compile to violation queries") {
     val s = spark
     import s.implicits._
