@@ -57,6 +57,30 @@ class MainSpec extends AnyFunSuite {
     assert(Files.exists(root.resolve("models/mart_v2.sql")))
   }
 
+  test("contract generates enforced contracts from materialized schemas") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "seeds/raw.csv" -> "id,v\n1,x\n",
+      "models/stg.sql" -> "select id, v from {{ ref('raw') }}"))
+    Main.main(Array("contract", "--select", "stg",
+      "--project-dir", root.toString))
+    val (_, m) = ProjectLoader.load(root)
+    val stg = m.nodes("model.shop.stg")
+    assert(stg.contractEnforced)
+    assert(stg.contract.exists(_.fieldNames.toSeq == Seq("id", "v")))
+  }
+
+  test("run executes the DAG from the CLI") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "seeds/raw.csv" -> "id\n1\n2\n",
+      "models/stg.sql" -> "select * from {{ ref('raw') }}"))
+    Main.main(Array("run", "--project-dir", root.toString))
+    // the session now holds the published view
+    val s = org.apache.spark.sql.SparkSession.active
+    assert(s.table("shop__stg").count() == 2)
+  }
+
   test("connect rewrites the downstream and registers the dependency") {
     val up = writeProject(Map(
       "dbt_project.yml" -> "name: up_proj\n",
