@@ -54,6 +54,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
+  test("q20: the range join runs as an equi-join on buckets, not a nested loop") {
+    val p = simplePlan(Relational.q20(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"range join degraded to a nested loop:\n$p")
+    assert(p.contains("Join") || p.contains("join"), "no join at all")
+  }
+
+  test("q21: salted aggregation shows both phases, each with map-side partials") {
+    val p = simplePlan(Relational.q21(spark, dir))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    // 2 logical phases × (partial + final) = 4 HashAggregate operators
+    assert(aggs >= 4, s"expected two-phase agg with partials, got $aggs:\n$p")
+  }
+
   test("s01: corpus side streams, query side broadcasts") {
     val p = plan(Similarity.s01(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
