@@ -234,7 +234,7 @@ object TextAnalysis {
       |       FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
       |       WHERE len(ws) >= 2),
       |cnt AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
-      |SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_n,
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bigram_n,
       |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition_ratio
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 

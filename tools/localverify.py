@@ -47,6 +47,18 @@ def main(sf_dir, out_dir):
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} vs {sorted(exp_cols)}")
             n_fail += 1; continue
+        # the driver hashes through arrow/pandas, where e.g. DuckDB HUGEINT
+        # (SUM over BIGINT) renders differently than Spark BIGINT even when
+        # str(value) matches — so a duckdb-side type the spark output lacks
+        # is a real failure here, not a warning
+        got_types = dict(zip(got_cols, [d[1] for d in got.description]))
+        exp_types = dict(zip(exp_cols, [d[1] for d in exp.description]))
+        tdiff = {c: (got_types[c], exp_types[c]) for c in got_types
+                 if got_types[c] != exp_types[c]}
+        if tdiff:
+            print(f"FAIL {name}: column type mismatch {tdiff} "
+                  "(cast the oracle SQL to the spark-side type)")
+            n_fail += 1; continue
         g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
