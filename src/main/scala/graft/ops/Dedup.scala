@@ -30,8 +30,12 @@ object Dedup {
 
   private def dbl(c: Column): Column = c.cast(DoubleType)
 
-  /** distinct word-3-gram shingles per doc: (doc_id, s). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, arr = distinct word-3-gram shingle array) per doc, computed
+    * NARROWLY — shingling is per-row work, so it stays map-side; every
+    * consumer (inverted-index join, per-doc sizes, minhash sketches, exact
+    * verification sets) derives from this one checkpointed frame with no
+    * extra shuffle. */
+  private[ops] def shingleArrays(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("ws"))
@@ -39,17 +43,21 @@ object Dedup {
       // Spark's sequence(0, size-3) would go DESCENDING for size<3 and
       // fabricate null-padded shingles (DuckDB generate_series is empty)
       .filter(size($"ws") >= 3)
-      .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
-        .as("s"))
+      .select($"doc_id", array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("arr"))
+      .localCheckpoint()
   }
 
   /** (da, db, jaccard) for all pairs sharing ≥1 shingle, jaccard ≥ minJ.
     * Package-visible: GraphOps builds its component graph on these edges. */
   private[ops] def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val docsArr = shingleArrays(s, dir)
+    val sh = docsArr.select($"doc_id", explode($"arr").as("s"))
+    // per-doc set size falls out of the array length — narrow projection,
+    // where a (doc_id, shingle) groupBy would be a full extra shuffle
+    val sizes = docsArr.select($"doc_id", size($"arr").cast("long").as("n"))
     // SHUFFLE_HASH beats the default sort-merge here 2×: the join key is
     // high-cardinality (shingles), so per-key hash buckets are tiny and
     // sorting 30-byte strings on both sides is pure waste. At extreme
@@ -127,19 +135,21 @@ object Dedup {
     * the entire point of LSH. */
   def d03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir)
-      .withColumn("h", TextAnalysis.rollingHash($"s"))
-    // ONE aggregation computes everything per doc: the 64-perm minhash
-    // sketch via the custom TypedImperativeAggregate (a primitive-array
-    // buffer updated in one pass — SURVEY §7's designed extension), the
-    // distinct-shingle count, and the shingle set for candidate
-    // verification. One shuffle of the corpus, ever; its exchange is
-    // reused by every consumer below.
-    val perDoc = sh.groupBy($"doc_id").agg(
-      graft.functions.MinHashAgg($"h", 64).as("sigs"),
-      count(lit(1)).as("n"),
-      collect_set($"s").as("ss"))
-    // band keys: 32 bands × 2 rows; the bands projection prunes n/ss away
+    val docsArr = shingleArrays(s, dir)
+    val sh = docsArr.select($"doc_id", explode($"arr").as("s"))
+      .select($"doc_id", TextAnalysis.rollingHash($"s").as("h"))
+    // the 64-perm minhash sketch via the custom TypedImperativeAggregate
+    // (a primitive-array buffer updated in one pass — SURVEY §7's designed
+    // extension). The ONLY corpus-wide shuffle carries (doc_id, h) LONGS —
+    // shingle strings and verification sets never leave the map side —
+    // and the partial-agg step collapses each mapper's rows to one
+    // 64-long sketch per doc before the exchange.
+    val perDoc = sh.groupBy($"doc_id")
+      .agg(graft.functions.MinHashAgg($"h", 64).as("sigs"))
+      // both band-join sides consume the sketches; checkpoint so the
+      // corpus aggregation runs once
+      .localCheckpoint()
+    // band keys: 32 bands × 2 rows
     val bandKeys = (0 until 32).map(b =>
       concat_ws(":", lit(b),
         element_at($"sigs", 2 * b + 1), element_at($"sigs", 2 * b + 2)))
@@ -149,11 +159,14 @@ object Dedup {
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    // exact Jaccard ONLY on candidate pairs: join each side's shingle set
-    // in and intersect — d02's full inverted-index pair enumeration never
-    // runs, which is the entire point of LSH at scale
-    val pa = perDoc.select($"doc_id".as("da"), $"n".as("na"), $"ss".as("ssa"))
-    val pb = perDoc.select($"doc_id".as("db"), $"n".as("nb"), $"ss".as("ssb"))
+    // exact Jaccard ONLY on candidate pairs: shingle sets and set sizes
+    // come NARROWLY from the checkpointed per-doc arrays (no groupBy) —
+    // d02's full inverted-index pair enumeration never runs, which is the
+    // entire point of LSH at scale
+    val pa = docsArr.select($"doc_id".as("da"),
+      size($"arr").cast("long").as("na"), $"arr".as("ssa"))
+    val pb = docsArr.select($"doc_id".as("db"),
+      size($"arr").cast("long").as("nb"), $"arr".as("ssb"))
     cand.join(pa, Seq("da")).join(pb, Seq("db"))
       .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
       .withColumn("jac", dbl($"i") / ($"na" + $"nb" - $"i"))
@@ -203,27 +216,19 @@ object Dedup {
     * bounded fan-out shape as d03, no all-pairs stage anywhere. */
   def d04(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tf = Tables.t(s, dir, "documents")
-      .select($"doc_id", explode(split($"text", " ")).as("w"))
-      .filter($"w" =!= "")
-      .groupBy($"doc_id", $"w")
-      .agg(count(lit(1)).as("cnt"))
-    val wh = tf
-      .withColumn("h1", TextAnalysis.rollingHashWith($"w", 31))
-      .withColumn("h2", TextAnalysis.rollingHashWith($"w", 37))
-    // 60 bit-contribution sums as agg columns in ONE groupBy(doc_id) —
-    // no 60× row explode, map-side partial agg (same shape as d03's
-    // signature aggregation)
-    val contribCols = (0 until 60).map { j =>
-      val h = if (j < 30) $"h1" else $"h2"
-      sum($"cnt" * ((shiftright(h, j % 30) % 2) * 2 - 1)).as(s"c$j")
-    }
-    val sim = wh.groupBy($"doc_id")
-      .agg(contribCols.head, contribCols.tail: _*)
-      .select($"doc_id",
-        (0 until 60).map(j =>
-          when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("sh"))
+    // signatures are PURE map-side work: one compiled per-row kernel
+    // (graft.functions.SimHash60) replaces the (doc, word) explode plus
+    // two shuffled aggregations — nothing word-level ever crosses the
+    // network, which is the plan that survives 100 TB. Docs whose words
+    // are all empty have no signature (mirrors the oracle's w <> ''
+    // term filter).
+    val sim = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(expr("exists(ws, w -> w != '')"))
+      .select($"doc_id", graft.functions.SimHash60($"ws").as("sh"))
+      // both sides of the band self-join consume sim; checkpoint so the
+      // signature scan doesn't run twice
+      .localCheckpoint()
     val bands = sim
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .select($"doc_id", $"sh", $"b", expr("shiftright(sh, b * 15) & 32767").as("bv"))

@@ -22,29 +22,76 @@ import org.apache.spark.sql.functions._
 object GraphOps {
 
   /** Connected components of an undirected graph given as an edge list
-    * (columns `da`, `db`): returns (doc_id, component = min reachable id)
-    * for every vertex appearing in an edge. Iterative min-label
-    * propagation; one shuffle per round; O(diameter) rounds. */
-  def components(edgesIn: DataFrame): DataFrame = {
+    * (columns `da`, `db`, integral ids): returns (doc_id, component = min
+    * reachable id) for every vertex appearing in an edge.
+    *
+    * Two physical strategies, picked by edge count:
+    *  - **local finish** (≤ `localFinishEdges`): one executor task runs
+    *    union-find over the whole edge list. Near-dup candidate graphs are
+    *    tiny relative to the corpus that produced them (pairs ≪ docs), so
+    *    after the distributed pair-generation this is the common case even
+    *    at 100 TB — and it replaces O(diameter) shuffle rounds with ONE
+    *    narrow job. Runs on an executor, not the driver: no collect.
+    *  - **distributed min-label propagation** above the threshold: one
+    *    shuffle per round, O(diameter) rounds, lineage truncated per round.
+    */
+  def components(edgesIn: DataFrame, localFinishEdges: Long = 5000000L): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
     val edges = edgesIn.select($"da", $"db")
       .localCheckpoint() // edges are reused every round: compute once
+    if (edges.count() <= localFinishEdges) {
+      return edges.select($"da".cast("long"), $"db".cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x0: Long): Long = {
+            var x = x0
+            while (parent.getOrElse(x, x) != x) {
+              val p = parent(x)
+              parent(x) = parent.getOrElse(p, p) // path halving
+              x = parent(x)
+            }
+            x
+          }
+          it.foreach { case (a, b) =>
+            parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+            val ra = find(a); val rb = find(b)
+            // min id becomes the representative
+            if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          }
+          parent.keys.toArray.sorted.iterator.map(v => (v, find(v)))
+        }
+        .toDF("doc_id", "component")
+    }
     val sym = edges.union(edges.select($"db".as("da"), $"da".as("db")))
     var labels = sym.select($"da".as("doc_id")).distinct()
       .withColumn("component", $"doc_id")
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val neighborMin = sym.join(labels, $"da" === $"doc_id")
-        .groupBy($"db").agg(min($"component").as("ncomp"))
-      val updated = labels
-        .join(neighborMin, $"doc_id" === $"db", "left")
-        .select($"doc_id", $"component",
-          least($"component", coalesce($"ncomp", $"component")).as("next"))
+    // Each round fuses propagate+update into ONE aggregation: a vertex's
+    // next label is min over {its label} ∪ {in-neighbor labels}, computed
+    // as union + groupBy-min (one shuffle; the labels side of the join is
+    // tiny and broadcasts under AQE). Convergence check: sum(component)
+    // is strictly monotone decreasing until fixpoint, so one cheap scalar
+    // agg per round replaces the old join-back + filter + count job.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum($"component")).head
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null = empty vertex set
+    }
+    var prevSum = labelSum(labels)
+    var done = labels.isEmpty
+    while (!done) {
+      val prop = sym.join(labels, $"da" === $"doc_id")
+        .select($"db".as("doc_id"), $"component")
+      labels = labels.union(prop)
+        .groupBy($"doc_id").agg(min($"component").as("component"))
         .localCheckpoint()
-      changed = updated.filter($"next" < $"component").count()
-      labels = updated.select($"doc_id", $"next".as("component"))
+      val s2 = labelSum(labels)
+      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        System.err.println(s"[components] round sum=$s2 t=${System.nanoTime()}")
+      done = s2 == prevSum
+      prevSum = s2
     }
     labels
   }

@@ -404,9 +404,16 @@ object Relational {
     * (ALL, linestatus) marginals. */
   def q14b(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.t(s, dir, "lineitem")
-      .cube($"l_returnflag", $"l_linestatus")
-      .agg(dbl(sum(dec($"l_extendedprice"))).as("sum_price"), count(lit(1)).as("n"))
+    // two-level cube: aggregate to the base (returnflag, linestatus) cells
+    // first — ONE shuffle of map-side partial aggs — then cube the handful
+    // of cells. A direct .cube() Expands every input row 4× before the
+    // shuffle; re-aggregating sums-of-sums is exact (decimal domain) and
+    // turns the 4× shuffle volume into a constant-size rollup.
+    val cells = Tables.t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum(dec($"l_extendedprice")).as("sp"), count(lit(1)).as("n0"))
+    cells.cube($"l_returnflag", $"l_linestatus")
+      .agg(dbl(sum($"sp")).as("sum_price"), sum($"n0").as("n"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("linestatus"),

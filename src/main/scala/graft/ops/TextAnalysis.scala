@@ -209,22 +209,24 @@ object TextAnalysis {
   // ---------------------------------------------------------------- t06
   /** Repetition detection — the training-data filter that drops documents
     * dominated by a repeated phrase: bigram counts per doc, the top
-    * bigram's share of all bigrams. One (doc, bigram) aggregation with
-    * map-side partial counts; the ratio is a single exact division. */
+    * bigram's share of all bigrams. Entirely NARROW: the bigram array is
+    * built and sorted per row, the top-bigram multiplicity is one
+    * compiled run-length pass ([[graft.functions.MaxSortedRun]]), and the
+    * ratio is a single exact division — no (doc, bigram) shuffle exists
+    * in the plan, so at 100 TB this is a pure scan. */
   def t06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "documents")
       .select($"doc_id", words($"text").as("ws"))
       .filter(size($"ws") >= 2)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))"))
-        .as("b"))
-      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(
-        sum($"c").as("n_bigrams"),
-        max($"c").as("top_bigram_n"),
-        round(dbl(max($"c")) / sum($"c"), 6).as("repetition_ratio"))
+      .select($"doc_id", expr(
+        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")
+        .as("bgs"))
+      .select($"doc_id",
+        size($"bgs").cast(LongType).as("n_bigrams"),
+        graft.functions.MaxSortedRun(array_sort($"bgs")).as("top_bigram_n"))
+      .withColumn("repetition_ratio",
+        round(dbl($"top_bigram_n") / $"n_bigrams", 6))
       .orderBy($"doc_id")
   }
 
