@@ -146,17 +146,21 @@ object Dedup {
     // 64-long sketch per doc before the exchange.
     val perDoc = sh.groupBy($"doc_id")
       .agg(graft.functions.MinHashAgg($"h", 64).as("sigs"))
-      // both band-join sides consume the sketches; checkpoint so the
-      // corpus aggregation runs once
-      .localCheckpoint()
-    // band keys: 32 bands × 2 rows
+    // (no checkpoint: both band-join sides are the IDENTICAL plan, so the
+    // sketch aggregation's exchange is computed once and reused)
+    // band keys: 32 bands × 2 rows. Both sigs are < 1e9+7 < 2^30, so a
+    // band's pair packs exactly into one long (sig1·2^30 + sig2) — the
+    // candidate join runs on (band#, long) instead of concatenated
+    // strings: smaller shuffle rows, cheaper hash, no codegen string work
     val bandKeys = (0 until 32).map(b =>
-      concat_ws(":", lit(b),
-        element_at($"sigs", 2 * b + 1), element_at($"sigs", 2 * b + 2)))
-    val bands = perDoc.select($"doc_id", explode(array(bandKeys: _*)).as("key"))
+      (element_at($"sigs", 2 * b + 1) * lit(1L << 30) +
+        element_at($"sigs", 2 * b + 2)).as(s"k$b"))
+    val bands = perDoc.select($"doc_id", posexplode(array(bandKeys: _*)))
+      .toDF("doc_id", "b", "key")
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     // exact Jaccard ONLY on candidate pairs: shingle sets and set sizes

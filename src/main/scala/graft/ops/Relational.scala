@@ -25,22 +25,65 @@ object Relational {
   private def ts(s: String): Column = to_timestamp(lit(s))
   private def d8(c: Column): Column = date_format(c, "yyyy-MM-dd")
 
+  /** Lossless money→long-cents: the money columns are 2-decimal values
+    * stored as nearest-doubles, so `round(x*100)` recovers the exact
+    * integer cents (the double's error is ≪ 0.5 cents). Long-domain sums
+    * keep the aggregate inside whole-stage codegen's primitive fast path;
+    * a DECIMAL(18,6)-cast sum has result precision 28 and falls off to
+    * per-row BigDecimal arithmetic (~4× slower measured). */
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+
+  /** Exact two-level money aggregation for LOW-cardinality groups whose
+    * per-group row count is unbounded (where a single long accumulator
+    * could overflow at extreme scale): level 1 sums LONGS per
+    * (input partition, keys) — per-partition row counts are bounded by
+    * `spark.sql.files.maxPartitionBytes`, so the partials cannot overflow
+    * — and level 2 combines the ≤ |partitions|·|groups| partial rows in
+    * DECIMAL(38,0), where the BigDecimal path costs nothing. Emits each
+    * summed alias as DECIMAL plus `__cnt` = COUNT(*).
+    *
+    * High-cardinality keys with semantically bounded group sizes (e.g.
+    * per-order aggregates — an order has ≤ 7 lineitems) don't need this:
+    * their long sums can't overflow, so they stay single-level. */
+  private def twoLevelCents(df: DataFrame, keys: Seq[String],
+      sums: Seq[(String, Column)]): DataFrame = {
+    val partial = df
+      .groupBy(keys.map(col) :+ spark_partition_id().as("__pid"): _*)
+      .agg(sum(sums.head._2).as(sums.head._1),
+        sums.tail.map { case (a, c) => sum(c).as(a) } :+
+          count(lit(1)).as("__n"): _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col(sums.head._1).cast(DecimalType(38, 0))).as(sums.head._1),
+        sums.tail.map { case (a, _) =>
+          sum(col(a).cast(DecimalType(38, 0))).as(a)
+        } :+ sum(col("__n")).as("__cnt"): _*)
+  }
+
   // ---------------------------------------------------------------- q01
   /** Pricing summary: multi-measure hash aggregate (TPC-H Q1 analog).
     * Reference analog: orders.sql case-sum aggregation
     * (test-projects/split/split_proj/models/marts/orders.sql:93-115). */
   def q01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.t(s, dir, "lineitem")
+    // all money math in exact long cents (see `cents`): quantity in
+    // hundredths, price in cents, discounted price in cents×(100-d¢) —
+    // scale 4. The discount d ∈ [0, 0.10] in whole cents, so
+    // p¢·(100-d¢) = (p·(1-d))·10⁴ exactly.
+    val base = Tables.t(s, dir, "lineitem")
       .filter($"l_shipdate" <= ts("2001-09-01 00:00:00"))
-      .groupBy($"l_returnflag", $"l_linestatus")
-      .agg(
-        dbl(sum(dec($"l_quantity"))).as("sum_qty"),
-        dbl(sum(dec($"l_extendedprice"))).as("sum_base_price"),
-        dbl(round(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))), 2))
-          .as("sum_disc_price"),
-        (dbl(sum(dec($"l_quantity"))) / count(lit(1))).as("avg_qty"),
-        count(lit(1)).as("count_order"))
+      .select($"l_returnflag", $"l_linestatus",
+        cents($"l_quantity").as("q2"),
+        cents($"l_extendedprice").as("pc"),
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+    twoLevelCents(base, Seq("l_returnflag", "l_linestatus"),
+      Seq("sq2" -> $"q2", "spc" -> $"pc", "spd4" -> $"pd4"))
+      .select($"l_returnflag", $"l_linestatus",
+        dbl($"sq2" / 100).as("sum_qty"),
+        dbl($"spc" / 100).as("sum_base_price"),
+        dbl(round($"spd4" / 10000, 2)).as("sum_disc_price"),
+        (dbl($"sq2" / 100) / $"__cnt").as("avg_qty"),
+        $"__cnt".as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
@@ -89,10 +132,14 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy($"l_orderkey", d8($"o_orderdate").as("order_date"))
-      .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))).as("rev"))
+      // per-order group (≤ 7 rows): exact long cents×(100-d¢), scale 4;
+      // the top-10 order over the scaled long equals the decimal order
+      .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+        .as("rev"))
       .orderBy($"rev".desc, $"l_orderkey")
       .limit(10)
-      .select($"l_orderkey", $"order_date", dbl(round($"rev", 2)).as("revenue"))
+      .select($"l_orderkey", $"order_date",
+        dbl(round($"rev".cast(DecimalType(38, 0)) / 10000, 2)).as("revenue"))
       .orderBy($"l_orderkey")
   }
 
@@ -119,7 +166,10 @@ object Relational {
       .groupBy($"l_orderkey")
       .agg(
         count(lit(1)).as("n_items"),
-        dbl(sum(dec($"l_extendedprice"))).as("gross"),
+        // per-order long-cents sum: an order has ≤ 7 lineitems, so the
+        // accumulator is bounded by data semantics — single-level long
+        // stays exact at any corpus scale and on the codegen fast path
+        dbl(sum(cents($"l_extendedprice")) / 100).as("gross"),
         sum(when($"p_size" > 25, 1).otherwise(0)).as("n_large_parts"))
       .orderBy($"l_orderkey")
   }
@@ -329,14 +379,19 @@ object Relational {
     val sup = Tables.t(s, dir, "supplier").select($"s_suppkey", $"s_nationkey")
     val n = Tables.t(s, dir, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
     val r = Tables.t(s, dir, "region")
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-      .groupBy($"r_name", $"n_name")
-      .agg(
-        dbl(round(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))), 2)).as("revenue"),
-        count(lit(1)).as("n_lines"))
+      .select($"r_name", $"n_name",
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+    // 25 (region, nation) groups with unbounded rows per group → exact
+    // two-level long-cents aggregation (see twoLevelCents)
+    twoLevelCents(joined, Seq("r_name", "n_name"), Seq("spd4" -> $"pd4"))
+      .select($"r_name", $"n_name",
+        dbl(round($"spd4" / 10000, 2)).as("revenue"),
+        $"__cnt".as("n_lines"))
       .orderBy($"r_name", $"n_name")
   }
 
