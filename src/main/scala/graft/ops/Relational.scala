@@ -239,12 +239,13 @@ object Relational {
   def q07(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val stg = Tables.t(s, dir, "orders")
-      .select($"o_custkey", $"o_orderdate", dec($"o_totalprice").as("price"))
+      .select($"o_custkey", $"o_orderdate", cents($"o_totalprice").as("pc"))
     val lifetime = stg.groupBy($"o_custkey").agg(
       d8(min($"o_orderdate")).as("first_order_date"),
       d8(max($"o_orderdate")).as("last_order_date"),
       count(lit(1)).as("n_orders"),
-      dbl(sum($"price")).as("lifetime_value"))
+      // per-customer long-cents sum (bounded per-group order counts)
+      dbl(sum($"pc") / 100).as("lifetime_value"))
     val c = Tables.t(s, dir, "customer")
     c.join(lifetime, c("c_custkey") === lifetime("o_custkey"), "left")
       .select(
@@ -418,7 +419,9 @@ object Relational {
         date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm").as("hour"))
       .agg(
         count(lit(1)).as("n_events"),
-        dbl(sum(dec($"value"))).as("total_value"),
+        // long-cents sum (events.value is 2-decimal money); the query is
+        // already shuffled per (type, hour) for countDistinct anyway
+        dbl(sum(cents($"value")) / 100).as("total_value"),
         countDistinct($"user_id").as("n_users"))
       .orderBy($"event_type", $"hour")
   }
@@ -434,9 +437,13 @@ object Relational {
   /** ROLLUP hierarchy aggregate (grouping sets family). */
   def q14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.t(s, dir, "lineitem")
+    // two-level rollup, same shape as q14b: exact long-cents cells first,
+    // then ROLLUP over the handful of cells
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus", cents($"l_quantity").as("q2"))
+    twoLevelCents(base, Seq("l_returnflag", "l_linestatus"), Seq("sq2" -> $"q2"))
       .rollup($"l_returnflag", $"l_linestatus")
-      .agg(dbl(sum(dec($"l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(dbl(sum($"sq2") / 100).as("sum_qty"), sum($"__cnt").as("n"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
@@ -464,11 +471,12 @@ object Relational {
     // of cells. A direct .cube() Expands every input row 4× before the
     // shuffle; re-aggregating sums-of-sums is exact (decimal domain) and
     // turns the 4× shuffle volume into a constant-size rollup.
-    val cells = Tables.t(s, dir, "lineitem")
-      .groupBy($"l_returnflag", $"l_linestatus")
-      .agg(sum(dec($"l_extendedprice")).as("sp"), count(lit(1)).as("n0"))
-    cells.cube($"l_returnflag", $"l_linestatus")
-      .agg(dbl(sum($"sp")).as("sum_price"), sum($"n0").as("n"))
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus",
+        cents($"l_extendedprice").as("pc"))
+    twoLevelCents(base, Seq("l_returnflag", "l_linestatus"), Seq("spc" -> $"pc"))
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(dbl(sum($"spc") / 100).as("sum_price"), sum($"__cnt").as("n"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
@@ -569,13 +577,14 @@ object Relational {
     val hits = p.join(c, Seq("b"))
       .filter($"cts" > $"pts" && $"cts" <= $"pts" + expr("INTERVAL 10 MINUTES"))
       .groupBy($"pid")
-      .agg(count(lit(1)).as("n_clicks"), sum(dec($"value")).as("sv"))
+      // ≤ 10 minutes of clicks per purchase: bounded group, long cents
+      .agg(count(lit(1)).as("n_clicks"), sum(cents($"value")).as("sv"))
     e.filter($"event_type" === "purchase").select($"event_id".as("pid"))
       .join(hits, Seq("pid"), "left")
       .select(
         $"pid".as("event_id"),
         coalesce($"n_clicks", lit(0L)).as("n_clicks"),
-        dbl(coalesce($"sv", lit(0).cast(DecimalType(18, 6)))).as("click_value"))
+        dbl(coalesce($"sv", lit(0L)) / 100).as("click_value"))
       .orderBy($"event_id")
   }
 
@@ -603,13 +612,16 @@ object Relational {
       .groupBy($"event_type", $"salt")
       .agg(
         count(lit(1)).as("pn"),
-        sum(dec($"value")).as("psum"),
+        // exact long-cents partials; the phase-2 merge re-sums the ≤
+        // |salts|·|types| partial rows in DECIMAL(38), so the two-phase
+        // result stays bit-identical to a direct decimal aggregation
+        sum(cents($"value")).as("psum"),
         min($"value").as("pmin"),
         max($"value").as("pmax"))
       .groupBy($"event_type")
       .agg(
         sum($"pn").as("n_events"),
-        dbl(sum($"psum")).as("total_value"),
+        dbl(sum($"psum".cast(DecimalType(38, 0))) / 100).as("total_value"),
         min($"pmin").as("min_value"),
         max($"pmax").as("max_value"))
       .orderBy($"event_type")
