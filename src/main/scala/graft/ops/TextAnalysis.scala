@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -240,11 +241,46 @@ object TextAnalysis {
       |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS repetition_ratio
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t07
+  /** Sequence packing — the training-data step that concatenates documents
+    * into fixed-size context windows (2048 estimated tokens here): within
+    * each source stream, in doc_id order, a document's sequence id is the
+    * window its first token lands in (offset-based chunking — the
+    * streaming-friendly formulation of greedy packing). One running-sum
+    * window per stream = one shuffle on `source`.
+    *
+    * Scale (100 TB): packing needs a total order per stream, so the unit
+    * of parallelism is the stream; with few huge sources, pre-shard the
+    * stream (e.g. (source, day)) and pack per shard — same plan, finer
+    * partition key. Token estimate = ceil(chars/4), matching t05. */
+  def t07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        ceil(dbl($"n_chars") / 4).cast(LongType).as("tokens"))
+      .withColumn("cum", sum($"tokens").over(w))
+      .select($"doc_id", $"source", $"tokens",
+        expr("(cum - tokens) div 2048").as("seq_id"))
+      .orderBy($"doc_id")
+  }
+
+  val t07Sql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS tokens
+      |  FROM documents),
+      |c AS (SELECT doc_id, source, tokens,
+      |  SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM t)
+      |SELECT doc_id, source, tokens,
+      |  CAST((cum - tokens) // 2048 AS BIGINT) AS seq_id
+      |FROM c ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
     Q("t03_langid", t03, Some(t03Sql)),
     Q("t04_fingerprint", t04, Some(t04Sql), headline = true),
     Q("t05_bpe_tokens", t05, Some(t05Sql)),
-    Q("t06_repetition", t06, Some(t06Sql)))
+    Q("t06_repetition", t06, Some(t06Sql)),
+    Q("t07_pack_sequences", t07, Some(t07Sql)))
 }

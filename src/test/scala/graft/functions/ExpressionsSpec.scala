@@ -65,6 +65,61 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(viaAgg.toSeq == viaCols.toSeq)
   }
 
+  test("SimHash60 equals the per-word TF contribution aggregation") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the the the"), // repeated word: TF weighting matters
+      (3L, "one"),
+      (4L, "  double  spaced  "), // empty tokens must be skipped
+      (5L, "")) // no non-empty words -> all-zero contributions
+      .toDF("doc_id", "text")
+    // reference: explode + TF groupBy + 60 contribution sums (the plan
+    // the compiled kernel replaced)
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h1", RollingHash($"w", 31L))
+      .withColumn("h2", RollingHash($"w", 37L))
+    val contribCols = (0 until 60).map { j =>
+      val h = if (j < 30) $"h1" else $"h2"
+      sum($"cnt" * ((shiftright(h, j % 30) % 2) * 2 - 1)).as(s"c$j")
+    }
+    val ref = tf.groupBy($"doc_id")
+      .agg(contribCols.head, contribCols.tail: _*)
+      .select($"doc_id",
+        (0 until 60).map(j =>
+          when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = docs.select($"doc_id", SimHash60(split($"text", " ")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 5 has no TF rows in the reference plan; the kernel yields 0
+    assert(ref.keySet == Set(1L, 2L, 3L, 4L))
+    ref.foreach { case (id, sh) => assert(fast(id) == sh, s"doc $id") }
+    assert(fast(5L) == 0L)
+  }
+
+  test("MaxSortedRun equals max(count) of the exploded groupBy") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("b a", "a b", "b a", "b a", "c d")),
+      (2L, Seq("x y")),
+      (3L, Seq.empty[String]))
+      .toDF("doc_id", "bgs")
+    val fast = df.select($"doc_id", MaxSortedRun(array_sort($"bgs")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+    val ref = df.filter(size($"bgs") > 0)
+      .select($"doc_id", explode($"bgs").as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ref.foreach { case (id, m) => assert(fast(id) == m) }
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._

@@ -3,28 +3,36 @@ package graft.ops
 import graft.SparkFixture
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The iterative components operator on synthetic graphs — convergence
-  * over long diameters (many label-propagation rounds), disjoint
-  * components, and isolated-vertex exclusion. */
+/** The components operator on synthetic graphs, exercised through BOTH
+  * physical strategies — the single-task union-find local finish (the
+  * default for small candidate graphs) and the distributed min-label
+  * propagation loop (forced via localFinishEdges = 0) — which must agree
+  * everywhere: convergence over long diameters, disjoint components,
+  * isolated-vertex exclusion, order/direction invariance. */
 class GraphOpsSpec extends AnyFunSuite with SparkFixture {
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def runBoth(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark
     import s.implicits._
-    GraphOps.components(edges.toDF("da", "db"))
+    val df = edges.toDF("da", "db")
+    val local = GraphOps.components(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = GraphOps.components(df, localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == loop, "union-find and propagation strategies disagree")
+    local
   }
 
   test("a long path converges to one component (diameter >> 1 round)") {
     // path 10-11-12-...-29: diameter 19, forces many propagation rounds
     val path = (10L until 29L).map(i => (i, i + 1))
-    val comps = run(path)
+    val comps = runBoth(path)
     assert(comps.size == 20)
     assert(comps.values.toSet == Set(10L))
   }
 
   test("disjoint components get distinct min labels") {
-    val comps = run(Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L)))
+    val comps = runBoth(Seq((1L, 2L), (2L, 3L), (7L, 9L), (20L, 21L)))
     assert(comps == Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       7L -> 7L, 9L -> 7L,
@@ -32,9 +40,16 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("edge order and direction don't matter") {
-    val a = run(Seq((5L, 3L), (3L, 8L)))
-    val b = run(Seq((8L, 3L), (5L, 3L)))
+    val a = runBoth(Seq((5L, 3L), (3L, 8L)))
+    val b = runBoth(Seq((8L, 3L), (5L, 3L)))
     assert(a == b)
     assert(a.values.toSet == Set(3L))
+  }
+
+  test("a binary-tree component and self-loops resolve to the root min") {
+    val tree = Seq((1L, 2L), (1L, 3L), (2L, 4L), (2L, 5L), (3L, 6L), (3L, 7L))
+    val comps = runBoth(tree :+ (7L -> 7L))
+    assert(comps.values.toSet == Set(1L))
+    assert(comps.size == 7)
   }
 }

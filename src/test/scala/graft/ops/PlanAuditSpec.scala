@@ -71,6 +71,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(aggs >= 4, s"expected two-phase agg with partials, got $aggs:\n$p")
   }
 
+  test("t06: repetition detection is a pure scan — no hash exchange") {
+    val p = simplePlan(TextAnalysis.t06(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0,
+      s"narrow per-doc plan should not shuffle by key, got $exchanges:\n$p")
+  }
+
+  test("q14b: Expand sits above the base aggregation (two-level cube)") {
+    val p = simplePlan(Relational.q14b(spark, dir))
+    assert(p.contains("Expand"), s"no grouping-set expand:\n$p")
+    // two-level = base partial+final agg, then cube partial+final agg
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected two aggregation levels, got $aggs:\n$p")
+    // the Expand must consume the aggregated cells, not the scan: in the
+    // bottom-up simple plan the scan line comes first, the base aggregates
+    // next, Expand after
+    val lines = p.linesIterator.toVector
+    val scanIdx = lines.indexWhere(_.contains("Scan parquet"))
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    val baseAggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    assert(scanIdx >= 0 && expandIdx >= 0 && baseAggIdx >= 0)
+  }
+
   test("s01: corpus side streams, query side broadcasts") {
     val p = plan(Similarity.s01(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
