@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled per-document shingling kernels. Shingling, like the SimHash/
+  * fingerprint kernels, is pure per-row work — these expressions keep it
+  * map-side in one compiled pass instead of a `transform`+`sequence`+
+  * `concat_ws`+`array_distinct` HOF chain whose lambdas evaluate
+  * interpreted per element. */
+object ShingleKernels {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Column API: distinct word-3-gram shingles of a word array. */
+  def shingles3(ws: Column): Column =
+    Bridge.column(Shingles3(Bridge.expression(ws)))
+
+  /** Column API: 64-perm minhash signature of a (shingle) string array —
+    * `sig[j] = min over distinct shingles of ((2j+1)·poly31(s) + j) mod
+    * 1e9+7`, identical to `MinHashAgg(rolling_hash(s), 64)` over the
+    * exploded shingles (property-tested in ExpressionsSpec). */
+  def minHash64(arr: Column): Column =
+    Bridge.column(MinHash64(Bridge.expression(arr)))
+}
+
+/** Distinct word-3-gram shingles: `shingles3(ws)[k] = ws[k] ⧺ ' ' ⧺
+  * ws[k+1] ⧺ ' ' ⧺ ws[k+2]`, first-occurrence order, duplicates dropped —
+  * exactly `array_distinct(transform(sequence(0, size-3), i ->
+  * concat_ws(' ', ws[i], ws[i+1], ws[i+2])))`. Arrays with fewer than 3
+  * elements yield an empty array (DuckDB's generate_series analog). */
+case class Shingles3(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles3 expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Shingles3.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Shingles3.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Shingles3 =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles3"
+}
+
+object Shingles3 {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(ws: ArrayData): GenericArrayData = {
+    val n = ws.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i <= n - 3) {
+      val s = UTF8String.concat(
+        ws.getUTF8String(i), SPACE,
+        ws.getUTF8String(i + 1), SPACE,
+        ws.getUTF8String(i + 2))
+      seen.add(s)
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** 64-perm minhash signature computed narrowly from the shingle array:
+  * per shingle the poly-31 rolling hash (same kernel as [[RollingHash]]),
+  * then the running min of each affine permutation ((2j+1)·h + j) mod
+  * 1e9+7 — the sketch never needs a shuffle, which at 100 TB turns
+  * signature generation into a pure scan (only band keys get exchanged).
+  * Bit-identical to `MinHashAgg(rolling_hash(s), 64)` over the exploded
+  * array. Empty arrays yield sig[j] = Long.MaxValue (no elements), which
+  * callers filter out upstream (docs with < 3 words have no shingles). */
+case class MinHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash64 expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash64"
+}
+
+object MinHash64 {
+  private val P = 1000000007L
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): GenericArrayData = {
+    val sig = Array.fill(64)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = RollingHash.compute(arr.getUTF8String(i), 31L)
+      var j = 0
+      while (j < 64) {
+        val p = ((2L * j + 1) * h + j) % P
+        if (p < sig(j)) sig(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}

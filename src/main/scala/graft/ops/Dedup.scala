@@ -39,13 +39,11 @@ object Dedup {
     import s.implicits._
     Tables.t(s, dir, "documents")
       .select($"doc_id", split($"text", " ").as("ws"))
-      // docs with <3 words have no 3-gram shingles; without this guard
-      // Spark's sequence(0, size-3) would go DESCENDING for size<3 and
-      // fabricate null-padded shingles (DuckDB generate_series is empty)
+      // docs with <3 words have no 3-gram shingles (the kernel yields an
+      // empty array, mirroring DuckDB's empty generate_series; the filter
+      // additionally keeps those rows out of the checkpoint)
       .filter(size($"ws") >= 3)
-      .select($"doc_id", array_distinct(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-        .as("arr"))
+      .select($"doc_id", graft.functions.ShingleKernels.shingles3($"ws").as("arr"))
       .localCheckpoint()
   }
 
@@ -136,18 +134,16 @@ object Dedup {
   def d03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docsArr = shingleArrays(s, dir)
-    val sh = docsArr.select($"doc_id", explode($"arr").as("s"))
-      .select($"doc_id", TextAnalysis.rollingHash($"s").as("h"))
-    // the 64-perm minhash sketch via the custom TypedImperativeAggregate
-    // (a primitive-array buffer updated in one pass — SURVEY §7's designed
-    // extension). The ONLY corpus-wide shuffle carries (doc_id, h) LONGS —
-    // shingle strings and verification sets never leave the map side —
-    // and the partial-agg step collapses each mapper's rows to one
-    // 64-long sketch per doc before the exchange.
-    val perDoc = sh.groupBy($"doc_id")
-      .agg(graft.functions.MinHashAgg($"h", 64).as("sigs"))
-    // (no checkpoint: both band-join sides are the IDENTICAL plan, so the
-    // sketch aggregation's exchange is computed once and reused)
+    // the 64-perm minhash sketch computed NARROWLY per doc by the
+    // compiled MinHash64 kernel — signature generation is a pure scan of
+    // the checkpointed shingle arrays; NOTHING shuffles until the band
+    // join, which exchanges only short band keys. (The equivalent
+    // shuffle-based formulation, MinHashAgg over the exploded shingle
+    // hashes — SURVEY §7's TypedImperativeAggregate — remains for
+    // pre-exploded/streaming contexts and is property-tested identical
+    // in ExpressionsSpec.)
+    val perDoc = docsArr.select($"doc_id",
+      graft.functions.ShingleKernels.minHash64($"arr").as("sigs"))
     // band keys: 32 bands × 2 rows. Both sigs are < 1e9+7 < 2^30, so a
     // band's pair packs exactly into one long (sig1·2^30 + sig2) — the
     // candidate join runs on (band#, long) instead of concatenated

@@ -120,6 +120,45 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     ref.foreach { case (id, m) => assert(fast(id) == m) }
   }
 
+  test("Shingles3 equals the HOF transform + array_distinct chain") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "a b c d e",
+      "x y z",
+      "too short",
+      "",
+      "r r r r", // duplicate shingles collapse
+      "a  b c d") // empty token inside — concat keeps the double space
+      .toDF("text").select(split($"text", " ").as("ws"))
+    val rows = df.select(
+      ShingleKernels.shingles3($"ws").as("fast"),
+      when(size($"ws") >= 3, array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")))
+        .otherwise(array().cast("array<string>")).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"fast=${r.getSeq[String](0)} ref=${r.getSeq[String](1)}")
+    }
+  }
+
+  test("MinHash64 kernel equals MinHashAgg over the exploded shingles") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("lorem ipsum dolor")),
+      (3L, Seq("x y z", "x y z"))) // duplicates don't change the min
+      .toDF("doc_id", "arr")
+    val fast = df.select($"doc_id", ShingleKernels.minHash64($"arr").as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaAgg = df.select($"doc_id", explode($"arr").as("s"))
+      .select($"doc_id", RollingHash($"s", 31L).as("h"))
+      .groupBy($"doc_id").agg(MinHashAgg($"h", 64).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(fast == viaAgg)
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._
