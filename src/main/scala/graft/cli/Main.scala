@@ -17,7 +17,10 @@ import java.nio.file.{Files, Path, Paths}
   * graft create-group G  --select S [--owner-name N] [--group-yml-path F]
   * graft group G         --select S [--owner-name N]   (create-group + contracts)
   * graft contract        --select S                    (contracts only)
-  * graft version MODEL  [--prerelease|--increment|--latest] [--defined-in F]
+  * graft version      MODEL|--select S [--increment|--latest] [--defined-in F]
+  * graft add-version  MODEL|--select S [--defined-in F]
+  * graft bump-version MODEL|--select S [--increment|--latest] [--defined-in F]
+  *                    (default latest_version behavior: prerelease)
   * graft connect         --project-paths P1 P2 [--dry-run]
   * }}}
   *
@@ -121,24 +124,44 @@ object Main {
           .map(node => Contractor.generateContract(s, node, runner.viewName(node.name)))
         apply(ChangeSet(cs.toVector))
 
-      case "version" =>
-        val modelName = args.positional.head
+      case "version" | "add-version" | "bump-version" =>
         val (_, m) = ProjectLoader.load(root)
-        val node = m.nodes.values.find(_.name == modelName).getOrElse(
-          sys.error(s"model $modelName not found"))
+        // reference selects with --select; a bare positional model name is
+        // accepted as a convenience
+        val names: Seq[String] =
+          if (args.flags("select").nonEmpty)
+            Selector.select(m, args.flags("select"), args.flags("exclude"))
+              .toSeq.sorted.flatMap(m.nodes.get)
+              .filter(_.uniqueId.startsWith("model.")).map(_.name)
+          else args.positional
+        // default behavior is Prerelease (keep latest_version), matching
+        // `main.py:469-473`; --latest / --increment override
         val behavior =
-          if (args.switches("prerelease")) Versioner.Behavior.Prerelease
+          if (args.switches("latest")) Versioner.Behavior.Latest
           else if (args.switches("increment")) Versioner.Behavior.Increment
-          else Versioner.Behavior.Latest
-        val entry = node.patchPath.map { pp =>
-          graft.core.yaml.Yaml.parseMap(readFile(pp)).get("models").collect {
-            case graft.core.yaml.YList(ms) => ms.collectFirst {
-              case e: graft.core.yaml.YMap if e.get("name").exists(_.asStr == modelName) => e
-            }
-          }.flatten.getOrElse(graft.core.yaml.YMap.empty)
-        }.getOrElse(graft.core.yaml.YMap.empty)
-        apply(Versioner.version(node, entry,
-          behavior, args.flags("defined-in").headOption))
+          else Versioner.Behavior.Prerelease
+        val definedIn = args.flags("defined-in").headOption
+        names.foreach { modelName =>
+          val node = m.nodes.values.find(_.name == modelName).getOrElse(
+            sys.error(s"model $modelName not found"))
+          val entry = node.patchPath.map { pp =>
+            graft.core.yaml.Yaml.parseMap(readFile(pp)).get("models").collect {
+              case graft.core.yaml.YList(ms) => ms.collectFirst {
+                case e: graft.core.yaml.YMap if e.get("name").exists(_.asStr == modelName) => e
+              }
+            }.flatten.getOrElse(graft.core.yaml.YMap.empty)
+          }.getOrElse(graft.core.yaml.YMap.empty)
+          val cs = command match {
+            case "add-version" =>
+              Versioner.addVersion(node, entry, definedIn)
+            case "bump-version" =>
+              Versioner.bumpVersion(node, entry, behavior,
+                Versioner.latestPath(node, entry), definedIn)
+            case _ =>
+              Versioner.version(node, entry, behavior, definedIn)
+          }
+          apply(cs)
+        }
 
       case "connect" =>
         val paths = args.flags("project-paths").map(Paths.get(_))

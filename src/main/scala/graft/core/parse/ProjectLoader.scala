@@ -166,16 +166,44 @@ object ProjectLoader {
     val modelFiles = cfg.modelPaths.flatMap { mp =>
       walk(root.resolve(mp), ".sql") ++ walk(root.resolve(mp), ".py")
     }
+    // versioned-model file resolution (dbt-core naming): a patch entry
+    // with `versions` maps files `{name}_v{n}.{ext}` — or the version's
+    // `defined_in` name — back to the base model. The LATEST version's
+    // file becomes the base-named node (what ref('name') and the CLI
+    // resolve, mirroring get_manifest_node → latest); older versions load
+    // as distinct `{name}.v{n}` nodes.
+    val versionFile: Map[String, (String, Long, Boolean)] =
+      modelPatches.flatMap { case (mname, (_, entry)) =>
+        val vs = entry.get("versions").collect { case YList(items) =>
+          items.collect { case vm: YMap =>
+            val v = vm("v") match {
+              case YInt(i) => i
+              case other => other.asStr.toLong
+            }
+            (vm.get("defined_in").map(_.asStr).getOrElse(s"${mname}_v$v"), v)
+          }
+        }.getOrElse(Vector.empty)
+        val latest = entry.get("latest_version").collect { case YInt(i) => i }
+          .orElse(vs.map(_._2).maxOption).getOrElse(0L)
+        vs.map { case (base, v) => base -> ((mname, v, v == latest)) }
+      }.toMap
+    def resolvedName(fileBase: String): String = versionFile.get(fileBase) match {
+      case Some((base, _, true)) => base
+      case Some((base, v, false)) => s"$base.v$v"
+      case None => fileBase
+    }
     // ref() resolves to models AND seeds by name
     val nameToId: Map[String, String] =
-      modelFiles.map(p => baseName(p) -> s"model.$proj.${baseName(p)}").toMap ++
+      modelFiles.map { p =>
+        val n = resolvedName(baseName(p)); n -> s"model.$proj.$n"
+      }.toMap ++
         seedNodes.values.map(n => n.name -> n.uniqueId)
 
     var nodes: Map[String, ModelNode] = seedNodes
     var tests = Map.empty[String, TestNode]
 
     modelFiles.foreach { p =>
-      val name = baseName(p)
+      val name = resolvedName(baseName(p))
       val rel = root.relativize(p).toString
       val code = Files.readString(p)
       val lang = if (p.toString.endsWith(".py")) "python" else "sql"

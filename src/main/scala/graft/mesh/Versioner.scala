@@ -41,7 +41,7 @@ object Versioner {
       s"model ${model.name} already has versions")
     val v1name = definedIn.getOrElse(s"${model.name}_v1")
     val dir = parentDir(model.filePath)
-    val newPath = s"$dir$v1name.sql"
+    val newPath = s"$dir$v1name.${ext(model)}"
     val versionsEntry: Y = definedIn match {
       case Some(d) => YMap.of("v" -> YInt(1), "defined_in" -> YStr(d))
       case None => YMap.of("v" -> YInt(1))
@@ -56,11 +56,12 @@ object Versioner {
       FileChange(Operation.Move, newPath, None, Some(model.filePath))))
   }
 
-  /** C5: bump — append {v: max+1}, set latest_version per behavior, Copy
-    * the current latest file to model_v{n+1}.sql
+  /** C5: bump — append {v: max+1} (carrying defined_in when given), set
+    * latest_version per behavior, Copy the current latest file to
+    * model_v{n+1} or the defined_in name
     * (`utilities/versioner.py:136-212`). */
   def bumpVersion(model: ModelNode, entry: YMap, behavior: Behavior,
-      currentLatestPath: String): ChangeSet = {
+      currentLatestPath: String, definedIn: Option[String] = None): ChangeSet = {
     val maxV = latestModelVersion(entry).getOrElse(
       throw new IllegalArgumentException(s"model ${model.name} is unversioned; add a version first"))
     val newV = maxV + 1
@@ -71,9 +72,13 @@ object Versioner {
       case Behavior.Latest => newV
     }
     val versions = entry.get("versions").collect { case l: YList => l }.getOrElse(YList(Vector.empty))
-    val newVersions = versions :+ (YMap.of("v" -> YInt(newV)): Y)
+    val newVersionEntry: Y = definedIn match {
+      case Some(d) => YMap.of("v" -> YInt(newV), "defined_in" -> YStr(d))
+      case None => YMap.of("v" -> YInt(newV))
+    }
+    val newVersions = versions :+ newVersionEntry
     val dir = parentDir(model.filePath)
-    val newPath = s"$dir${model.name}_v$newV.sql"
+    val newPath = s"$dir${definedIn.getOrElse(s"${model.name}_v$newV")}.${ext(model)}"
     val patch = ResourceChange(Operation.Update, EntityType.Model, model.name,
       model.patchPath.getOrElse(s"models/_${model.name}.yml"),
       YMap.of("latest_version" -> YInt(newLatest), "versions" -> newVersions))
@@ -88,15 +93,17 @@ object Versioner {
   def version(model: ModelNode, entry: YMap, behavior: Behavior,
       definedIn: Option[String] = None): ChangeSet = {
     if (latestModelVersion(entry).nonEmpty) {
-      bumpVersion(model, entry, behavior, currentLatestPath(model, entry))
+      bumpVersion(model, entry, behavior, latestPath(model, entry), definedIn)
     } else {
       val added = addVersion(model, entry, definedIn)
       val movedPath = added.changes.collectFirst { case fc: FileChange => fc.path }.get
       // simulate the entry state after `add` for the bump computation
+      // (the reference threads this as bump's model_override,
+      // `main.py:529-534`)
       val entryAfter = Merge.safeUpdate(entry, YMap.of(
         "latest_version" -> YInt(1),
         "versions" -> YList.of(YMap.of("v" -> YInt(1)))))
-      val bumped = bumpVersion(model, entryAfter, behavior, movedPath)
+      val bumped = bumpVersion(model, entryAfter, behavior, movedPath, definedIn)
       // splice: merge the two model patches into one (dedup), keep the
       // Move (from add) and the Copy (from bump) in order
       val addPatch = added.changes.collectFirst { case rc: ResourceChange => rc }.get
@@ -115,7 +122,9 @@ object Versioner {
     }
   }
 
-  private def currentLatestPath(model: ModelNode, entry: YMap): String = {
+  /** Path of the file holding the current latest version (honors
+    * defined_in of the latest version entry). */
+  def latestPath(model: ModelNode, entry: YMap): String = {
     val dir = parentDir(model.filePath)
     val latest = entry.get("latest_version").collect { case YInt(i) => i }
       .orElse(latestModelVersion(entry)).getOrElse(1L)
@@ -124,7 +133,14 @@ object Versioner {
         m.get("defined_in").map(_.asStr)
       }.flatten
     }.flatten
-    s"$dir${definedIn.getOrElse(s"${model.name}_v$latest")}.sql"
+    s"$dir${definedIn.getOrElse(s"${model.name}_v$latest")}.${ext(model)}"
+  }
+
+  /** versioned file extension follows the model's language
+    * (`versioner.py:102-106` uses `model.language`). */
+  private def ext(model: ModelNode): String = {
+    val i = model.filePath.lastIndexOf('.')
+    if (i < 0) "sql" else model.filePath.substring(i + 1)
   }
 
   private def parentDir(path: String): String = {

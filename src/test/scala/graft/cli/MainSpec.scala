@@ -57,6 +57,20 @@ class MainSpec extends AnyFunSuite {
     assert(Files.exists(root.resolve("models/mart_v2.sql")))
   }
 
+  test("add-version then bump-version --defined-in, prerelease by default") {
+    val root = writeProject(project)
+    Main.main(Array("add-version", "--select", "mart",
+      "--project-dir", root.toString))
+    assert(Files.exists(root.resolve("models/mart_v1.sql")))
+    Main.main(Array("bump-version", "mart", "--defined-in", "daves_model",
+      "--project-dir", root.toString))
+    assert(Files.exists(root.resolve("models/daves_model.sql")))
+    val yml = Files.readString(root.resolve("models/_mart.yml"))
+    // default behavior = prerelease: latest_version stays 1
+    assert(yml.contains("latest_version: 1"), yml)
+    assert(yml.contains("defined_in: daves_model"), yml)
+  }
+
   test("contract generates enforced contracts from materialized schemas") {
     val root = writeProject(Map(
       "dbt_project.yml" -> "name: shop\n",

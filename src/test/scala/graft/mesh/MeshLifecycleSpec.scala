@@ -86,7 +86,11 @@ class MeshLifecycleSpec extends AnyFunSuite with SparkFixture {
     new ChangeSetProcessor(sub).process(Seq(versionCs))
     assert(Files.exists(sub.resolve("models/marts/orders_v1.sql")))
     assert(Files.exists(sub.resolve("models/marts/orders_v2.sql")))
+    // the loader resolves the latest version file to the base-named node
+    // and the old version to a .v1 node
     val (_, sM2) = ProjectLoader.load(sub)
-    assert(sM2.nodes.keySet.exists(_.endsWith("orders_v2")))
+    assert(sM2.nodes("model.marts.orders").filePath
+      .endsWith("models/marts/orders_v2.sql"))
+    assert(sM2.nodes.contains("model.marts.orders.v1"))
   }
 }

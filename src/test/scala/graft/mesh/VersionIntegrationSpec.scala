@@ -50,10 +50,13 @@ class VersionIntegrationSpec extends AnyFunSuite {
     assert(e2("latest_version") == YInt(2))
     assert(e2("versions").asList.items.map(_.asMap("v")) == Vector(YInt(1), YInt(2)))
 
-    // reloading picks up the versioned model files
+    // reloading resolves the versioned files dbt-style: the latest
+    // version's file is the base-named node (what ref('orders') and the
+    // CLI see), the older version loads as a distinct .v1 node
     val (_, m2) = ProjectLoader.load(root)
     assert(m2.nodes.keySet ==
-      Set("model.jaffle.orders_v1", "model.jaffle.orders_v2"))
+      Set("model.jaffle.orders", "model.jaffle.orders.v1"))
+    assert(m2.nodes("model.jaffle.orders").filePath == "models/orders_v2.sql")
   }
 
   test("bump again with Prerelease keeps latest_version pinned") {
@@ -71,9 +74,8 @@ class VersionIntegrationSpec extends AnyFunSuite {
       "models/orders_v1.sql" -> "select 1",
       "models/orders_v2.sql" -> "select 2"))
     val (_, m) = ProjectLoader.load(root)
-    // the logical model is versioned; take either physical node as carrier
-    val model = m.nodes("model.jaffle.orders_v2").copy(
-      name = "orders", patchPath = Some("models/__models.yml"))
+    // the loader resolves orders_v2.sql (latest) to the base-named node
+    val model = m.nodes("model.jaffle.orders")
     val entry = Yaml.parseMap(Files.readString(root.resolve("models/__models.yml")))
       .apply("models").asList.items.head.asMap
 

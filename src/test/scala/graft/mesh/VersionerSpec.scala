@@ -94,4 +94,27 @@ class VersionerSpec extends AnyFunSuite {
     assert(fcs.head.source.contains("models/orders_v1.sql"))
     assert(fcs.head.path == "models/orders_v2.sql")
   }
+
+  test("C5 bump with defined_in: version entry carries it, copy uses the name " +
+    "(reference fixture expected_versioned_model_yml_prerelease_defined_in)") {
+    val cs = Versioner.bumpVersion(model, versionsEntry(1),
+      Versioner.Behavior.Prerelease, "models/orders_v1.sql",
+      definedIn = Some("daves_model"))
+    val patch = cs.changes.collectFirst { case rc: ResourceChange => rc }.get
+    // prerelease keeps latest_version at 1
+    assert(patch.data("latest_version") == YInt(1))
+    val versions = patch.data("versions").asList.items
+    assert(versions.map(_.asMap("v")) == Vector(YInt(1), YInt(2)))
+    assert(versions.last.asMap.get("defined_in").contains(YStr("daves_model")))
+    val cp = cs.changes.collectFirst { case fc: FileChange => fc }.get
+    assert(cp.path == "models/daves_model.sql")
+  }
+
+  test("versioned file extension follows the model language (python model)") {
+    val py = Fixtures.model("jaffle", "histories", "import dbt",
+      patchPath = Some("models/__models.yml"), language = "python")
+    val cs = Versioner.addVersion(py, YMap.of("name" -> YStr("histories")))
+    val mv = cs.changes.collectFirst { case fc: FileChange => fc }.get
+    assert(mv.path == "models/histories_v1.py")
+  }
 }
