@@ -91,10 +91,44 @@ object Main {
 
       case "create-group" | "group" =>
         val name = args.positional.head
-        val (_, m) = ProjectLoader.load(root)
+        val (cfg0, m) = ProjectLoader.load(root)
         val selected = Selector.select(m, args.flags("select"), args.flags("exclude"))
-        val owner = Owner(name = args.flags("owner-name").headOption)
-        val path = args.flags("group-yml-path").headOption.getOrElse("models/_groups.yml")
+        val owner = Owner(
+          name = args.flags("owner-name").headOption,
+          email = args.flags("owner-email").headOption,
+          extra = args.flags("owner-properties").headOption
+            .map(y => graft.core.yaml.Yaml.parseMap(y).entries)
+            .getOrElse(Vector.empty))
+        // group YAML target: explicit flag > the unique existing
+        // group-defining file > models/_groups.yml; multiple existing
+        // group files are ambiguous (reference `main.py:592-604`)
+        val path = args.flags("group-yml-path").headOption.getOrElse {
+          val existing = cfg0.modelPaths.flatMap { mp =>
+            val dir = root.resolve(mp)
+            if (!Files.isDirectory(dir)) Nil
+            else {
+              val it = Files.walk(dir).iterator()
+              val found = Vector.newBuilder[String]
+              while (it.hasNext) {
+                val p = it.next()
+                val fn = p.getFileName.toString
+                if ((fn.endsWith(".yml") || fn.endsWith(".yaml")) &&
+                  scala.util.Try(graft.core.yaml.Yaml
+                    .parseMap(Files.readString(p)).contains("groups"))
+                    .getOrElse(false))
+                  found += root.relativize(p).toString
+              }
+              found.result()
+            }
+          }
+          existing match {
+            case Vector() => "models/_groups.yml"
+            case Vector(one) => one
+            case many => sys.error(
+              s"Unable to pick which group YAML file to use between " +
+                s"${many.mkString(", ")}. Please specify --group-yml-path.")
+          }
+        }
         if (command == "create-group")
           apply(Grouper.addGroup(m, name, owner, selected, path))
         else {

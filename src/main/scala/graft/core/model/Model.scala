@@ -24,7 +24,12 @@ object AccessType {
   }
 }
 
-final case class Owner(name: Option[String] = None, email: Option[String] = None)
+/** Group owner; `extra` carries arbitrary additional owner properties
+  * (the reference's `--owner-properties` YAML, Owner._extra). */
+final case class Owner(
+    name: Option[String] = None,
+    email: Option[String] = None,
+    extra: Vector[(String, Y)] = Vector.empty)
 
 final case class DependsOn(
     nodes: Vector[String] = Vector.empty,

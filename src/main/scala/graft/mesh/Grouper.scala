@@ -36,7 +36,8 @@ object Grouper {
     val classification = Dag.classifyAccess(manifest.childMap, selected)
     val ownerMap = YMap(Vector.empty ++
       owner.name.map(n => "name" -> (YStr(n): Y)) ++
-      owner.email.map(e => "email" -> (YStr(e): Y)))
+      owner.email.map(e => "email" -> (YStr(e): Y)) ++
+      owner.extra)
     val groupChange = ResourceChange(Operation.Add, EntityType.Group, groupName,
       groupYamlPath, YMap.of("owner" -> ownerMap))
     val accessChanges = classification.toSeq.sortBy(_._1).flatMap { case (id, access) =>

@@ -49,6 +49,21 @@ class MainSpec extends AnyFunSuite {
     assert(m.groups.values.exists(_.name == "core"))
   }
 
+  test("create-group: owner email/properties and existing-group-file resolution") {
+    val root = writeProject(project ++ Map(
+      "models/groups/_teams.yml" -> "groups: []\n"))
+    Main.main(Array("create-group", "core", "--select", "stg",
+      "--owner-name", "Tony Legitman", "--owner-email", "tony@notacop.org",
+      "--owner-properties", "slack: '#core-team'",
+      "--project-dir", root.toString))
+    // the unique existing group-defining file is picked over the default
+    assert(!Files.exists(root.resolve("models/_groups.yml")))
+    val yml = Files.readString(root.resolve("models/groups/_teams.yml"))
+    assert(yml.contains("name: Tony Legitman"), yml)
+    assert(yml.contains("tony@notacop.org"), yml)
+    assert(yml.contains("slack:"), yml)
+  }
+
   test("version bumps a model from the CLI") {
     val root = writeProject(project)
     Main.main(Array("version", "mart", "--latest",
