@@ -198,9 +198,31 @@ object Main {
         }
 
       case "connect" =>
-        val paths = args.flags("project-paths").map(Paths.get(_))
-        require(paths.size >= 2, "connect needs --project-paths P1 P2 [...]")
-        val loaded = paths.map(p => p -> ProjectLoader.load(p)._2)
+        val explicit = args.flags("project-paths").map(Paths.get(_))
+        val projectsDir = args.flags("projects-dir").headOption.map(Paths.get(_))
+        require(explicit.isEmpty || projectsDir.isEmpty,
+          "Cannot specify both --project-paths and --projects-dir")
+        // --projects-dir discovers every **/dbt_project.yml, skipping
+        // installed-package trees (`main.py:153-168`); --exclude-projects
+        // drops discovered projects by name
+        val discovered = projectsDir.toVector.flatMap { dir =>
+          val it = Files.walk(dir).iterator()
+          val found = Vector.newBuilder[Path]
+          while (it.hasNext) {
+            val p = it.next()
+            val parts = (0 until p.getNameCount).map(p.getName(_).toString)
+            if (p.getFileName.toString == "dbt_project.yml" &&
+              !parts.contains("dbt_packages") && !parts.contains("site-packages"))
+              found += p.getParent
+          }
+          found.result()
+        }
+        val excluded = args.flags("exclude-projects").toSet
+        val paths = if (explicit.nonEmpty) explicit else discovered
+        val loaded0 = paths.map(p => p -> ProjectLoader.load(p)._2)
+        val loaded = loaded0.filterNot { case (_, m) => excluded(m.projectName) }
+        require(loaded.size >= 2,
+          "connect needs at least two projects (--project-paths P1 P2 or --projects-dir D)")
         val byName = loaded.map { case (p, m) => m.projectName -> p }.toMap
         val plans = Commands.connectPlans(loaded.map(_._2),
           installs = (_, _) => false, contractData = _ => None,

@@ -76,7 +76,11 @@ object Contracts {
     * (`utilities/contractor.py:14-47`). */
   def contractPatch(schema: StructType, declaredCase: Map[String, String] = Map.empty): YMap = {
     val cols = YList(schema.fields.toVector.map { f =>
-      val name = declaredCase.getOrElse(f.name.toLowerCase, f.name)
+      // YAML-declared case wins; otherwise the column is written
+      // lower-case like the reference (`contractor.py:26`
+      // `original_case.get(name.lower()) or name.lower()`), so
+      // warehouse-upper-cased schemas don't leak into the YAML
+      val name = declaredCase.getOrElse(f.name.toLowerCase, f.name.toLowerCase)
       YMap.of("name" -> YStr(name), "data_type" -> YStr(typeString(f.dataType))): Y
     })
     YMap.of(

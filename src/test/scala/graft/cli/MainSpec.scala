@@ -136,4 +136,40 @@ class MainSpec extends AnyFunSuite {
     assert(Files.exists(down.resolve("dependencies.yml")))
     assert(!Files.exists(up.resolve("dependencies.yml")))
   }
+
+  test("connect --projects-dir discovers projects, skips dbt_packages, excludes by name") {
+    val base = Files.createTempDirectory("graft_mesh_dir")
+    def proj(rel: String, files: Map[String, String]): Unit =
+      files.foreach { case (f, text) =>
+        val p = base.resolve(rel).resolve(f)
+        Files.createDirectories(p.getParent)
+        Files.writeString(p, text)
+      }
+    proj("up", Map(
+      "dbt_project.yml" -> "name: up_proj\n",
+      "models/shared.sql" -> "select 1 as id"))
+    proj("down", Map(
+      "dbt_project.yml" -> "name: down_proj\n",
+      "models/__sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: ext
+          |    database: main
+          |    schema: up_proj
+          |    tables:
+          |      - name: shared
+          |""".stripMargin,
+      "models/consumer.sql" -> "select * from {{ source('ext', 'shared') }}"))
+    // an installed package copy must not be discovered as a project
+    proj("down/dbt_packages/up", Map("dbt_project.yml" -> "name: up_proj\n"))
+    // a third project excluded by name must not participate
+    proj("other", Map(
+      "dbt_project.yml" -> "name: other_proj\n",
+      "models/thing.sql" -> "select 2 as id"))
+    Main.main(Array("connect", "--projects-dir", base.toString,
+      "--exclude-projects", "other_proj"))
+    assert(Files.readString(base.resolve("down/models/consumer.sql"))
+      == "select * from {{ ref('up_proj', 'shared') }}")
+    assert(Files.exists(base.resolve("down/dependencies.yml")))
+  }
 }

@@ -76,4 +76,11 @@ class ContractsSpec extends AnyFunSuite {
       .asInstanceOf[YMap]("enforced")
     assert(enforced == YBool(true))
   }
+
+  test("contractPatch lower-cases undeclared column names (contractor.py:26)") {
+    val p = Contracts.contractPatch(
+      StructType(Seq(StructField("ORDER_ID", IntegerType))))
+    val cols = p("columns").asInstanceOf[YList].items
+    assert(cols.head.asInstanceOf[YMap]("name").asStr == "order_id")
+  }
 }
