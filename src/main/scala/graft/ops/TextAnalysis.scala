@@ -187,13 +187,17 @@ object TextAnalysis {
     import s.implicits._
     val pieces = expr(s"regexp_extract_all(text, '$piece', 0)")
     Tables.t(s, dir, "documents")
-      .repartition($"doc_id") // fan-out: three regex passes per doc
+      .repartition($"doc_id") // fan-out: the regex pass dominates per-doc cost
+      // materialize the piece array ONCE per row; the three counts then
+      // classify the array elements instead of re-running the extraction
+      .select($"doc_id", pieces.as("ps"),
+        ceil(dbl(length($"text")) / 4).cast(LongType).as("est_tokens"))
       .select(
         $"doc_id",
-        size(pieces).cast(LongType).as("n_pieces"),
-        size(filter(pieces, p => p.rlike("^[A-Za-z]"))).cast(LongType).as("n_word_pieces"),
-        size(filter(pieces, p => p.rlike("^[0-9]"))).cast(LongType).as("n_num_pieces"),
-        ceil(dbl(length($"text")) / 4).cast(LongType).as("est_tokens"))
+        size($"ps").cast(LongType).as("n_pieces"),
+        size(filter($"ps", p => p.rlike("^[A-Za-z]"))).cast(LongType).as("n_word_pieces"),
+        size(filter($"ps", p => p.rlike("^[0-9]"))).cast(LongType).as("n_num_pieces"),
+        $"est_tokens")
       .orderBy($"doc_id")
   }
 
