@@ -198,7 +198,16 @@ object SubprojectCreator {
             m.patchPath.getOrElse(s"models/_${m.name}.yml"), data))
       }
 
-    // 7. dependency registration: downstream side depends on upstream side
+    // 7. packages.yml rides along so the subproject keeps its package
+    // imports (`copy_packages_yml_file`, dbt_project_editors.py:158-169);
+    // skipped when the parent has none
+    val packagesCopy =
+      if (scala.util.Try(readFile("packages.yml")).isSuccess)
+        ChangeSet(Vector(FileChange(Operation.Copy, subDir("packages.yml"),
+          None, Some("packages.yml"))))
+      else ChangeSet()
+
+    // 8. dependency registration: downstream side depends on upstream side
     val subIsUpstream = Dag.xprojChildren(manifest.childMap, selected).nonEmpty
     val depChange =
       if (subIsUpstream) Dependencies.addDependency(cfg.name, subName)
@@ -209,7 +218,7 @@ object SubprojectCreator {
       ChangeSet(macroMoves.toVector) ++
       ChangeSet(docMoves.toVector) ++ groupMoves ++ governance ++ childRewrites ++
       parentRewrites ++ ChangeSet(macroRewrites.toVector) ++
-      parentGovernance ++ depChange
+      parentGovernance ++ packagesCopy ++ depChange
   }
 
   private def readModelEntry(readFile: String => String, path: String,

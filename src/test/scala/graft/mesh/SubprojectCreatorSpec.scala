@@ -33,6 +33,23 @@ class SubprojectCreatorSpec extends AnyFunSuite {
     SubprojectCreator.initialize(manifest, ProjectConfig("jaffle"), "sub",
       selected, "sub_proj", parentFiles)
 
+  test("packages.yml copies into the subproject when the parent has one") {
+    val files = parentFiles ++ Map("packages.yml" -> "packages: []\n")
+    val cs = SubprojectCreator.initialize(manifest, ProjectConfig("jaffle"),
+      "sub", Set("model.jaffle.report"), "sub_proj", files)
+    val pkg = cs.changes.collectFirst {
+      case fc: FileChange if fc.path == "sub_proj/packages.yml" => fc
+    }
+    assert(pkg.exists(_.op == Operation.Copy))
+    assert(pkg.exists(_.source.contains("packages.yml")))
+    // and absent when the parent has none
+    val cs2 = SubprojectCreator.initialize(manifest, ProjectConfig("jaffle"),
+      "sub", Set("model.jaffle.report"), "sub_proj", parentFiles)
+    assert(!cs2.changes.exists {
+      case fc: FileChange => fc.path.endsWith("packages.yml"); case _ => false
+    })
+  }
+
   test("A9: boundary models are the interface of the selected subgraph") {
     val b = SubprojectCreator.boundaryModels(manifest,
       Set("model.jaffle.stg_orders", "model.jaffle.orders"))
