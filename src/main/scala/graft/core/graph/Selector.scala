@@ -6,15 +6,18 @@ import graft.core.model.Manifest
   * (the reference shells to `dbt ls`, `dbt_projects.py:351-376`).
   *
   * Supported grammar (the subset dbt projects actually lean on):
-  *  - `name` — by resource name or unique_id
+  *  - `name` — by resource name or unique_id; Unix wildcards match
+  *    (`stg_*`, `orders?`) like dbt's fnmatch selection
   *  - `+name` / `name+` / `+name+` — ancestors / descendants / both
   *  - `@name` — name, its descendants, and all ancestors of those
   *  - `tag:x` — models carrying tag x
-  *  - `path:models/staging` — resources under a path prefix
+  *  - `path:models/staging` — resources under a path prefix (wildcards ok)
+  *  - `source:raw` / `source:raw.orders` — source nodes by source or
+  *    source.table name (wildcards ok)
   *  - space-separated tokens union; `a,b` intersects criteria
   *  - `--exclude` is set-minus over the same grammar
-  * Anything else (`state:`, `result:`, `source:` methods…) fails loudly
-  * rather than silently selecting nothing (SURVEY §7).
+  * Anything else (`state:`, `result:` methods…) fails loudly rather than
+  * silently selecting nothing (SURVEY §7).
   */
 object Selector {
 
@@ -23,7 +26,19 @@ object Selector {
       method: Option[String], name: String,
       descendants: Boolean, descendantDepth: Int)
 
-  private val knownMethods = Set("tag", "path")
+  private val knownMethods = Set("tag", "path", "source")
+
+  /** Unix-style wildcard (fnmatch) predicate; plain names compare equal. */
+  private def matches(pattern: String)(value: String): Boolean =
+    if (pattern.exists(c => c == '*' || c == '?')) {
+      val rx = pattern.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".contains(c) => s"\\$c"
+        case c => c.toString
+      }
+      value.matches(rx)
+    } else value == pattern
   private val ancRe = """^(\d*)\+""".r
   private val descRe = """\+(\d*)$""".r
 
@@ -59,12 +74,20 @@ object Selector {
       manifest.nodes.collect { case (id, n) if n.tags.contains(c.name) => id }.toSet
     case Some("path") =>
       manifest.allResources.collect {
-        case (id, r) if r.filePath.startsWith(c.name) => id
+        case (id, r) if r.filePath.startsWith(c.name) ||
+          matches(c.name)(r.filePath) => id
+      }.toSet
+    case Some("source") =>
+      manifest.sources.collect {
+        case (id, s) if matches(c.name)(s.sourceName) ||
+          matches(c.name)(s"${s.sourceName}.${s.name}") => id
       }.toSet
     case _ =>
       val all = manifest.allResources
       if (all.contains(c.name)) Set(c.name)
-      else all.collect { case (id, r) if r.name == c.name => id }.toSet
+      else all.collect {
+        case (id, r) if matches(c.name)(r.name) => id
+      }.toSet
   }
 
   private def evalCriterion(manifest: Manifest, c: Criterion): Set[String] = {

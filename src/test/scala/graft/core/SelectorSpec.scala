@@ -69,6 +69,22 @@ class SelectorSpec extends AnyFunSuite {
     assert(ids(Selector.select(manifest, Seq("a+2"))) == Set("a", "b", "c", "d"))
   }
 
+  test("wildcard names, paths, and the source: method") {
+    // fnmatch-style name wildcards
+    assert(ids(Selector.select(manifest, Seq("?"))) ==
+      Set("a", "b", "c", "d", "e"))
+    assert(Selector.select(manifest, Seq("sr*")) == Set("source.p.raw.src"))
+    // path wildcard
+    assert(ids(Selector.select(manifest, Seq("path:models/st*"))) == Set("a"))
+    // source method, by source and source.table
+    assert(Selector.select(manifest, Seq("source:raw")) == Set("source.p.raw.src"))
+    assert(Selector.select(manifest, Seq("source:raw.src")) == Set("source.p.raw.src"))
+    assert(Selector.select(manifest, Seq("source:other")).isEmpty)
+    // source:raw+ flows into descendants
+    assert(ids(Selector.select(manifest, Seq("source:raw+"))) ==
+      Set("a", "b", "c", "d") + "source.p.raw.src".stripPrefix("model.p."))
+  }
+
   test("unknown methods fail loudly") {
     intercept[IllegalArgumentException](Selector.select(manifest, Seq("state:modified")))
     intercept[IllegalArgumentException](Selector.select(manifest, Seq("@+x")))
