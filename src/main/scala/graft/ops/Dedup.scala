@@ -140,19 +140,11 @@ object Dedup {
     // join, which exchanges only short band keys. (The equivalent
     // shuffle-based formulation, MinHashAgg over the exploded shingle
     // hashes — SURVEY §7's TypedImperativeAggregate — remains for
-    // pre-exploded/streaming contexts and is property-tested identical
+    // pre-exploded aggregation contexts and is property-tested identical
     // in ExpressionsSpec.)
     val perDoc = docsArr.select($"doc_id",
       graft.functions.ShingleKernels.minHash64($"arr").as("sigs"))
-    // band keys: 32 bands × 2 rows. Both sigs are < 1e9+7 < 2^30, so a
-    // band's pair packs exactly into one long (sig1·2^30 + sig2) — the
-    // candidate join runs on (band#, long) instead of concatenated
-    // strings: smaller shuffle rows, cheaper hash, no codegen string work
-    val bandKeys = (0 until 32).map(b =>
-      (element_at($"sigs", 2 * b + 1) * lit(1L << 30) +
-        element_at($"sigs", 2 * b + 2)).as(s"k$b"))
-    val bands = perDoc.select($"doc_id", posexplode(array(bandKeys: _*)))
-      .toDF("doc_id", "b", "key")
+    val bands = bandKeys(perDoc)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
@@ -200,6 +192,21 @@ object Dedup {
       |JOIN sizes sa ON inter.da = sa.doc_id JOIN sizes sb ON inter.db = sb.doc_id
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
       |ORDER BY inter.da, inter.db""".stripMargin
+
+  /** (doc_id, b, key) LSH band keys from a (doc_id, sigs) frame: 32 bands
+    * × 2 rows. Both sigs are < 1e9+7 < 2^30, so a band's pair packs
+    * exactly into one long (sig1·2^30 + sig2) — candidate joins run on
+    * (band#, long) instead of concatenated strings: smaller shuffle rows,
+    * cheaper hash, no codegen string work. Shared by the batch LSH (d03)
+    * and the streaming near-dup ingest ([[graft.streaming.Streams]]). */
+  private[graft] def bandKeys(perDoc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, element_at, lit, posexplode}
+    val keyCols = (0 until 32).map(b =>
+      (element_at(col("sigs"), 2 * b + 1) * lit(1L << 30) +
+        element_at(col("sigs"), 2 * b + 2)).as(s"k$b"))
+    perDoc.select(col("doc_id"), posexplode(array(keyCols: _*)))
+      .toDF("doc_id", "b", "key")
+  }
 
   // ---------------------------------------------------------------- d04
   /** SimHash near-dup: a 60-bit term-frequency simhash (two independent

@@ -152,6 +152,68 @@ object Streams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Streaming near-duplicate suppression — the ingest-side twin of the
+    * batch MinHash+LSH pass (d03): per micro-batch, each document's
+    * 64-perm minhash signature is computed map-side (compiled
+    * `MinHash64` kernel — no shuffle) and banded; a document is dropped
+    * when any of its band keys collides with the persistent band-key
+    * index (a near-dup of an ALREADY-ACCEPTED doc) or with a
+    * lower-doc_id batchmate. Accepted docs append to `outPath`, their
+    * band keys to `indexPath` — so the index grows only with accepted
+    * content and replays converge (a replayed doc collides with its own
+    * keys and is dropped).
+    *
+    * Scale: the index is O(accepted docs × 32) longs, partitioned by
+    * band; the per-batch work is one broadcast-able join against it.
+    * False-positive band collisions are the LSH tradeoff — callers
+    * wanting exact Jaccard confirmation run d03's verification on the
+    * collided pairs. */
+  def nearDupIngest(
+      docs: DataFrame,
+      outPath: String,
+      indexPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val perDoc = batch
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .filter(size($"ws") >= 3)
+          .select($"doc_id",
+            graft.functions.ShingleKernels.minHash64(
+              graft.functions.ShingleKernels.shingles3($"ws")).as("sigs"))
+        val keys = graft.ops.Dedup.bandKeys(perDoc).localCheckpoint()
+        val histDup =
+          if (!new java.io.File(indexPath).exists)
+            spark.emptyDataset[Long].toDF("drop_id")
+          else keys.join(spark.read.parquet(indexPath).select($"b", $"key"),
+            Seq("b", "key"))
+            .select($"doc_id".as("drop_id")).distinct()
+        // within-batch: the lowest doc_id owning a band key wins
+        // (columns renamed per step: the owner/drop frames derive from
+        // `keys`, and shared attribute ids across a self-join are
+        // ambiguous to the analyzer)
+        val owners = keys
+          .select($"b".as("ob"), $"key".as("ok"), $"doc_id".as("od"))
+          .groupBy($"ob", $"ok").agg(min($"od").as("owner"))
+        val batchDup = keys
+          .join(owners, $"b" === $"ob" && $"key" === $"ok")
+          .filter($"doc_id" > $"owner")
+          .select($"doc_id".as("drop_id")).distinct()
+        val dropIds = histDup.union(batchDup).distinct().localCheckpoint()
+        val accepted = batch
+          .join(dropIds, batch("doc_id") === dropIds("drop_id"), "left_anti")
+        accepted.write.mode("append").parquet(outPath)
+        keys.join(dropIds, keys("doc_id") === dropIds("drop_id"), "left_anti")
+          .select($"b", $"key", $"doc_id")
+          .write.mode("append").parquet(indexPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

@@ -192,6 +192,40 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("nearDupIngest: suppresses within-batch and historical near-dups") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = Files.createTempDirectory("graft_neardup")
+    val out = base.resolve("out").toString
+    val index = base.resolve("index").toString
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words that share no three gram at all here"
+    val in = MemoryStream[(Long, String)]
+
+    def drain(): Unit = {
+      val q = Streams.nearDupIngest(in.toDF().toDF("doc_id", "text"),
+        out, index, base.resolve("ckpt").toString)
+      q.awaitTermination()
+    }
+
+    // batch 1: doc 2 duplicates doc 1 within the batch -> only 1 accepted
+    in.addData((1L, text), (2L, text))
+    drain()
+    assert(s.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L))
+
+    // batch 2: doc 3 duplicates historically-accepted doc 1 -> dropped;
+    // doc 4 is novel -> accepted
+    in.addData((3L, text), (4L, other))
+    drain()
+    assert(s.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 4L))
+    // the index only carries keys of accepted docs
+    assert(s.read.parquet(index).select("doc_id").distinct().as[Long]
+      .collect().sorted.toSeq == Seq(1L, 4L))
+  }
+
   test("incrementalMerge: delete-insert by unique key across micro-batch runs") {
     val s = spark
     import s.implicits._
