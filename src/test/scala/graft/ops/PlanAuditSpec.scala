@@ -94,6 +94,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(scanIdx >= 0 && expandIdx >= 0 && baseAggIdx >= 0)
   }
 
+  test("q03: all three scans keep pushed filters; the customer dim broadcasts") {
+    val p = plan(Relational.q03(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("t07: sequence packing shuffles once (the per-stream window)") {
+    val p = simplePlan(TextAnalysis.t07(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("d01: two-level dedup aggregation with map-side partials") {
+    val p = simplePlan(Dedup.d01(spark, dir))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 4, s"expected two aggregation levels with partials, got $aggs:\n$p")
+  }
+
   test("s01: corpus side streams, query side broadcasts") {
     val p = plan(Similarity.s01(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
