@@ -174,13 +174,19 @@ object ProjectLoader {
     // as distinct `{name}.v{n}` nodes.
     val versionFile: Map[String, (String, Long, Boolean)] =
       modelPatches.flatMap { case (mname, (_, entry)) =>
-        val vs = entry.get("versions").collect { case YList(items) =>
-          items.collect { case vm: YMap =>
-            val v = vm("v") match {
-              case YInt(i) => i
-              case other => other.asStr.toLong
-            }
-            (vm.get("defined_in").map(_.asStr).getOrElse(s"${mname}_v$v"), v)
+        // lenient like the reference: non-integer versions (e.g. the
+      // reference's model_yml_string_version fixture) only error when the
+      // model is actually versioned, never at project load
+      val vs = entry.get("versions").collect { case YList(items) =>
+          items.flatMap {
+            case vm: YMap =>
+              val vOpt = vm.get("v").flatMap {
+                case YInt(i) => Some(i)
+                case other => scala.util.Try(other.asStr.toLong).toOption
+              }
+              vOpt.map(v =>
+                (vm.get("defined_in").map(_.asStr).getOrElse(s"${mname}_v$v"), v))
+            case _ => None
           }
         }.getOrElse(Vector.empty)
         val latest = entry.get("latest_version").collect { case YInt(i) => i }
@@ -238,7 +244,9 @@ object ProjectLoader {
         access = access,
         group = patchEntry.get("group").map(_.asStr),
         version = patchEntry.get("versions").collect { case YList(vs) =>
-          vs.collect { case vm: YMap => vm("v").asStr.toLong }.maxOption
+          // lenient: non-integer versions only error in the Versioner
+          vs.collect { case vm: YMap => vm("v").asStr }
+            .flatMap(v => scala.util.Try(v.toLong).toOption).maxOption
         }.flatten,
         latestVersion = patchEntry.get("latest_version").collect { case YInt(i) => i },
         materialized = conf.getOrElse("materialized",

@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 /** Deduplication operators over `documents`:
   *  - d01: exact dedup (two-level hash aggregation on raw + normalized text),
   *  - d02: n-gram Jaccard near-dup via a shingle inverted-index join,
-  *  - d03: MinHash + LSH banding (64 perms via the MinHashAgg
-  *    TypedImperativeAggregate, 32 bands × 2 rows) with exact Jaccard
+  *  - d03: MinHash + LSH banding (64 perms via the compiled map-side
+  *    MinHash64 kernel, 32 bands × 2 rows) with exact Jaccard
   *    verification of band-bucket candidates only,
-  *  - d04: SimHash (60-bit TF signature, 4×15-bit banding, hamming ≤ 1),
+  *  - d04: SimHash (60-bit TF signature via the compiled SimHash60
+  *    kernel, 4×15-bit banding, hamming ≤ 1),
   *  - d05: blocked edit-distance (record-linkage blocking keys bound the
   *    O(len²) Levenshtein pairs).
   *

@@ -54,6 +54,44 @@ class ProjectLoaderSpec extends AnyFunSuite {
     assert(m.nodes("model.jaffle.orders").materialized == "table")
   }
 
+  test("versioned files resolve to the base model; latest wins, old versions get .vN ids") {
+    val root = writeProject(baseProject - "models/orders.sql" ++ Map(
+      "models/_orders.yml" ->
+        """version: 2
+          |models:
+          |  - name: orders
+          |    latest_version: 2
+          |    versions:
+          |      - v: 1
+          |      - v: 2
+          |        defined_in: orders_latest
+          |""".stripMargin,
+      "models/orders_v1.sql" -> "select 1 as id",
+      "models/orders_latest.sql" ->
+        "select * from {{ ref('stg_orders') }}"))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.nodes.contains("model.jaffle.orders"))
+    assert(m.nodes("model.jaffle.orders").filePath == "models/orders_latest.sql")
+    assert(m.nodes.contains("model.jaffle.orders.v1"))
+    // ref('orders') from another model would resolve to the latest node
+    assert(m.nodes("model.jaffle.orders").dependsOn.nodes ==
+      Vector("model.jaffle.stg_orders"))
+  }
+
+  test("non-integer versions don't abort the load (error only when versioning)") {
+    val root = writeProject(baseProject ++ Map(
+      "models/_orders.yml" ->
+        """version: 2
+          |models:
+          |  - name: orders
+          |    latest_version: john_olerud
+          |    versions:
+          |      - v: john_olerud
+          |""".stripMargin))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.nodes.contains("model.jaffle.orders"))
+  }
+
   test("non-enforced models with exotic data_type strings load fine") {
     // data_type like varchar(255)/array<string> is docs vocabulary for
     // non-contracted models; it must not abort the project load
