@@ -67,6 +67,17 @@ object Main {
     def apply(cs: ChangeSet, at: Path = root): Unit =
       new ChangeSetProcessor(at, dryRun = dryRun, log = println).process(Seq(cs))
     def readFile(p: String): String = Files.readString(root.resolve(p))
+    // selection = --select/--exclude grammar ∪ --selector (named selector
+    // from selectors.yml, like the reference's pass-through to dbt ls)
+    def selection(m: graft.core.model.Manifest): Set[String] = {
+      val bySelect =
+        if (args.flags("select").isEmpty) Set.empty[String]
+        else Selector.select(m, args.flags("select"), args.flags("exclude"))
+      val byName = args.flags("selector").headOption.map { name =>
+        Selector.namedSelector(m, readFile("selectors.yml"), name)
+      }.getOrElse(Set.empty)
+      bySelect ++ byName
+    }
     def spark(): SparkSession = SparkSession.builder()
       .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
       .appName("graft").config("spark.ui.enabled", "false").getOrCreate()
@@ -74,10 +85,9 @@ object Main {
     command match {
       case "run" =>
         val (cfg, m) = ProjectLoader.load(root)
-        val sel = args.flags("select") match {
-          case Vector() => None
-          case ts => Some(Selector.select(m, ts, args.flags("exclude")))
-        }
+        val sel =
+          if (args.flags("select").isEmpty && args.flags("selector").isEmpty) None
+          else Some(selection(m))
         val out = new Runner(spark(), m, cfg,
           Files.createTempDirectory("graft_wh"), projectRoot = Some(root)).run(sel)
         out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
@@ -85,14 +95,14 @@ object Main {
       case "split" =>
         val name = args.positional.head
         val (cfg, m) = ProjectLoader.load(root)
-        val selected = Selector.select(m, args.flags("select"), args.flags("exclude"))
+        val selected = selection(m)
         val target = args.flags("target-dir").headOption.getOrElse(s"${name}_proj")
         apply(SubprojectCreator.initialize(m, cfg, name, selected, target, readFile))
 
       case "create-group" | "group" =>
         val name = args.positional.head
         val (cfg0, m) = ProjectLoader.load(root)
-        val selected = Selector.select(m, args.flags("select"), args.flags("exclude"))
+        val selected = selection(m)
         val owner = Owner(
           name = args.flags("owner-name").headOption,
           email = args.flags("owner-email").headOption,
@@ -148,7 +158,7 @@ object Main {
       case "contract" =>
         val s = spark()
         val (cfg, m) = ProjectLoader.load(root)
-        val selected = Selector.select(m, args.flags("select"), args.flags("exclude"))
+        val selected = selection(m)
         val runner = new Runner(s, m, cfg,
           Files.createTempDirectory("graft_wh"), enforceAccess = false,
           projectRoot = Some(root))
@@ -163,9 +173,8 @@ object Main {
         // reference selects with --select; a bare positional model name is
         // accepted as a convenience
         val names: Seq[String] =
-          if (args.flags("select").nonEmpty)
-            Selector.select(m, args.flags("select"), args.flags("exclude"))
-              .toSeq.sorted.flatMap(m.nodes.get)
+          if (args.flags("select").nonEmpty || args.flags("selector").nonEmpty)
+            selection(m).toSeq.sorted.flatMap(m.nodes.get)
               .filter(_.uniqueId.startsWith("model.")).map(_.name)
           else args.positional
         // default behavior is Prerelease (keep latest_version), matching

@@ -124,4 +124,66 @@ object Selector {
   def selectForSubproject(manifest: Manifest, already: Set[String],
       sel: Seq[String], exclude: Seq[String] = Nil): Set[String] =
     select(manifest, sel, exclude) -- already
+
+  import graft.core.yaml._
+
+  /** Named selectors (`selectors.yml`) — the `--selector` flag the
+    * reference forwards to `dbt ls`. Supported definition forms (the
+    * documented dbt subset projects actually write):
+    *  - a selection string (full string grammar above)
+    *  - `{method, value [, children, parents, childrens_parents,
+    *    parents_depth, children_depth]}`
+    *  - `{union: [defs]}` / `{intersection: [defs]}`
+    *  - `{exclude: [defs]}` inside a union/intersection list
+    */
+  def namedSelector(manifest: Manifest, selectorsYaml: String,
+      name: String): Set[String] = {
+    val doc = Yaml.parseMap(selectorsYaml)
+    val defs = doc.get("selectors").collect { case YList(ss) => ss }
+      .getOrElse(Vector.empty).collect { case m: YMap => m }
+    val entry = defs.find(_.get("name").exists(_.asStr == name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"selector '$name' not found (have: ${defs.flatMap(_.get("name")).map(_.asStr).mkString(", ")})"))
+    evalDefinition(manifest, entry("definition"))
+  }
+
+  private def evalDefinition(manifest: Manifest, d: Y): Set[String] = d match {
+    case YStr(s) => select(manifest, s.split("\\s+").toSeq.filter(_.nonEmpty))
+    case m: YMap if m.contains("union") =>
+      val (ex, in) = partitionExcludes(m("union").asList.items)
+      in.map(evalDefinition(manifest, _)).foldLeft(Set.empty[String])(_ ++ _) --
+        ex.map(evalDefinition(manifest, _)).foldLeft(Set.empty[String])(_ ++ _)
+    case m: YMap if m.contains("intersection") =>
+      val (ex, in) = partitionExcludes(m("intersection").asList.items)
+      val base = in.map(evalDefinition(manifest, _)).reduceLeft(_ intersect _)
+      base -- ex.map(evalDefinition(manifest, _)).foldLeft(Set.empty[String])(_ ++ _)
+    case m: YMap if m.contains("method") =>
+      val method = m("method").asStr
+      val value = m("value").asStr
+      val tokenCore = method match {
+        case "fqn" | "name" => value
+        case other => s"$other:$value"
+      }
+      val at = m.get("childrens_parents").contains(YBool(true))
+      val anc = m.get("parents").contains(YBool(true))
+      val desc = m.get("children").contains(YBool(true))
+      val ancD = m.get("parents_depth").map(_.asStr).getOrElse("")
+      val descD = m.get("children_depth").map(_.asStr).getOrElse("")
+      val token =
+        if (at) s"@$tokenCore"
+        else (if (anc) s"$ancD+" else "") + tokenCore +
+          (if (desc) s"+$descD" else "")
+      select(manifest, Seq(token))
+    case other => throw new IllegalArgumentException(
+      s"unsupported selector definition: ${Yaml.dump(other)}")
+  }
+
+  private def partitionExcludes(items: Vector[Y]): (Vector[Y], Vector[Y]) = {
+    val (exM, in) = items.partition {
+      case m: YMap => m.contains("exclude")
+      case _ => false
+    }
+    val ex = exM.flatMap { case m: YMap => m("exclude").asList.items; case _ => Nil }
+    (ex, in)
+  }
 }

@@ -85,6 +85,44 @@ class SelectorSpec extends AnyFunSuite {
       Set("a", "b", "c", "d") + "source.p.raw.src".stripPrefix("model.p."))
   }
 
+  test("named selectors: string, method map, union/intersection, exclude") {
+    val yml =
+      """selectors:
+        |  - name: simple
+        |    definition: "+d"
+        |  - name: nightly_models
+        |    definition:
+        |      method: tag
+        |      value: nightly
+        |      children: true
+        |  - name: combo
+        |    definition:
+        |      union:
+        |        - "a"
+        |        - method: tag
+        |          value: nightly
+        |        - exclude:
+        |            - "b"
+        |  - name: both
+        |    definition:
+        |      intersection:
+        |        - "+d"
+        |        - method: tag
+        |          value: nightly
+        |""".stripMargin
+    assert(ids(Selector.namedSelector(manifest, yml, "simple")) ==
+      Set("a", "b", "c", "d") + "source.p.raw.src".stripPrefix("model.p."))
+    // tag:nightly = {a, b}; children flows downstream
+    assert(ids(Selector.namedSelector(manifest, yml, "nightly_models")) ==
+      Set("a", "b", "c", "d"))
+    // union(a, tag:nightly) = {a, b}, minus exclude b = {a}
+    assert(ids(Selector.namedSelector(manifest, yml, "combo")) == Set("a"))
+    // ancestors-of-d ∩ tag:nightly = {a, b}
+    assert(ids(Selector.namedSelector(manifest, yml, "both")) == Set("a", "b"))
+    intercept[IllegalArgumentException](
+      Selector.namedSelector(manifest, yml, "missing"))
+  }
+
   test("unknown methods fail loudly") {
     intercept[IllegalArgumentException](Selector.select(manifest, Seq("state:modified")))
     intercept[IllegalArgumentException](Selector.select(manifest, Seq("@+x")))
