@@ -21,8 +21,12 @@ import java.nio.file.{Files, Path, Paths}
   * graft add-version  MODEL|--select S [--defined-in F]
   * graft bump-version MODEL|--select S [--increment|--latest] [--defined-in F]
   *                    (default latest_version behavior: prerelease)
-  * graft connect         --project-paths P1 P2 [--dry-run]
+  * graft connect         --project-paths P1 P2 | --projects-dir D
+  *                       [--exclude-projects N]* [--dry-run]
   * }}}
+  *
+  * Every selecting command also accepts `--selector NAME` (named selector
+  * from `selectors.yml`) and `--exclude`.
   *
   * All commands are pure planners; `--dry-run` prints the plan instead of
   * editing files (the reference's plan/execute split, `main.py:99-110`).
