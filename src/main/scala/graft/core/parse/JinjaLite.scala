@@ -47,6 +47,23 @@ object JinjaLite {
   def findSources(code: String): Vector[SourceCall] =
     sourceRe.findAllMatchIn(code).map(m => SourceCall(m.group(1), m.group(2))).toVector
 
+  // Python models call `dbt.ref("m")` / `dbt.source("s", "t")` instead of
+  // jinja expressions (`references.py:102-148` rewrites these forms)
+  private val pyRefRe: Regex =
+    """dbt\s*\.\s*ref\s*\(\s*['"]([A-Za-z0-9_.\-]+)['"]\s*(?:,\s*['"]([A-Za-z0-9_.\-]+)['"]\s*)?\)""".r
+  private val pySourceRe: Regex =
+    """dbt\s*\.\s*source\s*\(\s*['"]([A-Za-z0-9_.\-]+)['"]\s*,\s*['"]([A-Za-z0-9_.\-]+)['"]\s*\)""".r
+
+  def findPythonRefs(code: String): Vector[RefCall] =
+    pyRefRe.findAllMatchIn(code).map { m =>
+      val (proj, name) =
+        if (m.group(2) != null) (Some(m.group(1)), m.group(2)) else (None, m.group(1))
+      RefCall(proj, name, None)
+    }.toVector
+
+  def findPythonSources(code: String): Vector[SourceCall] =
+    pySourceRe.findAllMatchIn(code).map(m => SourceCall(m.group(1), m.group(2))).toVector
+
   def findDocRefs(code: String): Vector[String] =
     docRe.findAllMatchIn(code).map(_.group(1)).toVector
 

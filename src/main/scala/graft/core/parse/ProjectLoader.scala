@@ -214,9 +214,16 @@ object ProjectLoader {
       val code = Files.readString(p)
       val lang = if (p.toString.endsWith(".py")) "python" else "sql"
       val id = s"model.$proj.$name"
-      val refDeps = JinjaLite.findRefs(code).filter(_.project.forall(_ == proj))
+      // Python models use dbt.ref()/dbt.source() instead of jinja forms
+      val refCalls =
+        if (lang == "python") JinjaLite.findPythonRefs(code)
+        else JinjaLite.findRefs(code)
+      val srcCalls =
+        if (lang == "python") JinjaLite.findPythonSources(code)
+        else JinjaLite.findSources(code)
+      val refDeps = refCalls.filter(_.project.forall(_ == proj))
         .flatMap(r => nameToId.get(r.name))
-      val srcDeps = JinjaLite.findSources(code).flatMap(sc => sourceByPair.get((sc.sourceName, sc.table)))
+      val srcDeps = srcCalls.flatMap(sc => sourceByPair.get((sc.sourceName, sc.table)))
       val macroDeps = JinjaLite.findMacroCalls(code).filter(macroNames).map(n => s"macro.$proj.$n")
       val conf = JinjaLite.findConfig(code)
       val patch = modelPatches.get(name)

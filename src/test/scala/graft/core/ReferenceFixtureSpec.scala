@@ -1,0 +1,55 @@
+package graft.core
+
+import graft.core.parse.ProjectLoader
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Loads the reference's own jaffle-shop fixture project (read-only)
+  * through our native loader — the strongest fidelity check available:
+  * the real dbt project the reference's integration tests run against
+  * must parse into the same resource graph dbt's Manifest would carry.
+  * Skipped when the reference checkout isn't present. */
+class ReferenceFixtureSpec extends AnyFunSuite {
+
+  private val fixture =
+    Paths.get("/root/reference/test-projects/split/split_proj")
+
+  test("the reference's split fixture loads with the full resource graph") {
+    assume(Files.isDirectory(fixture), "reference checkout not present")
+    val (cfg, m) = ProjectLoader.load(fixture)
+    assert(cfg.name == "split_proj")
+    val models = m.nodes.keySet.filter(_.startsWith("model."))
+    assert(models == Set(
+      "model.split_proj.customer_status_histories",
+      "model.split_proj.customers",
+      "model.split_proj.leaf_node",
+      "model.split_proj.metricflow_time_spine",
+      "model.split_proj.orders",
+      "model.split_proj.stg_customers",
+      "model.split_proj.stg_locations",
+      "model.split_proj.stg_order_items",
+      "model.split_proj.stg_orders",
+      "model.split_proj.stg_products",
+      "model.split_proj.stg_supplies"))
+    // 6 seed CSVs become seed nodes; 6 source tables; the custom generic
+    // test macro and the redirect macro; the exposure + semantic model
+    assert(m.nodes.keySet.count(_.startsWith("seed.")) == 6)
+    assert(m.sources.size == 6)
+    assert(m.macros.keySet == Set(
+      "macro.split_proj.custom_generic_test", "macro.split_proj.redirect"))
+    assert(m.exposures.size == 1)
+    assert(m.semanticModels.size == 1)
+    // column tests on the staging models compile to test nodes
+    assert(m.tests.size >= 18)
+    // the marts model's dependency fan-in resolves through refs
+    assert(m.nodes("model.split_proj.orders").dependsOn.nodes.toSet == Set(
+      "model.split_proj.stg_locations",
+      "model.split_proj.stg_order_items",
+      "model.split_proj.stg_orders",
+      "model.split_proj.stg_products",
+      "model.split_proj.stg_supplies"))
+    // the Python model resolves its dbt.ref dependencies too
+    assert(m.nodes("model.split_proj.customer_status_histories")
+      .dependsOn.nodes.nonEmpty)
+  }
+}
