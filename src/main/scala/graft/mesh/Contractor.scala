@@ -22,11 +22,11 @@ object Contractor {
     * `spark` (falls back to the model's graft view name). */
   def generateContract(spark: SparkSession, model: ModelNode,
       viewName: String, existingEntry: YMap = YMap.empty,
-      patchPathDefault: String => String = n => s"models/_$n.yml"): ResourceChange = {
+      patchPathDefault: ModelNode => String = PatchPaths.default): ResourceChange = {
     val schema = spark.table(viewName).schema
     val data = Contracts.contractPatch(schema, declaredCase(existingEntry))
     val op = if (model.patchPath.isDefined) Operation.Update else Operation.Add
     ResourceChange(op, EntityType.Model, model.name,
-      model.patchPath.getOrElse(patchPathDefault(model.name)), data)
+      model.patchPath.getOrElse(patchPathDefault(model)), data)
   }
 }

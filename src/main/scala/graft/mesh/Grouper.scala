@@ -14,14 +14,14 @@ object Grouper {
 
   /** C2: access patch for one model (`utilities/grouper.py:114-131`). */
   def accessChange(model: ModelNode, access: AccessType, group: Option[String],
-      patchPathDefault: String => String = n => s"models/_$n.yml"): ResourceChange = {
+      patchPathDefault: ModelNode => String = PatchPaths.default): ResourceChange = {
     val data = group.foldLeft(YMap.of("access" -> YStr(access.name))) {
       (m, g) => m.updated("group", YStr(g))
     }
     ResourceChange(
       if (model.patchPath.isDefined) Operation.Update else Operation.Add,
       EntityType.Model, model.name,
-      model.patchPath.getOrElse(patchPathDefault(model.name)), data)
+      model.patchPath.getOrElse(patchPathDefault(model)), data)
   }
 
   /** C3: create a group over `selected`: conflict guard, test-free

@@ -89,7 +89,7 @@ object Linker {
       cs0 + ResourceChange(
         if (upModel.patchPath.isDefined) Operation.Update else Operation.Add,
         EntityType.Model, upModel.name,
-        upModel.patchPath.getOrElse(s"models/_${upModel.name}.yml"), data)
+        upModel.patchPath.getOrElse(PatchPaths.default(upModel)), data)
     }
     val cs2 = dep.depType match {
       case DependencyType.Source =>

@@ -161,7 +161,7 @@ object SubprojectCreator {
     val boundary = boundaryModels(manifest, selected)
     val governance = boundary.toSeq.sorted.flatMap(manifest.nodes.get).foldLeft(ChangeSet()) {
       (cs, m) =>
-        val patchPath = subDir(m.patchPath.getOrElse(s"models/_${m.name}.yml"))
+        val patchPath = subDir(m.patchPath.getOrElse(PatchPaths.default(m)))
         val withAccess = cs + ResourceChange(Operation.Update, EntityType.Model,
           m.name, patchPath, YMap.of("access" -> YStr(AccessType.Public.name)))
         contractFor(m).fold(withAccess)(data =>
@@ -195,7 +195,7 @@ object SubprojectCreator {
           withAccess + ResourceChange(
             if (m.patchPath.isDefined) Operation.Update else Operation.Add,
             EntityType.Model, m.name,
-            m.patchPath.getOrElse(s"models/_${m.name}.yml"), data))
+            m.patchPath.getOrElse(PatchPaths.default(m)), data))
       }
 
     // 7. packages.yml rides along so the subproject keeps its package

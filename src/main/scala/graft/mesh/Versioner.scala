@@ -36,7 +36,7 @@ object Versioner {
     * Move model.sql → model_v1.sql (or defined_in name); errors if
     * versions already exist (`utilities/versioner.py:79-134`). */
   def addVersion(model: ModelNode, entry: YMap, definedIn: Option[String] = None,
-      patchPathDefault: String => String = n => s"models/_$n.yml"): ChangeSet = {
+      patchPathDefault: ModelNode => String = PatchPaths.default): ChangeSet = {
     require(latestModelVersion(entry).isEmpty,
       s"model ${model.name} already has versions")
     val v1name = definedIn.getOrElse(s"${model.name}_v1")
@@ -49,7 +49,7 @@ object Versioner {
     val patch = ResourceChange(
       if (model.patchPath.isDefined) Operation.Update else Operation.Add,
       EntityType.Model, model.name,
-      model.patchPath.getOrElse(patchPathDefault(model.name)),
+      model.patchPath.getOrElse(patchPathDefault(model)),
       YMap.of("latest_version" -> YInt(1), "versions" -> YList.of(versionsEntry)))
     ChangeSet(Vector(
       patch,
@@ -80,7 +80,7 @@ object Versioner {
     val dir = parentDir(model.filePath)
     val newPath = s"$dir${definedIn.getOrElse(s"${model.name}_v$newV")}.${ext(model)}"
     val patch = ResourceChange(Operation.Update, EntityType.Model, model.name,
-      model.patchPath.getOrElse(s"models/_${model.name}.yml"),
+      model.patchPath.getOrElse(PatchPaths.default(model)),
       YMap.of("latest_version" -> YInt(newLatest), "versions" -> newVersions))
     ChangeSet(Vector(
       patch,

@@ -80,7 +80,7 @@ class MainSpec extends AnyFunSuite {
     Main.main(Array("bump-version", "mart", "--defined-in", "daves_model",
       "--project-dir", root.toString))
     assert(Files.exists(root.resolve("models/daves_model.sql")))
-    val yml = Files.readString(root.resolve("models/_mart.yml"))
+    val yml = Files.readString(root.resolve("models/_models.yml"))
     // default behavior = prerelease: latest_version stays 1
     assert(yml.contains("latest_version: 1"), yml)
     assert(yml.contains("defined_in: daves_model"), yml)

@@ -20,7 +20,7 @@ class GrouperSpec extends AnyFunSuite {
     val bare = Fixtures.model("p", "b", "")
     val rc2 = Grouper.accessChange(bare, AccessType.Private, None)
     assert(rc2.op == Operation.Add)
-    assert(rc2.path == "models/_b.yml")
+    assert(rc2.path == "models/_models.yml") // resolve_patch_path default
     assert(rc2.data == YMap.of("access" -> YStr("private")))
   }
 

@@ -74,10 +74,11 @@ class MeshLifecycleSpec extends AnyFunSuite with SparkFixture {
     assert(out2("model.marts.report").collect().head.getLong(0) == 3L)
 
     // 5. version the subproject's orders model
-    // the group step wrote per-model patches at models/_<name>.yml; the
-    // split moved orders' patch into the subproject
+    // patches without an existing file land in the model dir's
+    // _models.yml (dbt's resolve_patch_path default); the split moved
+    // orders' patch into the subproject
     val entry = Yaml.parseMap(
-      Files.readString(sub.resolve("models/_orders.yml")))
+      Files.readString(sub.resolve("models/marts/_models.yml")))
       .apply("models").asList.items
       .collectFirst { case e: YMap if e.get("name").exists(_.asStr == "orders") => e }
       .getOrElse(YMap.of())

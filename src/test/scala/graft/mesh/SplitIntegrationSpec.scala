@@ -63,7 +63,7 @@ class SplitIntegrationSpec extends AnyFunSuite with SparkFixture {
     assert(!Files.exists(root.resolve("models/marts/orders.sql")))
     assert(!Files.exists(root.resolve("models/marts/report.sql")))
     val stgPatch = Yaml.parseMap(
-      Files.readString(root.resolve("models/_stg_orders.yml")))
+      Files.readString(root.resolve("models/staging/_models.yml")))
     val stgEntry = stgPatch("models").asList.items.head.asMap
     assert(stgEntry.get("access").map(_.asStr).contains("public"))
 
