@@ -28,6 +28,29 @@ object ProjectLoader {
     (cfg, buildManifest(root, cfg))
   }
 
+  /** Target schema from profiles.yml (profile named by dbt_project.yml's
+    * `profile:` or the project name; `outputs[target].schema`, "main"
+    * when absent — the duckdb default the reference fixtures rely on).
+    * Relation names are built from THIS, like dbt: a project-name schema
+    * default would make equal relations in different projects never
+    * match, breaking the linker's relation intersection (B1). */
+  private def targetSchema(root: Path, cfg: ProjectConfig): String = {
+    val profName = cfg.raw.get("profile").map(_.asStr).getOrElse(cfg.name)
+    val profFile = root.resolve("profiles.yml")
+    val parsed =
+      if (!Files.exists(profFile)) None
+      else scala.util.Try(Yaml.parseMap(Files.readString(profFile))).toOption
+    val out = for {
+      doc <- parsed
+      prof <- doc.get(profName).collect { case m: YMap => m }
+      target = prof.get("target").map(_.asStr).getOrElse("dev")
+      outputs <- prof.get("outputs").collect { case m: YMap => m }
+      tgt <- outputs.get(target).collect { case m: YMap => m }
+      sch <- tgt.get("schema").map(_.asStr)
+    } yield sch
+    out.getOrElse("main")
+  }
+
   private def strList(y: Option[Y]): Option[Vector[String]] = y.collect {
     case YList(items) => items.map(_.asStr)
     case YStr(s) => Vector(s)
@@ -40,6 +63,7 @@ object ProjectLoader {
       .toVector.sortBy(_.toString)
 
   private def buildManifest(root: Path, cfg: ProjectConfig): Manifest = {
+    val baseSchema = targetSchema(root, cfg)
     val proj = cfg.name
 
     // ---- macros + custom generic test definitions ({% test %} blocks
@@ -158,7 +182,7 @@ object ProjectLoader {
           uniqueId = id, name = name, packageName = proj,
           filePath = root.relativize(p).toString, rawCode = "",
           materialized = "seed",
-          relationName = Some(s"main.$proj.$name"))
+          relationName = Some(s"main.$baseSchema.$name"))
       }.toMap
 
     // ---- model files
@@ -231,7 +255,10 @@ object ProjectLoader {
       val patchConfig = patchEntry.get("config").collect { case m: YMap => m }.getOrElse(YMap.empty)
       val access = patchEntry.get("access").map(a => AccessType.parse(a.asStr))
         .getOrElse(AccessType.Protected)
-      val schema = conf.getOrElse("schema", proj)
+      // dbt's default generate_schema_name: the target schema, or
+      // `<target>_<custom>` when the model sets a custom schema
+      val schema = conf.get("schema").map(c => s"${baseSchema}_$c")
+        .getOrElse(baseSchema)
       // Contract columns are parsed only for enforced contracts: a
       // non-enforced model's data_type strings are docs/catalog vocabulary
       // (varchar(255), array<string>, …) that must not abort the load.

@@ -121,7 +121,7 @@ class MainSpec extends AnyFunSuite {
           |sources:
           |  - name: ext
           |    database: main
-          |    schema: up_proj
+          |    schema: main
           |    tables:
           |      - name: shared
           |""".stripMargin,
@@ -155,7 +155,7 @@ class MainSpec extends AnyFunSuite {
           |sources:
           |  - name: ext
           |    database: main
-          |    schema: up_proj
+          |    schema: main
           |    tables:
           |      - name: shared
           |""".stripMargin,

@@ -1,0 +1,57 @@
+package graft.cli
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+/** Runs connect against scratch copies of the reference's source-hack
+  * fixture projects — the scenario its `test_connect_command.py` and
+  * `test_dependency_detection.py` pin: src_proj_b reads src_proj_a's
+  * shared_model through a source stanza (with an UPPER-CASE identifier,
+  * exercising case-insensitive relation matching). Skipped when the
+  * reference checkout isn't present. */
+class ReferenceConnectSpec extends AnyFunSuite {
+
+  private val base = Paths.get("/root/reference/test-projects/source-hack")
+
+  private def copyTree(from: Path, to: Path): Unit = {
+    Files.walk(from).forEach { p =>
+      val rel = from.relativize(p)
+      val dst = to.resolve(rel.toString)
+      if (Files.isDirectory(p)) Files.createDirectories(dst)
+      else {
+        Files.createDirectories(dst.getParent)
+        Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  test("connect resolves the source-hack dependency between the reference fixtures") {
+    assume(Files.isDirectory(base), "reference checkout not present")
+    val work = Files.createTempDirectory("graft_ref_connect")
+    copyTree(base.resolve("src_proj_a"), work.resolve("src_proj_a"))
+    copyTree(base.resolve("src_proj_b"), work.resolve("src_proj_b"))
+
+    Main.main(Array("connect", "--projects-dir", work.toString))
+
+    // downstream: source() rewritten to the cross-project ref
+    val downstream = Files.readString(
+      work.resolve("src_proj_b/models/downstream_model.sql"))
+    assert(downstream.contains("{{ ref('src_proj_a', 'shared_model') }}"),
+      downstream)
+    // the source stanza is gone; the file held only the one source, so it
+    // was deleted outright (empty-file cleanup)
+    assert(!Files.exists(work.resolve("src_proj_b/models/_sources.yml")))
+    // downstream registers the dependency
+    assert(Files.readString(work.resolve("src_proj_b/dependencies.yml"))
+      .contains("src_proj_a"))
+    // upstream boundary model becomes public at the default patch path
+    val upYml = Files.readString(
+      work.resolve("src_proj_a/models/_models.yml"))
+    assert(upYml.contains("shared_model") && upYml.contains("access: public"),
+      upYml)
+
+    Files.walk(work).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.delete(p))
+  }
+}

@@ -33,7 +33,7 @@ class ConnectIntegrationSpec extends AnyFunSuite {
           |sources:
           |  - name: ext
           |    database: main
-          |    schema: up_proj
+          |    schema: main
           |    tables:
           |      - name: shared_orders
           |""".stripMargin,
