@@ -238,7 +238,13 @@ object Main {
           "connect needs at least two projects (--project-paths P1 P2 or --projects-dir D)")
         val byName = loaded.map { case (p, m) => m.projectName -> p }.toMap
         val plans = Commands.connectPlans(loaded.map(_._2),
-          installs = (_, _) => false, contractData = _ => None,
+          // A installs B iff A's manifest carries resources owned by B —
+          // the view `dbt deps` + parse gives the reference
+          // (`installed_packages`, dbt_projects.py:150-170)
+          installs = (aName, bName) => loaded.map(_._2)
+            .find(_.projectName == aName)
+            .exists(_.nodes.values.exists(_.packageName == bName)),
+          contractData = _ => None,
           readFile = (proj, f) => Files.readString(byName(proj).resolve(f)))
         plans.toSeq.sortBy(_._1).foreach { case (proj, cs) =>
           println(s"-- $proj --")

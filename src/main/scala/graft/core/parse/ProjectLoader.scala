@@ -25,7 +25,7 @@ object ProjectLoader {
       testPaths = strList(projYaml.get("test-paths")).getOrElse(Vector("tests")),
       vars = projYaml.get("vars").collect { case m: YMap => m }.getOrElse(YMap.empty),
       raw = projYaml)
-    (cfg, buildManifest(root, cfg))
+    (cfg, buildManifest(root, cfg, loadPackages = true))
   }
 
   /** Target schema from profiles.yml (profile named by dbt_project.yml's
@@ -62,9 +62,41 @@ object ProjectLoader {
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(ext))
       .toVector.sortBy(_.toString)
 
-  private def buildManifest(root: Path, cfg: ProjectConfig): Manifest = {
+  /** Installed-package project roots: `local:` entries in packages.yml
+    * (resolved without vendoring — dbt would copy them into dbt_packages
+    * via `dbt deps`) plus any already-vendored `dbt_packages/<pkg>`
+    * checkouts. One level deep, like the linker needs: a package's own
+    * packages are not followed. */
+  private def packageRoots(root: Path): Vector[Path] = {
+    val fromYml = (for {
+      txt <- scala.util.Try(Files.readString(root.resolve("packages.yml"))).toOption
+      doc <- scala.util.Try(Yaml.parseMap(txt)).toOption
+      items <- doc.get("packages").collect { case YList(is) => is }
+    } yield items.flatMap {
+      case m: YMap => m.get("local").map(l => root.resolve(l.asStr).normalize())
+      case _ => None
+    }).getOrElse(Vector.empty)
+    val vendorDir = root.resolve("dbt_packages")
+    val vendored =
+      if (!Files.isDirectory(vendorDir)) Vector.empty
+      else Files.list(vendorDir).iterator().asScala.toVector
+    (fromYml ++ vendored).filter(p => Files.exists(p.resolve("dbt_project.yml")))
+  }
+
+  private def buildManifest(root: Path, cfg: ProjectConfig,
+      loadPackages: Boolean = false): Manifest = {
     val baseSchema = targetSchema(root, cfg)
     val proj = cfg.name
+
+    // ---- installed packages load as foreign-package resources (the view
+    // dbt's Manifest has after `dbt deps` + parse: package models are
+    // ref()-able by bare name and carry their own package_name) — the
+    // basis for the linker's `installs` predicate and B3 package deps
+    val pkgManifests: Vector[Manifest] =
+      if (!loadPackages) Vector.empty
+      else packageRoots(root).flatMap { pr =>
+        scala.util.Try(load(pr)).toOption.map(_._2)
+      }.filter(_.projectName != proj).distinctBy(_.projectName)
 
     // ---- macros + custom generic test definitions ({% test %} blocks
     // under test-paths share the macro namespace, like dbt)
@@ -222,11 +254,13 @@ object ProjectLoader {
       case Some((base, v, false)) => s"$base.v$v"
       case None => fileBase
     }
-    // ref() resolves to models AND seeds by name
+    // ref() resolves to models AND seeds by name — including installed
+    // package models (dbt lets `ref('x')` reach package resources)
     val nameToId: Map[String, String] =
-      modelFiles.map { p =>
-        val n = resolvedName(baseName(p)); n -> s"model.$proj.$n"
-      }.toMap ++
+      pkgManifests.flatMap(_.nodes.values.map(n => n.name -> n.uniqueId)).toMap ++
+        modelFiles.map { p =>
+          val n = resolvedName(baseName(p)); n -> s"model.$proj.$n"
+        }.toMap ++
         seedNodes.values.map(n => n.name -> n.uniqueId)
 
     var nodes: Map[String, ModelNode] = seedNodes
@@ -245,7 +279,8 @@ object ProjectLoader {
       val srcCalls =
         if (lang == "python") JinjaLite.findPythonSources(code)
         else JinjaLite.findSources(code)
-      val refDeps = refCalls.filter(_.project.forall(_ == proj))
+      val pkgNames = pkgManifests.map(_.projectName).toSet + proj
+      val refDeps = refCalls.filter(_.project.forall(pkgNames))
         .flatMap(r => nameToId.get(r.name))
       val srcDeps = srcCalls.flatMap(sc => sourceByPair.get((sc.sourceName, sc.table)))
       val macroDeps = JinjaLite.findMacroCalls(code).filter(macroNames).map(n => s"macro.$proj.$n")
@@ -324,7 +359,11 @@ object ProjectLoader {
       }
     }
 
-    Manifest(proj, nodes, sources, macros, docs, exposures, semanticModels,
+    val pkgNodes = pkgManifests.flatMap(_.nodes).toMap
+    val pkgSources = pkgManifests.flatMap(_.sources).toMap
+    val pkgMacros = pkgManifests.flatMap(_.macros).toMap
+    Manifest(proj, pkgNodes ++ nodes, pkgSources ++ sources,
+      pkgMacros ++ macros, docs, exposures, semanticModels,
       groups, tests, metrics)
   }
 

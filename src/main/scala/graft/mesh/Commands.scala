@@ -53,9 +53,11 @@ object Commands {
       }.toSet
     deps.toSeq.sortBy(d => (d.upstreamProject, d.downstreamProject, d.upstreamResource))
       .foldLeft(ChangeSet()) { (cs, dep) =>
+        // thread the accumulated set so rewrites to a file already touched
+        // by an earlier dependency chain on its pending text
         cs ++ Linker.resolveDependency(dep,
           byName(dep.upstreamProject), byName(dep.downstreamProject),
-          contractData(dep), readFile)
+          contractData(dep), readFile, pending = cs)
       }
   }
 
@@ -81,7 +83,8 @@ object Commands {
       .foldLeft(Map.empty[String, ChangeSet].withDefaultValue(ChangeSet())) { (acc, dep) =>
         val cs = Linker.resolveDependency(dep,
           byName(dep.upstreamProject), byName(dep.downstreamProject),
-          contractData(dep), readFile)
+          contractData(dep), readFile,
+          pending = acc(dep.downstreamProject))
         val (upChanges, downChanges) = cs.changes.partition {
           case rc: ResourceChange => rc.entityType == EntityType.Model
           case _ => false

@@ -81,7 +81,8 @@ object Linker {
     * `ref()` (D2/D9) in every child of the source and delete the source
     * stanza; finally register the dependency (C7). */
   def resolveDependency(dep: ProjectDependency, up: Manifest, down: Manifest,
-      contractData: Option[YMap], readFile: (String, String) => String): ChangeSet = {
+      contractData: Option[YMap], readFile: (String, String) => String,
+      pending: ChangeSet = ChangeSet()): ChangeSet = {
     val upModel = up.nodes(dep.upstreamResource)
     // upstream: public access (+ contract if provided)
     val cs0 = ChangeSet() + Grouper.accessChange(upModel, AccessType.Public, upModel.group)
@@ -97,7 +98,7 @@ object Linker {
         val children = down.childMap.getOrElse(src.uniqueId, Set.empty)
         val rewritten = children.toSeq.sorted.flatMap(down.nodes.get).foldLeft(cs1) {
           (cs, child) =>
-            val code = References.currentCode(cs, child.filePath,
+            val code = References.currentCode(pending ++ cs, child.filePath,
               p => readFile(down.projectName, p))
             val updated =
               if (child.language == "python")
@@ -112,7 +113,7 @@ object Linker {
           src.filePath, sourceName = Some(src.sourceName))
       case DependencyType.Package =>
         down.nodes.get(dep.downstreamResource).fold(cs1) { child =>
-          val code = References.currentCode(cs1, child.filePath,
+          val code = References.currentCode(pending ++ cs1, child.filePath,
             p => readFile(down.projectName, p))
           cs1 + References.generateReferenceUpdate(up.projectName, upModel, child, code)
         }

@@ -54,4 +54,34 @@ class ReferenceConnectSpec extends AnyFunSuite {
     Files.walk(work).sorted(Comparator.reverseOrder[Path]())
       .forEach(p => Files.delete(p))
   }
+
+  test("connect resolves the package-import dependencies (dest_proj_a installs src_proj_a)") {
+    assume(Files.isDirectory(base), "reference checkout not present")
+    val work = Files.createTempDirectory("graft_ref_pkg")
+    copyTree(base.resolve("src_proj_a"), work.resolve("src_proj_a"))
+    copyTree(base.resolve("dest_proj_a"), work.resolve("dest_proj_a"))
+
+    Main.main(Array("connect", "--projects-dir", work.toString))
+
+    // the reference's test_dependency_detection pins THREE package deps:
+    // shared_model -> downstream_model, shared_model -> downstream_model_2,
+    // new_model -> downstream_model_2; both files rewrite, and the two
+    // rewrites to downstream_model_2 chain on each other's pending text
+    val d1 = Files.readString(
+      work.resolve("dest_proj_a/models/downstream_model.sql"))
+    assert(d1.contains("{{ ref('src_proj_a', 'shared_model') }}"), d1)
+    val d2 = Files.readString(
+      work.resolve("dest_proj_a/models/downstream_model_2.sql"))
+    assert(d2.contains("{{ ref('src_proj_a', 'shared_model') }}"), d2)
+    assert(d2.contains("{{ ref('src_proj_a', 'new_model') }}"), d2)
+    // upstream: both boundary models public
+    val upYml = Files.readString(
+      work.resolve("src_proj_a/models/_models.yml"))
+    assert(upYml.contains("shared_model") && upYml.contains("new_model"), upYml)
+    assert(Files.readString(work.resolve("dest_proj_a/dependencies.yml"))
+      .contains("src_proj_a"))
+
+    Files.walk(work).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.delete(p))
+  }
 }
