@@ -33,6 +33,16 @@ object Commands {
       readFile, contractFor)
   }
 
+  /** Manifest that carries the dependency's upstream model: the owning
+    * project when loaded, else any loaded manifest that installed it. */
+  private def upManifest(projects: Seq[Manifest],
+      byName: Map[String, Manifest],
+      dep: Linker.ProjectDependency): Manifest =
+    byName.get(dep.upstreamProject)
+      .orElse(projects.find(_.nodes.contains(dep.upstreamResource)))
+      .getOrElse(sys.error(
+        s"no loaded project carries ${dep.upstreamResource}"))
+
   /** The `connect` command (§3.3, `main.py:121-210`): sweep every project
     * pair for source-hack/package dependencies (deduped), then resolve
     * each into governance + rewrite changes. `installs(a, b)` answers
@@ -56,7 +66,7 @@ object Commands {
         // thread the accumulated set so rewrites to a file already touched
         // by an earlier dependency chain on its pending text
         cs ++ Linker.resolveDependency(dep,
-          byName(dep.upstreamProject), byName(dep.downstreamProject),
+          upManifest(projects, byName, dep), byName(dep.downstreamProject),
           contractData(dep), readFile, pending = cs)
       }
   }
@@ -82,7 +92,7 @@ object Commands {
     deps.toSeq.sortBy(d => (d.upstreamProject, d.downstreamProject, d.upstreamResource))
       .foldLeft(Map.empty[String, ChangeSet].withDefaultValue(ChangeSet())) { (acc, dep) =>
         val cs = Linker.resolveDependency(dep,
-          byName(dep.upstreamProject), byName(dep.downstreamProject),
+          upManifest(projects, byName, dep), byName(dep.downstreamProject),
           contractData(dep), readFile,
           pending = acc(dep.downstreamProject))
         val (upChanges, downChanges) = cs.changes.partition {

@@ -31,6 +31,14 @@ object Linker {
   /** B2: model relations of A that appear as *sources* in B (and the
     * mirrored direction) → Source-type dependencies
     * (`utilities/linker.py:62-122`). */
+  /** The project to credit as a dependency's upstream: the model's OWNING
+    * package when the matched manifest merely installs it — a
+    * multi-project sweep can match an installed copy first, and the
+    * rewrite must name the project that actually defines the model (the
+    * reference leaves this to arbitrary set-dedup order across pairs). */
+  private def owningProject(up: Manifest, upId: String): String =
+    up.nodes.get(upId).map(_.packageName).getOrElse(up.projectName)
+
   def sourceDependencies(a: Manifest, b: Manifest): Set[ProjectDependency] = {
     def oneWay(up: Manifest, down: Manifest): Set[ProjectDependency] = {
       val shared = up.modelRelations intersect down.sourceRelations
@@ -38,8 +46,8 @@ object Linker {
         for {
           upId <- up.relationIndex.get(rel)
           downId <- down.sources.values.find(_.relationName.exists(_.toLowerCase == rel)).map(_.uniqueId)
-        } yield ProjectDependency(upId, up.projectName, downId, down.projectName,
-          DependencyType.Source)
+        } yield ProjectDependency(upId, owningProject(up, upId), downId,
+          down.projectName, DependencyType.Source)
       }
     }
     oneWay(a, b) ++ oneWay(b, a)
@@ -55,8 +63,8 @@ object Linker {
       up.relationIndex.get(rel).toSet[String].flatMap { upId =>
         down.relationIndex.get(rel).toSet[String].flatMap { proxyId =>
           down.childMap.getOrElse(proxyId, Set.empty).map { childId =>
-            ProjectDependency(upId, up.projectName, childId, down.projectName,
-              DependencyType.Package)
+            ProjectDependency(upId, owningProject(up, upId), childId,
+              down.projectName, DependencyType.Package)
           }
         }
       }

@@ -55,6 +55,25 @@ class ReferenceConnectSpec extends AnyFunSuite {
       .forEach(p => Files.delete(p))
   }
 
+  test("a 4-project sweep credits the OWNING project, not an installer that matched first") {
+    assume(Files.isDirectory(base), "reference checkout not present")
+    val work = Files.createTempDirectory("graft_ref_sweep")
+    Seq("src_proj_a", "src_proj_b", "dest_proj_a", "dest_proj_b")
+      .foreach(p => copyTree(base.resolve(p), work.resolve(p)))
+
+    Main.main(Array("connect", "--projects-dir", work.toString))
+
+    // src_proj_b's source-hack must resolve to src_proj_a (the model's
+    // owner), even though dest_proj_a's manifest also carries the
+    // installed copy and may pair first in the sweep
+    val d = Files.readString(
+      work.resolve("src_proj_b/models/downstream_model.sql"))
+    assert(d.contains("{{ ref('src_proj_a', 'shared_model') }}"), d)
+
+    Files.walk(work).sorted(Comparator.reverseOrder[Path]())
+      .forEach(p => Files.delete(p))
+  }
+
   test("connect resolves the package-import dependencies (dest_proj_a installs src_proj_a)") {
     assume(Files.isDirectory(base), "reference checkout not present")
     val work = Files.createTempDirectory("graft_ref_pkg")
