@@ -24,6 +24,8 @@ object JinjaLite {
   val docRe: Regex =
     """\{\{\s*doc\s*\(\s*['"]([A-Za-z0-9_.\-]+)['"]\s*\)\s*\}\}""".r
   val configRe: Regex = """\{\{\s*config\s*\(([\s\S]*?)\)\s*\}\}""".r
+  val commentRe: Regex = """\{#[\s\S]*?#\}""".r
+  val currentTimestampRe: Regex = """\{\{\s*current_timestamp\s*\(\s*\)\s*\}\}""".r
   val thisRe: Regex = """\{\{\s*this\s*\}\}""".r
   private val kwargRe = """([A-Za-z_][A-Za-z0-9_]*)\s*=\s*('[^']*'|"[^"]*"|[^,)\s]+)""".r
 
@@ -76,6 +78,16 @@ object JinjaLite {
       }.toMap
     }.getOrElse(Map.empty)
 
+  /** Python models configure via `dbt.config(k=v, ...)`. */
+  private val pyConfigRe: Regex = """dbt\s*\.\s*config\s*\(([\s\S]*?)\)""".r
+  def findPythonConfig(code: String): Map[String, String] =
+    pyConfigRe.findFirstMatchIn(code).map { m =>
+      kwargRe.findAllMatchIn(m.group(1)).map { k =>
+        k.group(1) -> k.group(2).stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\"")
+      }.toMap
+    }.getOrElse(Map.empty)
+
   /** `{% docs name %}…{% enddocs %}` / macro / test block spans
     * (`storage/jinja_blocks.py:20-72`). */
   def findBlocks(text: String, kind: String): Vector[JinjaBlock] = {
@@ -118,6 +130,40 @@ object JinjaLite {
     callRe.findAllMatchIn(code).map(_.group(1)).filterNot(builtins).toVector.distinct
 
   // ------------------------------------------------------------ rendering
+
+  /** Spark-native expansions of the dbt-utils macros the fixture projects
+    * lean on (public semantics from dbt-labs/dbt-utils):
+    *  - `generate_surrogate_key([cols…])` → md5 over '-'-joined coalesced
+    *    string casts with dbt-utils' null placeholder
+    *  - `date_spine(part, start, end)` → a generated series `date_<part>`
+    *    from start (inclusive) to end (exclusive)
+    */
+  private val surrogateKeyRe: Regex =
+    """\{\{\s*dbt_utils\s*\.\s*generate_surrogate_key\s*\(\s*\[([^\]]*)\]\s*\)\s*\}\}""".r
+  private val dateSpineRe: Regex =
+    """\{\{\s*dbt_utils\s*\.\s*date_spine\s*\(\s*'([a-z]+)'\s*,\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\)\s*\}\}""".r
+
+  def expandDbtUtils(code: String): String = {
+    var out = surrogateKeyRe.replaceAllIn(code, m => {
+      val cols = m.group(1).split(",").toVector.map(_.trim)
+        .map(_.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
+      val parts = cols.map(c =>
+        s"coalesce(cast($c as string), '_dbt_utils_surrogate_key_null_')")
+      Regex.quoteReplacement(s"md5(concat_ws('-', ${parts.mkString(", ")}))")
+    })
+    out = dateSpineRe.replaceAllIn(out, m => {
+      val part = m.group(1)
+      val start = m.group(2)
+      val end = m.group(3)
+      // dbt-utils spines are start-inclusive, end-EXCLUSIVE
+      Regex.quoteReplacement(
+        s"select explode(sequence(cast($start as date), " +
+          s"cast($end as date) - interval 1 $part, interval 1 $part)) " +
+          s"as date_$part")
+    })
+    out
+  }
 
   /** Expand user macro calls (textual substitution of params into body,
     * fixpoint with depth cap). */
@@ -162,7 +208,11 @@ object JinjaLite {
       thisRelation: Option[String] = None,
       macros: Map[String, MacroDef] = Map.empty,
       isIncremental: Boolean = false): String = {
-    var out = expandMacros(code, macros)
+    // jinja comments vanish before anything else (the fixture's
+    // orders.sql carries {# ... {{ this }} ... #} commentary)
+    var out = commentRe.replaceAllIn(code, "")
+    out = expandDbtUtils(out)
+    out = expandMacros(out, macros)
     out = renderIncremental(out, isIncremental)
     out = refRe.replaceAllIn(out, m => {
       val (proj, name) =
@@ -177,6 +227,10 @@ object JinjaLite {
       Regex.quoteReplacement(vars.get(name).orElse(default).getOrElse(
         throw new IllegalArgumentException(s"undefined var: $name")))
     })
+    // var values may themselves carry jinja (the fixture's
+    // truncate_timespan_to is "{{ current_timestamp() }}"): resolve the
+    // builtin expression forms after substitution
+    out = currentTimestampRe.replaceAllIn(out, "current_timestamp()")
     out = thisRe.replaceAllIn(out, _ => Regex.quoteReplacement(
       thisRelation.getOrElse(throw new IllegalArgumentException("`this` outside incremental"))))
     out = configRe.replaceAllIn(out, "")

@@ -280,11 +280,36 @@ object ProjectLoader {
         if (lang == "python") JinjaLite.findPythonSources(code)
         else JinjaLite.findSources(code)
       val pkgNames = pkgManifests.map(_.projectName).toSet + proj
-      val refDeps = refCalls.filter(_.project.forall(pkgNames))
+      // refs/sources inside called macros (transitively) are the model's
+      // dependencies too — dbt resolves them at compile time (e.g. the
+      // fixture's redirect() macro body is `{{ ref('orders') }}`)
+      val macroClosureIds = {
+        var seen = JinjaLite.findMacroCalls(code).filter(macroNames)
+          .map(n => s"macro.$proj.$n").toSet
+        var grown = true
+        while (grown) {
+          val next = seen ++ seen.flatMap(i =>
+            macros.get(i).toSeq.flatMap(_.dependsOnMacros))
+          grown = next.size != seen.size
+          seen = next
+        }
+        seen
+      }
+      val macroBodies = macroClosureIds.toVector.flatMap(macros.get).map(_.macroSql)
+      val macroRefCalls = macroBodies.flatMap(JinjaLite.findRefs)
+      val macroSrcCalls = macroBodies.flatMap(JinjaLite.findSources)
+      val refDeps = (refCalls ++ macroRefCalls).filter(_.project.forall(pkgNames))
         .flatMap(r => nameToId.get(r.name))
-      val srcDeps = srcCalls.flatMap(sc => sourceByPair.get((sc.sourceName, sc.table)))
+      val srcDeps = (srcCalls ++ macroSrcCalls)
+        .flatMap(sc => sourceByPair.get((sc.sourceName, sc.table)))
       val macroDeps = JinjaLite.findMacroCalls(code).filter(macroNames).map(n => s"macro.$proj.$n")
-      val conf = JinjaLite.findConfig(code)
+      val conf =
+        if (lang == "python") JinjaLite.findPythonConfig(code)
+        else JinjaLite.findConfig(code)
+      // dbt drops disabled models from the manifest (the fixture's Python
+      // model sets dbt.config(enabled=False))
+      if (conf.get("enabled").exists(_.equalsIgnoreCase("false"))) ()
+      else {
       val patch = modelPatches.get(name)
       val patchEntry = patch.map(_._2).getOrElse(YMap.empty)
       val patchConfig = patchEntry.get("config").collect { case m: YMap => m }.getOrElse(YMap.empty)
@@ -357,6 +382,7 @@ object ProjectLoader {
           }
         case _ =>
       }
+      } // enabled guard
     }
 
     val pkgNodes = pkgManifests.flatMap(_.nodes).toMap

@@ -61,7 +61,12 @@ final class Runner(
           .find(s => s.sourceName == sc.sourceName && s.name == sc.table)
           .getOrElse(throw new IllegalArgumentException(
             s"unknown source ${sc.sourceName}.${sc.table} in ${m.name}"))
-        sourceView(src)
+        // a same-project seed with the source table's name materializes it
+        // in-session (the jaffle pattern: seeds stand in for raw tables);
+        // otherwise the configured resolver (default: raw table name)
+        val seedId = s"seed.${manifest.projectName}.${src.name}"
+        if (manifest.nodes.contains(seedId)) viewName(src.name)
+        else sourceView(src)
       },
       vars = vars,
       thisRelation = Some(viewName(m.name)),
@@ -79,16 +84,39 @@ final class Runner(
       AccessControl.forSession(spark).registerManifest(manifest, viewName)
     val modelIds = manifest.nodes.keySet
       .filter(id => selected.forall(_.contains(id)))
+    // scheduling edges: the manifest's depends_on, plus an implicit edge
+    // from any model reading a source whose table a same-project seed
+    // materializes (the jaffle pattern — dbt orders this via `dbt seed`
+    // before `dbt run`; one scheduler here, so it's a real dependency)
+    val parentMapSched: Map[String, Set[String]] = {
+      val seedEdges = manifest.nodes.flatMap { case (id, m) =>
+        if (m.rawCode.isEmpty) None
+        else {
+          val calls =
+            if (m.language == "python")
+              graft.core.parse.JinjaLite.findPythonSources(m.rawCode)
+            else graft.core.parse.JinjaLite.findSources(m.rawCode)
+          val seeds = calls.flatMap(sc => manifest.sources.values
+            .find(s => s.sourceName == sc.sourceName && s.name == sc.table))
+            .map(s => s"seed.${manifest.projectName}.${s.name}")
+            .filter(manifest.nodes.contains).toSet
+          if (seeds.isEmpty) None else Some(id -> seeds)
+        }
+      }
+      seedEdges.foldLeft(manifest.parentMap) { case (pm, (id, seeds)) =>
+        pm.updated(id, pm.getOrElse(id, Set.empty) ++ seeds)
+      }
+    }
     val all = modelIds.flatMap(id =>
-      Dag.ancestors(manifest.parentMap, id).filter(manifest.nodes.contains)) ++ modelIds
-    val order = Dag.topoSort(all, manifest.parentMap)
+      Dag.ancestors(parentMapSched, id).filter(manifest.nodes.contains)) ++ modelIds
+    val order = Dag.topoSort(all, parentMapSched)
     if (parallelism <= 1)
       order.flatMap(id => manifest.nodes.get(id).map(m => id -> runModel(m))).toMap
     else {
       // Kahn levels: a model's level = 1 + max level of its in-set parents
       val level = scala.collection.mutable.Map.empty[String, Int]
       order.foreach { id =>
-        val ps = manifest.parentMap.getOrElse(id, Set.empty).filter(all)
+        val ps = parentMapSched.getOrElse(id, Set.empty).filter(all)
         level(id) = if (ps.isEmpty) 0 else ps.map(level).max + 1
       }
       import scala.concurrent.{Await, ExecutionContext, Future}

@@ -20,7 +20,6 @@ class ReferenceFixtureSpec extends AnyFunSuite {
     assert(cfg.name == "split_proj")
     val models = m.nodes.keySet.filter(_.startsWith("model."))
     assert(models == Set(
-      "model.split_proj.customer_status_histories",
       "model.split_proj.customers",
       "model.split_proj.leaf_node",
       "model.split_proj.metricflow_time_spine",
@@ -48,8 +47,30 @@ class ReferenceFixtureSpec extends AnyFunSuite {
       "model.split_proj.stg_orders",
       "model.split_proj.stg_products",
       "model.split_proj.stg_supplies"))
-    // the Python model resolves its dbt.ref dependencies too
-    assert(m.nodes("model.split_proj.customer_status_histories")
-      .dependsOn.nodes.nonEmpty)
+    // the Python model declares dbt.config(enabled=False): like dbt,
+    // disabled models are dropped from the manifest
+    assert(!m.nodes.contains("model.split_proj.customer_status_histories"))
+  }
+
+  test("the whole fixture RUNS on Spark: every seed and model materializes") {
+    assume(Files.isDirectory(fixture), "reference checkout not present")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val (cfg, m) = ProjectLoader.load(fixture)
+    val out = new graft.engine.Runner(spark, m, cfg,
+      java.nio.file.Files.createTempDirectory("graft_ref_wh"),
+      enforceAccess = false, projectRoot = Some(fixture)).run()
+    def rows(id: String): Long = out(id).count()
+    // row counts pinned against the seed CSVs and the model semantics
+    assert(rows("seed.split_proj.raw_orders") == 5137L)
+    assert(rows("model.split_proj.stg_orders") == 5137L)
+    assert(rows("model.split_proj.orders") == 5137L)
+    assert(rows("model.split_proj.customers") == 939L)
+    assert(rows("model.split_proj.stg_supplies") == 65L)
+    // dbt_utils.date_spine shim: 2000-01-01 .. 2027-01-01 exclusive
+    assert(rows("model.split_proj.metricflow_time_spine") == 9862L)
+    assert(out.size == 16) // 6 seeds + 10 enabled models
   }
 }
