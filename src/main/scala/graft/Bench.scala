@@ -68,7 +68,9 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val best = runs.filter(_._2).map(_._1).sorted.headOption.getOrElse(-1.0)
-      (name, best, runs.exists(_._2))
+      // ok requires EVERY run to pass — a query that flakes on any run is
+      // a failure, not a pass with its fastest lucky time
+      (name, best, runs.forall(_._2))
     }
     // a failed query must not read as a fast pass: sentinel -1 in the map,
     // name in "failed", wall-clock excluded from the total

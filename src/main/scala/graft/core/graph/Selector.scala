@@ -155,6 +155,8 @@ object Selector {
         ex.map(evalDefinition(manifest, _)).foldLeft(Set.empty[String])(_ ++ _)
     case m: YMap if m.contains("intersection") =>
       val (ex, in) = partitionExcludes(m("intersection").asList.items)
+      require(in.nonEmpty,
+        "intersection needs at least one non-exclude definition")
       val base = in.map(evalDefinition(manifest, _)).reduceLeft(_ intersect _)
       base -- ex.map(evalDefinition(manifest, _)).foldLeft(Set.empty[String])(_ ++ _)
     case m: YMap if m.contains("method") =>

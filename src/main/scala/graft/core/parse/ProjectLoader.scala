@@ -13,7 +13,13 @@ import scala.jdk.CollectionConverters._
   */
 object ProjectLoader {
 
-  def load(root: Path): (ProjectConfig, Manifest) = {
+  def load(root: Path): (ProjectConfig, Manifest) =
+    load(root, loadPackages = true)
+
+  /** loadPackages=false keeps nested package loads one level deep:
+    * circular `local:` references (two meshed projects installing each
+    * other — exactly what connect creates) must not recurse unboundedly. */
+  private def load(root: Path, loadPackages: Boolean): (ProjectConfig, Manifest) = {
     val projFile = root.resolve("dbt_project.yml")
     require(Files.exists(projFile), s"no dbt_project.yml under $root")
     val projYaml = Yaml.parseMap(Files.readString(projFile))
@@ -25,7 +31,7 @@ object ProjectLoader {
       testPaths = strList(projYaml.get("test-paths")).getOrElse(Vector("tests")),
       vars = projYaml.get("vars").collect { case m: YMap => m }.getOrElse(YMap.empty),
       raw = projYaml)
-    (cfg, buildManifest(root, cfg, loadPackages = true))
+    (cfg, buildManifest(root, cfg, loadPackages))
   }
 
   /** Target schema from profiles.yml (profile named by dbt_project.yml's
@@ -95,7 +101,7 @@ object ProjectLoader {
     val pkgManifests: Vector[Manifest] =
       if (!loadPackages) Vector.empty
       else packageRoots(root).flatMap { pr =>
-        scala.util.Try(load(pr)).toOption.map(_._2)
+        scala.util.Try(load(pr, loadPackages = false)).toOption.map(_._2)
       }.filter(_.projectName != proj).distinctBy(_.projectName)
 
     // ---- macros + custom generic test definitions ({% test %} blocks

@@ -38,10 +38,13 @@ object GraphOps {
   def components(edgesIn: DataFrame, localFinishEdges: Long = 5000000L): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
-    val edges = edgesIn.select($"da", $"db")
+    // cast once, up front: both strategies must emit the same
+    // (doc_id long, component long) schema, independent of which one the
+    // edge-count threshold picks
+    val edges = edgesIn.select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
       .localCheckpoint() // edges are reused every round: compute once
     if (edges.count() <= localFinishEdges) {
-      return edges.select($"da".cast("long"), $"db".cast("long"))
+      return edges
         .as[(Long, Long)]
         .coalesce(1)
         .mapPartitions { it =>
@@ -93,7 +96,11 @@ object GraphOps {
       done = s2 == prevSum
       prevSum = s2
     }
-    labels
+    // min() marks its output nullable; component is in fact never null, and
+    // the local-finish branch emits non-nullable — coalesce with the
+    // non-nullable key so the two strategies' schemas match exactly
+    labels.select($"doc_id",
+      coalesce($"component", $"doc_id").as("component"))
   }
 
   /** g01: connected components of the near-dup graph (d02 edges at

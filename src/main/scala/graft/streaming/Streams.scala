@@ -152,19 +152,31 @@ object Streams {
         col("purchase_ts"), col("purchase_value"))
   }
 
+  /** True on any Hadoop-visible filesystem (HDFS/S3A/local) — a
+    * `java.io.File` check would silently treat a remote path as absent. */
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+  }
+
   /** Streaming near-duplicate suppression — the ingest-side twin of the
     * batch MinHash+LSH pass (d03): per micro-batch, each document's
     * 64-perm minhash signature is computed map-side (compiled
     * `MinHash64` kernel — no shuffle) and banded; a document is dropped
     * when any of its band keys collides with the persistent band-key
     * index (a near-dup of an ALREADY-ACCEPTED doc) or with a
-    * lower-doc_id batchmate. Accepted docs append to `outPath`, their
-    * band keys to `indexPath` — so the index grows only with accepted
-    * content and replays converge (a replayed doc collides with its own
-    * keys and is dropped).
+    * lower-doc_id batchmate. Accepted docs land in `outPath`, their band
+    * keys in `indexPath` — so the index grows only with accepted content.
+    *
+    * Replay safety: both sinks are partitioned by `batch_id` and written
+    * with dynamic partition overwrite, so re-running a micro-batch
+    * replaces exactly its own partition in each sink (idempotent even if
+    * a failure hit between the two writes); the history check ignores the
+    * current batch's own index partition, so a replay recomputes the same
+    * accepted set rather than colliding with its failed first attempt.
     *
     * Scale: the index is O(accepted docs × 32) longs, partitioned by
-    * band; the per-batch work is one broadcast-able join against it.
+    * batch; the per-batch work is one broadcast-able join against it.
     * False-positive band collisions are the LSH tradeoff — callers
     * wanting exact Jaccard confirmation run d03's verification on the
     * collided pairs. */
@@ -176,7 +188,7 @@ object Streams {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
         val perDoc = batch
@@ -186,12 +198,17 @@ object Streams {
             graft.functions.ShingleKernels.minHash64(
               graft.functions.ShingleKernels.shingles3($"ws")).as("sigs"))
         val keys = graft.ops.Dedup.bandKeys(perDoc).localCheckpoint()
-        val histDup =
-          if (!new java.io.File(indexPath).exists)
-            spark.emptyDataset[Long].toDF("drop_id")
-          else keys.join(spark.read.parquet(indexPath).select($"b", $"key"),
+        // Try-on-read doubles as the existence check (works on any Hadoop
+        // filesystem, and also covers an existing-but-empty index dir)
+        val histDup = scala.util.Try(spark.read.parquet(indexPath)).toOption match {
+          case None => spark.emptyDataset[Long].toDF("drop_id")
+          case Some(hist) => keys.join(
+            hist
+              .filter($"batch_id" =!= batchId) // a replay must not collide with its own failed attempt
+              .select($"b", $"key"),
             Seq("b", "key"))
             .select($"doc_id".as("drop_id")).distinct()
+        }
         // within-batch: the lowest doc_id owning a band key wins
         // (columns renamed per step: the owner/drop frames derive from
         // `keys`, and shared attribute ids across a self-join are
@@ -206,10 +223,13 @@ object Streams {
         val dropIds = histDup.union(batchDup).distinct().localCheckpoint()
         val accepted = batch
           .join(dropIds, batch("doc_id") === dropIds("drop_id"), "left_anti")
-        accepted.write.mode("append").parquet(outPath)
         keys.join(dropIds, keys("doc_id") === dropIds("drop_id"), "left_anti")
-          .select($"b", $"key", $"doc_id")
-          .write.mode("append").parquet(indexPath)
+          .select($"b", $"key", $"doc_id", lit(batchId).as("batch_id"))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(indexPath)
+        accepted.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -231,7 +251,7 @@ object Streams {
         val spark = batch.sparkSession
         val deduped = batch.dropDuplicates(uniqueKey)
         val merged =
-          if (!new java.io.File(path).exists) deduped
+          if (!pathExists(spark, path)) deduped
           else {
             val existing = spark.read.parquet(path)
             existing.join(deduped.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")

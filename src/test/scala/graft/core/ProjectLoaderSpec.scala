@@ -40,6 +40,28 @@ class ProjectLoaderSpec extends AnyFunSuite {
     "macros/helper.sql" ->
       "{% macro helper(x) %}{{ x }} + 1{% endmacro %}")
 
+  test("circular local: packages load one level deep, no stack overflow") {
+    // exactly the shape `connect` creates: two meshed projects that
+    // install each other via local: packages
+    val root = Files.createTempDirectory("graft_circ")
+    def proj(dir: String, name: String, other: String): Unit = {
+      val p = root.resolve(dir)
+      Files.createDirectories(p.resolve("models"))
+      Files.writeString(p.resolve("dbt_project.yml"), s"name: $name\n")
+      Files.writeString(p.resolve("packages.yml"),
+        s"packages:\n  - local: ../$other\n")
+      Files.writeString(p.resolve("models").resolve(s"${name}_m.sql"),
+        "select 1 as x")
+    }
+    proj("a", "proj_a", "b")
+    proj("b", "proj_b", "a")
+    val (_, ma) = ProjectLoader.load(root.resolve("a"))
+    // the installed package's own packages are NOT followed (one level),
+    // so proj_a sees proj_b's models but the load terminates
+    assert(ma.nodes.contains("model.proj_a.proj_a_m"))
+    assert(ma.nodes.contains("model.proj_b.proj_b_m"))
+  }
+
   test("loads models, sources, macros with resolved depends_on") {
     val root = writeProject(baseProject)
     val (cfg, m) = ProjectLoader.load(root)

@@ -127,4 +127,18 @@ class SelectorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Selector.select(manifest, Seq("state:modified")))
     intercept[IllegalArgumentException](Selector.select(manifest, Seq("@+x")))
   }
+
+  test("intersection of only excludes fails with a meaningful error") {
+    val yml =
+      """selectors:
+        |  - name: empty_int
+        |    definition:
+        |      intersection:
+        |        - exclude:
+        |            - "b"
+        |""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      Selector.namedSelector(manifest, yml, "empty_int"))
+    assert(e.getMessage.contains("at least one non-exclude"))
+  }
 }

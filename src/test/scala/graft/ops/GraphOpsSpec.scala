@@ -15,12 +15,27 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     val s = spark
     import s.implicits._
     val df = edges.toDF("da", "db")
-    val local = GraphOps.components(df)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val loop = GraphOps.components(df, localFinishEdges = 0L)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val localDf = GraphOps.components(df)
+    val loopDf = GraphOps.components(df, localFinishEdges = 0L)
+    // the schema must not depend on which strategy the threshold picked —
+    // downstream unions/joins would see type drift otherwise
+    assert(localDf.schema == loopDf.schema,
+      s"strategy-dependent schema: ${localDf.schema} vs ${loopDf.schema}")
+    val local = localDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = loopDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(local == loop, "union-find and propagation strategies disagree")
     local
+  }
+
+  test("int-typed edges yield the same long schema on both strategies") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 2), (2, 3)).toDF("da", "db") // IntegerType input
+    val localDf = GraphOps.components(df)
+    val loopDf = GraphOps.components(df, localFinishEdges = 0L)
+    assert(localDf.schema == loopDf.schema)
+    assert(localDf.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType))
   }
 
   test("a long path converges to one component (diameter >> 1 round)") {
