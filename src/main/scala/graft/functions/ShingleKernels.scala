@@ -20,6 +20,10 @@ object ShingleKernels {
   def shingles3(ws: Column): Column =
     Bridge.column(Shingles3(Bridge.expression(ws)))
 
+  /** Column API: distinct word-k-gram shingles of a word array. */
+  def shinglesK(ws: Column, k: Int): Column =
+    Bridge.column(ShinglesK(Bridge.expression(ws), k))
+
   /** Column API: 64-perm minhash signature of a (shingle) string array —
     * `sig[j] = min over distinct shingles of ((2j+1)·poly31(s) + j) mod
     * 1e9+7`, identical to `MinHashAgg(rolling_hash(s), 64)` over the
@@ -77,6 +81,60 @@ object Shingles3 {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Distinct word-k-gram shingles — the generalization of [[Shingles3]]
+  * used by the decontamination pass (k = 8, the published n-gram-overlap
+  * window for eval-set leakage checks). First-occurrence order, duplicates
+  * dropped; arrays with fewer than k elements yield an empty array. */
+case class ShinglesK(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles$k expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShinglesK.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShinglesK.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesK =
+    copy(child = newChild)
+
+  override def prettyName: String = s"shingles$k"
+}
+
+object ShinglesK {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(ws: ArrayData, k: Int): GenericArrayData = {
+    val n = ws.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    val parts = new Array[UTF8String](2 * k - 1)
+    var j = 1
+    while (j < parts.length) { parts(j) = SPACE; j += 2 }
+    var i = 0
+    while (i <= n - k) {
+      var m = 0
+      while (m < k) { parts(2 * m) = ws.getUTF8String(i + m); m += 1 }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
     new GenericArrayData(out)
   }
 }

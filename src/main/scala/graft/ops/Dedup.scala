@@ -328,10 +328,59 @@ object Dedup {
       |WHERE levenshtein(x.text, y.text) <= 100
       |ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------- d06
+  /** Eval-set decontamination — the n-gram-overlap leakage check every
+    * training pipeline runs before a model sees the corpus: a training
+    * document is contaminated when it shares any word-4-gram with a
+    * held-out eval document (production pipelines use 8–13-gram windows;
+    * 4 here, scaled to the short synthetic docs so the check actually
+    * fires; eval set = doc_id ≡ 0 mod 97, a deterministic stand-in for a
+    * benchmark table). Returns per contaminated doc the count of distinct
+    * shared 4-grams and of eval docs hit.
+    *
+    * Plan shape (the 100 TB path): n-gram extraction is the compiled
+    * [[graft.functions.ShinglesK]] kernel — narrow, one pass per row, no
+    * interpreted lambdas. The eval side is the tiny side by construction
+    * (benchmarks are ~10⁵ docs vs ~10⁹ training docs), so its exploded
+    * gram set BROADCASTs and the probe is map-side: the full training
+    * corpus is never shuffled, only contaminated hits reach the final
+    * per-doc aggregation. */
+  def d06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 4)
+      .select($"doc_id",
+        explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+    val eval = grams.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("eval_id"), $"g")
+    val train = grams.filter($"doc_id" % 97 =!= 0)
+    train.join(broadcast(eval), Seq("g"))
+      .groupBy($"doc_id")
+      .agg(
+        countDistinct($"g").as("n_shared_ngrams"),
+        countDistinct($"eval_id").as("n_eval_docs"))
+      .orderBy($"doc_id")
+  }
+
+  val d06Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        array_to_string(w[i:i+3], ' ') AS g
+      |      FROM ws, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      |      WHERE len(w) >= 4)
+      |SELECT t.doc_id,
+      |  CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_shared_ngrams,
+      |  CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+      |FROM g t JOIN g e ON t.g = e.g
+      |WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
     Q("d03_minhash_lsh", d03, Some(d03Sql), headline = true),
     Q("d04_simhash", d04, Some(d04Sql), headline = true),
-    Q("d05_edit_blocked", d05, Some(d05Sql)))
+    Q("d05_edit_blocked", d05, Some(d05Sql)),
+    Q("d06_decontaminate", d06, Some(d06Sql), headline = true))
 }

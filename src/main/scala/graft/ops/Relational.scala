@@ -715,6 +715,37 @@ object Relational {
       |       (SELECT COUNT(*) FROM c) AS n_click_within,
       |       (SELECT COUNT(*) FROM p) AS n_purchase_within""".stripMargin
 
+  // ---------------------------------------------------------------- q24
+  /** Pivot (long→wide reshape): daily event counts spread into one column
+    * per event type. Lowered to conditional aggregates rather than
+    * `Dataset.pivot`: with a known value list, `count(when(type=v,1))`
+    * per value is ONE shuffle with map-side partials, whereas `.pivot`
+    * (even with explicit values) plans the two-phase pivotfirst shape —
+    * a (day,type) pre-aggregation shuffle plus a second (day) shuffle —
+    * and an implicit pivot would add a distinct-values job on top (a full
+    * extra scan at 100 TB). Same result, strictly cheaper plan. */
+  def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.t(s, dir, "events")
+      .select(to_date($"ts").cast(StringType).as("day"), $"event_type")
+      .groupBy($"day")
+      .agg(
+        count(when($"event_type" === types.head, 1)).as(s"n_${types.head}"),
+        types.tail.map(t =>
+          count(when($"event_type" === t, 1)).as(s"n_$t")): _*)
+      .orderBy($"day")
+  }
+
+  val q24Sql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -737,5 +768,6 @@ object Relational {
     Q("q20_range_join", q20, Some(q20Sql), headline = true),
     Q("q21_salted_agg", q21, Some(q21Sql)),
     Q("q22_exact_median", q22, Some(q22Sql)),
-    Q("q23_funnel", q23, Some(q23Sql)))
+    Q("q23_funnel", q23, Some(q23Sql)),
+    Q("q24_pivot", q24, Some(q24Sql)))
 }

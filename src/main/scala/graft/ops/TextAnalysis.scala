@@ -279,6 +279,79 @@ object TextAnalysis {
       |  CAST((cum - tokens) // 2048 AS BIGINT) AS seq_id
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t08
+  /** Deterministic train/valid/test split — hash-based assignment, the
+    * reproducible alternative to random sampling: bucket = first 6 hex
+    * digits of md5(doc_id) mod 100, split at 90/95. A document's split is
+    * a pure function of its id — stable across runs, engines, cluster
+    * sizes, and data order, which is what makes held-out sets trustworthy.
+    *
+    * Scale: narrow (one hash per row, no shuffle); the split column
+    * pipelines into any downstream write partitioning. */
+  private def md5Bucket(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast(StringType), lit(salt))), 1, 6), 16, 10)
+      .cast(LongType) % 100
+
+  def t08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", md5Bucket($"doc_id", "").as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "valid")
+          .otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
+  val t08Sql: String =
+    """SELECT doc_id,
+      |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |    % 100 AS BIGINT) AS bucket,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |    % 100 < 90 THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |    % 100 < 95 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t09
+  /** Quota (stratified) sampling — the domain-mixing step that downsamples
+    * each stratum at its own rate (here: per labeled language, the shape
+    * used to rebalance web corpora before training). Deterministic: a doc
+    * is kept iff its salted md5 bucket falls under its stratum's quota —
+    * reproducible and mergeable, unlike rand()-based sampling.
+    *
+    * Scale: narrow scan + filter (the quota map is a literal CASE; a real
+    * pipeline with thousands of strata broadcast-joins a quota table
+    * instead — same plan shape, no extra shuffle either way). */
+  val langQuotas: Seq[(String, Int)] =
+    Seq("en" -> 60, "de" -> 45, "es" -> 30, "fr" -> 20, "zh" -> 10)
+
+  def t09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val quota = langQuotas.foldRight(lit(0): Column) {
+      case ((l, q), els) => when($"lang" === l, q).otherwise(els)
+    }
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"lang", $"source",
+        md5Bucket($"doc_id", ":mix").as("bucket"), quota.as("quota"))
+      .filter($"bucket" < $"quota")
+      .select($"doc_id", $"lang", $"source", $"bucket")
+      .orderBy($"doc_id")
+  }
+
+  val t09Sql: String = {
+    val cases = langQuotas
+      .map { case (l, q) => s"WHEN lang = '$l' THEN $q" }.mkString(" ")
+    s"""WITH b AS (SELECT doc_id, lang, source,
+       |  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 6) AS BIGINT)
+       |    % 100 AS BIGINT) AS bucket,
+       |  CASE $cases ELSE 0 END AS quota
+       |  FROM documents)
+       |SELECT doc_id, lang, source, bucket FROM b
+       |WHERE bucket < quota ORDER BY doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -286,5 +359,7 @@ object TextAnalysis {
     Q("t04_fingerprint", t04, Some(t04Sql), headline = true),
     Q("t05_bpe_tokens", t05, Some(t05Sql)),
     Q("t06_repetition", t06, Some(t06Sql)),
-    Q("t07_pack_sequences", t07, Some(t07Sql)))
+    Q("t07_pack_sequences", t07, Some(t07Sql)),
+    Q("t08_hash_split", t08, Some(t08Sql)),
+    Q("t09_quota_sample", t09, Some(t09Sql)))
 }

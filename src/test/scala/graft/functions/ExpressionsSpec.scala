@@ -142,6 +142,33 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ShinglesK generalizes Shingles3 and handles short arrays") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      "a b c d e f g h i",
+      "one two three four",
+      "short",
+      "",
+      "r r r r r") // duplicates collapse
+      .toDF("text").select(split($"text", " ").as("ws"))
+    // k=3 must agree with the dedicated Shingles3 kernel
+    val k3 = df.select(
+      ShingleKernels.shinglesK($"ws", 3).as("k"),
+      ShingleKernels.shingles3($"ws").as("three")).collect()
+    k3.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // k=4 must agree with the HOF reference chain
+    val k4 = df.select(
+      ShingleKernels.shinglesK($"ws", 4).as("fast"),
+      when(size($"ws") >= 4, array_distinct(expr(
+        "transform(sequence(0, size(ws)-4), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3]))")))
+        .otherwise(array().cast("array<string>")).as("ref")).collect()
+    k4.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"fast=${r.getSeq[String](0)} ref=${r.getSeq[String](1)}")
+    }
+  }
+
   test("MinHash64 kernel equals MinHashAgg over the exploded shingles") {
     val s = spark
     import s.implicits._

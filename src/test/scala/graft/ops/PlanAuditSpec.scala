@@ -119,4 +119,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"queries not broadcast:\n$p")
   }
+
+  test("d06: the eval gram set broadcasts; the training corpus never shuffles pre-join") {
+    val p = simplePlan(Dedup.d06(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+    // the only hash exchange allowed below the join is none: training grams
+    // probe the broadcast map-side; aggregation after the join may shuffle
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning") ||
+      below.indexOf("Exchange hashpartitioning") > below.indexOf("Scan"),
+      s"training side shuffled before the probe:\n$p")
+  }
+
+  test("t08/t09: hash split and quota sample are pure scans — no exchange") {
+    for (df <- Seq(TextAnalysis.t08(spark, dir), TextAnalysis.t09(spark, dir))) {
+      val p = simplePlan(df)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"narrow op shuffled:\n$p")
+    }
+  }
+
+  test("q24: the lowered pivot is one aggregation — single shuffle, map-side partials") {
+    val p = simplePlan(Relational.q24(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partials:\n$p")
+  }
 }
