@@ -376,11 +376,59 @@ object Dedup {
       |WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d07
+  /** Canonical corpus — the terminal dedup step: cluster the near-dup
+    * pairs (d02 edges at Jaccard ≥ 0.5) into connected components
+    * ([[GraphOps.components]]) and keep exactly one document per cluster
+    * (the min-id representative) plus every unclustered document. This is
+    * what a production pipeline actually writes out; d02/d03/g01 are its
+    * intermediate stages.
+    *
+    * Scale: the clustered set is tiny relative to the corpus (pairs ≪
+    * docs), so the drop-list broadcasts and the final pass is a narrow
+    * anti-join over the full scan — the corpus itself is never shuffled. */
+  def d07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = GraphOps.components(jaccardPairs(s, dir, 0.5))
+    val drop = comp.filter($"doc_id" =!= $"component").select($"doc_id")
+    Tables.t(s, dir, "documents")
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"source", $"n_chars".cast(LongType).as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: g01's recursive-CTE components → drop non-representatives. */
+  val d07Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |sym AS (SELECT da, db FROM edges UNION SELECT db, da FROM edges),
+      |nodes AS (SELECT DISTINCT da AS doc_id FROM sym),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.db FROM reach r JOIN sym e ON r.dst = e.da),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component
+      |         FROM reach GROUP BY src)
+      |SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+      |ORDER BY d.doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
     Q("d03_minhash_lsh", d03, Some(d03Sql), headline = true),
     Q("d04_simhash", d04, Some(d04Sql), headline = true),
     Q("d05_edit_blocked", d05, Some(d05Sql)),
-    Q("d06_decontaminate", d06, Some(d06Sql), headline = true))
+    Q("d06_decontaminate", d06, Some(d06Sql), headline = true),
+    Q("d07_canonical_corpus", d07, Some(d07Sql)))
 }

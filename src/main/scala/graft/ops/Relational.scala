@@ -746,6 +746,79 @@ object Relational {
       |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q25
+  /** Explicit GROUPING SETS — the general member of the rollup/cube family
+    * (q14/q14b): exactly the (status, priority), (status) and () cells,
+    * skipping the (priority) marginal a CUBE would also compute. Same
+    * two-level shape as q14: exact long-cents partials aggregate to the
+    * few base cells first (one shuffle of map-side partials), then the
+    * grouping-set expansion runs over those cells, not over raw rows. */
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.t(s, dir, "orders")
+      .select($"o_orderstatus", $"o_orderpriority", cents($"o_totalprice").as("pc"))
+    twoLevelCents(base, Seq("o_orderstatus", "o_orderpriority"), Seq("spc" -> $"pc"))
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(dbl(sum($"spc") / 100).as("sum_price"), sum($"__cnt").as("n"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"sum_price", $"n")
+      .orderBy($"status", $"priority")
+  }
+
+  val q25Sql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Exact per-group quartiles (percentile_disc semantics) — q22's median
+    * generalized: rank each order's price inside its priority class and
+    * pick the rows at ceil(q·n) for q ∈ {¼, ½, ¾}. Index selection is
+    * integer arithmetic ((n+3)/4 etc.), so the result is engine-exact with
+    * no interpolation FP. One shuffle for the window, one for the final
+    * group-agg; at scale the window partitions by the group key, so skew
+    * maps to group size, not table size. */
+  def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val ranked = Tables.t(s, dir, "orders")
+      .select($"o_orderpriority", $"o_totalprice", $"o_orderkey")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"o_orderpriority")))
+    // `div` = integer division (Spark's `/` is always double division)
+    def pick(idx: Column): Column = max(when($"rn" === idx, $"o_totalprice"))
+    ranked.groupBy($"o_orderpriority")
+      .agg(
+        pick(expr("(n + 3) div 4")).as("p25"),
+        pick(expr("(n + 1) div 2")).as("p50"),
+        pick(expr("(n * 3 + 3) div 4")).as("p75"),
+        max($"n").as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q26Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority,
+      |  MAX(CASE WHEN rn = (n + 3) // 4 THEN o_totalprice END) AS p25,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN o_totalprice END) AS p50,
+      |  MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN o_totalprice END) AS p75,
+      |  MAX(n) AS n_orders
+      |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -769,5 +842,7 @@ object Relational {
     Q("q21_salted_agg", q21, Some(q21Sql)),
     Q("q22_exact_median", q22, Some(q22Sql)),
     Q("q23_funnel", q23, Some(q23Sql)),
-    Q("q24_pivot", q24, Some(q24Sql)))
+    Q("q24_pivot", q24, Some(q24Sql)),
+    Q("q25_grouping_sets", q25, Some(q25Sql)),
+    Q("q26_quantiles", q26, Some(q26Sql)))
 }

@@ -217,9 +217,60 @@ object Similarity {
       |SELECT va, vb, round(sim, 4) AS sim FROM sim WHERE sim >= 0.4
       |ORDER BY va, vb""".stripMargin
 
+  // ---------------------------------------------------------------- s05
+  /** Int8 scalar quantization + integer-dot top-k — the memory-bound ANN
+    * scale path: vectors quantize to q[i] = round(v[i]·127) (8 bits of
+    * the unit-ish range), shrinking a 64-dim float corpus 4× so far more
+    * of it fits in executor memory / page cache; search scores candidates
+    * with the INTEGER dot product (exact int64 math — zero FP in scoring
+    * or ranking, so the result is trivially engine- and order-exact).
+    * Queries are the same vec_id % 100 = 0 probes as s01; in a full
+    * pipeline this pass produces candidates that s01-style float cosine
+    * rescores. Plan: broadcast queries, one narrow pass over the corpus,
+    * per-query top-3 window partitioned by qid. */
+  def s05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val quant = Tables.t(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast(DoubleType) * 127).cast(LongType)).as("qv"))
+    val q = quant.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"qv".as("qq"))
+    val idot = expr(
+      "aggregate(zip_with(qq, qv, (x, y) -> x * y), 0L, (acc, p) -> acc + p)")
+    val w = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
+    quant.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("score", idot)
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"vec_id".as("neighbor_id"), $"score")
+      .orderBy($"qid", $"rank")
+  }
+
+  val s05Sql: String = {
+    val qdot = "list_reduce(list_transform(generate_series(1, 64), " +
+      "i -> qq[i] * qv[i]), (x, y) -> x + y)"
+    s"""WITH quant AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, qv AS qq FROM quant WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT qid, vec_id, $qdot AS score
+       |  FROM quant JOIN q ON vec_id <> qid),
+       |ranked AS (
+       |  SELECT qid, vec_id, score, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id AS neighbor_id, score
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
     Q("s03_embed_neardup", s03, Some(s03Sql)),
-    Q("s04_srp_lsh", s04, Some(s04Sql), headline = true))
+    Q("s04_srp_lsh", s04, Some(s04Sql), headline = true),
+    Q("s05_int8_quantized", s05, Some(s05Sql)))
 }

@@ -352,6 +352,164 @@ object TextAnalysis {
        |WHERE bucket < quota ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t10
+  /** TF-IDF top terms per document — the keyword-extraction step of a
+    * curation pipeline. IDF is the rational form N/df instead of
+    * ln(N/df): monotone in the same ordering, but a single IEEE division
+    * of two exact integers, so scores are bit-identical across engines
+    * (transcendental functions are not).
+    *
+    * Plan shape: explode → (doc, term) count [shuffle 1] → term df
+    * [shuffle 2, output ≈ vocabulary, tiny → broadcast back] → per-doc
+    * top-3 window [shuffle 3 on doc_id]. At 100 TB the vocabulary side
+    * stays broadcastable (vocab ≪ corpus) and the window partitions by
+    * doc_id — perfectly spread, no skew. */
+  def t10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+    val tok = docs.select($"doc_id", explode(words($"text")).as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round($"tf" * (dbl($"n_docs") / $"df"), 6))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"term", $"tf", $"df", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val t10Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, w AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |       UNNEST(ws) AS t(w)),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    round(tf * (CAST(n_docs AS DOUBLE) / df), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tf, df, score
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- t11
+  /** BM25 keyword search (k1=1.2, b=0.75) for a fixed query — the lexical
+    * retrieval twin of s01's embedding search. The corpus statistics
+    * (N, per-term df, avg doc length) reduce to ONE aggregate row that
+    * broadcasts to a second narrow scan: two passes, no wide shuffle.
+    * IDF uses the BM25+ rational form (N - df + 0.5)/(df + 0.5) — no
+    * logarithm, so every FP step is a deterministic IEEE op evaluated in
+    * the identical order on both engines; per-term scores are summed in
+    * fixed (term-list) order, not data order. */
+  val bm25Query: Seq[String] = Seq("spark", "window", "join")
+
+  def t11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", words($"text").as("ws"))
+      .withColumn("dl", size($"ws").cast(LongType))
+    def tfOf(t: String): Column =
+      size(filter($"ws", w => w === t)).cast(LongType)
+    val statAggs = sum($"dl").as("sum_dl") +: bm25Query.map(t =>
+      sum(when(tfOf(t) > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    val withTf = docs.select(
+      $"doc_id" +: $"dl" +: bm25Query.map(t => tfOf(t).as(s"tf_$t")): _*)
+    def termScore(t: String): Column = {
+      val tf = dbl(col(s"tf_$t"))
+      val idf = (dbl($"n_docs") - dbl(col(s"df_$t")) + lit(0.5)) /
+        (dbl(col(s"df_$t")) + lit(0.5))
+      val norm = lit(1.0) - lit(0.75) + lit(0.75) * (dbl($"dl") / $"avgdl")
+      idf * ((tf * lit(2.2)) / (tf + lit(1.2) * norm))
+    }
+    val scored = withTf.crossJoin(broadcast(
+        stats.withColumn("avgdl", dbl($"sum_dl") / $"n_docs")))
+      .withColumn("score",
+        round(bm25Query.map(termScore).reduceLeft(_ + _), 6))
+      .filter($"score" > 0)
+    // global top-10 as orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps, k rows to the driver) — NOT a row_number over an unpartitioned
+    // window, which would shuffle the whole corpus to one partition.
+    // The rank window then runs over just the 10 survivors.
+    val top = scored.orderBy($"score".desc, $"doc_id").limit(10)
+    val w = Window.orderBy($"score".desc, $"doc_id")
+    top.withColumn("rank", row_number().over(w))
+      .select($"doc_id" +: $"rank" +: $"score" +:
+        bm25Query.map(t => col(s"tf_$t")): _*)
+      .orderBy($"rank")
+  }
+
+  val t11Sql: String = {
+    def cnt(t: String) =
+      s"CAST(len(list_filter(ws, w -> w = '$t')) AS BIGINT)"
+    val tfCols = bm25Query.map(t => s"    ${cnt(t)} AS tf_$t").mkString(",\n")
+    val dfCols = bm25Query
+      .map(t => s"    SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(",\n")
+    val scoreTerms = bm25Query.map { t =>
+      s"((CAST(n_docs AS DOUBLE) - CAST(df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))" +
+        s" * ((CAST(tf_$t AS DOUBLE) * 2.2) / (CAST(tf_$t AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))"
+    }.mkString(" + ")
+    val tfOut = bm25Query.map(t => s"tf_$t").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+       |$tfCols
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(dl) AS sum_dl,
+       |$dfCols
+       |  FROM d),
+       |scored AS (
+       |  SELECT doc_id, dl, $tfOut,
+       |    round($scoreTerms, 6) AS score
+       |  FROM d CROSS JOIN (
+       |    SELECT n_docs, ${bm25Query.map(t => s"df_$t").mkString(", ")},
+       |      CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM stats)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored WHERE score > 0)
+       |SELECT doc_id, rank, score, $tfOut
+       |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t12
+  /** Corpus n-gram statistics — the LM-style frequency table: global
+    * trigram counts with document frequency, top-20. ONE shuffle
+    * (groupBy trigram, map-side partials); the global top-k lowers to
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k
+    * rows), not a full sort. At 100 TB the trigram key space is huge but
+    * counts are partial-aggregated before the shuffle, and nothing but
+    * the k winners ever leaves the executors. */
+  def t12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", words($"text").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("trigram"))
+      .groupBy($"trigram")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+      .orderBy($"n".desc, $"trigram")
+      .limit(20)
+  }
+
+  val t12Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS trigram
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+      |       WHERE len(ws) >= 3)
+      |SELECT trigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM tg GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -361,5 +519,8 @@ object TextAnalysis {
     Q("t06_repetition", t06, Some(t06Sql)),
     Q("t07_pack_sequences", t07, Some(t07Sql)),
     Q("t08_hash_split", t08, Some(t08Sql)),
-    Q("t09_quota_sample", t09, Some(t09Sql)))
+    Q("t09_quota_sample", t09, Some(t09Sql)),
+    Q("t10_tfidf", t10, Some(t10Sql)),
+    Q("t11_bm25", t11, Some(t11Sql)),
+    Q("t12_ngram_counts", t12, Some(t12Sql)))
 }
