@@ -146,4 +146,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
     assert(p.contains("partial_count"), s"no map-side partials:\n$p")
   }
+
+  test("q25: grouping-set Expand consumes aggregated cells, not raw rows") {
+    val p = simplePlan(Relational.q25(spark, dir))
+    assert(p.contains("Expand"), s"no grouping-set expand:\n$p")
+    val lines = p.linesIterator.toVector
+    // bottom-up: scan … base HashAggregates … Expand — the expand index
+    // must sit above (smaller line number than) the LAST aggregate pair,
+    // i.e. at least one HashAggregate appears below it
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    val aggBelowExpand = lines.drop(expandIdx + 1).exists(_.contains("HashAggregate"))
+    assert(aggBelowExpand, s"Expand feeds on raw rows (no agg below it):\n$p")
+  }
+
+  test("t10: the vocabulary (df) side broadcasts back; corpus never re-shuffles for it") {
+    val p = simplePlan(TextAnalysis.t10(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"df side not broadcast:\n$p")
+  }
+
+  test("t11/t12: global top-k lowers to TakeOrderedAndProject, not a full sort") {
+    for (df <- Seq(TextAnalysis.t11(spark, dir), TextAnalysis.t12(spark, dir))) {
+      val p = simplePlan(df)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-k did not lower to per-partition heaps:\n$p")
+    }
+  }
+
+  test("s05: quantized search broadcasts the query side; no corpus shuffle before scoring") {
+    val p = simplePlan(Similarity.s05(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"queries not broadcast:\n$p")
+  }
+
+  test("d07: the drop-list anti-join broadcasts — the corpus is never shuffled") {
+    val p = simplePlan(Dedup.d07(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"canonical-corpus anti-join not broadcast:\n$p")
+  }
 }
