@@ -234,6 +234,88 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming eval-set decontamination — the ingest twin of batch d06:
+    * per micro-batch, each document is 4-gram shingled map-side (compiled
+    * [[graft.functions.ShingleKernels]] kernel); a document is dropped
+    * when any gram hits the static eval-set gram index, and clean
+    * documents append to `outPath`. Runs inside foreachBatch so the
+    * contaminated-id set is an ordinary broadcast semi-join + anti-join
+    * (a stream-side transform would make "doc has ANY hit" a stateful
+    * stream self-join — here every micro-batch is stateless).
+    *
+    * Replay safety: output is partitioned by `batch_id` with dynamic
+    * partition overwrite, so a re-run of a failed micro-batch replaces
+    * exactly its own partition (same recipe as [[nearDupIngest]]).
+    *
+    * Scale: eval sets are small next to the corpus (~10⁵ docs vs ~10⁹),
+    * so their distinct grams BROADCAST; the streaming side is never
+    * shuffled — gram explosion, probe, and anti-join are all map-side. */
+  def decontaminateIngest(
+      docs: DataFrame,
+      evalGrams: DataFrame,
+      outPath: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val contaminated = batch
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .filter(size($"ws") >= 4)
+          .select($"doc_id",
+            explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+          .join(broadcast(evalGrams.select($"g").distinct()), Seq("g"), "left_semi")
+          .select($"doc_id").distinct()
+        batch.join(contaminated, Seq("doc_id"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Distinct 4-grams of a static eval-set corpus — the broadcast side of
+    * [[decontaminate]]. */
+  def evalGramsOf(evalDocs: DataFrame): DataFrame = {
+    val s = evalDocs.sparkSession
+    import s.implicits._
+    evalDocs
+      .select(split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 4)
+      .select(explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+      .distinct()
+  }
+
+  /** Trending n-grams — the streaming twin of batch t12's corpus
+    * frequency table: trigram counts per event-time window, closing (and
+    * emitting once, append mode) when the watermark passes the window
+    * end. Input needs (ts, text). At scale the groupBy key is
+    * (window, trigram): partial aggregation is map-side, state is
+    * O(open windows × distinct trigrams in them), bounded by the
+    * watermark — the live path of an LM-style frequency pipeline. */
+  def trendingNgrams(
+      docs: DataFrame,
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .select($"ts", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 3)
+      // multiplicity-preserving trigrams (same expression as batch t12) —
+      // the ShinglesK kernel dedups per doc, which is dedup semantics,
+      // not frequency semantics
+      .select($"ts", explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("trigram"))
+      .groupBy(window($"ts", windowLen).as("w"), $"trigram")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("window_start"), $"trigram", $"n")
+  }
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

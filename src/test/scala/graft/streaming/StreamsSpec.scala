@@ -226,6 +226,61 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       .collect().sorted.toSeq == Seq(1L, 4L))
   }
 
+  test("decontaminateIngest: drops docs sharing any 4-gram with the eval set") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = Files.createTempDirectory("graft_decon")
+    val out = base.resolve("out").toString
+    val evalDocs = Seq("held out eval question about spark windows")
+      .toDF("text")
+    val evalGrams = Streams.evalGramsOf(evalDocs)
+    val in = MemoryStream[(Long, String)]
+
+    def drain(): Unit =
+      Streams.decontaminateIngest(in.toDF().toDF("doc_id", "text"),
+        evalGrams, out, base.resolve("ckpt").toString).awaitTermination()
+
+    in.addData(
+      // contains "eval question about spark" -> contaminated
+      (1L, "training doc with the eval question about spark inside it"),
+      (2L, "a perfectly clean training document with no overlap whatsoever"),
+      (3L, "short doc")) // < 4 tokens of overlap possible, kept
+    drain()
+    assert(s.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L))
+
+    // second batch replays the same pipeline against the same output
+    in.addData((4L, "another clean one"), (5L, "question about spark windows yes"))
+    drain()
+    assert(s.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("trendingNgrams: windowed trigram counts emit when the watermark passes") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams.trendingNgrams(in.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("trending_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), "spark is fast spark is fast"),
+        (ts("2024-01-01 10:20:00"), "spark is fast"))
+      q.processAllAvailable()
+      // watermark sentinel far ahead closes the 10:00 window
+      in.addData((ts("2024-01-01 20:00:00"), "closing sentinel text here"))
+      q.processAllAvailable()
+      val rows = s.table("trending_out")
+        .filter($"window_start" === ts("2024-01-01 10:00:00"))
+        .orderBy($"n".desc, $"trigram")
+        .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+      assert(rows.take(2) == Seq(("spark is fast", 3L), ("fast spark is", 1L)))
+    } finally q.stop()
+  }
+
   test("incrementalMerge: delete-insert by unique key across micro-batch runs") {
     val s = spark
     import s.implicits._
