@@ -132,6 +132,72 @@ object GraphOps {
       |SELECT src AS doc_id, min(dst) AS component
       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  /** Per-vertex triangle counts of an undirected simple graph given as an
+    * edge list (`da` < `db` guaranteed by the pair generators). The
+    * standard distributed shape: orient every edge low→high so each
+    * triangle {a<b<c} is found exactly once as the wedge (a→b, a→c)
+    * closed by edge (b→c), then credit all three corners. Two shuffle
+    * joins on vertex ids + one groupBy — no iteration. At scale the wedge
+    * join is the hot spot; its size is Σ deg(v)² over low-degree
+    * orientation, the minimum possible for exact counting.
+    */
+  def triangles(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val e = edgesIn.select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
+      .localCheckpoint() // reused three times: wedges + closing + vertex set
+    // wedges from a common low endpoint: (a,b,c) with a<b<c
+    val wedges = e.as("x").join(e.as("y"),
+      col("x.da") === col("y.da") && col("x.db") < col("y.db"))
+      .select(col("x.da").as("a"), col("x.db").as("b"), col("y.db").as("c"))
+    val tri = wedges.join(e.as("z"),
+      col("b") === col("z.da") && col("c") === col("z.db"))
+      .select($"a", $"b", $"c")
+    // credit each corner; count(lit(1)) aggregates map-side before shuffle
+    val perVertex = tri.select(explode(array($"a", $"b", $"c")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_triangles"))
+    // left join so triangle-free vertices report 0, not absence
+    e.select($"da".as("doc_id")).union(e.select($"db".as("doc_id"))).distinct()
+      .join(perVertex, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_triangles", lit(0L)).as("n_triangles"))
+  }
+
+  /** g02: per-vertex triangle counts of the near-dup graph (same d02
+    * edges at jaccard ≥ 0.5 as g01) — the clustering-coefficient
+    * numerator a curation pipeline uses to tell tight duplicate cliques
+    * from chain-shaped false-positive components. */
+  def g02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    triangles(Dedup.jaccardPairs(s, dir, 0.5)).orderBy($"doc_id")
+  }
+
+  val g02Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |tri AS (SELECT x.da AS a, x.db AS b, y.db AS c
+      |        FROM edges x JOIN edges y ON x.da = y.da AND x.db < y.db
+      |        JOIN edges z ON z.da = x.db AND z.db = y.db),
+      |corners AS (
+      |  SELECT a AS doc_id FROM tri UNION ALL
+      |  SELECT b FROM tri UNION ALL
+      |  SELECT c FROM tri),
+      |verts AS (SELECT da AS doc_id FROM edges UNION SELECT db FROM edges)
+      |SELECT v.doc_id,
+      |  COALESCE((SELECT COUNT(*) FROM corners c WHERE c.doc_id = v.doc_id), 0)
+      |    AS n_triangles
+      |FROM verts v ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
-    Q("g01_components", g01, Some(g01Sql), headline = true))
+    Q("g01_components", g01, Some(g01Sql), headline = true),
+    Q("g02_triangles", g02, Some(g02Sql)))
 }

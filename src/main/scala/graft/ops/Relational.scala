@@ -819,6 +819,50 @@ object Relational {
       |  MAX(n) AS n_orders
       |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** Correlated scalar subquery, decorrelated: orders whose value is
+    * strictly above their customer's average order value. The textbook
+    * form (`WHERE price > (SELECT avg(...) WHERE same customer)`) is what
+    * the oracle runs; on Spark the idiomatic plan is the decorrelated one
+    * — a window aggregate over `o_custkey` — which is also what Catalyst
+    * itself rewrites correlated subqueries into. One shuffle (hash by
+    * customer), no self-join, no second scan of `orders`.
+    *
+    * Exactness: the comparison `price > avg` is done in the integer
+    * domain as `cents(price) * n > sum_cents` — no division before the
+    * predicate, so the row set is bit-identical in any engine. The
+    * reported average is one IEEE division of two exact integers. */
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+    Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("pc"))
+      .withColumn("spc", sum($"pc").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter($"pc" * $"n" > $"spc")
+      .select(
+        $"o_orderkey", $"o_custkey",
+        dbl($"pc" / 100).as("total_price"),
+        (dbl($"spc") / ($"n" * 100)).as("cust_avg"),
+        $"n".as("n_cust_orders"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q27Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100 AS total_price,
+      |  (SELECT CAST(SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+      |          / (COUNT(*) * 100)
+      |   FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg,
+      |  (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |    AS n_cust_orders
+      |FROM orders o
+      |WHERE CAST(round(o_totalprice * 100) AS BIGINT) *
+      |      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey) >
+      |      (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+      |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -844,5 +888,6 @@ object Relational {
     Q("q23_funnel", q23, Some(q23Sql)),
     Q("q24_pivot", q24, Some(q24Sql)),
     Q("q25_grouping_sets", q25, Some(q25Sql)),
-    Q("q26_quantiles", q26, Some(q26Sql)))
+    Q("q26_quantiles", q26, Some(q26Sql)),
+    Q("q27_correlated", q27, Some(q27Sql)))
 }

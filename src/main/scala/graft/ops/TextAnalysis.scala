@@ -510,6 +510,102 @@ object TextAnalysis {
       |SELECT trigram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
       |FROM tg GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- t13
+  /** PII scrubbing — the mandatory pre-training redaction pass: mask
+    * email addresses and digit runs in free text (here `events.props`,
+    * the only column in the testdata with digits) and count what was
+    * redacted. Patterns are written in the common subset of Java regex
+    * and RE2 (character classes, bounded repetition, no backrefs) so the
+    * Spark plan and any other engine agree byte-for-byte.
+    *
+    * Scale: row-local `regexp_replace`/`regexp_count` — fully narrow, no
+    * shuffle, whole-stage codegen; the scrub pipelines into whatever scan
+    * partitioning exists, which is exactly what a 100 TB redaction sweep
+    * needs (it is bandwidth-bound, and this plan reads each byte once). */
+  def t13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]+"
+    val scrubbed = regexp_replace(
+      regexp_replace($"props", email, "<EMAIL>"), num, "<NUM>")
+    Tables.t(s, dir, "events")
+      .select(
+        $"event_id",
+        scrubbed.as("props_scrubbed"),
+        (regexp_count($"props", lit(email)) +
+          regexp_count($"props", lit(num))).cast(LongType).as("n_redactions"))
+      .orderBy($"event_id")
+  }
+
+  val t13Sql: String =
+    """SELECT event_id,
+      |  regexp_replace(
+      |    regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |                   '<EMAIL>', 'g'),
+      |    '[0-9]+', '<NUM>', 'g') AS props_scrubbed,
+      |  CAST(len(regexp_extract_all(props,
+      |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
+      |       len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- t14
+  /** Quality deciles — the corpus-curation histogram: rank every document
+    * by stopword ratio (ties broken by doc_id for a total order) into
+    * ntile(10) buckets and aggregate each decile. Per-decile measures are
+    * chosen to be order-independent (min/max, integer sums, one final
+    * division) so the result is engine-exact.
+    *
+    * Scale: the global ntile is an intentionally single-partition window
+    * — correct for a histogram over ranks, but at 100 TB the right plan
+    * is the two-pass variant: sample ratio quantiles (RangePartitioner
+    * style) to get 9 approximate cut points, then a narrow bucket-by-cut
+    * pass. The exact single-window form is what the oracle can verify;
+    * the input to the window here is the pre-aggregated (doc_id, ratio)
+    * projection, ~16 bytes/doc, so even at 10¹⁰ docs the window input is
+    * ~160 GB — sortable, but the cut-point plan is the one to ship. */
+  def t14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = words($"text")
+    val nTok = size(ws)
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
+    val perDoc = Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        nStop.cast(LongType).as("n_stop"),
+        nTok.cast(LongType).as("n_tok"),
+        (dbl(nStop) / nTok).as("ratio"))
+    val w = Window.orderBy($"ratio", $"doc_id")
+    perDoc.withColumn("decile", ntile(10).over(w))
+      .groupBy($"decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"ratio").as("min_ratio"),
+        max($"ratio").as("max_ratio"),
+        sum($"n_stop").as("total_stopwords"),
+        sum($"n_tok").as("total_tokens"))
+      .withColumn("pooled_ratio", dbl($"total_stopwords") / $"total_tokens")
+      .orderBy($"decile")
+  }
+
+  val t14Sql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(ws, w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+       |    CAST(len(ws) AS BIGINT) AS n_tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |r AS (
+       |  SELECT doc_id, n_stop, n_tok,
+       |    CAST(n_stop AS DOUBLE) / n_tok AS ratio FROM d),
+       |b AS (
+       |  SELECT *, ntile(10) OVER (ORDER BY ratio, doc_id) AS decile FROM r)
+       |SELECT decile, COUNT(*) AS n_docs,
+       |  MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+       |  SUM(n_stop) AS total_stopwords, SUM(n_tok) AS total_tokens,
+       |  CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok) AS pooled_ratio
+       |FROM b GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -522,5 +618,7 @@ object TextAnalysis {
     Q("t09_quota_sample", t09, Some(t09Sql)),
     Q("t10_tfidf", t10, Some(t10Sql)),
     Q("t11_bm25", t11, Some(t11Sql)),
-    Q("t12_ngram_counts", t12, Some(t12Sql)))
+    Q("t12_ngram_counts", t12, Some(t12Sql)),
+    Q("t13_pii_scrub", t13, Some(t13Sql)),
+    Q("t14_deciles", t14, Some(t14Sql)))
 }

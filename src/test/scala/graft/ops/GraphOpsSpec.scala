@@ -67,4 +67,26 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(comps.values.toSet == Set(1L))
     assert(comps.size == 7)
   }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphOps.triangles(edges.toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("K4: every vertex sits in 3 triangles") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(runTriangles(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("a chain has vertices but zero triangles") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(runTriangles(chain) == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("triangle with a pendant vertex: pendant counts zero") {
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L))
+    assert(runTriangles(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 0L))
+  }
 }
