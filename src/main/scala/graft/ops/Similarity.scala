@@ -267,10 +267,89 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s06
+  /** ANN quality evaluation — recall@3 of the IVF probe-1 search (s02)
+    * against exact brute-force top-3 over the same query set. This is the
+    * measurement loop every production ANN deployment runs before trading
+    * exactness for speed: per query, how many of the true top-3 does the
+    * approximate index return?
+    *
+    * Plan: the exact side is one broadcast-queries pass over the corpus
+    * (queries ≪ corpus, so the big side never shuffles); the IVF side is
+    * s02's cell-local join; the comparison is a tiny join on
+    * (qid, neighbor) — counts and one division, engine-exact.
+    *
+    * Scale: the expensive exact pass is only ever run on a SAMPLE of
+    * queries (here every 71st vector) — the standard way to audit recall
+    * at 100 TB without paying the full O(Q·N) cost. */
+  def s06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all0 = vecs(s, dir)
+    val q = all0.filter($"vec_id" % 71 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wTop = Window.partitionBy($"qid")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    val exact = all0.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 3)
+      .select($"qid", $"vec_id".as("neighbor_id"))
+    val approx = s02(s, dir).select($"qid", $"neighbor_id")
+    val hits = exact.join(approx, Seq("qid", "neighbor_id"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+    q.select($"qid")
+      .join(hits, Seq("qid"), "left")
+      .select($"qid",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast(DoubleType) / 3).as("recall_at_3"))
+      .orderBy($"qid")
+  }
+
+  val s06Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |qs AS (SELECT vec_id AS qid, embedding AS qe, norm AS qnorm
+       |       FROM v WHERE vec_id % 71 = 0),
+       |exact AS (
+       |  SELECT qid, vec_id AS neighbor_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |        ORDER BY round(${dotSql("qe", "embedding")} / (qnorm * norm), 6) DESC,
+       |                 vec_id) AS rank
+       |    FROM v JOIN qs ON vec_id <> qid)
+       |  WHERE rank <= 3),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, norm AS cnorm FROM v WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, norm, cid FROM (
+       |    SELECT v.vec_id, v.embedding, v.norm, cent.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${dotSql("ce", "embedding")} / (cnorm * norm), 6) DESC, cid) AS arank
+       |    FROM v CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |q2 AS (SELECT vec_id AS qid, embedding AS qe, norm AS qnorm, cid AS qcid
+       |       FROM assigned WHERE vec_id % 71 = 0),
+       |approx AS (
+       |  SELECT qid, vec_id AS neighbor_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |        ORDER BY round(${dotSql("qe", "embedding")} / (qnorm * norm), 6) DESC,
+       |                 vec_id) AS rank
+       |    FROM assigned JOIN q2 ON cid = qcid AND vec_id <> qid)
+       |  WHERE rank <= 3),
+       |hits AS (
+       |  SELECT e.qid, COUNT(*) AS n_hits
+       |  FROM exact e JOIN approx a ON e.qid = a.qid AND e.neighbor_id = a.neighbor_id
+       |  GROUP BY e.qid)
+       |SELECT qs.qid,
+       |  COALESCE(n_hits, 0) AS n_hits,
+       |  CAST(COALESCE(n_hits, 0) AS DOUBLE) / 3 AS recall_at_3
+       |FROM qs LEFT JOIN hits ON qs.qid = hits.qid
+       |ORDER BY qs.qid""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
     Q("s03_embed_neardup", s03, Some(s03Sql)),
     Q("s04_srp_lsh", s04, Some(s04Sql), headline = true),
-    Q("s05_int8_quantized", s05, Some(s05Sql)))
+    Q("s05_int8_quantized", s05, Some(s05Sql)),
+    Q("s06_ann_recall", s06, Some(s06Sql)))
 }
