@@ -183,4 +183,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"canonical-corpus anti-join not broadcast:\n$p")
   }
+
+  test("q27: decorrelation leaves one hash shuffle and no self-join") {
+    val p = simplePlan(Relational.q27(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange (window), got $exchanges:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"correlated subquery re-scanned orders ($scans scans):\n$p")
+  }
+
+  test("t13: PII scrub is a pure scan — no exchange, codegen'd") {
+    val df = TextAnalysis.t13(spark, dir)
+    val p = simplePlan(df)
+    assert(!p.contains("Exchange hashpartitioning"), s"narrow scrub shuffled:\n$p")
+    df.queryExecution.toRdd.count()
+    val sp = df.queryExecution.executedPlan.toString
+    assert(sp.contains("*("), s"no whole-stage codegen span:\n$sp")
+  }
+
+  test("g02: the wedge join is a real equi-join, never a cartesian product") {
+    val p = simplePlan(GraphOps.g02(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"wedge join degraded:\n$p")
+  }
+
+  test("s06: the exact side broadcasts the query sample over the streaming corpus") {
+    val p = simplePlan(Similarity.s06(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query sample not broadcast:\n$p")
+  }
 }
