@@ -606,6 +606,57 @@ object TextAnalysis {
        |FROM b GROUP BY decile ORDER BY decile""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t15
+  /** Epoch-weighted mixture expansion — the upsampling half of training
+    * data mixing (t09 is the downsampling half): each source gets a
+    * target epoch weight (e.g. 2.5 = every doc appears twice, and half
+    * the docs a third time). Copies are materialized as (doc_id, copy_id)
+    * rows; the fractional epoch is decided per doc by a salted md5 bucket,
+    * so the expansion is a pure function of (doc_id, source) —
+    * reproducible across engines, runs, and partitionings.
+    *
+    * Scale: narrow scan + explode, no shuffle; output size = Σ weights,
+    * known in advance. At 100 TB you never materialize copies to storage —
+    * this operator IS the view the training reader consumes. */
+  val epochWeights: Seq[(String, Int)] = // source -> weight in percent
+    Seq("src0" -> 250, "src1" -> 50, "src2" -> 130, "src3" -> 0)
+
+  def t15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = epochWeights.foldRight(lit(100): Column) {
+      case ((src, pct), els) => when($"source" === src, pct).otherwise(els)
+    }
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", w.as("w"),
+        md5Bucket($"doc_id", ":epoch").as("bucket"))
+      .withColumn("n_copies",
+        ($"w" / 100).cast(LongType) +
+          when($"bucket" < $"w" % 100, 1L).otherwise(0L))
+      .filter($"n_copies" > 0)
+      .select($"doc_id", $"source", $"n_copies",
+        explode(sequence(lit(1L), $"n_copies")).as("copy_id"))
+      .orderBy($"doc_id", $"copy_id")
+  }
+
+  val t15Sql: String = {
+    val wCase = epochWeights.map { case (s0, p) => s"WHEN source = '$s0' THEN $p" }
+      .mkString("CASE ", " ", " ELSE 100 END")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $wCase AS w,
+       |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 6)
+       |      AS BIGINT) % 100 AS bucket
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, source,
+       |    CAST(w // 100 + CASE WHEN bucket < w % 100 THEN 1 ELSE 0 END AS BIGINT)
+       |      AS n_copies
+       |  FROM d)
+       |SELECT doc_id, source, n_copies, copy_id
+       |FROM n, UNNEST(generate_series(1, n_copies)) AS t(copy_id)
+       |WHERE n_copies > 0
+       |ORDER BY doc_id, copy_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -620,5 +671,6 @@ object TextAnalysis {
     Q("t11_bm25", t11, Some(t11Sql)),
     Q("t12_ngram_counts", t12, Some(t12Sql)),
     Q("t13_pii_scrub", t13, Some(t13Sql)),
-    Q("t14_deciles", t14, Some(t14Sql)))
+    Q("t14_deciles", t14, Some(t14Sql)),
+    Q("t15_mixture_epochs", t15, Some(t15Sql)))
 }
