@@ -423,6 +423,55 @@ object Dedup {
       |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d08
+  /** Chunk-level exact dedup — the substring-granular pass doc-level d01
+    * cannot see: tile every document into non-overlapping 10-word chunks,
+    * count how many of each doc's chunks also occur anywhere else in the
+    * corpus (boilerplate, licenses, templated spans). Per doc:
+    * total chunks, duplicated chunks, and the duplication ratio.
+    *
+    * Plan: explode → ONE groupBy on chunk text (map-side partials collapse
+    * repeats before the shuffle) → broadcast-free join back on the chunk
+    * key → per-doc re-aggregation. Two shuffles total, both on keys whose
+    * cardinality shrinks with dedup — the canonical shape at 100 TB; with
+    * a skewed "empty chunk" universe AQE's skew split applies. A real
+    * deployment hashes chunks to int64 before the shuffle (8-byte keys,
+    * not 60-byte strings) — kept as text here so the oracle can mirror it
+    * verbatim. */
+  def d08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 10)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(ws) div 10 - 1), " +
+          "i -> concat_ws(' ', slice(ws, 10*i + 1, 10)))")).as("chunk"))
+    val gcount = chunks.groupBy($"chunk").agg(count(lit(1)).as("gc"))
+    chunks.join(gcount, Seq("chunk"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when($"gc" >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio", dbl($"n_dup_chunks") / $"n_chunks")
+      .orderBy($"doc_id")
+  }
+
+  val d08Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    array_to_string(ws[10*i + 1 : 10*i + 10], ' ') AS chunk
+      |  FROM words, UNNEST(generate_series(0, len(ws) // 10 - 1)) AS t(i)
+      |  WHERE len(ws) >= 10),
+      |gcount AS (SELECT chunk, COUNT(*) AS gc FROM chunks GROUP BY chunk)
+      |SELECT doc_id,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN gc >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  CAST(SUM(CASE WHEN gc >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS dup_ratio
+      |FROM chunks JOIN gcount USING (chunk)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -430,5 +479,6 @@ object Dedup {
     Q("d04_simhash", d04, Some(d04Sql), headline = true),
     Q("d05_edit_blocked", d05, Some(d05Sql)),
     Q("d06_decontaminate", d06, Some(d06Sql), headline = true),
-    Q("d07_canonical_corpus", d07, Some(d07Sql)))
+    Q("d07_canonical_corpus", d07, Some(d07Sql)),
+    Q("d08_chunk_dedup", d08, Some(d08Sql)))
 }
