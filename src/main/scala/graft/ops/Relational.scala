@@ -863,6 +863,48 @@ object Relational {
       |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q28
+  /** Time-range sliding window: per customer, the trailing-30-day order
+    * revenue at each order — `RANGE BETWEEN` semantics (all peers within
+    * the interval), not `ROWS` (a fixed count). Spark expresses this as
+    * `rangeBetween` over the epoch-seconds ordering key; the frame is a
+    * value range, so ties on the date enter the frame together in any
+    * engine. Money summed in long cents inside the frame — exact.
+    *
+    * Scale: one shuffle (hash by customer), then a per-partition ordered
+    * scan with a sliding frame — O(rows) with a two-pointer frame, no
+    * per-row rescan; skew maps to the largest single customer. */
+  def q28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // orderdate is TIMESTAMP_NTZ; the range frame needs an integral key —
+    // NTZ→timestamp is exact under the session's pinned UTC zone
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".cast(TimestampType).cast(LongType))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        cents($"o_totalprice").as("pc"))
+      .withColumn("trail_pc", sum($"pc").over(w))
+      .withColumn("n_in_window", count(lit(1)).over(w))
+      .select(
+        $"o_orderkey", $"o_custkey",
+        d8($"o_orderdate").as("order_date"),
+        dbl($"trail_pc" / 100).as("trailing_30d_revenue"),
+        $"n_in_window")
+      .orderBy($"o_orderkey")
+  }
+
+  val q28Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS DOUBLE)
+      |    / 100 AS trailing_30d_revenue,
+      |  COUNT(*) OVER w AS n_in_window
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -889,5 +931,6 @@ object Relational {
     Q("q24_pivot", q24, Some(q24Sql)),
     Q("q25_grouping_sets", q25, Some(q25Sql)),
     Q("q26_quantiles", q26, Some(q26Sql)),
-    Q("q27_correlated", q27, Some(q27Sql)))
+    Q("q27_correlated", q27, Some(q27Sql)),
+    Q("q28_sliding_range", q28, Some(q28Sql)))
 }

@@ -316,6 +316,36 @@ object Streams {
       .select($"w.start".as("window_start"), $"trigram", $"n")
   }
 
+  /** Streaming curation gate — PII scrub + quality filter on a document
+    * stream, built from the SAME Column expressions as the batch ops
+    * (t13's scrub regexes, t02's quality predicate): the unified
+    * batch/stream property means a backfill and the live ingest produce
+    * byte-identical rows. Stateless (narrow per-row transforms, no
+    * watermark, no state store) — the scrub pipelines at source
+    * parallelism, which is what a 100 TB/day ingest needs.
+    *
+    * Input needs (doc_id, text); emits (doc_id, text_scrubbed,
+    * n_redactions, n_tokens, is_quality) for every arriving doc. */
+  def scrubIngest(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]+"
+    val scrubbed = regexp_replace(
+      regexp_replace($"text", email, "<EMAIL>"), num, "<NUM>")
+    val ws = split($"text", " ")
+    val nTok = size(ws)
+    val nStop = size(filter(ws, w => w.isin(graft.ops.TextAnalysis.stopwords: _*)))
+    docs.select(
+      $"doc_id",
+      scrubbed.as("text_scrubbed"),
+      (regexp_count($"text", lit(email)) +
+        regexp_count($"text", lit(num))).cast(LongType).as("n_redactions"),
+      nTok.cast(LongType).as("n_tokens"),
+      (nTok >= 20 && nTok <= 90 &&
+        (nStop.cast(DoubleType) / nTok) < lit(0.5)).as("is_quality"))
+  }
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

@@ -281,6 +281,40 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("scrubIngest: streaming scrub equals the batch expressions (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    final case class Doc(doc_id: Long, text: String)
+    val docs = Seq(
+      Doc(1L, "mail me at bob@example.com or call 555 1234"),
+      Doc(2L, ("the a " * 30).trim), // 60 tokens, all stopwords → not quality
+      Doc(3L, (Seq.fill(40)("spark word").mkString(" "))), // quality
+      Doc(4L, "short doc"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.scrubIngest(in.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scrub_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.map(d => (d.doc_id, d.text)): _*)
+      q.processAllAvailable()
+      val streamRows = s.table("scrub_out").orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      // the batch twin: identical Column expressions over a static frame
+      val batchRows = Streams.scrubIngest(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      assert(streamRows.toSeq == batchRows.toSeq)
+      val byId = streamRows.map(t => t._1 -> t).toMap
+      assert(byId(1L)._2 == "mail me at <EMAIL> or call <NUM> <NUM>")
+      assert(byId(1L)._3 == 3L) // one email + two digit runs
+      assert(!byId(2L)._5, "all-stopword doc must fail the quality gate")
+      assert(byId(3L)._5, "long mixed doc must pass the quality gate")
+      assert(!byId(4L)._5, "2-token doc is below the length gate")
+    } finally q.stop()
+  }
+
   test("incrementalMerge: delete-insert by unique key across micro-batch runs") {
     val s = spark
     import s.implicits._
