@@ -63,8 +63,12 @@ object Main {
   }
 
   def main(argv: Array[String]): Unit = {
-    val args = parse(argv.drop(1))
-    val command = argv.headOption.getOrElse("help")
+    // `operation <cmd>` is the reference's namespacing for the single-op
+    // commands (main.py:114-118); accept and flatten it so invocations
+    // port verbatim
+    val argv1 = if (argv.headOption.contains("operation")) argv.drop(1) else argv
+    val args = parse(argv1.drop(1))
+    val command = argv1.headOption.getOrElse("help")
     val root = Paths.get(args.flags("project-dir").headOption.getOrElse("."))
     val dryRun = args.switches("dry-run")
 
@@ -159,7 +163,7 @@ object Main {
             runner.viewName, p => scala.util.Try(readFile(p)).toOption))
         }
 
-      case "contract" =>
+      case "contract" | "add-contract" =>
         val s = spark()
         val (cfg, m) = ProjectLoader.load(root)
         val selected = selection(m)

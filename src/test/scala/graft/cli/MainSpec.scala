@@ -91,7 +91,8 @@ class MainSpec extends AnyFunSuite {
       "dbt_project.yml" -> "name: shop\n",
       "seeds/raw.csv" -> "id,v\n1,x\n",
       "models/stg.sql" -> "select id, v from {{ ref('raw') }}"))
-    Main.main(Array("contract", "--select", "stg",
+    // spelled exactly as the reference namespaces it: `operation add-contract`
+    Main.main(Array("operation", "add-contract", "--select", "stg",
       "--project-dir", root.toString))
     val (_, m) = ProjectLoader.load(root)
     val stg = m.nodes("model.shop.stg")
