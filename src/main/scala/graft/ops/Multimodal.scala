@@ -179,9 +179,45 @@ object Multimodal {
       |SELECT doc_id, length(s) AS n_bytes_small, md5(s) AS checksum_small
       |FROM small ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m05
+  /** Exact media dedup — content-hash dedup of the BINARY payload, the
+    * first pass of every multimodal curation pipeline (identical bytes =
+    * identical asset, regardless of filename/source): md5 each payload,
+    * group, keep the min doc_id as canonical, report groups with copies.
+    *
+    * Plan: ONE shuffle on the 16-byte digest (never on the payload —
+    * the hash is computed map-side and the binary column is pruned from
+    * the exchange), map-side partial aggregation. This is exactly how a
+    * 100 TB asset store dedups: bytes stay where they are; only digests
+    * travel. */
+  def m05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select($"doc_id", md5($"bytes").as("content_md5"),
+        octet_length($"bytes").cast(LongType).as("n_bytes"))
+      .groupBy($"content_md5")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min($"doc_id").as("canonical_doc_id"),
+        max($"n_bytes").as("n_bytes"))
+      .filter($"n_copies" >= 2)
+      .orderBy($"content_md5")
+  }
+
+  val m05Sql: String =
+    """SELECT md5(text) AS content_md5,
+      |  COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS canonical_doc_id,
+      |  CAST(MAX(strlen(text)) AS BIGINT) AS n_bytes
+      |FROM documents
+      |GROUP BY md5(text)
+      |HAVING COUNT(*) >= 2
+      |ORDER BY content_md5""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
     Q("m03_frame_sample", m03, Some(m03Sql)),
-    Q("m04_resize", m04, Some(m04Sql)))
+    Q("m04_resize", m04, Some(m04Sql)),
+    Q("m05_media_dedup", m05, Some(m05Sql)))
 }

@@ -28,4 +28,12 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
   test("the flagship entry answers rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("m05 finds the duplicate payload groups that exist at sf0.1") {
+    // sf0.01 (the oracle gate) has zero exact-dup texts, so the gate only
+    // proves the empty case; pin the positive case at the SF that has dups
+    val rows = Multimodal.m05(spark, "/root/testdata/sf0.1").collect()
+    assert(rows.length == 8, s"expected 8 dup groups, got ${rows.length}")
+    assert(rows.forall(_.getLong(1) >= 2), "every group must have copies")
+  }
 }
