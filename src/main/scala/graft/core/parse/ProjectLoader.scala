@@ -14,12 +14,14 @@ import scala.jdk.CollectionConverters._
 object ProjectLoader {
 
   def load(root: Path): (ProjectConfig, Manifest) =
-    load(root, loadPackages = true)
+    load(root, visited = Set(root.toAbsolutePath.normalize))
 
-  /** loadPackages=false keeps nested package loads one level deep:
+  /** `visited` carries the canonical roots already on the load path:
     * circular `local:` references (two meshed projects installing each
-    * other — exactly what connect creates) must not recurse unboundedly. */
-  private def load(root: Path, loadPackages: Boolean): (ProjectConfig, Manifest) = {
+    * other — exactly what connect creates) terminate instead of recursing
+    * unboundedly, while legitimate transitive chains (A installs B
+    * installs C) still load to full depth. */
+  private def load(root: Path, visited: Set[Path]): (ProjectConfig, Manifest) = {
     val projFile = root.resolve("dbt_project.yml")
     require(Files.exists(projFile), s"no dbt_project.yml under $root")
     val projYaml = Yaml.parseMap(Files.readString(projFile))
@@ -31,7 +33,7 @@ object ProjectLoader {
       testPaths = strList(projYaml.get("test-paths")).getOrElse(Vector("tests")),
       vars = projYaml.get("vars").collect { case m: YMap => m }.getOrElse(YMap.empty),
       raw = projYaml)
-    (cfg, buildManifest(root, cfg, loadPackages))
+    (cfg, buildManifest(root, cfg, visited))
   }
 
   /** Target schema from profiles.yml (profile named by dbt_project.yml's
@@ -71,8 +73,8 @@ object ProjectLoader {
   /** Installed-package project roots: `local:` entries in packages.yml
     * (resolved without vendoring — dbt would copy them into dbt_packages
     * via `dbt deps`) plus any already-vendored `dbt_packages/<pkg>`
-    * checkouts. One level deep, like the linker needs: a package's own
-    * packages are not followed. */
+    * checkouts. Transitive packages are followed to full depth; the
+    * caller's visited set terminates cycles. */
   private def packageRoots(root: Path): Vector[Path] = {
     val fromYml = (for {
       txt <- scala.util.Try(Files.readString(root.resolve("packages.yml"))).toOption
@@ -90,7 +92,7 @@ object ProjectLoader {
   }
 
   private def buildManifest(root: Path, cfg: ProjectConfig,
-      loadPackages: Boolean = false): Manifest = {
+      visited: Set[Path]): Manifest = {
     val baseSchema = targetSchema(root, cfg)
     val proj = cfg.name
 
@@ -99,10 +101,11 @@ object ProjectLoader {
     // ref()-able by bare name and carry their own package_name) — the
     // basis for the linker's `installs` predicate and B3 package deps
     val pkgManifests: Vector[Manifest] =
-      if (!loadPackages) Vector.empty
-      else packageRoots(root).flatMap { pr =>
-        scala.util.Try(load(pr, loadPackages = false)).toOption.map(_._2)
-      }.filter(_.projectName != proj).distinctBy(_.projectName)
+      packageRoots(root).map(_.toAbsolutePath.normalize)
+        .filterNot(visited) // cycle: already on this load path
+        .flatMap { pr =>
+          scala.util.Try(load(pr, visited + pr)).toOption.map(_._2)
+        }.filter(_.projectName != proj).distinctBy(_.projectName)
 
     // ---- macros + custom generic test definitions ({% test %} blocks
     // under test-paths share the macro namespace, like dbt)

@@ -70,10 +70,11 @@ object Shingles3 {
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
     var i = 0
     while (i <= n - 3) {
-      val s = UTF8String.concat(
-        ws.getUTF8String(i), SPACE,
-        ws.getUTF8String(i + 1), SPACE,
-        ws.getUTF8String(i + 2))
+      // concatWs skips null elements, exactly like the concat_ws SQL
+      // form this kernel compiles — a null word never poisons the
+      // shingle into a null inside a containsNull=false array
+      val s = UTF8String.concatWs(SPACE,
+        ws.getUTF8String(i), ws.getUTF8String(i + 1), ws.getUTF8String(i + 2))
       seen.add(s)
       i += 1
     }
@@ -121,14 +122,13 @@ object ShinglesK {
     val n = ws.numElements()
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
-    val parts = new Array[UTF8String](2 * k - 1)
-    var j = 1
-    while (j < parts.length) { parts(j) = SPACE; j += 2 }
+    val parts = new Array[UTF8String](k)
     var i = 0
     while (i <= n - k) {
       var m = 0
-      while (m < k) { parts(2 * m) = ws.getUTF8String(i + m); m += 1 }
-      seen.add(UTF8String.concat(parts: _*))
+      while (m < k) { parts(m) = ws.getUTF8String(i + m); m += 1 }
+      // concatWs skips nulls like the concat_ws SQL form — see Shingles3
+      seen.add(UTF8String.concatWs(SPACE, parts: _*))
       i += 1
     }
     val out = new Array[Any](seen.size())

@@ -38,10 +38,17 @@ object GraphOps {
   def components(edgesIn: DataFrame, localFinishEdges: Long = 5000000L): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
-    // cast once, up front: both strategies must emit the same
-    // (doc_id long, component long) schema, independent of which one the
-    // edge-count threshold picks
-    val edges = edgesIn.select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
+    // normalize once, up front: both strategies must emit the same
+    // (doc_id long, component long) schema — including NULLABILITY —
+    // independent of which one the edge-count threshold picks. Nullable
+    // parquet-derived edges would leave the loop branch nullable while
+    // the local branch's tuple encoder is non-nullable; dropping null
+    // endpoints (meaningless in an edge list) and coalescing forces
+    // non-nullable on both paths.
+    val edges = edgesIn.na.drop(Seq("da", "db"))
+      .select(
+        coalesce($"da".cast("long"), lit(0L)).as("da"),
+        coalesce($"db".cast("long"), lit(0L)).as("db"))
       .localCheckpoint() // edges are reused every round: compute once
     if (edges.count() <= localFinishEdges) {
       return edges

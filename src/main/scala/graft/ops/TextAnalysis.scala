@@ -75,8 +75,7 @@ object TextAnalysis {
         nStop.cast(LongType).as("n_stopwords"),
         (dbl(nStop) / nTok).as("stopword_ratio"),
         (dbl(nDist) / nTok).as("distinct_ratio"),
-        (nTok >= 20 && nTok <= 90 && (dbl(nStop) / nTok) < lit(0.5))
-          .as("is_quality"))
+        qualityGate(ws).as("is_quality"))
       .orderBy($"doc_id")
   }
 
@@ -493,9 +492,7 @@ object TextAnalysis {
     Tables.t(s, dir, "documents")
       .select($"doc_id", words($"text").as("ws"))
       .filter(size($"ws") >= 3)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-        .as("trigram"))
+      .select($"doc_id", explode(trigramsOf($"ws")).as("trigram"))
       .groupBy($"trigram")
       .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
       .orderBy($"n".desc, $"trigram")
@@ -511,12 +508,52 @@ object TextAnalysis {
       |FROM tg GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------- t13
+  // Shared PII expressions — the SINGLE source of truth for batch t13 and
+  // the streaming curation ingest (graft.streaming.Streams.scrubIngest):
+  // the kappa property (backfill == live) holds because both paths build
+  // from these very definitions, not hand-synced copies.
+
+  /** Email pattern in the common subset of Java regex and RE2 (character
+    * classes, bounded repetition, no backrefs) so any engine agrees. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Digit-run pattern (account numbers, phones, ids). */
+  val numRe = "[0-9]+"
+
+  /** Masked text: emails first (so their digits disappear as part of the
+    * email mask), then remaining digit runs. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), numRe, "<NUM>")
+
+  /** Number of replacements [[scrubPii]] actually performs: emails on the
+    * original + digit runs on the email-scrubbed intermediate — digits
+    * inside an email are masked by the ONE email replacement and must not
+    * be double-counted. */
+  def redactionCount(c: Column): Column =
+    (regexp_count(c, lit(emailRe)) +
+      regexp_count(regexp_replace(c, emailRe, "<EMAIL>"), lit(numRe)))
+      .cast(LongType)
+
+  /** t02's quality gate as a reusable predicate: length in [20, 90] and
+    * stopword ratio under 0.5. */
+  def qualityGate(ws: Column): Column = {
+    val nTok = size(ws)
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*)))
+    nTok >= 20 && nTok <= 90 && (dbl(nStop) / nTok) < lit(0.5)
+  }
+
+  /** Multiplicity-preserving word trigrams of `ws` (callers must filter
+    * size(ws) >= 3 first — `sequence` would run backwards otherwise).
+    * Shared by batch t12 and the streaming trending-n-grams twin. */
+  def trigramsOf(ws: Column): Column =
+    transform(sequence(lit(0), size(ws) - 3), i =>
+      concat_ws(" ",
+        element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+
   /** PII scrubbing — the mandatory pre-training redaction pass: mask
     * email addresses and digit runs in free text (here `events.props`,
     * the only column in the testdata with digits) and count what was
-    * redacted. Patterns are written in the common subset of Java regex
-    * and RE2 (character classes, bounded repetition, no backrefs) so the
-    * Spark plan and any other engine agree byte-for-byte.
+    * redacted.
     *
     * Scale: row-local `regexp_replace`/`regexp_count` — fully narrow, no
     * shuffle, whole-stage codegen; the scrub pipelines into whatever scan
@@ -524,16 +561,11 @@ object TextAnalysis {
     * needs (it is bandwidth-bound, and this plan reads each byte once). */
   def t13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val num = "[0-9]+"
-    val scrubbed = regexp_replace(
-      regexp_replace($"props", email, "<EMAIL>"), num, "<NUM>")
     Tables.t(s, dir, "events")
       .select(
         $"event_id",
-        scrubbed.as("props_scrubbed"),
-        (regexp_count($"props", lit(email)) +
-          regexp_count($"props", lit(num))).cast(LongType).as("n_redactions"))
+        scrubPii($"props").as("props_scrubbed"),
+        redactionCount($"props").as("n_redactions"))
       .orderBy($"event_id")
   }
 
@@ -545,7 +577,10 @@ object TextAnalysis {
       |    '[0-9]+', '<NUM>', 'g') AS props_scrubbed,
       |  CAST(len(regexp_extract_all(props,
       |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) +
-      |       len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
+      |       len(regexp_extract_all(
+      |         regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |                        '<EMAIL>', 'g'),
+      |         '[0-9]+')) AS BIGINT) AS n_redactions
       |FROM events ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- t14

@@ -159,6 +159,27 @@ object Streams {
     hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
   }
 
+  /** Durable run discriminator tied to the CHECKPOINT's lifetime: read
+    * from `<checkpoint>/graft_run_id`, created on first use. Recovery
+    * from an existing checkpoint reuses the id (so a replayed micro-batch
+    * overwrites exactly its own partition); a fresh or wiped checkpoint
+    * gets a new id, so its batch numbering (restarting at 0) can never
+    * collide with — or overwrite — partitions a previous run wrote to the
+    * same sink. */
+  private def checkpointRunId(spark: SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_run_id")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      val out = fs.create(p, false)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      id
+    }
+  }
+
   /** Streaming near-duplicate suppression — the ingest-side twin of the
     * batch MinHash+LSH pass (d03): per micro-batch, each document's
     * 64-perm minhash signature is computed map-side (compiled
@@ -168,12 +189,16 @@ object Streams {
     * lower-doc_id batchmate. Accepted docs land in `outPath`, their band
     * keys in `indexPath` — so the index grows only with accepted content.
     *
-    * Replay safety: both sinks are partitioned by `batch_id` and written
-    * with dynamic partition overwrite, so re-running a micro-batch
-    * replaces exactly its own partition in each sink (idempotent even if
-    * a failure hit between the two writes); the history check ignores the
-    * current batch's own index partition, so a replay recomputes the same
-    * accepted set rather than colliding with its failed first attempt.
+    * Replay safety: both sinks are partitioned by (`run_id`, `batch_id`)
+    * and written with dynamic partition overwrite, so re-running a
+    * micro-batch replaces exactly its own partition in each sink
+    * (idempotent even if a failure hit between the two writes); the
+    * history check ignores only the current (run, batch) index partition,
+    * so a replay recomputes the same accepted set rather than colliding
+    * with its failed first attempt. The run id is durable in the
+    * checkpoint ([[checkpointRunId]]): restarting against the same
+    * sinks with a FRESH checkpoint (batch numbering restarts at 0)
+    * neither overwrites nor ignores a previous run's partitions.
     *
     * Scale: the index is O(accepted docs × 32) longs, partitioned by
     * batch; the per-batch work is one broadcast-able join against it.
@@ -184,7 +209,8 @@ object Streams {
       docs: DataFrame,
       outPath: String,
       indexPath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val runId = checkpointRunId(docs.sparkSession, checkpoint)
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -204,7 +230,10 @@ object Streams {
           case None => spark.emptyDataset[Long].toDF("drop_id")
           case Some(hist) => keys.join(
             hist
-              .filter($"batch_id" =!= batchId) // a replay must not collide with its own failed attempt
+              // a replay must not collide with its own failed attempt —
+              // but ONLY its own (run, batch) partition is excluded; a
+              // previous run's batch 0 is genuine history
+              .filter(!($"run_id" === runId && $"batch_id" === batchId))
               .select($"b", $"key"),
             Seq("b", "key"))
             .select($"doc_id".as("drop_id")).distinct()
@@ -224,15 +253,18 @@ object Streams {
         val accepted = batch
           .join(dropIds, batch("doc_id") === dropIds("drop_id"), "left_anti")
         keys.join(dropIds, keys("doc_id") === dropIds("drop_id"), "left_anti")
-          .select($"b", $"key", $"doc_id", lit(batchId).as("batch_id"))
+          .select($"b", $"key", $"doc_id",
+            lit(runId).as("run_id"), lit(batchId).as("batch_id"))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(indexPath)
-        accepted.withColumn("batch_id", lit(batchId))
+          .partitionBy("run_id", "batch_id").parquet(indexPath)
+        accepted
+          .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outPath)
+          .partitionBy("run_id", "batch_id").parquet(outPath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming eval-set decontamination — the ingest twin of batch d06:
     * per micro-batch, each document is 4-gram shingled map-side (compiled
@@ -243,18 +275,26 @@ object Streams {
     * (a stream-side transform would make "doc has ANY hit" a stateful
     * stream self-join — here every micro-batch is stateless).
     *
-    * Replay safety: output is partitioned by `batch_id` with dynamic
-    * partition overwrite, so a re-run of a failed micro-batch replaces
-    * exactly its own partition (same recipe as [[nearDupIngest]]).
+    * Replay safety: output is partitioned by (`run_id`, `batch_id`) with
+    * dynamic partition overwrite, so a re-run of a failed micro-batch
+    * replaces exactly its own partition, and a fresh-checkpoint restart
+    * against the same sink cannot overwrite a previous run's batches
+    * (same recipe as [[nearDupIngest]]).
     *
     * Scale: eval sets are small next to the corpus (~10⁵ docs vs ~10⁹),
     * so their distinct grams BROADCAST; the streaming side is never
-    * shuffled — gram explosion, probe, and anti-join are all map-side. */
+    * shuffled — gram explosion, probe, and anti-join are all map-side.
+    * The distinct gram set is computed ONCE and cached before the query
+    * starts — not recomputed per micro-batch (it is static). */
   def decontaminateIngest(
       docs: DataFrame,
       evalGrams: DataFrame,
       outPath: String,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String): StreamingQuery = {
+    val s0 = docs.sparkSession
+    val runId = checkpointRunId(s0, checkpoint)
+    val gramSet = evalGrams.select(col("g")).distinct().cache()
+    gramSet.count() // materialize once, before the first micro-batch
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -266,15 +306,16 @@ object Streams {
           .filter(size($"ws") >= 4)
           .select($"doc_id",
             explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
-          .join(broadcast(evalGrams.select($"g").distinct()), Seq("g"), "left_semi")
+          .join(broadcast(gramSet), Seq("g"), "left_semi")
           .select($"doc_id").distinct()
         batch.join(contaminated, Seq("doc_id"), "left_anti")
-          .withColumn("batch_id", lit(batchId))
+          .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id").parquet(outPath)
+          .partitionBy("run_id", "batch_id").parquet(outPath)
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Distinct 4-grams of a static eval-set corpus — the broadcast side of
     * [[decontaminate]]. */
@@ -305,12 +346,11 @@ object Streams {
       .withWatermark("ts", watermarkDelay)
       .select($"ts", split($"text", " ").as("ws"))
       .filter(size($"ws") >= 3)
-      // multiplicity-preserving trigrams (same expression as batch t12) —
-      // the ShinglesK kernel dedups per doc, which is dedup semantics,
-      // not frequency semantics
-      .select($"ts", explode(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-        .as("trigram"))
+      // multiplicity-preserving trigrams — THE batch t12 expression
+      // (TextAnalysis.trigramsOf), not a hand-synced copy: the ShinglesK
+      // kernel dedups per doc, which is dedup semantics, not frequency
+      // semantics
+      .select($"ts", explode(graft.ops.TextAnalysis.trigramsOf($"ws")).as("trigram"))
       .groupBy(window($"ts", windowLen).as("w"), $"trigram")
       .agg(count(lit(1)).as("n"))
       .select($"w.start".as("window_start"), $"trigram", $"n")
@@ -329,21 +369,14 @@ object Streams {
   def scrubIngest(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val num = "[0-9]+"
-    val scrubbed = regexp_replace(
-      regexp_replace($"text", email, "<EMAIL>"), num, "<NUM>")
+    import graft.ops.TextAnalysis.{scrubPii, redactionCount, qualityGate}
     val ws = split($"text", " ")
-    val nTok = size(ws)
-    val nStop = size(filter(ws, w => w.isin(graft.ops.TextAnalysis.stopwords: _*)))
     docs.select(
       $"doc_id",
-      scrubbed.as("text_scrubbed"),
-      (regexp_count($"text", lit(email)) +
-        regexp_count($"text", lit(num))).cast(LongType).as("n_redactions"),
-      nTok.cast(LongType).as("n_tokens"),
-      (nTok >= 20 && nTok <= 90 &&
-        (nStop.cast(DoubleType) / nTok) < lit(0.5)).as("is_quality"))
+      scrubPii($"text").as("text_scrubbed"),
+      redactionCount($"text").as("n_redactions"),
+      size(ws).cast(LongType).as("n_tokens"),
+      qualityGate(ws).as("is_quality"))
   }
 
   /** Streaming incremental materialization: each micro-batch is merged

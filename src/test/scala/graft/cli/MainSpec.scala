@@ -100,6 +100,17 @@ class MainSpec extends AnyFunSuite {
     assert(stg.contract.exists(_.fieldNames.toSeq == Seq("id", "v")))
   }
 
+  test("bare `contract` (no operation prefix) still works") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "seeds/raw.csv" -> "id,v\n1,x\n",
+      "models/stg.sql" -> "select id, v from {{ ref('raw') }}"))
+    Main.main(Array("contract", "--select", "stg",
+      "--project-dir", root.toString))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.nodes("model.shop.stg").contractEnforced)
+  }
+
   test("run executes the DAG from the CLI") {
     val root = writeProject(Map(
       "dbt_project.yml" -> "name: shop\n",

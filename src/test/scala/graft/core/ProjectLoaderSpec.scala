@@ -40,7 +40,7 @@ class ProjectLoaderSpec extends AnyFunSuite {
     "macros/helper.sql" ->
       "{% macro helper(x) %}{{ x }} + 1{% endmacro %}")
 
-  test("circular local: packages load one level deep, no stack overflow") {
+  test("circular local: packages terminate, no stack overflow") {
     // exactly the shape `connect` creates: two meshed projects that
     // install each other via local: packages
     val root = Files.createTempDirectory("graft_circ")
@@ -56,10 +56,32 @@ class ProjectLoaderSpec extends AnyFunSuite {
     proj("a", "proj_a", "b")
     proj("b", "proj_b", "a")
     val (_, ma) = ProjectLoader.load(root.resolve("a"))
-    // the installed package's own packages are NOT followed (one level),
-    // so proj_a sees proj_b's models but the load terminates
+    // the visited set stops the a→b→a cycle, so proj_a sees proj_b's
+    // models and the load terminates
     assert(ma.nodes.contains("model.proj_a.proj_a_m"))
     assert(ma.nodes.contains("model.proj_b.proj_b_m"))
+  }
+
+  test("transitive packages load to full depth (a installs b installs c)") {
+    val root = Files.createTempDirectory("graft_chain")
+    def proj(dir: String, name: String, pkg: Option[String]): Unit = {
+      val p = root.resolve(dir)
+      Files.createDirectories(p.resolve("models"))
+      Files.writeString(p.resolve("dbt_project.yml"), s"name: $name\n")
+      pkg.foreach(o => Files.writeString(p.resolve("packages.yml"),
+        s"packages:\n  - local: ../$o\n"))
+      Files.writeString(p.resolve("models").resolve(s"${name}_m.sql"),
+        "select 1 as x")
+    }
+    proj("a", "proj_a", Some("b"))
+    proj("b", "proj_b", Some("c"))
+    proj("c", "proj_c", None)
+    val (_, ma) = ProjectLoader.load(root.resolve("a"))
+    assert(ma.nodes.contains("model.proj_a.proj_a_m"))
+    assert(ma.nodes.contains("model.proj_b.proj_b_m"))
+    // the depth-2 package must not silently vanish from the manifest
+    assert(ma.nodes.contains("model.proj_c.proj_c_m"),
+      "transitive package c dropped")
   }
 
   test("loads models, sources, macros with resolved depends_on") {

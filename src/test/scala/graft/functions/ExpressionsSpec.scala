@@ -142,6 +142,26 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("Shingles3/ShinglesK skip null words like concat_ws — never emit null") {
+    val s = spark
+    import s.implicits._
+    // a null element inside the word array (legal input: containsNull=true)
+    val df = Seq(1).toDF("one").select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c")).as("ws"))
+    val rows = df.select(
+      ShingleKernels.shingles3($"ws").as("s3"),
+      ShingleKernels.shinglesK($"ws", 4).as("s4"),
+      array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("ref3")).collect()
+    val (s3, s4, ref3) = (rows(0).getSeq[String](0),
+      rows(0).getSeq[String](1), rows(0).getSeq[String](2))
+    assert(s3 == ref3, s"s3=$s3 ref=$ref3")
+    assert(!s3.contains(null) && !s4.contains(null),
+      "null shingle inside a containsNull=false array")
+    assert(s4 == Seq("a b c"))
+  }
+
   test("ShinglesK generalizes Shingles3 and handles short arrays") {
     val s = spark
     import s.implicits._

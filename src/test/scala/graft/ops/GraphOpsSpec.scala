@@ -27,6 +27,25 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     local
   }
 
+  test("nullable edge input yields identical non-nullable schemas on both strategies") {
+    val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // explicitly-nullable schema — the shape of parquet-derived edges
+    val schema = StructType(Seq(
+      StructField("da", LongType, nullable = true),
+      StructField("db", LongType, nullable = true)))
+    val df = s.createDataFrame(
+      s.sparkContext.parallelize(Seq(Row(1L, 2L), Row(2L, 3L), Row(5L, 6L))),
+      schema)
+    assert(df.schema.fields.forall(_.nullable), "precondition: input nullable")
+    val localDf = GraphOps.components(df)
+    val loopDf = GraphOps.components(df, localFinishEdges = 0L)
+    assert(localDf.schema == loopDf.schema,
+      s"nullability drift: ${localDf.schema} vs ${loopDf.schema}")
+    assert(localDf.schema.fields.forall(!_.nullable))
+  }
+
   test("int-typed edges yield the same long schema on both strategies") {
     val s = spark
     import s.implicits._

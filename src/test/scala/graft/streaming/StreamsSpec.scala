@@ -224,6 +224,19 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     // the index only carries keys of accepted docs
     assert(s.read.parquet(index).select("doc_id").distinct().as[Long]
       .collect().sorted.toSeq == Seq(1L, 4L))
+
+    // FRESH checkpoint against the same sinks (checkpoint lost / new
+    // ingest run): its batch numbering restarts at 0, which must neither
+    // overwrite the old run's partitions nor ignore them as history
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((5L, text), (6L, "novel fresh content nothing like before okay"))
+    val q2 = Streams.nearDupIngest(in2.toDF().toDF("doc_id", "text"),
+      out, index, base.resolve("ckpt2").toString)
+    q2.awaitTermination()
+    // doc 5 near-dups run-1's doc 1 -> dropped; doc 6 accepted;
+    // run-1's accepted docs all still present
+    assert(s.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 4L, 6L))
   }
 
   test("decontaminateIngest: drops docs sharing any 4-gram with the eval set") {
@@ -290,7 +303,8 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       Doc(1L, "mail me at bob@example.com or call 555 1234"),
       Doc(2L, ("the a " * 30).trim), // 60 tokens, all stopwords → not quality
       Doc(3L, (Seq.fill(40)("spark word").mkString(" "))), // quality
-      Doc(4L, "short doc"))
+      Doc(4L, "short doc"),
+      Doc(5L, "user123@example.com plus 77")) // digits inside the email
     val in = MemoryStream[(Long, String)]
     val q = Streams.scrubIngest(in.toDS().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("scrub_out")
@@ -312,6 +326,10 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       assert(!byId(2L)._5, "all-stopword doc must fail the quality gate")
       assert(byId(3L)._5, "long mixed doc must pass the quality gate")
       assert(!byId(4L)._5, "2-token doc is below the length gate")
+      // the 123 inside the email is masked by the ONE email replacement —
+      // counted once, not double-counted as a separate digit run
+      assert(byId(5L)._2 == "<EMAIL> plus <NUM>")
+      assert(byId(5L)._3 == 2L, s"email+digit count, got ${byId(5L)._3}")
     } finally q.stop()
   }
 
