@@ -905,6 +905,91 @@ object Relational {
       |  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** Hand-salted skew-safe JOIN — the join-side companion of q21's salted
+    * aggregation, for the case AQE cannot always rescue: a large fact
+    * table whose join key is pathologically hot (here `events.user_id`,
+    * 150 distinct keys over the whole table) joined to a dimension too
+    * big or too dynamic to broadcast. The big side salts its key
+    * (deterministic `pmod(hash, S)`); the small side replicates each row
+    * S ways (explode over the salt domain); the join runs on (key, salt)
+    * so one hot key spreads over S reducers instead of one. The result is
+    * identical to the unsalted join — verified by the oracle running the
+    * plain form.
+    *
+    * Scale: replication costs S× the DIMENSION (small), buys S-way
+    * parallelism on the FACT (huge). S is a static 8 here; production
+    * derives it from key-frequency stats. */
+  def q29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val S = 8
+    val ev = Tables.t(s, dir, "events")
+      .select($"user_id", cents($"value").as("vc"),
+        pmod(hash($"event_id"), lit(S)).as("salt"))
+    val cust = Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment",
+        explode(sequence(lit(0), lit(S - 1))).as("salt"))
+    ev.join(cust, $"user_id" === $"c_custkey" && ev("salt") === cust("salt"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        dbl(sum($"vc") / 100).as("total_value"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val q29Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+      |    AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  /** Backfill/incremental parity audit via EXCEPT ALL — the multiset data
+    * diff (q16's EXCEPT is set-distinct): compare the full batch view of
+    * `orders` against its incremental twin cut at a watermark and emit
+    * every row present on exactly one side, tagged. MULTISET semantics
+    * matter for an audit: a row duplicated on one side only is a real
+    * discrepancy that DISTINCT-based EXCEPT would hide.
+    *
+    * This is the batch form of the kappa check the streaming ops
+    * promise (backfill == live); run nightly it catches drift from late
+    * data, replays, or logic skew between the two paths. */
+  def q30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def proj(df: DataFrame): DataFrame = df.select(
+      $"o_orderkey", $"o_custkey",
+      d8($"o_orderdate").as("order_date"),
+      dbl(cents($"o_totalprice") / 100).as("total_price"))
+    val full = proj(Tables.t(s, dir, "orders"))
+    val incr = proj(Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" < ts("1998-10-01 00:00:00")))
+    full.exceptAll(incr).withColumn("side", lit("full_only"))
+      .unionByName(incr.exceptAll(full).withColumn("side", lit("incr_only")))
+      .orderBy($"side", $"o_orderkey")
+  }
+
+  val q30Sql: String =
+    """WITH f AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100
+      |      AS total_price
+      |  FROM orders),
+      |i AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 100
+      |      AS total_price
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-10-01 00:00:00')
+      |SELECT *, 'full_only' AS side FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM i)
+      |UNION ALL
+      |SELECT *, 'incr_only' AS side FROM (SELECT * FROM i EXCEPT ALL SELECT * FROM f)
+      |ORDER BY side, o_orderkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -932,5 +1017,7 @@ object Relational {
     Q("q25_grouping_sets", q25, Some(q25Sql)),
     Q("q26_quantiles", q26, Some(q26Sql)),
     Q("q27_correlated", q27, Some(q27Sql)),
-    Q("q28_sliding_range", q28, Some(q28Sql)))
+    Q("q28_sliding_range", q28, Some(q28Sql)),
+    Q("q29_salted_join", q29, Some(q29Sql)),
+    Q("q30_parity_audit", q30, Some(q30Sql)))
 }

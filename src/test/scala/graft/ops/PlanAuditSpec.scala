@@ -206,6 +206,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"wedge join degraded:\n$p")
   }
 
+  test("q29: the salted join replicates the dimension (Generate) and joins on (key, salt)") {
+    val p = simplePlan(Relational.q29(spark, dir))
+    assert(p.contains("Generate explode"), s"dimension not salt-replicated:\n$p")
+    assert(!p.contains("CartesianProduct"), s"salted join degraded:\n$p")
+    assert(p.contains("salt"), s"salt column absent from the join:\n$p")
+  }
+
   test("s06: the exact side broadcasts the query sample over the streaming corpus") {
     val p = simplePlan(Similarity.s06(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
