@@ -36,16 +36,20 @@ object Dedup {
     * consumer (inverted-index join, per-doc sizes, minhash sketches, exact
     * verification sets) derives from this one checkpointed frame with no
     * extra shuffle. */
-  private[ops] def shingleArrays(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def shingleArrays(s: SparkSession, dir: String): DataFrame =
+    shinglesOfDocs(Tables.t(s, dir, "documents")).localCheckpoint()
+
+  /** The narrow shingling projection over any (doc_id, text) frame. */
+  private[graft] def shinglesOfDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.t(s, dir, "documents")
+    docs
       .select($"doc_id", split($"text", " ").as("ws"))
       // docs with <3 words have no 3-gram shingles (the kernel yields an
       // empty array, mirroring DuckDB's empty generate_series; the filter
       // additionally keeps those rows out of the checkpoint)
       .filter(size($"ws") >= 3)
       .select($"doc_id", graft.functions.ShingleKernels.shingles3($"ws").as("arr"))
-      .localCheckpoint()
   }
 
   /** (da, db, jaccard) for all pairs sharing ≥1 shingle, jaccard ≥ minJ.
@@ -472,6 +476,58 @@ object Dedup {
       |FROM chunks JOIN gcount USING (chunk)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d09
+  /** Containment (near-subset) detection: |A∩B| / min(|A|,|B|) ≥ 0.9 over
+    * 3-gram shingle sets. Jaccard (d02) misses the quote/excerpt case — a
+    * 50-word doc embedded verbatim in a 5000-word doc has Jaccard ≈ 0.01
+    * but containment 1.0; training corpora dedup on BOTH. Same inverted-
+    * index join as d02 (one shuffle on shingles, SHUFFLE_HASH); the
+    * threshold predicate is integer arithmetic (`10·i ≥ 9·min`) so the
+    * pair set is engine-exact, no FP compare. `contained_id` tags the
+    * smaller doc — the one a curation pass would drop. */
+  def d09(s: SparkSession, dir: String): DataFrame =
+    containmentPairs(shingleArrays(s, dir))
+
+  /** d09's kernel over an explicit (doc_id, arr) shingle frame — split out
+    * so specs can pin the case the synthetic corpus lacks: a short doc
+    * quoted inside a long one (containment 1.0, Jaccard ≈ 0). */
+  private[graft] def containmentPairs(docsArr: DataFrame): DataFrame = {
+    val s = docsArr.sparkSession
+    import s.implicits._
+    val sh = docsArr.select($"doc_id", explode($"arr").as("s"))
+    val sizes = docsArr.select($"doc_id", size($"arr").cast("long").as("n"))
+    val inter = sh.as("x").hint("SHUFFLE_HASH")
+      .join(sh.as("y").hint("SHUFFLE_HASH"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
+      .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
+      .withColumn("m", least(col("sa.n"), col("sb.n")))
+      .filter($"i" * 10 >= $"m" * 9)
+      .select($"da", $"db",
+        round(dbl($"i") / $"m", 6).as("containment"),
+        when(col("sa.n") <= col("sb.n"), $"da").otherwise($"db")
+          .as("contained_id"))
+      .orderBy($"da", $"db")
+  }
+
+  val d09Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db,
+      |  round(CAST(i AS DOUBLE) / least(sa.n, sb.n), 6) AS containment,
+      |  CASE WHEN sa.n <= sb.n THEN da ELSE db END AS contained_id
+      |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |WHERE i * 10 >= least(sa.n, sb.n) * 9
+      |ORDER BY da, db""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -480,5 +536,6 @@ object Dedup {
     Q("d05_edit_blocked", d05, Some(d05Sql)),
     Q("d06_decontaminate", d06, Some(d06Sql), headline = true),
     Q("d07_canonical_corpus", d07, Some(d07Sql)),
-    Q("d08_chunk_dedup", d08, Some(d08Sql)))
+    Q("d08_chunk_dedup", d08, Some(d08Sql)),
+    Q("d09_containment", d09, Some(d09Sql)))
 }

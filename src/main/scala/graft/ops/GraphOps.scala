@@ -204,7 +204,42 @@ object GraphOps {
       |    AS n_triangles
       |FROM verts v ORDER BY doc_id""".stripMargin
 
+  /** g03: degree histogram of the near-dup graph (same d02 edges at
+    * jaccard ≥ 0.5) — the shape diagnostic read BEFORE clustering: a
+    * heavy right tail means a template/boilerplate hub that will glue
+    * unrelated docs into one giant component (and warrants a stop-shingle
+    * pass first). Both endpoints of each edge are emitted by ONE
+    * `explode(array(da, db))` over a single scan of the pair set — a
+    * union of two projections would recompute the (expensive) pair join
+    * twice. Two tiny aggregates after that. */
+  def g03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Dedup.jaccardPairs(s, dir, 0.5)
+    e.select(explode(array($"da", $"db")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"degree")
+  }
+
+  val g03Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |ends AS (SELECT da AS doc_id FROM edges UNION ALL SELECT db FROM edges),
+      |deg AS (SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id)
+      |SELECT degree, COUNT(*) AS n_docs FROM deg
+      |GROUP BY degree ORDER BY degree""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
-    Q("g02_triangles", g02, Some(g02Sql)))
+    Q("g02_triangles", g02, Some(g02Sql)),
+    Q("g03_degree_hist", g03, Some(g03Sql)))
 }

@@ -990,6 +990,156 @@ object Relational {
       |SELECT *, 'incr_only' AS side FROM (SELECT * FROM i EXCEPT ALL SELECT * FROM f)
       |ORDER BY side, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q31
+  /** FULL OUTER JOIN of two per-user aggregates — the reconciliation
+    * shape (big purchasers vs big error-reporters; the >250 value slices
+    * make each side genuinely miss users the other has): users on either
+    * side only must survive with zero-filled measures. Spark's `Seq(key)`
+    * full join coalesces the key natively (same as SQL `USING`), so no
+    * post-join key repair. Both inputs are pre-aggregated before the
+    * join: the join runs on |users| rows, not |events|, and the two
+    * aggregations share one scan of `events` under Spark's plan-level
+    * scan reuse. */
+  def q31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val p = e.filter($"event_type" === "purchase" && $"value" > 250)
+      .groupBy($"user_id")
+      // per-user long-cents sum: bounded by one user's purchase history
+      .agg(count(lit(1)).as("n_purchases"), sum(cents($"value")).as("pc"))
+    val x = e.filter($"event_type" === "error" && $"value" > 250)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_errors"))
+    p.join(x, Seq("user_id"), "full_outer")
+      .select($"user_id",
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        dbl(coalesce($"pc", lit(0L)) / 100).as("purchase_value"),
+        coalesce($"n_errors", lit(0L)).as("n_errors"))
+      .orderBy($"user_id")
+  }
+
+  val q31Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, COUNT(*) AS n_purchases,
+      |    SUM(CAST(round(value * 100) AS BIGINT)) AS pc
+      |  FROM events WHERE event_type = 'purchase' AND value > 250
+      |  GROUP BY user_id),
+      |x AS (
+      |  SELECT user_id, COUNT(*) AS n_errors
+      |  FROM events WHERE event_type = 'error' AND value > 250
+      |  GROUP BY user_id)
+      |SELECT user_id, COALESCE(n_purchases, 0) AS n_purchases,
+      |  CAST(COALESCE(pc, 0) AS DOUBLE) / 100 AS purchase_value,
+      |  COALESCE(n_errors, 0) AS n_errors
+      |FROM p FULL JOIN x USING (user_id) ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** LEFT JOIN with a non-equi residual in the ON clause: the extra
+    * predicates (`p_size > 40 AND p_retailprice < 1500`) gate the MATCH,
+    * not the left rows — a WHERE would wrongly drop unmatched lineitems.
+    * Catalyst keeps the equi key for the hash join and evaluates the
+    * residual on probe; the dimension broadcasts, so the fact table
+    * never shuffles. */
+  def q32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.t(s, dir, "lineitem")
+    val p = Tables.t(s, dir, "part")
+    l.join(broadcast(p),
+        l("l_partkey") === p("p_partkey") &&
+          p("p_size") > 40 && p("p_retailprice") < 1500,
+        "left")
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count($"p_partkey").as("n_matched"),
+        countDistinct($"l_orderkey").as("n_orders"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q32Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_lines, COUNT(p_partkey) AS n_matched,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem LEFT JOIN part
+      |  ON l_partkey = p_partkey AND p_size > 40 AND p_retailprice < 1500
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Calendar-part aggregate: year/quarter extraction in the grouping
+    * key — the partition-pruning shape (a production lake would
+    * partition by these columns and the filterless rollup becomes
+    * per-partition metadata math). Sums in DECIMAL: low-cardinality
+    * groups with unbounded rows. */
+  def q33(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .groupBy(
+        year($"o_orderdate").as("yr"),
+        quarter($"o_orderdate").as("qtr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dbl(sum(dec($"o_totalprice"))).as("revenue"),
+        countDistinct(month($"o_orderdate")).as("n_months"),
+        min(dayofmonth($"o_orderdate")).as("first_dom"),
+        max(dayofmonth($"o_orderdate")).as("last_dom"))
+      .orderBy($"yr", $"qtr")
+  }
+
+  val q33Sql: String =
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(DISTINCT EXTRACT(month FROM o_orderdate)) AS n_months,
+      |  CAST(MIN(EXTRACT(day FROM o_orderdate)) AS INT) AS first_dom,
+      |  CAST(MAX(EXTRACT(day FROM o_orderdate)) AS INT) AS last_dom
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Deterministic arg-min/arg-max per group WITHOUT a window: Spark
+    * orders structs lexicographically by field position, so
+    * `min(struct(date, key, payload))` is "the payload of the earliest
+    * (date, key) row" — a plain hash aggregate (ONE shuffle, map-side
+    * partials) where the window formulation (q11/q22's shape) needs a
+    * full partition sort. The tie-break key inside the struct makes the
+    * result total-order deterministic under any partitioning. */
+  def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "orders")
+      .select($"o_custkey",
+        struct($"o_orderdate", $"o_orderkey", cents($"o_totalprice").as("pc"))
+          .as("rec"))
+      .groupBy($"o_custkey")
+      .agg(min($"rec").as("f"), max($"rec").as("l"), count(lit(1)).as("n_orders"))
+      .select($"o_custkey",
+        d8($"f.o_orderdate").as("first_date"),
+        $"f.o_orderkey".as("first_orderkey"),
+        dbl($"f.pc" / 100).as("first_price"),
+        d8($"l.o_orderdate").as("last_date"),
+        $"l.o_orderkey".as("last_orderkey"),
+        dbl($"l.pc" / 100).as("last_price"),
+        $"n_orders")
+      .orderBy($"o_custkey")
+  }
+
+  val q34Sql: String =
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS rf,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rl,
+      |    COUNT(*) OVER (PARTITION BY o_custkey) AS n
+      |  FROM orders)
+      |SELECT o_custkey,
+      |  MAX(CASE WHEN rf = 1 THEN strftime(o_orderdate, '%Y-%m-%d') END) AS first_date,
+      |  MAX(CASE WHEN rf = 1 THEN o_orderkey END) AS first_orderkey,
+      |  CAST(MAX(CASE WHEN rf = 1 THEN pc END) AS DOUBLE) / 100 AS first_price,
+      |  MAX(CASE WHEN rl = 1 THEN strftime(o_orderdate, '%Y-%m-%d') END) AS last_date,
+      |  MAX(CASE WHEN rl = 1 THEN o_orderkey END) AS last_orderkey,
+      |  CAST(MAX(CASE WHEN rl = 1 THEN pc END) AS DOUBLE) / 100 AS last_price,
+      |  MAX(n) AS n_orders
+      |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -1019,5 +1169,9 @@ object Relational {
     Q("q27_correlated", q27, Some(q27Sql)),
     Q("q28_sliding_range", q28, Some(q28Sql)),
     Q("q29_salted_join", q29, Some(q29Sql)),
-    Q("q30_parity_audit", q30, Some(q30Sql)))
+    Q("q30_parity_audit", q30, Some(q30Sql)),
+    Q("q31_full_outer", q31, Some(q31Sql)),
+    Q("q32_join_residual", q32, Some(q32Sql)),
+    Q("q33_date_parts", q33, Some(q33Sql)),
+    Q("q34_argminmax", q34, Some(q34Sql)))
 }

@@ -692,6 +692,75 @@ object TextAnalysis {
        |ORDER BY doc_id, copy_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t16
+  /** Per-source document-length quartiles (percentile_disc semantics via
+    * integer rank picks — q26's pattern on the corpus): the curation
+    * dashboard number that decides per-source length cutoffs. Exact: rank
+    * selection is integer arithmetic, no interpolation FP. One shuffle
+    * (window partitioned by source); at 100 TB the window partitions by
+    * source so skew maps to the largest single source — acceptable
+    * because per-source row counts are what curation slices by anyway. */
+  def t16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars", $"doc_id")
+    val ranked = Tables.t(s, dir, "documents")
+      .select($"source", $"n_chars", $"doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+    def pick(idx: Column): Column = max(when($"rn" === idx, $"n_chars"))
+    ranked.groupBy($"source")
+      .agg(
+        pick(expr("(n + 3) div 4")).as("len_p25"),
+        pick(expr("(n + 1) div 2")).as("len_p50"),
+        pick(expr("(n * 3 + 3) div 4")).as("len_p75"),
+        max($"n").as("n_docs"))
+      .orderBy($"source")
+  }
+
+  val t16Sql: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents)
+      |SELECT source,
+      |  MAX(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS len_p25,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS len_p50,
+      |  MAX(CASE WHEN rn = (n * 3 + 3) // 4 THEN n_chars END) AS len_p75,
+      |  MAX(n) AS n_docs
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- t17
+  /** Per-source charset profile: ASCII purity via `octet_length ==
+    * char_length` (a doc is pure ASCII iff its UTF-8 byte count equals
+    * its codepoint count — no regex, no lookup tables, exact on any
+    * engine) plus bytes-per-char, the standard multilingual-corpus
+    * triage number. Narrow scan + one tiny aggregate; both lengths are
+    * codegen'd built-ins evaluated in the scan stage. */
+  def t17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(octet_length($"text") === length($"text"), 1).otherwise(0))
+          .as("n_ascii"),
+        sum(octet_length($"text").cast(LongType)).as("total_bytes"),
+        sum(length($"text").cast(LongType)).as("total_chars"))
+      .withColumn("bytes_per_char", dbl($"total_bytes") / $"total_chars")
+      .orderBy($"source")
+  }
+
+  val t17Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN strlen(text) = length(text) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_ascii,
+      |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(SUM(strlen(text)) AS DOUBLE) / SUM(length(text)) AS bytes_per_char
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -707,5 +776,7 @@ object TextAnalysis {
     Q("t12_ngram_counts", t12, Some(t12Sql)),
     Q("t13_pii_scrub", t13, Some(t13Sql)),
     Q("t14_deciles", t14, Some(t14Sql)),
-    Q("t15_mixture_epochs", t15, Some(t15Sql)))
+    Q("t15_mixture_epochs", t15, Some(t15Sql)),
+    Q("t16_length_quartiles", t16, Some(t16Sql)),
+    Q("t17_charset_profile", t17, Some(t17Sql)))
 }
