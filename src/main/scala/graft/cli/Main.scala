@@ -26,7 +26,15 @@ import java.nio.file.{Files, Path, Paths}
   * }}}
   *
   * Every selecting command also accepts `--selector NAME` (named selector
-  * from `selectors.yml`) and `--exclude`.
+  * from `selectors.yml`) and `--exclude`. Global flags mirror the
+  * reference group (`main.py:78-90`): `--version` prints the version and
+  * exits, `--debug` raises log verbosity, `--dry-run` plans without
+  * editing. `--project-path` (reference spelling, `cli.py:8`) and
+  * `--project-dir` are interchangeable; `split` takes `--create-path` or
+  * `--target-dir`. `--read-catalog` (or env `GRAFT_READ_CATALOG`) reuses
+  * the project-local `.graft/warehouse` instead of re-materializing into
+  * a temp dir (the reference's catalog-cache lever, `cli.py:98-104`);
+  * `contract --public-only` restricts contracting to public models.
   *
   * All commands are pure planners; `--dry-run` prints the plan instead of
   * editing files (the reference's plan/execute split, `main.py:99-110`).
@@ -40,6 +48,10 @@ object Main {
       flags: Map[String, Vector[String]],
       switches: Set[String])
 
+  /** Mirrors the reference's published version (dbt-meshify 0.5.5); the
+    * reference prints the bare version string (`main.py:88-90`). */
+  private val Version = "0.5.5"
+
   private def parse(argv: Array[String]): Args = {
     var pos = Vector.empty[String]
     var flags = Map.empty[String, Vector[String]].withDefaultValue(Vector.empty)
@@ -47,7 +59,9 @@ object Main {
     var i = 0
     while (i < argv.length) {
       val a = argv(i)
-      if (a == "--dry-run" || a == "--prerelease" || a == "--increment" || a == "--latest")
+      if (a == "--dry-run" || a == "--prerelease" || a == "--increment" ||
+        a == "--latest" || a == "--debug" || a == "--read-catalog" ||
+        a == "--public-only")
         switches += a.stripPrefix("--")
       else if (a.startsWith("--")) {
         val key = a.stripPrefix("--")
@@ -63,14 +77,30 @@ object Main {
   }
 
   def main(argv: Array[String]): Unit = {
+    // global --version prints the version string and exits, wherever it
+    // appears (the reference's group-level flag, main.py:80,88-90)
+    if (argv.contains("--version")) { println(Version); return }
     // `operation <cmd>` is the reference's namespacing for the single-op
     // commands (main.py:114-118); accept and flatten it so invocations
     // port verbatim
     val argv1 = if (argv.headOption.contains("operation")) argv.drop(1) else argv
     val args = parse(argv1.drop(1))
     val command = argv1.headOption.getOrElse("help")
-    val root = Paths.get(args.flags("project-dir").headOption.getOrElse("."))
+    // --project-path is the reference spelling (cli.py:8); --project-dir
+    // is kept as the historical alias
+    val root = Paths.get((args.flags("project-path") ++ args.flags("project-dir"))
+      .headOption.getOrElse("."))
     val dryRun = args.switches("dry-run")
+    // --debug maps the reference's DEBUG log level to Spark's (main.py:83)
+    val logLevel = if (args.switches("debug")) "INFO" else "WARN"
+    // --read-catalog (or the env-var form, mirroring
+    // DBT_MESHIFY_READ_CATALOG): reuse the project-local warehouse across
+    // invocations instead of rebuilding into a throwaway temp dir
+    val readCatalog = args.switches("read-catalog") ||
+      sys.env.contains("GRAFT_READ_CATALOG")
+    def warehouse(): Path =
+      if (readCatalog) Files.createDirectories(root.resolve(".graft").resolve("warehouse"))
+      else Files.createTempDirectory("graft_wh")
 
     def apply(cs: ChangeSet, at: Path = root): Unit =
       new ChangeSetProcessor(at, dryRun = dryRun, log = println).process(Seq(cs))
@@ -86,9 +116,13 @@ object Main {
       }.getOrElse(Set.empty)
       bySelect ++ byName
     }
-    def spark(): SparkSession = SparkSession.builder()
-      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
-      .appName("graft").config("spark.ui.enabled", "false").getOrCreate()
+    def spark(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+        .appName("graft").config("spark.ui.enabled", "false").getOrCreate()
+      s.sparkContext.setLogLevel(logLevel)
+      s
+    }
 
     command match {
       case "run" =>
@@ -97,14 +131,17 @@ object Main {
           if (args.flags("select").isEmpty && args.flags("selector").isEmpty) None
           else Some(selection(m))
         val out = new Runner(spark(), m, cfg,
-          Files.createTempDirectory("graft_wh"), projectRoot = Some(root)).run(sel)
+          warehouse(), projectRoot = Some(root),
+          readCatalog = readCatalog).run(sel)
         out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
 
       case "split" =>
         val name = args.positional.head
         val (cfg, m) = ProjectLoader.load(root)
         val selected = selection(m)
-        val target = args.flags("target-dir").headOption.getOrElse(s"${name}_proj")
+        // --create-path is the reference spelling (cli.py:41-46)
+        val target = (args.flags("create-path") ++ args.flags("target-dir"))
+          .headOption.getOrElse(s"${name}_proj")
         apply(SubprojectCreator.initialize(m, cfg, name, selected, target, readFile))
 
       case "create-group" | "group" =>
@@ -156,8 +193,8 @@ object Main {
           val s = spark()
           val (cfg2, m2) = ProjectLoader.load(root)
           val runner = new Runner(s, m2, cfg2,
-            Files.createTempDirectory("graft_wh"), enforceAccess = false,
-            projectRoot = Some(root))
+            warehouse(), enforceAccess = false,
+            projectRoot = Some(root), readCatalog = readCatalog)
           runner.run()
           apply(Commands.group(s, m2, name, owner, selected, path,
             runner.viewName, p => scala.util.Try(readFile(p)).toOption))
@@ -168,11 +205,16 @@ object Main {
         val (cfg, m) = ProjectLoader.load(root)
         val selected = selection(m)
         val runner = new Runner(s, m, cfg,
-          Files.createTempDirectory("graft_wh"), enforceAccess = false,
-          projectRoot = Some(root))
+          warehouse(), enforceAccess = false,
+          projectRoot = Some(root), readCatalog = readCatalog)
         runner.run()
         val cs = selected.toSeq.sorted.flatMap(m.nodes.get)
           .filter(_.uniqueId.startsWith("model."))
+          .collect { case node: graft.core.model.ModelNode
+            // --public-only contracts only public-access models
+            // (`main.py:275,292-295`)
+            if !args.switches("public-only") ||
+              node.access == graft.core.model.AccessType.Public => node }
           .map(node => Contractor.generateContract(s, node, runner.viewName(node.name)))
         apply(ChangeSet(cs.toVector))
 

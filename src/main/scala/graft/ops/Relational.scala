@@ -1037,13 +1037,16 @@ object Relational {
     * predicates (`p_size > 40 AND p_retailprice < 1500`) gate the MATCH,
     * not the left rows — a WHERE would wrongly drop unmatched lineitems.
     * Catalyst keeps the equi key for the hash join and evaluates the
-    * residual on probe; the dimension broadcasts, so the fact table
-    * never shuffles. */
+    * residual on probe. No broadcast hint: `part` grows with the corpus
+    * (~1/30 of lineitem), so whether it fits the broadcast threshold is
+    * a runtime-size question — AQE picks broadcast when it does and
+    * falls back to a shuffled hash join when it doesn't, which a forced
+    * hint would turn into an executor OOM at the 100 TB design point. */
   def q32(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val l = Tables.t(s, dir, "lineitem")
     val p = Tables.t(s, dir, "part")
-    l.join(broadcast(p),
+    l.join(p,
         l("l_partkey") === p("p_partkey") &&
           p("p_size") > 40 && p("p_retailprice") < 1500,
         "left")

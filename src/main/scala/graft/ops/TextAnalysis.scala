@@ -614,11 +614,15 @@ object TextAnalysis {
       .groupBy($"decile")
       .agg(
         count(lit(1)).as("n_docs"),
-        min($"ratio").as("min_ratio"),
-        max($"ratio").as("max_ratio"),
+        // rounded per the registry determinism contract (Q.scala): raw
+        // doubles differ from DuckDB below 1e-9 in repr, which is enough
+        // to break the driver's value hash
+        round(min($"ratio"), 6).as("min_ratio"),
+        round(max($"ratio"), 6).as("max_ratio"),
         sum($"n_stop").as("total_stopwords"),
         sum($"n_tok").as("total_tokens"))
-      .withColumn("pooled_ratio", dbl($"total_stopwords") / $"total_tokens")
+      .withColumn("pooled_ratio",
+        round(dbl($"total_stopwords") / $"total_tokens", 6))
       .orderBy($"decile")
   }
 
@@ -635,9 +639,9 @@ object TextAnalysis {
        |b AS (
        |  SELECT *, ntile(10) OVER (ORDER BY ratio, doc_id) AS decile FROM r)
        |SELECT decile, COUNT(*) AS n_docs,
-       |  MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+       |  round(MIN(ratio), 6) AS min_ratio, round(MAX(ratio), 6) AS max_ratio,
        |  SUM(n_stop) AS total_stopwords, SUM(n_tok) AS total_tokens,
-       |  CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok) AS pooled_ratio
+       |  round(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok), 6) AS pooled_ratio
        |FROM b GROUP BY decile ORDER BY decile""".stripMargin
   }
 
@@ -748,7 +752,10 @@ object TextAnalysis {
           .as("n_ascii"),
         sum(octet_length($"text").cast(LongType)).as("total_bytes"),
         sum(length($"text").cast(LongType)).as("total_chars"))
-      .withColumn("bytes_per_char", dbl($"total_bytes") / $"total_chars")
+      // guard the zero-char case explicitly: Spark's Divide yields NULL on
+      // 0 while DuckDB's IEEE division yields NaN/inf — pin both to NULL
+      .withColumn("bytes_per_char",
+        when($"total_chars" > 0, dbl($"total_bytes") / $"total_chars"))
       .orderBy($"source")
   }
 
@@ -758,7 +765,9 @@ object TextAnalysis {
       |    AS BIGINT) AS n_ascii,
       |  CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
       |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
-      |  CAST(SUM(strlen(text)) AS DOUBLE) / SUM(length(text)) AS bytes_per_char
+      |  CASE WHEN SUM(length(text)) > 0
+      |    THEN CAST(SUM(strlen(text)) AS DOUBLE) / SUM(length(text)) END
+      |    AS bytes_per_char
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   def all: Seq[Q] = Seq(

@@ -111,6 +111,78 @@ class MainSpec extends AnyFunSuite {
     assert(m.nodes("model.shop.stg").contractEnforced)
   }
 
+  test("--version prints the version string and exits before any command") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("--version"))
+    }
+    assert(out.toString.trim == "0.5.5")
+    // position-independent, like a click group flag
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.main(Array("split", "x", "--version"))
+    }
+    assert(out2.toString.trim == "0.5.5")
+  }
+
+  test("--project-path is accepted as the reference spelling of --project-dir") {
+    val root = writeProject(project)
+    // exact reference invocation shape: meshify create-group ... --project-path P
+    Main.main(Array("create-group", "core", "--select", "mart",
+      "--owner-name", "team", "--project-path", root.toString))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.nodes("model.shop.mart").group.contains("core"))
+  }
+
+  test("split accepts --create-path (reference spelling of --target-dir)") {
+    val root = writeProject(project)
+    Main.main(Array("split", "mart_proj", "--select", "mart",
+      "--project-path", root.toString, "--create-path", "marts"))
+    assert(Files.readString(root.resolve("marts/models/mart.sql"))
+      .contains("{{ ref('shop', 'stg') }}"))
+  }
+
+  test("contract --public-only contracts only public-access models") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "seeds/raw.csv" -> "id,v\n1,x\n",
+      "models/pub.sql" -> "select id from {{ ref('raw') }}",
+      "models/priv.sql" -> "select v from {{ ref('raw') }}",
+      "models/_models.yml" ->
+        """version: 2
+          |models:
+          |  - name: pub
+          |    access: public
+          |  - name: priv
+          |    access: protected
+          |""".stripMargin))
+    Main.main(Array("operation", "add-contract", "--select", "pub", "priv",
+      "--public-only", "--project-path", root.toString))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.nodes("model.shop.pub").contractEnforced)
+    assert(!m.nodes("model.shop.priv").contractEnforced)
+  }
+
+  test("--read-catalog reuses the materialized warehouse on a second run") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "seeds/raw.csv" -> "id,v\n1,x\n",
+      "models/stg.sql" ->
+        "{{ config(materialized='table') }}\nselect id, v from {{ ref('raw') }}"))
+    Main.main(Array("contract", "--select", "stg", "--read-catalog",
+      "--project-path", root.toString))
+    val tableDir = root.resolve(".graft/warehouse/stg")
+    assert(Files.exists(tableDir), "persistent warehouse under the project")
+    val stamps = Files.list(tableDir).toArray.map(_.toString).sorted
+      .map(p => p -> Files.getLastModifiedTime(java.nio.file.Paths.get(p)))
+    Main.main(Array("contract", "--select", "stg", "--read-catalog",
+      "--project-path", root.toString))
+    val stamps2 = Files.list(tableDir).toArray.map(_.toString).sorted
+      .map(p => p -> Files.getLastModifiedTime(java.nio.file.Paths.get(p)))
+    assert(stamps.toSeq == stamps2.toSeq,
+      "second --read-catalog run must not rewrite the materialized table")
+  }
+
   test("run executes the DAG from the CLI") {
     val root = writeProject(Map(
       "dbt_project.yml" -> "name: shop\n",

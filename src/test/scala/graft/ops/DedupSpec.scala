@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shared inverted-index pair kernel (pairStats) and d09's
+  * containment wrapper, pinned on the cases the synthetic corpus lacks:
+  * a short doc quoted verbatim inside a long one (containment 1.0,
+  * Jaccard ≈ 0), and the stop-shingle df cut that bounds candidate
+  * fan-out without perturbing the exact similarity of surviving pairs. */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  /** (doc_id, arr) shingle frame from raw (doc_id, text) rows. */
+  private def arrs(docs: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    Dedup.shinglesOfDocs(docs.toDF("doc_id", "text"))
+  }
+
+  test("short doc embedded in a long doc: containment 1.0, tagged as contained") {
+    // doc 1 = 6 words (4 shingles); doc 2 = doc 1's text surrounded by 24
+    // unrelated words — every shingle of 1 appears in 2, so containment
+    // is exactly 1.0 while Jaccard is far below the d02 threshold.
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 12).map(i => s"pre$i").mkString(" ")
+    val tail = (1 to 12).map(i => s"post$i").mkString(" ")
+    val docs = Seq(1L -> quote, 2L -> s"$filler $quote $tail")
+    val rows = Dedup.containmentPairs(arrs(docs)).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getLong(3) == 1L, "the SHORTER doc is the one to drop")
+    // the same pair is invisible to the Jaccard gate at 0.5
+    val stats = Dedup.pairStats(arrs(docs)).collect().head
+    val (i, na, nb) = (stats.getLong(2), stats.getLong(3), stats.getLong(4))
+    assert(i.toDouble / (na + nb - i) < 0.5)
+  }
+
+  test("stop-shingle cut drops candidates whose every shared shingle is hot") {
+    // three padding docs make "hot hot hot" df=5 > tau=4; docs 10/11
+    // share ONLY that shingle, so the pruned index yields no candidate
+    val docs = Seq(
+      10L -> "hot hot hot a1 a2 a3",
+      11L -> "hot hot hot b1 b2 b3",
+      20L -> "hot hot hot c1 c2 c3",
+      21L -> "hot hot hot d1 d2 d3",
+      22L -> "hot hot hot e1 e2 e3")
+    val pruned = Dedup.pairStats(arrs(docs), tau = 4L).collect()
+    assert(pruned.isEmpty, "hot-only overlap must not survive the cut")
+    // with the cut disabled the same pairs come back
+    val full = Dedup.pairStats(arrs(docs), tau = 1000L).collect()
+    assert(full.length == 10, "all C(5,2) hot-bucket pairs without the cut")
+  }
+
+  test("similarity is computed over the pruned shingle space") {
+    // docs 1/2 share a hot shingle (df=4 > tau=3, via two padding docs)
+    // AND three rare ones; the hot shingle must drop out of BOTH the
+    // intersection and the per-doc sizes — similarity over what remains.
+    val docs = Seq(
+      1L -> "h1 h2 h3 r1 r2 r3",
+      2L -> "h1 h2 h3 r1 r2 r3 x1",
+      8L -> "h1 h2 h3 q1 q2 q3",
+      9L -> "h1 h2 h3 p1 p2 p3")
+    val stats = Dedup.pairStats(arrs(docs), tau = 3L)
+      .filter("da = 1 AND db = 2").collect()
+    assert(stats.length == 1)
+    // doc 1: {h1h2h3, h2h3r1, h3r1r2, r1r2r3}, doc 2 adds r2r3x1; pruning
+    // h1h2h3 (df 4) leaves i=3, na=3, nb=4 — pruned-space Jaccard 3/4
+    val r = stats.head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((3L, 3L, 4L)))
+  }
+}
