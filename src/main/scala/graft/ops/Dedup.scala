@@ -78,6 +78,12 @@ object Dedup {
       tau: Long = StopShingleDf): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
+    // index keys stay raw shingle strings: at 100 TB the production move
+    // is hashing them to int64 before the exchange (d08's comment; d03
+    // does it for its sketch), but measured here the per-row hash costs
+    // more than the smaller shuffle rows save — the bench scale is
+    // stage-bound, not byte-bound, and the string form keeps the oracle
+    // trivially identical
     val sh0 = docsArr.select($"doc_id", explode($"arr").as("s"))
     // df pre-count: one map-side-combining shuffle on the same key the
     // join uses; hot set is tiny by pigeonhole → broadcast anti-join
@@ -88,9 +94,9 @@ object Dedup {
     // doc before the (small) shuffle
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // SHUFFLE_HASH beats the default sort-merge here 2×: the join key is
-    // high-cardinality (shingles), so per-key hash buckets are tiny and
-    // sorting 30-byte strings on both sides is pure waste. The τ cut
-    // above bounds the worst bucket.
+    // high-cardinality (shingle hashes), so per-key hash buckets are tiny
+    // and sorting both sides is pure waste. The τ cut above bounds the
+    // worst bucket.
     val inter = sh.as("x").hint("SHUFFLE_HASH")
       .join(sh.as("y").hint("SHUFFLE_HASH"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
