@@ -20,6 +20,14 @@ object Bench {
       // default is right — here the knob re-widens the scan stage.
       .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+      // single-JVM shuffles land in the OS page cache — lz4 on the
+      // exchange path is pure CPU overhead here (no network, no cold
+      // reads) and costs window/sort-heavy queries 2×. On a real cluster
+      // compression stays ON (the default); this mirrors the oracle's
+      // uncompressed in-memory exchanges for a like-for-like single-node
+      // comparison.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     // dev loop: SPARK_GRAFT_CONF="k=v;k=v" overlays session conf for
