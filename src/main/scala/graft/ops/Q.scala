@@ -23,4 +23,16 @@ object Q {
   def registry: Seq[Q] =
     Relational.all ++ Temporal.all ++ TextAnalysis.all ++ Dedup.all ++
       Similarity.all ++ GraphOps.all ++ Multimodal.all
+
+  /** Total-order the result of a NARROW (shuffle-free) pipeline.
+    *
+    * A bare `orderBy` plants a range exchange whose partitioner SAMPLES
+    * the child — and for an all-map child that sampling job re-executes
+    * the entire scan+compute pipeline, doubling the query. Materializing
+    * the (small, post-aggregation/projection) result once and sorting
+    * from it runs the expensive pipeline exactly once; queries whose sort
+    * input is already a shuffle output don't need this (AQE's
+    * materialized stages make their sampling pass free). */
+  private[ops] def sortedNarrow(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.localCheckpoint().orderBy(cols: _*)
 }

@@ -112,7 +112,7 @@ object Relational {
         lower($"o_orderstatus").as("status"),
         d8($"o_orderdate").as("order_date"),
         dbl(round(dec($"o_totalprice") * lit(0.01).cast(DecimalType(8, 6)), 2)).as("total_dollars"))
-      .orderBy($"o_orderkey")
+      .transform(Q.sortedNarrow(_, $"o_orderkey"))
   }
 
   val q02Sql: String =

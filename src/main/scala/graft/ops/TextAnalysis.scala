@@ -76,7 +76,7 @@ object TextAnalysis {
         (dbl(nStop) / nTok).as("stopword_ratio"),
         (dbl(nDist) / nTok).as("distinct_ratio"),
         qualityGate(ws).as("is_quality"))
-      .orderBy($"doc_id")
+      .transform(Q.sortedNarrow(_, $"doc_id"))
   }
 
   val t02Sql: String = {
@@ -122,7 +122,7 @@ object TextAnalysis {
     scored
       .withColumn("pred_lang", pred)
       .withColumn("is_match", $"pred_lang" === $"labeled_lang")
-      .orderBy($"doc_id")
+      .transform(Q.sortedNarrow(_, $"doc_id"))
   }
 
   val t03Sql: String = {
@@ -197,7 +197,7 @@ object TextAnalysis {
         size(filter($"ps", p => p.rlike("^[A-Za-z]"))).cast(LongType).as("n_word_pieces"),
         size(filter($"ps", p => p.rlike("^[0-9]"))).cast(LongType).as("n_num_pieces"),
         $"est_tokens")
-      .orderBy($"doc_id")
+      .transform(Q.sortedNarrow(_, $"doc_id"))
   }
 
   val t05Sql: String =
@@ -231,7 +231,7 @@ object TextAnalysis {
         graft.functions.MaxSortedRun(array_sort($"bgs")).as("top_bigram_n"))
       .withColumn("repetition_ratio",
         round(dbl($"top_bigram_n") / $"n_bigrams", 6))
-      .orderBy($"doc_id")
+      .transform(Q.sortedNarrow(_, $"doc_id"))
   }
 
   val t06Sql: String =
@@ -566,7 +566,7 @@ object TextAnalysis {
         $"event_id",
         scrubPii($"props").as("props_scrubbed"),
         redactionCount($"props").as("n_redactions"))
-      .orderBy($"event_id")
+      .transform(Q.sortedNarrow(_, $"event_id"))
   }
 
   val t13Sql: String =

@@ -56,6 +56,33 @@ object PerfScratch {
     time("d02_full")(ops.Dedup.d02(spark, dir))
     time("d03_full")(ops.Dedup.d03(spark, dir))
     time("d04_full")(ops.Dedup.d04(spark, dir))
+    // t06 decomposition: where does ~1s go on 5000 rows?
+    val bgs = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", expr(
+        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")
+        .as("bgs"))
+    time("t06_bigrams")(bgs)
+    val scored = bgs.select($"doc_id",
+      size($"bgs").cast("long").as("n_bigrams"),
+      graft.functions.MaxSortedRun(array_sort($"bgs")).as("top_bigram_n"))
+    time("t06_scored")(scored)
+    time("t06_sorted")(scored.orderBy($"doc_id"))
+    for (_ <- 1 to 2) time("t06_full")(ops.TextAnalysis.t06(spark, dir))
+    for (_ <- 1 to 2) time("t12_full")(ops.TextAnalysis.t12(spark, dir))
+    // checkpoint-before-sort: does materializing the narrow pipeline once
+    // beat the range-sampler's re-execution of it?
+    for (_ <- 1 to 2)
+      time("t06_ckpt_sort")(scored.localCheckpoint().orderBy($"doc_id"))
+    for (_ <- 1 to 2)
+      time("t13_full")(ops.TextAnalysis.t13(spark, dir))
+    val t13body = ops.Tables.t(spark, dir, "events")
+      .select($"event_id",
+        ops.TextAnalysis.scrubPii($"props").as("props_scrubbed"),
+        ops.TextAnalysis.redactionCount($"props").as("n_redactions"))
+    for (_ <- 1 to 2)
+      time("t13_ckpt_sort")(t13body.localCheckpoint().orderBy($"event_id"))
     spark.stop()
   }
 }
