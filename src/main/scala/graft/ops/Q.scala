@@ -34,5 +34,8 @@ object Q {
     * input is already a shuffle output don't need this (AQE's
     * materialized stages make their sampling pass free). */
   private[ops] def sortedNarrow(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
-    df.localCheckpoint().orderBy(cols: _*)
+    // lazy: materializes on the sampling pass and is reused by the real
+    // exchange — same single execution of the pipeline, but the query's
+    // explain keeps the full pre-checkpoint plan for inspection
+    df.localCheckpoint(eager = false).orderBy(cols: _*)
 }

@@ -102,7 +102,10 @@ object Relational {
   /** Staging-model projection: rename + cast + arithmetic + filter
     * (stg_orders.sql:15-29 analog incl. the cents_to_dollars macro,
     * macros/cents_to_dollars.sql:3-5). Filter + projection push to scan. */
-  def q02(s: SparkSession, dir: String): DataFrame = {
+  /** q02's narrow pipeline before the output sort — split out so the plan
+    * audit can assert scan pruning, which the sort's checkpoint boundary
+    * hides from the final query's explain. */
+  private[ops] def q02Body(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "orders")
       .filter($"o_orderdate" <= ts("2000-12-31 00:00:00"))
@@ -112,7 +115,11 @@ object Relational {
         lower($"o_orderstatus").as("status"),
         d8($"o_orderdate").as("order_date"),
         dbl(round(dec($"o_totalprice") * lit(0.01).cast(DecimalType(8, 6)), 2)).as("total_dollars"))
-      .transform(Q.sortedNarrow(_, $"o_orderkey"))
+  }
+
+  def q02(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Q.sortedNarrow(q02Body(s, dir), $"o_orderkey")
   }
 
   val q02Sql: String =

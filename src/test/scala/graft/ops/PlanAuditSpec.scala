@@ -33,7 +33,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q02: projection prunes the scan to the selected columns") {
-    val p = plan(Relational.q02(spark, dir))
+    // audit the pre-sort body: the output sort's checkpoint boundary hides
+    // the scan from the final query's explain
+    val p = plan(Relational.q02Body(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
     // lineitem has 16 columns; the projection must not read them all
     assert(readSchema.nonEmpty)
@@ -112,6 +114,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = simplePlan(Dedup.d01(spark, dir))
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
     assert(aggs >= 4, s"expected two aggregation levels with partials, got $aggs:\n$p")
+  }
+
+  test("d01: no exchange carries document text — the dedup keys are md5 digests") {
+    val p = simplePlan(Dedup.d01(spark, dir))
+    assert(p.contains("md5"), s"content hashing absent:\n$p")
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text"))
+    assert(!badExchange, s"an exchange partitions on raw text:\n$p")
+  }
+
+  test("d02: the stop-shingle cut is a broadcast anti-join on the hot set") {
+    val p = simplePlan(Dedup.d02(spark, dir))
+    assert(p.contains("LeftAnti"), s"no stop-shingle drop in the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-set drop is not a broadcast probe:\n$p")
   }
 
   test("s01: corpus side streams, query side broadcasts") {
