@@ -38,7 +38,9 @@ object Dedup {
     * verification sets) derives from this one checkpointed frame with no
     * extra shuffle. */
   private[ops] def shingleArrays(s: SparkSession, dir: String): DataFrame =
-    shinglesOfDocs(Tables.t(s, dir, "documents")).localCheckpoint()
+    // lazy: materializes inside the first consumer's job (no separate
+    // up-front checkpoint job) and is block-reused by every later one
+    shinglesOfDocs(Tables.t(s, dir, "documents")).localCheckpoint(eager = false)
 
   /** The narrow shingling projection over any (doc_id, text) frame. */
   private[graft] def shinglesOfDocs(docs: DataFrame): DataFrame = {
@@ -209,8 +211,10 @@ object Dedup {
     val perDoc = docsArr.select($"doc_id",
       graft.functions.ShingleKernels.minHash64($"arr").as("sigs"))
     val bands = bandKeys(perDoc)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    // SHUFFLE_HASH: band keys are high-cardinality, buckets are tiny —
+    // same trade as the inverted-index join, sorting both sides is waste
+    val cand = bands.as("a").hint("SHUFFLE_HASH")
+      .join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
@@ -297,14 +301,15 @@ object Dedup {
       .select($"doc_id", split($"text", " ").as("ws"))
       .filter(expr("exists(ws, w -> w != '')"))
       .select($"doc_id", graft.functions.SimHash60($"ws").as("sh"))
-      // both sides of the band self-join consume sim; checkpoint so the
-      // signature scan doesn't run twice
-      .localCheckpoint()
+      // both sides of the band self-join consume sim; checkpoint (lazily —
+      // materialized inside the first consumer's job) so the signature
+      // scan doesn't run twice
+      .localCheckpoint(eager = false)
     val bands = sim
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .select($"doc_id", $"sh", $"b", expr("shiftright(sh, b * 15) & 32767").as("bv"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    val cand = bands.as("a").hint("SHUFFLE_HASH")
+      .join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -369,11 +374,12 @@ object Dedup {
         col("x.text").as("ta"), col("y.text").as("tb"))
       // the pair rows are BYTE-small but CPU-huge (O(len²) DP each), so
       // AQE's size-based coalescing would collapse them onto one core.
-      // The repartition pins the width, and the checkpoint is a plan
-      // barrier: without it, predicate pushdown drags the levenshtein
-      // filter back below the repartition into the coalesced join stage.
+      // The repartition pins the width, and the (lazy) checkpoint is a
+      // plan barrier: without it, predicate pushdown drags the
+      // levenshtein filter back below the repartition into the coalesced
+      // join stage.
       .repartition(s.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
       .withColumn("dist", levenshtein($"ta", $"tb").cast("long"))
       .filter($"dist" <= 100)
       .select($"da", $"db", $"dist")
