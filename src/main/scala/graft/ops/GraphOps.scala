@@ -155,7 +155,9 @@ object GraphOps {
     val s = edgesIn.sparkSession
     import s.implicits._
     val e = edgesIn.select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
-      .localCheckpoint() // reused three times: wedges + closing + vertex set
+      // reused three times (wedges + closing + vertex set); lazy so the
+      // materialization runs inside the first consumer instead of its own job
+      .localCheckpoint(eager = false)
     // wedges from a common low endpoint: (a,b,c) with a<b<c
     val wedges = e.as("x").join(e.as("y"),
       col("x.da") === col("y.da") && col("x.db") < col("y.db"))
