@@ -53,6 +53,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(full.length == 10, "all C(5,2) hot-bucket pairs without the cut")
   }
 
+  test("pairStats matches a brute-force reference on random corpora (cut active)") {
+    // in-memory model of the same semantics: distinct 3-gram shingle sets,
+    // df-pruned space, intersections and sizes over what survives
+    def brute(docs: Seq[(Long, String)], tau: Long): Set[(Long, Long, Long, Long, Long)] = {
+      val sets = docs.flatMap { case (id, t) =>
+        val ws = t.split(" ", -1)
+        if (ws.length >= 3) Some(id -> ws.sliding(3).map(_.mkString(" ")).toSet)
+        else None
+      }.toMap
+      val df = sets.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+      val pruned = sets.map { case (id, ss) => id -> ss.filter(s => df(s) <= tau) }
+      (for {
+        (a, sa) <- pruned.toSeq; (b, sb) <- pruned.toSeq
+        if a < b
+        i = (sa & sb).size if i > 0
+      } yield (a, b, i.toLong, sa.size.toLong, sb.size.toLong)).toSet
+    }
+    val vocab = Vector("w0", "w1", "w2", "w3", "hot", "dup")
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 12L).map { id =>
+        id -> Vector.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Dedup.pairStats(arrs(docs), tau = 2L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(got == brute(docs, 2L), s"seed $seed diverged from brute force")
+    }
+  }
+
   test("similarity is computed over the pruned shingle space") {
     // docs 1/2 share a hot shingle (df=4 > tau=3, via two padding docs)
     // AND three rare ones; the hot shingle must drop out of BOTH the
