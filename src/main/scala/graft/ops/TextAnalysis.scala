@@ -489,12 +489,19 @@ object TextAnalysis {
     * the k winners ever leaves the executors. */
   def t12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // two-level: collapse to (trigram, doc) first, then per-trigram sums.
+    // A one-shot count + countDistinct would Expand every exploded row
+    // into two aggregation paths and shuffle both; the pre-aggregate
+    // carries each (trigram, doc) pair once and the second shuffle is
+    // tiny (d01's shape).
     Tables.t(s, dir, "documents")
       .select($"doc_id", words($"text").as("ws"))
       .filter(size($"ws") >= 3)
       .select($"doc_id", explode(trigramsOf($"ws")).as("trigram"))
+      .groupBy($"trigram", $"doc_id")
+      .agg(count(lit(1)).as("c"))
       .groupBy($"trigram")
-      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("n_docs"))
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_docs"))
       .orderBy($"n".desc, $"trigram")
       .limit(20)
   }
