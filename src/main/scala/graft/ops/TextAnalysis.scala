@@ -597,14 +597,15 @@ object TextAnalysis {
     * chosen to be order-independent (min/max, integer sums, one final
     * division) so the result is engine-exact.
     *
-    * Scale: the global ntile is an intentionally single-partition window
-    * — correct for a histogram over ranks, but at 100 TB the right plan
-    * is the two-pass variant: sample ratio quantiles (RangePartitioner
-    * style) to get 9 approximate cut points, then a narrow bucket-by-cut
-    * pass. The exact single-window form is what the oracle can verify;
-    * the input to the window here is the pre-aggregated (doc_id, ratio)
-    * projection, ~16 bytes/doc, so even at 10¹⁰ docs the window input is
-    * ~160 GB — sortable, but the cut-point plan is the one to ship. */
+    * Scale: a bare `ntile(10) OVER (ORDER BY …)` window is a
+    * single-partition sort — the one plan shape that cannot survive
+    * 10¹⁰ docs. [[globalNtile]] computes the IDENTICAL bucketing fully
+    * distributed: range-repartition on the ranking key (a distributed
+    * sort), per-partition row counts (one number per partition to the
+    * driver — bounded by partition count, not data), prefix-sum offsets,
+    * then a narrow pass assigns each row its exact global rank and
+    * Spark-ntile bucket. The input is the pre-aggregated (doc_id, ratio)
+    * projection, ~16 bytes/doc — every stage scales with partitions. */
   def t14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ws = words($"text")
@@ -616,8 +617,7 @@ object TextAnalysis {
         nStop.cast(LongType).as("n_stop"),
         nTok.cast(LongType).as("n_tok"),
         (dbl(nStop) / nTok).as("ratio"))
-    val w = Window.orderBy($"ratio", $"doc_id")
-    perDoc.withColumn("decile", ntile(10).over(w))
+    globalNtile(perDoc, 10, $"ratio", $"doc_id")
       .groupBy($"decile")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -631,6 +631,56 @@ object TextAnalysis {
       .withColumn("pooled_ratio",
         round(dbl($"total_stopwords") / $"total_tokens", 6))
       .orderBy($"decile")
+  }
+
+  /** Distributed exact `ntile(k) OVER (ORDER BY keys…)`: appends an
+    * IntegerType `decile` column, bit-identical to the window form on any
+    * input, with no single-partition stage.
+    *
+    * Plan: range-repartition + in-partition sort = a distributed global
+    * sort; a first pass collects per-partition row counts (≤ one long per
+    * partition — driver work bounded by cluster width, not data); a
+    * second narrow pass assigns rank = partition offset + local position
+    * and buckets with Spark's exact ntile arithmetic (first n mod k
+    * buckets get one extra row). The lazy checkpoint materializes the
+    * sorted layout once; both passes read the same blocks. Partition
+    * BOUNDARIES come from RangePartitioner sampling and are not
+    * deterministic — but ranks derive from the total (ratio, doc_id)
+    * order, which boundaries cannot change, so the output is a pure
+    * function of the data. */
+  private[ops] def globalNtile(df: DataFrame, k: Int,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .localCheckpoint(eager = false)
+    val rdd = ranged.rdd
+    val counts = rdd.mapPartitionsWithIndex((pid, it) =>
+      Iterator.single(pid -> it.size.toLong)).collect().toMap
+    val n = counts.values.sum
+    val offsets = (0 until rdd.getNumPartitions).map { pid =>
+      pid -> (0 until pid).map(counts.getOrElse(_, 0L)).sum
+    }.toMap
+    // Spark/SQL ntile: base = n/k rows per bucket, the first n%k buckets
+    // carry one extra
+    val base = n / k
+    val rem = n % k
+    val cut = rem * (base + 1) // ranks 1..cut live in the fat buckets
+    def bucketOf(rank: Long): Int =
+      if (n == 0) 1
+      else if (base == 0) rank.toInt // n < k: one row per bucket
+      else if (rank <= cut) ((rank - 1) / (base + 1)).toInt + 1
+      else (rem + (rank - 1 - cut) / base).toInt + 1
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rank = offsets(pid)
+      it.map { row =>
+        rank += 1
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ bucketOf(rank))
+      }
+    }
+    s.createDataFrame(ranked,
+      ranged.schema.add("decile", IntegerType, nullable = false))
   }
 
   val t14Sql: String = {
