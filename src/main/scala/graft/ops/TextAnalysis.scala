@@ -213,22 +213,20 @@ object TextAnalysis {
   // ---------------------------------------------------------------- t06
   /** Repetition detection — the training-data filter that drops documents
     * dominated by a repeated phrase: bigram counts per doc, the top
-    * bigram's share of all bigrams. Entirely NARROW: the bigram array is
-    * built and sorted per row, the top-bigram multiplicity is one
-    * compiled run-length pass ([[graft.functions.MaxSortedRun]]), and the
-    * ratio is a single exact division — no (doc, bigram) shuffle exists
-    * in the plan, so at 100 TB this is a pure scan. */
+    * bigram's share of all bigrams. Entirely NARROW: the top-bigram
+    * multiplicity is one fused compiled pass over the word array
+    * ([[graft.functions.TopBigramRun]] — no bigram-array materialization,
+    * no per-row sort), and the ratio is a single exact division — no
+    * (doc, bigram) shuffle exists in the plan, so at 100 TB this is a
+    * pure scan. */
   def t06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.t(s, dir, "documents")
       .select($"doc_id", words($"text").as("ws"))
       .filter(size($"ws") >= 2)
-      .select($"doc_id", expr(
-        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")
-        .as("bgs"))
       .select($"doc_id",
-        size($"bgs").cast(LongType).as("n_bigrams"),
-        graft.functions.MaxSortedRun(array_sort($"bgs")).as("top_bigram_n"))
+        (size($"ws") - 1).cast(LongType).as("n_bigrams"),
+        graft.functions.TopBigramRun($"ws").as("top_bigram_n"))
       .withColumn("repetition_ratio",
         round(dbl($"top_bigram_n") / $"n_bigrams", 6))
       .transform(Q.sortedNarrow(_, $"doc_id"))

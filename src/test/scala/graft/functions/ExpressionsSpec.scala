@@ -120,6 +120,35 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     ref.foreach { case (id, m) => assert(fast(id) == m) }
   }
 
+  test("TopBigramRun equals MaxSortedRun over the built+sorted bigram array") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // space-free words only — the kernel's documented precondition (the
+    // word array comes from a split on " ")
+    val vocab = Vector("a", "b", "rep", "", "z")
+    val docs = (1L to 40L).map { id =>
+      id -> Vector.fill(2 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+    } :+ (99L -> Vector("solo")) :+ (100L -> Vector.empty[String])
+    val df = docs.toDF("doc_id", "ws")
+    // the HOF reference only exists for >= 2 words (same filter t06 applies
+    // before building bigrams — sequence(0, size-2) is descending below it)
+    val rows = df.filter(size($"ws") >= 2).select(
+      $"doc_id",
+      TopBigramRun($"ws").as("fused"),
+      MaxSortedRun(array_sort(expr(
+        "transform(sequence(0, size(ws)-2), i -> concat_ws(' ', ws[i], ws[i+1]))")))
+        .as("ref")).collect()
+    assert(rows.length == 40)
+    rows.foreach(r =>
+      assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+    // degenerate inputs: no bigrams -> 0
+    val deg = df.filter(size($"ws") < 2)
+      .select($"doc_id", TopBigramRun($"ws")).collect()
+    assert(deg.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(99L -> 0L, 100L -> 0L))
+  }
+
   test("Shingles3 equals the HOF transform + array_distinct chain") {
     val s = spark
     import s.implicits._
