@@ -19,10 +19,10 @@ import org.apache.spark.sql.types._
   * mod 1e9+7; affine permutations (2j+1)·h + j mod p), so outputs are a
   * pure function of the data — the DuckDB oracles mirror them exactly.
   *
-  * Scale (100 TB): the shingle join is the classic inverted-index
+  * Scale (100 TB): the shingle index is the classic inverted-index
   * candidate-pair pattern — it shuffles on the shingle key, so hot shingles
   * skew; [[pairStats]] drops stop-shingles (df > [[StopShingleDf]]) from
-  * the index before the self-join, bounding every bucket's pair fan-out,
+  * the index before pair generation, bounding every posting's pair fan-out,
   * and verifies candidates on full shingle sets. LSH banding (d03) and SimHash
   * banding (d04) are the scale paths: candidates come from equality joins
   * on short band keys instead of the full inverted index, bounding pair
@@ -58,10 +58,10 @@ object Dedup {
   /** Stop-shingle document-frequency cut for the inverted-index pair
     * generators: a shingle occurring in more than this many documents is
     * dropped from the shingle space entirely — index AND set sizes —
-    * BEFORE the self-join, so similarity is computed over the remaining
-    * informative shingles. By pigeonhole the hot set holds at most
-    * |postings|/τ shingles, so it broadcasts and the drop is a map-side
-    * anti-join; the cut bounds every bucket's pair fan-out at τ² —
+    * BEFORE pair generation, so similarity is computed over the remaining
+    * informative shingles. In posting-list form the cut is a free size
+    * filter on the aggregated index (df = posting length), and it bounds
+    * every posting's pair fan-out at τ² —
     * without it one boilerplate shingle in 10⁶ docs makes 10¹² join rows
     * and the shuffle never finishes at 100 TB. This is the standard
     * production trade (boilerplate shingles carry no dedup signal); when
@@ -70,39 +70,50 @@ object Dedup {
     * plan. Mirrored verbatim in the DuckDB oracles. */
   private[ops] val StopShingleDf = 1000
 
+  /** The inverted index as POSTING LISTS: one shuffle on the shingle key
+    * builds (shingle → [doc_id…]), and df == size(posting), so the
+    * stop-shingle cut collapses to a plain size filter — the previous
+    * shape (df pre-count shuffle + broadcast anti-join + two-sided
+    * SHUFFLE_HASH self-join) paid a full extra pass over the index just
+    * to learn which shingles were hot. Index keys stay raw shingle
+    * strings: at 100 TB the production move is hashing them to int64
+    * before the exchange (d08's comment; d03 does it for its sketch), but
+    * measured here the per-row hash costs more than the smaller shuffle
+    * rows save — the bench scale is stage-bound, not byte-bound, and the
+    * string form keeps the oracle trivially identical. */
+  private[ops] def postings(docsArr: DataFrame, tau: Long): DataFrame = {
+    val s = docsArr.sparkSession
+    import s.implicits._
+    docsArr.select($"doc_id", explode($"arr").as("s"))
+      .groupBy($"s").agg(collect_list($"doc_id").as("ds"))
+      .filter(size($"ds") <= lit(tau))
+      .select($"ds")
+  }
+
   /** (da, db, i, na, nb) — shingle-set intersection and sizes over the
     * τ-pruned shingle space (see [[StopShingleDf]]), for every pair
     * sharing ≥1 surviving shingle. The shared kernel of d02/d07/d09 and
-    * the g01–g03 edge sets: ONE self-join on the pruned index computes
-    * the intersection counts directly via a map-side-combining groupBy —
-    * no candidate materialization, no per-pair set operations. */
+    * the g01–g03 edge sets: the aggregated posting lists generate each
+    * co-occurring pair narrowly and a map-side-combining groupBy counts
+    * them into intersections — no candidate materialization, no per-pair
+    * set operations, no second shuffle of the index. */
   private[graft] def pairStats(docsArr: DataFrame,
       tau: Long = StopShingleDf): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
-    // index keys stay raw shingle strings: at 100 TB the production move
-    // is hashing them to int64 before the exchange (d08's comment; d03
-    // does it for its sketch), but measured here the per-row hash costs
-    // more than the smaller shuffle rows save — the bench scale is
-    // stage-bound, not byte-bound, and the string form keeps the oracle
-    // trivially identical
-    val sh0 = docsArr.select($"doc_id", explode($"arr").as("s"))
-    // df pre-count: one map-side-combining shuffle on the same key the
-    // join uses; hot set is tiny by pigeonhole → broadcast anti-join
-    val hot = sh0.groupBy($"s").agg(count(lit(1)).as("df"))
-      .filter($"df" > tau).select($"s")
-    val sh = sh0.join(broadcast(hot), Seq("s"), "left_anti")
-    // per-doc PRUNED set size: map-side partials collapse to one row per
-    // doc before the (small) shuffle
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // SHUFFLE_HASH beats the default sort-merge here 2×: the join key is
-    // high-cardinality (shingle hashes), so per-key hash buckets are tiny
-    // and sorting both sides is pure waste. The τ cut above bounds the
-    // worst bucket.
-    val inter = sh.as("x").hint("SHUFFLE_HASH")
-      .join(sh.as("y").hint("SHUFFLE_HASH"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+    // consumed twice (sizes + pairs); lazy so the index materializes
+    // inside the first consumer's job and is block-reused by the second
+    val post = postings(docsArr, tau).localCheckpoint(eager = false)
+    // per-doc PRUNED set size: explode the surviving postings back out;
+    // map-side partials collapse to one row per doc before the (small)
+    // shuffle
+    val sizes = post.select(explode($"ds").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = post
+      .select(explode($"ds").as("da"), $"ds")
+      .select($"da", explode($"ds").as("db"))
+      .filter($"da" < $"db")
+      .groupBy($"da", $"db")
       .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.as("sa"), $"da" === col("sa.doc_id"))

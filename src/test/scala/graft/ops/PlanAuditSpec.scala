@@ -124,11 +124,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!badExchange, s"an exchange partitions on raw text:\n$p")
   }
 
-  test("d02: the stop-shingle cut is a broadcast anti-join on the hot set") {
+  test("d02: the index aggregates to posting lists; the stop-shingle cut is a size filter") {
+    // the postings build sits behind pairStats' checkpoint boundary, so
+    // audit it pre-checkpoint: one hash aggregation into collect_list,
+    // cut by a size filter — no anti-join, no df pre-count pass
+    val docs = Tables.t(spark, dir, "documents")
+    val pp = simplePlan(Dedup.postings(Dedup.shinglesOfDocs(docs), 1000L))
+    assert(pp.contains("collect_list"), s"no posting-list aggregation:\n$pp")
+    assert(pp.linesIterator.exists(l => l.contains("Filter") && l.contains("size")),
+      s"stop-shingle size filter absent:\n$pp")
+    assert(!pp.contains("Join"), s"index build should not join:\n$pp")
+    val exchanges = pp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"index build must shuffle exactly once, got $exchanges:\n$pp")
+    // downstream, pairs generate narrowly from the postings (explode, not
+    // a second shuffle of the index through a self-join)
     val p = simplePlan(Dedup.d02(spark, dir))
-    assert(p.contains("LeftAnti"), s"no stop-shingle drop in the plan:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"hot-set drop is not a broadcast probe:\n$p")
+    val explodes = p.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes >= 3, s"posting-list explodes absent ($explodes):\n$p")
+    assert(!p.contains("ShuffledHashJoin"), s"index self-join resurfaced:\n$p")
   }
 
   test("s01: corpus side streams, query side broadcasts") {
