@@ -603,6 +603,83 @@ object Dedup {
       |WHERE i * 10 >= least(sa.n, sb.n) * 9
       |ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------- d10
+  /** Bloom-prefiltered decontamination census — d06's leakage check in
+    * the shape it takes when the EVAL GRAM SET ITSELF outgrows an exact
+    * broadcast (hundreds of benchmarks × 13-gram windows): the eval grams
+    * compress into a 1%-fpp bloom filter (~1.2 bytes/item vs ~50+ for the
+    * raw strings — ~40× smaller than d06's broadcast set), the whole
+    * training corpus probes the sketch MAP-SIDE via the compiled
+    * `might_contain` literal (no exchange, no join), and only the tiny
+    * might-contain survivor set pays exact-verification joins that kill
+    * the bloom's false positives. The output is therefore EXACT — the
+    * sketch only prunes, so fpp never reaches the result and the oracle
+    * is the plain exact join. Returns a per-source census: training docs,
+    * contaminated (shares ≥1 word-4-gram with an eval doc), clean.
+    *
+    * Scale (100 TB): corpus-side work is one narrow scan; everything
+    * that shuffles or broadcasts afterwards (survivor grams, true shared
+    * grams, hit doc ids) is bounded by the contamination rate, not the
+    * corpus. */
+  def d10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+    val grams = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 4)
+      .select($"doc_id",
+        explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+    val evalG = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    // build the sketch with one aggregation job over the (small) eval
+    // side; the driver only ever holds the fixed-size filter, never rows
+    val bf = evalG.select(xxhash64($"g").as("h"))
+      .stat.bloomFilter("h", 1L << 20, 0.01)
+    val probe = graft.functions.BloomProbe.mightContain(
+      graft.functions.BloomProbe.toBytes(bf), $"g")
+    // candidate (doc, gram) pairs: everything the sketch lets through —
+    // true hits plus ~1% fp noise; tiny relative to the corpus
+    val cand = grams.filter($"doc_id" % 97 =!= 0).filter(probe)
+      .localCheckpoint(eager = false) // consumed twice below
+    // exact confirm, smallest-side-broadcast both times: the distinct
+    // candidate grams probe the eval set, then the true shared grams
+    // mark the candidate docs — eval grams are never broadcast raw
+    val trueShared = evalG
+      .join(broadcast(cand.select($"g").distinct()), Seq("g"), "left_semi")
+    val hitDocs = cand.join(broadcast(trueShared), Seq("g"))
+      .select($"doc_id").distinct()
+      .withColumn("hit", lit(1L))
+    docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"source")
+      .join(broadcast(hitDocs), Seq("doc_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        sum(coalesce($"hit", lit(0L))).as("n_contaminated"),
+        (count(lit(1)) - sum(coalesce($"hit", lit(0L)))).as("n_clean"))
+      .orderBy($"source")
+  }
+
+  /** The exact-join semantics the bloom path must reproduce: same gram
+    * spelling as d06's oracle, census instead of per-doc counts. */
+  val d10Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        array_to_string(w[i:i+3], ' ') AS g
+      |      FROM ws, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      |      WHERE len(w) >= 4),
+      |eval_g AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      |hit AS (SELECT DISTINCT t.doc_id FROM g t JOIN eval_g e ON t.g = e.g
+      |        WHERE t.doc_id % 97 <> 0)
+      |SELECT d.source,
+      |  COUNT(*) AS n_train_docs,
+      |  CAST(SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_contaminated,
+      |  CAST(COUNT(*) - SUM(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clean
+      |FROM documents d LEFT JOIN hit ON d.doc_id = hit.doc_id
+      |WHERE d.doc_id % 97 <> 0
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -612,5 +689,6 @@ object Dedup {
     Q("d06_decontaminate", d06, Some(d06Sql), headline = true),
     Q("d07_canonical_corpus", d07, Some(d07Sql)),
     Q("d08_chunk_dedup", d08, Some(d08Sql)),
-    Q("d09_containment", d09, Some(d09Sql)))
+    Q("d09_containment", d09, Some(d09Sql)),
+    Q("d10_bloom_decontaminate", d10, Some(d10Sql)))
 }

@@ -249,8 +249,109 @@ object GraphOps {
       |SELECT degree, COUNT(*) AS n_docs FROM deg
       |GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Fixed-point power iteration for PageRank over an undirected edge
+    * list (`da` < `db`), fully INTEGER so the result is a pure function
+    * of the graph: ranks live in units of 10⁻¹² (start = `Scale`), each
+    * round a vertex emits `rank div degree` to every neighbor and
+    * collects `floor(0.15·Scale) + (85 · Σ inbound) div 100`. Integer
+    * sums are order-independent and `div` floors identically in every
+    * engine, so — unlike a floating-point PageRank, whose partial-sum
+    * ordering differs run to run — the oracle hash-matches exactly.
+    *
+    * Scale (100 TB graph): the classic iterative join-agg loop — the
+    * edge list and degrees compute ONCE and block-reuse every round
+    * (lazy checkpoint); each round is one join (rank side ≪ edges, AQE
+    * broadcasts it) plus one map-side-combining sum, and the per-round
+    * checkpoint truncates lineage so plans don't grow with iteration
+    * count — the same skeleton as [[components]]' propagation loop.
+    * Rounds are FIXED (3) rather than convergence-tested: a production
+    * run raises the count (or tests an integer ε on Σ|Δrank|), same
+    * skeleton, and fixed rounds keep the op's cost predictable. */
+  def pagerank(edgesIn: DataFrame, iters: Int = 3): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val Scale = 1000000000000L // 10^12 rank units per unit of mass
+    val e = edgesIn.select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
+    val sym = e.union(e.select($"db".as("da"), $"da".as("db")))
+      .localCheckpoint(eager = false) // reused every round
+    // undirected degree = out-degree = in-degree per vertex
+    val deg = sym.groupBy($"da").agg(count(lit(1)).as("deg"))
+      .select($"da".as("doc_id"), $"deg")
+      .localCheckpoint(eager = false)
+    var ranks = deg.select($"doc_id", $"deg", lit(Scale).as("rank"))
+    for (_ <- 1 to iters) {
+      // column names are disjoint across every join below (doc_id/deg vs
+      // da/db/c/in_sum), so joins resolve by name — no dataset-tagged
+      // refs that would trip ambiguous-self-join detection on the shared
+      // deg lineage
+      val contrib = ranks.select($"doc_id".as("src"), expr("rank div deg").as("c"))
+      val inbound = sym.join(contrib, $"da" === $"src")
+        .groupBy($"db").agg(sum($"c").as("in_sum"))
+      // every vertex of a symmetrized edge list has inbound edges, but
+      // the left join + coalesce keeps the loop total on general digraphs
+      ranks = deg.join(inbound, $"doc_id" === $"db", "left")
+        .select($"doc_id", $"deg",
+          (lit(15L * Scale / 100) +
+            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select($"doc_id", $"rank")
+  }
+
+  /** g04: 3-round integer PageRank of the near-dup graph (same d02 edges
+    * at jaccard ≥ 0.5) — the centrality signal a curation pipeline uses
+    * to pick the canonical document inside a duplicate cluster (the
+    * highest-rank member is the most-corroborated copy). */
+  def g04(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pagerank(Dedup.jaccardPairs(s, dir, 0.5)).orderBy($"doc_id")
+  }
+
+  /** The 3 rounds unrolled; `//` floors like Spark's `div`, and the
+    * HUGEINT sums cast back to BIGINT before the damping arithmetic so
+    * both engines stay in 64-bit integers. */
+  val g04Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |sym AS (SELECT da, db FROM edges UNION ALL SELECT db, da FROM edges),
+      |deg AS (SELECT da AS doc_id, COUNT(*) AS deg FROM sym GROUP BY da),
+      |r0 AS (SELECT doc_id, deg, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
+      |c0 AS (SELECT doc_id, rank // deg AS c FROM r0),
+      |i0 AS (SELECT sym.db AS doc_id, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM sym JOIN c0 ON sym.da = c0.doc_id GROUP BY sym.db),
+      |r1 AS (SELECT deg.doc_id, deg.deg,
+      |         150000000000 + (85 * COALESCE(i0.s, 0)) // 100 AS rank
+      |       FROM deg LEFT JOIN i0 ON deg.doc_id = i0.doc_id),
+      |c1 AS (SELECT doc_id, rank // deg AS c FROM r1),
+      |i1 AS (SELECT sym.db AS doc_id, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM sym JOIN c1 ON sym.da = c1.doc_id GROUP BY sym.db),
+      |r2 AS (SELECT deg.doc_id, deg.deg,
+      |         150000000000 + (85 * COALESCE(i1.s, 0)) // 100 AS rank
+      |       FROM deg LEFT JOIN i1 ON deg.doc_id = i1.doc_id),
+      |c2 AS (SELECT doc_id, rank // deg AS c FROM r2),
+      |i2 AS (SELECT sym.db AS doc_id, CAST(SUM(c) AS BIGINT) AS s
+      |       FROM sym JOIN c2 ON sym.da = c2.doc_id GROUP BY sym.db),
+      |r3 AS (SELECT deg.doc_id,
+      |         CAST(150000000000 + (85 * COALESCE(i2.s, 0)) // 100 AS BIGINT)
+      |           AS rank
+      |       FROM deg LEFT JOIN i2 ON deg.doc_id = i2.doc_id)
+      |SELECT doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
-    Q("g03_degree_hist", g03, Some(g03Sql)))
+    Q("g03_degree_hist", g03, Some(g03Sql)),
+    Q("g04_pagerank", g04, Some(g04Sql)))
 }

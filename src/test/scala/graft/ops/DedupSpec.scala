@@ -83,6 +83,52 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bloom probe: every inserted value passes, non-members mostly fail") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.xxhash64
+    val members = (1 to 500).map(i => s"gram-$i")
+    val bf = members.toDF("g").select(xxhash64($"g").as("h"))
+      .stat.bloomFilter("h", 1L << 16, 0.01)
+    val bytes = graft.functions.BloomProbe.toBytes(bf)
+    val probed = (members ++ (1 to 2000).map(i => s"other-$i")).toDF("g")
+      .withColumn("hit", graft.functions.BloomProbe.mightContain(bytes, $"g"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(members.forall(probed), "a bloom filter must never false-negative")
+    val fp = (1 to 2000).count(i => probed(s"other-$i"))
+    assert(fp < 100, s"false-positive rate implausibly high ($fp/2000)")
+  }
+
+  test("d10 census equals the exact no-bloom computation (fp kill verified)") {
+    // the bloom may only PRUNE: its false positives must die in the exact
+    // confirm joins, so the census must match a sketch-free exact join
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.t(s, dir, "documents")
+    val grams = docs
+      .select($"doc_id", org.apache.spark.sql.functions.split($"text", " ").as("ws"))
+      .filter(org.apache.spark.sql.functions.size($"ws") >= 4)
+      .select($"doc_id",
+        org.apache.spark.sql.functions.explode(
+          graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+    val evalG = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    val hit = grams.filter($"doc_id" % 97 =!= 0)
+      .join(evalG, Seq("g"), "left_semi").select($"doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val perSource = docs.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", $"source").collect()
+      .groupBy(_.getString(1)).map { case (src, rows) =>
+        val n = rows.length.toLong
+        val c = rows.count(r => hit(r.getLong(0))).toLong
+        src -> ((n, c, n - c))
+      }
+    val got = Dedup.d10(s, dir).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == perSource)
+    assert(got.values.map(_._2).sum > 0, "census must be non-vacuous at sf0.001")
+  }
+
   test("similarity is computed over the pruned shingle space") {
     // docs 1/2 share a hot shingle (df=4 > tau=3, via two padding docs)
     // AND three rare ones; the hot shingle must drop out of BOTH the

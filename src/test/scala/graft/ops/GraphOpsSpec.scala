@@ -108,4 +108,57 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L))
     assert(runTriangles(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 0L))
   }
+
+  // ------------------------------------------------------------ pagerank
+
+  /** Brute-force integer PageRank mirroring the operator's fixed-point
+    * arithmetic exactly (same symmetrization, same floor divisions). */
+  private def refPagerank(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, Long] = {
+    val S = 1000000000000L
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = deg.keys.map(_ -> S).toMap
+    for (_ <- 1 to iters) {
+      val contrib = rank.map { case (v, r) => v -> r / deg(v) }
+      val in = sym.groupBy(_._2).view
+        .mapValues(_.map(e => contrib(e._1)).sum).toMap
+      rank = deg.keys.map(v =>
+        v -> (15L * S / 100 + 85L * in.getOrElse(v, 0L) / 100)).toMap
+    }
+    rank
+  }
+
+  private def runPagerank(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphOps.pagerank(edges.toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pagerank on a path: center outranks the ends, exact integer match") {
+    val got = runPagerank(Seq((1L, 2L), (2L, 3L)))
+    assert(got == refPagerank(Seq((1L, 2L), (2L, 3L))))
+    assert(got(2L) > got(1L) && got(1L) == got(3L))
+  }
+
+  test("pagerank on a star: the hub dominates the leaves") {
+    val star = (2L to 6L).map(v => (1L, v))
+    val got = runPagerank(star)
+    assert(got == refPagerank(star))
+    val leaves = (2L to 6L).map(got)
+    assert(leaves.forall(_ == leaves.head), "leaves must tie exactly")
+    assert(got(1L) > leaves.head * 2, "hub should dominate")
+  }
+
+  test("pagerank matches the brute-force reference on random graphs") {
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 5) {
+      val n = 4 + rnd.nextInt(8)
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.4
+      } yield (a, b)).toSeq
+      if (edges.nonEmpty) assert(runPagerank(edges) == refPagerank(edges))
+    }
+  }
 }
