@@ -81,12 +81,16 @@ object Dedup {
     * measured here the per-row hash costs more than the smaller shuffle
     * rows save — the bench scale is stage-bound, not byte-bound, and the
     * string form keeps the oracle trivially identical. */
-  private[ops] def postings(docsArr: DataFrame, tau: Long): DataFrame = {
+  private[ops] def postings(docsArr: DataFrame, tau: Long): DataFrame =
+    allPostings(docsArr).filter(size(col("ds")) <= lit(tau))
+
+  /** The unfiltered posting-list index (shingle key dropped — consumers
+    * only need the co-occurrence lists and their lengths). */
+  private[ops] def allPostings(docsArr: DataFrame): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
     docsArr.select($"doc_id", explode($"arr").as("s"))
       .groupBy($"s").agg(collect_list($"doc_id").as("ds"))
-      .filter(size($"ds") <= lit(tau))
       .select($"ds")
   }
 
@@ -101,14 +105,24 @@ object Dedup {
       tau: Long = StopShingleDf): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
-    // consumed twice (sizes + pairs); lazy so the index materializes
-    // inside the first consumer's job and is block-reused by the second
-    val post = postings(docsArr, tau).localCheckpoint(eager = false)
-    // per-doc PRUNED set size: explode the surviving postings back out;
-    // map-side partials collapse to one row per doc before the (small)
-    // shuffle
-    val sizes = post.select(explode($"ds").as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // both τ-sides (surviving postings → pairs; hot postings → per-doc
+    // hot counts) derive from this one index build; lazy so it
+    // materializes inside the first consumer's job
+    val post0 = allPostings(docsArr).localCheckpoint(eager = false)
+    val post = post0.filter(size($"ds") <= lit(tau))
+    // per-doc PRUNED set size = |arr| − (hot shingles the doc touches):
+    // |arr| reads narrowly off the checkpointed shingle arrays, and the
+    // hot side is tiny by pigeonhole (≤ |postings|/τ lists), so the
+    // correction is a broadcast join — nothing index-sized shuffles for
+    // sizes (the previous shape re-exploded every surviving posting
+    // through a second full-index aggregation)
+    val hotCounts = post0.filter(size($"ds") > lit(tau))
+      .select(explode($"ds").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("nhot"))
+    val sizes = docsArr
+      .select($"doc_id", size($"arr").cast("long").as("ntot"))
+      .join(broadcast(hotCounts), Seq("doc_id"), "left")
+      .select($"doc_id", ($"ntot" - coalesce($"nhot", lit(0L))).as("n"))
     val inter = post
       .select(explode($"ds").as("da"), $"ds")
       .select($"da", explode($"ds").as("db"))
