@@ -825,6 +825,51 @@ object TextAnalysis {
       |    AS bytes_per_char
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t18
+  /** Per-source frequency cap — the curation step that stops one crawl
+    * domain from dominating the mixture: keep at most [[SourceCap]] docs
+    * per source, preferring lexical richness (distinct-token count), ties
+    * broken by doc_id so the cut is total. Ranking keys are INTEGERS, so
+    * unlike a float quality score there is no cross-engine tie ambiguity
+    * — the kept set is a pure function of the data.
+    *
+    * Scale (100 TB): one hash exchange on `source` + a per-partition
+    * sort — the rank never sees the global corpus. A source with
+    * billions of docs skews its partition; the production variant
+    * pre-filters with a per-source quality threshold (computed like
+    * t16's quartiles) before ranking so the window input is bounded —
+    * same output, the window only breaks ties near the cut. */
+  val SourceCap = 20
+
+  def t18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(size(array_distinct(words($"text"))).desc, $"doc_id")
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(array_distinct(words($"text"))).cast(LongType).as("n_distinct_tokens"),
+        row_number().over(w).as("cap_rank"),
+        count(lit(1)).over(Window.partitionBy($"source")).as("n_source_docs"))
+      .filter($"cap_rank" <= SourceCap)
+      .orderBy($"source", $"cap_rank")
+  }
+
+  val t18Sql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      AS n_distinct_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY len(list_distinct(string_split(text, ' '))) DESC, doc_id)
+      |      AS cap_rank,
+      |    COUNT(*) OVER (PARTITION BY source) AS n_source_docs
+      |  FROM documents)
+      |SELECT doc_id, source, n_distinct_tokens,
+      |  CAST(cap_rank AS BIGINT) AS cap_rank,
+      |  CAST(n_source_docs AS BIGINT) AS n_source_docs
+      |FROM ranked WHERE cap_rank <= 20
+      |ORDER BY source, cap_rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -842,5 +887,6 @@ object TextAnalysis {
     Q("t14_deciles", t14, Some(t14Sql)),
     Q("t15_mixture_epochs", t15, Some(t15Sql)),
     Q("t16_length_quartiles", t16, Some(t16Sql)),
-    Q("t17_charset_profile", t17, Some(t17Sql)))
+    Q("t17_charset_profile", t17, Some(t17Sql)),
+    Q("t18_source_cap", t18, Some(t18Sql)))
 }

@@ -243,6 +243,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("salt"), s"salt column absent from the join:\n$p")
   }
 
+  test("t18: the source cap shuffles once (the per-source window)") {
+    val p = simplePlan(TextAnalysis.t18(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    assert(p.contains("row_number"), s"no rank window:\n$p")
+  }
+
   test("s06: the exact side broadcasts the query sample over the streaming corpus") {
     val p = simplePlan(Similarity.s06(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
