@@ -107,7 +107,56 @@ object Temporal {
       |  ON x.user_id = y.user_id AND y.ts <= x.ts
       |ORDER BY x.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** Weekly cohort retention — the product-analytics staple: users are
+    * cohorted by the ISO week of their first event, and each later week
+    * counts how many of them came back (offsets 0–3). All keys are
+    * integers/dates and activity is a DISTINCT set before counting, so
+    * the matrix is exact in any engine.
+    *
+    * Scale (100 TB): first-event discovery and the activity join both
+    * key on user_id — one co-partitioned shuffle pair (AQE reuses the
+    * exchange); the distinct and the final matrix aggregate on
+    * (cohort, offset), whose cardinality is weeks², tiny regardless of
+    * corpus size. No windows, no per-user state. */
+  def q35(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.t(s, dir, "events")
+      .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
+    val firsts = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+    val sizes = firsts.groupBy($"cohort").agg(count(lit(1)).as("n_cohort"))
+    ev.join(firsts, Seq("user_id"))
+      .select($"cohort", expr("datediff(wk, cohort) div 7").as("week_offset"),
+        $"user_id")
+      .filter($"week_offset" <= 3)
+      .distinct()
+      .groupBy($"cohort", $"week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort"))
+      .select(date_format($"cohort", "yyyy-MM-dd").as("cohort"),
+        $"week_offset", $"n_active", $"n_cohort")
+      .orderBy($"cohort", $"week_offset")
+  }
+
+  val q35Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |firsts AS (SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY user_id),
+      |sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_cohort
+      |          FROM firsts GROUP BY cohort),
+      |act AS (SELECT DISTINCT f.cohort,
+      |          CAST((e.wk - f.cohort) // 7 AS BIGINT) AS week_offset,
+      |          e.user_id
+      |        FROM ev e JOIN firsts f USING (user_id)
+      |        WHERE (e.wk - f.cohort) // 7 <= 3)
+      |SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort, a.week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active, s.n_cohort
+      |FROM act a JOIN sizes s ON a.cohort = s.cohort
+      |GROUP BY a.cohort, a.week_offset, s.n_cohort
+      |ORDER BY cohort, week_offset""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
-    Q("q18_asof_join", q18, Some(q18Sql)))
+    Q("q18_asof_join", q18, Some(q18Sql)),
+    Q("q35_retention", q35, Some(q35Sql)))
 }
