@@ -28,12 +28,12 @@ object Bench {
       // comparison.
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
-      // the posting-list index (Dedup.postings) aggregates with
-      // collect_list; the default object-agg fallback (128 in-memory
-      // groups) degrades it to a per-partition sort almost immediately.
-      // Posting buffers are bounded by the stop-shingle cut (≤ τ ids
-      // each, typical 1–2), so millions of in-memory groups fit easily;
-      // on a cluster, size this with executor memory.
+      // the posting-list index (Dedup.allPostings) is an object
+      // aggregate; the default fallback (128 in-memory groups) degrades
+      // it to a per-partition sort almost immediately. Buffers are
+      // HARD-bounded by the CappedCollect cap (τ+1 ids, typical 1–2),
+      // so millions of in-memory groups fit easily; on a cluster, size
+      // this with executor memory.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (4 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

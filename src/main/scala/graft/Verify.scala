@@ -10,8 +10,8 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // keep the posting-list collect_list aggregation on the hash path
-      // (same setting and rationale as Bench; buffers are τ-bounded)
+      // keep the posting-list CappedCollect aggregation on the hash path
+      // (same setting and rationale as Bench; buffers are cap-bounded)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (4 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -81,17 +81,30 @@ object Dedup {
     * measured here the per-row hash costs more than the smaller shuffle
     * rows save — the bench scale is stage-bound, not byte-bound, and the
     * string form keeps the oracle trivially identical. */
+  /** Surviving (complete) posting lists only — df ≤ τ. */
   private[ops] def postings(docsArr: DataFrame, tau: Long): DataFrame =
-    allPostings(docsArr).filter(size(col("ds")) <= lit(tau))
+    allPostings(docsArr, tau).filter(size(col("ds")) <= lit(tau)).select(col("ds"))
 
-  /** The unfiltered posting-list index (shingle key dropped — consumers
-    * only need the co-occurrence lists and their lengths). */
-  private[ops] def allPostings(docsArr: DataFrame): DataFrame = {
+  /** The posting-list index: (shingle, doc_id array) via the
+    * [[graft.functions.CappedCollect]] aggregate with cap τ+1, so the
+    * per-group buffer is HARD-BOUNDED even for the boilerplate shingle
+    * the stop-shingle cut exists to absorb (a plain collect_list would
+    * buffer one id per posting — multi-GB for a shingle in 10⁶⁺ docs —
+    * and OOM exactly on that skew). A group that fits (df ≤ τ) never
+    * hits the cap, so its list is complete; a hot group saturates at τ+1
+    * ids, enough for consumers to DETECT hotness (size > τ) without an
+    * exact df. Index keys stay raw shingle strings: at 100 TB the
+    * production move is hashing them to int64 before the exchange (d08's
+    * comment; d03 does it for its sketch), but measured here the per-row
+    * hash costs more than the smaller shuffle rows save — the bench
+    * scale is stage-bound, not byte-bound, and the string form keeps the
+    * oracle trivially identical. */
+  private[ops] def allPostings(docsArr: DataFrame, tau: Long): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
     docsArr.select($"doc_id", explode($"arr").as("s"))
-      .groupBy($"s").agg(collect_list($"doc_id").as("ds"))
-      .select($"ds")
+      .groupBy($"s")
+      .agg(graft.functions.CappedCollect($"doc_id", (tau + 1).toInt).as("ds"))
   }
 
   /** (da, db, i, na, nb) — shingle-set intersection and sizes over the
@@ -105,23 +118,30 @@ object Dedup {
       tau: Long = StopShingleDf): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
-    // both τ-sides (surviving postings → pairs; hot postings → per-doc
-    // hot counts) derive from this one index build; lazy so it
+    // both τ-sides (surviving postings → pairs; saturated postings → hot
+    // shingle keys) derive from this one index build; lazy so it
     // materializes inside the first consumer's job
-    val post0 = allPostings(docsArr).localCheckpoint(eager = false)
-    val post = post0.filter(size($"ds") <= lit(tau))
+    val post0 = allPostings(docsArr, tau).localCheckpoint(eager = false)
+    val post = post0.filter(size($"ds") <= lit(tau)).select($"ds")
+    // hot shingle KEYS — genuinely bounded by pigeonhole (≤ |postings|/τ
+    // rows), so broadcasting them is safe at any scale. Note the hot
+    // LISTS are truncated at τ+1 (CappedCollect), so per-doc hot
+    // membership cannot come from them; it comes from probing the
+    // broadcast keys over the narrow shingle explode instead.
+    val hotKeys = post0.filter(size($"ds") > lit(tau)).select($"s")
     // per-doc PRUNED set size = |arr| − (hot shingles the doc touches):
-    // |arr| reads narrowly off the checkpointed shingle arrays, and the
-    // hot side is tiny by pigeonhole (≤ |postings|/τ lists), so the
-    // correction is a broadcast join — nothing index-sized shuffles for
-    // sizes (the previous shape re-exploded every surviving posting
-    // through a second full-index aggregation)
-    val hotCounts = post0.filter(size($"ds") > lit(tau))
-      .select(explode($"ds").as("doc_id"))
+    // |arr| reads narrowly off the checkpointed shingle arrays; the
+    // membership correction is a map-side broadcast probe that collapses
+    // to ≤ 1 row per affected doc before its (tiny) shuffle — nothing
+    // index-sized shuffles for sizes. The correction join is left to
+    // AQE: its build side is bounded by docs-touching-hot-shingles,
+    // usually empty, but not provably broadcast-safe — no forced hint.
+    val hotCounts = docsArr.select($"doc_id", explode($"arr").as("s"))
+      .join(broadcast(hotKeys), Seq("s"))
       .groupBy($"doc_id").agg(count(lit(1)).as("nhot"))
     val sizes = docsArr
       .select($"doc_id", size($"arr").cast("long").as("ntot"))
-      .join(broadcast(hotCounts), Seq("doc_id"), "left")
+      .join(hotCounts, Seq("doc_id"), "left")
       .select($"doc_id", ($"ntot" - coalesce($"nhot", lit(0L))).as("n"))
     val inter = post
       .select(explode($"ds").as("da"), $"ds")
@@ -422,6 +442,19 @@ object Dedup {
       |WHERE levenshtein(x.text, y.text) <= 100
       |ORDER BY da, db""".stripMargin
 
+  /** (doc_id, g) word-4-gram rows — the ONE spelling of the gram
+    * pipeline d06 and d10 (and their oracles) must agree on: split on
+    * space, ≥4-word docs only, compiled ShinglesK kernel. */
+  private[graft] def grams4(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 4)
+      .select($"doc_id",
+        explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+  }
+
   // ---------------------------------------------------------------- d06
   /** Eval-set decontamination — the n-gram-overlap leakage check every
     * training pipeline runs before a model sees the corpus: a training
@@ -441,11 +474,7 @@ object Dedup {
     * per-doc aggregation. */
   def d06(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.t(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 4)
-      .select($"doc_id",
-        explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+    val grams = grams4(Tables.t(s, dir, "documents"))
     val eval = grams.filter($"doc_id" % 97 === 0)
       .select($"doc_id".as("eval_id"), $"g")
     val train = grams.filter($"doc_id" % 97 =!= 0)
@@ -624,47 +653,53 @@ object Dedup {
     * compress into a 1%-fpp bloom filter (~1.2 bytes/item vs ~50+ for the
     * raw strings — ~40× smaller than d06's broadcast set), the whole
     * training corpus probes the sketch MAP-SIDE via the compiled
-    * `might_contain` literal (no exchange, no join), and only the tiny
+    * `might_contain` literal (no exchange, no join), and only the
     * might-contain survivor set pays exact-verification joins that kill
     * the bloom's false positives. The output is therefore EXACT — the
     * sketch only prunes, so fpp never reaches the result and the oracle
     * is the plain exact join. Returns a per-source census: training docs,
     * contaminated (shares ≥1 word-4-gram with an eval doc), clean.
     *
-    * Scale (100 TB): corpus-side work is one narrow scan; everything
-    * that shuffles or broadcasts afterwards (survivor grams, true shared
-    * grams, hit doc ids) is bounded by the contamination rate, not the
-    * corpus. */
+    * Scale (100 TB): corpus-side gram work is narrow (the probe is a
+    * literal, no join); the confirm joins carry the survivor set, whose
+    * size is contamination + fpp·|distinct training grams| — the fp term
+    * is corpus-proportional, so the confirm joins are LEFT TO AQE (a
+    * forced broadcast would collect fp survivors driver-side and OOM on
+    * a big-enough corpus even at nominal fpp; AQE broadcasts exactly
+    * when the realized survivor set is actually small, and falls back
+    * to shuffled joins — bounded, just wider — when it isn't). */
   def d10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.t(s, dir, "documents")
-    val grams = docs
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 4)
-      .select($"doc_id",
-        explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+    val grams = grams4(docs)
+    // eval grams are read three times (count, sketch build, exact
+    // confirm) — checkpoint so the extraction runs once
     val evalG = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
-    // build the sketch with one aggregation job over the (small) eval
-    // side; the driver only ever holds the fixed-size filter, never rows
+      .localCheckpoint(eager = false)
+    // size the sketch from the ACTUAL eval cardinality (a fixed guess
+    // under-sizes a grown eval suite and the realized fpp quietly blows
+    // past 1%, un-pruning the prefilter); the count also materializes
+    // the checkpoint, and the driver only ever holds the filter, not rows
+    val nEval = evalG.count()
     val bf = evalG.select(xxhash64($"g").as("h"))
-      .stat.bloomFilter("h", 1L << 20, 0.01)
+      .stat.bloomFilter("h", math.max(nEval, 1024L), 0.01)
     val probe = graft.functions.BloomProbe.mightContain(
       graft.functions.BloomProbe.toBytes(bf), $"g")
     // candidate (doc, gram) pairs: everything the sketch lets through —
-    // true hits plus ~1% fp noise; tiny relative to the corpus
+    // true hits plus ~fpp noise
     val cand = grams.filter($"doc_id" % 97 =!= 0).filter(probe)
       .localCheckpoint(eager = false) // consumed twice below
-    // exact confirm, smallest-side-broadcast both times: the distinct
-    // candidate grams probe the eval set, then the true shared grams
-    // mark the candidate docs — eval grams are never broadcast raw
+    // exact confirm: distinct candidate grams against the true eval set,
+    // then true shared grams mark the candidate docs. No broadcast
+    // hints — see the scale note above.
     val trueShared = evalG
-      .join(broadcast(cand.select($"g").distinct()), Seq("g"), "left_semi")
-    val hitDocs = cand.join(broadcast(trueShared), Seq("g"))
+      .join(cand.select($"g").distinct(), Seq("g"), "left_semi")
+    val hitDocs = cand.join(trueShared, Seq("g"))
       .select($"doc_id").distinct()
       .withColumn("hit", lit(1L))
     docs.filter($"doc_id" % 97 =!= 0)
       .select($"doc_id", $"source")
-      .join(broadcast(hitDocs), Seq("doc_id"), "left")
+      .join(hitDocs, Seq("doc_id"), "left")
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_train_docs"),

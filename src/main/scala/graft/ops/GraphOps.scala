@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed graph operators over DataFrames — the scale path for graph
   * queries that outgrow the driver-side Dag algebra (SURVEY §1.1 DAG note).
@@ -285,14 +286,23 @@ object GraphOps {
       // refs that would trip ambiguous-self-join detection on the shared
       // deg lineage
       val contrib = ranks.select($"doc_id".as("src"), expr("rank div deg").as("c"))
+      // the inbound sum and the 85× damping run in DECIMAL(38,0): a hub
+      // with ~10⁵ neighbors at rank scale 10¹² already pushes 85·Σ past
+      // Long.MaxValue, where int64 would silently wrap (and diverge from
+      // the oracle's 128-bit sums). `div` floors the decimal back to a
+      // long rank; individual ranks are bounded by the total mass n·S,
+      // so they fit int64 up to ~9·10⁶ vertices of fully-concentrated
+      // mass — shrink S for graphs beyond that.
       val inbound = sym.join(contrib, $"da" === $"src")
-        .groupBy($"db").agg(sum($"c").as("in_sum"))
+        .groupBy($"db")
+        .agg(sum($"c".cast(DecimalType(38, 0))).as("in_sum"))
       // every vertex of a symmetrized edge list has inbound edges, but
       // the left join + coalesce keeps the loop total on general digraphs
       ranks = deg.join(inbound, $"doc_id" === $"db", "left")
         .select($"doc_id", $"deg",
           (lit(15L * Scale / 100) +
-            expr("(85 * coalesce(in_sum, 0L)) div 100")).as("rank"))
+            expr("(coalesce(in_sum, CAST(0 AS DECIMAL(38,0))) * 85) div 100"))
+            .as("rank"))
         .localCheckpoint(eager = false)
     }
     ranks.select($"doc_id", $"rank")
@@ -308,8 +318,9 @@ object GraphOps {
   }
 
   /** The 3 rounds unrolled; `//` floors like Spark's `div`, and the
-    * HUGEINT sums cast back to BIGINT before the damping arithmetic so
-    * both engines stay in 64-bit integers. */
+    * sums/damping stay in HUGEINT — the 128-bit mirror of the Spark
+    * plan's DECIMAL(38,0) damping domain — casting to BIGINT only at
+    * the final rank. */
   val g04Sql: String =
     """WITH words AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -329,19 +340,19 @@ object GraphOps {
       |deg AS (SELECT da AS doc_id, COUNT(*) AS deg FROM sym GROUP BY da),
       |r0 AS (SELECT doc_id, deg, CAST(1000000000000 AS BIGINT) AS rank FROM deg),
       |c0 AS (SELECT doc_id, rank // deg AS c FROM r0),
-      |i0 AS (SELECT sym.db AS doc_id, CAST(SUM(c) AS BIGINT) AS s
+      |i0 AS (SELECT sym.db AS doc_id, SUM(c) AS s
       |       FROM sym JOIN c0 ON sym.da = c0.doc_id GROUP BY sym.db),
       |r1 AS (SELECT deg.doc_id, deg.deg,
       |         150000000000 + (85 * COALESCE(i0.s, 0)) // 100 AS rank
       |       FROM deg LEFT JOIN i0 ON deg.doc_id = i0.doc_id),
       |c1 AS (SELECT doc_id, rank // deg AS c FROM r1),
-      |i1 AS (SELECT sym.db AS doc_id, CAST(SUM(c) AS BIGINT) AS s
+      |i1 AS (SELECT sym.db AS doc_id, SUM(c) AS s
       |       FROM sym JOIN c1 ON sym.da = c1.doc_id GROUP BY sym.db),
       |r2 AS (SELECT deg.doc_id, deg.deg,
       |         150000000000 + (85 * COALESCE(i1.s, 0)) // 100 AS rank
       |       FROM deg LEFT JOIN i1 ON deg.doc_id = i1.doc_id),
       |c2 AS (SELECT doc_id, rank // deg AS c FROM r2),
-      |i2 AS (SELECT sym.db AS doc_id, CAST(SUM(c) AS BIGINT) AS s
+      |i2 AS (SELECT sym.db AS doc_id, SUM(c) AS s
       |       FROM sym JOIN c2 ON sym.da = c2.doc_id GROUP BY sym.db),
       |r3 AS (SELECT deg.doc_id,
       |         CAST(150000000000 + (85 * COALESCE(i2.s, 0)) // 100 AS BIGINT)

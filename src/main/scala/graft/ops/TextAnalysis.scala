@@ -843,11 +843,15 @@ object TextAnalysis {
 
   def t18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // project the distinct count FIRST so the O(len) tokenize+distinct
+    // pass runs once per row — ordering the window by the raw expression
+    // would evaluate it a second time as the sort key
     val w = Window.partitionBy($"source")
-      .orderBy(size(array_distinct(words($"text"))).desc, $"doc_id")
+      .orderBy($"n_distinct_tokens".desc, $"doc_id")
     Tables.t(s, dir, "documents")
       .select($"doc_id", $"source",
-        size(array_distinct(words($"text"))).cast(LongType).as("n_distinct_tokens"),
+        size(array_distinct(words($"text"))).cast(LongType).as("n_distinct_tokens"))
+      .select($"doc_id", $"source", $"n_distinct_tokens",
         row_number().over(w).as("cap_rank"),
         count(lit(1)).over(Window.partitionBy($"source")).as("n_source_docs"))
       .filter($"cap_rank" <= SourceCap)

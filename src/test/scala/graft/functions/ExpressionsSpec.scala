@@ -101,6 +101,30 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(fast(5L) == 0L)
   }
 
+  test("CappedCollect equals collect_list (as a multiset) while under the cap") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7L)
+    val rows = (1 to 400).map(_ => (rnd.nextInt(20).toLong, rnd.nextLong() % 100))
+    val df = rows.toDF("k", "v").repartition(8)
+    val capped = df.groupBy($"k").agg(CappedCollect($"v", 1000).as("vs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).sorted).toMap
+    val ref = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(capped.keySet == ref.keySet)
+    ref.foreach { case (k, vs) => assert(capped(k) == vs, s"group $k") }
+  }
+
+  test("CappedCollect saturates at the cap with a subset of the group") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 500L).map(v => ("hot", v)).toDF("k", "v").repartition(8)
+    val got = df.groupBy($"k").agg(CappedCollect($"v", 7).as("vs"))
+      .collect().head.getSeq[Long](1)
+    assert(got.length == 7, s"must hold exactly cap elements, got ${got.length}")
+    assert(got.toSet.subsetOf((1L to 500L).toSet))
+    assert(got.distinct.length == 7, "merge must not duplicate elements")
+  }
+
   test("MaxSortedRun equals max(count) of the exploded groupBy") {
     val s = spark
     import s.implicits._

@@ -106,12 +106,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     import s.implicits._
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.t(s, dir, "documents")
-    val grams = docs
-      .select($"doc_id", org.apache.spark.sql.functions.split($"text", " ").as("ws"))
-      .filter(org.apache.spark.sql.functions.size($"ws") >= 4)
-      .select($"doc_id",
-        org.apache.spark.sql.functions.explode(
-          graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+    val grams = Dedup.grams4(docs)
     val evalG = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
     val hit = grams.filter($"doc_id" % 97 =!= 0)
       .join(evalG, Seq("g"), "left_semi").select($"doc_id").distinct()

@@ -126,11 +126,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   test("d02: the index aggregates to posting lists; the stop-shingle cut is a size filter") {
     // the postings build sits behind pairStats' checkpoint boundary, so
-    // audit it pre-checkpoint: one hash aggregation into collect_list,
-    // cut by a size filter — no anti-join, no df pre-count pass
+    // audit it pre-checkpoint: one hash aggregation into the capped
+    // posting collector, cut by a size filter — no anti-join, no df
+    // pre-count pass, no unbounded collect_list buffer
     val docs = Tables.t(spark, dir, "documents")
     val pp = simplePlan(Dedup.postings(Dedup.shinglesOfDocs(docs), 1000L))
-    assert(pp.contains("collect_list"), s"no posting-list aggregation:\n$pp")
+    assert(pp.contains("capped_collect"), s"no posting-list aggregation:\n$pp")
+    assert(!pp.contains("collect_list"), s"unbounded collector resurfaced:\n$pp")
     assert(pp.linesIterator.exists(l => l.contains("Filter") && l.contains("size")),
       s"stop-shingle size filter absent:\n$pp")
     assert(!pp.contains("Join"), s"index build should not join:\n$pp")
