@@ -360,9 +360,79 @@ object GraphOps {
       |       FROM deg LEFT JOIN i2 ON deg.doc_id = i2.doc_id)
       |SELECT doc_id, rank FROM r3 ORDER BY doc_id""".stripMargin
 
+  /** Local clustering coefficient per vertex: 2·triangles / (deg·(deg−1)),
+    * 0 for degree-1 vertices — the [0,1] "how clique-like is this doc's
+    * neighborhood" number that turns g02's raw triangle counts into a
+    * thresholdable dedup-cluster confidence (1.0 = verbatim-copy clique;
+    * near 0 = chain of borderline matches that should NOT collapse to
+    * one canonical doc). Both inputs are exact integers and the
+    * coefficient is one IEEE division rounded to 6 decimals, so it
+    * hash-matches any engine. Plan: g02's wedge join + one degree
+    * aggregate over the same edge list, joined on vertex id — the edge
+    * list is checkpointed here so both consumers reuse its blocks. */
+  def clusteringCoefficient(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val e = edgesIn.select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
+      .localCheckpoint(eager = false) // consumed by triangles + degrees
+    val tri = triangles(e)
+    val deg = e.select(explode(array($"da", $"db")).as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    tri.join(deg, Seq("doc_id"))
+      .select($"doc_id", $"degree", $"n_triangles",
+        when($"degree" > 1,
+          round(($"n_triangles" * 2).cast("double") /
+            ($"degree" * ($"degree" - 1)), 6))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** g05: local clustering coefficient of the near-dup graph (same d02
+    * edges at jaccard ≥ 0.5 as g01–g04). */
+  def g05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    clusteringCoefficient(Dedup.jaccardPairs(s, dir, 0.5)).orderBy($"doc_id")
+  }
+
+  val g05Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |tri AS (SELECT x.da AS a, x.db AS b, y.db AS c
+      |        FROM edges x JOIN edges y ON x.da = y.da AND x.db < y.db
+      |        JOIN edges z ON z.da = x.db AND z.db = y.db),
+      |corners AS (
+      |  SELECT a AS doc_id FROM tri UNION ALL
+      |  SELECT b FROM tri UNION ALL
+      |  SELECT c FROM tri),
+      |ends AS (SELECT da AS doc_id FROM edges UNION ALL SELECT db FROM edges),
+      |deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+      |        FROM ends GROUP BY doc_id),
+      |nt AS (SELECT d.doc_id, d.degree,
+      |         CAST(COALESCE((SELECT COUNT(*) FROM corners c
+      |                        WHERE c.doc_id = d.doc_id), 0) AS BIGINT)
+      |           AS n_triangles
+      |       FROM deg d)
+      |SELECT doc_id, degree, n_triangles,
+      |  CASE WHEN degree > 1
+      |    THEN round(CAST(n_triangles * 2 AS DOUBLE) / (degree * (degree - 1)), 6)
+      |    ELSE 0.0 END AS clustering
+      |FROM nt ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
     Q("g03_degree_hist", g03, Some(g03Sql)),
-    Q("g04_pagerank", g04, Some(g04Sql)))
+    Q("g04_pagerank", g04, Some(g04Sql)),
+    Q("g05_clustering", g05, Some(g05Sql)))
 }

@@ -109,6 +109,26 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(runTriangles(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 0L))
   }
 
+  test("clustering coefficient: K4 is all 1.0, pendant 0, hinge 1/3") {
+    val s = spark
+    import s.implicits._
+    // triangle {1,2,3} with pendant 9 on vertex 3:
+    //  1,2: deg 2, 1 triangle → 2·1/(2·1) = 1.0
+    //  3:   deg 3, 1 triangle → 2·1/(3·2) = 0.333333
+    //  9:   deg 1 → defined 0.0
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 9L))
+    val got = GraphOps.clusteringCoefficient(g.toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.333333)), 9L -> ((1L, 0L, 0.0))))
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val coeffs = GraphOps.clusteringCoefficient(k4.toDF("da", "db"))
+      .collect().map(_.getDouble(3))
+    assert(coeffs.forall(_ == 1.0), "every K4 vertex neighborhood is a clique")
+  }
+
   // ------------------------------------------------------------ pagerank
 
   /** Brute-force integer PageRank mirroring the operator's fixed-point
