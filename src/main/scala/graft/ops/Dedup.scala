@@ -100,6 +100,7 @@ object Dedup {
     * scale is stage-bound, not byte-bound, and the string form keeps the
     * oracle trivially identical. */
   private[ops] def allPostings(docsArr: DataFrame, tau: Long): DataFrame = {
+    require(tau >= 0 && tau < Int.MaxValue, s"tau out of cap range: $tau")
     val s = docsArr.sparkSession
     import s.implicits._
     docsArr.select($"doc_id", explode($"arr").as("s"))
@@ -118,31 +119,19 @@ object Dedup {
       tau: Long = StopShingleDf): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
-    // both τ-sides (surviving postings → pairs; saturated postings → hot
-    // shingle keys) derive from this one index build; lazy so it
+    // the SURVIVING (df ≤ τ) posting lists — complete by construction
+    // (the τ+1 cap only ever truncates hot groups, which the filter
+    // drops); consumed twice (sizes + pairs), lazy so the index
     // materializes inside the first consumer's job
-    val post0 = allPostings(docsArr, tau).localCheckpoint(eager = false)
-    val post = post0.filter(size($"ds") <= lit(tau)).select($"ds")
-    // hot shingle KEYS — genuinely bounded by pigeonhole (≤ |postings|/τ
-    // rows), so broadcasting them is safe at any scale. Note the hot
-    // LISTS are truncated at τ+1 (CappedCollect), so per-doc hot
-    // membership cannot come from them; it comes from probing the
-    // broadcast keys over the narrow shingle explode instead.
-    val hotKeys = post0.filter(size($"ds") > lit(tau)).select($"s")
-    // per-doc PRUNED set size = |arr| − (hot shingles the doc touches):
-    // |arr| reads narrowly off the checkpointed shingle arrays; the
-    // membership correction is a map-side broadcast probe that collapses
-    // to ≤ 1 row per affected doc before its (tiny) shuffle — nothing
-    // index-sized shuffles for sizes. The correction join is left to
-    // AQE: its build side is bounded by docs-touching-hot-shingles,
-    // usually empty, but not provably broadcast-safe — no forced hint.
-    val hotCounts = docsArr.select($"doc_id", explode($"arr").as("s"))
-      .join(broadcast(hotKeys), Seq("s"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("nhot"))
-    val sizes = docsArr
-      .select($"doc_id", size($"arr").cast("long").as("ntot"))
-      .join(hotCounts, Seq("doc_id"), "left")
-      .select($"doc_id", ($"ntot" - coalesce($"nhot", lit(0L))).as("n"))
+    val post = postings(docsArr, tau).localCheckpoint(eager = false)
+    // per-doc PRUNED set size: explode the surviving postings back out;
+    // map-side partials collapse to one row per doc before the (small)
+    // shuffle. Everything here is bounded — no broadcast of any
+    // data-dependent frame, no driver-side structure (a hot-shingle-key
+    // broadcast variant measured the same at bench scale but its key set
+    // grows as |postings|/τ, corpus-proportional — not broadcast-safe).
+    val sizes = post.select(explode($"ds").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = post
       .select(explode($"ds").as("da"), $"ds")
       .select($"da", explode($"ds").as("db"))

@@ -159,6 +159,15 @@ object GraphOps {
       // reused three times (wedges + closing + vertex set); lazy so the
       // materialization runs inside the first consumer instead of its own job
       .localCheckpoint(eager = false)
+    trianglesOf(e)
+  }
+
+  /** Triangle counting over an ALREADY-reusable (checkpointed) long edge
+    * frame — callers that share the edge list with other consumers (g05)
+    * use this to avoid materializing a second copy. */
+  private def trianglesOf(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
     // wedges from a common low endpoint: (a,b,c) with a<b<c
     val wedges = e.as("x").join(e.as("y"),
       col("x.da") === col("y.da") && col("x.db") < col("y.db"))
@@ -375,7 +384,7 @@ object GraphOps {
     import s.implicits._
     val e = edgesIn.select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
       .localCheckpoint(eager = false) // consumed by triangles + degrees
-    val tri = triangles(e)
+    val tri = trianglesOf(e)
     val deg = e.select(explode(array($"da", $"db")).as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
     tri.join(deg, Seq("doc_id"))

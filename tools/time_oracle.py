@@ -6,10 +6,12 @@ Usage: python3 tools/time_oracle.py [sf_dir] [oracle_sql.json]
   sf_dir          parquet table dir   (default /root/testdata/sf0.1)
   oracle_sql.json from a graft.Verify run (default /tmp/verify_out/oracle_sql.json)
 
-Prints one JSON line: {"total": sec, "times": {query: sec, ...}} with
-times sorted slowest-first. Min-of-2 per query on 32 threads — mirror of
-Bench's min-of-N warm timing. Same caveat as Bench: numbers are only
-comparable on a settled machine (load decays ~5 min after any JVM exits).
+Prints one JSON line: {"total": sec|null, "times": {...}, "failed": [...]}
+with times sorted slowest-first. Min-of-2 per query on 32 threads — mirror
+of Bench's min-of-N warm timing. "total" is null when ANY query errored
+(a partial total would understate the baseline and bias the comparison).
+Same caveat as Bench: numbers are only comparable on a settled machine
+(load decays ~5 min after any JVM exits).
 """
 import duckdb, json, time, sys
 
@@ -39,6 +41,8 @@ for name, sql in sorted(sqls.items()):
     times[name] = best
     if best > 0:
         total += best
-print(json.dumps({"total": round(total, 2),
+failed = sorted(k for k, v in times.items() if v < 0)
+print(json.dumps({"total": None if failed else round(total, 2),
                   "times": {k: round(v, 3) for k, v in
-                            sorted(times.items(), key=lambda kv: -kv[1])}}))
+                            sorted(times.items(), key=lambda kv: -kv[1])},
+                  "failed": failed}))
