@@ -119,9 +119,15 @@ object Temporal {
     * exchange); the distinct and the final matrix aggregate on
     * (cohort, offset), whose cardinality is weeks², tiny regardless of
     * corpus size. No windows, no per-user state. */
-  def q35(s: SparkSession, dir: String): DataFrame = {
+  def q35(s: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.t(s, dir, "events"))
+
+  /** The cohort matrix over any (user_id, ts) frame — split out so the
+    * spec can pin the cohort math on hand-built event streams. */
+  private[graft] def cohortRetention(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
-    val ev = Tables.t(s, dir, "events")
+    val ev = events
       .select($"user_id", to_date(date_trunc("week", $"ts")).as("wk"))
     val firsts = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
     val sizes = firsts.groupBy($"cohort").agg(count(lit(1)).as("n_cohort"))

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cohort-retention math (q35's kernel) on hand-built event streams:
+  * ISO-week cohorting, offset arithmetic, within-week dedup, and the
+  * offset cutoff. */
+class TemporalSpec extends AnyFunSuite with SparkFixture {
+
+  /** (user, ts-string) rows → retention matrix keyed (cohort, offset). */
+  private def run(events: Seq[(Long, String)]): Map[(String, Long), (Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val df = events.toDF("user_id", "t")
+      .select($"user_id", to_timestamp($"t").as("ts"))
+    Temporal.cohortRetention(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("cohorts form on the first-event ISO week; returns land on offsets") {
+    // 2024-01-01 is a Monday. u1 starts week 0 and returns weeks 1 and 3;
+    // u2 starts week 0, never returns; u3 starts week 1.
+    val m = run(Seq(
+      1L -> "2024-01-02 10:00:00",
+      1L -> "2024-01-09 09:00:00",
+      1L -> "2024-01-23 23:00:00",
+      2L -> "2024-01-03 12:00:00",
+      3L -> "2024-01-10 08:00:00"))
+    assert(m == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L)),
+      ("2024-01-01", 1L) -> ((1L, 2L)),
+      ("2024-01-01", 3L) -> ((1L, 2L)),
+      ("2024-01-08", 0L) -> ((1L, 1L))))
+  }
+
+  test("multiple events in one week count a user once") {
+    val m = run(Seq(
+      7L -> "2024-02-05 08:00:00",
+      7L -> "2024-02-06 09:00:00",
+      7L -> "2024-02-07 10:00:00",
+      7L -> "2024-02-13 11:00:00"))
+    assert(m == Map(
+      ("2024-02-05", 0L) -> ((1L, 1L)),
+      ("2024-02-05", 1L) -> ((1L, 1L))))
+  }
+
+  test("activity past the offset window is cut, not wrapped") {
+    val m = run(Seq(
+      9L -> "2024-03-04 08:00:00",
+      9L -> "2024-04-15 08:00:00")) // 6 weeks later — outside 0..3
+    assert(m == Map(("2024-03-04", 0L) -> ((1L, 1L))))
+  }
+
+  test("a sunday and the following monday fall in different ISO weeks") {
+    val m = run(Seq(
+      4L -> "2024-01-07 23:59:59", // Sunday → week of 2024-01-01
+      4L -> "2024-01-08 00:00:01")) // Monday → next week, offset 1
+    assert(m == Map(
+      ("2024-01-01", 0L) -> ((1L, 1L)),
+      ("2024-01-01", 1L) -> ((1L, 1L))))
+  }
+}
