@@ -70,18 +70,12 @@ object Dedup {
     * plan. Mirrored verbatim in the DuckDB oracles. */
   private[ops] val StopShingleDf = 1000
 
-  /** The inverted index as POSTING LISTS: one shuffle on the shingle key
-    * builds (shingle → [doc_id…]), and df == size(posting), so the
+  /** Surviving (complete) posting lists only — df ≤ τ. One shuffle on
+    * the shingle key builds the index, and df == size(posting), so the
     * stop-shingle cut collapses to a plain size filter — the previous
     * shape (df pre-count shuffle + broadcast anti-join + two-sided
     * SHUFFLE_HASH self-join) paid a full extra pass over the index just
-    * to learn which shingles were hot. Index keys stay raw shingle
-    * strings: at 100 TB the production move is hashing them to int64
-    * before the exchange (d08's comment; d03 does it for its sketch), but
-    * measured here the per-row hash costs more than the smaller shuffle
-    * rows save — the bench scale is stage-bound, not byte-bound, and the
-    * string form keeps the oracle trivially identical. */
-  /** Surviving (complete) posting lists only — df ≤ τ. */
+    * to learn which shingles were hot. */
   private[ops] def postings(docsArr: DataFrame, tau: Long): DataFrame =
     allPostings(docsArr, tau).filter(size(col("ds")) <= lit(tau)).select(col("ds"))
 
@@ -718,6 +712,55 @@ object Dedup {
       |WHERE d.doc_id % 97 <> 0
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---------------------------------------------------------------- d11
+  /** Cross-source near-dup overlap matrix — the provenance diagnostic
+    * run before mixing crawls: for every unordered source pair, how many
+    * near-dup pairs (d02 edges at jaccard ≥ 0.5) link them. A heavy
+    * off-diagonal cell means two "independent" sources mirror each other
+    * (syndication, scraped re-hosts) and their mixture weights
+    * double-count the same text; the diagonal counts within-source
+    * duplication.
+    *
+    * Scale (100 TB): the near-dup pair set is tiny relative to the
+    * corpus that produced it, so AQE broadcasts the pair side of both
+    * source lookups and the (doc_id → source) projection streams — the
+    * corpus never shuffles; the output is |sources|² at most. */
+  def d11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = jaccardPairs(s, dir, 0.5)
+    val src = Tables.t(s, dir, "documents").select($"doc_id", $"source")
+    pairs
+      .join(src.as("sa"), $"da" === col("sa.doc_id"))
+      .join(src.as("sb"), $"db" === col("sb.doc_id"))
+      .select(
+        least(col("sa.source"), col("sb.source")).as("source_a"),
+        greatest(col("sa.source"), col("sb.source")).as("source_b"))
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"source_a", $"source_b")
+  }
+
+  val d11Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5)
+      |SELECT least(x.source, y.source) AS source_a,
+      |  greatest(x.source, y.source) AS source_b,
+      |  COUNT(*) AS n_pairs
+      |FROM edges JOIN documents x ON edges.da = x.doc_id
+      |           JOIN documents y ON edges.db = y.doc_id
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -728,5 +771,6 @@ object Dedup {
     Q("d07_canonical_corpus", d07, Some(d07Sql)),
     Q("d08_chunk_dedup", d08, Some(d08Sql)),
     Q("d09_containment", d09, Some(d09Sql)),
-    Q("d10_bloom_decontaminate", d10, Some(d10Sql)))
+    Q("d10_bloom_decontaminate", d10, Some(d10Sql)),
+    Q("d11_source_overlap", d11, Some(d11Sql)))
 }
