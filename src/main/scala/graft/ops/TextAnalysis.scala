@@ -874,6 +874,173 @@ object TextAnalysis {
       |FROM ranked WHERE cap_rank <= 20
       |ORDER BY source, cap_rank""".stripMargin
 
+  // ---------------------------------------------------------------- t19
+  /** Distinct-token cardinality per source via a K-Minimum-Values sketch
+    * ([[graft.functions.KmvAgg]]), audited against the exact count — the
+    * vocabulary-size meter a mixture designer reads per source, in the
+    * same estimate-vs-exact audit shape as s06's ANN recall.
+    *
+    * Cross-engine determinism: the hash is the first 12 hex chars of
+    * md5(token) — a 48-bit integer both Spark (`conv(…,16,10)`) and
+    * DuckDB (hex-digit polynomial) compute identically, and every
+    * derived number is integer arithmetic plus ONE IEEE division of
+    * exactly-representable operands ((k−1)·2⁴⁸ has a 6-bit mantissa;
+    * the k-th hash is < 2⁴⁸ < 2⁵³), so estimate and error hash-match.
+    *
+    * Scale (100 TB): the sketch is THE point — `KmvAgg` partial-
+    * aggregates map-side, so the per-source shuffle carries one ≤k-long
+    * array per (map partition, source) instead of the full distinct
+    * token set that `countDistinct` would exchange. The exact column is
+    * the AUDIT (bench-scale only); production emits the sketch alone,
+    * and sketches from different days/sources merge associatively
+    * (KmvAggSpec's merge law) — a rollup never touches raw tokens. The
+    * ALL row is that very rollup, computed here from the same scan. */
+  val KmvK = 64
+
+  def t19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Range48 = 281474976710656L // 2^48, the hash range
+    val tok = Tables.t(s, dir, "documents")
+      .select($"source", explode(words($"text")).as("w"))
+      .localCheckpoint(eager = false) // shared by sketch + audit passes
+    val hv = tok.select($"source",
+      conv(substring(md5($"w"), 1, 12), 16, 10).cast(LongType).as("hv"))
+    val sketches = hv.groupBy($"source")
+      .agg(graft.functions.KmvAgg($"hv", KmvK).as("kmv"))
+      .unionByName(
+        hv.agg(graft.functions.KmvAgg($"hv", KmvK).as("kmv"))
+          .select(lit("ALL").as("source"), $"kmv"))
+    val exact = tok.groupBy($"source").agg(countDistinct($"w").as("n_exact"))
+      .unionByName(
+        tok.agg(countDistinct($"w").as("n_exact"))
+          .select(lit("ALL").as("source"), $"n_exact"))
+    val est = when(size($"kmv") < KmvK, dbl(size($"kmv")))
+      .otherwise(dbl(lit((KmvK - 1).toLong * Range48)) / element_at($"kmv", KmvK))
+    sketches.join(exact, Seq("source"))
+      .select(
+        $"source",
+        $"n_exact",
+        size($"kmv").cast(LongType).as("kmv_size"),
+        when(size($"kmv") === KmvK, element_at($"kmv", KmvK)).as("kth_hash"),
+        est.as("est_distinct"),
+        round(abs(est - $"n_exact") / $"n_exact", 6).as("rel_err"))
+      .orderBy($"source")
+  }
+
+  val t19Sql: String = {
+    // 48-bit value of the first 12 hex chars of m, as a digit polynomial
+    val parse = (1 to 12).map { i =>
+      val w = 1L << (4 * (12 - i))
+      s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1) * $w"
+    }.mkString(" + ")
+    s"""WITH tok0 AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tok AS (SELECT source, w FROM tok0
+       |        UNION ALL SELECT 'ALL', w FROM tok0),
+       |d AS (SELECT DISTINCT source, w FROM tok),
+       |hm AS (SELECT DISTINCT source, md5(w) AS m FROM d),
+       |hv AS (SELECT DISTINCT source, CAST($parse AS BIGINT) AS hv FROM hm),
+       |ranked AS (SELECT source, hv,
+       |    row_number() OVER (PARTITION BY source ORDER BY hv) AS r,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_hv
+       |  FROM hv),
+       |ex AS (SELECT source, COUNT(*) AS n_exact FROM d GROUP BY source),
+       |kth AS (SELECT source, MIN(n_hv) AS n_hv,
+       |    MAX(CASE WHEN r = 64 THEN hv END) AS kth_hash
+       |  FROM ranked WHERE r <= 64 GROUP BY source),
+       |est AS (SELECT source, n_hv, kth_hash,
+       |    CASE WHEN n_hv < 64 THEN CAST(n_hv AS DOUBLE)
+       |         ELSE CAST(17732923532771328 AS DOUBLE) / kth_hash END AS e
+       |  FROM kth)
+       |SELECT x.source, CAST(x.n_exact AS BIGINT) AS n_exact,
+       |  CAST(LEAST(k.n_hv, 64) AS BIGINT) AS kmv_size,
+       |  CAST(k.kth_hash AS BIGINT) AS kth_hash,
+       |  k.e AS est_distinct,
+       |  round(abs(k.e - x.n_exact) / x.n_exact, 6) AS rel_err
+       |FROM ex x JOIN est k USING (source) ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t20
+  /** Bigram cross-document support — the KenLM-style quality filter
+    * distilled to exact arithmetic: score each document by how much
+    * corpus mass backs its word transitions. Per doc:
+    * `novelty_ratio` = fraction of its distinct bigrams that occur in NO
+    * other document (high ⇒ unique prose or garbage), and
+    * `support_score` = Σ c·count(bigram) / Σ c·count(prefix) — the
+    * corpus-conditional-probability mass of its transitions (low ⇒ the
+    * doc's continuations are rare given their prefixes, the same signal
+    * an n-gram LM perplexity filter thresholds, but from two integer
+    * sums and ONE division instead of log-prob floats).
+    *
+    * Scale (100 TB): the bigram vocabulary grows with the corpus, so —
+    * unlike t10's broadcastable unigram df — the doc↔corpus join MUST
+    * shuffle on the bigram key; counts partial-aggregate map-side
+    * (t12's two-level shape) and sums run in DECIMAL(38,0) so a web-
+    * scale `c·count` cannot wrap int64. Three key-partitioned shuffles
+    * (bigram, prefix, doc_id), no broadcast of anything corpus-sized. */
+  def t20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = DecimalType(38, 0)
+    val pairs = Tables.t(s, dir, "documents")
+      .select($"doc_id", words($"text").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(0), size($"ws") - 2), i =>
+        struct(
+          concat_ws(" ", element_at($"ws", i + 1), element_at($"ws", i + 2)).as("bg"),
+          element_at($"ws", i + 1).as("w1")))).as("p"))
+      .select($"doc_id", $"p.bg".as("bg"), $"p.w1".as("w1"))
+    // two-level: per-(doc, bigram) counts first, so the corpus and
+    // prefix tables aggregate pre-collapsed rows (t12's shape)
+    val docBg = pairs.groupBy($"doc_id", $"bg")
+      .agg(min($"w1").as("w1"), count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // reused: corpus, prefix and doc passes
+    val corpus = docBg.groupBy($"bg")
+      .agg(sum($"c").as("n_total"), count(lit(1)).as("n_docs"))
+    val prefix = docBg.groupBy($"w1").agg(sum($"c").as("n_pref"))
+    docBg.join(corpus, Seq("bg")).join(prefix, Seq("w1"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(when($"n_docs" === 1, 1L).otherwise(0L)).as("n_novel"),
+        sum(($"c" * $"n_total").cast(big)).as("snum"),
+        sum(($"c" * $"n_pref").cast(big)).as("sden"))
+      .select(
+        $"doc_id",
+        $"n_bigrams",
+        $"n_distinct_bigrams",
+        $"n_novel",
+        (dbl($"n_novel") / $"n_distinct_bigrams").as("novelty_ratio"),
+        round(dbl($"snum") / dbl($"sden"), 6).as("support_score"))
+      .orderBy($"doc_id")
+  }
+
+  val t20Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg, ws[i] AS w1
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+      |       WHERE len(ws) >= 2),
+      |docbg AS (SELECT doc_id, bg, MIN(w1) AS w1, COUNT(*) AS c
+      |          FROM bg GROUP BY doc_id, bg),
+      |corpus AS (SELECT bg, SUM(c) AS n_total, COUNT(*) AS n_docs
+      |           FROM docbg GROUP BY bg),
+      |pref AS (SELECT w1, SUM(c) AS n_pref FROM docbg GROUP BY w1),
+      |per AS (SELECT doc_id,
+      |    SUM(c) AS n_bigrams,
+      |    COUNT(*) AS n_distinct_bigrams,
+      |    SUM(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS n_novel,
+      |    SUM(c * n_total) AS snum,
+      |    SUM(c * n_pref) AS sden
+      |  FROM docbg JOIN corpus USING (bg) JOIN pref USING (w1)
+      |  GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      |  CAST(n_distinct_bigrams AS BIGINT) AS n_distinct_bigrams,
+      |  CAST(n_novel AS BIGINT) AS n_novel,
+      |  CAST(n_novel AS DOUBLE) / n_distinct_bigrams AS novelty_ratio,
+      |  round(CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE), 6) AS support_score
+      |FROM per ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -892,5 +1059,7 @@ object TextAnalysis {
     Q("t15_mixture_epochs", t15, Some(t15Sql)),
     Q("t16_length_quartiles", t16, Some(t16Sql)),
     Q("t17_charset_profile", t17, Some(t17Sql)),
-    Q("t18_source_cap", t18, Some(t18Sql)))
+    Q("t18_source_cap", t18, Some(t18Sql)),
+    Q("t19_kmv_distinct", t19, Some(t19Sql)),
+    Q("t20_bigram_support", t20, Some(t20Sql)))
 }
