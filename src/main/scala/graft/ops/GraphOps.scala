@@ -438,10 +438,90 @@ object GraphOps {
       |    ELSE 0.0 END AS clustering
       |FROM nt ORDER BY doc_id""".stripMargin
 
+  /** Bounded k-core peeling: repeatedly delete vertices of degree < `kc`
+    * (and their edges), `rounds` times; return the surviving vertices
+    * with their degree in the surviving subgraph. The k-core is the
+    * dedup-cluster DENSITY filter g03's raw degrees can't give: a
+    * template hub has huge degree but its satellite docs don't support
+    * each other, so one peel round dissolves the star — only mutually-
+    * corroborating near-dup groups (cycles, cliques) survive a 2-core.
+    *
+    * Rounds are FIXED rather than convergence-tested, g04's trade: cost
+    * stays predictable and each round is one degree aggregate + two
+    * semi-joins on vertex id, with a lazy checkpoint truncating lineage
+    * so plans don't grow with iteration. Peel cascades longer than
+    * `rounds` (rare on near-dup graphs, whose components are shallow)
+    * leave sub-kc vertices behind — a production run raises `rounds` or
+    * loops until `edges.count()` is stable, same skeleton. */
+  def kcore(edgesIn: DataFrame, kc: Int = 2, rounds: Int = 3): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    var edges = edgesIn
+      .select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
+      .localCheckpoint(eager = false)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array($"da", $"db")).as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter($"degree" >= kc).select($"doc_id".as("v"))
+      edges = edges
+        .join(keep, $"da" === $"v", "left_semi")
+        .join(keep, $"db" === $"v", "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    degrees(edges)
+  }
+
+  /** g06: 2-core of the near-dup graph (same d02 edges at jaccard ≥ 0.5
+    * as g01–g05), 3 peel rounds. */
+  def g06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kcore(Dedup.jaccardPairs(s, dir, 0.5)).orderBy($"doc_id")
+  }
+
+  /** The 3 peel rounds unrolled over the shared edge prelude. */
+  val g06Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |e0 AS (SELECT da, db FROM inter
+      |       JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |d1 AS (SELECT doc_id, COUNT(*) AS deg FROM (
+      |         SELECT da AS doc_id FROM e0 UNION ALL SELECT db FROM e0)
+      |       GROUP BY doc_id),
+      |k1 AS (SELECT doc_id FROM d1 WHERE deg >= 2),
+      |e1 AS (SELECT da, db FROM e0
+      |       WHERE da IN (SELECT doc_id FROM k1) AND db IN (SELECT doc_id FROM k1)),
+      |d2 AS (SELECT doc_id, COUNT(*) AS deg FROM (
+      |         SELECT da AS doc_id FROM e1 UNION ALL SELECT db FROM e1)
+      |       GROUP BY doc_id),
+      |k2 AS (SELECT doc_id FROM d2 WHERE deg >= 2),
+      |e2 AS (SELECT da, db FROM e1
+      |       WHERE da IN (SELECT doc_id FROM k2) AND db IN (SELECT doc_id FROM k2)),
+      |d3 AS (SELECT doc_id, COUNT(*) AS deg FROM (
+      |         SELECT da AS doc_id FROM e2 UNION ALL SELECT db FROM e2)
+      |       GROUP BY doc_id),
+      |k3 AS (SELECT doc_id FROM d3 WHERE deg >= 2),
+      |e3 AS (SELECT da, db FROM e2
+      |       WHERE da IN (SELECT doc_id FROM k3) AND db IN (SELECT doc_id FROM k3))
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |  SELECT da AS doc_id FROM e3 UNION ALL SELECT db FROM e3)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
     Q("g03_degree_hist", g03, Some(g03Sql)),
     Q("g04_pagerank", g04, Some(g04Sql)),
-    Q("g05_clustering", g05, Some(g05Sql)))
+    Q("g05_clustering", g05, Some(g05Sql)),
+    Q("g06_kcore", g06, Some(g06Sql)))
 }

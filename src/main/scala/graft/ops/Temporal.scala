@@ -161,8 +161,71 @@ object Temporal {
       |GROUP BY a.cohort, a.week_offset, s.n_cohort
       |ORDER BY cohort, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** Hourly session concurrency — the load-curve query: for every hour,
+    * how many q17 sessions (and distinct users) were active. A session
+    * [s, e) is active in hour bucket b iff s < b+1h and e > b.
+    *
+    * Scale (100 TB): the textbook plan is a global sweep line (sort all
+    * boundary events, running ±1 sum) — a single total order, i.e. one
+    * partition doing all the work. This plan instead EXPLODES each
+    * session into the hour buckets it spans and counts per bucket: the
+    * explode is narrow (bounded by session duration — gap-bounded
+    * sessions span few hours), the aggregate keys on the tiny hour
+    * domain with map-side partials, and nothing ever needs a global
+    * sort. Same exact answer, embarrassingly parallel. */
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sessions = Tables.t(s, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"sw.start".as("st"), $"sw.end".as("en"))
+    sessions
+      .select($"user_id",
+        explode(sequence(
+          date_trunc("hour", $"st"), date_trunc("hour", $"en"),
+          expr("interval 1 hour"))).as("hour"),
+        $"en")
+      // a session ending exactly on the hour is not active in that hour
+      .filter($"en" > $"hour")
+      .groupBy($"hour")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct($"user_id").as("n_users"))
+      .select(date_format($"hour", TsFmt).as("hour"), $"n_sessions", $"n_users")
+      .orderBy($"hour")
+  }
+
+  /** Same sessions via gaps-and-islands (q17's oracle shape), exploded
+    * with generate_series over the hour-truncated span. */
+  val q36Sql: String =
+    """WITH flags AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flags),
+      |bounds AS (
+      |  SELECT user_id, min(ts) AS st, max(ts) + INTERVAL 30 MINUTE AS en
+      |  FROM sess GROUP BY user_id, sid),
+      |hours AS (
+      |  SELECT user_id, en, unnest(generate_series(
+      |    date_trunc('hour', st), date_trunc('hour', en),
+      |    INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds)
+      |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S.%f') AS hour,
+      |  COUNT(*) AS n_sessions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM hours WHERE en > hour
+      |GROUP BY hour ORDER BY hour""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
-    Q("q35_retention", q35, Some(q35Sql)))
+    Q("q35_retention", q35, Some(q35Sql)),
+    Q("q36_concurrency", q36, Some(q36Sql)))
 }

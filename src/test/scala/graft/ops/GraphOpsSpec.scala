@@ -181,4 +181,34 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
       if (edges.nonEmpty) assert(runPagerank(edges) == refPagerank(edges))
     }
   }
+
+  private def runKcore(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphOps.kcore(edges.toDF("da", "db")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("2-core dissolves a star but keeps a triangle") {
+    // star 1-{2,3,4}: all leaves have degree 1 → round 1 peels them,
+    // the hub's edges vanish with them → empty core. The triangle
+    // 5-6-7 survives untouched with degree 2 everywhere.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L), (6L, 7L), (5L, 7L))
+    assert(runKcore(edges) == Map(5L -> 2L, 6L -> 2L, 7L -> 2L))
+  }
+
+  test("2-core peels a pendant chain off a cycle within 3 rounds") {
+    // cycle 1-2-3-4-1 with tail 4-5-6-7: round 1 drops 7, round 2 drops
+    // 6, round 3 drops 5 — the cycle remains, tail gone
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (4L, 5L), (5L, 6L), (6L, 7L))
+    assert(runKcore(edges) ==
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("K4 minus an edge: every vertex still sits in the 2-core") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+    assert(runKcore(edges) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L))
+  }
 }
