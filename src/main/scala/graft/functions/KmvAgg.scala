@@ -59,14 +59,8 @@ case class KmvAgg(
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
 
-  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit = {
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last) {
-      // strictly smaller than the current k-th minimum: evict the max.
-      // TreeSet.add dedupes, so only shrink on a genuine insertion.
-      if (buf.add(h)) { buf.pollLast(); () }
-    }
-  }
+  private def insert(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+    KmvAgg.insert(buf, k, h)
 
   override def update(
       buf: java.util.TreeSet[java.lang.Long],
@@ -131,4 +125,31 @@ object KmvAgg {
     * distinct hashes. */
   def apply(h: Column, k: Int): Column =
     Bridge.column(KmvAgg(Bridge.expression(h), k).toAggregateExpression())
+
+  /** The bounded distinct-min-k insert rule — one definition shared by
+    * the aggregate's update/merge and the streaming state twin
+    * ([[graft.streaming.Streams.vocabSketch]]), so batch and stream
+    * cannot drift. */
+  private[graft] def insert(
+      buf: java.util.TreeSet[java.lang.Long], k: Int, h: Long): Unit = {
+    if (buf.size < k) { buf.add(h); () }
+    else if (h < buf.last) {
+      // strictly smaller than the current k-th minimum: evict the max.
+      // TreeSet.add dedupes, so only shrink on a genuine insertion.
+      if (buf.add(h)) { buf.pollLast(); () }
+    }
+  }
+
+  /** Fold values into an ascending min-k array via [[insert]] — the
+    * streaming GroupState representation (a plain serializable array). */
+  private[graft] def fold(state: Array[Long], k: Int, vs: Iterator[Long]): Array[Long] = {
+    val set = new java.util.TreeSet[java.lang.Long]()
+    state.foreach(v => set.add(v))
+    vs.foreach(h => insert(set, k, h))
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    out
+  }
 }

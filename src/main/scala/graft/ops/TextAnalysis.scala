@@ -897,14 +897,23 @@ object TextAnalysis {
     * ALL row is that very rollup, computed here from the same scan. */
   val KmvK = 64
 
+  /** 2^48 — the range of [[tokenHash48]], and the `H` in the KMV
+    * estimator `(k−1)·H / kth`. */
+  val KmvRange48 = 281474976710656L
+
+  /** 48-bit cross-engine token hash: the first 12 hex chars of md5 as an
+    * integer. One definition shared by batch t19 and the streaming
+    * vocabulary sketch ([[graft.streaming.Streams.vocabSketch]]); the
+    * DuckDB oracle mirrors it as a hex-digit polynomial. */
+  def tokenHash48(w: Column): Column =
+    conv(substring(md5(w), 1, 12), 16, 10).cast(LongType)
+
   def t19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val Range48 = 281474976710656L // 2^48, the hash range
     val tok = Tables.t(s, dir, "documents")
       .select($"source", explode(words($"text")).as("w"))
       .localCheckpoint(eager = false) // shared by sketch + audit passes
-    val hv = tok.select($"source",
-      conv(substring(md5($"w"), 1, 12), 16, 10).cast(LongType).as("hv"))
+    val hv = tok.select($"source", tokenHash48($"w").as("hv"))
     val sketches = hv.groupBy($"source")
       .agg(graft.functions.KmvAgg($"hv", KmvK).as("kmv"))
       .unionByName(
@@ -915,7 +924,7 @@ object TextAnalysis {
         tok.agg(countDistinct($"w").as("n_exact"))
           .select(lit("ALL").as("source"), $"n_exact"))
     val est = when(size($"kmv") < KmvK, dbl(size($"kmv")))
-      .otherwise(dbl(lit((KmvK - 1).toLong * Range48)) / element_at($"kmv", KmvK))
+      .otherwise(dbl(lit((KmvK - 1).toLong * KmvRange48)) / element_at($"kmv", KmvK))
     sketches.join(exact, Seq("source"))
       .select(
         $"source",

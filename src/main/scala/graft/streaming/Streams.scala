@@ -379,6 +379,43 @@ object Streams {
       qualityGate(ws).as("is_quality"))
   }
 
+  /** Running per-source vocabulary estimate emitted by [[vocabSketch]]. */
+  final case class VocabEstimate(source: String, kmv_size: Long, est_distinct: Double)
+
+  /** Streaming vocabulary-size sketch — the live twin of batch
+    * t19_kmv_distinct: a per-source K-Minimum-Values state folded over
+    * the document stream via `mapGroupsWithState`, emitting the updated
+    * distinct-token estimate every micro-batch (update mode).
+    *
+    * The state is the ascending min-k hash array itself — O(k) longs per
+    * source, CONSTANT in stream length, which is why this runs forever
+    * without a watermark: unlike counting distinct tokens (state =
+    * vocabulary), the sketch never grows past k. Hashing and the fold
+    * rule are the batch op's own definitions
+    * ([[graft.ops.TextAnalysis.tokenHash48]], `KmvAgg.fold`), so the
+    * stream converges to byte-identical estimates with a batch backfill
+    * — the kappa property, pinned end-to-end by StreamsSpec. */
+  def vocabSketch(docs: DataFrame, k: Int = 64): Dataset[VocabEstimate] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val kth = (k - 1).toLong * graft.ops.TextAnalysis.KmvRange48
+    docs
+      .select($"source", explode(split($"text", " ")).as("w"))
+      .select($"source", graft.ops.TextAnalysis.tokenHash48($"w").as("hv"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], VocabEstimate](GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          val next = graft.functions.KmvAgg.fold(
+            state.getOption.getOrElse(Array.empty[Long]), k, rows.map(_._2))
+          state.update(next)
+          val est =
+            if (next.length < k) next.length.toDouble
+            else kth.toDouble / next(k - 1)
+          VocabEstimate(src, next.length.toLong, est)
+      }
+  }
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

@@ -333,6 +333,55 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("vocabSketch: streamed estimate converges to the batch KMV (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val K = 8
+    // JVM-side mirror of tokenHash48 (first 12 hex chars of md5)
+    def hash48(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16)
+    }
+    def expectedEst(tokens: Seq[String]): Double = {
+      val mins = tokens.map(hash48).distinct.sorted.take(K)
+      if (mins.length < K) mins.length.toDouble
+      else ((K - 1).toLong * graft.ops.TextAnalysis.KmvRange48).toDouble / mins.last
+    }
+    val batch1 = Seq(("web", "alpha beta gamma delta epsilon zeta"),
+      ("web", "eta theta iota kappa"), ("book", "one two"))
+    val batch2 = Seq(("web", "lambda mu nu xi omicron pi rho sigma tau"),
+      ("book", "three two one"))
+    val in = MemoryStream[(String, String)]
+    val q = Streams.vocabSketch(in.toDS().toDF("source", "text"), K)
+      .writeStream.format("memory").queryName("vocab_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // last emission per source must equal the brute KMV over ALL rows
+      // — folding per-batch state equals sketching the union
+      val last = s.table("vocab_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .zipWithIndex.groupBy(_._1._1).map { case (src, rows) =>
+          src -> rows.maxBy(_._2)._1
+        }
+      val webTokens = (batch1 ++ batch2).filter(_._1 == "web")
+        .flatMap(_._2.split(" ")).toSeq
+      val bookTokens = (batch1 ++ batch2).filter(_._1 == "book")
+        .flatMap(_._2.split(" ")).toSeq
+      // web has 19 distinct tokens > K → estimator branch; book has 3 → exact
+      assert(last("web")._2 == K.toLong)
+      assert(last("web")._3 == expectedEst(webTokens))
+      assert(last("book") == (("book", 3L, 3.0)))
+      // update mode re-emits web each batch: 2 rows for web over time
+      assert(s.table("vocab_out").filter($"source" === "web").count() == 2L)
+    } finally q.stop()
+  }
+
   test("incrementalMerge: delete-insert by unique key across micro-batch runs") {
     val s = spark
     import s.implicits._
