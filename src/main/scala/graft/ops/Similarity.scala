@@ -345,11 +345,111 @@ object Similarity {
        |FROM qs LEFT JOIN hits ON qs.qid = hits.qid
        |ORDER BY qs.qid""".stripMargin
 
+  // ---------------------------------------------------------------- s07
+  /** Product-quantization ADC search — the memory half of a production
+    * IVF-PQ index (s02 is the routing half): split the 64-dim space into
+    * 4 subspaces of 16 dims, quantize each subvector to its nearest
+    * per-subspace centroid, and answer queries by ASYMMETRIC DISTANCE
+    * COMPUTATION — a per-query lookup table of query↔centroid subspace
+    * distances, summed over each corpus vector's 4 codes. Top-3 smallest
+    * approximate distance per query.
+    *
+    * The codebook is a deterministic modular sample of the corpus
+    * (vec_id % 37) so the oracle stays SQL-expressible; production
+    * trains it offline with k-means and ships it the same way (a
+    * broadcast small table) — the plan does not change.
+    *
+    * Determinism: subspace distances are sequential-fold doubles (s01's
+    * rule), rounded to 6 decimals and cast to DECIMAL(18,6) BEFORE the
+    * 4-term ADC sum — a decimal sum is order-independent where a double
+    * sum is not (Q.scala's contract), so ranking and output hash-match.
+    *
+    * Scale (100 TB): this is the operator that makes a trillion-vector
+    * corpus searchable — codes are 4 small ints per vector (vs 64
+    * floats: ~64× less memory/IO); the LUT is queries×4×k rows,
+    * broadcast; the ADC scan is narrow over the code table with
+    * map-side partial sums, and only (qid, vec_id, dist) combine rows
+    * ever shuffle. Encoding shuffles nothing either: the centroid side
+    * is broadcast and the argmin is a per-(vector, subspace) window over
+    * k rows. */
+  def s07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val M = 4
+    val SubDim = 16
+    val dd = DecimalType(18, 6)
+    val d2 = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, p) => acc + p)
+    val subs = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast(DoubleType)).as("v"))
+      .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("j"), $"v")
+      .select($"vec_id", $"j", slice($"v", $"j" * SubDim + 1, lit(SubDim)).as("sub"))
+      .localCheckpoint(eager = false) // consumed by codes + LUT passes
+    val cents = subs.filter($"vec_id" % 37 === 0)
+      .select($"vec_id".as("cid"), $"j".as("cj"), $"sub".as("csub"))
+    val wAssign = Window.partitionBy($"vec_id", $"j").orderBy($"dc".asc, $"cid")
+    val codes = subs.join(broadcast(cents), $"j" === $"cj")
+      .withColumn("dc", round(d2($"sub", $"csub"), 6).cast(dd))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"j", $"cid".as("code"))
+    val lut = subs.filter($"vec_id" % 71 === 0)
+      .select($"vec_id".as("qid"), $"j".as("qj"), $"sub".as("qsub"))
+      .join(broadcast(cents), $"qj" === $"cj")
+      .select($"qid", $"qj", $"cid",
+        round(d2($"qsub", $"csub"), 6).cast(dd).as("dq"))
+    val wTop = Window.partitionBy($"qid").orderBy($"adist".asc, $"vec_id")
+    codes
+      .join(broadcast(lut),
+        $"j" === $"qj" && $"code" === $"cid" && $"vec_id" =!= $"qid")
+      .groupBy($"qid", $"vec_id")
+      .agg(sum($"dq").as("adist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"vec_id".as("neighbor_id"),
+        $"adist".cast(DoubleType).as("approx_dist2"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val s07Sql: String = {
+    def d2(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, 16), " +
+        s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    s"""WITH subs AS (
+       |  SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sub
+       |  FROM embeddings, UNNEST(generate_series(0, 3)) AS t(j)),
+       |cents AS (SELECT vec_id AS cid, j AS cj, sub AS csub
+       |          FROM subs WHERE vec_id % 37 = 0),
+       |codes AS (SELECT vec_id, j, cid AS code FROM (
+       |    SELECT s.vec_id, s.j, c.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY CAST(round(${d2("s.sub", "c.csub")}, 6) AS DECIMAL(18,6)) ASC,
+       |                 c.cid) AS arank
+       |    FROM subs s JOIN cents c ON s.j = c.cj)
+       |  WHERE arank = 1),
+       |lut AS (SELECT s.vec_id AS qid, s.j AS qj, c.cid,
+       |    CAST(round(${d2("s.sub", "c.csub")}, 6) AS DECIMAL(18,6)) AS dq
+       |  FROM subs s JOIN cents c ON s.j = c.cj
+       |  WHERE s.vec_id % 71 = 0),
+       |scored AS (SELECT l.qid, co.vec_id, SUM(l.dq) AS adist
+       |  FROM codes co JOIN lut l
+       |    ON co.j = l.qj AND co.code = l.cid AND co.vec_id <> l.qid
+       |  GROUP BY l.qid, co.vec_id),
+       |ranked AS (SELECT qid, vec_id, adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, vec_id AS neighbor_id, CAST(adist AS DOUBLE) AS approx_dist2
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
     Q("s03_embed_neardup", s03, Some(s03Sql)),
     Q("s04_srp_lsh", s04, Some(s04Sql), headline = true),
     Q("s05_int8_quantized", s05, Some(s05Sql)),
-    Q("s06_ann_recall", s06, Some(s06Sql)))
+    Q("s06_ann_recall", s06, Some(s06Sql)),
+    Q("s07_pq_adc", s07, Some(s07Sql)))
 }
