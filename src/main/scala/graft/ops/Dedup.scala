@@ -761,6 +761,94 @@ object Dedup {
       |           JOIN documents y ON edges.db = y.doc_id
       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** MinHash estimator accuracy audit — the dedup analog of s06's ANN
+    * recall: for every LSH candidate pair (d03's band join, no Jaccard
+    * cut), compare the signature-estimated Jaccard (matching positions /
+    * 64) against the exact shingle Jaccard. This is the measurement that
+    * justifies the sketch: it tells you how much the 0.5 verification
+    * threshold can trust the estimate, and whether 64 permutations are
+    * enough for the corpus at hand before a production run drops the
+    * exact-verification stage on cheap tiers.
+    *
+    * Determinism: the estimate is one division of two exact integers
+    * (n_eq/64); the exact side is d03's integer-set arithmetic; the
+    * error is |difference| of two identical doubles — all rounded at 6.
+    *
+    * Scale (100 TB): the audit only ever touches CANDIDATE pairs — the
+    * set LSH generates anyway — and signature comparison is a 64-long
+    * zip over two already-computed sketches (narrow). Production samples
+    * the candidate stream instead of auditing all of it; same plan. */
+  def d12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsArr = shingleArrays(s, dir)
+    val perDoc = docsArr.select($"doc_id",
+      graft.functions.ShingleKernels.minHash64($"arr").as("sigs"))
+      .localCheckpoint(eager = false) // consumed by bands + both pair sides
+    val bands = bandKeys(perDoc)
+    val cand = bands.as("a").hint("SHUFFLE_HASH")
+      .join(bands.as("b").hint("SHUFFLE_HASH"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val sa = perDoc.select($"doc_id".as("da"), $"sigs".as("siga"))
+    val sb = perDoc.select($"doc_id".as("db"), $"sigs".as("sigb"))
+    val pa = docsArr.select($"doc_id".as("da"),
+      size($"arr").cast("long").as("na"), $"arr".as("ssa"))
+    val pb = docsArr.select($"doc_id".as("db"),
+      size($"arr").cast("long").as("nb"), $"arr".as("ssb"))
+    cand.join(sa, Seq("da")).join(sb, Seq("db"))
+      .join(pa, Seq("da")).join(pb, Seq("db"))
+      .withColumn("n_eq",
+        expr("CAST(size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) AS BIGINT)"))
+      .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
+      .withColumn("jac_exact", dbl($"i") / ($"na" + $"nb" - $"i"))
+      .withColumn("jac_est", dbl($"n_eq") / 64)
+      .select($"da", $"db", $"n_eq",
+        round($"jac_exact", 6).as("jaccard_exact"),
+        round($"jac_est", 6).as("jaccard_est"),
+        round(abs($"jac_est" - $"jac_exact"), 6).as("abs_err"))
+      .orderBy($"da", $"db")
+  }
+
+  /** d03's signature/band/candidate CTEs, plus a per-pair position-match
+    * count; zero-intersection candidates survive via the LEFT JOIN. */
+  val d12Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |shh AS (SELECT doc_id, list_reduce(list_transform(string_split(s, ''),
+      |          c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |        FROM sh),
+      |sig AS (SELECT doc_id, j, min(((2 * j + 1) * h + j) % 1000000007) AS sig
+      |        FROM shh, UNNEST(generate_series(0, 63)) AS u(j) GROUP BY doc_id, j),
+      |bands AS (SELECT doc_id, CONCAT(j // 2, ':', max(CASE WHEN j % 2 = 0 THEN sig END),
+      |            ':', max(CASE WHEN j % 2 = 1 THEN sig END)) AS key
+      |          FROM sig GROUP BY doc_id, j // 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b ON a.key = b.key AND a.doc_id < b.doc_id),
+      |eq AS (SELECT c.da, c.db,
+      |         SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS n_eq
+      |       FROM cand c JOIN sig sa ON sa.doc_id = c.da
+      |       JOIN sig sb ON sb.doc_id = c.db AND sb.j = sa.j
+      |       GROUP BY c.da, c.db),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT e.da, e.db, CAST(e.n_eq AS BIGINT) AS n_eq,
+      |  round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+      |    / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS jaccard_exact,
+      |  round(CAST(e.n_eq AS DOUBLE) / 64, 6) AS jaccard_est,
+      |  round(abs(CAST(e.n_eq AS DOUBLE) / 64
+      |    - CAST(COALESCE(i.i, 0) AS DOUBLE)
+      |      / (sa.n + sb.n - COALESCE(i.i, 0))), 6) AS abs_err
+      |FROM eq e
+      |LEFT JOIN inter i ON e.da = i.da AND e.db = i.db
+      |JOIN sizes sa ON e.da = sa.doc_id JOIN sizes sb ON e.db = sb.doc_id
+      |ORDER BY e.da, e.db""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -772,5 +860,6 @@ object Dedup {
     Q("d08_chunk_dedup", d08, Some(d08Sql)),
     Q("d09_containment", d09, Some(d09Sql)),
     Q("d10_bloom_decontaminate", d10, Some(d10Sql)),
-    Q("d11_source_overlap", d11, Some(d11Sql)))
+    Q("d11_source_overlap", d11, Some(d11Sql)),
+    Q("d12_minhash_audit", d12, Some(d12Sql)))
 }

@@ -1150,6 +1150,48 @@ object Relational {
       |  MAX(n) AS n_orders
       |FROM r GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Unpivot (wide→long melt) — the inverse reshape of q24: the pivoted
+    * daily per-type counts melted back to (day, event_type, n) rows,
+    * INCLUDING the zero cells a direct long aggregation would never
+    * produce (that's what makes melt a reshape, not a re-aggregation).
+    *
+    * Lowered to `stack`, which plans as a narrow Generate (row expand)
+    * directly over q24's one-shuffle conditional aggregate — melt adds
+    * NO exchange at any scale: ×5 rows map-side, then the final
+    * order-by on the tiny (days × types) output. The oracle lowers the
+    * same reshape to the classic UNION ALL form. */
+  def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.t(s, dir, "events")
+      .select(to_date($"ts").cast(StringType).as("day"), $"event_type")
+      .groupBy($"day")
+      .agg(
+        count(when($"event_type" === types.head, 1)).as(s"n_${types.head}"),
+        types.tail.map(t =>
+          count(when($"event_type" === t, 1)).as(s"n_$t")): _*)
+    val stackArgs = types.map(t => s"'$t', n_$t").mkString(", ")
+    wide
+      .select($"day",
+        expr(s"stack(${types.size}, $stackArgs) AS (event_type, n)"))
+      .orderBy($"day", $"event_type")
+  }
+
+  val q37Sql: String = {
+    val wide = """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+      |FROM events GROUP BY 1""".stripMargin
+    val arms = Seq("click", "error", "purchase", "signup", "view")
+      .map(t => s"SELECT day, '$t' AS event_type, n_$t AS n FROM wide")
+      .mkString("\n", "\nUNION ALL ", "")
+    s"WITH wide AS ($wide)$arms\nORDER BY day, event_type"
+  }
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -1183,5 +1225,6 @@ object Relational {
     Q("q31_full_outer", q31, Some(q31Sql)),
     Q("q32_join_residual", q32, Some(q32Sql)),
     Q("q33_date_parts", q33, Some(q33Sql)),
-    Q("q34_argminmax", q34, Some(q34Sql)))
+    Q("q34_argminmax", q34, Some(q34Sql)),
+    Q("q37_unpivot", q37, Some(q37Sql)))
 }
