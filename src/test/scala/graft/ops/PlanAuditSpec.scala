@@ -257,4 +257,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query sample not broadcast:\n$p")
   }
+
+  test("s07: the ADC scan joins broadcast tables (centroids, LUT) — never a cartesian") {
+    val p = simplePlan(Similarity.s07(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"codebook/LUT not broadcast:\n$p")
+  }
+
+  test("q37: melt adds no exchange — one aggregation shuffle, then a narrow Generate") {
+    val p = simplePlan(Relational.q37(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected only the pivot-agg shuffle, got $exchanges:\n$p")
+    assert(p.contains("Generate"), s"stack did not lower to a row expand:\n$p")
+  }
+
+  test("t19: the KMV sketch runs as a partial-aggregating ObjectHashAggregate") {
+    val p = simplePlan(TextAnalysis.t19(spark, dir))
+    assert(p.contains("ObjectHashAggregate"),
+      s"sketch not on the object-agg path (collect_set-style fallback?):\n$p")
+  }
+
+  test("d12: the audit joins band buckets hash-to-hash; no all-pairs stage") {
+    val p = simplePlan(Dedup.d12(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("ShuffledHashJoin"), s"band join lost the hash hint:\n$p")
+  }
 }
