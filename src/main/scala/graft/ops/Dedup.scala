@@ -849,6 +849,84 @@ object Dedup {
       |JOIN sizes sa ON e.da = sa.doc_id JOIN sizes sb ON e.db = sb.doc_id
       |ORDER BY e.da, e.db""".stripMargin
 
+  // ---------------------------------------------------------------- d13
+  /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): duplicates that
+    * share no n-grams — paraphrases, re-encodes, translations-of-templates
+    * — are invisible to d02/d03's lexical shingles but sit close in
+    * embedding space. Pipeline: assign every embedding to its nearest
+    * coarse centroid (k-means cells; here the deterministic vec_id%100
+    * medoids), compare pairs WITHIN a cell only, and drop any document
+    * that has a lower-id neighbor with cosine ≥ 0.4 (`dup_of` records
+    * the surviving representative). Output is the full per-document
+    * audit: (doc_id, source, cell, kept, dup_of).
+    *
+    * Scale (100 TB): the cluster assignment is a broadcast argmax — the
+    * corpus-sized embedding table never shuffles for it; the quadratic
+    * compare is confined to each cell (pairs ≈ N²/nlist for balanced
+    * cells — at scale nlist grows with N, e.g. √N cells keeps per-cell
+    * work flat); the drop rule is a per-cell min-aggregate, and the
+    * documents table joins once on doc_id with the (tiny) dropped set
+    * broadcast. Same candidate-generation-then-verify shape as d03 —
+    * cells instead of band buckets. */
+  def d13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dot = Similarity.dot _
+    val all = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast(DoubleType)).as("v"))
+      .withColumn("norm", sqrt(dot($"v", $"v")))
+    val cent = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(round($"csim", 6).desc, $"cid")
+    // consumed three times (both pair-join sides + the audit join):
+    // lazy-checkpoint so assignment runs once
+    val assigned = all.join(broadcast(cent))
+      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"v", $"norm", $"cid")
+      .localCheckpoint(eager = false)
+    val a = assigned.select($"cid".as("ca"), $"vec_id".as("va"), $"v".as("xa"), $"norm".as("na"))
+    val b = assigned.select($"cid".as("cb"), $"vec_id".as("vb"), $"v".as("xb"), $"norm".as("nb"))
+    val dupOf = a.join(b, $"ca" === $"cb" && $"va" < $"vb")
+      .filter(dot($"xa", $"xb") / ($"na" * $"nb") >= 0.4)
+      .groupBy($"vb").agg(min($"va").as("dup_of"))
+    Tables.t(s, dir, "documents")
+      .join(assigned.select($"vec_id", $"cid"), $"doc_id" === $"vec_id")
+      .join(broadcast(dupOf), $"doc_id" === $"vb", "left")
+      .select($"doc_id", $"source", $"cid".as("cell"),
+        $"dup_of".isNull.as("kept"), $"dup_of")
+      .orderBy($"doc_id")
+  }
+
+  val d13Sql: String = {
+    val dot = (x: String, y: String) =>
+      s"list_reduce(list_transform(generate_series(1, 64), " +
+        s"i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (p, q) -> p + q)"
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dot("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, norm AS cnorm FROM v WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, norm, cid FROM (
+       |    SELECT v.vec_id, v.embedding, v.norm, cent.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${dot("ce", "embedding")} / (cnorm * norm), 6) DESC, cid) AS arank
+       |    FROM v CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |dup AS (
+       |  SELECT b.vec_id AS vb, MIN(a.vec_id) AS dup_of
+       |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ${dot("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.4
+       |  GROUP BY b.vec_id)
+       |SELECT d.doc_id, d.source, s.cid AS cell,
+       |  dup.dup_of IS NULL AS kept, dup.dup_of
+       |FROM documents d
+       |JOIN assigned s ON d.doc_id = s.vec_id
+       |LEFT JOIN dup ON d.doc_id = dup.vb
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -861,5 +939,6 @@ object Dedup {
     Q("d09_containment", d09, Some(d09Sql)),
     Q("d10_bloom_decontaminate", d10, Some(d10Sql)),
     Q("d11_source_overlap", d11, Some(d11Sql)),
-    Q("d12_minhash_audit", d12, Some(d12Sql)))
+    Q("d12_minhash_audit", d12, Some(d12Sql)),
+    Q("d13_semantic_dedup", d13, Some(d13Sql)))
 }

@@ -444,6 +444,66 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s08
+  /** Multi-probe IVF + exact re-rank — the standard two-stage retrieval
+    * architecture (and the recall lever s06 measures): the query probes
+    * its 2 nearest coarse cells instead of 1, candidates are every
+    * corpus vector assigned to a probed cell, and exact cosine re-ranks
+    * them to top-3. Probe=2 widens recall precisely where probe=1 loses
+    * it — queries sitting near a Voronoi boundary.
+    *
+    * Scale (100 TB): identical shape to s02 — centroids and the (tiny)
+    * probed-query frame broadcast; the corpus streams through one
+    * map-side join keyed on its precomputed cell, so candidate
+    * generation touches each corpus vector once and the exact distance
+    * runs only on candidates (≈ 2/nlist of the corpus per query). */
+  def s08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val cent = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(round($"csim", 6).desc, $"cid")
+    val scored = all.join(broadcast(cent))
+      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
+      .withColumn("arank", row_number().over(wAssign))
+    val assigned = scored.filter($"arank" === 1)
+      .select($"vec_id", $"v", $"norm", $"cid")
+    val probes = scored.filter($"vec_id" % 71 === 0 && $"arank" <= 2)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"),
+        $"cid".as("pcell"))
+    val wTop = Window.partitionBy($"qid")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    assigned.join(broadcast(probes), $"cid" === $"pcell" && $"vec_id" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"vec_id".as("neighbor_id"),
+        $"cid".as("cell"), round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val s08Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, norm AS cnorm FROM v WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT v.vec_id, v.embedding, v.norm, cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(${dotSql("ce", "embedding")} / (cnorm * norm), 6) DESC, cid) AS arank
+       |  FROM v CROSS JOIN cent),
+       |assigned AS (SELECT vec_id, embedding, norm, cid FROM scored WHERE arank = 1),
+       |probes AS (SELECT vec_id AS qid, embedding AS qe, norm AS qnorm, cid AS pcell
+       |           FROM scored WHERE vec_id % 71 = 0 AND arank <= 2),
+       |hits AS (SELECT qid, vec_id, cid, ${dotSql("qe", "embedding")} / (qnorm * norm) AS sim
+       |         FROM assigned JOIN probes ON cid = pcell AND vec_id <> qid),
+       |ranked AS (SELECT qid, vec_id, cid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |  FROM hits)
+       |SELECT qid, rank, vec_id AS neighbor_id, cid AS cell, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -451,5 +511,6 @@ object Similarity {
     Q("s04_srp_lsh", s04, Some(s04Sql), headline = true),
     Q("s05_int8_quantized", s05, Some(s05Sql)),
     Q("s06_ann_recall", s06, Some(s06Sql)),
-    Q("s07_pq_adc", s07, Some(s07Sql)))
+    Q("s07_pq_adc", s07, Some(s07Sql)),
+    Q("s08_ivf_rerank", s08, Some(s08Sql)))
 }

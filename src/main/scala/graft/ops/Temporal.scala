@@ -223,9 +223,94 @@ object Temporal {
       |FROM hours WHERE en > hour
       |GROUP BY hour ORDER BY hour""".stripMargin
 
+  // ---------------------------------------------------------------- q38
+  /** Per-user consecutive-day activity streaks — gaps-and-islands: a
+    * streak is a maximal run of calendar days on which the user had at
+    * least one event. Classic row_number-difference trick: within a
+    * user's ordered distinct days, (day - row_number) is constant across
+    * a consecutive run, so grouping on it recovers the islands with no
+    * self-join and no iteration.
+    *
+    * Scale (100 TB): the distinct and the window share ONE shuffle on
+    * user_id (AQE reuses the exchange); the per-user sort is bounded by
+    * days-per-user (≤ a few thousand for any real retention window), so
+    * no partition ever sees more than one user's days — there is no
+    * global sort and no skew beyond the per-user day count. */
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    Tables.t(s, dir, "events")
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+      .withColumn("grp",
+        datediff($"day", lit(java.sql.Date.valueOf("1970-01-01")))
+          - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(
+        date_format(min($"day"), "yyyy-MM-dd").as("streak_start"),
+        date_format(max($"day"), "yyyy-MM-dd").as("streak_end"),
+        count(lit(1)).as("streak_days"))
+      .select($"user_id", $"streak_start", $"streak_end", $"streak_days")
+      .orderBy($"user_id", $"streak_start")
+  }
+
+  val q38Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |flagged AS (
+      |  SELECT user_id, day,
+      |    date_diff('day', DATE '1970-01-01', day)
+      |      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days)
+      |SELECT user_id,
+      |  strftime(MIN(day), '%Y-%m-%d') AS streak_start,
+      |  strftime(MAX(day), '%Y-%m-%d') AS streak_end,
+      |  COUNT(*) AS streak_days
+      |FROM flagged GROUP BY user_id, grp
+      |ORDER BY user_id, streak_start""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** CDC-style latest-state compaction: collapse the event log to one
+    * row per (user_id, event_type) — the most recent event, ties broken
+    * by event_id. This is the "table snapshot from a changelog" /
+    * upsert-compaction primitive every incremental pipeline needs.
+    *
+    * Scale (100 TB): implemented as `max(struct(ts, event_id, value))`,
+    * NOT a row_number window — the struct max is an ordinary aggregate
+    * with map-side partial combine, so each input partition reduces to
+    * ≤|keys| rows before the single shuffle, and nothing is ever
+    * sorted. A window plan would shuffle every raw event and sort each
+    * key group just to discard all but one row. */
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "events")
+      // struct field order IS the comparison order: (ts, event_id) keys
+      // the max; value rides along and is never compared
+      .groupBy($"user_id", $"event_type")
+      .agg(max(struct($"ts", $"event_id", $"value")).as("last"))
+      .select(
+        $"user_id", $"event_type",
+        $"last.event_id".as("event_id"),
+        date_format($"last.ts", TsFmt).as("last_ts"),
+        $"last.value".as("value"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val q39Sql: String =
+    """SELECT user_id, event_type, event_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts, value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |    ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
     Q("q35_retention", q35, Some(q35Sql)),
-    Q("q36_concurrency", q36, Some(q36Sql)))
+    Q("q36_concurrency", q36, Some(q36Sql)),
+    Q("q38_streaks", q38, Some(q38Sql)),
+    Q("q39_compaction", q39, Some(q39Sql)))
 }

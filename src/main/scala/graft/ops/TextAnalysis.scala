@@ -1050,6 +1050,107 @@ object TextAnalysis {
       |  round(CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE), 6) AS support_score
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t21
+  /** Readability profile — Flesch-style components in exact arithmetic:
+    * words, sentences (terminator runs; floor 1 so unpunctuated docs are
+    * one sentence), syllables (maximal vowel runs, floor 1 per word so
+    * vowel-less tokens count once). The two classic ratios
+    * (words/sentence, syllables/word) are each ONE IEEE division of two
+    * exact integers — bit-identical in any engine — and the readability
+    * gate cross-multiplies integers (syllables·10 ≤ words·17 ≈
+    * "avg ≤ 1.7 syllables/word") so the boolean never touches a float.
+    *
+    * Scale (100 TB): pure narrow scan — regex counts and array filters
+    * are row-local codegen, no shuffle; pipelines into any downstream
+    * partitioning. The final sort is `Q.sortedNarrow` so the range
+    * sampler doesn't re-run the scan. */
+  def t21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = words($"text")
+    val nWords = size(ws)
+    val nSent = greatest(regexp_count($"text", lit("[.!?]+")), lit(1))
+    val vowelRuns =
+      size(filter(split(lower($"text"), "[^aeiou]+"), x => x =!= ""))
+    val noVowel = size(filter(ws, w => not(w.rlike("[aeiou]"))))
+    val nSyll = vowelRuns + noVowel
+    Tables.t(s, dir, "documents")
+      .select(
+        $"doc_id",
+        nWords.cast(LongType).as("n_words"),
+        nSent.cast(LongType).as("n_sentences"),
+        nSyll.cast(LongType).as("n_syllables"),
+        (dbl(nWords) / nSent).as("words_per_sentence"),
+        (dbl(nSyll) / nWords).as("syllables_per_word"),
+        (nSyll * 10 <= nWords * 17).as("is_readable"))
+      .transform(Q.sortedNarrow(_, $"doc_id"))
+  }
+
+  val t21Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+      |    AS n_sentences,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '[^aeiou]+'), x -> x <> ''))
+      |     + len(list_filter(string_split(text, ' '),
+      |                       w -> NOT regexp_matches(w, '[aeiou]'))) AS BIGINT)
+      |    AS n_syllables,
+      |  CAST(len(string_split(text, ' ')) AS DOUBLE)
+      |    / greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS words_per_sentence,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '[^aeiou]+'), x -> x <> ''))
+      |     + len(list_filter(string_split(text, ' '),
+      |                       w -> NOT regexp_matches(w, '[aeiou]'))) AS DOUBLE)
+      |    / len(string_split(text, ' ')) AS syllables_per_word,
+      |  (len(list_filter(string_split_regex(lower(text), '[^aeiou]+'), x -> x <> ''))
+      |     + len(list_filter(string_split(text, ' '),
+      |                       w -> NOT regexp_matches(w, '[aeiou]')))) * 10
+      |    <= len(string_split(text, ' ')) * 17 AS is_readable
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t22
+  /** Per-source vocabulary profile — hapax legomena: tokens that occur
+    * exactly once within their source. The hapax ratio (hapax/vocab) is
+    * the classic "is this source natural text or templated boilerplate"
+    * signal: templated sources re-use a tiny vocabulary (ratio → 0),
+    * organic text keeps minting one-off tokens (ratio ≈ 0.4–0.6 by
+    * Zipf). All counts are exact integers; the ratio is one division.
+    *
+    * Scale (100 TB): two-level aggregation — (source, token) counts with
+    * map-side partial combine (the explode never leaves its partition
+    * un-reduced), then a per-source rollup on the already-small
+    * vocabulary frame. Two shuffles total, both on integer-cardinality
+    * keys; no windows, no distinct-on-raw-rows. */
+  def t22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"source", explode(words($"text")).as("tok"))
+      .groupBy($"source", $"tok")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(when($"n" === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum($"n").as("total_tokens"))
+      .select(
+        $"source", $"vocab", $"n_hapax", $"total_tokens",
+        (dbl($"n_hapax") / $"vocab").as("hapax_ratio"),
+        (dbl($"vocab") / $"total_tokens").as("type_token_ratio"))
+      .orderBy($"source")
+  }
+
+  val t22Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |counts AS (
+      |  SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY source, tok)
+      |SELECT source,
+      |  COUNT(*) AS vocab,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS hapax_ratio,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS type_token_ratio
+      |FROM counts GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1070,5 +1171,7 @@ object TextAnalysis {
     Q("t17_charset_profile", t17, Some(t17Sql)),
     Q("t18_source_cap", t18, Some(t18Sql)),
     Q("t19_kmv_distinct", t19, Some(t19Sql)),
-    Q("t20_bigram_support", t20, Some(t20Sql)))
+    Q("t20_bigram_support", t20, Some(t20Sql)),
+    Q("t21_readability", t21, Some(t21Sql)),
+    Q("t22_hapax_profile", t22, Some(t22Sql)))
 }
