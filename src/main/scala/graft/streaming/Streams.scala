@@ -416,6 +416,53 @@ object Streams {
       }
   }
 
+  /** Latest-state row emitted by [[latestState]]. */
+  final case class Latest(
+      user_id: Long, event_type: String, event_id: Long,
+      last_ts: Timestamp, value: Double)
+  /** Compact per-key state: the winning (ts, event_id, value) triple. */
+  final case class LatestS(tsMs: Long, event_id: Long, value: Double)
+
+  /** Streaming latest-state compaction — the live twin of batch
+    * q39_compaction: maintain, per (user_id, event_type), the most
+    * recent event (ties broken by event_id), emitting the refreshed
+    * snapshot row for every key that received data in a micro-batch
+    * (update mode). This is the changelog→table primitive: the sink
+    * upserts each emitted row and always holds the current snapshot.
+    *
+    * Ordering is (ts, event_id) — exactly the batch op's struct-max key
+    * — and the fold is max-commutative, so ANY arrival order converges
+    * to the same snapshot: late or replayed events that lose the
+    * comparison mutate nothing (replay-idempotent by algebra, not by
+    * sink bookkeeping). State is ONE constant-size triple per live key —
+    * O(distinct keys), independent of stream length, so no watermark is
+    * needed (keys here are bounded; an unbounded key domain would add a
+    * TTL timeout). */
+  def latestState(events: Dataset[Ev2]): Dataset[Latest] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[LatestS, Latest](GroupStateTimeout.NoTimeout) {
+        case ((uid, et), rows, state) =>
+          val best = rows.foldLeft(state.getOption) { (acc, e) =>
+            val t = e.ts.getTime
+            acc match {
+              case Some(b) if b.tsMs > t ||
+                  (b.tsMs == t && b.event_id > e.event_id) => acc
+              case _ => Some(LatestS(t, e.event_id, e.value))
+            }
+          }
+          best.foreach(state.update)
+          val b = best.get // rows is non-empty for non-timeout invocations
+          Latest(uid, et, b.event_id, new Timestamp(b.tsMs), b.value)
+      }
+  }
+
+  /** Full event row for [[latestState]] (the `events` table schema). */
+  final case class Ev2(event_id: Long, user_id: Long, event_type: String,
+      ts: Timestamp, value: Double)
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

@@ -282,4 +282,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
     assert(p.contains("ShuffledHashJoin"), s"band join lost the hash hint:\n$p")
   }
+
+  test("d13: centroid assignment and drop-list broadcast; no cartesian") {
+    val p = simplePlan(Dedup.d13(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // the centroid join (assignment) and the dup-of flag join broadcast;
+    // only the cell-local pair join and doc join may shuffle
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast in the assignment path:\n$p")
+  }
+
+  test("q39: compaction is an aggregate with map-side partials, not a window sort") {
+    val p = simplePlan(Temporal.q39(spark, dir))
+    assert(!p.contains("Window"), s"compaction fell back to a window plan:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"no partial aggregation before the exchange:\n$p")
+  }
+
+  test("q38: streaks reuse one user_id exchange for distinct + window") {
+    val p = simplePlan(Temporal.q38(spark, dir))
+    // the distinct on (user_id, day) and the per-user window must not
+    // stack a second hash exchange on the same key layout
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
+
+  test("t21/t22: readability is a pure scan; hapax is two-level aggregation") {
+    val pr = simplePlan(TextAnalysis.t21(spark, dir))
+    assert(!pr.contains("Exchange hashpartitioning"),
+      s"readability scan gained a shuffle:\n$pr")
+    val ph = simplePlan(TextAnalysis.t22(spark, dir))
+    assert(ph.contains("HashAggregate"), s"hapax lost its hash aggregation:\n$ph")
+    assert(!ph.contains("CartesianProduct"), s"cartesian product:\n$ph")
+  }
 }

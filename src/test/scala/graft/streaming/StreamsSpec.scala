@@ -382,6 +382,45 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("latestState: per-key snapshot survives out-of-order and replayed events") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Streams.Ev2]
+    val q = Streams.latestState(in.toDS())
+      .writeStream.format("memory").queryName("latest_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        Streams.Ev2(1, 1, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Streams.Ev2(2, 1, "click", ts("2024-01-01 11:00:00"), 2.0),
+        Streams.Ev2(3, 2, "view", ts("2024-01-01 10:30:00"), 3.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event (older ts) must not displace the snapshot,
+      // a replay of event 2 must be a no-op, and a genuinely newer event
+      // must win; user 2 gets no data → no re-emit for it this batch
+      in.addData(
+        Streams.Ev2(4, 1, "click", ts("2024-01-01 09:00:00"), 9.0),
+        Streams.Ev2(2, 1, "click", ts("2024-01-01 11:00:00"), 2.0),
+        Streams.Ev2(5, 1, "click", ts("2024-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      val emitted = s.table("latest_out")
+        .select($"user_id", $"event_type", $"event_id", $"value")
+        .as[(Long, String, Long, Double)].collect().toSeq
+      // update mode: one snapshot per touched key per batch
+      assert(emitted.count { case (u, t, _, _) => u == 1 && t == "click" } == 2)
+      assert(emitted.count { case (u, t, _, _) => u == 2 && t == "view" } == 1)
+      // batch-1 snapshot for (1, click) was event 2; batch-2 is event 5
+      assert(emitted.contains((1L, "click", 2L, 2.0)))
+      assert(emitted.contains((1L, "click", 5L, 5.0)))
+      assert(emitted.contains((2L, "view", 3L, 3.0)))
+      // the final snapshot matches the batch q39 struct-max over the
+      // union of everything that arrived (the kappa property)
+      val last = emitted.filter { case (u, t, _, _) => u == 1 && t == "click" }.last
+      assert(last == ((1L, "click", 5L, 5.0)))
+    } finally q.stop()
+  }
+
   test("incrementalMerge: delete-insert by unique key across micro-batch runs") {
     val s = spark
     import s.implicits._
