@@ -517,11 +517,71 @@ object GraphOps {
       |  SELECT da AS doc_id FROM e3 UNION ALL SELECT db FROM e3)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- g07
+  /** Duplicate-cluster profile — the step that turns graph output into
+    * curation decisions: each g01 component joined back to `documents`
+    * and summarized (size, distinct sources, canonical = min doc_id,
+    * total chars). A cluster spanning many sources is syndication /
+    * mirroring; a large single-source cluster is a template; the
+    * canonical id is the doc d07 keeps.
+    *
+    * Scale (100 TB): the component labels cover only documents that
+    * appear in near-dup edges — a tiny fraction of the corpus — so the
+    * label frame broadcasts into the documents join and the corpus
+    * never shuffles; the profile aggregate keys on component ids
+    * (≤ |labeled docs|), with map-side partials. */
+  def g07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = components(Dedup.jaccardPairs(s, dir, 0.5))
+    Tables.t(s, dir, "documents")
+      .join(broadcast(labels), Seq("doc_id"))
+      .groupBy($"component")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        min($"doc_id").as("canonical_doc"),
+        sum($"n_chars").as("total_chars"))
+      .orderBy($"component")
+  }
+
+  /** g01's recursive-CTE closure, profiled against `documents`. */
+  val g07Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |sym AS (SELECT da, db FROM edges UNION SELECT db, da FROM edges),
+      |nodes AS (SELECT DISTINCT da AS doc_id FROM sym),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.db FROM reach r JOIN sym e ON r.dst = e.da),
+      |labels AS (SELECT src AS doc_id, min(dst) AS component
+      |           FROM reach GROUP BY src)
+      |SELECT l.component,
+      |  COUNT(*) AS n_docs,
+      |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+      |  MIN(d.doc_id) AS canonical_doc,
+      |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+      |FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+      |GROUP BY l.component ORDER BY l.component""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
     Q("g03_degree_hist", g03, Some(g03Sql)),
     Q("g04_pagerank", g04, Some(g04Sql)),
     Q("g05_clustering", g05, Some(g05Sql)),
-    Q("g06_kcore", g06, Some(g06Sql)))
+    Q("g06_kcore", g06, Some(g06Sql)),
+    Q("g07_cluster_profile", g07, Some(g07Sql)))
 }

@@ -306,11 +306,48 @@ object Temporal {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Daily audience growth curve: per calendar day, how many users were
+    * seen for the FIRST time, and the cumulative distinct-user count.
+    * Exact cumulative distinct counting is normally expensive (a running
+    * set); reducing each user to a first-seen day makes the answer a
+    * plain daily count + running sum.
+    *
+    * Scale (100 TB): first-seen discovery is one min-aggregate on
+    * user_id (map-side combine). The cumulative window then runs over
+    * the DAY domain — which does not grow with data volume (a decade is
+    * ~3,650 rows) — so the unpartitioned running sum is a deliberate,
+    * bounded single-partition pass over a frame that is already
+    * aggregate-tiny, not a scale hazard. */
+  def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wCum = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.t(s, dir, "events")
+      .groupBy($"user_id").agg(min(to_date($"ts")).as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("n_new_users"))
+      .withColumn("cum_users", sum($"n_new_users").over(wCum))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"n_new_users", $"cum_users")
+      .orderBy($"day")
+  }
+
+  val q40Sql: String =
+    """WITH firsts AS (
+      |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+      |daily AS (
+      |  SELECT day, COUNT(*) AS n_new_users FROM firsts GROUP BY day)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, n_new_users,
+      |  CAST(SUM(n_new_users) OVER (ORDER BY day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM daily ORDER BY day""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
     Q("q35_retention", q35, Some(q35Sql)),
     Q("q36_concurrency", q36, Some(q36Sql)),
     Q("q38_streaks", q38, Some(q38Sql)),
-    Q("q39_compaction", q39, Some(q39Sql)))
+    Q("q39_compaction", q39, Some(q39Sql)),
+    Q("q40_user_growth", q40, Some(q40Sql)))
 }

@@ -1151,6 +1151,68 @@ object TextAnalysis {
       |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS BIGINT) AS type_token_ratio
       |FROM counts GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t23
+  /** Temperature-scaled mixture apportionment — the "how many documents
+    * from each source go into the training mix" planner: source weights
+    * ∝ n^(1/2) (temperature T=2 sampling — upweights small sources the
+    * way multilingual LM mixes do), apportioned over a fixed budget of
+    * 1000 slots with the largest-remainder method.
+    *
+    * Every step is engine-exact: sqrt is IEEE-correctly-rounded in both
+    * engines, round(·,6) pins the weight, ×1e6 + floor makes it an
+    * integer ppm weight, and the apportionment is pure int64 arithmetic
+    * (floor division + remainder ranking) — no decimal division, no
+    * float accumulation, so the allocation hash-matches anywhere.
+    *
+    * Scale (100 TB): one count-aggregate over the corpus (map-side
+    * partials) reduces everything to |sources| rows; the window runs on
+    * that source-domain frame, which doesn't grow with data volume. */
+  def t23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val Budget = 1000L
+    val counts = Tables.t(s, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_ppm",
+        floor(round(sqrt($"n_docs"), 6) * 1000000L).cast(LongType))
+    val wTot = Window.partitionBy(lit(1))
+    val wRem = Window.partitionBy(lit(1))
+      .orderBy($"rem".desc, $"source")
+    counts
+      .withColumn("w_sum", sum($"w_ppm").over(wTot))
+      // `div` is int64 floor-division (positive operands) — NOT `/`,
+      // which widens to double and can misround a near-integer quotient
+      .withColumn("base", expr(s"(w_ppm * $Budget) div w_sum"))
+      .withColumn("rem", $"w_ppm" * Budget - $"base" * $"w_sum")
+      .withColumn("n_base", sum($"base").over(wTot))
+      .withColumn("rrank", row_number().over(wRem))
+      .select(
+        $"source", $"n_docs", $"w_ppm",
+        ($"base" + when($"rrank" <= lit(Budget) - $"n_base", 1L).otherwise(0L))
+          .as("target_docs"))
+      .orderBy($"source")
+  }
+
+  val t23Sql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(floor(round(sqrt(COUNT(*)), 6) * 1000000) AS BIGINT) AS w_ppm
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(SUM(w_ppm) AS BIGINT) AS w_sum,
+      |               CAST(SUM(n_docs) AS BIGINT) AS n_total FROM counts),
+      |based AS (
+      |  SELECT source, n_docs, w_ppm, w_sum,
+      |    (w_ppm * 1000) // w_sum AS base,
+      |    w_ppm * 1000 - ((w_ppm * 1000) // w_sum) * w_sum AS rem
+      |  FROM counts, tot),
+      |ranked AS (
+      |  SELECT *, SUM(base) OVER () AS n_base,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rrank
+      |  FROM based)
+      |SELECT source, n_docs, w_ppm,
+      |  CAST(base + CASE WHEN rrank <= 1000 - n_base THEN 1 ELSE 0 END AS BIGINT)
+      |    AS target_docs
+      |FROM ranked ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1173,5 +1235,6 @@ object TextAnalysis {
     Q("t19_kmv_distinct", t19, Some(t19Sql)),
     Q("t20_bigram_support", t20, Some(t20Sql)),
     Q("t21_readability", t21, Some(t21Sql)),
-    Q("t22_hapax_profile", t22, Some(t22Sql)))
+    Q("t22_hapax_profile", t22, Some(t22Sql)),
+    Q("t23_mixture_budget", t23, Some(t23Sql)))
 }
