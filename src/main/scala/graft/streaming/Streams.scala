@@ -463,6 +463,39 @@ object Streams {
   final case class Ev2(event_id: Long, user_id: Long, event_type: String,
       ts: Timestamp, value: Double)
 
+  /** New-user row emitted by [[firstSeen]]. */
+  final case class FirstSeen(user_id: Long, first_ts: Timestamp)
+
+  /** Streaming first-seen detection — the live twin of batch q40's
+    * first-event reduction: emit each user exactly once, on the first
+    * micro-batch that contains them. Downstream, a daily count of these
+    * emissions IS the live audience-growth curve.
+    *
+    * State per user is a single empty-marker entry (the key itself), so
+    * memory is O(distinct users ever seen) — the same lower bound any
+    * exact first-seen answer needs. Replays re-deliver only events whose
+    * user is already marked, and marked users emit nothing — idempotent
+    * without sink cooperation. (Exact-once caveat shared with q40: a
+    * genuinely unbounded user domain would swap the marker set for a
+    * TTL'd state or a bloom-with-repair pattern.) */
+  def firstSeen(events: Dataset[Ev2]): Dataset[FirstSeen] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Boolean, FirstSeen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev2], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // the user's earliest event in this batch is the first sighting
+            Iterator.single(FirstSeen(uid,
+              rows.map(_.ts).minBy(_.getTime)))
+          }
+      }
+  }
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

@@ -421,6 +421,34 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("firstSeen: each user emits once, on their earliest event in the batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Streams.Ev2]
+    val q = Streams.firstSeen(in.toDS())
+      .writeStream.format("memory").queryName("first_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.Ev2(2, 1, "click", ts("2024-01-01 11:00:00"), 1.0),
+        Streams.Ev2(1, 1, "click", ts("2024-01-01 10:00:00"), 1.0),
+        Streams.Ev2(3, 2, "view", ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // replay of user 1 plus a new user: only user 3 emits
+      in.addData(
+        Streams.Ev2(4, 1, "click", ts("2024-01-02 09:00:00"), 1.0),
+        Streams.Ev2(5, 3, "click", ts("2024-01-02 10:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = s.table("first_out")
+        .as[(Long, Timestamp)].collect().toSeq.sortBy(_._1)
+      assert(rows == Seq(
+        (1L, ts("2024-01-01 10:00:00")), // earliest of the batch, not first-arrived
+        (2L, ts("2024-01-01 12:00:00")),
+        (3L, ts("2024-01-02 10:00:00"))))
+    } finally q.stop()
+  }
+
   test("incrementalMerge: delete-insert by unique key across micro-batch runs") {
     val s = spark
     import s.implicits._
