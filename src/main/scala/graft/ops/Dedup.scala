@@ -870,9 +870,20 @@ object Dedup {
     * cells instead of band buckets. */
   def d13(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    semanticDedup(Tables.t(s, dir, "embeddings"), Tables.t(s, dir, "documents"), 0.4)
+  }
+
+  /** The semantic-dedup kernel over any (vec_id, embedding) + (doc_id,
+    * source) pair of frames — split out so the spec can pin the survivor
+    * rule on hand-built vectors (identical pair → higher id dropped;
+    * near-boundary cosine; cross-cell pairs never compared). */
+  private[graft] def semanticDedup(
+      embeddings: DataFrame, docs: DataFrame, tau: Double): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val dot = Similarity.dot _
-    val all = Tables.t(s, dir, "embeddings")
+    val all = embeddings
       .select($"vec_id", transform($"embedding", x => x.cast(DoubleType)).as("v"))
       .withColumn("norm", sqrt(dot($"v", $"v")))
     val cent = all.filter($"vec_id" % 100 === 0)
@@ -890,9 +901,9 @@ object Dedup {
     val a = assigned.select($"cid".as("ca"), $"vec_id".as("va"), $"v".as("xa"), $"norm".as("na"))
     val b = assigned.select($"cid".as("cb"), $"vec_id".as("vb"), $"v".as("xb"), $"norm".as("nb"))
     val dupOf = a.join(b, $"ca" === $"cb" && $"va" < $"vb")
-      .filter(dot($"xa", $"xb") / ($"na" * $"nb") >= 0.4)
+      .filter(dot($"xa", $"xb") / ($"na" * $"nb") >= tau)
       .groupBy($"vb").agg(min($"va").as("dup_of"))
-    Tables.t(s, dir, "documents")
+    docs
       .join(assigned.select($"vec_id", $"cid"), $"doc_id" === $"vec_id")
       .join(broadcast(dupOf), $"doc_id" === $"vb", "left")
       .select($"doc_id", $"source", $"cid".as("cell"),

@@ -236,10 +236,17 @@ object Temporal {
     * days-per-user (≤ a few thousand for any real retention window), so
     * no partition ever sees more than one user's days — there is no
     * global sort and no skew beyond the per-user day count. */
-  def q38(s: SparkSession, dir: String): DataFrame = {
+  def q38(s: SparkSession, dir: String): DataFrame =
+    streaks(Tables.t(s, dir, "events"))
+
+  /** The island kernel over any (user_id, ts) frame — split out so the
+    * spec can pin the day arithmetic on hand-built event streams
+    * (month/year boundaries, single-day islands, duplicate days). */
+  private[graft] def streaks(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"day")
-    Tables.t(s, dir, "events")
+    events
       .select($"user_id", to_date($"ts").as("day"))
       .distinct()
       .withColumn("grp",

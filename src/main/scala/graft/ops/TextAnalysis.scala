@@ -1169,9 +1169,20 @@ object TextAnalysis {
     * that source-domain frame, which doesn't grow with data volume. */
   def t23(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val Budget = 1000L
-    val counts = Tables.t(s, dir, "documents")
-      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    mixtureBudget(
+      Tables.t(s, dir, "documents")
+        .groupBy($"source").agg(count(lit(1)).as("n_docs")),
+      1000L)
+  }
+
+  /** The apportionment kernel over any (source, n_docs) frame — split
+    * out so the spec can pin the largest-remainder invariants (exact
+    * budget sum, weight monotonicity, budget < |sources|) on hand-built
+    * count tables. */
+  private[graft] def mixtureBudget(countsIn: DataFrame, Budget: Long): DataFrame = {
+    val s = countsIn.sparkSession
+    import s.implicits._
+    val counts = countsIn
       .withColumn("w_ppm",
         floor(round(sqrt($"n_docs"), 6) * 1000000L).cast(LongType))
     val wTot = Window.partitionBy(lit(1))

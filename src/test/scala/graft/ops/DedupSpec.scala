@@ -141,4 +141,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val r = stats.head
     assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((3L, 3L, 4L)))
   }
+
+  test("semantic dedup: identical pair drops the higher id; sub-threshold survives") {
+    val s = spark
+    import s.implicits._
+    // one cell (only vec 0 is a centroid): 0 and 1 identical (cos 1.0),
+    // 2 orthogonal to both (cos 0), 3 at cos 0.3 to 2 — below tau 0.4
+    val emb = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f),
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0.3f, 0.954f, 0f)
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "srcA"), (1L, "srcB"), (2L, "srcA"), (3L, "srcC")
+    ).toDF("doc_id", "source")
+    val out = Dedup.semanticDedup(emb, docs, 0.4).collect()
+      .map(r => (r.getLong(0),
+        r.getBoolean(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toSeq
+    assert(out == Seq(
+      (0L, true, -1L),
+      (1L, false, 0L), // identical to 0 → dropped, 0 is the survivor
+      (2L, true, -1L),
+      (3L, true, -1L))) // cos 0.3 < tau → kept
+  }
 }

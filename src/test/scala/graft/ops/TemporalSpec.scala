@@ -62,4 +62,41 @@ class TemporalSpec extends AnyFunSuite with SparkFixture {
       ("2024-01-01", 0L) -> ((1L, 1L)),
       ("2024-01-01", 1L) -> ((1L, 1L))))
   }
+
+  /** (user, ts-string) rows → (user, start, end, days) streak rows. */
+  private def streaksOf(events: Seq[(Long, String)]): Seq[(Long, String, String, Long)] = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val df = events.toDF("user_id", "t")
+      .select($"user_id", to_timestamp($"t").as("ts"))
+    Temporal.streaks(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("streaks: islands split on gaps; duplicate days collapse; month edges join") {
+    val out = streaksOf(Seq(
+      // u1: 3-day run (with a duplicate day), a gap, then a singleton
+      1L -> "2024-01-01 10:00:00",
+      1L -> "2024-01-02 09:00:00",
+      1L -> "2024-01-02 21:00:00",
+      1L -> "2024-01-03 08:00:00",
+      1L -> "2024-01-05 12:00:00",
+      // u2: consecutive across the Jan→Feb month boundary
+      2L -> "2024-01-31 23:00:00",
+      2L -> "2024-02-01 01:00:00"))
+    assert(out == Seq(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-01-31", "2024-02-01", 2L)))
+  }
+
+  test("streaks: a leap-day run stays consecutive") {
+    val out = streaksOf(Seq(
+      3L -> "2024-02-28 10:00:00",
+      3L -> "2024-02-29 10:00:00", // 2024 is a leap year
+      3L -> "2024-03-01 10:00:00"))
+    assert(out == Seq((3L, "2024-02-28", "2024-03-01", 3L)))
+  }
 }
