@@ -38,6 +38,30 @@ object MediaKernels {
     total
   }
 
+  /** Scene cuts: count of consecutive frame pairs (k, k+1) whose
+    * `frameLen`-char frames at offsets k·stride differ in ≥ `minDiff`
+    * positions. Same frame model as [[frameSum]]; one pass, no
+    * re-scanning — the HOF formulation's per-comparison substr walk made
+    * it quadratic in payload length. */
+  def frameCuts(s: UTF8String, frameLen: Int, stride: Int, minDiff: Int): Long = {
+    val str = s.toString
+    val n = str.length
+    val nFrames = math.max(0, Math.floorDiv(n - frameLen, stride) + 1)
+    var cuts = 0L
+    var k = 0
+    while (k < nFrames - 1) {
+      var diff = 0
+      var i = 0
+      while (i < frameLen) {
+        if (str.charAt(k * stride + i) != str.charAt((k + 1) * stride + i)) diff += 1
+        i += 1
+      }
+      if (diff >= minDiff) cuts += 1
+      k += 1
+    }
+    cuts
+  }
+
   /** Every `step`-th character of the payload (the downsample/"resize"). */
   def downsample(s: UTF8String, step: Int): UTF8String = {
     val str = s.toString
@@ -84,10 +108,33 @@ case class Downsample(child: Expression, step: Int) extends UnaryExpression {
   override def prettyName: String = "downsample"
 }
 
+case class FrameCuts(child: Expression, frameLen: Int, stride: Int, minDiff: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"frame_cuts expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    MediaKernels.frameCuts(input.asInstanceOf[UTF8String], frameLen, stride, minDiff)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MediaKernels.frameCuts($c, $frameLen, $stride, $minDiff);")
+  override protected def withNewChildInternal(newChild: Expression): FrameCuts =
+    copy(child = newChild)
+  override def prettyName: String = "frame_cuts"
+}
+
 object FrameSum {
   import org.apache.spark.sql.graftbridge.Bridge
   def apply(c: Column, frameLen: Int, stride: Int): Column =
     Bridge.column(FrameSum(Bridge.expression(c), frameLen, stride))
+}
+
+object FrameCuts {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def apply(c: Column, frameLen: Int, stride: Int, minDiff: Int): Column =
+    Bridge.column(FrameCuts(Bridge.expression(c), frameLen, stride, minDiff))
 }
 
 object Downsample {

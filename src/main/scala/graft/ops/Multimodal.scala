@@ -214,10 +214,52 @@ object Multimodal {
       |HAVING COUNT(*) >= 2
       |ORDER BY content_md5""".stripMargin
 
+  // ---------------------------------------------------------------- m06
+  /** Scene-change detection — the video-segmentation shape over m03's
+    * frame model: consecutive sampled frames (16 bytes at stride 32) are
+    * compared byte-wise, and a cut is declared where ≥ 12 of 16 bytes
+    * differ. Emits per-doc frame and cut counts — the "how many scenes
+    * does this asset have" signal a sampling stage keys on (sample per
+    * scene, not per frame). The byte compare is exact integer counting;
+    * no floats anywhere.
+    *
+    * Scale (100 TB): narrow per-row work — the frame walk is a compiled
+    * kernel ([[graft.functions.FrameCuts]]; the equivalent nested-HOF
+    * expression re-walked the string per substr and went quadratic in
+    * payload length — measured 6× slower), payloads never leave their
+    * partition, and the fan-out repartition (see m03) is the only
+    * exchange. A real decoder would swap the byte compare for a
+    * histogram distance inside the same batched-decode seam as m02. */
+  def m06(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .repartition($"doc_id") // fan-out, see m03
+      .withColumn("txt", decode($"bytes", "UTF-8"))
+      .withColumn("n_frames",
+        greatest(lit(0), floor((length($"txt") - 16) / 32) + 1).cast(LongType))
+      .withColumn("n_cuts", graft.functions.FrameCuts($"txt", 16, 32, 12))
+      .select($"doc_id", $"n_frames", $"n_cuts")
+      .orderBy($"doc_id")
+  }
+
+  val m06Sql: String =
+    """SELECT doc_id,
+      |  greatest(0, (length(text) - 16) // 32 + 1) AS n_frames,
+      |  CASE WHEN greatest(0, (length(text) - 16) // 32 + 1) < 2
+      |       THEN CAST(0 AS BIGINT)
+      |  ELSE CAST(len(list_filter(
+      |    generate_series(0, CAST(greatest(0, (length(text) - 16) // 32 + 1) AS INT) - 2),
+      |    k -> list_reduce(list_prepend(0, list_transform(generate_series(1, 16),
+      |           i -> CASE WHEN text[k * 32 + i] <> text[(k + 1) * 32 + i]
+      |                THEN 1 ELSE 0 END)), (a, b) -> a + b) >= 12)) AS BIGINT)
+      |  END AS n_cuts
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
     Q("m03_frame_sample", m03, Some(m03Sql)),
     Q("m04_resize", m04, Some(m04Sql)),
-    Q("m05_media_dedup", m05, Some(m05Sql)))
+    Q("m05_media_dedup", m05, Some(m05Sql)),
+    Q("m06_scene_cuts", m06, Some(m06Sql)))
 }

@@ -504,6 +504,68 @@ object Similarity {
        |SELECT qid, rank, vec_id AS neighbor_id, cid AS cell, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s09
+  /** IVF cell-balance audit — the index-health meter s02/s08 depend on:
+    * per coarse cell, how many vectors landed there, its corpus share in
+    * ppm, and a hot flag (cell > 2× the balanced size). Probe cost is
+    * proportional to the probed cell's size, so one hot cell makes every
+    * query routed there slow regardless of cluster capacity — this audit
+    * is what tells you to re-train centroids (or split the hot cell)
+    * BEFORE shipping the index.
+    *
+    * All measures are integers or integer cross-multiplications (the hot
+    * flag never divides); share_ppm is int64 floor arithmetic — exact in
+    * any engine.
+    *
+    * Scale (100 TB): the same broadcast-argmax assignment as s02 (the
+    * corpus never shuffles for it), then one aggregate on cell id —
+    * |cells| rows out, map-side partials. */
+  def s09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val cent = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(round($"csim", 6).desc, $"cid")
+    val assigned = all.join(broadcast(cent))
+      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"cid")
+    val wTot = Window.partitionBy(lit(1))
+    assigned
+      .groupBy($"cid".as("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("n_total", sum($"n_vecs").over(wTot))
+      .withColumn("n_cells", count(lit(1)).over(wTot))
+      .select(
+        $"cell", $"n_vecs",
+        expr("(n_vecs * 1000000) div n_total").as("share_ppm"),
+        // hot ⇔ n_vecs > 2 · (n_total / n_cells), cross-multiplied
+        ($"n_vecs" * $"n_cells" > $"n_total" * 2).as("is_hot"))
+      .orderBy($"cell")
+  }
+
+  val s09Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, norm AS cnorm FROM v WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${dotSql("ce", "embedding")} / (cnorm * norm), 6) DESC, cid) AS arank
+       |    FROM v CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |cells AS (SELECT cid AS cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cid),
+       |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+       |               COUNT(*) AS n_cells FROM cells)
+       |SELECT cell, n_vecs,
+       |  (n_vecs * 1000000) // n_total AS share_ppm,
+       |  n_vecs * n_cells > n_total * 2 AS is_hot
+       |FROM cells, tot ORDER BY cell""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -512,5 +574,6 @@ object Similarity {
     Q("s05_int8_quantized", s05, Some(s05Sql)),
     Q("s06_ann_recall", s06, Some(s06Sql)),
     Q("s07_pq_adc", s07, Some(s07Sql)),
-    Q("s08_ivf_rerank", s08, Some(s08Sql)))
+    Q("s08_ivf_rerank", s08, Some(s08Sql)),
+    Q("s09_cell_balance", s09, Some(s09Sql)))
 }

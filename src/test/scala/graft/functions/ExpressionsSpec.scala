@@ -259,6 +259,27 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(fast == viaAgg)
   }
 
+  test("FrameCuts equals a brute-force frame compare on random strings") {
+    val rnd = new scala.util.Random(7)
+    def brute(s: String, fl: Int, st: Int, md: Int): Long = {
+      val nf = math.max(0, Math.floorDiv(s.length - fl, st) + 1)
+      (0 until nf - 1).count { k =>
+        (0 until fl).count(i => s(k * st + i) != s((k + 1) * st + i)) >= md
+      }.toLong
+    }
+    val cases = Seq("", "a", "x" * 16, "x" * 17, "x" * 48) ++
+      (1 to 30).map(_ => rnd.alphanumeric.take(rnd.nextInt(200)).mkString)
+    val s = spark
+    import s.implicits._
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", FrameCuts($"t", 16, 32, 12).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == brute(t, 16, 32, 12), s"case $i: '$t'")
+    }
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._
