@@ -938,6 +938,104 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d14
+  /** Per-source curation funnel — the end-to-end "how much data survives"
+    * report the individual dedup ops feed: every document is flagged by
+    * three independent full-corpus drop rules (exact: not the min-id of
+    * its md5(text) group; near-dup: has a lower-id Jaccard≥0.5 neighbor;
+    * contamination: shares a 4-gram with the eval sample, or IS eval),
+    * then counted per source through the stage sequence. Retention is an
+    * int64 ppm (floor division) — engine-exact.
+    *
+    * Flags are defined on the FULL corpus, not re-derived per stage, so
+    * the funnel is monotone by construction and each column is exactly
+    * "survivors of stages 1..k" — the operational number a mixture
+    * planner (t23) consumes.
+    *
+    * Scale (100 TB): one md5-keyed window for the exact rank (16-byte
+    * keys, never text — d01's exchange story); the near-dup and
+    * contamination drop sets are pair-generator outputs (tiny vs the
+    * corpus) and broadcast into flag joins; one final aggregate on
+    * source. The corpus itself shuffles once, on the hash. */
+  def d14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", $"text")
+    val nearDrop = jaccardPairs(s, dir, 0.5)
+      .select($"db".as("doc_id")).distinct()
+      .withColumn("nd", lit(true))
+    val grams = grams4(Tables.t(s, dir, "documents"))
+    val evalG = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    val contam = grams.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(evalG), Seq("g"))
+      .select($"doc_id").distinct()
+      .union(docs.filter($"doc_id" % 97 === 0).select($"doc_id"))
+      .distinct()
+      .withColumn("cf", lit(true))
+    val wH = Window.partitionBy($"h").orderBy($"doc_id")
+    docs
+      .withColumn("h", md5($"text".cast(BinaryType)))
+      .withColumn("e", row_number().over(wH) > 1)
+      .join(broadcast(nearDrop), Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .select($"source", $"e",
+        coalesce($"nd", lit(false)).as("nd"),
+        coalesce($"cf", lit(false)).as("cf"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!$"e", 1L).otherwise(0L)).as("n_after_exact"),
+        sum(when(!$"e" && !$"nd", 1L).otherwise(0L)).as("n_after_neardup"),
+        sum(when(!$"e" && !$"nd" && !$"cf", 1L).otherwise(0L)).as("n_clean"))
+      .withColumn("retention_ppm", expr("(n_clean * 1000000) div n_docs"))
+      .orderBy($"source")
+  }
+
+  val d14Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |            UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |neard AS (SELECT DISTINCT db AS doc_id FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |g4 AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+      |       FROM ws, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      |       WHERE len(w) >= 4),
+      |contam AS (
+      |  SELECT DISTINCT t.doc_id FROM g4 t JOIN g4 e ON t.g = e.g
+      |  WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+      |  UNION
+      |  SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+      |ex AS (SELECT doc_id,
+      |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |       FROM documents),
+      |flags AS (
+      |  SELECT d.source, (ex.rn > 1) AS e,
+      |    (n.doc_id IS NOT NULL) AS nd,
+      |    (c.doc_id IS NOT NULL) AS cf
+      |  FROM documents d
+      |  JOIN ex ON d.doc_id = ex.doc_id
+      |  LEFT JOIN neard n ON d.doc_id = n.doc_id
+      |  LEFT JOIN contam c ON d.doc_id = c.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN NOT e THEN 1 ELSE 0 END) AS BIGINT) AS n_after_exact,
+      |  CAST(SUM(CASE WHEN NOT e AND NOT nd THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_after_neardup,
+      |  CAST(SUM(CASE WHEN NOT e AND NOT nd AND NOT cf THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clean,
+      |  (CAST(SUM(CASE WHEN NOT e AND NOT nd AND NOT cf THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000) // COUNT(*) AS retention_ppm
+      |FROM flags GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -951,5 +1049,6 @@ object Dedup {
     Q("d10_bloom_decontaminate", d10, Some(d10Sql)),
     Q("d11_source_overlap", d11, Some(d11Sql)),
     Q("d12_minhash_audit", d12, Some(d12Sql)),
-    Q("d13_semantic_dedup", d13, Some(d13Sql)))
+    Q("d13_semantic_dedup", d13, Some(d13Sql)),
+    Q("d14_curation_funnel", d14, Some(d14Sql)))
 }

@@ -167,4 +167,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       (2L, true, -1L),
       (3L, true, -1L))) // cos 0.3 < tau → kept
   }
+
+  test("d14 funnel: monotone stages, exact-stage brute check, ppm arithmetic") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.d14(s, dir).collect()
+    assert(rows.nonEmpty)
+    // full-corpus flags make each column "survivors of stages 1..k":
+    // the funnel must be monotone per source, and ppm is floor int math
+    rows.foreach { r =>
+      val (n, e, nd, cl) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= e && e >= nd && nd >= cl && cl >= 0, s"non-monotone: $r")
+      assert(r.getLong(5) == cl * 1000000L / n, s"ppm mismatch: $r")
+    }
+    // stage-1 survivors = min-id per exact text group, independently derived
+    val docs = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", $"text").collect()
+    val keep = docs.groupBy(_.getString(2)).map(_._2.map(_.getLong(0)).min).toSet
+    val exact = docs.filter(r => keep(r.getLong(0)))
+      .groupBy(_.getString(1)).map { case (src, rs) => src -> rs.length.toLong }
+    assert(rows.map(r => r.getString(0) -> r.getLong(2)).toMap == exact)
+    // at least one stage drops something somewhere, else the op is vacuous
+    assert(rows.map(r => r.getLong(1) - r.getLong(4)).sum > 0)
+  }
 }
