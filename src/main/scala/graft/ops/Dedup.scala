@@ -1036,6 +1036,63 @@ object Dedup {
       |    * 1000000) // COUNT(*) AS retention_ppm
       |FROM flags GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d15
+  /** Dedup-threshold sensitivity sweep — how many near-dup pairs (and
+    * documents touched by one) each candidate Jaccard cutoff would
+    * flag, for thresholds 0.5..0.9. The knob-tuning report run before
+    * committing to a cutoff: a cliff between adjacent rows means the
+    * corpus has a dup mode right at that similarity.
+    *
+    * The qualifying test is integer cross-multiplication
+    * (10·i ≥ t₁₀·union), so every row is engine-exact — no FP threshold
+    * comparison anywhere.
+    *
+    * Scale (100 TB): the sweep's input is the pair-generator output
+    * (candidates sharing a surviving shingle — tiny vs the corpus), so
+    * the 5× threshold explode and both aggregates run on pairs, never
+    * on documents. One extra shuffle on t₁₀ beyond d02's own plan. */
+  def d15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sweep = pairStats(shingleArrays(s, dir))
+      .select($"da", $"db", $"i", ($"na" + $"nb" - $"i").as("u"))
+      .select($"da", $"db", $"i", $"u",
+        explode(array((5 to 9).map(t => lit(t.toLong)): _*)).as("threshold_x10"))
+      .filter($"i" * 10 >= $"threshold_x10" * $"u")
+      .localCheckpoint(eager = false)
+    val pairsC = sweep.groupBy($"threshold_x10").agg(count(lit(1)).as("n_pairs"))
+    val docsC = sweep.select($"threshold_x10", $"da".as("d"))
+      .union(sweep.select($"threshold_x10", $"db"))
+      .distinct()
+      .groupBy($"threshold_x10").agg(count(lit(1)).as("n_docs"))
+    pairsC.join(docsC, Seq("threshold_x10"))
+      .orderBy($"threshold_x10")
+  }
+
+  val d15Sql: String =
+    """WITH sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |            UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |stats AS (SELECT da, db, i, sa.n + sb.n - i AS u FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id),
+      |sweep AS (SELECT t10, da, db FROM stats,
+      |            UNNEST(generate_series(5, 9)) AS t(t10)
+      |          WHERE i * 10 >= t10 * u),
+      |pairs_c AS (SELECT t10, COUNT(*) AS n_pairs FROM sweep GROUP BY t10),
+      |docs_c AS (SELECT t10, COUNT(*) AS n_docs FROM (
+      |             SELECT DISTINCT t10, d FROM (
+      |               SELECT t10, da AS d FROM sweep
+      |               UNION ALL SELECT t10, db FROM sweep))
+      |           GROUP BY t10)
+      |SELECT t10 AS threshold_x10, n_pairs, n_docs
+      |FROM pairs_c JOIN docs_c USING (t10) ORDER BY t10""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1050,5 +1107,6 @@ object Dedup {
     Q("d11_source_overlap", d11, Some(d11Sql)),
     Q("d12_minhash_audit", d12, Some(d12Sql)),
     Q("d13_semantic_dedup", d13, Some(d13Sql)),
-    Q("d14_curation_funnel", d14, Some(d14Sql)))
+    Q("d14_curation_funnel", d14, Some(d14Sql)),
+    Q("d15_threshold_sweep", d15, Some(d15Sql)))
 }

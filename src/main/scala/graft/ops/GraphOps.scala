@@ -576,6 +576,91 @@ object GraphOps {
       |FROM labels l JOIN documents d ON l.doc_id = d.doc_id
       |GROUP BY l.component ORDER BY l.component""".stripMargin
 
+  // ---------------------------------------------------------------- g08
+  /** Bounded-hop BFS from a seed set over an undirected edge list:
+    * (doc_id, hops) with hops = min #edges from any seed, for every
+    * vertex within `maxHops`. Classic frontier expansion: each round
+    * joins the previous frontier to the edges, anti-joins everything
+    * already reached (so the first discovery IS the min distance), and
+    * checkpoints the grown reached set to keep lineage flat — the same
+    * per-round skeleton as [[pagerank]] and [[components]].
+    *
+    * Scale (100 TB): the edge list computes once and block-reuses every
+    * round; frontier and reached sets are pair-graph-sized (≪ corpus),
+    * so AQE broadcasts them into each round's join. Rounds are bounded
+    * by `maxHops`, not convergence — the cost is H joins, flat. */
+  def bfsHops(edgesIn: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val e = edgesIn.select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
+    val sym = e.union(e.select($"db".as("da"), $"da".as("db")))
+      .localCheckpoint(eager = false) // reused every round
+    var reached = seeds.select($"doc_id".cast("long").as("doc_id"))
+      .distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(eager = false)
+    var frontier = reached.select($"doc_id")
+    for (h <- 1 to maxHops) {
+      val next = sym.join(frontier.withColumnRenamed("doc_id", "da"), Seq("da"))
+        .select($"db".as("doc_id")).distinct()
+        .join(reached.select($"doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .localCheckpoint(eager = false)
+      reached = reached.union(next).localCheckpoint(eager = false)
+      frontier = next.select($"doc_id")
+    }
+    reached
+  }
+
+  /** g08: contamination blast radius — min near-dup hops (≤ 3) from any
+    * directly-contaminated document (shares a 4-gram with the eval
+    * sample, d06's hit set) over the jaccard ≥ 0.5 near-dup graph. Hop 0
+    * is the direct hit; hops 1..3 are documents a leakage audit should
+    * quarantine even though no eval n-gram appears in them verbatim —
+    * they are rephrasings of documents that do. */
+  def g08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Dedup.grams4(Tables.t(s, dir, "documents"))
+    val evalG = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    val seeds = grams.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(evalG), Seq("g"))
+      .select($"doc_id").distinct()
+    bfsHops(Dedup.jaccardPairs(s, dir, 0.5), seeds, maxHops = 3)
+      .orderBy($"doc_id")
+  }
+
+  /** The BFS as a hop-bounded recursive CTE; MIN(hops) collapses the
+    * multiple discovery paths to the BFS distance the frontier loop
+    * finds by construction. */
+  val g08Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |sym AS (SELECT da, db FROM edges UNION SELECT db, da FROM edges),
+      |g4 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g0
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+      |       WHERE len(ws) >= 4),
+      |seeds AS (SELECT DISTINCT t.doc_id FROM g4 t JOIN g4 e ON t.g0 = e.g0
+      |          WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0),
+      |bfs(doc_id, hops) AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) FROM seeds
+      |  UNION ALL
+      |  SELECT e.db, b.hops + 1 FROM bfs b JOIN sym e ON b.doc_id = e.da
+      |  WHERE b.hops < 3)
+      |SELECT doc_id, MIN(hops) AS hops FROM bfs
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -583,5 +668,6 @@ object GraphOps {
     Q("g04_pagerank", g04, Some(g04Sql)),
     Q("g05_clustering", g05, Some(g05Sql)),
     Q("g06_kcore", g06, Some(g06Sql)),
-    Q("g07_cluster_profile", g07, Some(g07Sql)))
+    Q("g07_cluster_profile", g07, Some(g07Sql)),
+    Q("g08_blast_radius", g08, Some(g08Sql)))
 }

@@ -566,6 +566,65 @@ object Similarity {
        |  n_vecs * n_cells > n_total * 2 AS is_hot
        |FROM cells, tot ORDER BY cell""".stripMargin
 
+  // ---------------------------------------------------------------- s10
+  /** Leave-one-out kNN label-agreement audit — the label-noise detector
+    * a training pipeline runs over labeled embeddings: for each sampled
+    * query (vec_id % 7 = 0), find its exact cosine top-5 neighbors
+    * (excluding itself), take the neighbors' majority label (ties break
+    * to the smaller label id), and flag disagreement with the query's
+    * own label. Rows with agree = false are the mislabel candidates a
+    * human (or a relabel model) reviews first.
+    *
+    * Ranking uses round(sim, 6) with vec_id tiebreaks and the vote is
+    * pure integer counting, so the audit is engine-exact.
+    *
+    * Scale (100 TB): the s01 shape — queries broadcast, the corpus
+    * streams once, per-query top-k via window; swap the brute scan for
+    * s08's multi-probe candidates when the corpus outgrows one pass
+    * (s06 measures exactly the recall cost of doing so). */
+  def s10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val q = all.filter($"vec_id" % 7 === 0)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wTop = Window.partitionBy($"qid")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    val wVote = Window.partitionBy($"qid")
+      .orderBy($"votes".desc, $"label")
+    all.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 5)
+      .groupBy($"qid", $"qlabel", $"label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vrank", row_number().over(wVote))
+      .filter($"vrank" === 1)
+      .select($"qid", $"qlabel".cast("long").as("own_label"),
+        $"label".cast("long").as("knn_label"), $"votes",
+        ($"label" === $"qlabel").as("agree"))
+      .orderBy($"qid")
+  }
+
+  val s10Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, norm AS qnorm
+       |      FROM v WHERE vec_id % 7 = 0),
+       |ranked AS (SELECT qid, qlabel, vec_id, label,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(${dotSql("qe", "embedding")} / (qnorm * norm), 6) DESC, vec_id) AS rank
+       |  FROM v JOIN q ON vec_id <> qid),
+       |votes AS (SELECT qid, qlabel, label, COUNT(*) AS votes
+       |          FROM ranked WHERE rank <= 5 GROUP BY qid, qlabel, label),
+       |best AS (SELECT qid, qlabel, label, votes,
+       |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vrank
+       |  FROM votes)
+       |SELECT qid, CAST(qlabel AS BIGINT) AS own_label,
+       |  CAST(label AS BIGINT) AS knn_label, votes,
+       |  label = qlabel AS agree
+       |FROM best WHERE vrank = 1 ORDER BY qid""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -575,5 +634,6 @@ object Similarity {
     Q("s06_ann_recall", s06, Some(s06Sql)),
     Q("s07_pq_adc", s07, Some(s07Sql)),
     Q("s08_ivf_rerank", s08, Some(s08Sql)),
-    Q("s09_cell_balance", s09, Some(s09Sql)))
+    Q("s09_cell_balance", s09, Some(s09Sql)),
+    Q("s10_knn_label_audit", s10, Some(s10Sql)))
 }

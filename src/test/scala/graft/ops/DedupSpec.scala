@@ -191,4 +191,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // at least one stage drops something somewhere, else the op is vacuous
     assert(rows.map(r => r.getLong(1) - r.getLong(4)).sum > 0)
   }
+
+  test("d15 sweep: monotone in threshold, 0.5 row equals the d02 pair count") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Dedup.d15(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1) == rows.map(_._1).sorted)
+    // tightening the threshold can only shrink both counts
+    rows.sliding(2).foreach {
+      case Seq((_, p1, d1), (_, p2, d2)) => assert(p1 >= p2 && d1 >= d2)
+      case _ =>
+    }
+    // the 0.5 row must agree with the d02 pair generator it sweeps
+    val pairs = Dedup.jaccardPairs(s, dir, 0.5)
+      .select($"da", $"db").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val at5 = rows.find(_._1 == 5L)
+    assert(pairs.nonEmpty && at5.isDefined, "sweep must be non-vacuous at sf0.001")
+    assert(at5.get._2 == pairs.length.toLong)
+    assert(at5.get._3 == pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
+  }
 }

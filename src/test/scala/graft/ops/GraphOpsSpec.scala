@@ -211,4 +211,32 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(runKcore(edges) ==
       Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L))
   }
+
+  private def runBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxHops: Int): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    GraphOps.bfsHops(edges.toDF("da", "db"), seeds.toDF("doc_id"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfs on a path seeded at one end: hop = distance, cut at maxHops") {
+    // 1-2-3-4-5-6: seed 1, maxHops 3 → 5 and 6 unreachable within bound
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    assert(runBfs(edges, Seq(1L), 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfs takes the MIN over multiple paths and seeds") {
+    // cycle 1-2-3-4-1 seeded at 1 and 3: everything is ≤1 hop away;
+    // vertex 9 in a separate component never appears
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (8L, 9L))
+    assert(runBfs(edges, Seq(1L, 3L), 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("bfs seeds outside the edge set stay at hop 0 with no expansion") {
+    val edges = Seq((1L, 2L))
+    assert(runBfs(edges, Seq(7L), 2) == Map(7L -> 0L))
+  }
 }

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** s10's leave-one-out kNN label audit pinned against a driver-side
+  * brute-force reference at sf0.001 — same ranking contract
+  * (round(sim, 6) desc, vec_id asc) and the same majority vote with
+  * ties broken to the smaller label id. */
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  test("s10 matches a brute-force LOO-kNN vote at sf0.001") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val vecs = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"label", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 % 7 == 0).map { case (qid, qlabel, qv) =>
+      val top5 = vecs.filter(_._1 != qid)
+        .map { case (id, l, v) =>
+          (BigDecimal(cos(qv, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP), id, l)
+        }
+        .sortBy { case (sim, id, _) => (-sim, id) }
+        .take(5)
+      val (knnLabel, votes) = top5.groupBy(_._3).map { case (l, xs) => (l, xs.length) }
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head
+      qid -> ((qlabel.toLong, knnLabel.toLong, votes.toLong, knnLabel == qlabel))
+    }.toMap
+    val got = Similarity.s10(s, dir).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(!_._4), "audit must flag at least one disagreement")
+  }
+}
