@@ -315,4 +315,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(ph.contains("HashAggregate"), s"hapax lost its hash aggregation:\n$ph")
     assert(!ph.contains("CartesianProduct"), s"cartesian product:\n$ph")
   }
+
+  test("d14: the drop sets broadcast into the flag joins; dedup keys are md5") {
+    val p = simplePlan(Dedup.d14(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"near-dup/contamination flags not broadcast:\n$p")
+    // the exact-rank window partitions on the 16-byte hash, never raw text
+    assert(p.contains("md5"), s"exact stage lost the md5 key:\n$p")
+  }
+
+  test("d15: the sweep aggregates pairs — no document-side shuffle beyond the index") {
+    val p = simplePlan(Dedup.d15(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("HashAggregate"), s"sweep lost its aggregates:\n$p")
+  }
+
+  test("s10: query side broadcasts; the corpus streams into the top-k window") {
+    val p = simplePlan(Similarity.s10(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query sample not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
+  test("g08: each BFS round joins the checkpointed edge list — no cartesian") {
+    val p = simplePlan(GraphOps.g08(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // the final plan is the union of per-round checkpoints: flat, not a
+    // 3-round join tower (lineage truncation worked)
+    assert(p.contains("Union") || p.contains("Scan ExistingRDD"),
+      s"per-round checkpoints missing — lineage grows with hops:\n$p")
+  }
 }
