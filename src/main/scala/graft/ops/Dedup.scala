@@ -1093,6 +1093,61 @@ object Dedup {
       |SELECT t10 AS threshold_x10, n_pairs, n_docs
       |FROM pairs_c JOIN docs_c USING (t10) ORDER BY t10""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+  /** Leak attribution — d06 flipped to the EVAL side: for each
+    * benchmark document, how many training documents share a 4-gram
+    * with it, the total shared-gram incidences across those pairs, and
+    * the single worst offender (most distinct shared grams, ties to the
+    * smaller doc_id). d06 answers "which training docs must I drop";
+    * this answers "which benchmark items are compromised and by what" —
+    * the report that decides whether an eval score is still meaningful.
+    *
+    * Scale (100 TB): identical join shape to d06 — the eval gram set
+    * broadcasts, the training corpus probes map-side, and only hit
+    * pairs (≪ corpus) reach the aggregations. The offender ranking and
+    * the per-eval rollup share one eval_id exchange (window + groupBy
+    * on the same key — the q38 pattern). */
+  def d16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grams = grams4(Tables.t(s, dir, "documents"))
+    val eval = grams.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("eval_id"), $"g")
+    val pair = grams.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(eval), Seq("g"))
+      .groupBy($"eval_id", $"doc_id")
+      .agg(countDistinct($"g").as("n_grams"))
+    val w = Window.partitionBy($"eval_id").orderBy($"n_grams".desc, $"doc_id")
+    pair.withColumn("rk", row_number().over(w))
+      .groupBy($"eval_id")
+      .agg(
+        count(lit(1)).as("n_train_docs"),
+        sum($"n_grams").as("total_shared_grams"),
+        max(when($"rk" === 1, $"doc_id")).as("top_offender"),
+        max(when($"rk" === 1, $"n_grams")).as("top_shared"))
+      .orderBy($"eval_id")
+  }
+
+  val d16Sql: String =
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+      |      FROM ws, UNNEST(generate_series(1, len(w) - 3)) AS t(i)
+      |      WHERE len(w) >= 4),
+      |pair AS (SELECT e.doc_id AS eval_id, t.doc_id AS doc_id,
+      |           CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_grams
+      |         FROM g t JOIN g e ON t.g = e.g
+      |         WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+      |         GROUP BY e.doc_id, t.doc_id),
+      |rk AS (SELECT eval_id, doc_id, n_grams,
+      |         row_number() OVER (PARTITION BY eval_id
+      |           ORDER BY n_grams DESC, doc_id) AS rk
+      |       FROM pair)
+      |SELECT eval_id, COUNT(*) AS n_train_docs,
+      |  CAST(SUM(n_grams) AS BIGINT) AS total_shared_grams,
+      |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS top_offender,
+      |  MAX(CASE WHEN rk = 1 THEN n_grams END) AS top_shared
+      |FROM rk GROUP BY eval_id ORDER BY eval_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1108,5 +1163,6 @@ object Dedup {
     Q("d12_minhash_audit", d12, Some(d12Sql)),
     Q("d13_semantic_dedup", d13, Some(d13Sql)),
     Q("d14_curation_funnel", d14, Some(d14Sql)),
-    Q("d15_threshold_sweep", d15, Some(d15Sql)))
+    Q("d15_threshold_sweep", d15, Some(d15Sql)),
+    Q("d16_leak_attribution", d16, Some(d16Sql)))
 }

@@ -317,6 +317,94 @@ object Streams {
       .start()
   }
 
+  /** Streaming curation funnel — the ingest twin of batch d14's exact
+    * and contamination stages: per micro-batch, every document is
+    * flagged exact-dup (its content hash was accepted in an earlier
+    * batch, or a lower-id doc in THIS batch owns the hash) and
+    * contaminated (any 4-gram hits the static eval gram set), then the
+    * per-source survivor counts for the batch append to `countersPath`.
+    * `SUM` over that sink per source IS the running funnel — the live
+    * "how much data survives" meter.
+    *
+    * The hash index sink (`indexPath`) carries one 16-byte digest per
+    * accepted document — never text — and both sinks partition by
+    * (`run_id`, `batch_id`) with dynamic partition overwrite, so a
+    * replayed micro-batch replaces exactly its own partitions and the
+    * summed counters stay correct across failures (the
+    * [[nearDupIngest]] recipe). The near-dup stage is deliberately
+    * absent: it needs the full pair graph, which is the batch path's
+    * job (d14); streaming funnels report the stages that are decidable
+    * per document.
+    *
+    * Scale: the eval gram set broadcasts (cached once, before the first
+    * micro-batch); the history probe is a semi-join against 16-byte
+    * hashes; everything else is batch-local. */
+  def funnelIngest(
+      docs: DataFrame,
+      evalGrams: DataFrame,
+      countersPath: String,
+      indexPath: String,
+      checkpoint: String): StreamingQuery = {
+    val s0 = docs.sparkSession
+    val runId = checkpointRunId(s0, checkpoint)
+    val gramSet = evalGrams.select(col("g")).distinct().cache()
+    gramSet.count() // materialize once, before the first micro-batch
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val hashed = batch
+          .select($"doc_id", $"source", $"text",
+            md5($"text".cast(BinaryType)).as("h"))
+          .localCheckpoint()
+        val hist = scala.util.Try(s.read.parquet(indexPath)).toOption match {
+          case None => s.emptyDataset[String].toDF("h")
+          case Some(ix) => ix
+            .filter(!($"run_id" === runId && $"batch_id" === batchId))
+            .select($"h").distinct()
+        }
+        val histDup = hashed.join(hist, Seq("h"), "left_semi").select($"doc_id")
+        val owners = hashed.groupBy($"h").agg(min($"doc_id").as("owner"))
+        val batchDup = hashed.join(owners, Seq("h"))
+          .filter($"doc_id" > $"owner").select($"doc_id")
+        val dupIds = histDup.union(batchDup).distinct()
+          .withColumn("e", lit(true)).localCheckpoint()
+        val contamIds = hashed
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .filter(size($"ws") >= 4)
+          .select($"doc_id",
+            explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+          .join(broadcast(gramSet), Seq("g"), "left_semi")
+          .select($"doc_id").distinct()
+          .withColumn("cf", lit(true))
+        val counters = hashed.select($"doc_id", $"source")
+          .join(dupIds, Seq("doc_id"), "left")
+          .join(contamIds, Seq("doc_id"), "left")
+          .select($"source",
+            coalesce($"e", lit(false)).as("e"),
+            coalesce($"cf", lit(false)).as("cf"))
+          .groupBy($"source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(!$"e", 1L).otherwise(0L)).as("n_after_exact"),
+            sum(when(!$"e" && !$"cf", 1L).otherwise(0L)).as("n_clean"))
+        // accepted (first-seen) hashes extend the index for later batches
+        hashed.join(dupIds.select($"doc_id"), Seq("doc_id"), "left_anti")
+          .select($"h").distinct()
+          .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_id", "batch_id").parquet(indexPath)
+        counters
+          .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_id", "batch_id").parquet(countersPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Distinct 4-grams of a static eval-set corpus — the broadcast side of
     * [[decontaminate]]. */
   def evalGramsOf(evalDocs: DataFrame): DataFrame = {

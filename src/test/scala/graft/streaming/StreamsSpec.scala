@@ -468,4 +468,57 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     val out = s.read.parquet(target).as[(Long, String)].collect().sorted
     assert(out.toSeq == Seq((1L, "a"), (2L, "c"), (3L, "d")))
   }
+
+  test("funnelIngest: summed counters equal the batch funnel stages (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = Files.createTempDirectory("graft_funnel")
+    val counters = base.resolve("counters").toString
+    val index = base.resolve("index").toString
+    val evalGrams = Streams.evalGramsOf(
+      Seq("held out eval question about spark windows").toDF("text"))
+    val in = MemoryStream[(Long, String, String)]
+
+    def drain(ckpt: String): Unit =
+      Streams.funnelIngest(in.toDF().toDF("doc_id", "source", "text"),
+        evalGrams, counters, index, base.resolve(ckpt).toString)
+        .awaitTermination()
+
+    def summed(): Map[String, (Long, Long, Long)] =
+      s.read.parquet(counters)
+        .groupBy($"source")
+        .agg(org.apache.spark.sql.functions.sum($"n_docs"),
+          org.apache.spark.sql.functions.sum($"n_after_exact"),
+          org.apache.spark.sql.functions.sum($"n_clean"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+
+    val dup = "same exact text appearing twice in the corpus"
+    // batch 1: doc 2 duplicates doc 1 within the batch; doc 3 is
+    // contaminated (contains "eval question about spark")
+    in.addData(
+      (1L, "a", dup),
+      (2L, "a", dup),
+      (3L, "b", "training doc with the eval question about spark inside it"))
+    drain("ckpt")
+    assert(summed() == Map("a" -> ((2L, 1L, 1L)), "b" -> ((1L, 1L, 0L))))
+
+    // batch 2: doc 4 duplicates HISTORY (doc 1); doc 5 is clean and novel
+    in.addData(
+      (4L, "b", dup),
+      (5L, "a", "a perfectly clean training document with no overlap at all"))
+    drain("ckpt")
+    assert(summed() == Map("a" -> ((3L, 2L, 2L)), "b" -> ((2L, 1L, 0L))))
+
+    // fresh checkpoint, same sinks: batch ids restart at 0 but must not
+    // clobber the earlier run's partitions; history still counts
+    val in2 = MemoryStream[(Long, String, String)]
+    in2.addData((6L, "b", dup))
+    Streams.funnelIngest(in2.toDF().toDF("doc_id", "source", "text"),
+      evalGrams, counters, index, base.resolve("ckpt2").toString)
+      .awaitTermination()
+    assert(summed() == Map("a" -> ((3L, 2L, 2L)), "b" -> ((3L, 1L, 0L))))
+  }
 }
