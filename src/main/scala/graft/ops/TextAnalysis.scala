@@ -22,6 +22,13 @@ object TextAnalysis {
 
   private def dbl(c: Column): Column = c.cast(DoubleType)
 
+  /** Engine-exact 6-decimal rounding: `round(x*1e6)` → BIGINT → `/1e6`.
+    * Multiply, round-half-away (positive input), and integer/1e6 division
+    * are each single correctly-rounded IEEE ops, so Spark and DuckDB
+    * produce bit-identical doubles — `round(x, 6)` does not. */
+  private def micro6(c: Column): Column =
+    round(c * lit(1e6)).cast(LongType) / lit(1e6)
+
   /** words of `text` (space-separated). */
   private def words(c: Column): Column = split(c, " ")
 
@@ -619,15 +626,16 @@ object TextAnalysis {
       .groupBy($"decile")
       .agg(
         count(lit(1)).as("n_docs"),
-        // rounded per the registry determinism contract (Q.scala): raw
-        // doubles differ from DuckDB below 1e-9 in repr, which is enough
-        // to break the driver's value hash
-        round(min($"ratio"), 6).as("min_ratio"),
-        round(max($"ratio"), 6).as("max_ratio"),
+        // engine-exact 6-decimal rounding: round(x*1e6)→int→/1e6 is the
+        // same IEEE ops on both engines, so decision AND repr match
+        // bit-for-bit; round(x, 6) does not (Spark rounds the exact
+        // decimal expansion, DuckDB rounds x*1e6 — ties can split)
+        micro6(min($"ratio")).as("min_ratio"),
+        micro6(max($"ratio")).as("max_ratio"),
         sum($"n_stop").as("total_stopwords"),
         sum($"n_tok").as("total_tokens"))
       .withColumn("pooled_ratio",
-        round(dbl($"total_stopwords") / $"total_tokens", 6))
+        micro6(dbl($"total_stopwords") / $"total_tokens"))
       .orderBy($"decile")
   }
 
@@ -694,9 +702,11 @@ object TextAnalysis {
        |b AS (
        |  SELECT *, ntile(10) OVER (ORDER BY ratio, doc_id) AS decile FROM r)
        |SELECT decile, COUNT(*) AS n_docs,
-       |  round(MIN(ratio), 6) AS min_ratio, round(MAX(ratio), 6) AS max_ratio,
+       |  CAST(round(MIN(ratio) * 1e6) AS BIGINT) / 1e6 AS min_ratio,
+       |  CAST(round(MAX(ratio) * 1e6) AS BIGINT) / 1e6 AS max_ratio,
        |  SUM(n_stop) AS total_stopwords, SUM(n_tok) AS total_tokens,
-       |  round(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok), 6) AS pooled_ratio
+       |  CAST(round(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok) * 1e6) AS BIGINT)
+       |    / 1e6 AS pooled_ratio
        |FROM b GROUP BY decile ORDER BY decile""".stripMargin
   }
 

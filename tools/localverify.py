@@ -8,7 +8,7 @@ NOT part of the shipped library — the Scala code has no Python deps.
 import sys, os, json, math
 import duckdb
 
-def canon(rows, cols):
+def canon(rows, cols, exact):
     # driver sorts columns by name before hashing values; mimic + sort rows
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -16,9 +16,9 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)  # exact-match goal; round only vs repr noise
-            vals.append(str(v))
+            if isinstance(v, float) and not exact:
+                v = round(v, 9)
+            vals.append(str(v))  # exact mode: repr IS the bit pattern
         out.append(tuple(vals))
     out.sort()
     return out
@@ -59,12 +59,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: column type mismatch {tdiff} "
                   "(cast the oracle SQL to the spark-side type)")
             n_fail += 1; continue
-        g, e = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
+        g, e = canon(got_rows, got_cols, True), canon(exp_rows, exp_cols, True)
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
         if g != e:
+            # bit-exact mismatch: the driver's hash would flag this even if
+            # the math is right to 1e-9 — distinguish the two cases
+            g9 = canon(got_rows, got_cols, False)
+            e9 = canon(exp_rows, exp_cols, False)
+            kind = "FP-REPR (passes at 9 decimals — still a driver-hash " \
+                   "risk)" if g9 == e9 else "value"
             bad = [i for i, (a, b) in enumerate(zip(g, e)) if a != b][:3]
-            print(f"FAIL {name}: value mismatch at rows {bad}")
+            print(f"FAIL {name}: {kind} mismatch at rows {bad}")
             for i in bad:
                 print(f"  got {g[i]}\n  exp {e[i]}")
             n_fail += 1; continue
