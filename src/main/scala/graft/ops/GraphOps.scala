@@ -661,6 +661,56 @@ object GraphOps {
       |SELECT doc_id, MIN(hops) AS hops FROM bfs
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- g09
+  /** Bipartite projection of the user↔event_type graph: for every pair
+    * of event types, how many users did both, plus the overlap
+    * coefficient |A∩B| / min(|A|,|B|) — the co-engagement graph used
+    * for behavioral clustering and feature co-occurrence audits.
+    *
+    * Scale (100 TB): the raw log first reduces to distinct
+    * (user, event_type) — map-side combinable, output ≤ |users|·|types|.
+    * The pair join is per-user with bounded fan-out (|types| is a small
+    * fixed vocabulary, so each user contributes ≤ C(|types|,2) pairs —
+    * NOT a quadratic blowup), and per-type totals are a tiny broadcast
+    * joined twice onto the pair counts. */
+  /** g09 kernel on any (user_id, event_type) membership frame —
+    * unit-tested on hand-built bipartite graphs. */
+  private[graft] def bipartiteOverlap(members: DataFrame): DataFrame = {
+    val s = members.sparkSession
+    import s.implicits._
+    val ue = members.select($"user_id", $"event_type").distinct()
+    val totals = ue.groupBy($"event_type").agg(count(lit(1)).as("n_users"))
+    val a = ue.select($"user_id", $"event_type".as("et_a"))
+    val b = ue.select($"user_id", $"event_type".as("et_b"))
+    a.join(b, Seq("user_id")).filter($"et_a" < $"et_b")
+      .groupBy($"et_a", $"et_b").agg(count(lit(1)).as("n_both"))
+      .join(broadcast(totals.select($"event_type".as("et_a"), $"n_users".as("na"))), Seq("et_a"))
+      .join(broadcast(totals.select($"event_type".as("et_b"), $"n_users".as("nb"))), Seq("et_b"))
+      .select($"et_a", $"et_b", $"n_both", $"na", $"nb",
+        // exact ints → one IEEE division, round 6: engine-independent
+        round($"n_both".cast("double") / least($"na", $"nb"), 6).as("overlap"))
+      .orderBy($"et_a", $"et_b")
+  }
+
+  def g09(s: SparkSession, dir: String): DataFrame =
+    bipartiteOverlap(Tables.t(s, dir, "events"))
+
+  val g09Sql: String =
+    """WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+      |totals AS (SELECT event_type, COUNT(*) AS n_users FROM ue GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS et_a, b.event_type AS et_b, COUNT(*) AS n_both
+      |  FROM ue a JOIN ue b ON a.user_id = b.user_id
+      |  WHERE a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT et_a, et_b, n_both, ta.n_users AS na, tb.n_users AS nb,
+      |  round(CAST(n_both AS DOUBLE) / least(ta.n_users, tb.n_users), 6)
+      |    AS overlap
+      |FROM pairs
+      |JOIN totals ta ON ta.event_type = et_a
+      |JOIN totals tb ON tb.event_type = et_b
+      |ORDER BY et_a, et_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -669,5 +719,6 @@ object GraphOps {
     Q("g05_clustering", g05, Some(g05Sql)),
     Q("g06_kcore", g06, Some(g06Sql)),
     Q("g07_cluster_profile", g07, Some(g07Sql)),
-    Q("g08_blast_radius", g08, Some(g08Sql)))
+    Q("g08_blast_radius", g08, Some(g08Sql)),
+    Q("g09_coengagement", g09, Some(g09Sql)))
 }

@@ -625,6 +625,46 @@ object Similarity {
        |  label = qlabel AS agree
        |FROM best WHERE vrank = 1 ORDER BY qid""".stripMargin
 
+  // ---------------------------------------------------------------- s11
+  /** Embedding-norm profile per label — the vector-quality audit run
+    * before any ANN indexing: degenerate norms (≈0 or huge) break cosine
+    * ranking and IVF cell assignment, and a label whose norm band drifts
+    * from the rest usually marks a broken embedding batch.
+    *
+    * Numerics: each row's norm is the deterministic fold dot (exact per
+    * row); cross-row aggregation rounds the norm to 9 dp and sums in
+    * DECIMAL, so the mean is bit-identical under any partitioning.
+    * min/max are order-free and need no rounding.
+    *
+    * Scale (100 TB): one map-side-combinable aggregate on label — no
+    * joins, no windows; output is |labels| rows. */
+  def s11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vecs(s, dir)
+      .withColumn("rnorm", round($"norm", 9).cast(DecimalType(28, 9)))
+      .groupBy($"label".cast("long").as("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(min($"norm"), 6).as("min_norm"),
+        round(max($"norm"), 6).as("max_norm"),
+        round(sum($"rnorm").cast(DoubleType) / count(lit(1)), 6).as("avg_norm"),
+        sum(when($"norm" < 0.5, 1L).otherwise(0L)).as("n_degenerate"))
+      .orderBy($"label")
+  }
+
+  val s11Sql: String =
+    s"""WITH v AS (SELECT label,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |  COUNT(*) AS n_vecs,
+       |  round(MIN(norm), 6) AS min_norm,
+       |  round(MAX(norm), 6) AS max_norm,
+       |  round(CAST(SUM(CAST(round(norm, 9) AS DECIMAL(28, 9))) AS DOUBLE)
+       |    / COUNT(*), 6) AS avg_norm,
+       |  CAST(SUM(CASE WHEN norm < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_degenerate
+       |FROM v GROUP BY label ORDER BY label""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -635,5 +675,6 @@ object Similarity {
     Q("s07_pq_adc", s07, Some(s07Sql)),
     Q("s08_ivf_rerank", s08, Some(s08Sql)),
     Q("s09_cell_balance", s09, Some(s09Sql)),
-    Q("s10_knn_label_audit", s10, Some(s10Sql)))
+    Q("s10_knn_label_audit", s10, Some(s10Sql)),
+    Q("s11_norm_profile", s11, Some(s11Sql)))
 }

@@ -349,6 +349,125 @@ object Temporal {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM daily ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** Rolling 7-day distinct active users per day (the DAU/WAU primitive).
+    * Exact rolling COUNT(DISTINCT) admits no window frame; the scalable
+    * form is contribution expansion: reduce events to distinct
+    * (user, day), then each active day contributes the user to the 7
+    * report days it is visible from, and the rest is a plain distinct
+    * count per report day.
+    *
+    * Scale (100 TB): the expensive reduction (events → user-days) is one
+    * map-side-combinable aggregate; the 7× expansion happens AFTER that
+    * reduction, so it multiplies the already-tiny user-day set, not the
+    * raw event log. Report days beyond the observed range are clipped so
+    * the curve ends on the last day with data. */
+  /** q41 kernel on any (user_id, ts) frame — unit-tested on hand-built
+    * streams (window width `windowDays`). */
+  private[graft] def rollingActive(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val days = events
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val maxDay = days.agg(max($"day").as("max_day"))
+    days
+      .select($"user_id",
+        explode(sequence($"day", date_add($"day", windowDays - 1))).as("report_day"))
+      .join(broadcast(maxDay), $"report_day" <= $"max_day")
+      .groupBy($"report_day")
+      .agg(countDistinct($"user_id").as(s"active_users_${windowDays}d"))
+      .select(date_format($"report_day", "yyyy-MM-dd").as("report_day"),
+        col(s"active_users_${windowDays}d"))
+      .orderBy($"report_day")
+  }
+
+  def q41(s: SparkSession, dir: String): DataFrame =
+    rollingActive(Tables.t(s, dir, "events"))
+
+  val q41Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |expanded AS (
+      |  SELECT user_id, day + CAST(o AS INTEGER) AS report_day
+      |  FROM days, UNNEST(generate_series(0, 6)) AS t(o))
+      |SELECT strftime(report_day, '%Y-%m-%d') AS report_day,
+      |  COUNT(DISTINCT user_id) AS active_users_7d
+      |FROM expanded
+      |WHERE report_day <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
+      |GROUP BY report_day ORDER BY report_day""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  /** SCD type-2 interval build: turn each user's event log into
+    * contiguous [valid_from, valid_to) intervals of constant
+    * event_type — the "dimension history from a changelog" primitive
+    * (q39 keeps only the latest state; this keeps the full history).
+    * Runs of equal state are collapsed; the open interval's valid_to is
+    * NULL (emitted as a sentinel string so the hash compare is exact).
+    *
+    * Scale (100 TB): one shuffle on user_id, two ordered window passes
+    * over each user's partition (lag to flag changes, running max to
+    * number runs), then a plain groupBy — no self-join, no
+    * per-user collect. Partitioning by user spreads perfectly. */
+  /** q42 kernel on any (user_id, event_type, ts, event_id) frame —
+    * unit-tested on hand-built changelogs. */
+  private[graft] def scd2Intervals(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("chg",
+        when(lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type", 1L).otherwise(0L))
+      .withColumn("run_id", sum($"chg").over(run))
+      .groupBy($"user_id", $"run_id")
+      .agg(
+        // constant within a run by construction; min = that constant
+        min($"event_type").as("state"),
+        min($"ts").as("valid_from"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to",
+        lead($"valid_from", 1).over(
+          Window.partitionBy($"user_id").orderBy($"run_id")))
+      .select(
+        $"user_id", $"run_id", $"state",
+        date_format($"valid_from", TsFmt).as("valid_from"),
+        coalesce(date_format($"valid_to", TsFmt), lit("open")).as("valid_to"),
+        $"n_events")
+      .orderBy($"user_id", $"run_id")
+  }
+
+  def q42(s: SparkSession, dir: String): DataFrame =
+    scd2Intervals(Tables.t(s, dir, "events"))
+
+  val q42Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS chg
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |runs AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS run_id
+      |  FROM flagged),
+      |intervals AS (
+      |  SELECT user_id, run_id,
+      |    MIN(event_type) AS state,
+      |    MIN(ts) AS valid_from,
+      |    COUNT(*) AS n_events
+      |  FROM runs GROUP BY user_id, run_id)
+      |SELECT user_id, run_id, state,
+      |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |  COALESCE(strftime(lead(valid_from) OVER (
+      |    PARTITION BY user_id ORDER BY run_id), '%Y-%m-%d %H:%M:%S.%f'),
+      |    'open') AS valid_to,
+      |  n_events
+      |FROM intervals ORDER BY user_id, run_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -356,5 +475,7 @@ object Temporal {
     Q("q36_concurrency", q36, Some(q36Sql)),
     Q("q38_streaks", q38, Some(q38Sql)),
     Q("q39_compaction", q39, Some(q39Sql)),
-    Q("q40_user_growth", q40, Some(q40Sql)))
+    Q("q40_user_growth", q40, Some(q40Sql)),
+    Q("q41_rolling_active", q41, Some(q41Sql)),
+    Q("q42_scd2_intervals", q42, Some(q42Sql)))
 }

@@ -1234,6 +1234,105 @@ object TextAnalysis {
       |    AS target_docs
       |FROM ranked ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t24
+  /** Zipf-law audit of the corpus vocabulary: the top-30 terms by
+    * frequency with their rank and the normalized rank·frequency product
+    * (for a Zipfian corpus, freq·rank ≈ const ≈ top frequency, so the
+    * ratio hovers near 1). The rational ratio replaces the usual log-log
+    * regression slope — monotone in the same diagnostic, but a single
+    * IEEE division of exact integers, bit-identical across engines
+    * (transcendentals are not).
+    *
+    * Scale (100 TB): term counting is the canonical map-side-combinable
+    * aggregate; ranking runs over the vocabulary (≪ corpus, sublinear
+    * growth), so the single-partition top-30 window is bounded. */
+  def t24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = Tables.t(s, dir, "documents")
+      .select(explode(words($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy($"freq".desc, $"term")
+    val top = freq
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 30)
+    val topFreq = top.agg(max($"freq").as("top_freq"))
+    top.crossJoin(broadcast(topFreq))
+      .select($"rank", $"term", $"freq",
+        round(dbl($"freq" * $"rank") / $"top_freq", 6).as("zipf_ratio"))
+      .orderBy($"rank")
+  }
+
+  val t24Sql: String =
+    """WITH freq AS (
+      |  SELECT w AS term, COUNT(*) AS freq
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+      |       UNNEST(ws) AS t(w)
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT term, freq,
+      |    row_number() OVER (ORDER BY freq DESC, term) AS rank
+      |  FROM freq),
+      |top AS (SELECT * FROM ranked WHERE rank <= 30)
+      |SELECT rank, term, freq,
+      |  round(CAST(freq * rank AS DOUBLE) / (SELECT MAX(freq) FROM top), 6)
+      |    AS zipf_ratio
+      |FROM top ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- t25
+  /** Sliding-window chunking with overlap (size 8 tokens, stride 4) —
+    * the context-window packing step of a RAG / pretraining pipeline.
+    * Every document yields ceil(max(n-8,0)/4)+1 chunks; the final chunk
+    * is the tail remainder. Chunk ids are (doc_id, chunk_no), so the
+    * output is deterministic and re-chunkable incrementally per doc.
+    *
+    * Scale (100 TB): pure per-row expansion — explode over a computed
+    * chunk-start sequence, `slice` on the token array, no shuffle at
+    * all until the output sort. Chunks inherit the input's partitioning,
+    * so downstream embed/dedup stages start perfectly spread. */
+  /** t25 kernel on any (doc_id, text) frame — unit-tested on hand-built
+    * docs across the tail-alignment edge cases. */
+  private[graft] def chunkStride(docsIn: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val docs = docsIn
+      .select($"doc_id", words($"text").as("toks"))
+      .withColumn("n", size($"toks"))
+    Q.sortedNarrow(
+      docs
+        .withColumn("starts",
+          sequence(lit(0),
+            // last start: stride-aligned position covering the tail
+            (ceil((greatest($"n" - chunkSize, lit(0))).cast(DoubleType) / stride) * stride)
+              .cast(IntegerType),
+            lit(stride)))
+        .select($"doc_id", $"toks", $"n".as("n_tokens"),
+          posexplode($"starts").as(Seq("chunk_no", "start")))
+        .select($"doc_id", $"chunk_no",
+          concat_ws(" ", slice($"toks", $"start" + 1, lit(chunkSize))).as("chunk_text"),
+          least(lit(chunkSize), $"n_tokens" - $"start").as("chunk_len")),
+      $"doc_id", $"chunk_no")
+  }
+
+  def t25(s: SparkSession, dir: String): DataFrame =
+    chunkStride(Tables.t(s, dir, "documents"), 8, 4)
+
+  val t25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |starts AS (
+      |  SELECT doc_id, n, CAST(s AS INTEGER) AS start,
+      |    CAST(s // 4 AS BIGINT) AS chunk_no
+      |  FROM toks,
+      |    UNNEST(generate_series(0,
+      |      CAST(ceil(CAST(greatest(n - 8, 0) AS DOUBLE) / 4) * 4 AS BIGINT),
+      |      4)) AS t(s))
+      |SELECT t.doc_id, s.chunk_no,
+      |  array_to_string(ws[s.start + 1 : s.start + 8], ' ') AS chunk_text,
+      |  least(8, t.n - s.start) AS chunk_len
+      |FROM toks t JOIN starts s ON t.doc_id = s.doc_id
+      |ORDER BY t.doc_id, s.chunk_no""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1257,5 +1356,7 @@ object TextAnalysis {
     Q("t20_bigram_support", t20, Some(t20Sql)),
     Q("t21_readability", t21, Some(t21Sql)),
     Q("t22_hapax_profile", t22, Some(t22Sql)),
-    Q("t23_mixture_budget", t23, Some(t23Sql)))
+    Q("t23_mixture_budget", t23, Some(t23Sql)),
+    Q("t24_zipf_curve", t24, Some(t24Sql)),
+    Q("t25_chunk_stride", t25, Some(t25Sql)))
 }

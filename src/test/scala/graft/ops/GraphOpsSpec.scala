@@ -239,4 +239,36 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     val edges = Seq((1L, 2L))
     assert(runBfs(edges, Seq(7L), 2) == Map(7L -> 0L))
   }
+
+  test("bipartite overlap: pair counts, totals, and the overlap coefficient") {
+    val s = spark
+    import s.implicits._
+    // A: {u1,u2,u3}, B: {u2,u3}, C: {u3}; u1 logs A twice (dup must not count)
+    val members = Seq(
+      (1L, "A"), (1L, "A"), (2L, "A"), (3L, "A"),
+      (2L, "B"), (3L, "B"),
+      (3L, "C")).toDF("user_id", "event_type")
+    val out = GraphOps.bipartiteOverlap(members).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // (et_a, et_b) sorted lexicographically; overlap = n_both/min(na,nb)
+    assert(out.toSeq == Seq(
+      ("A", "B", 2L, 3L, 2L, 1.0),   // B ⊂ A → overlap 1
+      ("A", "C", 1L, 3L, 1L, 1.0),   // C ⊂ A → overlap 1
+      ("B", "C", 1L, 2L, 1L, 1.0)))  // C ⊂ B → overlap 1
+  }
+
+  test("bipartite overlap: partial overlap gives a fractional coefficient") {
+    val s = spark
+    import s.implicits._
+    // X: {u1,u2}, Y: {u2,u3,u4} → ∩={u2}, min(|X|,|Y|)=2 → 0.5
+    val members = Seq(
+      (1L, "X"), (2L, "X"),
+      (2L, "Y"), (3L, "Y"), (4L, "Y")).toDF("user_id", "event_type")
+    val out = GraphOps.bipartiteOverlap(members).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)) ==
+      (("X", "Y", 1L, 0.5)))
+  }
 }

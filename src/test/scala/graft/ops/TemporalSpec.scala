@@ -99,4 +99,77 @@ class TemporalSpec extends AnyFunSuite with SparkFixture {
       3L -> "2024-03-01 10:00:00"))
     assert(out == Seq((3L, "2024-02-28", "2024-03-01", 3L)))
   }
+
+  private def toEvents(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    rows.toDF("user_id", "t")
+      .select($"user_id", to_timestamp($"t").as("ts"))
+  }
+
+  test("rolling 7-day actives: each user-day feeds a week; curve clips at max day") {
+    // u1 active Jan 1; u2 active Jan 3. Window 7 days, data ends Jan 3 →
+    // report days 1..3 only (no trailing ghost days past the data).
+    val out = Temporal.rollingActive(toEvents(Seq(
+      1L -> "2024-01-01 10:00:00",
+      1L -> "2024-01-01 11:00:00", // same day twice: still one user-day
+      2L -> "2024-01-03 09:00:00")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(out == Seq(
+      "2024-01-01" -> 1L,
+      "2024-01-02" -> 1L,
+      "2024-01-03" -> 2L))
+  }
+
+  test("rolling actives: a user expires after 7 days; idle days emit no row") {
+    // u1 active day 1 only → visible on report days 1..7.
+    // u2 active day 9 → visible on day 9 (curve clips there).
+    // Day 8 has no user in its lookback window, so NO row (sparse output).
+    val out = Temporal.rollingActive(toEvents(Seq(
+      1L -> "2024-01-01 10:00:00",
+      2L -> "2024-01-09 10:00:00")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = ((1 to 7) :+ 9).map(d => f"2024-01-$d%02d" -> 1L).toMap
+    assert(out == expected)
+  }
+
+  /** (user, ts, event_id, state) rows → SCD2 intervals. */
+  private def scd2Of(rows: Seq[(Long, String, Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val df = rows.toDF("user_id", "t", "event_id", "event_type")
+      .select($"user_id", $"event_type", $"event_id", to_timestamp($"t").as("ts"))
+    Temporal.scd2Intervals(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3).take(19), r.getString(4).take(19), r.getLong(5)))
+      .toSeq
+  }
+
+  test("scd2: equal-state runs collapse; intervals chain; last stays open") {
+    val out = scd2Of(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 11:00:00", 2L, "view"),
+      (1L, "2024-01-02 09:00:00", 3L, "buy"),
+      (1L, "2024-01-03 08:00:00", 4L, "view")))
+    assert(out == Seq(
+      (1L, 1L, "view", "2024-01-01 10:00:00", "2024-01-02 09:00:00", 2L),
+      (1L, 2L, "buy", "2024-01-02 09:00:00", "2024-01-03 08:00:00", 1L),
+      (1L, 3L, "view", "2024-01-03 08:00:00", "open", 1L)))
+  }
+
+  test("scd2: same-timestamp ties order by event_id; users are independent") {
+    val out = scd2Of(Seq(
+      // u5: two events at the SAME ts — event_id 10 (A) then 11 (B)
+      (5L, "2024-03-01 12:00:00", 10L, "A"),
+      (5L, "2024-03-01 12:00:00", 11L, "B"),
+      // u6: single-state log → one open interval
+      (6L, "2024-03-02 08:00:00", 20L, "C"),
+      (6L, "2024-03-04 08:00:00", 21L, "C")))
+    assert(out == Seq(
+      (5L, 1L, "A", "2024-03-01 12:00:00", "2024-03-01 12:00:00", 1L),
+      (5L, 2L, "B", "2024-03-01 12:00:00", "open", 1L),
+      (6L, 1L, "C", "2024-03-02 08:00:00", "open", 2L)))
+  }
 }
