@@ -483,29 +483,29 @@ object GraphOps {
   val g06Sql: String =
     """WITH words AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |sh0 AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
       |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
-      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |sh AS MATERIALIZED (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
       |       WHERE df.df <= 1000),
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |          GROUP BY a.doc_id, b.doc_id),
-      |e0 AS (SELECT da, db FROM inter
+      |e0 AS MATERIALIZED (SELECT da, db FROM inter
       |       JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
       |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
       |d1 AS (SELECT doc_id, COUNT(*) AS deg FROM (
       |         SELECT da AS doc_id FROM e0 UNION ALL SELECT db FROM e0)
       |       GROUP BY doc_id),
       |k1 AS (SELECT doc_id FROM d1 WHERE deg >= 2),
-      |e1 AS (SELECT da, db FROM e0
+      |e1 AS MATERIALIZED (SELECT da, db FROM e0
       |       WHERE da IN (SELECT doc_id FROM k1) AND db IN (SELECT doc_id FROM k1)),
       |d2 AS (SELECT doc_id, COUNT(*) AS deg FROM (
       |         SELECT da AS doc_id FROM e1 UNION ALL SELECT db FROM e1)
       |       GROUP BY doc_id),
       |k2 AS (SELECT doc_id FROM d2 WHERE deg >= 2),
-      |e2 AS (SELECT da, db FROM e1
+      |e2 AS MATERIALIZED (SELECT da, db FROM e1
       |       WHERE da IN (SELECT doc_id FROM k2) AND db IN (SELECT doc_id FROM k2)),
       |d3 AS (SELECT doc_id, COUNT(*) AS deg FROM (
       |         SELECT da AS doc_id FROM e2 UNION ALL SELECT db FROM e2)

@@ -584,6 +584,66 @@ object Streams {
       }
   }
 
+  /** Closed SCD2 interval emitted by [[scdIngest]]. */
+  final case class ScdInterval(
+      user_id: Long, run_id: Long, state: String,
+      valid_from: Timestamp, valid_to: Timestamp, n_events: Long)
+  /** Per-user open run: current state and its interval bookkeeping. */
+  final case class ScdS(runId: Long, state: String, validFromMs: Long,
+      nEvents: Long, lastTsMs: Long, lastEventId: Long)
+
+  /** Streaming SCD type-2 interval build — the live twin of batch
+    * q42_scd2_intervals: per user, maintain the open state run; when an
+    * arriving event carries a DIFFERENT event_type, emit the now-closed
+    * interval (valid_to = the new run's first timestamp, exactly the
+    * batch op's lead() semantics) and open the next run. Append mode:
+    * only closed intervals are emitted — the open run lives in state
+    * until a state change closes it, so the sink is append-only history.
+    *
+    * Within a micro-batch events are sorted by (ts, event_id) — the
+    * batch op's total order — so any intra-batch arrival order yields
+    * the same intervals. ACROSS batches the fold assumes per-user
+    * event-time monotonicity (an event older than the open run's last
+    * seen (ts, event_id) is dropped as late data): unlike q39's
+    * max-fold, interval history is order-sensitive by nature, so the
+    * batch q42 over the full log remains the replayable source of truth
+    * and this ingest is the low-latency approximation a watermarked
+    * buffer would make exact.
+    *
+    * State is ONE constant-size run per live user — O(users), stream-
+    * length independent. */
+  def scdIngest(events: Dataset[Ev2]): Dataset[ScdInterval] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdS, ScdInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev2], state: GroupState[ScdS]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[ScdInterval]
+          ordered.foreach { e =>
+            val t = e.ts.getTime
+            if (st == null) {
+              st = ScdS(1L, e.event_type, t, 1L, t, e.event_id)
+            } else if (t < st.lastTsMs ||
+                (t == st.lastTsMs && e.event_id <= st.lastEventId)) {
+              // late or replayed: older than the open run's frontier — drop
+            } else if (e.event_type == st.state) {
+              st = st.copy(nEvents = st.nEvents + 1, lastTsMs = t,
+                lastEventId = e.event_id)
+            } else {
+              closed += ScdInterval(uid, st.runId, st.state,
+                new Timestamp(st.validFromMs), new Timestamp(t), st.nEvents)
+              st = ScdS(st.runId + 1, e.event_type, t, 1L, t, e.event_id)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

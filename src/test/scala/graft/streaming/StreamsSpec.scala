@@ -18,6 +18,7 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       ts: Timestamp, value: Double)
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+  private def fmt(t: Timestamp): String = t.toString.take(19)
 
   test("hourly: append-mode windows emit once the watermark passes") {
     val s = spark
@@ -446,6 +447,57 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
         (1L, ts("2024-01-01 10:00:00")), // earliest of the batch, not first-arrived
         (2L, ts("2024-01-01 12:00:00")),
         (3L, ts("2024-01-02 10:00:00"))))
+    } finally q.stop()
+  }
+
+  test("scdIngest: closed intervals match batch q42; open runs stay in state") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Streams.Ev2]
+    val q = Streams.scdIngest(in.toDS())
+      .writeStream.format("memory").queryName("scd_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 arrives OUT of order within the batch: the fold must sort
+      in.addData(
+        Streams.Ev2(2, 1, "view", ts("2024-01-01 11:00:00"), 0.0),
+        Streams.Ev2(1, 1, "view", ts("2024-01-01 10:00:00"), 0.0),
+        Streams.Ev2(3, 1, "buy", ts("2024-01-02 09:00:00"), 0.0))
+      q.processAllAvailable()
+      // batch 2: a late event (older than the open run's frontier) is
+      // dropped; a state change closes the buy run; user 2 opens a run
+      in.addData(
+        Streams.Ev2(9, 1, "view", ts("2024-01-01 12:00:00"), 0.0), // late
+        Streams.Ev2(4, 1, "view", ts("2024-01-03 08:00:00"), 0.0),
+        Streams.Ev2(5, 2, "click", ts("2024-01-03 09:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = s.table("scd_out")
+        .as[Streams.ScdInterval].collect().toSeq
+        .sortBy(r => (r.user_id, r.run_id))
+        .map(r => (r.user_id, r.run_id, r.state,
+          fmt(r.valid_from), fmt(r.valid_to), r.n_events))
+      // closed intervals only: u1's view run (2 events) closed by buy,
+      // then the buy run closed by the batch-2 view; u1's open view run
+      // and u2's open click run are unemitted state
+      assert(rows == Seq(
+        (1L, 1L, "view", "2024-01-01 10:00:00", "2024-01-02 09:00:00", 2L),
+        (1L, 2L, "buy", "2024-01-02 09:00:00", "2024-01-03 08:00:00", 1L)))
+      // kappa: the closed prefix equals batch q42 on the same in-order
+      // event set (late event 9 excluded), minus its open intervals
+      val batchRows = graft.ops.Temporal.scd2Intervals(
+        Seq(
+          (1L, "view", 1L, ts("2024-01-01 10:00:00")),
+          (1L, "view", 2L, ts("2024-01-01 11:00:00")),
+          (1L, "buy", 3L, ts("2024-01-02 09:00:00")),
+          (1L, "view", 4L, ts("2024-01-03 08:00:00")),
+          (2L, "click", 5L, ts("2024-01-03 09:00:00")))
+          .toDF("user_id", "event_type", "event_id", "ts"))
+        .filter($"valid_to" =!= "open")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3).take(19), r.getString(4).take(19), r.getLong(5)))
+        .toSeq
+      assert(rows == batchRows)
     } finally q.stop()
   }
 
