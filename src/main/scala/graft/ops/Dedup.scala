@@ -1148,6 +1148,65 @@ object Dedup {
       |  MAX(CASE WHEN rk = 1 THEN n_grams END) AS top_shared
       |FROM rk GROUP BY eval_id ORDER BY eval_id""".stripMargin
 
+  // ---------------------------------------------------------------- d17
+  /** Template dedup — boilerplate detection ABOVE d01's exact tier:
+    * mask digit runs and collapse whitespace, then group by the masked
+    * hash, so "Order #123 shipped" and "Order #456 shipped" collapse
+    * into one template. Reports the top-10 template groups (by member
+    * count) that exact dedup CANNOT see (n_distinct_texts > 1): the
+    * generated/boilerplate families a curation pass drops or caps.
+    *
+    * Scale (100 TB): the masked hash is 16 bytes — like d01, document
+    * text never shuffles; the group-by reduces map-side, and the top-10
+    * window runs over template groups (≪ docs). */
+  /** d17 kernel on any (doc_id, source, text) frame — the synthetic
+    * corpus has no digits to mask, so the oracle gate only proves the
+    * empty case; DedupSpec pins the positive template-collapse cases. */
+  private[graft] def templateGroups(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tpl = docsIn
+      .select($"doc_id", $"source",
+        md5($"text".cast(BinaryType)).as("h"),
+        md5(regexp_replace(regexp_replace($"text", "[0-9]+", "0"), " +", " ")
+          .cast(BinaryType)).as("ht"))
+    val groups = tpl.groupBy($"ht")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"h").as("n_distinct_texts"),
+        countDistinct($"source").as("n_sources"),
+        min($"doc_id").as("example_doc"))
+      .filter($"n_distinct_texts" > 1)
+    val w = Window.orderBy($"n_docs".desc, $"ht")
+    groups.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"rank", $"n_docs", $"n_distinct_texts", $"n_sources", $"example_doc")
+      .orderBy($"rank")
+  }
+
+  def d17(s: SparkSession, dir: String): DataFrame =
+    templateGroups(Tables.t(s, dir, "documents"))
+
+  val d17Sql: String =
+    """WITH tpl AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |    md5(regexp_replace(regexp_replace(text, '[0-9]+', '0', 'g'),
+      |        ' +', ' ', 'g')) AS ht
+      |  FROM documents),
+      |groups AS (
+      |  SELECT ht, COUNT(*) AS n_docs,
+      |    COUNT(DISTINCT h) AS n_distinct_texts,
+      |    COUNT(DISTINCT source) AS n_sources,
+      |    MIN(doc_id) AS example_doc
+      |  FROM tpl GROUP BY ht
+      |  HAVING COUNT(DISTINCT h) > 1),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY n_docs DESC, ht) AS rank
+      |  FROM groups)
+      |SELECT rank, n_docs, n_distinct_texts, n_sources, example_doc
+      |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1164,5 +1223,6 @@ object Dedup {
     Q("d13_semantic_dedup", d13, Some(d13Sql)),
     Q("d14_curation_funnel", d14, Some(d14Sql)),
     Q("d15_threshold_sweep", d15, Some(d15Sql)),
-    Q("d16_leak_attribution", d16, Some(d16Sql)))
+    Q("d16_leak_attribution", d16, Some(d16Sql)),
+    Q("d17_template_dedup", d17, Some(d17Sql)))
 }

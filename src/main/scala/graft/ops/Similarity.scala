@@ -665,6 +665,87 @@ object Similarity {
        |    AS n_degenerate
        |FROM v GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- s12
+  /** Matryoshka truncation audit — recall@5 of cosine search over only
+    * the FIRST 16 of 64 dimensions against full-dimension exact search.
+    * This is the evaluation behind MRL-style embedding truncation: if
+    * prefix dims carry the ranking, vectors can be stored/searched at a
+    * quarter of the footprint and re-ranked at full precision. The audit
+    * answers "how much recall does 4× compression cost on OUR data".
+    *
+    * Plan: both sides are one broadcast-queries pass over the corpus
+    * (the truncated side slices the same scan — no second read), ranked
+    * by the s01 contract (round(sim, 6), vec_id tiebreak); the
+    * comparison is a tiny (qid, neighbor) join. Scale: query sampling
+    * (every 100th vector) bounds the exact pass, same as s06. */
+  def s12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all0 = vecs(s, dir)
+      .withColumn("t", slice($"v", 1, 16))
+      .withColumn("tnorm", sqrt(dot($"t", $"t")))
+    val q = all0.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"),
+        $"t".as("qt"), $"tnorm".as("qtnorm"))
+    val joined = all0.join(broadcast(q), $"vec_id" =!= $"qid")
+    val wFull = Window.partitionBy($"qid")
+      .orderBy(round($"fsim", 6).desc, $"vec_id")
+    val full = joined
+      .withColumn("fsim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .withColumn("rank", row_number().over(wFull))
+      .filter($"rank" <= 5)
+      .select($"qid", $"vec_id".as("neighbor_id"))
+    val wTr = Window.partitionBy($"qid")
+      .orderBy(round($"tsim", 6).desc, $"vec_id")
+    val trunc = joined
+      .withColumn("tsim", dot($"qt", $"t") / ($"qtnorm" * $"tnorm"))
+      .withColumn("rank", row_number().over(wTr))
+      .filter($"rank" <= 5)
+      .select($"qid", $"vec_id".as("neighbor_id"))
+    val hits = full.join(trunc, Seq("qid", "neighbor_id"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+    q.select($"qid")
+      .join(hits, Seq("qid"), "left")
+      .select($"qid",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        round(coalesce($"n_hits", lit(0L)).cast(DoubleType) / 5, 6)
+          .as("recall_at_5"))
+      .orderBy($"qid")
+  }
+
+  private def dotSqlK(a: String, b: String, k: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $k), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  val s12Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm,
+       |    sqrt(${dotSqlK("embedding", "embedding", 16)}) AS tnorm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qnorm, tnorm AS qtnorm
+       |      FROM v WHERE vec_id % 100 = 0),
+       |full_r AS (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(${dotSql("qe", "embedding")} / (qnorm * norm), 6) DESC,
+       |               vec_id) AS rank
+       |  FROM v JOIN q ON vec_id <> qid),
+       |trunc_r AS (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(${dotSqlK("qe", "embedding", 16)} / (qtnorm * tnorm), 6) DESC,
+       |               vec_id) AS rank
+       |  FROM v JOIN q ON vec_id <> qid),
+       |hits AS (
+       |  SELECT f.qid, COUNT(*) AS n_hits
+       |  FROM (SELECT qid, vec_id FROM full_r WHERE rank <= 5) f
+       |  JOIN (SELECT qid, vec_id FROM trunc_r WHERE rank <= 5) t
+       |    ON f.qid = t.qid AND f.vec_id = t.vec_id
+       |  GROUP BY f.qid)
+       |SELECT q.qid,
+       |  COALESCE(n_hits, 0) AS n_hits,
+       |  round(CAST(COALESCE(n_hits, 0) AS DOUBLE) / 5, 6) AS recall_at_5
+       |FROM q LEFT JOIN hits ON q.qid = hits.qid
+       |ORDER BY q.qid""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -676,5 +757,6 @@ object Similarity {
     Q("s08_ivf_rerank", s08, Some(s08Sql)),
     Q("s09_cell_balance", s09, Some(s09Sql)),
     Q("s10_knn_label_audit", s10, Some(s10Sql)),
-    Q("s11_norm_profile", s11, Some(s11Sql)))
+    Q("s11_norm_profile", s11, Some(s11Sql)),
+    Q("s12_matryoshka_recall", s12, Some(s12Sql)))
 }

@@ -1333,6 +1333,58 @@ object TextAnalysis {
       |FROM toks t JOIN starts s ON t.doc_id = s.doc_id
       |ORDER BY t.doc_id, s.chunk_no""".stripMargin
 
+  // ---------------------------------------------------------------- t26
+  /** Heaps-law vocabulary growth curve: reduce every token to its
+    * first-occurrence doc_id, bucket the doc_id domain into tenths, and
+    * emit new-token and cumulative-vocabulary counts per bucket. A
+    * sub-linear curve is the healthy Heaps shape; a curve that stays
+    * near-linear means unbounded novel vocabulary (noise, ids,
+    * boilerplate churn) and a flat tail means the corpus has stopped
+    * contributing anything new — both curation signals.
+    *
+    * Scale (100 TB): the token→min(doc_id) reduction is one map-side-
+    * combinable aggregate (the same first-seen trick as q40 on users);
+    * everything after runs on ≤10 rows. All arithmetic is integer. */
+  /** t26 kernel on any (doc_id, text) frame — the synthetic corpus's
+    * closed ~100-word vocabulary puts every first occurrence in bucket 0
+    * (the oracle gate proves that degenerate curve); VocabGrowthSpec
+    * pins the multi-bucket shape on hand-built corpora. */
+  private[graft] def vocabGrowth(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val firsts = docs
+      .select($"doc_id", explode(words($"text")).as("term"))
+      .groupBy($"term").agg(min($"doc_id").as("first_doc"))
+    val hi = docs.agg((max($"doc_id") + 1).as("hi"))
+    val wCum = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firsts.crossJoin(broadcast(hi))
+      // int64 floor-div keeps the bucket exact for any id distribution
+      .withColumn("bucket", expr("(first_doc * 10) div hi").cast(LongType))
+      .groupBy($"bucket").agg(count(lit(1)).as("n_new_tokens"))
+      .withColumn("cum_vocab", sum($"n_new_tokens").over(wCum))
+      .select($"bucket", $"n_new_tokens", $"cum_vocab")
+      .orderBy($"bucket")
+  }
+
+  def t26(s: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.t(s, dir, "documents"))
+
+  val t26Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, w AS term
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |       UNNEST(ws) AS t(w)),
+      |firsts AS (SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term),
+      |hi AS (SELECT MAX(doc_id) + 1 AS hi FROM documents),
+      |buckets AS (
+      |  SELECT (first_doc * 10) // hi AS bucket, COUNT(*) AS n_new_tokens
+      |  FROM firsts, hi GROUP BY 1)
+      |SELECT bucket, n_new_tokens,
+      |  CAST(SUM(n_new_tokens) OVER (ORDER BY bucket
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      |FROM buckets ORDER BY bucket""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1358,5 +1410,6 @@ object TextAnalysis {
     Q("t22_hapax_profile", t22, Some(t22Sql)),
     Q("t23_mixture_budget", t23, Some(t23Sql)),
     Q("t24_zipf_curve", t24, Some(t24Sql)),
-    Q("t25_chunk_stride", t25, Some(t25Sql)))
+    Q("t25_chunk_stride", t25, Some(t25Sql)),
+    Q("t26_vocab_growth", t26, Some(t26Sql)))
 }

@@ -212,4 +212,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(at5.get._2 == pairs.length.toLong)
     assert(at5.get._3 == pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
   }
+
+  test("d17: digit-masked templates collapse; exact dups alone don't qualify") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // template family A: 3 docs, 3 distinct texts, 2 sources
+      (1L, "web", "Order 123 shipped  to zone 9"),
+      (2L, "web", "Order 456 shipped to zone 77"),
+      (3L, "mail", "Order 789 shipped to zone 5"),
+      // exact dups (same text twice): ONE distinct text → filtered out
+      (4L, "web", "hello world"),
+      (5L, "web", "hello world"),
+      // template family B: 2 docs, 2 distinct texts, 1 source
+      (6L, "web", "v1 build"),
+      (7L, "web", "v2 build"),
+      // singleton: no group
+      (8L, "mail", "unique text")).toDF("doc_id", "source", "text")
+    val rows = Dedup.templateGroups(docs).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      // rank 1: family A (3 docs; double space collapsed by the mask)
+      (1, 3L, 3L, 2L, 1L),
+      // rank 2: family B
+      (2, 2L, 2L, 1L, 6L)))
+  }
 }
