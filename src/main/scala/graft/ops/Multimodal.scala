@@ -255,11 +255,52 @@ object Multimodal {
       |  END AS n_cuts
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m07
+  /** Paired-modality manifest audit — the completeness gate a CLIP-style
+    * (media, text, embedding) training set is built behind: per source,
+    * how many media rows pair with an embedding row (doc_id ↔ vec_id),
+    * how many bytes the paired subset carries, and the pairing rate.
+    * Unpaired rows are the loss; a source whose rate drifts low has a
+    * broken upstream embedding batch.
+    *
+    * Scale (100 TB): the join carries ONLY (doc_id, source, n_bytes)
+    * against (vec_id) — payload bytes and vectors never enter the
+    * shuffle; counts aggregate map-side; output is |sources| rows. */
+  def m07(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir)
+      .select($"doc_id", $"source", $"meta.n_bytes".cast(LongType).as("n_bytes"))
+    val emb = Tables.t(s, dir, "embeddings").select($"vec_id")
+    media.join(emb, media("doc_id") === emb("vec_id"), "left")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(when($"vec_id".isNotNull, 1L).otherwise(0L)).as("n_paired"),
+        sum(when($"vec_id".isNotNull, $"n_bytes").otherwise(0L)).as("paired_bytes"),
+        round(sum(when($"vec_id".isNotNull, 1L).otherwise(0L)).cast(DoubleType)
+          / count(lit(1)), 6).as("pair_rate"))
+      .orderBy($"source")
+  }
+
+  val m07Sql: String =
+    """SELECT source,
+      |  COUNT(*) AS n_media,
+      |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_paired,
+      |  CAST(SUM(CASE WHEN e.vec_id IS NOT NULL
+      |           THEN octet_length(encode(text)) ELSE 0 END) AS BIGINT)
+      |    AS paired_bytes,
+      |  round(CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS pair_rate
+      |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
     Q("m03_frame_sample", m03, Some(m03Sql)),
     Q("m04_resize", m04, Some(m04Sql)),
     Q("m05_media_dedup", m05, Some(m05Sql)),
-    Q("m06_scene_cuts", m06, Some(m06Sql)))
+    Q("m06_scene_cuts", m06, Some(m06Sql)),
+    Q("m07_pair_manifest", m07, Some(m07Sql)))
 }

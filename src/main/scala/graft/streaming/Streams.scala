@@ -584,6 +584,34 @@ object Streams {
       }
   }
 
+  /** Rolling 7-day distinct actives — the live twin of batch
+    * q41_rolling_active, in NATIVE operators end to end: the sliding
+    * `window(ts, 7 days, 1 day)` assigns each event to the 7 report
+    * windows it is visible from (the same contribution expansion the
+    * batch op does with an explicit explode), a watermarked
+    * `dropDuplicates` collapses (window, user) — so state holds each
+    * pair once, not per event — and an append-mode count finalizes each
+    * window exactly once when the watermark passes its end.
+    *
+    * This chains two stateful operators (dedup → windowed agg); Spark
+    * propagates the watermark between them, and both stores evict as
+    * windows expire — state is O(open windows · active users), bounded
+    * by the watermark, never O(history). `report_day` is the window's
+    * last covered day (end − 1 day), matching the batch op's key. */
+  def activeWindows(events: DataFrame, watermarkDelay: String = "1 day"): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(window($"ts", "7 days", "1 day").as("w"), $"user_id")
+      .dropDuplicates("w", "user_id")
+      .groupBy($"w")
+      .agg(count(lit(1)).as("active_users_7d"))
+      .select(
+        date_format(date_sub($"w.end", 1), "yyyy-MM-dd").as("report_day"),
+        $"active_users_7d")
+  }
+
   /** Closed SCD2 interval emitted by [[scdIngest]]. */
   final case class ScdInterval(
       user_id: Long, run_id: Long, state: String,

@@ -450,6 +450,48 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("activeWindows: closed sliding windows match batch q41's counts") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams.activeWindows(in.toDF())
+      .writeStream.format("memory").queryName("active_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // u1 active Jan 1 (twice: dedup must collapse); u2 active Jan 3
+      in.addData(
+        Ev(1, 1, "click", ts("2024-01-01 10:00:00"), 0.0),
+        Ev(2, 1, "view", ts("2024-01-01 11:00:00"), 0.0),
+        Ev(3, 2, "click", ts("2024-01-03 09:00:00"), 0.0))
+      q.processAllAvailable()
+      // sentinel far in the future closes every window through Jan 9
+      in.addData(Ev(99, 9, "click", ts("2024-02-01 00:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = s.table("active_out")
+        .as[(String, Long)].collect().toSeq.sortBy(_._1)
+      // batch q41 on the same events (sentinel included, curve clipped
+      // at the sentinel's day) — compare the overlapping day range
+      val batch = graft.ops.Temporal.rollingActive(
+        Seq((1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"),
+          (2L, "2024-01-03 09:00:00"), (9L, "2024-02-01 00:00:00"))
+          .toDF("user_id", "t")
+          .select($"user_id",
+            org.apache.spark.sql.functions.to_timestamp($"t").as("ts")))
+        .as[(String, Long)].collect().toMap
+      // every closed streaming window agrees with the batch curve
+      assert(rows.nonEmpty)
+      rows.foreach { case (day, n) =>
+        assert(batch.get(day).contains(n), s"day $day: stream $n vs batch ${batch.get(day)}")
+      }
+      // the u1→u1+u2 handoff days all closed and landed
+      assert(rows.toMap.get("2024-01-01").contains(1L))
+      assert(rows.toMap.get("2024-01-03").contains(2L))
+      assert(rows.toMap.get("2024-01-07").contains(2L))
+      assert(rows.toMap.get("2024-01-09").contains(1L)) // u1 expired, u2 alive
+    } finally q.stop()
+  }
+
   test("scdIngest: closed intervals match batch q42; open runs stay in state") {
     val s = spark
     import s.implicits._
