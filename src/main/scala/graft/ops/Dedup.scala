@@ -1207,6 +1207,98 @@ object Dedup {
       |SELECT rank, n_docs, n_distinct_texts, n_sources, example_doc
       |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- d18
+  /** Split-leakage audit — the held-out-integrity check run AFTER
+    * deduplication and splitting: does any near-duplicate pair straddle
+    * the t08 train/valid/test boundary? A test doc with a train-side
+    * twin inflates eval scores without a single verbatim n-gram; this
+    * reports, per (split, split) boundary, how many near-dup pairs
+    * cross it, how many docs sit on each side, and the smallest example
+    * pair for triage.
+    *
+    * Scale (100 TB): the pair set (d02's output) is ≪ corpus, and the
+    * split assignment is a pure hash of doc_id computed inline — the
+    * join carries only (id, split). Kernel split out so specs can pin
+    * boundaries the synthetic corpus's pair set may not cross. */
+  private[graft] def splitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val a = splits.select($"doc_id".as("da"), $"split".as("sa"))
+    val b = splits.select($"doc_id".as("db"), $"split".as("sb"))
+    pairs.join(a, Seq("da")).join(b, Seq("db"))
+      .filter($"sa" =!= $"sb")
+      .select(
+        when($"sa" <= $"sb", $"sa").otherwise($"sb").as("split_a"),
+        when($"sa" <= $"sb", $"sb").otherwise($"sa").as("split_b"),
+        when($"sa" <= $"sb", $"da").otherwise($"db").as("doc_a"),
+        when($"sa" <= $"sb", $"db").otherwise($"da").as("doc_b"))
+      .groupBy($"split_a", $"split_b")
+      .agg(
+        count(lit(1)).as("n_leak_pairs"),
+        countDistinct($"doc_a").as("n_docs_a"),
+        countDistinct($"doc_b").as("n_docs_b"),
+        min(struct($"doc_a", $"doc_b")).as("ex"))
+      .select($"split_a", $"split_b", $"n_leak_pairs",
+        $"n_docs_a", $"n_docs_b",
+        $"ex.doc_a".as("example_a"), $"ex.doc_b".as("example_b"))
+      .orderBy($"split_a", $"split_b")
+  }
+
+  def d18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val splits = Tables.t(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.md5Bucket($"doc_id", "").as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "valid")
+          .otherwise("test"))
+      .select($"doc_id", $"split")
+    splitLeakage(jaccardPairs(s, dir, 0.5), splits)
+  }
+
+  val d18Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS MATERIALIZED (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS MATERIALIZED (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |splits AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |          CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ''), 1, 6)
+      |            AS BIGINT) % 100 AS BIGINT) AS b
+      |        FROM documents)),
+      |crossed AS (
+      |  SELECT
+      |    CASE WHEN x.split <= y.split THEN x.split ELSE y.split END AS split_a,
+      |    CASE WHEN x.split <= y.split THEN y.split ELSE x.split END AS split_b,
+      |    CASE WHEN x.split <= y.split THEN p.da ELSE p.db END AS doc_a,
+      |    CASE WHEN x.split <= y.split THEN p.db ELSE p.da END AS doc_b
+      |  FROM pairs p
+      |  JOIN splits x ON p.da = x.doc_id
+      |  JOIN splits y ON p.db = y.doc_id
+      |  WHERE x.split <> y.split)
+      |SELECT split_a, split_b,
+      |  COUNT(*) AS n_leak_pairs,
+      |  COUNT(DISTINCT doc_a) AS n_docs_a,
+      |  COUNT(DISTINCT doc_b) AS n_docs_b,
+      |  MIN(doc_a) AS example_a,
+      |  MIN(CASE WHEN doc_a = m THEN doc_b END) AS example_b
+      |FROM (SELECT *, MIN(doc_a) OVER (PARTITION BY split_a, split_b) AS m
+      |      FROM crossed)
+      |GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1224,5 +1316,6 @@ object Dedup {
     Q("d14_curation_funnel", d14, Some(d14Sql)),
     Q("d15_threshold_sweep", d15, Some(d15Sql)),
     Q("d16_leak_attribution", d16, Some(d16Sql)),
-    Q("d17_template_dedup", d17, Some(d17Sql)))
+    Q("d17_template_dedup", d17, Some(d17Sql)),
+    Q("d18_split_leakage", d18, Some(d18Sql)))
 }

@@ -292,7 +292,7 @@ object TextAnalysis {
     *
     * Scale: narrow (one hash per row, no shuffle); the split column
     * pipelines into any downstream write partitioning. */
-  private def md5Bucket(key: Column, salt: String): Column =
+  private[ops] def md5Bucket(key: Column, salt: String): Column =
     conv(substring(md5(concat(key.cast(StringType), lit(salt))), 1, 6), 16, 10)
       .cast(LongType) % 100
 

@@ -213,6 +213,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(at5.get._3 == pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
   }
 
+  test("d18: cross-split pairs normalize to (lo, hi) splits with aligned docs") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (1L, 2L),   // train-test leak (1 train, 2 test)
+      (3L, 4L),   // test-train leak REVERSED (3 test, 4 train)
+      (5L, 6L),   // within-train: not a leak
+      (7L, 8L)).toDF("da", "db") // train-valid leak
+    val splits = Seq(
+      1L -> "train", 2L -> "test", 3L -> "test", 4L -> "train",
+      5L -> "train", 6L -> "train", 7L -> "train", 8L -> "valid")
+      .toDF("doc_id", "split")
+    val rows = Dedup.splitLeakage(pairs, splits).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.toSeq == Seq(
+      // 'test' < 'train' lexicographically: test-side doc is doc_a
+      ("test", "train", 2L, 2L, 2L, 2L, 1L),
+      ("train", "valid", 1L, 1L, 1L, 7L, 8L)))
+  }
+
   test("d17: digit-masked templates collapse; exact dups alone don't qualify") {
     val s = spark
     import s.implicits._
