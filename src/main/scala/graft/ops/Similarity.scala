@@ -673,11 +673,12 @@ object Similarity {
     * quarter of the footprint and re-ranked at full precision. The audit
     * answers "how much recall does 4× compression cost on OUR data".
     *
-    * Plan: both sides are one broadcast-queries pass over the corpus
-    * (the truncated side slices the same scan — no second read), ranked
-    * by the s01 contract (round(sim, 6), vec_id tiebreak); the
-    * comparison is a tiny (qid, neighbor) join. Scale: query sampling
-    * (every 100th vector) bounds the exact pass, same as s06. */
+    * Plan: each side is a broadcast-queries pass over the corpus (the
+    * truncated vectors are sliced from the same columns, so the second
+    * pass reads no extra data), ranked by the s01 contract
+    * (round(sim, 6), vec_id tiebreak); the comparison is a tiny
+    * (qid, neighbor) join. Scale: query sampling (every 100th vector)
+    * bounds both exact passes, same as s06. */
   def s12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
