@@ -468,6 +468,95 @@ object Temporal {
       |  n_events
       |FROM intervals ORDER BY user_id, run_id""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  /** Trailing z-score spike detection on the hourly event-count series —
+    * the volume-anomaly monitor a production ingest runs to catch
+    * crawler loops, outages and duplicate-feed incidents. Each hour is
+    * scored against the 24 preceding CALENDAR hours (the series is
+    * densified to the full hourly spine, zero-filling silent hours —
+    * "no events" is itself a signal, and an observed-rows-only frame
+    * would stretch the baseline across gaps).
+    *
+    * Determinism: the window moments are exact integer sums (count,
+    * Σc, Σc²); mean/variance/z are then a fixed tree of IEEE ops
+    * (division, subtraction, sqrt — all correctly rounded), mirrored
+    * token-for-token in the oracle, so the rounded z is bit-identical.
+    *
+    * Scale (100 TB): the ONLY heavy stage is raw events → hourly
+    * counts, a map-side-combinable aggregate that collapses the log to
+    * ≤ 8760 rows/year. The spine, window and scoring all run on that
+    * tiny series — the unpartitioned window sort is over the post-agg
+    * result, not the log, so a single task handles a century of hours. */
+  private[graft] def hourlyAnomaly(events: DataFrame, baseline: Int = 24): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val counts = events
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = counts
+      .agg(min($"hour").as("lo"), max($"hour").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+    val dense = spine.join(counts, Seq("hour"), "left")
+      .select($"hour", coalesce($"cnt", lit(0L)).as("cnt"))
+    val w = Window.orderBy($"hour").rowsBetween(-baseline, -1)
+    val nD = dbl(lit(baseline))
+    dense
+      .withColumn("n_base", count(lit(1)).over(w))
+      .withColumn("s1", sum($"cnt").over(w))
+      .withColumn("s2", sum($"cnt" * $"cnt").over(w))
+      .filter($"n_base" === baseline)
+      .withColumn("mean_cnt", dbl($"s1") / nD)
+      .withColumn("varr",
+        (nD * dbl($"s2") - dbl($"s1") * dbl($"s1")) / (nD * (nD - lit(1.0d))))
+      .withColumn("z",
+        when($"varr" > 0.0d, round((dbl($"cnt") - $"mean_cnt") / sqrt($"varr"), 6)))
+      .withColumn("is_spike",
+        when($"z".isNotNull && abs($"z") > 3.0d, 1L).otherwise(0L))
+      .select(
+        date_format($"hour", "yyyy-MM-dd HH:mm:ss").as("hour"),
+        $"cnt", round($"mean_cnt", 6).as("mean_cnt"), $"z", $"is_spike")
+      .orderBy($"hour")
+  }
+
+  def q43(s: SparkSession, dir: String): DataFrame =
+    hourlyAnomaly(Tables.t(s, dir, "events"))
+
+  val q43Sql: String =
+    """WITH counts AS (
+      |  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1),
+      |spine AS (
+      |  SELECT UNNEST(generate_series(
+      |    (SELECT MIN(hour) FROM counts), (SELECT MAX(hour) FROM counts),
+      |    INTERVAL 1 HOUR)) AS hour),
+      |dense AS (
+      |  SELECT s.hour, COALESCE(c.cnt, 0) AS cnt
+      |  FROM spine s LEFT JOIN counts c ON s.hour = c.hour),
+      |framed AS (
+      |  SELECT hour, cnt,
+      |    COUNT(*)        OVER w AS n_base,
+      |    SUM(cnt)        OVER w AS s1,
+      |    SUM(cnt * cnt)  OVER w AS s2
+      |  FROM dense
+      |  WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT hour, cnt,
+      |    CAST(s1 AS DOUBLE) / 24.0 AS mean_cnt,
+      |    (24.0 * CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / (24.0 * 23.0) AS varr
+      |  FROM framed WHERE n_base = 24),
+      |zed AS (
+      |  SELECT hour, cnt, mean_cnt,
+      |    CASE WHEN varr > 0.0
+      |         THEN round((CAST(cnt AS DOUBLE) - mean_cnt) / sqrt(varr), 6)
+      |    END AS z
+      |  FROM scored)
+      |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, cnt,
+      |  round(mean_cnt, 6) AS mean_cnt, z,
+      |  CAST(CASE WHEN z IS NOT NULL AND abs(z) > 3.0
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+      |FROM zed ORDER BY hour""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -477,5 +566,6 @@ object Temporal {
     Q("q39_compaction", q39, Some(q39Sql)),
     Q("q40_user_growth", q40, Some(q40Sql)),
     Q("q41_rolling_active", q41, Some(q41Sql)),
-    Q("q42_scd2_intervals", q42, Some(q42Sql)))
+    Q("q42_scd2_intervals", q42, Some(q42Sql)),
+    Q("q43_hourly_anomaly", q43, Some(q43Sql)))
 }
