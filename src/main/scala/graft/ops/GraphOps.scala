@@ -711,6 +711,86 @@ object GraphOps {
       |JOIN totals tb ON tb.event_type = et_b
       |ORDER BY et_a, et_b""".stripMargin
 
+  // ---------------------------------------------------------------- g10
+  /** Degree assortativity of the near-dup graph (Newman's r): the
+    * Pearson correlation of endpoint degrees over all directed edge
+    * stubs. Positive r = hubs link to hubs (one template family gluing
+    * itself together); negative r = hub-and-spoke boilerplate (one
+    * canonical doc matched by many singletons). Read alongside g03's
+    * degree histogram before trusting g01's clusters.
+    *
+    * Determinism: every moment (M, Σx, Σxy, Σx²) is an exact integer
+    * sum in DECIMAL(38,0) — degrees are ints, and the symmetric stub
+    * list makes the x and y marginals identical — so r reduces to ONE
+    * IEEE division of two exactly-computed integers, then round(6).
+    *
+    * Scale (100 TB): the near-dup edge list is already ≪ corpus; the
+    * degree table is a map-side-combinable count broadcast back onto
+    * the stubs, and the moments are a single global aggregate. Nothing
+    * here touches the raw corpus. */
+  private[graft] def assortativity(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val dec0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val stubs = edgesIn.select($"da".as("x"), $"db".as("y"))
+      .union(edgesIn.select($"db".as("x"), $"da".as("y")))
+    val deg = stubs.groupBy($"x".as("doc_id")).agg(count(lit(1)).as("deg"))
+    val joined = stubs
+      .join(broadcast(deg.select($"doc_id".as("x"), $"deg".as("dx"))), Seq("x"))
+      .join(broadcast(deg.select($"doc_id".as("y"), $"deg".as("dy"))), Seq("y"))
+    joined
+      .agg(
+        count(lit(1)).as("m"),
+        sum(dec0($"dx")).as("sx"),
+        sum(dec0($"dx") * dec0($"dy")).as("sxy"),
+        sum(dec0($"dx") * dec0($"dx")).as("sxx"))
+      .select(
+        ($"m" / 2).cast("long").as("n_edges"),
+        // a regular graph has zero degree variance: r is undefined → null
+        // (an unguarded 0/0 would yield NaN, and differ from SQL's CASE)
+        when($"m" * $"sxx" - $"sx" * $"sx" =!= 0,
+          round(
+            ($"m" * $"sxy" - $"sx" * $"sx").cast("double") /
+              ($"m" * $"sxx" - $"sx" * $"sx").cast("double"), 6))
+          .as("assortativity"))
+  }
+
+  def g10(s: SparkSession, dir: String): DataFrame =
+    assortativity(Dedup.jaccardPairs(s, dir, 0.5))
+
+  val g10Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |e0 AS MATERIALIZED (SELECT da, db FROM inter
+      |       JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |stubs AS (SELECT da AS x, db AS y FROM e0
+      |          UNION ALL SELECT db AS x, da AS y FROM e0),
+      |deg AS (SELECT x AS doc_id, COUNT(*) AS deg FROM stubs GROUP BY x),
+      |moments AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+      |    SUM(CAST(dx.deg AS HUGEINT)) AS sx,
+      |    SUM(CAST(dx.deg AS HUGEINT) * dy.deg) AS sxy,
+      |    SUM(CAST(dx.deg AS HUGEINT) * dx.deg) AS sxx
+      |  FROM stubs
+      |  JOIN deg dx ON stubs.x = dx.doc_id
+      |  JOIN deg dy ON stubs.y = dy.doc_id)
+      |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+      |  CASE WHEN m * sxx - sx * sx <> 0
+      |       THEN round(CAST(m * sxy - sx * sx AS DOUBLE) /
+      |                  CAST(m * sxx - sx * sx AS DOUBLE), 6)
+      |  END AS assortativity
+      |FROM moments""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -720,5 +800,6 @@ object GraphOps {
     Q("g06_kcore", g06, Some(g06Sql)),
     Q("g07_cluster_profile", g07, Some(g07Sql)),
     Q("g08_blast_radius", g08, Some(g08Sql)),
-    Q("g09_coengagement", g09, Some(g09Sql)))
+    Q("g09_coengagement", g09, Some(g09Sql)),
+    Q("g10_assortativity", g10, Some(g10Sql)))
 }

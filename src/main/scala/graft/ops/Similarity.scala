@@ -747,6 +747,54 @@ object Similarity {
        |FROM q LEFT JOIN hits ON q.qid = hits.qid
        |ORDER BY q.qid""".stripMargin
 
+  // ---------------------------------------------------------------- s13
+  /** Metadata-filtered exact top-k: each query (vec_id % 100 = 0)
+    * retrieves its 3 nearest neighbors AMONG VECTORS SHARING ITS LABEL —
+    * the "filtered search" pattern every production vector store needs
+    * (search within a tenant / language / licence bucket). The filter is
+    * applied as a JOIN KEY, not a post-filter: the corpus side hashes on
+    * label, so each probe compares against its own label partition only
+    * (≈ 1/|labels| of the corpus) instead of scanning everything and
+    * discarding — the selectivity becomes partition pruning.
+    *
+    * Scale (100 TB): queries broadcast; the corpus streams once through
+    * a hash join on label; per-query top-k is a bounded window over the
+    * surviving label bucket. A post-filter plan would do |Q|·|corpus|
+    * dot products; this does |Q|·|corpus|/|labels| — and for higher-
+    * cardinality filters the same plan shape degrades gracefully into
+    * an index-style lookup. */
+  def s13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val q = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"v".as("qv"), $"norm".as("qnorm"))
+    val w = Window.partitionBy($"qid")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    all.join(broadcast(q), $"label" === $"qlabel" && $"vec_id" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"label",
+        $"vec_id".as("neighbor_id"), round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val s13Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, norm AS qnorm
+       |      FROM v WHERE vec_id % 100 = 0),
+       |sim AS (SELECT qid, vec_id, label,
+       |          ${dotSql("qe", "embedding")} / (qnorm * norm) AS sim
+       |        FROM v JOIN q ON label = qlabel AND vec_id <> qid),
+       |ranked AS (SELECT qid, vec_id, label, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |  FROM sim)
+       |SELECT qid, rank, label, vec_id AS neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -759,5 +807,6 @@ object Similarity {
     Q("s09_cell_balance", s09, Some(s09Sql)),
     Q("s10_knn_label_audit", s10, Some(s10Sql)),
     Q("s11_norm_profile", s11, Some(s11Sql)),
-    Q("s12_matryoshka_recall", s12, Some(s12Sql)))
+    Q("s12_matryoshka_recall", s12, Some(s12Sql)),
+    Q("s13_filtered_ann", s13, Some(s13Sql)))
 }

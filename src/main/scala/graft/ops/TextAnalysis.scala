@@ -1385,6 +1385,66 @@ object TextAnalysis {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       |FROM buckets ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- t27
+  /** Per-source lexical diversity: type-token ratio and Gini-Simpson
+    * index (1 − Σp²) over the unigram distribution — the "is this
+    * source a template mill?" screen run before mixture weighting (a
+    * source whose million documents reuse a few hundred phrases scores
+    * near a single boilerplate page, whatever its raw token count).
+    * Simpson instead of Shannon entropy ON PURPOSE: Σcnt² is an exact
+    * integer moment, so the index needs no transcendental functions —
+    * 1 − Σc²/T² computed as (T² − Σc²)/T² is ONE IEEE division of two
+    * exact integers, bit-identical in any engine (ln/log2 are not
+    * correctly-rounded and differ by ulps across libms; cf. t10's
+    * rational IDF).
+    *
+    * Scale (100 TB): one explode → (source, term) count — map-side
+    * combinable, output ≈ |sources|·|vocab| — then a per-source
+    * aggregate in DECIMAL(38,0) (Σc² of per-term BIGINT counts can pass
+    * 2⁶³ on a web-scale source; decimal keeps it exact). No joins, no
+    * broadcast, two shuffles total. */
+  def t27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dec0 = (c: Column) => c.cast(DecimalType(38, 0))
+    Tables.t(s, dir, "documents")
+      .select($"source", explode(words($"text")).as("term"))
+      .groupBy($"source", $"term").agg(count(lit(1)).as("cnt"))
+      .groupBy($"source")
+      .agg(
+        sum($"cnt").as("total_terms"),
+        count(lit(1)).as("distinct_terms"),
+        sum(dec0($"cnt") * dec0($"cnt")).as("sumsq"))
+      .select(
+        $"source", $"total_terms", $"distinct_terms",
+        round(dbl($"distinct_terms") / dbl($"total_terms"), 6).as("ttr"),
+        round(
+          (dec0($"total_terms") * dec0($"total_terms") - $"sumsq").cast(DoubleType) /
+            (dec0($"total_terms") * dec0($"total_terms")).cast(DoubleType), 6)
+          .as("simpson"))
+      .orderBy($"source")
+  }
+
+  val t27Sql: String =
+    """WITH tok AS (
+      |  SELECT source, w AS term
+      |  FROM (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |       UNNEST(ws) AS t(w)),
+      |tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM tok GROUP BY source, term),
+      |agg AS (
+      |  SELECT source,
+      |    CAST(SUM(cnt) AS HUGEINT) AS total_terms,
+      |    CAST(COUNT(*) AS BIGINT) AS distinct_terms,
+      |    SUM(CAST(cnt AS HUGEINT) * cnt) AS sumsq
+      |  FROM tf GROUP BY source)
+      |SELECT source,
+      |  CAST(total_terms AS BIGINT) AS total_terms, distinct_terms,
+      |  round(CAST(distinct_terms AS DOUBLE) / CAST(total_terms AS DOUBLE), 6)
+      |    AS ttr,
+      |  round(CAST(total_terms * total_terms - sumsq AS DOUBLE) /
+      |        CAST(total_terms * total_terms AS DOUBLE), 6) AS simpson
+      |FROM agg ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1411,5 +1471,6 @@ object TextAnalysis {
     Q("t23_mixture_budget", t23, Some(t23Sql)),
     Q("t24_zipf_curve", t24, Some(t24Sql)),
     Q("t25_chunk_stride", t25, Some(t25Sql)),
-    Q("t26_vocab_growth", t26, Some(t26Sql)))
+    Q("t26_vocab_growth", t26, Some(t26Sql)),
+    Q("t27_lexical_diversity", t27, Some(t27Sql)))
 }

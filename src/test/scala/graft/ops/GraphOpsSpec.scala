@@ -271,4 +271,27 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert((r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5)) ==
       (("X", "Y", 1L, 0.5)))
   }
+
+  /** (n_edges, assortativity-or-null) of an edge list. */
+  private def assortOf(edges: Seq[(Long, Long)]): (Long, Option[Double]) = {
+    val s = spark
+    import s.implicits._
+    val r = GraphOps.assortativity(edges.toDF("da", "db")).collect().head
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+  }
+
+  test("assortativity: a star is perfectly disassortative (r = -1)") {
+    assert(assortOf(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L)) == ((3L, Some(-1.0))))
+  }
+
+  test("assortativity: path P4 scores -0.5 (hand-computed moments)") {
+    // degrees 1,2,2,1; stubs (1,2)x2,(2,1)x2,(2,2)x2 → r = -4/8
+    assert(assortOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L)) == ((3L, Some(-0.5))))
+  }
+
+  test("assortativity: a regular graph has zero degree variance → null r") {
+    // C4 cycle: every degree 2, denominator 0 → undefined, emitted null
+    assert(assortOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)) ==
+      ((4L, None)))
+  }
 }

@@ -172,4 +172,45 @@ class TemporalSpec extends AnyFunSuite with SparkFixture {
       (5L, 2L, "B", "2024-03-01 12:00:00", "open", 1L),
       (6L, 1L, "C", "2024-03-02 08:00:00", "open", 2L)))
   }
+
+  /** Per-hour event counts → scored anomaly rows
+    * (hour, cnt, mean, z-or-null, spike). */
+  private def anomalyOf(countsByHour: Seq[Int]): Seq[(String, Long, Double, Option[Double], Long)] = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val rows = countsByHour.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => f"2024-05-${1 + h / 24}%02d ${h % 24}%02d:${i % 60}%02d:00")
+    }
+    val df = rows.toDF("t").select(to_timestamp($"t").as("ts"))
+    Temporal.hourlyAnomaly(df).collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4))
+    }.toSeq
+  }
+
+  test("hourly anomaly: constant baseline has zero variance → null z") {
+    val out = anomalyOf(Seq.fill(25)(10))
+    assert(out == Seq(("2024-05-02 00:00:00", 10L, 10.0, None, 0L)))
+  }
+
+  test("hourly anomaly: a burst against a varying baseline is a spike") {
+    // 24 alternating 9/11 hours (mean 10), then a 30-event burst
+    val out = anomalyOf((0 until 24).map(h => if (h % 2 == 0) 9 else 11) :+ 30)
+    assert(out.length == 1)
+    val (hour, cnt, mean, z, spike) = out.head
+    assert(hour == "2024-05-02 00:00:00" && cnt == 30L && mean == 10.0)
+    assert(z.exists(_ > 3.0) && spike == 1L)
+  }
+
+  test("hourly anomaly: silent hours are zero-filled on the spine") {
+    // hour 24 has NO events; hour 25 does — the spine keeps hour 24
+    // as cnt=0 and scores it as a (negative) anomaly
+    val counts = (0 until 24).map(h => if (h % 2 == 0) 9 else 11) ++ Seq(0, 10)
+    val out = anomalyOf(counts)
+    assert(out.map(o => (o._1, o._2)) == Seq(
+      ("2024-05-02 00:00:00", 0L), ("2024-05-02 01:00:00", 10L)))
+    val zero = out.head
+    assert(zero._4.exists(_ < -3.0) && zero._5 == 1L)
+  }
 }
