@@ -395,4 +395,38 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"totals not broadcast:\n$p")
   }
+
+  test("q43: the log collapses in ONE hash aggregate; scoring never rescans it") {
+    val p = simplePlan(Temporal.q43(spark, dir))
+    // the raw event scan must feed exactly one partial+final count
+    // pipeline; spine join / window / z-scoring run on the agg output
+    val aggExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(aggExchanges <= 2, s"hourly series re-shuffles:\n$p")
+  }
+
+  test("s13: the label filter is a hash-join key, not a nested-loop post-filter") {
+    val p = simplePlan(Similarity.s13(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"filtered search lost its equi-join on label:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"label filter degraded to an all-pairs scan:\n$p")
+  }
+
+  test("g10: degrees broadcast onto stubs; moments are one scalar aggregate") {
+    val p = simplePlan(GraphOps.assortativity(
+      Dedup.jaccardPairs(spark, dir, 0.5)))
+    assert(p.contains("BroadcastHashJoin"), s"degree join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin Inner, (x"),
+      s"stub-degree join shuffled the stub list:\n$p")
+  }
+
+  test("t27: diversity is two chained aggregates over a pruned scan — no join") {
+    val p = plan(TextAnalysis.t27(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"scan reads columns the op never uses: $readSchema")
+    val sp = simplePlan(TextAnalysis.t27(spark, dir))
+    assert(!sp.contains("Join"), s"aggregate-only op grew a join:\n$sp")
+  }
 }
