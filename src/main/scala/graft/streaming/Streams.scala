@@ -672,6 +672,95 @@ object Streams {
       }
   }
 
+  /** Scored closed hour emitted by [[anomalyIngest]] — the batch
+    * q43 row shape (z is null until the 24-hour baseline fills, or when
+    * the baseline has zero variance). */
+  final case class HourScore(hour: String, cnt: Long, mean_cnt: Option[Double],
+      z: Option[Double], is_spike: Long)
+  /** Anomaly fold state: the open hour's running count plus the trailing
+    * ring of closed-hour counts (most recent last, ≤ 24). */
+  final case class AnomalyS(openHourMs: Long, openCnt: Long, ring: Seq[Long])
+
+  /** Streaming hourly volume anomaly — the live twin of batch
+    * q43_hourly_anomaly: maintain the open hour's count; when an event
+    * for a LATER hour arrives, close the hour (zero-filling any silent
+    * hours between, exactly like the batch spine) and score it against
+    * the trailing 24 closed hours with the batch op's integer-moment
+    * z-formula. Append mode: each hour emits once, when it closes; the
+    * open hour lives in state.
+    *
+    * The fold is keyed by a single constant — the GLOBAL hourly series
+    * is one ring of 24 longs, so "one key" is one tiny state row, not a
+    * bottleneck: the heavy lifting (per-event traffic) happens before
+    * the shuffle as Spark's partial count toward the group, and only
+    * per-batch per-hour partial counts reach the state task. Events
+    * older than the open hour are dropped as late data (cf. scdIngest's
+    * frontier rule); the batch q43 over the full log stays the
+    * replayable source of truth.
+    *
+    * Emitted rows carry z only once 24 closed hours exist — identical
+    * to the batch gate, so stream output ≡ batch output on the closed
+    * prefix (the kappa property StreamsSpec pins). */
+  def anomalyIngest(events: Dataset[Ev2]): Dataset[HourScore] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val HourMs = 3600000L
+    def fmt(ms: Long): String =
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    // identical arithmetic to the batch op: exact integer moments, then
+    // one fixed tree of IEEE ops
+    def score(hourMs: Long, cnt: Long, ring: Seq[Long]): HourScore = {
+      if (ring.size < 24) HourScore(fmt(hourMs), cnt, None, None, 0L)
+      else {
+        val s1 = ring.sum
+        val s2 = ring.map(c => c * c).sum
+        val mean = s1.toDouble / 24.0d
+        val varr = (24.0d * s2.toDouble - s1.toDouble * s1.toDouble) / (24.0d * 23.0d)
+        val z = if (varr > 0.0d) Some(round6((cnt.toDouble - mean) / math.sqrt(varr))) else None
+        HourScore(fmt(hourMs), cnt, Some(round6(mean)), z,
+          if (z.exists(v => math.abs(v) > 3.0d)) 1L else 0L)
+      }
+    }
+    events
+      .groupByKey(_ => 0L)
+      .flatMapGroupsWithState[AnomalyS, HourScore](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[Ev2], state: GroupState[AnomalyS]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[HourScore]
+          def closeInto(ring: Seq[Long], cnt: Long): Seq[Long] =
+            (ring :+ cnt).takeRight(24)
+          ordered.foreach { e =>
+            val hm = {
+              val t = e.ts.getTime
+              t - java.lang.Math.floorMod(t, HourMs)
+            }
+            if (st == null) st = AnomalyS(hm, 1L, Nil)
+            else if (hm < st.openHourMs) () // late: older than the open hour
+            else if (hm == st.openHourMs) st = st.copy(openCnt = st.openCnt + 1)
+            else {
+              // close the open hour, then zero-fill silent hours up to hm
+              out += score(st.openHourMs, st.openCnt, st.ring)
+              var ring = closeInto(st.ring, st.openCnt)
+              var h = st.openHourMs + HourMs
+              while (h < hm) {
+                out += score(h, 0L, ring)
+                ring = closeInto(ring, 0L)
+                h += HourMs
+              }
+              st = AnomalyS(hm, 1L, ring)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

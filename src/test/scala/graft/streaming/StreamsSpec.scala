@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkFixture
+import graft.ops.Temporal
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{expr, max, timestamp_micros}
 import org.apache.spark.sql.streaming.OutputMode
@@ -614,5 +615,55 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       evalGrams, counters, index, base.resolve("ckpt2").toString)
       .awaitTermination()
     assert(summed() == Map("a" -> ((3L, 2L, 2L)), "b" -> ((3L, 1L, 0L))))
+  }
+
+  test("anomalyIngest: scored closed hours match batch q43 (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // 24 alternating 9/11 baseline hours, a 30-event burst hour, then a
+    // single sentinel event that closes the burst hour
+    val counts =
+      (0 until 24).map(h => if (h % 2 == 0) 9 else 11) ++ Seq(30, 10, 12, 1)
+    var eid = 0L
+    val events = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map { i =>
+        eid += 1
+        Streams.Ev2(eid, i.toLong,
+          "click", ts(f"2024-05-${1 + h / 24}%02d ${h % 24}%02d:${i % 60}%02d:00"), 1.0)
+      }
+    }
+    val in = MemoryStream[Streams.Ev2]
+    val q = Streams.anomalyIngest(in.toDS())
+      .writeStream.format("memory").queryName("anomaly_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // split across micro-batches on an hour boundary (event-time order
+      // holds across batches — the fold's frontier assumption)
+      val (b1, b2) = events.splitAt(events.length / 2)
+      in.addData(b1); q.processAllAvailable()
+      // a late event older than the open hour must be dropped, not folded
+      in.addData(Streams.Ev2(99999L, 1L, "click", ts("2024-05-01 00:30:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = s.table("anomaly_out")
+        .as[Streams.HourScore].collect()
+        .filter(_.mean_cnt.isDefined)
+        .map(h => (h.hour, h.cnt, h.mean_cnt.get, h.z, h.is_spike)).toSeq.sorted
+      // batch twin over the same events; the sentinel's own hour is still
+      // open in the stream, so compare on the closed prefix
+      val batch = Temporal.hourlyAnomaly(
+        events.toDF().select($"ts"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getLong(4)))
+        .toSeq.sorted
+      // hours 24 (burst), 25, 26 closed with a full baseline; the
+      // sentinel's hour 27 is still open in the stream
+      assert(got.size == 3 && got == batch.filter(_._1 < "2024-05-02 03"))
+      // the burst hour is a confirmed spike in both engines
+      val burst = got.find(_._1 == "2024-05-02 00:00:00").get
+      assert(burst._2 == 30L && burst._4.exists(_ > 3.0) && burst._5 == 1L)
+    } finally q.stop()
   }
 }
