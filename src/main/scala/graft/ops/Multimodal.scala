@@ -295,6 +295,47 @@ object Multimodal {
       |FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- m08
+  /** Per-source decode budget: the cluster-sizing report for the m02
+    * decode pass — media count, total/max payload bytes, logical decode
+    * batches at m02's batch size (⌈n/32⌉), and the straggler share
+    * (max payload's ppm of the source's bytes: one 4-hour video in a
+    * source of stills pins a task however the batches split). All
+    * integer arithmetic — engine-exact.
+    *
+    * Scale (100 TB): one map-side-combinable aggregate over the
+    * metadata struct — only byte LENGTHS are aggregated, payloads never
+    * shuffle. (On a real lakehouse media table the metadata column is
+    * stored beside the payload and the scan prunes the binary column
+    * entirely; here the payload is synthesized from `text`, so the
+    * synthetic scan necessarily reads it.) */
+  def m08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum($"meta.n_bytes".cast(LongType)).as("total_bytes"),
+        max($"meta.n_bytes".cast(LongType)).as("max_bytes"))
+      .select(
+        $"source", $"n_media", $"total_bytes", $"max_bytes",
+        expr("(n_media + 31) div 32").as("n_batches"),
+        expr("(max_bytes * 1000000) div total_bytes").as("straggler_ppm"))
+      .orderBy($"source")
+  }
+
+  val m08Sql: String =
+    """WITH meta AS (
+      |  SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_media,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  MAX(n_bytes) AS max_bytes,
+      |  CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches,
+      |  CAST((MAX(n_bytes) * 1000000) // SUM(n_bytes) AS BIGINT)
+      |    AS straggler_ppm
+      |FROM meta GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
@@ -302,5 +343,6 @@ object Multimodal {
     Q("m04_resize", m04, Some(m04Sql)),
     Q("m05_media_dedup", m05, Some(m05Sql)),
     Q("m06_scene_cuts", m06, Some(m06Sql)),
-    Q("m07_pair_manifest", m07, Some(m07Sql)))
+    Q("m07_pair_manifest", m07, Some(m07Sql)),
+    Q("m08_decode_budget", m08, Some(m08Sql)))
 }

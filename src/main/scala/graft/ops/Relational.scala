@@ -1192,6 +1192,71 @@ object Relational {
     s"WITH wide AS ($wide)$arms\nORDER BY day, event_type"
   }
 
+  // ---------------------------------------------------------------- q44
+  /** Join-key skew profile of lineitem's l_orderkey — the meter read
+    * BEFORE reaching for q21/q29's salting: exact p50/p99/max rows-per-
+    * key plus the heaviest key's ppm share of the table. A p99/p50 ratio
+    * near 1 means salting is wasted work; a six-figure top1_ppm means
+    * one key will pin a reducer however many partitions you add.
+    *
+    * Scale (100 TB): percentiles over per-key counts WITHOUT sorting the
+    * keys — the count table collapses to its count-of-counts histogram
+    * (|distinct count values| rows, tiny at any corpus size: row counts
+    * per key are small integers), and the exact percentile is the first
+    * histogram bucket whose cumulative key count crosses the integer-
+    * cross-multiplied threshold (2·cum ≥ n ⇔ cum ≥ ⌈n/2⌉). One heavy
+    * map-side-combinable shuffle on the key; everything after runs on
+    * the histogram. All arithmetic integer — engine-exact. */
+  def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.t(s, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+      .groupBy($"cnt").agg(count(lit(1)).as("n_keys"))
+    // the totals ride the SAME single-partition histogram sort as the
+    // cumulative sum (full-frame windows) — computing them as a separate
+    // aggregate would re-run the whole key-count pipeline for a join
+    val wCum = Window.orderBy($"cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy($"cnt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum_keys", sum($"n_keys").over(wCum))
+      .withColumn("nk", sum($"n_keys").over(wAll))
+      .withColumn("nr", sum($"cnt" * $"n_keys").over(wAll))
+      .withColumn("mx", max($"cnt").over(wAll))
+      .agg(
+        min($"nr").as("n_rows"),
+        min($"nk").as("n_keys"),
+        min(when($"cum_keys" * 2 >= $"nk", $"cnt")).as("p50_rows_per_key"),
+        min(when($"cum_keys" * 100 >= $"nk" * 99, $"cnt")).as("p99_rows_per_key"),
+        min($"mx").as("max_rows_per_key"))
+      .select(
+        $"n_rows", $"n_keys", $"p50_rows_per_key", $"p99_rows_per_key",
+        $"max_rows_per_key",
+        expr("(max_rows_per_key * 1000000) div n_rows").as("top1_ppm"))
+  }
+
+  val q44Sql: String =
+    """WITH counts AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |hist AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_keys
+      |         FROM counts GROUP BY 1),
+      |cum AS (SELECT cnt, n_keys,
+      |    CAST(SUM(n_keys) OVER (ORDER BY cnt ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cum_keys,
+      |    CAST(SUM(n_keys) OVER () AS BIGINT) AS nk,
+      |    CAST(SUM(cnt * n_keys) OVER () AS BIGINT) AS nr,
+      |    MAX(cnt) OVER () AS mx
+      |  FROM hist)
+      |SELECT CAST(MIN(nr) AS BIGINT) AS n_rows,
+      |  CAST(MIN(nk) AS BIGINT) AS n_keys,
+      |  MIN(CASE WHEN cum_keys * 2 >= nk THEN cnt END) AS p50_rows_per_key,
+      |  MIN(CASE WHEN cum_keys * 100 >= nk * 99 THEN cnt END) AS p99_rows_per_key,
+      |  CAST(MIN(mx) AS BIGINT) AS max_rows_per_key,
+      |  CAST((MIN(mx) * 1000000) // MIN(nr) AS BIGINT) AS top1_ppm
+      |FROM cum""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -1226,5 +1291,6 @@ object Relational {
     Q("q32_join_residual", q32, Some(q32Sql)),
     Q("q33_date_parts", q33, Some(q33Sql)),
     Q("q34_argminmax", q34, Some(q34Sql)),
-    Q("q37_unpivot", q37, Some(q37Sql)))
+    Q("q37_unpivot", q37, Some(q37Sql)),
+    Q("q44_skew_profile", q44, Some(q44Sql)))
 }

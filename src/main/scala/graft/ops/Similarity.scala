@@ -795,6 +795,60 @@ object Similarity {
        |SELECT qid, rank, label, vec_id AS neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s14
+  /** Inter-label centroid separation: the cosine between every pair of
+    * class centroids — the separability audit read before labels train
+    * anything (two centroids at cosine 0.98 mean the classes are
+    * near-duplicates or the labels are noise; cf. s10's per-vector
+    * agreement audit — this is the class-level summary).
+    *
+    * Determinism: cosine is scale-invariant, so the centroid DIVISION
+    * is skipped entirely — cos(mean_a, mean_b) = cos(sum_a, sum_b) —
+    * and each element is first floored onto a 2⁻²⁰ integer grid
+    * (float→double is exact, ×2²⁰ is exact, floor is exact), so the
+    * per-dimension sums are exact integers and the only FP is the final
+    * dot/sqrt/divide tree, mirrored token-for-token in the oracle.
+    *
+    * Scale (100 TB): one narrow posexplode → (label, dim) sum — map-
+    * side combinable, output |labels|·64 rows — then everything runs on
+    * |labels| centroid rows. The corpus is scanned exactly once, and
+    * nothing downstream grows with it. */
+  def s14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cent = Tables.t(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("dim", "e")))
+      .select($"label", $"dim",
+        floor(($"e".cast(DoubleType)) * lit(1048576.0d)).cast(LongType).as("qv"))
+      .groupBy($"label", $"dim")
+      .agg(sum($"qv".cast(DecimalType(38, 0))).as("sd"))
+      .groupBy($"label")
+      .agg(transform(
+        array_sort(collect_list(struct($"dim", $"sd"))),
+        c => c.getField("sd").cast(DoubleType)).as("v"))
+    val withNorm = cent.withColumn("n", dot($"v", $"v"))
+    val a = withNorm.select($"label".as("label_a"), $"v".as("va"), $"n".as("na"))
+    val b = withNorm.select($"label".as("label_b"), $"v".as("vb"), $"n".as("nb"))
+    a.join(broadcast(b), $"label_a" < $"label_b")
+      .select($"label_a", $"label_b",
+        round(dot($"va", $"vb") / (sqrt($"na") * sqrt($"nb")), 6).as("centroid_cos"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  val s14Sql: String =
+    s"""WITH q AS (
+       |  SELECT label, i AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS HUGEINT) AS qv
+       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+       |c AS (SELECT label, dim, SUM(qv) AS sd FROM q GROUP BY label, dim),
+       |vec AS (SELECT label,
+       |    list(CAST(sd AS DOUBLE) ORDER BY dim) AS v FROM c GROUP BY label),
+       |n AS (SELECT label, v, ${dotSql("v", "v")} AS nn FROM vec)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  round(${dotSql("a.v", "b.v")} / (sqrt(a.nn) * sqrt(b.nn)), 6)
+       |    AS centroid_cos
+       |FROM n a JOIN n b ON a.label < b.label
+       |ORDER BY label_a, label_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -808,5 +862,6 @@ object Similarity {
     Q("s10_knn_label_audit", s10, Some(s10Sql)),
     Q("s11_norm_profile", s11, Some(s11Sql)),
     Q("s12_matryoshka_recall", s12, Some(s12Sql)),
-    Q("s13_filtered_ann", s13, Some(s13Sql)))
+    Q("s13_filtered_ann", s13, Some(s13Sql)),
+    Q("s14_centroid_separation", s14, Some(s14Sql)))
 }

@@ -421,6 +421,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"stub-degree join shuffled the stub list:\n$p")
   }
 
+  test("q44: percentiles come from the count histogram — no sort of the key table") {
+    val p = simplePlan(Relational.q44(spark, dir))
+    // two aggregation shuffles (key counts, count-of-counts); the window
+    // and the scalar-totals join run on the tiny histogram
+    val aggExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggExchanges <= 2, s"histogram path re-shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"scalar totals must broadcast:\n$p")
+  }
+
+  test("s14: the corpus collapses to |labels|x64 sums; scan prunes vec_id") {
+    val p = plan(Similarity.s14(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("vec_id"),
+      s"centroid build reads vec_id: $readSchema")
+    val sp = simplePlan(Similarity.s14(spark, dir))
+    assert(!sp.contains("SortMergeJoin"),
+      s"the 10-row centroid pair join must broadcast:\n$sp")
+  }
+
+  test("m08: the decode budget is one aggregate — no join, no payload shuffle") {
+    val sp = simplePlan(Multimodal.m08(spark, dir))
+    assert(!sp.contains("Join"), s"budget aggregate grew a join:\n$sp")
+    val aggExchanges = sp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggExchanges == 1, s"expected one aggregation shuffle:\n$sp")
+  }
+
   test("t27: diversity is two chained aggregates over a pruned scan — no join") {
     val p = plan(TextAnalysis.t27(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
