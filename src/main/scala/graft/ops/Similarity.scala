@@ -825,7 +825,11 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct($"dim", $"sd"))),
         c => c.getField("sd").cast(DoubleType)).as("v"))
+    // both pair sides read the SAME |labels|-row centroid frame; the
+    // checkpoint pins one corpus pass (without it each side re-derives
+    // the aggregation and the corpus is scanned twice)
     val withNorm = cent.withColumn("n", dot($"v", $"v"))
+      .localCheckpoint(eager = false)
     val a = withNorm.select($"label".as("label_a"), $"v".as("va"), $"n".as("na"))
     val b = withNorm.select($"label".as("label_b"), $"v".as("vb"), $"n".as("nb"))
     a.join(broadcast(b), $"label_a" < $"label_b")
