@@ -791,6 +791,92 @@ object GraphOps {
       |  END AS assortativity
       |FROM moments""".stripMargin
 
+  // ---------------------------------------------------------------- g11
+  /** Newman modularity of the SOURCE partition over the near-dup graph:
+    * does provenance explain the duplication? Q near its maximum means
+    * near-dups stay inside their source (internal boilerplate — fix per
+    * source); Q near 0 means the duplication is cross-source syndication
+    * (mirrors — fix with d11's overlap matrix). Complements g10: that
+    * scores degree mixing, this scores partition mixing.
+    *
+    * Determinism: with Σ_s e_s (intra-source edges), Σ_s d_s² (squared
+    * per-source degree mass) and m all exact integers,
+    * Q = (4m·Σe_s − Σd_s²) / 4m² is ONE IEEE division of two exactly-
+    * computed integers, then round(6).
+    *
+    * Scale (100 TB): the edge list is ≪ corpus; its endpoint set is
+    * broadcast-joined against `documents` so the full doc→source map is
+    * NEVER materialized or shuffled — the corpus scan reduces to the
+    * graph's vertices before anything joins. All aggregates are map-side
+    * combinable. */
+  private[graft] def sourceModularity(edgesIn: DataFrame, docs: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val dec0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val edges = edgesIn.select($"da", $"db").localCheckpoint(eager = false)
+    val verts = edges.select($"da".as("doc_id"))
+      .union(edges.select($"db".as("doc_id"))).distinct()
+    val lab = docs.select($"doc_id", $"source")
+      .join(broadcast(verts), Seq("doc_id"))
+    val labeled = edges
+      .join(broadcast(lab.select($"doc_id".as("da"), $"source".as("sa"))), Seq("da"))
+      .join(broadcast(lab.select($"doc_id".as("db"), $"source".as("sb"))), Seq("db"))
+    // per-source degree mass: each edge contributes one stub per side
+    val dmass = labeled.select(explode(array($"sa", $"sb")).as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("ds"))
+    val moments = labeled.agg(
+        count(lit(1)).as("m"),
+        sum(when($"sa" === $"sb", 1L).otherwise(0L)).as("intra"))
+      .crossJoin(broadcast(
+        dmass.agg(sum(dec0($"ds") * dec0($"ds")).as("dsq"),
+          count(lit(1)).as("n_sources"))))
+    moments.select(
+      $"m".as("n_edges"), $"intra".as("intra_edges"), $"n_sources",
+      round(
+        (lit(4) * dec0($"m") * dec0($"intra") - $"dsq").cast("double") /
+          (lit(4) * dec0($"m") * dec0($"m")).cast("double"), 6)
+        .as("modularity"))
+  }
+
+  def g11(s: SparkSession, dir: String): DataFrame =
+    sourceModularity(
+      Dedup.jaccardPairs(s, dir, 0.5), Tables.t(s, dir, "documents"))
+
+  val g11Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |e0 AS MATERIALIZED (SELECT da, db FROM inter
+      |       JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |lab AS (SELECT doc_id, source FROM documents),
+      |le AS MATERIALIZED (
+      |  SELECT a.source AS sa, b.source AS sb
+      |  FROM e0 JOIN lab a ON e0.da = a.doc_id JOIN lab b ON e0.db = b.doc_id),
+      |dmass AS (
+      |  SELECT source, CAST(COUNT(*) AS HUGEINT) AS ds FROM (
+      |    SELECT sa AS source FROM le UNION ALL SELECT sb FROM le)
+      |  GROUP BY source),
+      |mom AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+      |    CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS HUGEINT) AS intra
+      |  FROM le),
+      |dagg AS (SELECT SUM(ds * ds) AS dsq,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sources FROM dmass)
+      |SELECT CAST(m AS BIGINT) AS n_edges, CAST(intra AS BIGINT) AS intra_edges,
+      |  n_sources,
+      |  round(CAST(4 * m * intra - dsq AS DOUBLE) /
+      |        CAST(4 * m * m AS DOUBLE), 6) AS modularity
+      |FROM mom, dagg""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -801,5 +887,6 @@ object GraphOps {
     Q("g07_cluster_profile", g07, Some(g07Sql)),
     Q("g08_blast_radius", g08, Some(g08Sql)),
     Q("g09_coengagement", g09, Some(g09Sql)),
-    Q("g10_assortativity", g10, Some(g10Sql)))
+    Q("g10_assortativity", g10, Some(g10Sql)),
+    Q("g11_source_modularity", g11, Some(g11Sql)))
 }

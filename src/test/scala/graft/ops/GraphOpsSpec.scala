@@ -294,4 +294,33 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(assortOf(Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L)) ==
       ((4L, None)))
   }
+
+  /** (n_edges, intra_edges, n_sources, modularity) for an edge list and
+    * a doc_id→source labeling. */
+  private def modOf(edges: Seq[(Long, Long)], srcs: Map[Long, String])
+      : (Long, Long, Long, Double) = {
+    val s = spark
+    import s.implicits._
+    val docs = srcs.toSeq.toDF("doc_id", "source")
+    val r = GraphOps.sourceModularity(edges.toDF("da", "db"), docs)
+      .collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+  }
+
+  test("modularity: two source-pure components score the 0.5 maximum") {
+    assert(modOf(Seq(1L -> 2L, 3L -> 4L),
+      Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B")) ==
+      ((2L, 2L, 2L, 0.5)))
+  }
+
+  test("modularity: all-cross-source edges score -0.5") {
+    assert(modOf(Seq(1L -> 2L, 3L -> 4L),
+      Map(1L -> "A", 2L -> "B", 3L -> "A", 4L -> "B")) ==
+      ((2L, 0L, 2L, -0.5)))
+  }
+
+  test("modularity: a single source is the degenerate 0 partition") {
+    assert(modOf(Seq(1L -> 2L), Map(1L -> "A", 2L -> "A")) ==
+      ((1L, 1L, 1L, 0.0)))
+  }
 }

@@ -448,6 +448,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(aggExchanges == 1, s"expected one aggregation shuffle:\n$sp")
   }
 
+  test("g11: the doc→source map reduces to graph vertices before joining") {
+    val p = simplePlan(GraphOps.g11(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"vertex/label joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
   test("t27: diversity is two chained aggregates over a pruned scan — no join") {
     val p = plan(TextAnalysis.t27(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
