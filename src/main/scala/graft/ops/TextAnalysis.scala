@@ -1385,6 +1385,53 @@ object TextAnalysis {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       |FROM buckets ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- t28
+  /** Tokenizer fertility by language: subword pieces per whitespace word
+    * (t05's BPE-ish pre-tokenizer over t01's word count) — the
+    * multilingual-mix audit read before setting per-language sampling
+    * weights: a language at 2× the fertility of another consumes 2× the
+    * context window per word, so token budgets set on raw word counts
+    * silently under-train it. Fertility is emitted in exact ppm
+    * (pieces·10⁶ div words) plus one rounded division for display —
+    * integer moments, engine-exact.
+    *
+    * Scale (100 TB): one narrow regex/size pass per doc (no explode —
+    * counts come off the piece array), then a map-side-combinable
+    * per-language aggregate of two longs. Nothing downstream grows with
+    * the corpus. */
+  def t28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pieces = expr(s"regexp_extract_all(text, '$piece', 0)")
+    Tables.t(s, dir, "documents")
+      .select($"lang",
+        size(pieces).cast(LongType).as("np"),
+        size(words($"text")).cast(LongType).as("nw"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"np").as("n_pieces"),
+        sum($"nw").as("n_words"))
+      .select(
+        $"lang", $"n_docs", $"n_pieces", $"n_words",
+        expr("(n_pieces * 1000000) div n_words").as("fertility_ppm"),
+        round(dbl($"n_pieces") / dbl($"n_words"), 6).as("pieces_per_word"))
+      .orderBy($"lang")
+  }
+
+  val t28Sql: String =
+    s"""WITH per AS (
+       |  SELECT lang,
+       |    CAST(len(regexp_extract_all(text, '$piece')) AS BIGINT) AS np,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+       |  FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nw) AS BIGINT) AS n_words,
+       |  CAST((SUM(np) * 1000000) // SUM(nw) AS BIGINT) AS fertility_ppm,
+       |  round(CAST(SUM(np) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE), 6)
+       |    AS pieces_per_word
+       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- t27
   /** Per-source lexical diversity: type-token ratio and Gini-Simpson
     * index (1 − Σp²) over the unigram distribution — the "is this
@@ -1472,5 +1519,6 @@ object TextAnalysis {
     Q("t24_zipf_curve", t24, Some(t24Sql)),
     Q("t25_chunk_stride", t25, Some(t25Sql)),
     Q("t26_vocab_growth", t26, Some(t26Sql)),
-    Q("t27_lexical_diversity", t27, Some(t27Sql)))
+    Q("t27_lexical_diversity", t27, Some(t27Sql)),
+    Q("t28_lang_fertility", t28, Some(t28Sql)))
 }
