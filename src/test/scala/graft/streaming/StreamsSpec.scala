@@ -666,4 +666,48 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       assert(burst._2 == 30L && burst._4.exists(_ > 3.0) && burst._5 == 1L)
     } finally q.stop()
   }
+
+  test("anomalyIngest: the 24-hour ring survives a checkpointed restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = Files.createTempDirectory("anomaly_ckpt").toString
+    val counts = (0 until 24).map(h => if (h % 2 == 0) 9 else 11) ++ Seq(30, 1)
+    var eid = 0L
+    val events = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map { i =>
+        eid += 1
+        Streams.Ev2(eid, i.toLong, "click",
+          ts(f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:${i % 60}%02d:00"), 1.0)
+      }
+    }
+    val in = MemoryStream[Streams.Ev2]
+    // memory sinks can't recover a checkpoint; a file sink pins the real
+    // production shape (append-only parquet scores)
+    val out = Files.createTempDirectory("anomaly_out").toString
+    def start() = Streams.anomalyIngest(in.toDS())
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    // run 1: everything but the burst and sentinel, then STOP — the ring
+    // (23 closed hours) exists only in the state store at this point
+    val (beforeBurst, rest) = events.partition(_.ts.getTime <
+      ts("2024-05-31 23:00:00").getTime + 86400000L) // hours 0..22
+    val q1 = start()
+    try { in.addData(beforeBurst); q1.processAllAvailable() } finally q1.stop()
+    // run 2: recovered from the checkpoint; the burst must be scored
+    // against the PRE-RESTART baseline
+    val q2 = start()
+    try {
+      in.addData(rest)
+      q2.processAllAvailable()
+      val scored = s.read.parquet(out)
+        .as[Streams.HourScore].collect().filter(_.mean_cnt.isDefined)
+      assert(scored.length == 1, s"expected one scored hour, got ${scored.toSeq}")
+      val b = scored.head
+      assert(b.hour == "2024-06-02 00:00:00" && b.cnt == 30L &&
+        b.z.exists(_ > 3.0) && b.is_spike == 1L)
+    } finally q2.stop()
+  }
 }
