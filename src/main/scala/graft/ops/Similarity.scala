@@ -853,6 +853,118 @@ object Similarity {
        |FROM n a JOIN n b ON a.label < b.label
        |ORDER BY label_a, label_b""".stripMargin
 
+  // ---------------------------------------------------------------- s15
+  /** IVF probe sweep: recall@3 at nprobe ∈ {1,2,3} in ONE query — the
+    * accuracy/cost frontier s06 samples at a single point. The knob
+    * every IVF deployment tunes is nprobe; this emits the whole curve
+    * (exact aggregate recall in ppm per level) so the operator picks the
+    * cheapest probe count that clears the recall bar.
+    *
+    * Plan: candidates are generated ONCE against the 3 nearest cells
+    * (each tagged with its probe rank) and checkpointed; the three
+    * levels re-rank the same candidate frame with `prank ≤ p` filters —
+    * no per-level corpus pass. The exact reference side is s06's
+    * broadcast-queries scan. Recall is hits·10⁶ div (3·|Q|) — integer,
+    * engine-exact.
+    *
+    * Scale (100 TB): corpus streams once for assignment (broadcast
+    * centroids), once for candidates (broadcast probed queries), once
+    * for the exact reference on the query SAMPLE — nothing quadratic,
+    * and the sweep itself runs on the tiny candidate frame. */
+  def s15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val cent = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(round($"csim", 6).desc, $"cid")
+    val scored = all.join(broadcast(cent))
+      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
+      .withColumn("arank", row_number().over(wAssign))
+    val assigned = scored.filter($"arank" === 1)
+      .select($"vec_id", $"v", $"norm", $"cid")
+    val q = all.filter($"vec_id" % 71 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
+    val probes = scored.filter($"vec_id" % 71 === 0 && $"arank" <= 3)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"),
+        $"cid".as("pcell"), $"arank".as("prank"))
+    val wTop = Window.partitionBy($"qid")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    val exact = all.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 3)
+      .select($"qid", $"vec_id".as("neighbor_id"))
+    val cand = assigned
+      .join(broadcast(probes), $"cid" === $"pcell" && $"vec_id" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .select($"qid", $"prank", $"vec_id", $"sim")
+      .localCheckpoint(eager = false)
+    val wLvl = Window.partitionBy($"qid")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    val approx = Seq(1, 2, 3).map { p =>
+      cand.filter($"prank" <= p)
+        .withColumn("rank", row_number().over(wLvl))
+        .filter($"rank" <= 3)
+        .select(lit(p).cast(LongType).as("probes"), $"qid",
+          $"vec_id".as("neighbor_id"))
+    }.reduce(_ union _)
+    val hits = approx.join(exact, Seq("qid", "neighbor_id"))
+      .groupBy($"probes").agg(count(lit(1)).as("n_hits"))
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    hits.crossJoin(broadcast(nq))
+      .select($"probes", $"n_queries", $"n_hits",
+        expr("(n_hits * 1000000) div (3 * n_queries)").as("recall_ppm"))
+      .orderBy($"probes")
+  }
+
+  val s15Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, norm AS cnorm
+       |         FROM v WHERE vec_id % 100 = 0),
+       |scored AS MATERIALIZED (
+       |  SELECT v.vec_id, v.embedding, v.norm, cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(${dotSql("ce", "embedding")} / (cnorm * norm), 6) DESC,
+       |               cid) AS arank
+       |  FROM v CROSS JOIN cent),
+       |assigned AS (SELECT vec_id, embedding, norm, cid
+       |             FROM scored WHERE arank = 1),
+       |qs AS (SELECT vec_id AS qid, embedding AS qe, norm AS qnorm
+       |       FROM v WHERE vec_id % 71 = 0),
+       |probes AS (
+       |  SELECT s.vec_id AS qid, s.embedding AS qe, s.norm AS qnorm,
+       |         s.cid AS pcell, s.arank AS prank
+       |  FROM scored s WHERE s.vec_id % 71 = 0 AND s.arank <= 3),
+       |exact AS (
+       |  SELECT qid, vec_id AS neighbor_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |        ORDER BY round(${dotSql("qe", "embedding")} / (qnorm * norm), 6) DESC,
+       |                 vec_id) AS rank
+       |    FROM v JOIN qs ON vec_id <> qid)
+       |  WHERE rank <= 3),
+       |cand AS MATERIALIZED (
+       |  SELECT p.qid, p.prank, a.vec_id,
+       |    ${dotSql("p.qe", "a.embedding")} / (p.qnorm * a.norm) AS sim
+       |  FROM assigned a JOIN probes p
+       |    ON a.cid = p.pcell AND a.vec_id <> p.qid),
+       |lev AS (
+       |  SELECT l.p, c.qid, c.vec_id,
+       |    row_number() OVER (PARTITION BY l.p, c.qid
+       |      ORDER BY round(c.sim, 6) DESC, c.vec_id) AS rank
+       |  FROM (VALUES (1), (2), (3)) AS l(p) JOIN cand c ON c.prank <= l.p),
+       |appx AS (SELECT p, qid, vec_id FROM lev WHERE rank <= 3),
+       |hits AS (
+       |  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM appx JOIN exact e ON e.qid = appx.qid AND e.neighbor_id = appx.vec_id
+       |  GROUP BY p),
+       |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs)
+       |SELECT CAST(p AS BIGINT) AS probes, n_queries, n_hits,
+       |  CAST((n_hits * 1000000) // (3 * n_queries) AS BIGINT) AS recall_ppm
+       |FROM hits, nq ORDER BY probes""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -867,5 +979,6 @@ object Similarity {
     Q("s11_norm_profile", s11, Some(s11Sql)),
     Q("s12_matryoshka_recall", s12, Some(s12Sql)),
     Q("s13_filtered_ann", s13, Some(s13Sql)),
-    Q("s14_centroid_separation", s14, Some(s14Sql)))
+    Q("s14_centroid_separation", s14, Some(s14Sql)),
+    Q("s15_probe_sweep", s15, Some(s15Sql)))
 }
