@@ -849,6 +849,116 @@ object Dedup {
       |JOIN sizes sa ON e.da = sa.doc_id JOIN sizes sb ON e.db = sb.doc_id
       |ORDER BY e.da, e.db""".stripMargin
 
+  // ---------------------------------------------------------------- d19
+  /** SimHash estimator audit — d12's twin for the OTHER sketch: for
+    * every d04 band-collision candidate (no hamming cut), the 60-bit
+    * signature agreement (1 − hamming/60, SimHash's cosine proxy)
+    * against the exact 3-gram Jaccard. Read before trusting hamming
+    * thresholds on cheap tiers: SimHash agreement is a TF-cosine proxy,
+    * so this also quantifies how far that proxy sits from the set
+    * metric the dedup policy is actually written against.
+    *
+    * Determinism: hamming is integer bit math; both ratios are single
+    * divisions of exact integers, rounded at 6 — engine-exact.
+    *
+    * Scale (100 TB): audits only the candidate pairs the band join
+    * generates anyway; signatures are the one compiled map-side kernel
+    * pass d04 already pays, and the exact side joins the checkpointed
+    * shingle arrays — nothing quadratic outside the band buckets. */
+  def d19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sim = Tables.t(s, dir, "documents")
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(expr("exists(ws, w -> w != '')"))
+      .select($"doc_id", graft.functions.SimHash60($"ws").as("sh"))
+      .localCheckpoint(eager = false)
+    val bands = sim
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .select($"doc_id", $"sh", $"b", expr("shiftright(sh, b * 15) & 32767").as("bv"))
+    // audit a deterministic 10% of the candidate stream, in the
+    // decision-relevant band only (d04 cuts at ≤ 1; ≤ 8 shows the
+    // estimator on both sides of any plausible threshold). The sample
+    // predicate sits IN the join so the dedup of band collisions only
+    // ever sees sampled pairs, and both cuts land before the shingle
+    // join — the exact side never sees the long tail of incidental
+    // collisions. Production audits sample exactly like this: the
+    // estimate-vs-exact distribution needs coverage, not every pair.
+    val cand = bands.as("a").hint("SHUFFLE_HASH")
+      .join(bands.as("b").hint("SHUFFLE_HASH"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.doc_id") + col("b.doc_id")) % 10 === 0)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sh").as("sa"), col("b.sh").as("sb"))
+      .distinct()
+    val docsArr = shingleArrays(s, dir)
+    val pa = docsArr.select($"doc_id".as("da"),
+      size($"arr").cast("long").as("na"), $"arr".as("ssa"))
+    val pb = docsArr.select($"doc_id".as("db"),
+      size($"arr").cast("long").as("nb"), $"arr".as("ssb"))
+    cand
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter($"hamming" <= 8)
+      .join(pa, Seq("da")).join(pb, Seq("db"))
+      .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
+      .withColumn("jac_exact", dbl($"i") / ($"na" + $"nb" - $"i"))
+      .withColumn("agree", dbl(lit(60L) - $"hamming") / 60)
+      .select($"da", $"db", $"hamming",
+        round($"agree", 6).as("agreement_est"),
+        round($"jac_exact", 6).as("jaccard_exact"),
+        round(abs($"agree" - $"jac_exact"), 6).as("gap"))
+      .orderBy($"da", $"db")
+  }
+
+  val d19Sql: String =
+    """WITH wordsu AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS cnt FROM wordsu WHERE w <> '' GROUP BY doc_id, w),
+      |wh AS (
+      |  SELECT doc_id, cnt,
+      |    list_reduce(list_transform(string_split(w, ''),
+      |      c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS h1,
+      |    list_reduce(list_transform(string_split(w, ''),
+      |      c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 37 + b) % 1000000007) AS h2
+      |  FROM tf),
+      |bits AS (
+      |  SELECT doc_id, b,
+      |    SUM(cnt * ((((CASE WHEN b < 30 THEN h1 ELSE h2 END) >> (b % 30)) & 1) * 2 - 1)) AS contrib
+      |  FROM wh, UNNEST(generate_series(0, 59)) AS t(b) GROUP BY doc_id, b),
+      |sim AS (
+      |  SELECT doc_id, SUM(CASE WHEN contrib > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sh
+      |  FROM bits GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, sh, b, (sh >> (b * 15)) & 32767 AS bv
+      |  FROM sim, UNNEST(generate_series(0, 3)) AS t(b)),
+      |cand AS (
+      |  SELECT * FROM (
+      |    SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS sa, b.sh AS sb
+      |    FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+      |      AND a.doc_id < b.doc_id AND (a.doc_id + b.doc_id) % 10 = 0)
+      |  WHERE bit_count(xor(sa, sb)) <= 8),
+      |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |shg AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT c.da, c.db,
+      |  CAST(bit_count(xor(c.sa, c.sb)) AS BIGINT) AS hamming,
+      |  round(CAST(60 - bit_count(xor(c.sa, c.sb)) AS DOUBLE) / 60, 6)
+      |    AS agreement_est,
+      |  round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+      |    / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS jaccard_exact,
+      |  round(abs(CAST(60 - bit_count(xor(c.sa, c.sb)) AS DOUBLE) / 60
+      |    - CAST(COALESCE(i.i, 0) AS DOUBLE)
+      |      / (sa.n + sb.n - COALESCE(i.i, 0))), 6) AS gap
+      |FROM cand c
+      |LEFT JOIN inter i ON c.da = i.da AND c.db = i.db
+      |JOIN sizes sa ON c.da = sa.doc_id JOIN sizes sb ON c.db = sb.doc_id
+      |ORDER BY c.da, c.db""".stripMargin
+
   // ---------------------------------------------------------------- d13
   /** Semantic dedup (SemDeDup-style, Abbas et al. 2023): duplicates that
     * share no n-grams — paraphrases, re-encodes, translations-of-templates
@@ -1317,5 +1427,6 @@ object Dedup {
     Q("d15_threshold_sweep", d15, Some(d15Sql)),
     Q("d16_leak_attribution", d16, Some(d16Sql)),
     Q("d17_template_dedup", d17, Some(d17Sql)),
-    Q("d18_split_leakage", d18, Some(d18Sql)))
+    Q("d18_split_leakage", d18, Some(d18Sql)),
+    Q("d19_simhash_audit", d19, Some(d19Sql)))
 }
