@@ -995,28 +995,36 @@ object TextAnalysis {
     * unlike t10's broadcastable unigram df — the doc↔corpus join MUST
     * shuffle on the bigram key; counts partial-aggregate map-side
     * (t12's two-level shape) and sums run in DECIMAL(38,0) so a web-
-    * scale `c·count` cannot wrap int64. Three key-partitioned shuffles
-    * (bigram, prefix, doc_id), no broadcast of anything corpus-sized. */
+    * scale `c·count` cannot wrap int64. The PREFIX mass, though, folds
+    * out of the already-aggregated corpus table (Σ_{bg: bg₁=w} count =
+    * group the bigram counts by first word), so it costs a tiny
+    * aggregate of the corpus frame instead of a third corpus-sized
+    * shuffle — and the result is unigram-vocab-sized, so it broadcasts
+    * like t10's df. Two key-partitioned shuffles of corpus-sized data
+    * (bigram, doc_id), one broadcast. */
   def t20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val big = DecimalType(38, 0)
     val pairs = Tables.t(s, dir, "documents")
       .select($"doc_id", words($"text").as("ws"))
       .filter(size($"ws") >= 2)
-      .select($"doc_id", explode(transform(sequence(lit(0), size($"ws") - 2), i =>
-        struct(
-          concat_ws(" ", element_at($"ws", i + 1), element_at($"ws", i + 2)).as("bg"),
-          element_at($"ws", i + 1).as("w1")))).as("p"))
-      .select($"doc_id", $"p.bg".as("bg"), $"p.w1".as("w1"))
-    // two-level: per-(doc, bigram) counts first, so the corpus and
-    // prefix tables aggregate pre-collapsed rows (t12's shape)
+      // one narrow zip of the word array against its own tail — no
+      // struct building, a single string column crosses the explode
+      .select($"doc_id", explode(zip_with(
+        slice($"ws", lit(1), size($"ws") - 1),
+        slice($"ws", lit(2), size($"ws") - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bg"))
+    // two-level: per-(doc, bigram) counts first, so the corpus table
+    // aggregates pre-collapsed rows (t12's shape)
     val docBg = pairs.groupBy($"doc_id", $"bg")
-      .agg(min($"w1").as("w1"), count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // reused: corpus, prefix and doc passes
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // reused: corpus and doc passes
     val corpus = docBg.groupBy($"bg")
       .agg(sum($"c").as("n_total"), count(lit(1)).as("n_docs"))
-    val prefix = docBg.groupBy($"w1").agg(sum($"c").as("n_pref"))
-    docBg.join(corpus, Seq("bg")).join(prefix, Seq("w1"))
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .localCheckpoint(eager = false) // reused: join side and prefix fold
+    val prefix = corpus.groupBy($"w1").agg(sum($"n_total").as("n_pref"))
+    docBg.join(corpus, Seq("bg")).join(broadcast(prefix), Seq("w1"))
       .groupBy($"doc_id")
       .agg(
         sum($"c").as("n_bigrams"),
