@@ -378,9 +378,10 @@ object Similarity {
     val M = 4
     val SubDim = 16
     val dd = DecimalType(18, 6)
-    val d2 = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, p) => acc + p)
+    // compiled kernel with the HOF chain's exact index-order fold (same
+    // bits; see graft.functions.SqDist) — the encode join evaluates this
+    // |corpus|·4·k times, so it must live inside whole-stage codegen
+    val d2 = (a: Column, b: Column) => graft.functions.SqDist(a, b)
     val subs = Tables.t(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", x => x.cast(DoubleType)).as("v"))
       .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("j"), $"v")
@@ -388,12 +389,14 @@ object Similarity {
       .localCheckpoint(eager = false) // consumed by codes + LUT passes
     val cents = subs.filter($"vec_id" % 37 === 0)
       .select($"vec_id".as("cid"), $"j".as("cj"), $"sub".as("csub"))
-    val wAssign = Window.partitionBy($"vec_id", $"j").orderBy($"dc".asc, $"cid")
+    // argmin as an AGGREGATE, not a window: min(struct(dc, cid)) has the
+    // window's exact (distance, id) tie-break but combines map-side —
+    // the k-wide candidate fan-out never gets sorted or shuffled whole
     val codes = subs.join(broadcast(cents), $"j" === $"cj")
       .withColumn("dc", round(d2($"sub", $"csub"), 6).cast(dd))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter($"arank" === 1)
-      .select($"vec_id", $"j", $"cid".as("code"))
+      .groupBy($"vec_id", $"j")
+      .agg(min(struct($"dc", $"cid")).as("m"))
+      .select($"vec_id", $"j", $"m.cid".as("code"))
     val lut = subs.filter($"vec_id" % 71 === 0)
       .select($"vec_id".as("qid"), $"j".as("qj"), $"sub".as("qsub"))
       .join(broadcast(cents), $"qj" === $"cj")

@@ -29,6 +29,27 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(n.isNullAt(0))
   }
 
+  test("SqDist equals the aggregate/zip_with fold bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.1, -0.2), Array(0.3, 0.7)),
+      (Array(1e-9, 1e9), Array(-1e9, 1e-9)),
+      (Array.empty[Double], Array.empty[Double]))
+      .toDF("a", "b")
+    val rows = df.select(
+      SqDist($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)), lit(0.0),
+        (acc, x) => acc + x).as("ref")).collect()
+    rows.foreach(r => assert(
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    val n = df.select(SqDist($"a", lit(null).cast("array<double>")))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("RollingHash equals the split/ascii fold") {
     val s = spark
     import s.implicits._
