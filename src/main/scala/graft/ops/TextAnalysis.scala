@@ -1393,6 +1393,111 @@ object TextAnalysis {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
       |FROM buckets ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- t29
+  /** Document-atomic greedy packing audit — t07's offset packing lets a
+    * document span two context windows; an instruction-tuning/eval
+    * pipeline usually can't (a truncated example is a corrupted one), so
+    * it packs ATOMICALLY: a doc that doesn't fit opens the next window,
+    * and the slack it leaves behind is paid compute. Per source stream
+    * (doc_id order, 2048-token windows): windows used, total tokens,
+    * wasted slack tokens and waste ppm of capacity — the report that
+    * decides between atomic packing, offset packing, or a bigger
+    * context window.
+    *
+    * This fold is INHERENTLY SEQUENTIAL per stream — each placement
+    * depends on the previous window's fill, which no window function or
+    * aggregate expresses — so the Spark form is the secondary-sort
+    * idiom: repartition by stream, sortWithinPartitions by (stream,
+    * doc_id), one O(1)-memory partition-local fold (`mapPartitions` as
+    * the documented last resort, used exactly where declarative ops
+    * cannot go; the oracle is the equivalent recursive CTE). Oversized
+    * docs (> 2048 tokens) occupy a window alone and count no slack —
+    * both engines implement the same rule.
+    *
+    * Scale (100 TB): parallelism unit = stream, same as t07 (pre-shard
+    * huge sources on (source, day) for finer grain); the fold holds one
+    * window's state, never the stream. */
+  /** t29's fold on any (doc_id, source, tokens) frame — split out so the
+    * spec can pin the atomic placement rules (exact fit, overflow-opens-
+    * window, oversized-doc-alone) on hand-built streams. */
+  private[graft] def atomicPack(
+      toks: org.apache.spark.sql.Dataset[(Long, String, Long)],
+      windowTokens: Long = 2048L): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val W = windowTokens
+    toks
+      .repartition($"_2")
+      .sortWithinPartitions($"_2", $"_1")
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+        var cur: String = null
+        var win = 0L; var fill = 0L; var waste = 0L; var total = 0L
+        def flush(): Unit = if (cur != null) {
+          waste += math.max(0L, W - fill)
+          out += ((cur, win, total, waste))
+        }
+        it.foreach { case (_, src, t) =>
+          if (src != cur) {
+            flush(); cur = src; win = 1L; fill = t; waste = 0L; total = t
+          } else {
+            total += t
+            if (fill + t <= W) fill += t
+            else { waste += math.max(0L, W - fill); win += 1L; fill = t }
+          }
+        }
+        flush()
+        out.iterator
+      }.toDF("source", "n_windows", "total_tokens", "waste_tokens")
+      .select($"source", $"n_windows", $"total_tokens", $"waste_tokens",
+        expr(s"(waste_tokens * 1000000) div (n_windows * $W)").as("waste_ppm"))
+      .orderBy($"source")
+  }
+
+  def t29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    atomicPack(
+      Tables.t(s, dir, "documents")
+        .select($"doc_id", $"source",
+          ceil(dbl($"n_chars") / 4).cast(LongType).as("tokens"))
+        .as[(Long, String, Long)])
+  }
+
+  val t29Sql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, source,
+      |    CAST(ceil(CAST(n_chars AS DOUBLE) / 4) AS BIGINT) AS tokens,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT source, rn, tokens, tokens AS fill,
+      |    CAST(1 AS BIGINT) AS win, CAST(0 AS BIGINT) AS waste
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.source, t.rn, t.tokens,
+      |    CASE WHEN p.fill + t.tokens <= 2048 THEN p.fill + t.tokens
+      |         ELSE t.tokens END,
+      |    CASE WHEN p.fill + t.tokens <= 2048 THEN p.win ELSE p.win + 1 END,
+      |    CASE WHEN p.fill + t.tokens <= 2048 THEN p.waste
+      |         ELSE p.waste + greatest(0, 2048 - p.fill) END
+      |  FROM pack p JOIN t ON t.source = p.source AND t.rn = p.rn + 1),
+      |last AS (
+      |  SELECT source, fill, win, waste,
+      |    row_number() OVER (PARTITION BY source ORDER BY rn DESC) AS rr
+      |  FROM pack),
+      |fin AS (
+      |  SELECT source, win AS n_windows,
+      |    waste + greatest(0, 2048 - fill) AS waste_tokens
+      |  FROM last WHERE rr = 1),
+      |tot AS (SELECT source, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+      |        FROM t GROUP BY source)
+      |SELECT f.source, f.n_windows, t.total_tokens,
+      |  CAST(f.waste_tokens AS BIGINT) AS waste_tokens,
+      |  CAST((f.waste_tokens * 1000000) // (f.n_windows * 2048) AS BIGINT)
+      |    AS waste_ppm
+      |FROM fin f JOIN tot t ON f.source = t.source ORDER BY f.source""".stripMargin
+
   // ---------------------------------------------------------------- t28
   /** Tokenizer fertility by language: subword pieces per whitespace word
     * (t05's BPE-ish pre-tokenizer over t01's word count) — the
@@ -1528,5 +1633,6 @@ object TextAnalysis {
     Q("t25_chunk_stride", t25, Some(t25Sql)),
     Q("t26_vocab_growth", t26, Some(t26Sql)),
     Q("t27_lexical_diversity", t27, Some(t27Sql)),
-    Q("t28_lang_fertility", t28, Some(t28Sql)))
+    Q("t28_lang_fertility", t28, Some(t28Sql)),
+    Q("t29_atomic_packing", t29, Some(t29Sql)))
 }
