@@ -336,6 +336,82 @@ object Multimodal {
       |    AS straggler_ppm
       |FROM meta GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- m09
+  /** Frame-level video near-dup: two media payloads sharing many frame
+    * hashes are the same footage re-containered/trimmed, even when the
+    * byte-exact m05 tier misses them. Frames are the m03 model (16-byte
+    * frames at stride 32); each doc reduces to its SET of frame hashes,
+    * an inverted index on the hash generates pairs, and the overlap
+    * coefficient |A∩B| / min(|A|,|B|) scores them (pairs sharing ≥ 2
+    * frames emit). A document-frequency cut (df ≤ 1000) drops
+    * ubiquitous frames — the video analog of d02's stop-shingles (black
+    * frames, title cards) that would otherwise pair everything.
+    *
+    * Scale (100 TB): payload bytes never shuffle — the index carries
+    * 8-byte frame hashes only, and the pair join has d02's bounded
+    * hot-bucket fan-out thanks to the df cut. The per-frame hash is the
+    * compiled RollingHash kernel inside one narrow codegen pass. */
+  def m09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fh = mediaTable(s, dir)
+      .withColumn("txt", decode($"bytes", "UTF-8"))
+      .withColumn("n_frames",
+        greatest(lit(0), floor((length($"txt") - 16) / 32) + 1).cast(LongType))
+      .filter($"n_frames" > 0)
+      .select($"doc_id", explode(sequence(lit(0), $"n_frames" - 1)).as("k"), $"txt")
+      .select($"doc_id",
+        graft.functions.RollingHash(
+          expr("substring(txt, k * 32 + 1, 16)"), 31L).as("fh"))
+      .distinct()
+      .localCheckpoint(eager = false) // reused: df cut, both join sides, sizes
+    val df = fh.groupBy($"fh").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" <= 1000)
+    val kept = fh.join(df.select($"fh"), Seq("fh"))
+      .localCheckpoint(eager = false)
+    val sizes = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = kept.as("a").hint("SHUFFLE_HASH")
+      .join(kept.as("b").hint("SHUFFLE_HASH"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("shared"))
+      .filter($"shared" >= 2)
+    pairs
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
+      .select($"da", $"db", $"shared", $"na", $"nb",
+        round($"shared".cast(DoubleType) / least($"na", $"nb"), 6).as("overlap"))
+      .orderBy($"da", $"db")
+  }
+
+  val m09Sql: String =
+    """WITH fr AS (
+      |  SELECT doc_id, greatest(0, (length(text) - 16) // 32 + 1) AS n_frames, text
+      |  FROM documents),
+      |fh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, 16),
+      |        i -> CAST(ascii(text[k * 32 + i]) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007) AS fh
+      |  FROM fr, UNNEST(generate_series(0, CAST(n_frames AS INT) - 1)) AS t(k)
+      |  WHERE n_frames > 0),
+      |df AS (SELECT fh FROM (
+      |         SELECT fh, COUNT(*) AS n_docs FROM fh0 GROUP BY fh)
+      |       WHERE n_docs <= 1000),
+      |kept AS (SELECT fh0.doc_id, fh0.fh FROM fh0 JOIN df ON fh0.fh = df.fh),
+      |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM kept a JOIN kept b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id
+      |  HAVING COUNT(*) >= 2)
+      |SELECT p.da, p.db, p.shared, sa.n AS na, sb.n AS nb,
+      |  round(CAST(p.shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+      |FROM pairs p
+      |JOIN sizes sa ON p.da = sa.doc_id
+      |JOIN sizes sb ON p.db = sb.doc_id
+      |ORDER BY p.da, p.db""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
@@ -344,5 +420,6 @@ object Multimodal {
     Q("m05_media_dedup", m05, Some(m05Sql)),
     Q("m06_scene_cuts", m06, Some(m06Sql)),
     Q("m07_pair_manifest", m07, Some(m07Sql)),
-    Q("m08_decode_budget", m08, Some(m08Sql)))
+    Q("m08_decode_budget", m08, Some(m08Sql)),
+    Q("m09_video_neardup", m09, Some(m09Sql)))
 }
