@@ -107,6 +107,55 @@ object Temporal {
       |  ON x.user_id = y.user_id AND y.ts <= x.ts
       |ORDER BY x.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** FORWARD as-of join — q18's mirror: each click picks up the NEXT
+    * purchase (ts >= click ts) by the same user. The attribution
+    * direction flips (q18 answers "what did they last buy", this
+    * answers "what did the click lead to"); the plan is the same
+    * union + running-carry window, traversed in DESCENDING time with
+    * purchases sorted first at ties so `>=` semantics hold. Still
+    * |X|+|Y| per key — no range join, no per-click probe.
+    *
+    * Scale (100 TB): identical to q18 — one co-partitioned shuffle on
+    * user_id, one ordered window pass, values carried without
+    * arithmetic so doubles stay bit-exact. */
+  def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.t(s, dir, "events")
+    val clicks = e.filter($"event_type" === "click").select(
+      $"user_id", $"ts", lit(1).as("side"), $"event_id", $"value")
+    val purchases = e.filter($"event_type" === "purchase").select(
+      $"user_id", $"ts", lit(0).as("side"),
+      lit(null).cast(LongType).as("event_id"), $"value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("next_purchase_value",
+        last(when($"side" === 0, $"value"), ignoreNulls = true).over(w))
+      .withColumn("next_purchase_ts",
+        last(when($"side" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select(
+        $"event_id",
+        $"user_id",
+        date_format($"ts", TsFmt).as("click_ts"),
+        $"value".as("click_value"),
+        $"next_purchase_value",
+        date_format($"next_purchase_ts", TsFmt).as("next_purchase_ts"))
+      .orderBy($"event_id")
+  }
+
+  val q45Sql: String =
+    """SELECT x.event_id, x.user_id,
+      |  strftime(x.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |  x.value AS click_value,
+      |  y.value AS next_purchase_value,
+      |  strftime(y.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') x
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') y
+      |  ON x.user_id = y.user_id AND y.ts >= x.ts
+      |ORDER BY x.event_id""".stripMargin
+
   // ---------------------------------------------------------------- q35
   /** Weekly cohort retention — the product-analytics staple: users are
     * cohorted by the ISO week of their first event, and each later week
@@ -567,5 +616,6 @@ object Temporal {
     Q("q40_user_growth", q40, Some(q40Sql)),
     Q("q41_rolling_active", q41, Some(q41Sql)),
     Q("q42_scd2_intervals", q42, Some(q42Sql)),
-    Q("q43_hourly_anomaly", q43, Some(q43Sql)))
+    Q("q43_hourly_anomaly", q43, Some(q43Sql)),
+    Q("q45_asof_forward", q45, Some(q45Sql)))
 }
