@@ -1427,8 +1427,12 @@ object TextAnalysis {
     import s.implicits._
     val W = windowTokens
     toks
-      .repartition($"_2")
-      .sortWithinPartitions($"_2", $"_1")
+      // positional rename: the tuple encoder's schema keeps whatever
+      // names the caller's frame had (_1/_2 from a toDS, doc_id/source
+      // from the documents projection) — normalize before keying on them
+      .toDF("doc_id", "source", "tokens")
+      .repartition($"source")
+      .sortWithinPartitions($"source", $"doc_id")
       .as[(Long, String, Long)]
       .mapPartitions { it =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
