@@ -606,6 +606,94 @@ object Temporal {
       |       THEN 1 ELSE 0 END AS BIGINT) AS is_spike
       |FROM zed ORDER BY hour""".stripMargin
 
+  // ---------------------------------------------------------------- q46
+  /** Per-event-type cadence profile: the distribution of gaps between a
+    * user's consecutive events of the same type — exact p50/p90/max/mean
+    * inter-arrival seconds plus the gap count. The instrumentation-health
+    * meter behind q43: a heartbeat stream whose p90 gap doubles is
+    * dropping events long before the hourly z-score fires.
+    *
+    * Determinism: gaps are exact integer micros (`unix_micros`, no
+    * timezone or FP) floored to whole seconds — Spark's `div` truncation
+    * equals DuckDB's `//` floor on the non-negative domain. Percentiles
+    * are q44-style histogram rank picks; mean is int64 floor division.
+    *
+    * Scale (100 TB): the lag window shuffles events once on
+    * (user_id, event_type) — per-partition sorted runs, no global sort.
+    * Percentiles then come from the count-of-counts histogram, NOT a
+    * per-type sort of all gaps: the percentile window's input collapses
+    * to |types| · |distinct gap seconds| rows, bounded by the gap domain
+    * rather than the corpus. The same per-type histogram sort carries the
+    * cumulative counts and the totals (full-frame windows), so nothing
+    * re-reads the events. */
+  def q46(s: SparkSession, dir: String): DataFrame =
+    gapProfile(Tables.t(s, dir, "events"))
+
+  /** The cadence kernel over any (user_id, event_type, event_id, ts)
+    * frame — split out so the spec can pin the gap semantics on
+    * hand-built streams (type/user isolation, ts ties, sub-second
+    * floor, singleton users). */
+  private[graft] def gapProfile(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val wLag = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"us", $"event_id")
+    val hist = events
+      .select($"user_id", $"event_type", $"event_id", unix_micros($"ts").as("us"))
+      .withColumn("lag_us", lag($"us", 1).over(wLag))
+      .where($"lag_us".isNotNull)
+      .select($"event_type", expr("(us - lag_us) div 1000000").as("gap_s"))
+      .groupBy($"event_type", $"gap_s").agg(count(lit(1)).as("n"))
+    // all four statistics ride ONE tiny per-type histogram sort
+    val wCum = Window.partitionBy($"event_type").orderBy($"gap_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type").orderBy($"gap_s")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum", sum($"n").over(wCum))
+      .withColumn("n_gaps", sum($"n").over(wAll))
+      .withColumn("sum_gap", sum($"gap_s" * $"n").over(wAll))
+      .withColumn("mx", max($"gap_s").over(wAll))
+      .groupBy($"event_type")
+      .agg(
+        min($"n_gaps").as("n_gaps"),
+        min(when($"cum" * 2 >= $"n_gaps", $"gap_s")).as("p50_gap_s"),
+        min(when($"cum" * 10 >= $"n_gaps" * 9, $"gap_s")).as("p90_gap_s"),
+        min($"mx").as("max_gap_s"),
+        min($"sum_gap").as("sum_gap"))
+      .select(
+        $"event_type", $"n_gaps", $"p50_gap_s", $"p90_gap_s", $"max_gap_s",
+        expr("sum_gap div n_gaps").as("mean_gap_s"))
+      .orderBy($"event_type")
+  }
+
+  val q46Sql: String =
+    """WITH gaps AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |       PARTITION BY user_id, event_type
+      |       ORDER BY epoch_us(ts), event_id)) // 1000000 AS gap_s
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_type, gap_s, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, gap_s, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY gap_s
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_gaps,
+      |    CAST(SUM(gap_s * n) OVER (PARTITION BY event_type) AS BIGINT)
+      |      AS sum_gap,
+      |    MAX(gap_s) OVER (PARTITION BY event_type) AS mx
+      |  FROM hist)
+      |SELECT event_type,
+      |  CAST(MIN(n_gaps) AS BIGINT) AS n_gaps,
+      |  MIN(CASE WHEN cum * 2 >= n_gaps THEN gap_s END) AS p50_gap_s,
+      |  MIN(CASE WHEN cum * 10 >= n_gaps * 9 THEN gap_s END) AS p90_gap_s,
+      |  CAST(MIN(mx) AS BIGINT) AS max_gap_s,
+      |  CAST(MIN(sum_gap) // MIN(n_gaps) AS BIGINT) AS mean_gap_s
+      |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -617,5 +705,6 @@ object Temporal {
     Q("q41_rolling_active", q41, Some(q41Sql)),
     Q("q42_scd2_intervals", q42, Some(q42Sql)),
     Q("q43_hourly_anomaly", q43, Some(q43Sql)),
-    Q("q45_asof_forward", q45, Some(q45Sql)))
+    Q("q45_asof_forward", q45, Some(q45Sql)),
+    Q("q46_event_gaps", q46, Some(q46Sql)))
 }

@@ -1609,6 +1609,82 @@ object TextAnalysis {
       |        CAST(total_terms * total_terms AS DOUBLE), 6) AS simpson
       |FROM agg ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t30
+  /** Language-label agreement audit: t03's marker-score detector replayed
+    * against the LABELED `lang` column, aggregated into a long-form
+    * confusion matrix — (labeled, predicted, count, share). The
+    * label-vs-detector disagreement rate is the standard mislabel meter
+    * run before trusting per-language mixture weights (t23/t28 key on
+    * `lang`; a 30% en→fr confusion silently corrupts both).
+    *
+    * Determinism: counts are integers and share_ppm is int64 floor
+    * division of two counts — engine-exact, no FP ratio. The argmax
+    * tiebreak is t03's fixed priority chain, so pred is a pure function
+    * of the text.
+    *
+    * Scale (100 TB): marker scoring is codegen'd array arithmetic in the
+    * scan stage; the aggregate is map-side combinable down to
+    * |langs|² ≤ 25 rows per partition, then one tiny exchange. The
+    * per-label total rides a |langs|²-row window — no second pass over
+    * the corpus, no joins. */
+  def t30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = words($"text")
+    def score(ms: Seq[String]): Column =
+      size(filter(ws, w => w.isin(ms: _*))).cast(LongType)
+    val langs = markers.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, i), elsEx) =>
+        val ge = langs.drop(i + 1)
+          .map(o => col(s"score_$l") >= col(s"score_$o"))
+          .reduce(_ && _)
+        when(ge, lit(l)).otherwise(elsEx)
+    }
+    val wLab = Window.partitionBy($"labeled_lang")
+    Tables.t(s, dir, "documents")
+      .select(
+        $"lang".as("labeled_lang") +:
+          markers.map { case (l, ms) => score(ms).as(s"score_$l") }: _*)
+      .withColumn("pred_lang", pred)
+      .groupBy($"labeled_lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_labeled", sum($"n_docs").over(wLab))
+      .select(
+        $"labeled_lang", $"pred_lang", $"n_docs",
+        expr("(n_docs * 1000000) div n_labeled").as("share_ppm"),
+        ($"labeled_lang" === $"pred_lang").as("is_agreement"))
+      .orderBy($"labeled_lang", $"pred_lang")
+  }
+
+  val t30Sql: String = {
+    def cnt(ms: Seq[String]) = {
+      val set = ms.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS BIGINT)"
+    }
+    val scores = markers
+      .map { case (l, ms) => s"      ${cnt(ms)} AS score_$l" }.mkString(",\n")
+    val langs = markers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val conds = langs.drop(i + 1).map(o => s"score_$l >= score_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT labeled_lang, CASE $cases ELSE '${langs.last}' END AS pred_lang
+       |  FROM (
+       |    SELECT lang AS labeled_lang,
+       |$scores
+       |    FROM documents)),
+       |cm AS (
+       |  SELECT labeled_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM scored GROUP BY 1, 2)
+       |SELECT labeled_lang, pred_lang, n_docs,
+       |  (n_docs * 1000000)
+       |    // CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT)
+       |    AS share_ppm,
+       |  labeled_lang = pred_lang AS is_agreement
+       |FROM cm ORDER BY labeled_lang, pred_lang""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1638,5 +1714,6 @@ object TextAnalysis {
     Q("t26_vocab_growth", t26, Some(t26Sql)),
     Q("t27_lexical_diversity", t27, Some(t27Sql)),
     Q("t28_lang_fertility", t28, Some(t28Sql)),
-    Q("t29_atomic_packing", t29, Some(t29Sql)))
+    Q("t29_atomic_packing", t29, Some(t29Sql)),
+    Q("t30_lang_confusion", t30, Some(t30Sql)))
 }

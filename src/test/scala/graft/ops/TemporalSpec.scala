@@ -213,4 +213,51 @@ class TemporalSpec extends AnyFunSuite with SparkFixture {
     val zero = out.head
     assert(zero._4.exists(_ < -3.0) && zero._5 == 1L)
   }
+
+  /** (event_id, user, type, ts-string) rows → q46 profile keyed by type. */
+  private def gapsOf(events: Seq[(Long, Long, String, String)])
+      : Map[String, (Long, Long, Long, Long, Long)] = {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.to_timestamp
+    val df = events.toDF("event_id", "user_id", "event_type", "t")
+      .select($"event_id", $"user_id", $"event_type", to_timestamp($"t").as("ts"))
+    Temporal.gapProfile(df).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+  }
+
+  test("event gaps: rank-pick percentiles, max, and floored mean") {
+    // one user, one type, gaps 1s / 2s / 7s → p50=2, p90=7, mean=10/3=3
+    val m = gapsOf(Seq(
+      (1L, 1L, "click", "2024-05-01 00:00:00"),
+      (2L, 1L, "click", "2024-05-01 00:00:01"),
+      (3L, 1L, "click", "2024-05-01 00:00:03"),
+      (4L, 1L, "click", "2024-05-01 00:00:10")))
+    assert(m == Map("click" -> ((3L, 2L, 7L, 7L, 3L))))
+  }
+
+  test("event gaps: types and users are isolated streams") {
+    // u1 alternates click/view 1s apart — within-type gaps are 2s, and
+    // u2's lone click contributes no gap at all
+    val m = gapsOf(Seq(
+      (1L, 1L, "click", "2024-05-01 00:00:00"),
+      (2L, 1L, "view",  "2024-05-01 00:00:01"),
+      (3L, 1L, "click", "2024-05-01 00:00:02"),
+      (4L, 1L, "view",  "2024-05-01 00:00:03"),
+      (5L, 2L, "click", "2024-05-01 00:00:04")))
+    assert(m == Map(
+      "click" -> ((1L, 2L, 2L, 2L, 2L)),
+      "view"  -> ((1L, 2L, 2L, 2L, 2L))))
+  }
+
+  test("event gaps: ts ties and sub-second gaps floor to zero seconds") {
+    val m = gapsOf(Seq(
+      (1L, 1L, "ping", "2024-05-01 00:00:00"),
+      (2L, 1L, "ping", "2024-05-01 00:00:00"),     // tie → 0s gap
+      (3L, 1L, "ping", "2024-05-01 00:00:00.400"), // 400ms → floors to 0
+      (4L, 1L, "ping", "2024-05-01 00:00:02")))    // 1.6s → floors to 1
+    assert(m == Map("ping" -> ((3L, 0L, 1L, 1L, 0L))))
+  }
 }
