@@ -968,6 +968,74 @@ object Similarity {
        |  CAST((n_hits * 1000000) // (3 * n_queries) AS BIGINT) AS recall_ppm
        |FROM hits, nq ORDER BY probes""".stripMargin
 
+  // ---------------------------------------------------------------- s16
+  /** Pairwise cosine-density histogram over a deterministic vector sample
+    * (vec_id % 17) — the threshold-picking signal behind s03/d13: where
+    * the near-dup cutoff sits relative to the bulk of the distribution
+    * decides whether 0.9 prunes noise or deletes half the corpus.
+    *
+    * Determinism: the sample is a modulus cut (no RNG); cosine is the
+    * same fixed-order [[dot]] fold both engines replay, rounded to 6
+    * places BEFORE the ×20 bucket floor, so a pair at a bin boundary
+    * lands identically everywhere. Output is pure integers (bin index,
+    * count, int64-ppm share).
+    *
+    * Scale (100 TB): the histogram needs ~10⁶ pairs for tight confidence
+    * bands, so the sample stays FIXED-SIZE as the corpus grows (raise the
+    * modulus with n) — the pair join is sample², broadcast on one side,
+    * never a corpus×corpus product; the corpus itself is scanned once to
+    * cut the sample. Zero-norm vectors are excluded (cosine undefined). */
+  def s16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pairDensity(vecs(s, dir).filter($"vec_id" % 17 === 0))
+  }
+
+  /** The histogram kernel over any (vec_id, v, norm) frame — split out so
+    * the spec can pin the bin arithmetic on hand-built vectors (identical
+    * → bin 20, orthogonal → bin 0, opposite → bin −20, zero-norm
+    * excluded). */
+  private[graft] def pairDensity(sampleVecs: DataFrame): DataFrame = {
+    val s = sampleVecs.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sample = sampleVecs
+      .filter($"norm" > 0)
+      .select($"vec_id", $"v", $"norm")
+      // both pair sides read the SAME small sample frame; the checkpoint
+      // pins one corpus pass (cf. s14's centroid frame)
+      .localCheckpoint(eager = false)
+    val a = sample.select($"vec_id".as("id_a"), $"v".as("va"), $"norm".as("na"))
+    val b = sample.select($"vec_id".as("id_b"), $"v".as("vb"), $"norm".as("nb"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    a.join(broadcast(b), $"id_a" < $"id_b")
+      .select(floor(round(dot($"va", $"vb") / ($"na" * $"nb"), 6) * 20)
+        .cast(LongType).as("bin_x20"))
+      .groupBy($"bin_x20").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_total", sum($"n_pairs").over(wAll))
+      .select($"bin_x20", $"n_pairs",
+        expr("(n_pairs * 1000000) div n_total").as("share_ppm"))
+      .orderBy($"bin_x20")
+  }
+
+  val s16Sql: String =
+    s"""WITH sample AS (
+       |  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id % 17 = 0),
+       |normed AS (
+       |  SELECT vec_id, v, sqrt(${dotSql("v", "v")}) AS nrm FROM sample),
+       |nz AS (SELECT * FROM normed WHERE nrm > 0),
+       |pairs AS (
+       |  SELECT CAST(floor(round(${dotSql("a.v", "b.v")} / (a.nrm * b.nrm), 6)
+       |    * 20) AS BIGINT) AS bin_x20
+       |  FROM nz a JOIN nz b ON a.vec_id < b.vec_id),
+       |hist AS (
+       |  SELECT bin_x20, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM pairs GROUP BY 1)
+       |SELECT bin_x20, n_pairs,
+       |  (n_pairs * 1000000) // CAST(SUM(n_pairs) OVER () AS BIGINT)
+       |    AS share_ppm
+       |FROM hist ORDER BY bin_x20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -983,5 +1051,6 @@ object Similarity {
     Q("s12_matryoshka_recall", s12, Some(s12Sql)),
     Q("s13_filtered_ann", s13, Some(s13Sql)),
     Q("s14_centroid_separation", s14, Some(s14Sql)),
-    Q("s15_probe_sweep", s15, Some(s15Sql)))
+    Q("s15_probe_sweep", s15, Some(s15Sql)),
+    Q("s16_pair_density", s16, Some(s16Sql)))
 }

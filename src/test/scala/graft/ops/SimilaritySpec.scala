@@ -39,4 +39,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(got == expected)
     assert(got.values.exists(!_._4), "audit must flag at least one disagreement")
   }
+
+  test("s16 bins land exactly: identical→20, orthogonal→0, opposite→-20") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{sqrt => fsqrt, transform => ftransform, _}
+    import org.apache.spark.sql.types.DoubleType
+    // e1, e1 again (cos 1 → bin 20), e2 (orthogonal to both → bin 0),
+    // −e1 (cos −1 vs ids 1/2 → bin −20; orthogonal to e2 → bin 0),
+    // and a zero vector that must be excluded entirely
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 2.0f)), (4L, Array(-3.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f)))
+    val frame = rows.toDF("vec_id", "embedding")
+      .select($"vec_id",
+        ftransform($"embedding", x => x.cast(DoubleType)).as("v"))
+      .withColumn("norm", fsqrt(Similarity.dot($"v", $"v")))
+    val got = Similarity.pairDensity(frame).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 6 pairs among ids 1-4: (1,2)=1, (1,3)=0, (2,3)=0, (3,4)=0, (1,4)=-1, (2,4)=-1
+    assert(got == Map(
+      20L -> ((1L, 166666L)),
+      0L  -> ((3L, 500000L)),
+      -20L -> ((2L, 333333L))))
+  }
 }
