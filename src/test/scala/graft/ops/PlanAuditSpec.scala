@@ -463,4 +463,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val sp = simplePlan(TextAnalysis.t27(spark, dir))
     assert(!sp.contains("Join"), s"aggregate-only op grew a join:\n$sp")
   }
+
+  test("q46: percentiles ride the gap histogram, not a per-type sort of all gaps") {
+    val p = plan(Temporal.q46(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("value") && !readSchema.contains("props"),
+      s"scan reads columns the op never uses: $readSchema")
+    // lag shuffle on (user_id, event_type), histogram shuffle, and the
+    // tiny per-type window/aggregate exchanges — never a join
+    val sp = simplePlan(Temporal.q46(spark, dir))
+    assert(!sp.contains("Join"), s"cadence profile grew a join:\n$sp")
+  }
+
+  test("t30: the confusion matrix is one aggregate over a 2-column scan") {
+    val p = plan(TextAnalysis.t30(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("lang") && readSchema.contains("text") &&
+      !readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"scan must read exactly (lang, text): $readSchema")
+    val sp = simplePlan(TextAnalysis.t30(spark, dir))
+    assert(!sp.contains("Join"), s"confusion matrix grew a join:\n$sp")
+    val aggExchanges = sp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(aggExchanges <= 2, s"expected the matrix + share exchanges only:\n$sp")
+  }
+
+  test("s16: the pair join broadcasts the sample; the corpus never self-joins") {
+    val sp = simplePlan(Similarity.s16(spark, dir))
+    assert(sp.contains("BroadcastNestedLoopJoin") || sp.contains("BroadcastHashJoin"),
+      s"pair join must broadcast one side:\n$sp")
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("CartesianProduct"),
+      s"sample pair join must not shuffle or go cartesian:\n$sp")
+  }
 }
