@@ -761,6 +761,60 @@ object Streams {
       }
   }
 
+  /** Inter-arrival gap emitted by [[gapIngest]] — the rows batch q46
+    * histograms. */
+  final case class GapObs(user_id: Long, event_type: String, gap_s: Long)
+
+  /** Last-seen frontier per (user, type): micros + event_id tiebreak. */
+  final case class GapS(lastUs: Long, lastEventId: Long)
+
+  /** Streaming inter-arrival gap extraction — the live twin of batch
+    * q46's lag window: for each (user, event_type) stream, emit the gap
+    * (whole seconds, floored from exact integer micros) between every
+    * event and its predecessor. Downstream, any histogram of these rows
+    * IS the live cadence profile; the batch op over the full log stays
+    * the replayable source of truth.
+    *
+    * State per (user, type) is ONE frontier row (last micros + event_id)
+    * — the same O(keys) lower bound the lag itself needs; nothing grows
+    * with history. Ties on the timestamp emit a 0-second gap exactly
+    * like the batch window's (ts, event_id) ordering; an event at or
+    * behind the stored frontier is late or replayed and is dropped
+    * (cf. scdIngest's frontier rule — batch and stream agree on any
+    * in-order delivery, however it is micro-batched). */
+  def gapIngest(events: Dataset[Ev2]): Dataset[GapObs] = {
+    val s = events.sparkSession
+    import s.implicits._
+    // exact integer micros from the Timestamp's (epoch-second, nanos)
+    // pair — getTime alone would truncate to millis and break parity
+    // with the batch op's unix_micros
+    def usOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[GapS, GapObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Ev2], state: GroupState[GapS]) =>
+          val (uid, etype) = key
+          val ordered = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[GapObs]
+          ordered.foreach { e =>
+            val us = usOf(e.ts)
+            if (st == null) st = GapS(us, e.event_id)
+            else if (us < st.lastUs ||
+                (us == st.lastUs && e.event_id <= st.lastEventId)) {
+              // late or replayed: at or behind the frontier — drop
+            } else {
+              out += GapObs(uid, etype, (us - st.lastUs) / 1000000L)
+              st = GapS(us, e.event_id)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

@@ -710,4 +710,54 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
         b.z.exists(_ > 3.0) && b.is_spike == 1L)
     } finally q2.stop()
   }
+
+  test("gapIngest: emitted gaps equal batch q46's lag gaps; late events drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Streams.Ev2]
+    val q = Streams.gapIngest(in.toDS())
+      .writeStream.format("memory").queryName("gap_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 arrives OUT of order within the batch: the fold must sort.
+      // u1 click at 0s/1s/3s; a ts TIE (ids 3,4) must emit a 0s gap.
+      in.addData(
+        Streams.Ev2(2, 1, "click", ts("2024-05-01 00:00:01"), 0.0),
+        Streams.Ev2(1, 1, "click", ts("2024-05-01 00:00:00"), 0.0),
+        Streams.Ev2(4, 1, "click", ts("2024-05-01 00:00:03"), 0.0),
+        Streams.Ev2(3, 1, "click", ts("2024-05-01 00:00:03"), 0.0))
+      q.processAllAvailable()
+      // batch 2: a gap ACROSS the micro-batch boundary (3s → 10s = 7s);
+      // a sub-second gap floors to 0; a late event behind the frontier
+      // drops; u2's lone view emits nothing
+      in.addData(
+        Streams.Ev2(5, 1, "click", ts("2024-05-01 00:00:10"), 0.0),
+        Streams.Ev2(6, 1, "click", ts("2024-05-01 00:00:10.4"), 0.0),
+        Streams.Ev2(9, 1, "click", ts("2024-05-01 00:00:02"), 0.0), // late
+        Streams.Ev2(7, 2, "view", ts("2024-05-01 00:00:30"), 0.0))
+      q.processAllAvailable()
+      val got = s.table("gap_out").as[Streams.GapObs].collect().toSeq
+        .map(g => (g.user_id, g.event_type, g.gap_s)).sorted
+      assert(got == Seq(
+        (1L, "click", 0L), (1L, "click", 0L), (1L, "click", 1L),
+        (1L, "click", 2L), (1L, "click", 7L)))
+      // kappa: the same in-order event set (late id 9 excluded) through
+      // batch q46's kernel yields the profile of exactly these gaps
+      val batch = graft.ops.Temporal.gapProfile(
+        Seq(
+          (1L, 1L, "click", ts("2024-05-01 00:00:00")),
+          (2L, 1L, "click", ts("2024-05-01 00:00:01")),
+          (3L, 1L, "click", ts("2024-05-01 00:00:03")),
+          (4L, 1L, "click", ts("2024-05-01 00:00:03")),
+          (5L, 1L, "click", ts("2024-05-01 00:00:10")),
+          (6L, 1L, "click", ts("2024-05-01 00:00:10.4")),
+          (7L, 2L, "view", ts("2024-05-01 00:00:30")))
+          .toDF("event_id", "user_id", "event_type", "ts"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      // gaps 0,0,1,2,7 → p50=1, p90=7, max=7, mean=2
+      assert(batch == Seq(("click", 5L, 1L, 7L, 7L, 2L)))
+    } finally q.stop()
+  }
 }
