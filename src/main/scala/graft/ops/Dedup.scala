@@ -1409,6 +1409,89 @@ object Dedup {
       |      FROM crossed)
       |GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
 
+  // ---------------------------------------------------------------- d20
+  /** Lexical-vs-semantic dedup agreement audit: the pair set flagged by
+    * shingle Jaccard ≥ 0.5 (d02) against the pair set flagged by
+    * label-blocked embedding cosine ≥ 0.4 (s03; vec_id ≡ doc_id, the
+    * d13 linkage) — n_both / lexical-only / semantic-only plus the
+    * pair-set Jaccard in ppm. The two detectors see DIFFERENT dup
+    * classes (verbatim quotes vs paraphrases); this is the meter that
+    * says whether running both is redundant or complementary, i.e.
+    * whether the curation funnel (d14) may drop one stage.
+    *
+    * Determinism: both inputs are oracle-gated ops; membership flags and
+    * counts are integers; overlap_ppm is int64 floor division guarded
+    * against the empty union (NULL, not an error, when both sets are
+    * empty).
+    *
+    * Scale (100 TB): the full-outer join keys on the (lo, hi) pair id
+    * and touches ONLY the two flagged-pair sets — outputs already
+    * bounded by their ops' cuts (stop-shingle df ≤ 1000, label
+    * blocking) — never a corpus. One shuffle of each pair set, one
+    * scalar aggregate. */
+  def d20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lex = jaccardPairs(s, dir, 0.5)
+      .select($"da", $"db", lit(1L).as("in_lex"))
+    val sem = Similarity.s03(s, dir)
+      .select($"va", $"vb", lit(1L).as("in_sem"))
+    lex.join(sem, $"da" === $"va" && $"db" === $"vb", "full_outer")
+      .select(
+        ($"in_lex".isNotNull && $"in_sem".isNotNull).cast(LongType).as("b"),
+        ($"in_lex".isNotNull && $"in_sem".isNull).cast(LongType).as("lo"),
+        ($"in_lex".isNull && $"in_sem".isNotNull).cast(LongType).as("so"))
+      .agg(
+        coalesce(sum($"b"), lit(0L)).as("n_both"),
+        coalesce(sum($"lo"), lit(0L)).as("n_lexical_only"),
+        coalesce(sum($"so"), lit(0L)).as("n_semantic_only"))
+      .select($"n_both", $"n_lexical_only", $"n_semantic_only",
+        expr("""CASE WHEN n_both + n_lexical_only + n_semantic_only > 0
+          THEN (n_both * 1000000)
+            div (n_both + n_lexical_only + n_semantic_only) END""")
+          .as("overlap_ppm"))
+  }
+
+  val d20Sql: String = {
+    val dotted = Similarity.dotSql("a.embedding", "b.embedding")
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+       |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+       |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+       |       WHERE df.df <= 1000),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |lex AS (SELECT da, db
+       |        FROM inter JOIN sizes sa ON da = sa.doc_id
+       |                   JOIN sizes sb ON db = sb.doc_id
+       |        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       |v AS (SELECT vec_id, label, embedding,
+       |      sqrt(${Similarity.dotSql("embedding", "embedding")}) AS norm
+       |      FROM embeddings),
+       |sem AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |        WHERE $dotted / (a.norm * b.norm) >= 0.4),
+       |j AS (SELECT
+       |        CAST(CASE WHEN lex.da IS NOT NULL AND sem.va IS NOT NULL
+       |          THEN 1 ELSE 0 END AS BIGINT) AS b,
+       |        CAST(CASE WHEN lex.da IS NOT NULL AND sem.va IS NULL
+       |          THEN 1 ELSE 0 END AS BIGINT) AS lo,
+       |        CAST(CASE WHEN lex.da IS NULL AND sem.va IS NOT NULL
+       |          THEN 1 ELSE 0 END AS BIGINT) AS so
+       |      FROM lex FULL OUTER JOIN sem ON da = va AND db = vb)
+       |SELECT COALESCE(SUM(b), 0) AS n_both,
+       |  COALESCE(SUM(lo), 0) AS n_lexical_only,
+       |  COALESCE(SUM(so), 0) AS n_semantic_only,
+       |  CASE WHEN COALESCE(SUM(b), 0) + COALESCE(SUM(lo), 0)
+       |         + COALESCE(SUM(so), 0) > 0
+       |    THEN (COALESCE(SUM(b), 0) * 1000000)
+       |      // (COALESCE(SUM(b), 0) + COALESCE(SUM(lo), 0)
+       |          + COALESCE(SUM(so), 0)) END AS overlap_ppm
+       |FROM j""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1428,5 +1511,6 @@ object Dedup {
     Q("d16_leak_attribution", d16, Some(d16Sql)),
     Q("d17_template_dedup", d17, Some(d17Sql)),
     Q("d18_split_leakage", d18, Some(d18Sql)),
-    Q("d19_simhash_audit", d19, Some(d19Sql)))
+    Q("d19_simhash_audit", d19, Some(d19Sql)),
+    Q("d20_dedup_agreement", d20, Some(d20Sql)))
 }

@@ -37,7 +37,7 @@ object Similarity {
   /** DuckDB mirror of the same fold: per-element double products reduced
     * left-to-right (list_reduce seeds with the first element, which equals
     * a 0.0-init fold for IEEE addition). */
-  private def dotSql(a: String, b: String): String =
+  private[ops] def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
