@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Distributed graph operators over DataFrames — the scale path for graph
   * queries that outgrow the driver-side Dag algebra (SURVEY §1.1 DAG note).
@@ -877,6 +877,88 @@ object GraphOps {
       |        CAST(4 * m * m AS DOUBLE), 6) AS modularity
       |FROM mom, dagg""".stripMargin
 
+  // ---------------------------------------------------------------- g12
+  /** Global transitivity of the near-dup graph: 3·triangles / wedges —
+    * the cluster-collapse safety meter. d07 keeps ONE doc per connected
+    * component, which is only sound if near-dup is (approximately)
+    * transitive; a transitivity near 1 says components are cliques of
+    * true duplicates, near 0 says they are chains glued by hubs and a
+    * collapse would delete non-duplicates. g05 measures this per vertex;
+    * the policy decision (collapse or not) reads this one global number.
+    *
+    * Determinism: wedges Σ d(d−1)/2 and the closed-triple count are pure
+    * integers (per-vertex wedge counts summed in DECIMAL(38) — the sum
+    * over a web-scale hub can pass 2⁶³); the ratio is int64 floor ppm,
+    * NULL on a wedge-free graph rather than an engine-specific error.
+    *
+    * Scale (100 TB): one edge materialization shared by all three
+    * consumers (edge count, degrees, triangle closing); degrees collapse
+    * map-side; the wedge join is the standard low→high orientation so
+    * hub fan-out is bounded by the SMALLER endpoint's degree. The three
+    * one-row aggregates broadcast into the final select — nothing joins
+    * at corpus size. */
+  def g12(s: SparkSession, dir: String): DataFrame =
+    transitivityOf(Dedup.jaccardPairs(s, dir, 0.5))
+
+  /** The transitivity kernel over any (da, db) edge frame (da < db) —
+    * split out so the spec can pin the formula on hand graphs (star →
+    * 0 ppm, triangle → 10⁶ ppm, path → 0 ppm, empty → NULL). */
+  private[graft] def transitivityOf(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val e = edgesIn
+      .select($"da".cast(LongType).as("da"), $"db".cast(LongType).as("db"))
+      // reused three times; lazy so the pair pipeline runs once
+      .localCheckpoint(eager = false)
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nWedges = e.select(explode(array($"da", $"db")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+      .select(expr("(d * (d - 1)) div 2").as("w"))
+      .agg(coalesce(sum($"w".cast(DecimalType(38, 0))),
+        lit(0).cast(DecimalType(38, 0))).cast(LongType).as("n_wedges"))
+    val wedges = e.as("x").join(e.as("y"),
+      col("x.da") === col("y.da") && col("x.db") < col("y.db"))
+      .select(col("x.db").as("b"), col("y.db").as("c"))
+    val nTri = wedges.join(e.as("z"),
+      col("b") === col("z.da") && col("c") === col("z.db"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+      .select($"n_edges", $"n_wedges", $"n_triangles",
+        expr("""CASE WHEN n_wedges > 0
+          THEN (n_triangles * 3 * 1000000) div n_wedges END""")
+          .as("transitivity_ppm"))
+  }
+
+  val g12Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |          SELECT da AS v FROM edges UNION ALL SELECT db FROM edges)
+      |        GROUP BY v),
+      |scal AS (SELECT
+      |    (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+      |    (SELECT CAST(COALESCE(SUM((d * (d - 1)) // 2), 0) AS BIGINT)
+      |       FROM deg) AS n_wedges,
+      |    (SELECT CAST(COUNT(*) AS BIGINT)
+      |       FROM edges x JOIN edges y ON x.da = y.da AND x.db < y.db
+      |            JOIN edges z ON z.da = x.db AND z.db = y.db) AS n_triangles)
+      |SELECT n_edges, n_wedges, n_triangles,
+      |  CASE WHEN n_wedges > 0
+      |    THEN (n_triangles * 3 * 1000000) // n_wedges END AS transitivity_ppm
+      |FROM scal""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -888,5 +970,6 @@ object GraphOps {
     Q("g08_blast_radius", g08, Some(g08Sql)),
     Q("g09_coengagement", g09, Some(g09Sql)),
     Q("g10_assortativity", g10, Some(g10Sql)),
-    Q("g11_source_modularity", g11, Some(g11Sql)))
+    Q("g11_source_modularity", g11, Some(g11Sql)),
+    Q("g12_transitivity", g12, Some(g12Sql)))
 }

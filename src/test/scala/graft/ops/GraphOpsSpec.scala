@@ -323,4 +323,33 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(modOf(Seq(1L -> 2L), Map(1L -> "A", 2L -> "A")) ==
       ((1L, 1L, 1L, 0.0)))
   }
+
+  /** (n_edges, n_wedges, n_triangles, ppm-or-null) of an edge list. */
+  private def transOf(edges: Seq[(Long, Long)]): (Long, Long, Long, Option[Long]) = {
+    val s = spark
+    import s.implicits._
+    val r = GraphOps.transitivityOf(edges.toDF("da", "db")).collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)))
+  }
+
+  test("transitivity: a triangle closes all three of its wedges") {
+    assert(transOf(Seq(1L -> 2L, 1L -> 3L, 2L -> 3L)) ==
+      ((3L, 3L, 1L, Some(1000000L))))
+  }
+
+  test("transitivity: a star has C(k,2) wedges and no closure") {
+    assert(transOf(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L)) ==
+      ((3L, 3L, 0L, Some(0L))))
+  }
+
+  test("transitivity: K4 minus one edge — 6 of 8 wedges close (750000 ppm)") {
+    // degrees 3,3,2,2 → wedges 3+3+1+1 = 8; triangles {1,2,3},{1,2,4}
+    assert(transOf(Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L)) ==
+      ((5L, 8L, 2L, Some(750000L))))
+  }
+
+  test("transitivity: a single edge has no wedges — ratio is null") {
+    assert(transOf(Seq(1L -> 2L)) == ((1L, 0L, 0L, None)))
+  }
 }
