@@ -1409,6 +1409,123 @@ object Dedup {
       |      FROM crossed)
       |GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin
 
+  // ---------------------------------------------------------------- d21
+  /** MinHash banding sweep: candidate yield, precision, and recall of the
+    * (b, r) layouts 32×2 / 16×4 / 8×8 over ONE 64-perm signature table —
+    * the LSH knob-tuning curve (d15 sweeps the Jaccard threshold; this
+    * sweeps the sketch geometry that decides which pairs are even
+    * LOOKED at). More rows per band (larger r) collapses the candidate
+    * set and the false-positive rate but loses borderline dups; this op
+    * emits the whole trade so d03's config is a measurement, not a
+    * guess.
+    *
+    * Determinism: signatures are the same integer-mod-P permutations as
+    * d03 in both engines; candidate membership is set equality on exact
+    * integers; precision/recall are int64 floor ppm against the exact
+    * Jaccard ≥ 0.5 truth set.
+    *
+    * Scale (100 TB): the signature table is ONE narrow scan (compiled
+    * MinHash64 kernel); each config exchanges only short band keys.
+    * The exact-Jaccard truth side IS d02's full pair enumeration — this
+    * is an audit, priced like d12/s06: run on a sampled slice at full
+    * scale, never as a standing pipeline stage. */
+  def d21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docsArr = shingleArrays(s, dir)
+    val perDoc = docsArr.select($"doc_id",
+      graft.functions.ShingleKernels.minHash64($"arr").as("sigs"))
+      .localCheckpoint(eager = false) // reused by all three band layouts
+    // exact pairs with their dup verdict — reused per config AND for the
+    // truth total
+    val exact = pairStats(docsArr)
+      .withColumn("jac", dbl($"i") / ($"na" + $"nb" - $"i"))
+      .select($"da".as("ea"), $"db".as("eb"), ($"jac" >= 0.5).as("is_dup"))
+      .localCheckpoint(eager = false)
+    val truth = exact.agg(
+      coalesce(sum(when($"is_dup", 1L).otherwise(0L)), lit(0L)).as("n_truth"))
+    val perConfig = Seq(2, 4, 8).map { r =>
+      val nBands = 64 / r
+      // key = band index ':' r signature values — engine-internal
+      // representation; only candidate-set membership must match
+      val keys = (0 until nBands).map { b =>
+        concat_ws(":",
+          lit(b) +: (0 until r).map(k => element_at($"sigs", b * r + k + 1)): _*)
+      }
+      val bands = perDoc
+        .select($"doc_id", explode(array(keys: _*)).as("key"))
+      val cand = bands.as("a").hint("SHUFFLE_HASH")
+        .join(bands.as("b").hint("SHUFFLE_HASH"),
+          col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .distinct()
+      cand
+        .join(exact, $"da" === $"ea" && $"db" === $"eb", "left")
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          coalesce(sum(when($"is_dup", 1L).otherwise(0L)), lit(0L))
+            .as("n_true_dups"))
+        .select(lit(r.toLong).as("rows_per_band"), $"n_candidates", $"n_true_dups")
+    }.reduce(_ union _)
+    perConfig.crossJoin(truth)
+      .select(
+        $"rows_per_band", $"n_candidates", $"n_true_dups", $"n_truth",
+        expr("""CASE WHEN n_candidates > 0
+          THEN (n_true_dups * 1000000) div n_candidates END""")
+          .as("precision_ppm"),
+        expr("""CASE WHEN n_truth > 0
+          THEN (n_true_dups * 1000000) div n_truth END""").as("recall_ppm"))
+      .orderBy($"rows_per_band")
+  }
+
+  /** Signatures mirror the kernel's RAW shingle input (sh0); the exact
+    * truth side mirrors d02's PRUNED (df ≤ 1000) shingle space — same
+    * split as the Spark op (minHash64 over raw arrays, pairStats for
+    * truth). */
+  val d21Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |shh AS (SELECT doc_id, list_reduce(list_transform(string_split(s, ''),
+      |          c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 1000000007) AS h
+      |        FROM sh0),
+      |sig AS (SELECT doc_id, j, min(((2 * j + 1) * h + j) % 1000000007) AS sig
+      |        FROM shh, UNNEST(generate_series(0, 63)) AS u(j) GROUP BY doc_id, j),
+      |bands AS (SELECT rr.r, doc_id,
+      |            CONCAT(CAST(j // rr.r AS VARCHAR), ':',
+      |              string_agg(CAST(sig AS VARCHAR), ':' ORDER BY j)) AS key
+      |          FROM sig, (VALUES (2), (4), (8)) AS rr(r)
+      |          GROUP BY rr.r, doc_id, j // rr.r),
+      |cand AS (SELECT DISTINCT a.r, a.doc_id AS da, b.doc_id AS db
+      |         FROM bands a JOIN bands b
+      |           ON a.r = b.r AND a.key = b.key AND a.doc_id < b.doc_id),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |exact AS (SELECT da, db,
+      |            CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5 AS is_dup
+      |          FROM inter JOIN sizes sa ON da = sa.doc_id
+      |                     JOIN sizes sb ON db = sb.doc_id),
+      |truth AS (SELECT CAST(COALESCE(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END), 0)
+      |            AS BIGINT) AS n_truth FROM exact),
+      |per AS (SELECT c.r AS rows_per_band,
+      |          CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |          CAST(COALESCE(SUM(CASE WHEN COALESCE(e.is_dup, false)
+      |            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_true_dups
+      |        FROM cand c LEFT JOIN exact e ON c.da = e.da AND c.db = e.db
+      |        GROUP BY c.r)
+      |SELECT CAST(rows_per_band AS BIGINT) AS rows_per_band,
+      |  n_candidates, n_true_dups, n_truth,
+      |  CASE WHEN n_candidates > 0
+      |    THEN (n_true_dups * 1000000) // n_candidates END AS precision_ppm,
+      |  CASE WHEN n_truth > 0
+      |    THEN (n_true_dups * 1000000) // n_truth END AS recall_ppm
+      |FROM per, truth ORDER BY rows_per_band""".stripMargin
+
   // ---------------------------------------------------------------- d20
   /** Lexical-vs-semantic dedup agreement audit: the pair set flagged by
     * shingle Jaccard ≥ 0.5 (d02) against the pair set flagged by
@@ -1512,5 +1629,6 @@ object Dedup {
     Q("d17_template_dedup", d17, Some(d17Sql)),
     Q("d18_split_leakage", d18, Some(d18Sql)),
     Q("d19_simhash_audit", d19, Some(d19Sql)),
-    Q("d20_dedup_agreement", d20, Some(d20Sql)))
+    Q("d20_dedup_agreement", d20, Some(d20Sql)),
+    Q("d21_band_sweep", d21, Some(d21Sql)))
 }

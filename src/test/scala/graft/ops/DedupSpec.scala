@@ -213,6 +213,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(at5.get._3 == pairs.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong)
   }
 
+  test("d21 sweep: candidate sets nest as bands widen; truth is constant") {
+    // r=4 band agreement implies agreement on both covered r=2 sub-bands,
+    // so candidates(8) ⊆ candidates(4) ⊆ candidates(2) — counts and
+    // recall must be nonincreasing in r, and the truth column constant
+    val rows = Dedup.d21(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5))).toSeq
+    assert(rows.map(_._1) == Seq(2L, 4L, 8L))
+    assert(rows.map(_._4).distinct.size == 1, "truth set must not vary with r")
+    assert(rows.head._2 > 0, "sweep must be non-vacuous at sf0.001")
+    rows.sliding(2).foreach {
+      case Seq((_, c1, t1, _, r1), (_, c2, t2, _, r2)) =>
+        assert(c1 >= c2 && t1 >= t2 && r1 >= r2)
+      case _ =>
+    }
+  }
+
   test("d18: cross-split pairs normalize to (lo, hi) splits with aligned docs") {
     val s = spark
     import s.implicits._
