@@ -968,6 +968,77 @@ object Similarity {
        |  CAST((n_hits * 1000000) // (3 * n_queries) AS BIGINT) AS recall_ppm
        |FROM hits, nq ORDER BY probes""".stripMargin
 
+  // ---------------------------------------------------------------- s17
+  /** Per-label centroid drift between two deterministic halves of the
+    * corpus (even vs odd vec_id — standing in for "yesterday's embedding
+    * batch vs today's"): the cosine between each label's two half-
+    * centroids. s14 measures separation BETWEEN classes; this measures
+    * stability WITHIN a class across batches — the embedding-pipeline
+    * regression check run before an index rebuild (an encoder version
+    * bump or a preprocessing change shows up as a centroid walk long
+    * before recall@k visibly degrades).
+    *
+    * Determinism: s14's exact construction — components quantized to a
+    * 2^-20 integer grid, per-dimension DECIMAL sums (scale-invariance
+    * elides the mean division), one fixed dot/sqrt tree rounded to 6.
+    *
+    * Scale (100 TB): one corpus pass collapsing to |labels|·2·64 sums;
+    * the half-pair join runs on a |labels|-row frame. Labels whose halves
+    * are lopsided still compare exactly — counts ride along so the
+    * reader can discount tiny halves. */
+  def s17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cent = Tables.t(s, dir, "embeddings")
+      .select($"label", ($"vec_id" % 2 === 0).as("even"),
+        posexplode($"embedding").as(Seq("dim", "e")))
+      .select($"label", $"even", $"dim",
+        floor(($"e".cast(DoubleType)) * lit(1048576.0d)).cast(LongType).as("qv"))
+      .groupBy($"label", $"even", $"dim")
+      .agg(sum($"qv".cast(DecimalType(38, 0))).as("sd"),
+        // n rides every (dim) row identically; max picks it without a join
+        max(lit(1L)).as("one"))
+      .groupBy($"label", $"even")
+      .agg(transform(
+        array_sort(collect_list(struct($"dim", $"sd"))),
+        c => c.getField("sd").cast(DoubleType)).as("v"))
+    val counts = Tables.t(s, dir, "embeddings")
+      .groupBy($"label", ($"vec_id" % 2 === 0).as("even"))
+      .agg(count(lit(1)).as("n"))
+    val withN = cent.join(counts, Seq("label", "even"))
+      .withColumn("nn", dot($"v", $"v"))
+      .localCheckpoint(eager = false) // both pair sides read this frame
+    val a = withN.filter($"even")
+      .select($"label", $"v".as("va"), $"nn".as("na"), $"n".as("n_even"))
+    val b = withN.filter(!$"even")
+      .select($"label".as("lb"), $"v".as("vb"), $"nn".as("nb"), $"n".as("n_odd"))
+    a.join(broadcast(b), $"label" === $"lb")
+      .select($"label", $"n_even", $"n_odd",
+        round(dot($"va", $"vb") / (sqrt($"na") * sqrt($"nb")), 6)
+          .as("half_centroid_cos"))
+      .orderBy($"label")
+  }
+
+  val s17Sql: String =
+    s"""WITH q AS (
+       |  SELECT label, vec_id % 2 = 0 AS even, i AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS HUGEINT) AS qv
+       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+       |c AS (SELECT label, even, dim, SUM(qv) AS sd
+       |      FROM q GROUP BY label, even, dim),
+       |vec AS (SELECT label, even,
+       |    list(CAST(sd AS DOUBLE) ORDER BY dim) AS v
+       |  FROM c GROUP BY label, even),
+       |cnt AS (SELECT label, vec_id % 2 = 0 AS even,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM embeddings GROUP BY 1, 2),
+       |n AS (SELECT vec.label, vec.even, v, cnt.n, ${dotSql("v", "v")} AS nn
+       |      FROM vec JOIN cnt ON vec.label = cnt.label AND vec.even = cnt.even)
+       |SELECT a.label, a.n AS n_even, b.n AS n_odd,
+       |  round(${dotSql("a.v", "b.v")} / (sqrt(a.nn) * sqrt(b.nn)), 6)
+       |    AS half_centroid_cos
+       |FROM n a JOIN n b ON a.label = b.label AND a.even AND NOT b.even
+       |ORDER BY a.label""".stripMargin
+
   // ---------------------------------------------------------------- s16
   /** Pairwise cosine-density histogram over a deterministic vector sample
     * (vec_id % 17) — the threshold-picking signal behind s03/d13: where

@@ -694,6 +694,85 @@ object Temporal {
       |  CAST(MIN(sum_gap) // MIN(n_gaps) AS BIGINT) AS mean_gap_s
       |FROM cum GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Value-distribution drift per event type: the corpus splits at the
+    * midpoint of its time range and the two halves' value histograms
+    * (fixed width-10 bins) are compared by total-variation distance in
+    * exact integer ppm — the train/serve drift monitor. q43 catches
+    * VOLUME anomalies; this catches the quieter failure where volume
+    * holds but the value distribution walks (a price change, a currency
+    * bug, a bot cohort).
+    *
+    * Determinism: the split point is integer micros arithmetic; bins are
+    * `floor(value / 10.0)` on the raw stored double (one correctly-
+    * rounded division + exact floor — identical in any engine); TV is
+    * Σ|c_a·n_b − c_b·n_a| over bins, cross-multiplied in DECIMAL(38) so
+    * no per-bin division ever happens, then ONE int64 floor ppm:
+    * tv_ppm = 10⁶·Σ / (2·n_a·n_b). NULL when either half is empty.
+    *
+    * Scale (100 TB): the histogram is a map-side-combinable aggregate to
+    * |types|·|bins| rows; the time-range scalar broadcasts; the TV fold
+    * is a second tiny aggregate. Two scans of events (range + histogram)
+    * — fusable to one with a cached range at deploy time — and nothing
+    * ever shuffles at event granularity. */
+  def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.t(s, dir, "events")
+      .select($"event_type", unix_micros($"ts").as("us"), $"value")
+    val mid = ev.agg(
+      ((min($"us") + max($"us")).cast(LongType)).as("mm"))
+      .select(expr("mm div 2").as("mid_us"))
+    val dec0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val hist = ev.crossJoin(broadcast(mid))
+      .select($"event_type", floor($"value" / 10.0d).cast(LongType).as("bin"),
+        ($"us" < $"mid_us").as("first_half"))
+      .groupBy($"event_type", $"bin")
+      .agg(
+        sum(when($"first_half", 1L).otherwise(0L)).as("ca"),
+        sum(when(!$"first_half", 1L).otherwise(0L)).as("cb"))
+    val wT = Window.partitionBy($"event_type")
+    hist
+      .withColumn("na", sum($"ca").over(wT))
+      .withColumn("nb", sum($"cb").over(wT))
+      .groupBy($"event_type")
+      .agg(
+        min($"na").as("n_first"),
+        min($"nb").as("n_second"),
+        count(lit(1)).as("n_bins"),
+        sum(abs(dec0($"ca") * dec0($"nb") - dec0($"cb") * dec0($"na")))
+          .as("s"))
+      .select($"event_type", $"n_first", $"n_second", $"n_bins",
+        when($"n_first" > 0 && $"n_second" > 0,
+          ($"s" * lit(1000000)).cast(DecimalType(38, 0))
+            .divide(dec0($"n_first") * dec0($"n_second") * lit(2))
+            .cast(LongType))
+          .as("tv_ppm"))
+      .orderBy($"event_type")
+  }
+
+  val q47Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS us, value FROM events),
+      |mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM ev),
+      |hist AS (
+      |  SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+      |    CAST(SUM(CASE WHEN us < mid_us THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN us >= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM ev, mid GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT event_type, bin, ca, cb,
+      |    CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS na,
+      |    CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS nb
+      |  FROM hist)
+      |SELECT event_type,
+      |  MIN(na) AS n_first, MIN(nb) AS n_second,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |  CASE WHEN MIN(na) > 0 AND MIN(nb) > 0 THEN
+      |    CAST((SUM(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+      |      * 1000000) // (2 * CAST(MIN(na) AS HUGEINT) * MIN(nb)) AS BIGINT)
+      |  END AS tv_ppm
+      |FROM tot GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -706,5 +785,6 @@ object Temporal {
     Q("q42_scd2_intervals", q42, Some(q42Sql)),
     Q("q43_hourly_anomaly", q43, Some(q43Sql)),
     Q("q45_asof_forward", q45, Some(q45Sql)),
-    Q("q46_event_gaps", q46, Some(q46Sql)))
+    Q("q46_event_gaps", q46, Some(q46Sql)),
+    Q("q47_value_drift", q47, Some(q47Sql)))
 }
