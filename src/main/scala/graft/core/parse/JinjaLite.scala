@@ -129,6 +129,456 @@ object JinjaLite {
   def findMacroCalls(code: String): Vector[String] =
     callRe.findAllMatchIn(code).map(_.group(1)).filterNot(builtins).toVector.distinct
 
+  // ------------------------------------------------------- control flow
+  //
+  // The reference inherits FULL Jinja from dbt-core (its macro surface is
+  // enumerated at dbt_projects.py:330-347); real projects lean on
+  // {% for %} to generate unions/pivots, {% set %} for shared literals,
+  // and general {% if %}/{% elif %} beyond the is_incremental() special
+  // case. This block-tree evaluator covers that surface: a tag scanner
+  // builds nested For/If/Set nodes (unknown tags pass through as text),
+  // and a small recursive-descent expression language evaluates
+  // literals, lists, env names (incl. dotted loop.index/first/last),
+  // range(), var(), is_incremental(), comparison/boolean operators, `in`,
+  // arithmetic and `~` concatenation. `{{ expr }}` spans that evaluate
+  // fully from the environment are rendered in place; spans that still
+  // reference later passes (ref(), source(), macros) only get their bound
+  // identifiers substituted as literals, so `{{ ref(tbl) }}` inside a
+  // loop becomes `{{ ref('orders') }}` for the existing ref pass.
+
+  sealed trait JVal {
+    def truthy: Boolean = this match {
+      case JBool(b) => b
+      case JInt(n) => n != 0
+      case JStr(s) => s.nonEmpty
+      case JList(xs) => xs.nonEmpty
+    }
+    /** Raw interpolation form (strings unquoted) — what `{{ x }}` emits. */
+    def render: String = this match {
+      case JBool(b) => if (b) "True" else "False"
+      case JInt(n) => n.toString
+      case JStr(s) => s
+      case JList(xs) => xs.map(_.literal).mkString("[", ", ", "]")
+    }
+    /** Literal form (strings quoted) — substitution INSIDE an expression. */
+    def literal: String = this match {
+      case JStr(s) => "'" + s.replace("'", "\\'") + "'"
+      case other => other.render
+    }
+  }
+  final case class JStr(s: String) extends JVal
+  final case class JInt(n: Long) extends JVal
+  final case class JBool(b: Boolean) extends JVal
+  final case class JList(xs: Vector[JVal]) extends JVal
+
+  private sealed trait CNode
+  private final case class CText(s: String) extends CNode
+  private final case class CFor(v: String, iter: String, body: Vector[CNode]) extends CNode
+  private final case class CIf(branches: Vector[(Option[String], Vector[CNode])]) extends CNode
+  private final case class CSet(name: String, expr: String) extends CNode
+
+  private val tagRe: Regex = """\{%(-?)\s*([\s\S]*?)\s*(-?)%\}""".r
+  private val exprSpanRe: Regex = """\{\{\s*([\s\S]*?)\s*\}\}""".r
+  private val identRe: Regex = """[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*""".r
+
+  /** Evaluate {% for %}/{% if %}/{% set %} over `code`. `env` seeds the
+    * variable scope (project vars, typed); unknown tags and unresolvable
+    * `{{ }}` spans pass through untouched for the later render passes. */
+  def renderControlFlow(code: String, env: Map[String, JVal],
+      isIncremental: Boolean = false): String = {
+    val nodes = parseNodes(code)
+    val sb = new StringBuilder
+    evalNodes(nodes, scala.collection.mutable.Map(env.toSeq: _*), isIncremental, sb)
+    sb.toString
+  }
+
+  private def parseNodes(code: String): Vector[CNode] = {
+    // scan tags; unknown tag kinds are folded back into the text stream
+    final case class Tag(kind: String, rest: String, start: Int, end: Int,
+        trimL: Boolean, trimR: Boolean)
+    val known = Set("for", "endfor", "if", "elif", "else", "endif", "set")
+    val tags = tagRe.findAllMatchIn(code).flatMap { m =>
+      val body = m.group(2)
+      val kind = body.takeWhile(c => c.isLetter)
+      if (known(kind) &&
+          (body.length == kind.length || !body.charAt(kind.length).isLetterOrDigit))
+        Some(Tag(kind, body.drop(kind.length).trim, m.start, m.end,
+          m.group(1) == "-", m.group(3) == "-"))
+      else None
+    }.toVector
+
+    // right-trim: a `-%}` tag swallows the following whitespace run
+    def skipTrim(after: Int, ti: Int): Int =
+      if (ti >= tags.length || !tags(ti).trimR) after
+      else {
+        var k = after
+        while (k < code.length && code.charAt(k).isWhitespace) k += 1
+        k
+      }
+
+    // recursive assembly over the flat tag list
+    def build(from: Int, ti: Int, stopAt: Set[String]): (Vector[CNode], Int, Int, Option[Tag]) = {
+      val out = Vector.newBuilder[CNode]
+      var pos = from
+      var i = ti
+      while (i < tags.length) {
+        val t = tags(i)
+        var text = code.substring(pos, t.start)
+        if (t.trimL) text = text.replaceAll("""[ \t]*\n?\s*$""", "")
+        t.kind match {
+          case k if stopAt(k) =>
+            if (text.nonEmpty) out += CText(text)
+            return (out.result(), t.end, i, Some(t))
+          case "for" =>
+            if (text.nonEmpty) out += CText(text)
+            val (v, iter) = t.rest.split("\\bin\\b", 2) match {
+              case Array(vv, it) => (vv.trim, it.trim)
+              case _ => throw new IllegalArgumentException(s"bad for tag: ${t.rest}")
+            }
+            val (body, after, nextTi, _) =
+              build(skipTrim(t.end, i), i + 1, Set("endfor"))
+            out += CFor(v, iter, body)
+            pos = skipTrim(after, nextTi); i = nextTi + 1
+          case "if" =>
+            if (text.nonEmpty) out += CText(text)
+            val branches = Vector.newBuilder[(Option[String], Vector[CNode])]
+            var cond: Option[String] = Some(t.rest)
+            var cur = (skipTrim(t.end, i), i + 1)
+            var done = false
+            while (!done) {
+              val (body, after, nextTi, stop) =
+                build(cur._1, cur._2, Set("elif", "else", "endif"))
+              branches += ((cond, body))
+              stop match {
+                case Some(s) if s.kind == "elif" =>
+                  cond = Some(s.rest); cur = (skipTrim(after, nextTi), nextTi + 1)
+                case Some(s) if s.kind == "else" =>
+                  cond = None; cur = (skipTrim(after, nextTi), nextTi + 1)
+                case Some(s) if s.kind == "endif" =>
+                  pos = skipTrim(after, nextTi); i = nextTi; done = true
+                case _ =>
+                  throw new IllegalArgumentException("unterminated {% if %}")
+              }
+            }
+            out += CIf(branches.result()); i += 1
+          case "set" =>
+            if (text.nonEmpty) out += CText(text)
+            t.rest.split("=", 2) match {
+              case Array(n, e) => out += CSet(n.trim, e.trim)
+              case _ => throw new IllegalArgumentException(s"bad set tag: ${t.rest}")
+            }
+            pos = skipTrim(t.end, i); i += 1
+          case other =>
+            throw new IllegalArgumentException(s"unbalanced {% $other %}")
+        }
+      }
+      if (pos < code.length) out += CText(code.substring(pos))
+      (out.result(), code.length, tags.length, None)
+    }
+    val (nodes, _, _, _) = build(0, 0, Set.empty)
+    nodes
+  }
+
+  private def evalNodes(nodes: Vector[CNode],
+      env: scala.collection.mutable.Map[String, JVal],
+      isIncremental: Boolean, sb: StringBuilder): Unit =
+    nodes.foreach {
+      case CText(s) => sb.append(substituteSpans(s, env, isIncremental))
+      case CSet(n, e) =>
+        env(n) = evalExpr(e, env, isIncremental).getOrElse(
+          throw new IllegalArgumentException(s"cannot evaluate {% set $n = $e %}"))
+      case CIf(branches) =>
+        branches.find { case (cond, _) =>
+          cond.forall(c => evalExpr(c, env, isIncremental).getOrElse(
+            throw new IllegalArgumentException(s"cannot evaluate {% if $c %}")).truthy)
+        }.foreach { case (_, body) => evalNodes(body, env, isIncremental, sb) }
+      case CFor(v, iterE, body) =>
+        val iter = evalExpr(iterE, env, isIncremental) match {
+          case Some(JList(xs)) => xs
+          case Some(JStr(s)) => s.map(c => JStr(c.toString)).toVector
+          case other => throw new IllegalArgumentException(
+            s"{% for %} over non-list: $iterE ($other)")
+        }
+        val saved = List("loop.index", "loop.index0", "loop.first", "loop.last", v)
+          .flatMap(k => env.get(k).map(k -> _))
+        iter.zipWithIndex.foreach { case (item, idx) =>
+          env(v) = item
+          env("loop.index") = JInt(idx + 1L)
+          env("loop.index0") = JInt(idx.toLong)
+          env("loop.first") = JBool(idx == 0)
+          env("loop.last") = JBool(idx == iter.size - 1)
+          evalNodes(body, env, isIncremental, sb)
+        }
+        List("loop.index", "loop.index0", "loop.first", "loop.last", v)
+          .foreach(env.remove)
+        saved.foreach { case (k, vv) => env(k) = vv }
+    }
+
+  /** `{{ expr }}` spans: fully-evaluable → rendered value; otherwise bound
+    * identifiers inside the span are replaced with their literals and the
+    * span survives for the ref/source/macro passes. */
+  private def substituteSpans(text: String,
+      env: scala.collection.mutable.Map[String, JVal],
+      isIncremental: Boolean): String =
+    exprSpanRe.replaceAllIn(text, m => {
+      val body = m.group(1)
+      evalExpr(body, env, isIncremental) match {
+        case Some(v) => Regex.quoteReplacement(v.render)
+        case None =>
+          Regex.quoteReplacement(s"{{ ${substituteIdents(body, env)} }}")
+      }
+    })
+
+  /** Replace bound identifiers in an expression with their literal form,
+    * quote-aware: names inside string literals, function-call names
+    * (`name(`), kwarg names (`name=`) and attribute tails stay untouched.
+    * Turns `ref(tbl)` with tbl='orders' into `ref('orders')`. */
+  private def substituteIdents(body: String,
+      env: scala.collection.Map[String, JVal]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c; sb.append(c); i += 1
+        while (i < body.length && body.charAt(i) != q) { sb.append(body.charAt(i)); i += 1 }
+        if (i < body.length) { sb.append(q); i += 1 }
+      } else if (c.isLetter || c == '_') {
+        val m = identRe.findPrefixMatchOf(body.substring(i)).get
+        val name = m.matched
+        val after = i + name.length
+        val next = body.drop(after).dropWhile(_.isWhitespace).headOption
+        val isCall = next.contains('(')
+        val isKwarg = next.contains('=') &&
+          !body.drop(after).dropWhile(_.isWhitespace).startsWith("==")
+        env.get(name) match {
+          case Some(v) if !isCall && !isKwarg => sb.append(v.literal)
+          case _ => sb.append(name)
+        }
+        i = after
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // -- expression language ------------------------------------------------
+
+  /** None ⇔ the expression references something outside the environment
+    * (a later render pass's name like `ref`); callers fall back to
+    * identifier substitution. Genuine syntax errors also yield None —
+    * the span then passes through unchanged, matching the pass-through
+    * philosophy of the rest of JinjaLite. */
+  private[parse] def evalExpr(src: String,
+      env: scala.collection.Map[String, JVal],
+      isIncremental: Boolean): Option[JVal] =
+    try Some(new ExprParser(src, env, isIncremental).parse())
+    catch { case _: Exception => None }
+
+  private final class ExprParser(src: String,
+      env: scala.collection.Map[String, JVal], isIncremental: Boolean) {
+    private var p = 0
+    private def ws(): Unit = while (p < src.length && src.charAt(p).isWhitespace) p += 1
+    private def peek(s: String): Boolean = { ws(); src.startsWith(s, p) }
+    private def eat(s: String): Boolean = { ws(); if (src.startsWith(s, p)) { p += s.length; true } else false }
+    private def peekWord(w: String): Boolean = {
+      ws()
+      src.startsWith(w, p) && (p + w.length == src.length ||
+        !src.charAt(p + w.length).isLetterOrDigit)
+    }
+    private def eatWord(w: String): Boolean =
+      if (peekWord(w)) { p += w.length; true } else false
+
+    def parse(): JVal = {
+      val v = orExpr()
+      ws()
+      if (p != src.length) sys.error(s"trailing input at $p in: $src")
+      v
+    }
+
+    private def orExpr(): JVal = {
+      var v = andExpr()
+      while (eatWord("or")) { val r = andExpr(); v = JBool(v.truthy || r.truthy) }
+      v
+    }
+    private def andExpr(): JVal = {
+      var v = notExpr()
+      while (eatWord("and")) { val r = notExpr(); v = JBool(v.truthy && r.truthy) }
+      v
+    }
+    private def notExpr(): JVal =
+      if (eatWord("not")) JBool(!notExpr().truthy) else cmpExpr()
+
+    private def cmpExpr(): JVal = {
+      val l = addExpr()
+      def cmp(op: (Int, Int) => Boolean): JVal = {
+        val r = addExpr()
+        (l, r) match {
+          case (JInt(a), JInt(b)) => JBool(op(a.compare(b), 0))
+          case (JStr(a), JStr(b)) => JBool(op(a.compare(b), 0))
+          case _ => sys.error(s"uncomparable: $l vs $r")
+        }
+      }
+      if (eat("==")) { val r = addExpr(); JBool(l == r) }
+      else if (eat("!=")) { val r = addExpr(); JBool(l != r) }
+      else if (eat("<=")) cmp(_ <= _)
+      else if (eat(">=")) cmp(_ >= _)
+      else if (eat("<")) cmp(_ < _)
+      else if (eat(">")) cmp(_ > _)
+      else if (peekWord("not") && { val save = p; eatWord("not"); val isIn = peekWord("in"); p = save; isIn }) {
+        eatWord("not"); eatWord("in")
+        val r = addExpr()
+        r match {
+          case JList(xs) => JBool(!xs.contains(l))
+          case JStr(s) => JBool(!s.contains(l.render))
+          case _ => sys.error("`not in` needs list/str")
+        }
+      }
+      else if (eatWord("in")) {
+        val r = addExpr()
+        r match {
+          case JList(xs) => JBool(xs.contains(l))
+          case JStr(s) => JBool(s.contains(l.render))
+          case _ => sys.error("`in` needs list/str")
+        }
+      }
+      else l
+    }
+
+    private def addExpr(): JVal = {
+      var v = mulExpr()
+      var done = false
+      while (!done) {
+        if (eat("~")) { val r = mulExpr(); v = JStr(v.render + r.render) }
+        else if (eat("+")) {
+          val r = mulExpr()
+          v = (v, r) match {
+            case (JInt(a), JInt(b)) => JInt(a + b)
+            case (JStr(a), JStr(b)) => JStr(a + b)
+            case (JList(a), JList(b)) => JList(a ++ b)
+            case _ => sys.error(s"cannot +: $v, $r")
+          }
+        } else if (peek("-") && !peek("-%")) {
+          eat("-"); val r = mulExpr()
+          v = (v, r) match {
+            case (JInt(a), JInt(b)) => JInt(a - b)
+            case _ => sys.error(s"cannot -: $v, $r")
+          }
+        } else done = true
+      }
+      v
+    }
+
+    private def mulExpr(): JVal = {
+      var v = unary()
+      var done = false
+      while (!done) {
+        if (eat("*")) { val r = unary(); (v, r) match {
+          case (JInt(a), JInt(b)) => v = JInt(a * b)
+          case _ => sys.error("cannot *")
+        } }
+        else if (eat("%")) { val r = unary(); (v, r) match {
+          case (JInt(a), JInt(b)) => v = JInt(a % b)
+          case _ => sys.error("cannot %")
+        } }
+        else if (eat("//")) { val r = unary(); (v, r) match {
+          case (JInt(a), JInt(b)) => v = JInt(Math.floorDiv(a, b))
+          case _ => sys.error("cannot //")
+        } }
+        else done = true
+      }
+      v
+    }
+
+    private def unary(): JVal =
+      if (eat("-")) unary() match {
+        case JInt(n) => JInt(-n)
+        case _ => sys.error("cannot negate")
+      } else primary()
+
+    private def primary(): JVal = {
+      ws()
+      if (p >= src.length) sys.error("unexpected end")
+      val c = src.charAt(p)
+      if (c == '(') { eat("("); val v = orExpr(); if (!eat(")")) sys.error("expected )"); v }
+      else if (c == '[') {
+        eat("[")
+        val xs = Vector.newBuilder[JVal]
+        ws()
+        if (!eat("]")) {
+          xs += orExpr()
+          while (eat(",")) xs += orExpr()
+          if (!eat("]")) sys.error("expected ]")
+        }
+        JList(xs.result())
+      }
+      else if (c == '\'' || c == '"') {
+        val quote = c; p += 1
+        val sb = new StringBuilder
+        while (p < src.length && src.charAt(p) != quote) {
+          if (src.charAt(p) == '\\' && p + 1 < src.length) { sb.append(src.charAt(p + 1)); p += 2 }
+          else { sb.append(src.charAt(p)); p += 1 }
+        }
+        if (p >= src.length) sys.error("unterminated string")
+        p += 1
+        JStr(sb.toString)
+      }
+      else if (c.isDigit) {
+        val start = p
+        while (p < src.length && src.charAt(p).isDigit) p += 1
+        JInt(src.substring(start, p).toLong)
+      }
+      else if (c.isLetter || c == '_') {
+        val m = identRe.findPrefixMatchOf(src.substring(p)).getOrElse(sys.error("bad ident"))
+        val name = m.matched
+        p += name.length
+        ws()
+        if (p < src.length && src.charAt(p) == '(') {
+          eat("(")
+          val args = Vector.newBuilder[JVal]
+          ws()
+          if (!eat(")")) {
+            args += orExpr()
+            while (eat(",")) args += orExpr()
+            if (!eat(")")) sys.error("expected )")
+          }
+          call(name, args.result())
+        } else name match {
+          case "true" | "True" => JBool(true)
+          case "false" | "False" => JBool(false)
+          case "none" | "None" => JStr("")
+          case _ => env.getOrElse(name, sys.error(s"unbound name: $name"))
+        }
+      }
+      else sys.error(s"unexpected char '$c'")
+    }
+
+    private def call(name: String, args: Vector[JVal]): JVal = name match {
+      case "range" => args match {
+        case Vector(JInt(n)) => JList((0L until n).map(JInt.apply).toVector)
+        case Vector(JInt(a), JInt(b)) => JList((a until b).map(JInt.apply).toVector)
+        case _ => sys.error("range(int[, int])")
+      }
+      case "is_incremental" => JBool(isIncremental)
+      case "var" => args match {
+        case Vector(JStr(n)) =>
+          env.getOrElse(n, sys.error(s"undefined var: $n"))
+        case Vector(JStr(n), default) => env.getOrElse(n, default)
+        case _ => sys.error("var(name[, default])")
+      }
+      case other => sys.error(s"unknown function: $other")
+    }
+  }
+
+  /** Typed view of the string var map for the control-flow environment:
+    * integers become JInt, true/false JBool, everything else JStr. */
+  def typedEnv(vars: Map[String, String]): Map[String, JVal] =
+    vars.map { case (k, v) =>
+      k -> (if (v.matches("-?\\d+")) JInt(v.toLong)
+      else if (v == "true" || v == "True") JBool(true)
+      else if (v == "false" || v == "False") JBool(false)
+      else JStr(v))
+    }
+
   // ------------------------------------------------------------ rendering
 
   /** Spark-native expansions of the dbt-utils macros the fixture projects
@@ -165,16 +615,42 @@ object JinjaLite {
     out
   }
 
+  /** Split a macro arg list on TOP-LEVEL commas only (list literals and
+    * quoted strings may contain commas). */
+  private[parse] def splitArgs(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var depth = 0
+    var quote: Char = 0
+    val cur = new StringBuilder
+    s.foreach { c =>
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '[' | '(' => depth += 1; cur.append(c)
+        case ']' | ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Expand user macro calls (textual substitution of params into body,
-    * fixpoint with depth cap). */
+    * fixpoint with depth cap). Params substitute in BOTH expression spans
+    * (`{{ p }}`, cleaned of quotes — string interpolation) and control
+    * tags (`{% for x in p %}`, raw — the expression evaluator needs the
+    * literal form); call args split on top-level commas so list literals
+    * pass through whole. */
   def expandMacros(code: String, macros: Map[String, MacroDef], depth: Int = 5): String = {
     if (depth <= 0) return code
     var out = code
     macros.values.foreach { md =>
-      val call = (s"""\\{\\{\\s*${md.name}\\s*\\(([^)]*)\\)\\s*\\}\\}""").r
+      val call = (s"""\\{\\{\\s*${md.name}\\s*\\(([\\s\\S]*?)\\)\\s*\\}\\}""").r
       out = call.replaceAllIn(out, m => {
-        val args = m.group(1).split(",").toVector.map(_.trim).filter(_.nonEmpty)
-        val (pos, kw) = args.partition(!_.contains("="))
+        val args = splitArgs(m.group(1))
+        val (kw, pos) = args.partition(
+          _.matches("""(?s)[A-Za-z_][A-Za-z0-9_]*\s*=[^=].*"""))
         val kwMap = kw.map { a =>
           val Array(k, v) = a.split("=", 2); k.trim -> v.trim
         }.toMap
@@ -185,6 +661,10 @@ object JinjaLite {
           val clean = value.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
           body = body.replaceAll(s"""\\{\\{\\s*$p\\s*\\}\\}""",
             Regex.quoteReplacement(clean))
+          // bare param name inside {% ... %} tags → raw arg text
+          body = tagRe.replaceAllIn(body, tm =>
+            Regex.quoteReplacement(tm.matched.replaceAll(
+              s"""\\b$p\\b""", Regex.quoteReplacement(value))))
         }
         Regex.quoteReplacement(body)
       })
@@ -214,6 +694,10 @@ object JinjaLite {
     out = expandDbtUtils(out)
     out = expandMacros(out, macros)
     out = renderIncremental(out, isIncremental)
+    // loop/branch/assignment evaluation AFTER macro expansion (macro
+    // bodies contribute control tags) and BEFORE ref/source resolution
+    // (loops emit `{{ ref(x) }}` spans with the loop var substituted)
+    out = renderControlFlow(out, typedEnv(vars), isIncremental)
     out = refRe.replaceAllIn(out, m => {
       val (proj, name) =
         if (m.group(2) != null) (Some(m.group(1)), m.group(2)) else (None, m.group(1))

@@ -281,13 +281,28 @@ object ProjectLoader {
       val code = Files.readString(p)
       val lang = if (p.toString.endsWith(".py")) "python" else "sql"
       val id = s"model.$proj.$name"
-      // Python models use dbt.ref()/dbt.source() instead of jinja forms
+      // Python models use dbt.ref()/dbt.source() instead of jinja forms.
+      // For SQL models, a compile-style pre-pass (macro expansion +
+      // control-flow evaluation over project vars) surfaces refs that
+      // only exist after rendering — `{% for t in [...] %}{{ ref(t) }}`
+      // loops produce literal ref() calls dbt's own compile would see.
+      // Best-effort: anything unrenderable falls back to the raw code.
+      val compiled =
+        if (lang == "python") code
+        else scala.util.Try {
+          val byName = macroDefs.map(_._1).map(md => md.name -> md).toMap
+          JinjaLite.renderControlFlow(
+            JinjaLite.expandMacros(code, byName),
+            JinjaLite.typedEnv(cfg.vars.entries.map {
+              case (k, v) => k -> v.asStr
+            }.toMap))
+        }.getOrElse(code)
       val refCalls =
         if (lang == "python") JinjaLite.findPythonRefs(code)
-        else JinjaLite.findRefs(code)
+        else (JinjaLite.findRefs(code) ++ JinjaLite.findRefs(compiled)).distinct
       val srcCalls =
         if (lang == "python") JinjaLite.findPythonSources(code)
-        else JinjaLite.findSources(code)
+        else (JinjaLite.findSources(code) ++ JinjaLite.findSources(compiled)).distinct
       val pkgNames = pkgManifests.map(_.projectName).toSet + proj
       // refs/sources inside called macros (transitively) are the model's
       // dependencies too — dbt resolves them at compile time (e.g. the

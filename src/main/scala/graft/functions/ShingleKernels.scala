@@ -24,6 +24,13 @@ object ShingleKernels {
   def shinglesK(ws: Column, k: Int): Column =
     Bridge.column(ShinglesK(Bridge.expression(ws), k))
 
+  /** Column API: multiplicity-counted word-n-grams of a word array as an
+    * array of (g, c) structs — the per-document half of a corpus n-gram
+    * frequency table, computed narrowly so the corpus aggregation is the
+    * FIRST (and only) shuffle. */
+  def ngramCounts(ws: Column, n: Int): Column =
+    Bridge.column(NgramCounts(Bridge.expression(ws), n))
+
   /** Column API: 64-perm minhash signature of a (shingle) string array —
     * `sig[j] = min over distinct shingles of ((2j+1)·poly31(s) + j) mod
     * 1e9+7`, identical to `MinHashAgg(rolling_hash(s), 64)` over the
@@ -135,6 +142,74 @@ object ShinglesK {
     val it = seen.iterator()
     var p = 0
     while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-document n-gram frequency vector: `ngram_counts(ws, n)` yields one
+  * `(g, c)` struct per DISTINCT word-n-gram of `ws` (first-occurrence
+  * order) with its multiplicity — exactly the rows
+  * `explode(ngrams) → groupBy(doc, g) → count` would produce, but as
+  * per-row work with no shuffle. At 100 TB this turns the per-(doc, gram)
+  * pre-aggregation the two-level n-gram queries (t12, t20) paid a
+  * corpus-sized exchange for into a pure map-side scan; only the
+  * already-collapsed (gram, count) rows ever reach an exchange. Arrays
+  * with fewer than n elements yield an empty array. */
+case class NgramCounts(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_counts expects array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramCounts.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramCounts.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = s"ngram_counts$n"
+}
+
+object NgramCounts {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(ws: ArrayData, k: Int): GenericArrayData = {
+    val n = ws.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long](n * 2)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var m = 0
+      while (m < k) { parts(m) = ws.getUTF8String(i + m); m += 1 }
+      // concatWs skips nulls like the concat_ws SQL form — see Shingles3
+      val g = UTF8String.concatWs(SPACE, parts: _*)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1L else prev.longValue() + 1L)
+      i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var p = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      p += 1
+    }
     new GenericArrayData(out)
   }
 }

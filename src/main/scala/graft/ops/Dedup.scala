@@ -1312,7 +1312,7 @@ object Dedup {
       |  FROM tpl GROUP BY ht
       |  HAVING COUNT(DISTINCT h) > 1),
       |ranked AS (
-      |  SELECT *, row_number() OVER (ORDER BY n_docs DESC, ht) AS rank
+      |  SELECT *, CAST(row_number() OVER (ORDER BY n_docs DESC, ht) AS INTEGER) AS rank
       |  FROM groups)
       |SELECT rank, n_docs, n_distinct_texts, n_sources, example_doc
       |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
@@ -1598,14 +1598,14 @@ object Dedup {
        |        CAST(CASE WHEN lex.da IS NULL AND sem.va IS NOT NULL
        |          THEN 1 ELSE 0 END AS BIGINT) AS so
        |      FROM lex FULL OUTER JOIN sem ON da = va AND db = vb)
-       |SELECT COALESCE(SUM(b), 0) AS n_both,
-       |  COALESCE(SUM(lo), 0) AS n_lexical_only,
-       |  COALESCE(SUM(so), 0) AS n_semantic_only,
-       |  CASE WHEN COALESCE(SUM(b), 0) + COALESCE(SUM(lo), 0)
+       |SELECT CAST(COALESCE(SUM(b), 0) AS BIGINT) AS n_both,
+       |  CAST(COALESCE(SUM(lo), 0) AS BIGINT) AS n_lexical_only,
+       |  CAST(COALESCE(SUM(so), 0) AS BIGINT) AS n_semantic_only,
+       |  CAST(CASE WHEN COALESCE(SUM(b), 0) + COALESCE(SUM(lo), 0)
        |         + COALESCE(SUM(so), 0) > 0
        |    THEN (COALESCE(SUM(b), 0) * 1000000)
        |      // (COALESCE(SUM(b), 0) + COALESCE(SUM(lo), 0)
-       |          + COALESCE(SUM(so), 0)) END AS overlap_ppm
+       |          + COALESCE(SUM(so), 0)) END AS BIGINT) AS overlap_ppm
        |FROM j""".stripMargin
   }
 

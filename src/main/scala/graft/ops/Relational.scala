@@ -370,7 +370,7 @@ object Relational {
   val q11Sql: String =
     """SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (
       |  SELECT c_mktsegment, c_custkey, c_acctbal,
-      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rank
+      |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rank
       |  FROM customer)
       |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
 

@@ -68,7 +68,7 @@ object Similarity {
        |sim AS (SELECT qid, vec_id, ${dotSql("qe", "embedding")} / (qnorm * norm) AS sim
        |        FROM v JOIN q ON vec_id <> qid),
        |ranked AS (SELECT qid, vec_id, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS INTEGER) AS rank
        |  FROM sim)
        |SELECT qid, rank, vec_id AS neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
@@ -119,7 +119,7 @@ object Similarity {
        |hits AS (SELECT qid, vec_id, cid, ${dotSql("qe", "embedding")} / (qnorm * norm) AS sim
        |         FROM assigned JOIN q ON cid = qcid AND vec_id <> qid),
        |ranked AS (SELECT qid, vec_id, cid, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS INTEGER) AS rank
        |  FROM hits)
        |SELECT qid, rank, vec_id AS neighbor_id, cid AS cell, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
@@ -260,8 +260,8 @@ object Similarity {
        |  SELECT qid, vec_id, $qdot AS score
        |  FROM quant JOIN q ON vec_id <> qid),
        |ranked AS (
-       |  SELECT qid, vec_id, score, row_number() OVER (
-       |    PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+       |  SELECT qid, vec_id, score, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, vec_id) AS INTEGER) AS rank
        |  FROM scored)
        |SELECT qid, rank, vec_id AS neighbor_id, score
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
@@ -441,7 +441,7 @@ object Similarity {
        |    ON co.j = l.qj AND co.code = l.cid AND co.vec_id <> l.qid
        |  GROUP BY l.qid, co.vec_id),
        |ranked AS (SELECT qid, vec_id, adist,
-       |    row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS rank
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS INTEGER) AS rank
        |  FROM scored)
        |SELECT qid, rank, vec_id AS neighbor_id, CAST(adist AS DOUBLE) AS approx_dist2
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
@@ -502,7 +502,7 @@ object Similarity {
        |hits AS (SELECT qid, vec_id, cid, ${dotSql("qe", "embedding")} / (qnorm * norm) AS sim
        |         FROM assigned JOIN probes ON cid = pcell AND vec_id <> qid),
        |ranked AS (SELECT qid, vec_id, cid, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS INTEGER) AS rank
        |  FROM hits)
        |SELECT qid, rank, vec_id AS neighbor_id, cid AS cell, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
@@ -793,7 +793,7 @@ object Similarity {
        |          ${dotSql("qe", "embedding")} / (qnorm * norm) AS sim
        |        FROM v JOIN q ON label = qlabel AND vec_id <> qid),
        |ranked AS (SELECT qid, vec_id, label, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS rank
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, vec_id) AS INTEGER) AS rank
        |  FROM sim)
        |SELECT qid, rank, label, vec_id AS neighbor_id, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
@@ -1123,5 +1123,6 @@ object Similarity {
     Q("s13_filtered_ann", s13, Some(s13Sql)),
     Q("s14_centroid_separation", s14, Some(s14Sql)),
     Q("s15_probe_sweep", s15, Some(s15Sql)),
-    Q("s16_pair_density", s16, Some(s16Sql)))
+    Q("s16_pair_density", s16, Some(s16Sql)),
+    Q("s17_centroid_drift", s17, Some(s17Sql)))
 }

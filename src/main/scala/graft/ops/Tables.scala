@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central registry of the driver-provided parquet tables.
   *
@@ -36,20 +36,37 @@ object Tables {
     }
   }
 
-  /** Read one table, normalizing parquet TIMESTAMP(NANOS) columns (which
-    * Spark 4 rejects natively) to micro-precision TimestampType via the
-    * nanosAsLong legacy read + integer `div` (no double precision loss). */
+  /** Read one table, normalizing the `events.ts` column to micro-precision
+    * TimestampType regardless of how the driver's parquet encodes it:
+    *   - TIMESTAMP(NANOS) (which Spark 4 rejects natively) via the
+    *     nanosAsLong legacy read + integer `div` (no double precision loss);
+    *   - TIMESTAMP_NTZ (arrow `timestamp[us]`, isAdjustedToUTC=false) via a
+    *     direct cast — exact because every entrypoint (Bench, Verify, test
+    *     fixture) pins `spark.sql.session.timeZone=UTC`, so NTZ→instant is
+    *     the identity mapping. Normalizing here keeps every downstream op
+    *     free to use `unix_micros`/`cast(double)`, which Spark refuses on
+    *     NTZ inputs. */
   private def read(spark: SparkSession, dir: String, t: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     val path = s"$dir/$t.parquet"
     if (t == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(path)
-      raw.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-        case Some(_) => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case None => raw
-      }
+      normalizeTs(spark.read.parquet(path))
     } else spark.read.parquet(path)
+  }
+
+  /** Normalize a `ts` column to TimestampType whatever the parquet
+    * encoding surfaced (nanos-as-long or NTZ). Shared by the batch reader
+    * above and the streaming twins, so both halves of a kappa pair see
+    * the identical event-time domain. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {

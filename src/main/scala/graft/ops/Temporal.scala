@@ -509,7 +509,7 @@ object Temporal {
       |    MIN(ts) AS valid_from,
       |    COUNT(*) AS n_events
       |  FROM runs GROUP BY user_id, run_id)
-      |SELECT user_id, run_id, state,
+      |SELECT user_id, CAST(run_id AS BIGINT) AS run_id, state,
       |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
       |  COALESCE(strftime(lead(valid_from) OVER (
       |    PARTITION BY user_id ORDER BY run_id), '%Y-%m-%d %H:%M:%S.%f'),

@@ -398,8 +398,8 @@ object TextAnalysis {
       |    round(tf * (CAST(n_docs AS DOUBLE) / df), 6) AS score
       |  FROM tf JOIN df USING (term) CROSS JOIN n),
       |ranked AS (
-      |  SELECT *, row_number() OVER (
-      |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |  SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rank
       |  FROM scored)
       |SELECT doc_id, rank, term, tf, df, score
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
@@ -478,7 +478,7 @@ object TextAnalysis {
        |    SELECT n_docs, ${bm25Query.map(t => s"df_$t").mkString(", ")},
        |      CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM stats)),
        |ranked AS (
-       |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
        |  FROM scored WHERE score > 0)
        |SELECT doc_id, rank, score, $tfOut
        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
@@ -486,25 +486,23 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- t12
   /** Corpus n-gram statistics — the LM-style frequency table: global
-    * trigram counts with document frequency, top-20. ONE shuffle
-    * (groupBy trigram, map-side partials); the global top-k lowers to
+    * trigram counts with document frequency, top-20. ONE shuffle total:
+    * the per-(doc, trigram) collapse that used to be its own exchange is
+    * now the narrow `ngram_counts` kernel (per-row work), so only the
+    * already-collapsed (trigram, count) rows reach the corpus groupBy —
+    * map-side partials, then the global top-k lowers to
     * TakeOrderedAndProject (per-partition heaps + driver merge of k
     * rows), not a full sort. At 100 TB the trigram key space is huge but
-    * counts are partial-aggregated before the shuffle, and nothing but
-    * the k winners ever leaves the executors. */
+    * nothing except partial-aggregated (trigram, n, n_docs) rows and the
+    * k winners ever leaves the executors. */
   def t12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // two-level: collapse to (trigram, doc) first, then per-trigram sums.
-    // A one-shot count + countDistinct would Expand every exploded row
-    // into two aggregation paths and shuffle both; the pre-aggregate
-    // carries each (trigram, doc) pair once and the second shuffle is
-    // tiny (d01's shape).
     Tables.t(s, dir, "documents")
       .select($"doc_id", words($"text").as("ws"))
       .filter(size($"ws") >= 3)
-      .select($"doc_id", explode(trigramsOf($"ws")).as("trigram"))
-      .groupBy($"trigram", $"doc_id")
-      .agg(count(lit(1)).as("c"))
+      .select(explode(graft.functions.ShingleKernels.ngramCounts($"ws", 3))
+        .as("gc"))
+      .select($"gc.g".as("trigram"), $"gc.c".as("c"))
       .groupBy($"trigram")
       .agg(sum($"c").as("n"), count(lit(1)).as("n_docs"))
       .orderBy($"n".desc, $"trigram")
@@ -701,10 +699,11 @@ object TextAnalysis {
        |    CAST(n_stop AS DOUBLE) / n_tok AS ratio FROM d),
        |b AS (
        |  SELECT *, ntile(10) OVER (ORDER BY ratio, doc_id) AS decile FROM r)
-       |SELECT decile, COUNT(*) AS n_docs,
+       |SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_docs,
        |  CAST(round(MIN(ratio) * 1e6) AS BIGINT) / 1e6 AS min_ratio,
        |  CAST(round(MAX(ratio) * 1e6) AS BIGINT) / 1e6 AS max_ratio,
-       |  SUM(n_stop) AS total_stopwords, SUM(n_tok) AS total_tokens,
+       |  CAST(SUM(n_stop) AS BIGINT) AS total_stopwords,
+       |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
        |  CAST(round(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tok) * 1e6) AS BIGINT)
        |    / 1e6 AS pooled_ratio
        |FROM b GROUP BY decile ORDER BY decile""".stripMargin
@@ -879,7 +878,7 @@ object TextAnalysis {
       |    COUNT(*) OVER (PARTITION BY source) AS n_source_docs
       |  FROM documents)
       |SELECT doc_id, source, n_distinct_tokens,
-      |  CAST(cap_rank AS BIGINT) AS cap_rank,
+      |  CAST(cap_rank AS INTEGER) AS cap_rank,
       |  CAST(n_source_docs AS BIGINT) AS n_source_docs
       |FROM ranked WHERE cap_rank <= 20
       |ORDER BY source, cap_rank""".stripMargin
@@ -1005,20 +1004,20 @@ object TextAnalysis {
   def t20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val big = DecimalType(38, 0)
-    val pairs = Tables.t(s, dir, "documents")
+    // per-(doc, bigram) counts come out of the narrow ngram_counts kernel
+    // (per-row work, no shuffle), pinned to a bigram-keyed partitioning
+    // that BOTH consumers reuse: the corpus aggregation groups in place
+    // and the doc↔corpus sort-merge join is exchange-free on either side.
+    // One corpus-sized shuffle in, one (doc-keyed) out — the minimum for
+    // a per-doc score against corpus-global bigram statistics.
+    val docBg = Tables.t(s, dir, "documents")
       .select($"doc_id", words($"text").as("ws"))
       .filter(size($"ws") >= 2)
-      // one narrow zip of the word array against its own tail — no
-      // struct building, a single string column crosses the explode
-      .select($"doc_id", explode(zip_with(
-        slice($"ws", lit(1), size($"ws") - 1),
-        slice($"ws", lit(2), size($"ws") - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bg"))
-    // two-level: per-(doc, bigram) counts first, so the corpus table
-    // aggregates pre-collapsed rows (t12's shape)
-    val docBg = pairs.groupBy($"doc_id", $"bg")
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // reused: corpus and doc passes
+      .select($"doc_id",
+        explode(graft.functions.ShingleKernels.ngramCounts($"ws", 2)).as("gc"))
+      .select($"doc_id", $"gc.g".as("bg"), $"gc.c".as("c"))
+      .repartition($"bg")
+      .localCheckpoint(eager = false) // reused: corpus agg and join side
     val corpus = docBg.groupBy($"bg")
       .agg(sum($"c").as("n_total"), count(lit(1)).as("n_docs"))
       .withColumn("w1", substring_index($"bg", " ", 1))
@@ -1278,7 +1277,7 @@ object TextAnalysis {
       |  GROUP BY 1),
       |ranked AS (
       |  SELECT term, freq,
-      |    row_number() OVER (ORDER BY freq DESC, term) AS rank
+      |    CAST(row_number() OVER (ORDER BY freq DESC, term) AS INTEGER) AS rank
       |  FROM freq),
       |top AS (SELECT * FROM ranked WHERE rank <= 30)
       |SELECT rank, term, freq,
@@ -1330,14 +1329,14 @@ object TextAnalysis {
       |    len(string_split(text, ' ')) AS n FROM documents),
       |starts AS (
       |  SELECT doc_id, n, CAST(s AS INTEGER) AS start,
-      |    CAST(s // 4 AS BIGINT) AS chunk_no
+      |    CAST(s // 4 AS INTEGER) AS chunk_no
       |  FROM toks,
       |    UNNEST(generate_series(0,
       |      CAST(ceil(CAST(greatest(n - 8, 0) AS DOUBLE) / 4) * 4 AS BIGINT),
       |      4)) AS t(s))
       |SELECT t.doc_id, s.chunk_no,
       |  array_to_string(ws[s.start + 1 : s.start + 8], ' ') AS chunk_text,
-      |  least(8, t.n - s.start) AS chunk_len
+      |  CAST(least(8, t.n - s.start) AS INTEGER) AS chunk_len
       |FROM toks t JOIN starts s ON t.doc_id = s.doc_id
       |ORDER BY t.doc_id, s.chunk_no""".stripMargin
 

@@ -95,4 +95,74 @@ class JinjaLiteSpec extends AnyFunSuite {
     // default is used when the var is absent
     assert(JinjaLite.render("{{ var('nope', 'dflt') }}", _ => "", _ => "") == "dflt")
   }
+
+  // ---------------------------------------------------------- control flow
+
+  test("for loop over a list literal generates a union with loop.last") {
+    val code =
+      """{% for t in ['a', 'b', 'c'] %}
+        |select * from {{ ref(t) }}{% if not loop.last %} union all{% endif %}
+        |{% endfor %}""".stripMargin
+    val out = JinjaLite.render(code, r => s"v_${r.name}", _ => "?")
+    assert(out.contains("select * from v_a union all"))
+    assert(out.contains("select * from v_b union all"))
+    assert(out.contains("select * from v_c\n"))
+    assert(!out.contains("v_c union"))
+  }
+
+  test("set + for + loop.index compose; range() iterates") {
+    val code =
+      """{% set buckets = 3 %}{% for i in range(buckets) %}b{{ i }}_{{ loop.index }} {% endfor %}"""
+    assert(JinjaLite.renderControlFlow(code, Map.empty) == "b0_1 b1_2 b2_3 ")
+  }
+
+  test("general if/elif/else picks the right branch from typed vars") {
+    val code =
+      """{% if env == 'prod' %}tbl_prod{% elif env == 'stage' %}tbl_stage{% else %}tbl_dev{% endif %}"""
+    def render(env: String) =
+      JinjaLite.renderControlFlow(code, Map("env" -> JinjaLite.JStr(env)))
+    assert(render("prod") == "tbl_prod")
+    assert(render("stage") == "tbl_stage")
+    assert(render("qa") == "tbl_dev")
+  }
+
+  test("nested for/if with membership and arithmetic") {
+    val code =
+      """{% for c in cols %}{% if c in keep %}{{ c }},{% endif %}{% endfor %}"""
+    val env = Map(
+      "cols" -> JinjaLite.JList(Vector("a", "b", "c").map(JinjaLite.JStr.apply)),
+      "keep" -> JinjaLite.JList(Vector("a", "c").map(JinjaLite.JStr.apply)))
+    assert(JinjaLite.renderControlFlow(code, env) == "a,c,")
+    assert(JinjaLite.renderControlFlow("{{ 2 + 3 * 4 }}|{{ 'a' ~ 'b' }}", Map.empty)
+      == "14|ab")
+  }
+
+  test("whitespace control tags trim adjacent runs") {
+    val code = "x\n  {%- for i in range(2) -%}\n  {{ i }}\n  {%- endfor -%}\n  y"
+    assert(JinjaLite.renderControlFlow(code, Map.empty) == "x01y")
+  }
+
+  test("macro with a list param drives a for loop after expansion") {
+    val md = MacroDef("union_tables", Vector("tables" -> None),
+      "{% for t in tables %}select * from {{ ref(t) }}" +
+        "{% if not loop.last %} union all {% endif %}{% endfor %}")
+    val out = JinjaLite.render(
+      "{{ union_tables(['x', 'y']) }}",
+      r => s"v_${r.name}", _ => "?",
+      macros = Map("union_tables" -> md))
+    assert(out == "select * from v_x union all select * from v_y")
+  }
+
+  test("is_incremental() works inside general control flow") {
+    val code = "{% if is_incremental() and var('late', 'no') == 'yes' %}late{% else %}full{% endif %}"
+    assert(JinjaLite.render(code, _ => "", _ => "",
+      vars = Map("late" -> "yes"), isIncremental = true) == "late")
+    assert(JinjaLite.render(code, _ => "", _ => "",
+      vars = Map("late" -> "yes"), isIncremental = false) == "full")
+  }
+
+  test("unknown tags and unresolvable spans pass through untouched") {
+    val code = "{% snapshot snap %}select {{ mystery_macro('x') }}{% endsnapshot %}"
+    assert(JinjaLite.renderControlFlow(code, Map.empty) == code)
+  }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.SparkFixture
 import graft.ops.Temporal
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{expr, max, timestamp_micros}
+import org.apache.spark.sql.functions.max
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
@@ -153,12 +153,12 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
   test("kappa property: file-stream hourly equals batch hourly for closed windows") {
     val s = spark
     import s.implicits._
-    // the real driver testdata as a file stream (nanos ts normalized the
-    // same way Tables does for batch)
+    // the real driver testdata as a file stream (ts normalized by the
+    // same shared helper Tables uses for batch — nanos-long or NTZ)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = "/root/testdata/sf0.001"
     def normalize(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.ops.Tables.normalizeTs(df)
     val static = normalize(s.read.parquet(s"$dir/events.parquet"))
     val batch = Streams.hourly(static)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))

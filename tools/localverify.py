@@ -36,11 +36,13 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(pq_path):
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(f"SELECT * FROM '{pq_path}/*.parquet'")
-            got_cols = [d[0] for d in got.description]
+            got = con.sql(f"SELECT * FROM '{pq_path}/*.parquet'")
+            got_cols = list(got.columns)
+            got_ltypes = [str(t) for t in got.types]
             got_rows = got.fetchall()
-            exp = con.execute(sql)
-            exp_cols = [d[0] for d in exp.description]
+            exp = con.sql(sql)
+            exp_cols = list(exp.columns)
+            exp_ltypes = [str(t) for t in exp.types]
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
@@ -49,10 +51,11 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         # the driver hashes through arrow/pandas, where e.g. DuckDB HUGEINT
         # (SUM over BIGINT) renders differently than Spark BIGINT even when
-        # str(value) matches — so a duckdb-side type the spark output lacks
-        # is a real failure here, not a warning
-        got_types = dict(zip(got_cols, [d[1] for d in got.description]))
-        exp_types = dict(zip(exp_cols, [d[1] for d in exp.description]))
+        # str(value) matches — so compare DuckDB LOGICAL types (HUGEINT vs
+        # BIGINT), not DBAPI codes (both are 'NUMBER', which let this bug
+        # class ship red gates in rounds 5 and 6)
+        got_types = dict(zip(got_cols, got_ltypes))
+        exp_types = dict(zip(exp_cols, exp_ltypes))
         tdiff = {c: (got_types[c], exp_types[c]) for c in got_types
                  if got_types[c] != exp_types[c]}
         if tdiff:
