@@ -31,6 +31,21 @@ object ShingleKernels {
   def ngramCounts(ws: Column, n: Int): Column =
     Bridge.column(NgramCounts(Bridge.expression(ws), n))
 
+  /** Column API: [[shinglesK]] fused with tokenization — distinct word-
+    * k-gram shingles sliced straight from the text bytes (no regex
+    * split, no word array). Exactly `shinglesK(split(text, ' ', -1), k)`. */
+  def shinglesText(text: Column, k: Int): Column =
+    Bridge.column(ShinglesText(Bridge.expression(text), k))
+
+  /** Column API: [[ngramCounts]] fused with tokenization — takes the raw
+    * text column, no `split()` (regex) pass, no intermediate word array.
+    * Exactly `ngram_counts(split(text, ' ', -1), n)`: single-space-joined
+    * word windows reconstruct the original byte span verbatim (empty
+    * tokens from adjacent separators included, like split's), so each
+    * gram is one slice of the source bytes. */
+  def ngramCountsText(text: Column, n: Int): Column =
+    Bridge.column(NgramCountsText(Bridge.expression(text), n))
+
   /** Column API: 64-perm minhash signature of a (shingle) string array —
     * `sig[j] = min over distinct shingles of ((2j+1)·poly31(s) + j) mod
     * 1e9+7`, identical to `MinHashAgg(rolling_hash(s), 64)` over the
@@ -201,6 +216,150 @@ object NgramCounts {
       val prev = counts.get(g)
       counts.put(g, if (prev == null) 1L else prev.longValue() + 1L)
       i += 1
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var p = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(p) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Tokenizing distinct-shingle kernel: `shingles_text(text, k)` ≡
+  * `shingles$k(split(text, ' ', -1))` in one compiled pass — the same
+  * byte-scan word boundaries and verbatim gram slices as
+  * [[NgramCountsText]], deduplicated in first-occurrence order like
+  * [[ShinglesK]]. Texts with fewer than k words yield an empty array. */
+case class ShinglesText(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"shingle width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingles_text expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShinglesText.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShinglesText.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesText =
+    copy(child = newChild)
+
+  override def prettyName: String = s"shingles_text$k"
+}
+
+object ShinglesText {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) nWords += 1; i += 1 }
+    if (nWords < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String](nWords * 2)
+    var j = 0
+    val nGrams = nWords - k + 1
+    while (j < nGrams) {
+      val from = starts(j)
+      val until = if (j + k < nWords) starts(j + k) - 1 else len
+      seen.add(UTF8String.fromBytes(bytes, from, until - from))
+      j += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Tokenizing n-gram frequency vector: `ngram_counts_text(text, n)` ≡
+  * `ngram_counts(split(text, ' ', -1), n)` in ONE compiled pass over the
+  * source bytes — word boundaries are single 0x20 separators (split
+  * semantics: adjacent separators yield empty tokens, trailing kept), and
+  * because grams join consecutive words with the same single space, every
+  * gram is a verbatim slice `bytes[start(i) .. end(i+n-1)]` of the input.
+  * No regex, no word-array materialization — at 100 TB this keeps the
+  * per-document half of a corpus frequency table at memory-bandwidth
+  * speed inside the scan stage. Texts with fewer than n words yield an
+  * empty array. */
+case class NgramCountsText(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_counts_text expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NgramCountsText.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NgramCountsText.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramCountsText =
+    copy(child = newChild)
+
+  override def prettyName: String = s"ngram_counts_text$n"
+}
+
+object NgramCountsText {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val bytes = text.getBytes // contiguous copy iff the UTF8String is offset
+    val len = bytes.length
+    // word start offsets: 0 and every position after a 0x20 separator.
+    // (UTF-8 multi-byte sequences never contain 0x20, so a raw byte scan
+    // is character-exact.)
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) nWords += 1; i += 1 }
+    if (nWords < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long](nWords * 2)
+    var j = 0
+    val nGrams = nWords - k + 1
+    while (j < nGrams) {
+      val from = starts(j)
+      val until = if (j + k < nWords) starts(j + k) - 1 else len
+      val g = UTF8String.fromBytes(bytes, from, until - from)
+      val prev = counts.get(g)
+      counts.put(g, if (prev == null) 1L else prev.longValue() + 1L)
+      j += 1
     }
     val out = new Array[Any](counts.size())
     val it = counts.entrySet().iterator()

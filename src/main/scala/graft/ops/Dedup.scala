@@ -47,12 +47,13 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     docs
-      .select($"doc_id", split($"text", " ").as("ws"))
-      // docs with <3 words have no 3-gram shingles (the kernel yields an
-      // empty array, mirroring DuckDB's empty generate_series; the filter
-      // additionally keeps those rows out of the checkpoint)
-      .filter(size($"ws") >= 3)
-      .select($"doc_id", graft.functions.ShingleKernels.shingles3($"ws").as("arr"))
+      // fused tokenize+shingle kernel: one compiled pass over the text
+      // bytes, no regex split, no word-array materialization. Docs with
+      // <3 words yield an empty array (DuckDB's empty generate_series
+      // analog); the filter keeps those rows out of the checkpoint.
+      .select($"doc_id",
+        graft.functions.ShingleKernels.shinglesText($"text", 3).as("arr"))
+      .filter(size($"arr") > 0)
   }
 
   /** Stop-shingle document-frequency cut for the inverted-index pair
@@ -432,10 +433,10 @@ object Dedup {
     val s = docs.sparkSession
     import s.implicits._
     docs
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 4)
+      // fused tokenize+shingle pass; <4-word docs yield an empty array,
+      // which explode drops — the ≥4-word cut is implicit
       .select($"doc_id",
-        explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+        explode(graft.functions.ShingleKernels.shinglesText($"text", 4)).as("g"))
   }
 
   // ---------------------------------------------------------------- d06

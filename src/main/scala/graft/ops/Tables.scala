@@ -19,12 +19,16 @@ object Tables {
     * factor (region=5, nation=25 rows regardless of SF). */
   val smallDims: Set[String] = Set("region", "nation")
 
-  private val loaded = scala.collection.mutable.Set.empty[(Int, String)]
+  // session → dir the views CURRENTLY point at. Keyed on the current dir
+  // (not a seen-set): switching dirs re-registers, so a session that
+  // alternates scale factors — or a spec that loads a fixture dir —
+  // never reads another dir's data through a stale view.
+  private val current = scala.collection.mutable.Map.empty[Int, String]
 
-  /** Register all tables from `dir` as temp views (once per session+dir). */
+  /** Register all tables from `dir` as temp views (idempotent per dir). */
   def load(spark: SparkSession, dir: String): Unit = synchronized {
-    val key = (System.identityHashCode(spark), dir)
-    if (!loaded.contains(key)) {
+    val h = System.identityHashCode(spark)
+    if (!current.get(h).contains(dir)) {
       all.foreach { t =>
         try read(spark, dir, t).createOrReplaceTempView(t)
         catch {
@@ -32,7 +36,7 @@ object Tables {
             System.err.println(s"[tables] skipping $t: ${e.getMessage}")
         }
       }
-      loaded += key
+      current(h) = dir
     }
   }
 

@@ -497,11 +497,13 @@ object TextAnalysis {
     * k winners ever leaves the executors. */
   def t12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // ngram_counts_text fuses tokenization into the per-doc counting
+    // kernel (one compiled pass, no regex split, no word array); texts
+    // with <3 words yield an empty gram array, which explode drops —
+    // the old size(ws)>=3 filter is implicit
     Tables.t(s, dir, "documents")
-      .select($"doc_id", words($"text").as("ws"))
-      .filter(size($"ws") >= 3)
-      .select(explode(graft.functions.ShingleKernels.ngramCounts($"ws", 3))
-        .as("gc"))
+      .select(explode(
+        graft.functions.ShingleKernels.ngramCountsText($"text", 3)).as("gc"))
       .select($"gc.g".as("trigram"), $"gc.c".as("c"))
       .groupBy($"trigram")
       .agg(sum($"c").as("n"), count(lit(1)).as("n_docs"))
@@ -1004,26 +1006,28 @@ object TextAnalysis {
   def t20(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val big = DecimalType(38, 0)
-    // per-(doc, bigram) counts come out of the narrow ngram_counts kernel
-    // (per-row work, no shuffle), pinned to a bigram-keyed partitioning
-    // that BOTH consumers reuse: the corpus aggregation groups in place
-    // and the doc↔corpus sort-merge join is exchange-free on either side.
-    // One corpus-sized shuffle in, one (doc-keyed) out — the minimum for
-    // a per-doc score against corpus-global bigram statistics.
-    val docBg = Tables.t(s, dir, "documents")
-      .select($"doc_id", words($"text").as("ws"))
-      .filter(size($"ws") >= 2)
+    // per-(doc, bigram) counts come out of the fused ngram_counts_text
+    // kernel (one compiled pass inside the scan — no shuffle, no regex
+    // split, no word array). The frame is cheap narrow work over the
+    // columnar scan, so BOTH consumers recompute it rather than pay a
+    // checkpoint materialization (recomputing a memory-bandwidth kernel
+    // beats writing the exploded frame to executor disk at every scale).
+    // Corpus stats aggregate with map-side partials; the doc↔corpus join
+    // shuffle-hash-builds on the corpus side (the collapsed (bg, stats)
+    // frame, always ≤ the posting frame; AQE bounds the per-partition
+    // build). Two corpus-sized exchanges total — the minimum for a
+    // per-doc score against corpus-global bigram statistics.
+    def docBg = Tables.t(s, dir, "documents")
       .select($"doc_id",
-        explode(graft.functions.ShingleKernels.ngramCounts($"ws", 2)).as("gc"))
+        explode(graft.functions.ShingleKernels.ngramCountsText($"text", 2))
+          .as("gc"))
       .select($"doc_id", $"gc.g".as("bg"), $"gc.c".as("c"))
-      .repartition($"bg")
-      .localCheckpoint(eager = false) // reused: corpus agg and join side
     val corpus = docBg.groupBy($"bg")
       .agg(sum($"c").as("n_total"), count(lit(1)).as("n_docs"))
       .withColumn("w1", substring_index($"bg", " ", 1))
-      .localCheckpoint(eager = false) // reused: join side and prefix fold
     val prefix = corpus.groupBy($"w1").agg(sum($"n_total").as("n_pref"))
-    docBg.join(corpus, Seq("bg")).join(broadcast(prefix), Seq("w1"))
+    docBg.join(corpus.hint("SHUFFLE_HASH"), Seq("bg"))
+      .join(broadcast(prefix), Seq("w1"))
       .groupBy($"doc_id")
       .agg(
         sum($"c").as("n_bigrams"),

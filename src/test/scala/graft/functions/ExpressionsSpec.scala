@@ -263,6 +263,54 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ShinglesText equals ShinglesK over split, incl. space edge cases") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val cases = Seq("", " ", "  ", "a", "a b c d e", "a  b c d", " lead",
+      "trail ", "r r r r", "a b", "x  ", "é ü ö ß µ") ++
+      (1 to 60).map { _ =>
+        (0 until rnd.nextInt(12)).map(_ =>
+          Seq("a", "bb", "", "ccc", "d").apply(rnd.nextInt(5))).mkString(" ")
+      }
+    for (k <- Seq(2, 3, 4)) {
+      val rows = cases.toDF("text")
+        .select(
+          ShingleKernels.shinglesText($"text", k).as("fused"),
+          ShingleKernels.shinglesK(split($"text", " ", -1), k).as("ref"))
+        .collect()
+      rows.zip(cases).foreach { case (r, c) =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k text='$c' fused=${r.getSeq[String](0)} ref=${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("NgramCountsText equals explode+groupBy counting over split words") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val cases = Seq("", " ", "a", "a b a b a", "r r r r", "a  b c d",
+      " x y ", "é ü é ü") ++
+      (1 to 60).map { _ =>
+        (0 until rnd.nextInt(12)).map(_ =>
+          Seq("a", "bb", "", "ccc").apply(rnd.nextInt(4))).mkString(" ")
+      }
+    for (k <- Seq(2, 3)) {
+      cases.zipWithIndex.foreach { case (text, id) =>
+        val fused = Seq(text).toDF("text")
+          .select(explode(ShingleKernels.ngramCountsText($"text", k)).as("gc"))
+          .select($"gc.g", $"gc.c").as[(String, Long)].collect().toMap
+        val words = text.split(" ", -1)
+        val ref =
+          if (words.length < k) Map.empty[String, Long]
+          else words.sliding(k).map(_.mkString(" ")).toSeq
+            .groupBy(identity).map { case (g, xs) => g -> xs.size.toLong }
+        assert(fused == ref, s"k=$k case#$id text='$text'")
+      }
+    }
+  }
+
   test("MinHash64 kernel equals MinHashAgg over the exploded shingles") {
     val s = spark
     import s.implicits._

@@ -29,6 +29,23 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("t17: all-empty-text corpus yields NULL bytes_per_char (div parity)") {
+    // Spark's Divide NULLs on zero; DuckDB's IEEE division gives inf/NaN.
+    // t17 pins BOTH to NULL via an explicit guard — exercise the branch
+    // the real testdata never hits with an all-empty fixture.
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_t17").toString
+    Seq((1L, "", "en", "web", 0L), (2L, "", "en", "web", 0L),
+      (3L, "", "de", "mail", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = TextAnalysis.t17(s, tmp).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("mail", "web"))
+    assert(rows.forall(_.isNullAt(rows.head.fieldIndex("bytes_per_char"))))
+    assert(rows.map(r => r.getAs[Long]("total_chars")).forall(_ == 0L))
+  }
+
   test("m05 finds the duplicate payload groups that exist at sf0.1") {
     // sf0.01 (the oracle gate) has zero exact-dup texts, so the gate only
     // proves the empty case; pin the positive case at the SF that has dups
