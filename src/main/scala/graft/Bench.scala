@@ -99,7 +99,17 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$repeat,"timing":"min","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$repeat,"timing":"min","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // stdout capture has been observed truncated in round artifacts
+    // (BENCH_r05/r06 stored a partial tail, parsed:null) — persist the
+    // full line next to the code so every per-query timing is committed
+    // evidence regardless of how the caller buffers stdout
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -204,6 +204,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("t12: the fused kernel leaves ONE corpus exchange (the trigram agg)") {
+    val p = simplePlan(TextAnalysis.t12(spark, dir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected 1 hash exchange (per-doc counting must stay in the scan), got $exchanges:\n$p")
+    assert(p.contains("ngram_counts_text"), s"fused kernel absent:\n$p")
+  }
+
+  test("t20: shuffle-hash join builds on the corpus side; no checkpoint barrier") {
+    val p = simplePlan(TextAnalysis.t20(spark, dir))
+    assert(p.contains("ShuffledHashJoin"),
+      s"doc-corpus join not a shuffled hash join:\n$p")
+    assert(p.contains("ngram_counts_text"), s"fused kernel absent:\n$p")
+    // per-doc counting is narrow: no exchange may partition raw text
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text"))
+    assert(!badExchange, s"an exchange partitions on raw text:\n$p")
+  }
+
   test("s05: quantized search broadcasts the query side; no corpus shuffle before scoring") {
     val p = simplePlan(Similarity.s05(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
