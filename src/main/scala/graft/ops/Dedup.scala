@@ -326,14 +326,14 @@ object Dedup {
     // network, which is the plan that survives 100 TB. Docs whose words
     // are all empty have no signature (mirrors the oracle's w <> ''
     // term filter).
+    // trim(text) != '' ⇔ the old exists(ws, w -> w != '') — some word is
+    // nonempty iff some char is not a space; all-empty docs have no
+    // signature (mirrors the oracle's w <> '' term filter). The fused
+    // kernel makes sim cheap enough that both band sides recompute it
+    // rather than pay a checkpoint barrier.
     val sim = Tables.t(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(expr("exists(ws, w -> w != '')"))
-      .select($"doc_id", graft.functions.SimHash60($"ws").as("sh"))
-      // both sides of the band self-join consume sim; checkpoint (lazily —
-      // materialized inside the first consumer's job) so the signature
-      // scan doesn't run twice
-      .localCheckpoint(eager = false)
+      .filter(trim($"text") =!= "")
+      .select($"doc_id", graft.functions.SimHash60Text($"text").as("sh"))
     val bands = sim
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .select($"doc_id", $"sh", $"b", expr("shiftright(sh, b * 15) & 32767").as("bv"))
@@ -782,25 +782,27 @@ object Dedup {
     * the candidate stream instead of auditing all of it; same plan. */
   def d12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // signatures and sizes read NARROWLY off the one shingle-array
+    // checkpoint — no second checkpoint, no separate signature frame:
+    // each pair side carries (arr, sigs) through ONE join instead of the
+    // former two (sig join + array join), halving both the join count
+    // and the shuffled passes over the corpus frame. minHash64 recompute
+    // per consumer is pure map-side kernel work over cached blocks.
     val docsArr = shingleArrays(s, dir)
-    val perDoc = docsArr.select($"doc_id",
+    val withSig = docsArr.select($"doc_id", $"arr",
       graft.functions.ShingleKernels.minHash64($"arr").as("sigs"))
-      .localCheckpoint(eager = false) // consumed by bands + both pair sides
-    val bands = bandKeys(perDoc)
+    val bands = bandKeys(withSig.select($"doc_id", $"sigs"))
     val cand = bands.as("a").hint("SHUFFLE_HASH")
       .join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
-    val sa = perDoc.select($"doc_id".as("da"), $"sigs".as("siga"))
-    val sb = perDoc.select($"doc_id".as("db"), $"sigs".as("sigb"))
-    val pa = docsArr.select($"doc_id".as("da"),
-      size($"arr").cast("long").as("na"), $"arr".as("ssa"))
-    val pb = docsArr.select($"doc_id".as("db"),
-      size($"arr").cast("long").as("nb"), $"arr".as("ssb"))
-    cand.join(sa, Seq("da")).join(sb, Seq("db"))
-      .join(pa, Seq("da")).join(pb, Seq("db"))
+    val pa = withSig.select($"doc_id".as("da"),
+      size($"arr").cast("long").as("na"), $"arr".as("ssa"), $"sigs".as("siga"))
+    val pb = withSig.select($"doc_id".as("db"),
+      size($"arr").cast("long").as("nb"), $"arr".as("ssb"), $"sigs".as("sigb"))
+    cand.hint("SHUFFLE_HASH").join(pa, Seq("da")).join(pb, Seq("db"))
       .withColumn("n_eq",
         expr("CAST(size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) AS BIGINT)"))
       .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
@@ -868,11 +870,13 @@ object Dedup {
     * shingle arrays — nothing quadratic outside the band buckets. */
   def d19(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // fused tokenize+simhash kernel: the signature pass is a pure scan
+    // (no regex split, no word array, no checkpoint — both band sides
+    // recompute the cheap kernel). All-empty docs aren't filtered here:
+    // they can't reach the output anyway (the exact side inner-joins the
+    // ≥3-word shingle frame), so the predicate was pure overhead.
     val sim = Tables.t(s, dir, "documents")
-      .select($"doc_id", split($"text", " ").as("ws"))
-      .filter(expr("exists(ws, w -> w != '')"))
-      .select($"doc_id", graft.functions.SimHash60($"ws").as("sh"))
-      .localCheckpoint(eager = false)
+      .select($"doc_id", graft.functions.SimHash60Text($"text").as("sh"))
     val bands = sim
       .withColumn("b", explode(sequence(lit(0), lit(3))))
       .select($"doc_id", $"sh", $"b", expr("shiftright(sh, b * 15) & 32767").as("bv"))
@@ -900,6 +904,7 @@ object Dedup {
     cand
       .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter($"hamming" <= 8)
+      .hint("SHUFFLE_HASH") // the sampled pair set is the small build side
       .join(pa, Seq("da")).join(pb, Seq("db"))
       .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
       .withColumn("jac_exact", dbl($"i") / ($"na" + $"nb" - $"i"))

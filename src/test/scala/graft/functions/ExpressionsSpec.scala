@@ -263,6 +263,24 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SimHash60Text equals SimHash60 over split words") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val cases = Seq("", " ", "a", "a b c", "a  b", " lead", "trail ",
+      "é ü ö", "same same same") ++
+      (1 to 60).map { _ =>
+        (0 until rnd.nextInt(15)).map(_ =>
+          Seq("alpha", "b", "", "gamma7", "Δδ").apply(rnd.nextInt(5))).mkString(" ")
+      }
+    val rows = cases.toDF("text").select(
+      SimHash60Text($"text").as("fused"),
+      SimHash60(split($"text", " ", -1)).as("ref")).collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getLong(0) == r.getLong(1), s"text='$c'")
+    }
+  }
+
   test("ShinglesText equals ShinglesK over split, incl. space edge cases") {
     val s = spark
     import s.implicits._
