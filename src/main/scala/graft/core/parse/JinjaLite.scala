@@ -299,18 +299,19 @@ object JinjaLite {
           case other => throw new IllegalArgumentException(
             s"{% for %} over non-list: $iterE ($other)")
         }
-        val saved = List("loop.index", "loop.index0", "loop.first", "loop.last", v)
-          .flatMap(k => env.get(k).map(k -> _))
+        val loopKeys = List("loop.index", "loop.index0", "loop.first",
+          "loop.last", "loop.length", v)
+        val saved = loopKeys.flatMap(k => env.get(k).map(k -> _))
         iter.zipWithIndex.foreach { case (item, idx) =>
           env(v) = item
           env("loop.index") = JInt(idx + 1L)
           env("loop.index0") = JInt(idx.toLong)
           env("loop.first") = JBool(idx == 0)
           env("loop.last") = JBool(idx == iter.size - 1)
+          env("loop.length") = JInt(iter.size.toLong)
           evalNodes(body, env, isIncremental, sb)
         }
-        List("loop.index", "loop.index0", "loop.first", "loop.last", v)
-          .foreach(env.remove)
+        loopKeys.foreach(env.remove)
         saved.foreach { case (k, vv) => env(k) = vv }
     }
 
@@ -389,11 +390,75 @@ object JinjaLite {
       if (peekWord(w)) { p += w.length; true } else false
 
     def parse(): JVal = {
-      val v = orExpr()
+      val v = ternary()
       ws()
       if (p != src.length) sys.error(s"trailing input at $p in: $src")
       v
     }
+
+    /** Jinja inline conditional: `A if COND [else B]` (no else → empty
+      * string, Jinja's silent-undefined rendering of the common
+      * `{{ "," if not loop.last }}` separator idiom). */
+    private def ternary(): JVal = {
+      val v = pipeExpr()
+      if (eatWord("if")) {
+        val cond = pipeExpr()
+        val alt = if (eatWord("else")) ternary() else JStr("")
+        if (cond.truthy) v else alt
+      } else v
+    }
+
+    /** Filter chain: `expr | name[(args)]`, lowest precedence. */
+    private def pipeExpr(): JVal = {
+      var v = orExpr()
+      ws()
+      while (p < src.length && src.charAt(p) == '|' &&
+          !src.startsWith("||", p)) {
+        p += 1
+        ws()
+        val m = identRe.findPrefixMatchOf(src.substring(p))
+          .getOrElse(sys.error("filter name expected after |"))
+        val name = m.matched
+        p += name.length
+        ws()
+        val args =
+          if (p < src.length && src.charAt(p) == '(') {
+            eat("(")
+            val b = Vector.newBuilder[JVal]
+            ws()
+            if (!eat(")")) {
+              b += orExpr()
+              while (eat(",")) b += orExpr()
+              if (!eat(")")) sys.error("expected ) after filter args")
+            }
+            b.result()
+          } else Vector.empty
+        v = applyFilter(name, v, args)
+        ws()
+      }
+      v
+    }
+
+    private def applyFilter(name: String, v: JVal, args: Vector[JVal]): JVal =
+      (name, v, args) match {
+        case ("upper", JStr(x), Vector()) => JStr(x.toUpperCase)
+        case ("lower", JStr(x), Vector()) => JStr(x.toLowerCase)
+        case ("trim", JStr(x), Vector()) => JStr(x.trim)
+        case ("length", JStr(x), Vector()) => JInt(x.length.toLong)
+        case ("length", JList(xs), Vector()) => JInt(xs.size.toLong)
+        case ("join", JList(xs), Vector(JStr(sep))) =>
+          JStr(xs.map(_.render).mkString(sep))
+        case ("join", JList(xs), Vector()) => JStr(xs.map(_.render).mkString)
+        case ("first", JList(xs), Vector()) => xs.headOption.getOrElse(JStr(""))
+        case ("last", JList(xs), Vector()) => xs.lastOption.getOrElse(JStr(""))
+        case ("default", JStr(""), Vector(d)) => d
+        case ("default", x, Vector(_)) => x
+        case ("replace", JStr(x), Vector(JStr(a), JStr(b))) => JStr(x.replace(a, b))
+        case ("string", x, Vector()) => JStr(x.render)
+        case ("int", JStr(x), Vector()) => JInt(x.trim.toLong)
+        case ("int", JInt(n), Vector()) => JInt(n)
+        case _ => sys.error(s"unsupported filter: $name on $v")
+      }
 
     private def orExpr(): JVal = {
       var v = andExpr()

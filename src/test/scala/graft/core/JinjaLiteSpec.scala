@@ -161,6 +161,23 @@ class JinjaLiteSpec extends AnyFunSuite {
       vars = Map("late" -> "yes"), isIncremental = false) == "full")
   }
 
+  test("inline-if separators and filters (the dbt loop idioms)") {
+    // the {{ "," if not loop.last }} separator shape
+    val code =
+      """{% for c in cols %}{{ c }}{{ ", " if not loop.last }}{% endfor %}"""
+    val env = Map("cols" ->
+      JinjaLite.JList(Vector("a", "b", "c").map(JinjaLite.JStr.apply)))
+    assert(JinjaLite.renderControlFlow(code, env) == "a, b, c")
+    // filters: join / upper / length / default, and loop.length
+    assert(JinjaLite.renderControlFlow("{{ cols | join('-') }}", env) == "a-b-c")
+    assert(JinjaLite.renderControlFlow("{{ 'x' | upper }}{{ cols | length }}", env) == "X3")
+    assert(JinjaLite.renderControlFlow("{{ '' | default('d') }}", env) == "d")
+    assert(JinjaLite.renderControlFlow(
+      "{% for c in cols %}{{ loop.length }}{% endfor %}", env) == "333")
+    // ternary with else
+    assert(JinjaLite.renderControlFlow("{{ 1 if 2 > 3 else 4 }}", Map.empty) == "4")
+  }
+
   test("unknown tags and unresolvable spans pass through untouched") {
     val code = "{% snapshot snap %}select {{ mystery_macro('x') }}{% endsnapshot %}"
     assert(JinjaLite.renderControlFlow(code, Map.empty) == code)
