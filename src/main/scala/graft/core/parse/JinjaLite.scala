@@ -235,8 +235,10 @@ object JinjaLite {
               case Array(vv, it) => (vv.trim, it.trim)
               case _ => throw new IllegalArgumentException(s"bad for tag: ${t.rest}")
             }
-            val (body, after, nextTi, _) =
+            val (body, after, nextTi, stop) =
               build(skipTrim(t.end, i), i + 1, Set("endfor"))
+            if (stop.isEmpty)
+              throw new IllegalArgumentException("unterminated {% for %}")
             out += CFor(v, iter, body)
             pos = skipTrim(after, nextTi); i = nextTi + 1
           case "if" =>

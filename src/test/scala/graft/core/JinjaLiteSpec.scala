@@ -182,4 +182,25 @@ class JinjaLiteSpec extends AnyFunSuite {
     val code = "{% snapshot snap %}select {{ mystery_macro('x') }}{% endsnapshot %}"
     assert(JinjaLite.renderControlFlow(code, Map.empty) == code)
   }
+
+  test("control-flow edge cases: nesting, shadowing, empties, errors") {
+    import JinjaLite.{renderControlFlow => rcf}
+    // for-in-for with the INNER loop shadowing and restoring loop.*
+    assert(rcf("{% for i in range(2) %}{% for j in range(2) %}{{ i }}{{ j }},{% endfor %}[{{ loop.index }}]{% endfor %}",
+      Map.empty) == "00,01,[1]10,11,[2]")
+    // set inside a for re-assigns each iteration
+    assert(rcf("{% for i in range(3) %}{% set d = i * 2 %}{{ d }}{% endfor %}",
+      Map.empty) == "024")
+    // empty iterable renders nothing; if with false cond and no else too
+    assert(rcf("{% for x in [] %}X{% endfor %}{% if 1 > 2 %}Y{% endif %}",
+      Map.empty) == "")
+    // nested if inside for
+    assert(rcf("{% for i in range(4) %}{% if i % 2 == 0 %}{{ i }}{% endif %}{% endfor %}",
+      Map.empty) == "02")
+    // unterminated blocks fail loudly
+    intercept[IllegalArgumentException](rcf("{% for x in [1] %}a", Map.empty))
+    intercept[IllegalArgumentException](rcf("{% if true %}a", Map.empty))
+    // stray end tags fail loudly
+    intercept[IllegalArgumentException](rcf("a{% endfor %}", Map.empty))
+  }
 }
