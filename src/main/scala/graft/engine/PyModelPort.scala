@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   *  - `df = df[df["c"] <op> <lit>]`           → filter
   *  - `df["c"] = df["a"] <op> df["b"] | <lit>` → projection arithmetic
   *  - `df["c"] = df["c"].fillna(<lit>)`, `df.fillna(<lit>, inplace=True)`
+  *  - `df = df[["a", "b"]]` projection; `df["c"] = df["c"].astype(t)`
+  *  - `df = df.groupby(k, as_index=False).agg(out=("col", "fn"))`
+  *  - `df = pd.concat([a, b])`, `df.reset_index()`, `df.nlargest(n, c)`
   *  - `return df`
   *
   * Anything outside the surface raises with the offending line — the
@@ -64,15 +67,29 @@ object PyModelPort {
   private val colFillRe = s"""(\\w+)\\[$q\\]\\s*=\\s*(\\w+)\\[$q\\]\\.fillna\\(\\s*(["'][^"']*["']|[-\\d.]+)\\s*\\)""".r
   private val fillAllRe =
     """(?:(\w+)\s*=\s*)?(\w+)\.fillna\(\s*(["'][^"']*["']|[-\d.]+)\s*(?:,\s*inplace\s*=\s*True)?\s*\)""".r
+  private val selectColsRe = """(\w+)\s*=\s*(\w+)\[\[([^\]]*)\]\]""".r
+  private val astypeRe =
+    s"""(\\w+)\\[$q\\]\\s*=\\s*(\\w+)\\[$q\\]\\.astype\\(\\s*$q\\s*\\)""".r
+  private val groupAggRe =
+    """(\w+)\s*=\s*(\w+)\.groupby\(\s*([^)]+?)\s*(?:,\s*as_index\s*=\s*False\s*)?\)\.agg\(([\s\S]*?)\)""".r
+  private val namedAggRe =
+    s"""(\\w+)\\s*=\\s*\\(\\s*$q\\s*,\\s*$q\\s*\\)""".r
+  private val concatRe =
+    """(\w+)\s*=\s*pd\.concat\(\s*\[([^\]]*)\]\s*(?:,\s*ignore_index\s*=\s*True)?\s*\)""".r
+  private val resetIndexRe =
+    """(?:(\w+)\s*=\s*)?(\w+)\.reset_index\(\s*(?:drop\s*=\s*True)?\s*\)""".r
+  private val nlargestRe =
+    s"""(\\w+)\\s*=\\s*(\\w+)\\.nlargest\\(\\s*(\\d+)\\s*,\\s*$q\\s*\\)""".r
   private val returnRe = """return\s+(\w+)""".r
   private val skipRe =
     """(?:import\s+.*|from\s+.*|dbt\.config\(.*|pd\.\w+\(.*|#.*)?""".r
 
   private def strList(s: String): Seq[String] = {
     val t = s.trim
-    if (t.startsWith("["))
-      """["']([^"']+)["']""".r.findAllMatchIn(t).map(_.group(1)).toSeq
-    else Seq(t.stripPrefix("\"").stripSuffix("\"").stripPrefix("'").stripSuffix("'"))
+    val quoted = """["']([^"']+)["']""".r.findAllMatchIn(t).map(_.group(1)).toSeq
+    if (quoted.nonEmpty) quoted
+    else t.stripPrefix("[").stripSuffix("]").split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
   }
 
   private def lit_(s: String): Column = {
@@ -184,6 +201,42 @@ object PyModelPort {
             if (t.startsWith("\"") || t.startsWith("'"))
               d.na.fill(t.substring(1, t.length - 1))
             else d.na.fill(t.toDouble)
+        case selectColsRe(out, v, cols) =>
+          env(out) = env(v).select(strList(cols).map(col): _*)
+        case astypeRe(v, nc, v2, c, ty) if v == v2 =>
+          val spark = ty match {
+            case "int64" | "int" | "int32" => "long"
+            case "float64" | "float" | "float32" => "double"
+            case "str" | "string" | "object" => "string"
+            case other => throw new UnsupportedOperationException(
+              s"python model: astype('$other') not in the ported surface")
+          }
+          env(v) = env(v).withColumn(nc, col(c).cast(spark))
+        case groupAggRe(out, v, keys, aggs) =>
+          val fns = namedAggRe.findAllMatchIn(aggs).map { m =>
+            val (as, c, fn) = (m.group(1), m.group(2), m.group(3))
+            (fn match {
+              case "sum" => sum(col(c))
+              case "mean" => avg(col(c))
+              case "max" => max(col(c))
+              case "min" => min(col(c))
+              case "count" => count(col(c))
+              case "nunique" => countDistinct(col(c))
+              case other => throw new UnsupportedOperationException(
+                s"python model: agg '$other' not in the ported surface")
+            }).as(as)
+          }.toSeq
+          if (fns.isEmpty) throw new UnsupportedOperationException(
+            s"python model: only the named-agg form new_col=(\"col\", \"fn\") is ported: `$aggs`")
+          env(out) = env(v).groupBy(strList(keys).map(col): _*)
+            .agg(fns.head, fns.tail: _*)
+        case concatRe(out, frames) =>
+          val fs = frames.split(",").map(_.trim).filter(_.nonEmpty).map(env(_))
+          env(out) = fs.reduce(_.unionByName(_))
+        case resetIndexRe(out, v) =>
+          env(Option(out).getOrElse(v)) = env(v) // frames carry no index
+        case nlargestRe(out, v, n, c) =>
+          env(out) = env(v).orderBy(col(c).desc).limit(n.toInt)
         case returnRe(v) =>
           return env.getOrElse(v, throw new IllegalArgumentException(
             s"python model returns unbound frame `$v`"))

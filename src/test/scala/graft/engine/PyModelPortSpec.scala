@@ -87,6 +87,34 @@ class PyModelPortSpec extends AnyFunSuite with SparkFixture {
       (13L, 15.0, 15.0, "unknown")))
   }
 
+  test("aggregation fixture: groupby.agg / concat / astype / nlargest") {
+    val s = spark
+    import s.implicits._
+    val code =
+      """def model(dbt, session):
+        |    a = dbt.ref("jan").df()
+        |    b = dbt.ref("feb").df()
+        |    both = pd.concat([a, b], ignore_index=True)
+        |    both["amount"] = both["amount"].astype("float64")
+        |    stats = both.groupby("customer_id", as_index=False).agg(total=("amount", "sum"), n=("amount", "count"), distinct_days=("day", "nunique"))
+        |    stats = stats.reset_index()
+        |    top = stats.nlargest(2, "total")
+        |    top = top[["customer_id", "total", "n"]]
+        |    return top
+        |""".stripMargin
+    val jan = Seq((1L, 10, "d1"), (1L, 20, "d1"), (2L, 5, "d2"))
+      .toDF("customer_id", "amount", "day")
+    val feb = Seq((2L, 50, "d3"), (3L, 1, "d4"))
+      .toDF("customer_id", "amount", "day")
+    val out = PyModelPort.run(code,
+      resolveRef = { n => if (n == "jan") jan else feb },
+      resolveSource = (_, _) => fail("no sources"))
+    assert(out.columns.toSeq == Seq("customer_id", "total", "n"))
+    val rows = out.orderBy(org.apache.spark.sql.functions.col("total").desc)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((2L, 55.0, 2L), (1L, 30.0, 2L)))
+  }
+
   test("statements outside the surface fail loudly, not silently") {
     val code =
       """def model(dbt, session):
