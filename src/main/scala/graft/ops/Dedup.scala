@@ -256,7 +256,8 @@ object Dedup {
       size($"arr").cast("long").as("na"), $"arr".as("ssa"))
     val pb = docsArr.select($"doc_id".as("db"),
       size($"arr").cast("long").as("nb"), $"arr".as("ssb"))
-    cand.join(pa, Seq("da")).join(pb, Seq("db"))
+    cand.hint("SHUFFLE_HASH") // pairs are the small build side (d12's trade)
+      .join(pa, Seq("da")).join(pb, Seq("db"))
       .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
       .withColumn("jac", dbl($"i") / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= 0.5)
