@@ -142,10 +142,20 @@ final class Runner(
   def runModel(m: ModelNode): DataFrame = {
     if (m.language == "python") {
       // the pandas-idiom interpreter resolves dbt.ref/dbt.source to the
-      // same session views SQL models use, so mixed-language DAGs chain
+      // same session views SQL models use, so mixed-language DAGs chain.
+      // Access enforcement mirrors the SQL path: SQL models are checked
+      // by the analysis rule over the rendered plan; python refs resolve
+      // here, so each target is checked at resolution time — a private
+      // cross-group ref fails identically in both languages.
       val out = PyModelPort.run(
         m.rawCode,
-        resolveRef = name => spark.table(viewName(name)),
+        resolveRef = name => {
+          if (enforceAccess)
+            graft.enforce.AccessControl.forSession(spark).checkRelation(
+              viewName(name),
+              graft.enforce.AccessControl.Context(m.packageName, m.group))
+          spark.table(viewName(name))
+        },
         resolveSource = (sn, tbl) => {
           val src = manifest.sources.values
             .find(s => s.sourceName == sn && s.name == tbl)

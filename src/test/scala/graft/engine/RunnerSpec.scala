@@ -119,6 +119,35 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
         AccessControl.Context("jaffle", Some("ops"))))
   }
 
+  test("access enforcement covers python models: a cross-group dbt.ref is rejected") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 150L)).toDF("id", "cents").createOrReplaceTempView("raw_orders")
+    val root = writeProject(project ++ Map(
+      "models/analytics/__py.yml" ->
+        """version: 2
+          |models:
+          |  - name: py_leak
+          |    group: analytics
+          |""".stripMargin,
+      "models/analytics/py_leak.py" ->
+        """def model(dbt, session):
+          |    df = dbt.ref("orders").df()
+          |    return df
+          |""".stripMargin))
+    val (runner, _) = mkRunner(root)
+    // the SQL DAG runs; the python model's ref to the private core-group
+    // model must fail at resolution time, same as a SQL model would at
+    // analysis time
+    val e = intercept[Exception](runner.run())
+    def violation(t: Throwable): Boolean = t match {
+      case null => false
+      case _: AccessControl.MeshAccessViolation => true
+      case other => violation(other.getCause)
+    }
+    assert(violation(e), s"expected MeshAccessViolation, got $e")
+  }
+
   test("snapshot: SCD2 timestamp strategy closes superseded versions") {
     val s = spark
     import s.implicits._
