@@ -169,6 +169,10 @@ final class Runner(
         case "table" | "incremental" => persist(m, out)
         case _ => out
       }
+      // contracts bind to the model, not its language — enforce the
+      // produced schema exactly like the SQL path below
+      for (contract <- m.contract if m.contractEnforced)
+        Contracts.check(m.name, res.schema, contract)
       res.createOrReplaceTempView(viewName(m.name))
       return res
     }

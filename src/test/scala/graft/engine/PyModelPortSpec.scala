@@ -130,6 +130,43 @@ class PyModelPortSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("pivot_table"))
   }
 
+  test("enforced contracts apply to python models too") {
+    val root = Files.createTempDirectory("graft_py_contract")
+    def write(rel: String, text: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text)
+    }
+    write("dbt_project.yml", "name: pycontract\n")
+    write("models/base.sql", "select 1 as id, 'x' as tag")
+    write("models/__models.yml",
+      """version: 2
+        |models:
+        |  - name: shaped
+        |    config:
+        |      contract:
+        |        enforced: true
+        |    columns:
+        |      - name: id
+        |        data_type: bigint
+        |      - name: missing_col
+        |        data_type: string
+        |""".stripMargin)
+    write("models/shaped.py",
+      """def model(dbt, session):
+        |    df = dbt.ref("base").df()
+        |    return df
+        |""".stripMargin)
+    val (cfg, m) = graft.core.parse.ProjectLoader.load(root)
+    val runner = new Runner(spark, m, cfg,
+      Files.createTempDirectory("graft_pyc_wh"),
+      enforceAccess = false, projectRoot = Some(root))
+    val e = intercept[Exception](runner.run())
+    assert(e.getMessage.contains("missing_col") ||
+      Option(e.getCause).exists(_.getMessage.contains("missing_col")),
+      s"expected a contract violation naming missing_col, got $e")
+  }
+
   test("mixed-language project: python model chains off a SQL model") {
     val root = Files.createTempDirectory("graft_py_proj")
     def write(rel: String, text: String): Unit = {
