@@ -141,6 +141,19 @@ final class Runner(
 
   def runModel(m: ModelNode): DataFrame = {
     if (m.language == "python") {
+      // --read-catalog applies language-independently: a persisted python
+      // table model is read back, not recomputed
+      val pyCached =
+        if (readCatalog && Set("table", "incremental")(m.materialized) &&
+            Files.exists(tablePath(m)))
+          Some(spark.read.parquet(tablePath(m).toString))
+        else None
+      pyCached match {
+        case Some(df) =>
+          df.createOrReplaceTempView(viewName(m.name))
+          return df
+        case None => ()
+      }
       // the pandas-idiom interpreter resolves dbt.ref/dbt.source to the
       // same session views SQL models use, so mixed-language DAGs chain.
       // Access enforcement mirrors the SQL path: SQL models are checked

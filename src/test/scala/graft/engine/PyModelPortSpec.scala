@@ -167,6 +167,35 @@ class PyModelPortSpec extends AnyFunSuite with SparkFixture {
       s"expected a contract violation naming missing_col, got $e")
   }
 
+  test("--read-catalog reuses a persisted python table model") {
+    val root = Files.createTempDirectory("graft_py_rc")
+    def write(rel: String, text: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text)
+    }
+    write("dbt_project.yml", "name: pyrc\n")
+    write("models/base.sql", "select 1 as id")
+    write("models/tbl.py",
+      """def model(dbt, session):
+        |    dbt.config(materialized="table")
+        |    df = dbt.ref("base").df()
+        |    return df
+        |""".stripMargin)
+    val (cfg, m) = graft.core.parse.ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_pyrc_wh")
+    new Runner(spark, m, cfg, wh, enforceAccess = false,
+      projectRoot = Some(root)).run()
+    val tblDir = wh.resolve("tbl")
+    val stamp = Files.getLastModifiedTime(tblDir)
+    Thread.sleep(20)
+    val out2 = new Runner(spark, m, cfg, wh, enforceAccess = false,
+      projectRoot = Some(root), readCatalog = true).run()
+    assert(out2("model.pyrc.tbl").collect().map(_.getInt(0)).toSeq == Seq(1))
+    assert(Files.getLastModifiedTime(tblDir) == stamp,
+      "read-catalog run must not rewrite the persisted python table")
+  }
+
   test("mixed-language project: python model chains off a SQL model") {
     val root = Files.createTempDirectory("graft_py_proj")
     def write(rel: String, text: String): Unit = {
