@@ -200,8 +200,11 @@ object JinjaLite {
     val tags = tagRe.findAllMatchIn(code).flatMap { m =>
       val body = m.group(2)
       val kind = body.takeWhile(c => c.isLetter)
-      if (known(kind) &&
-          (body.length == kind.length || !body.charAt(kind.length).isLetterOrDigit))
+      val boundaryOk = body.length == kind.length || {
+        val c = body.charAt(kind.length)
+        !c.isLetterOrDigit && c != '_' // {% set_helper %} is NOT a set tag
+      }
+      if (known(kind) && boundaryOk)
         Some(Tag(kind, body.drop(kind.length).trim, m.start, m.end,
           m.group(1) == "-", m.group(3) == "-"))
       else None
@@ -640,7 +643,10 @@ object JinjaLite {
     * integers become JInt, true/false JBool, everything else JStr. */
   def typedEnv(vars: Map[String, String]): Map[String, JVal] =
     vars.map { case (k, v) =>
-      k -> (if (v.matches("-?\\d+")) JInt(v.toLong)
+      // numeric coercion only when it round-trips exactly: within int64
+      // range (≤18 digits) and no leading zeros — "007" and 23-digit
+      // account ids stay strings and render verbatim
+      k -> (if (v.matches("-?(0|[1-9]\\d{0,17})")) JInt(v.toLong)
       else if (v == "true" || v == "True") JBool(true)
       else if (v == "false" || v == "False") JBool(false)
       else JStr(v))
@@ -729,14 +735,40 @@ object JinjaLite {
           body = body.replaceAll(s"""\\{\\{\\s*$p\\s*\\}\\}""",
             Regex.quoteReplacement(clean))
           // bare param name inside {% ... %} tags → raw arg text
+          // (quote-aware: a string literal that happens to equal another
+          // param's name must not be rewritten)
           body = tagRe.replaceAllIn(body, tm =>
-            Regex.quoteReplacement(tm.matched.replaceAll(
-              s"""\\b$p\\b""", Regex.quoteReplacement(value))))
+            Regex.quoteReplacement(replaceWordOutsideQuotes(tm.matched, p, value)))
         }
         Regex.quoteReplacement(body)
       })
     }
     if (out == code) out else expandMacros(out, macros, depth - 1)
+  }
+
+  /** Replace whole-word occurrences of `word` with `replacement`, leaving
+    * quoted string literals untouched. */
+  private def replaceWordOutsideQuotes(text: String, word: String,
+      replacement: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c
+        sb.append(c); i += 1
+        while (i < text.length && text.charAt(i) != q) { sb.append(text.charAt(i)); i += 1 }
+        if (i < text.length) { sb.append(q); i += 1 }
+      } else if ((c.isLetter || c == '_') &&
+          text.startsWith(word, i) &&
+          (i == 0 || { val p = text.charAt(i - 1); !p.isLetterOrDigit && p != '_' }) &&
+          (i + word.length == text.length || {
+            val n = text.charAt(i + word.length); !n.isLetterOrDigit && n != '_'
+          })) {
+        sb.append(replacement); i += word.length
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** `{% if is_incremental() %}…{% endif %}` — keep or drop the span. */
@@ -760,10 +792,12 @@ object JinjaLite {
     var out = commentRe.replaceAllIn(code, "")
     out = expandDbtUtils(out)
     out = expandMacros(out, macros)
-    out = renderIncremental(out, isIncremental)
     // loop/branch/assignment evaluation AFTER macro expansion (macro
     // bodies contribute control tags) and BEFORE ref/source resolution
-    // (loops emit `{{ ref(x) }}` spans with the loop var substituted)
+    // (loops emit `{{ ref(x) }}` spans with the loop var substituted).
+    // is_incremental() evaluates natively here — the old regex pre-pass
+    // (renderIncremental) mangled NESTED {% if %} blocks by matching the
+    // first {% endif %} non-greedily, so it is no longer in the pipeline.
     out = renderControlFlow(out, typedEnv(vars), isIncremental)
     out = refRe.replaceAllIn(out, m => {
       val (proj, name) =

@@ -109,12 +109,15 @@ object PyModelPort {
     require(defIdx >= 0, "python model: no `def model(dbt, session):` found")
     val body = lines.drop(defIdx + 1)
     val env = scala.collection.mutable.Map.empty[String, DataFrame]
-    // pandas shift/cumsum follow the frame's CURRENT row order, which dbt
-    // models establish with an explicit sort_values first; record those
-    // keys (in sort order, with direction) and use them as the window
-    // ordering. Falls back to the shifted column itself — the fixture's
+    // pandas shift/cumsum/drop_duplicates follow the frame's CURRENT row
+    // order, which dbt models establish with an explicit sort_values
+    // first; record those keys PER FRAME (a sort on df1 must not leak
+    // into df2's windows) and use them as the window ordering. Falls
+    // back to the shifted column itself — the fixture's
     // `sort_values(by=ts)` + `shift(ts)` idiom either way.
-    var sortCols: Seq[Column] = Seq.empty
+    val sortKeys = scala.collection.mutable.Map.empty[String, Seq[Column]]
+    def orderFor(frame: String, shiftCol: String): Seq[Column] =
+      sortKeys.getOrElse(frame, Seq(col(shiftCol)))
 
     def win(keys: Seq[String], order: Seq[Column]) = {
       val base = org.apache.spark.sql.expressions.Window
@@ -122,8 +125,23 @@ object PyModelPort {
       if (order.nonEmpty) base.orderBy(order: _*) else base
     }
 
+    // quote-aware comment strip: a '#' inside a string literal (e.g.
+    // df["tag"] = "#promo") is content, not a comment
+    def stripComment(raw: String): String = {
+      var quote: Char = 0
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '\'' || c == '"') quote = c
+        else if (c == '#') return raw.substring(0, i)
+        i += 1
+      }
+      raw
+    }
+
     body.foreach { raw =>
-      val line = raw.takeWhile(_ != '#').trim
+      val line = stripComment(raw).trim
       if (line.nonEmpty) line match {
         case refRe(v, m) => env(v) = resolveRef(m)
         case sourceRe(v, s, t) => env(v) = resolveSource(s, t)
@@ -131,18 +149,17 @@ object PyModelPort {
         case sortRe(out, v, by, asc) =>
           val cols = strList(by).map(c =>
             if (asc == "False") col(c).desc else col(c))
-          sortCols = cols
-          env(Option(out).getOrElse(v)) = env(v).orderBy(cols: _*)
+          val target = Option(out).getOrElse(v)
+          sortKeys(target) = cols
+          env(target) = env(v).orderBy(cols: _*)
         case shiftRe(out, nc, v, keys, c, n) =>
-          val order = if (sortCols.nonEmpty) sortCols else Seq(col(c))
-          val w = win(strList(keys), order)
+          val w = win(strList(keys), orderFor(v, c))
           val nn = n.toInt
           val e = if (nn >= 0) lag(col(c), nn).over(w) else lead(col(c), -nn).over(w)
           env(out) = env(v).withColumn(nc, e)
         case cumsumRe(out, nc, v, keys, c) =>
           import org.apache.spark.sql.expressions.Window
-          val order = if (sortCols.nonEmpty) sortCols else Seq(col(c))
-          val w = win(strList(keys), order)
+          val w = win(strList(keys), orderFor(v, c))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
           env(out) = env(v).withColumn(nc, sum(col(c)).over(w))
         case transformRe(out, nc, v, keys, c, fn) =>
@@ -171,9 +188,20 @@ object PyModelPort {
         case dropColsRe(out, v, cols) =>
           env(Option(out).getOrElse(v)) = env(v).drop(strList(cols): _*)
         case dropDupRe(out, v, subset) =>
-          env(Option(out).getOrElse(v)) = Option(subset) match {
-            case Some(s) => env(v).dropDuplicates(strList(s))
-            case None => env(v).distinct()
+          // pandas keeps the FIRST row per key in the frame's current
+          // order; after a recorded sort_values that is a deterministic
+          // row_number pick over the sort keys. Without a sort, Spark's
+          // dropDuplicates (arbitrary survivor) matches pandas' equally
+          // order-dependent file-order "first" as closely as a
+          // distributed engine can.
+          env(Option(out).getOrElse(v)) = (Option(subset), sortKeys.get(v)) match {
+            case (Some(sub), Some(order)) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(strList(sub).map(col): _*).orderBy(order: _*)
+              env(v).withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn")
+            case (Some(sub), None) => env(v).dropDuplicates(strList(sub))
+            case (None, _) => env(v).distinct()
           }
         case filterRe(out, v, c, op, rhs) =>
           val l = col(c); val r = lit_(rhs)

@@ -150,6 +150,10 @@ final class Runner(
         else None
       pyCached match {
         case Some(df) =>
+          // the cached frame is still contract-bound (the SQL cached
+          // path flows through the check below; mirror it)
+          for (contract <- m.contract if m.contractEnforced)
+            Contracts.check(m.name, df.schema, contract)
           df.createOrReplaceTempView(viewName(m.name))
           return df
         case None => ()

@@ -873,10 +873,13 @@ object Dedup {
     import s.implicits._
     // fused tokenize+simhash kernel: the signature pass is a pure scan
     // (no regex split, no word array, no checkpoint — both band sides
-    // recompute the cheap kernel). All-empty docs aren't filtered here:
-    // they can't reach the output anyway (the exact side inner-joins the
-    // ≥3-word shingle frame), so the predicate was pure overhead.
+    // recompute the cheap kernel). trim != '' mirrors the oracle's
+    // w <> '' term filter (d04's predicate): an all-space doc has no
+    // nonempty word, hence no signature — but it DOES have (empty-word)
+    // shingles, so without this cut two such docs would band-collide at
+    // sh=0 and survive the exact join, diverging from the oracle.
     val sim = Tables.t(s, dir, "documents")
+      .filter(trim($"text") =!= "")
       .select($"doc_id", graft.functions.SimHash60Text($"text").as("sh"))
     val bands = sim
       .withColumn("b", explode(sequence(lit(0), lit(3))))

@@ -33,6 +33,10 @@ object Tables {
         try read(spark, dir, t).createOrReplaceTempView(t)
         catch {
           case e: Throwable =>
+            // drop any stale registration too: a table present in the
+            // previous dir but unreadable in this one must error on use,
+            // not silently serve the old dir's rows
+            spark.catalog.dropTempView(t)
             System.err.println(s"[tables] skipping $t: ${e.getMessage}")
         }
       }

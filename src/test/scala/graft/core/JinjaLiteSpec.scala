@@ -183,6 +183,49 @@ class JinjaLiteSpec extends AnyFunSuite {
     assert(JinjaLite.renderControlFlow(code, Map.empty) == code)
   }
 
+  test("numeric-looking vars that don't round-trip stay strings") {
+    // 23-digit id exceeds int64; "007" has a leading zero — both must
+    // render verbatim, not crash or lose digits
+    val out = JinjaLite.render(
+      "select '{{ var('account_id') }}' as a, '{{ var('code') }}' as c",
+      _ => "", _ => "",
+      vars = Map("account_id" -> "12345678901234567890123", "code" -> "007"))
+    assert(out.contains("'12345678901234567890123'"))
+    assert(out.contains("'007'"))
+  }
+
+  test("macro param substitution never rewrites string literals in tags") {
+    // 'alt' as a STRING LITERAL inside the tag must survive the `alt`
+    // param's substitution pass
+    val md = MacroDef("pick", Vector("col" -> None, "alt" -> None),
+      "{% if col == 'alt' %}A{% else %}{{ alt }}{% endif %}")
+    val out = JinjaLite.render("{{ pick('alt', 'x') }}", _ => "", _ => "",
+      macros = Map("pick" -> md))
+    assert(out == "A")
+    val out2 = JinjaLite.render("{{ pick('other', 'x') }}", _ => "", _ => "",
+      macros = Map("pick" -> md))
+    assert(out2 == "x")
+  }
+
+  test("nested {% if %} inside an is_incremental guard renders correctly") {
+    // the old regex pre-pass matched the FIRST endif and left the block
+    // unbalanced; the evaluator handles nesting natively
+    val code =
+      """select * from t
+        |{% if is_incremental() %}where ts > 0{% if var('late', 'no') == 'yes' %} or late{% endif %} and 1=1{% endif %}""".stripMargin
+    val inc = JinjaLite.render(code, _ => "", _ => "",
+      vars = Map("late" -> "yes"), isIncremental = true)
+    assert(inc.contains("where ts > 0 or late and 1=1"))
+    val full = JinjaLite.render(code, _ => "", _ => "",
+      vars = Map("late" -> "yes"), isIncremental = false)
+    assert(!full.contains("where"))
+  }
+
+  test("underscore-extended tag names are not control tags") {
+    val code = "{% set_helper foo %}x{% endset_helper %}"
+    assert(JinjaLite.renderControlFlow(code, Map.empty) == code)
+  }
+
   test("control-flow edge cases: nesting, shadowing, empties, errors") {
     import JinjaLite.{renderControlFlow => rcf}
     // for-in-for with the INNER loop shadowing and restoring loop.*

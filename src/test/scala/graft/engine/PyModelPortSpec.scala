@@ -115,6 +115,58 @@ class PyModelPortSpec extends AnyFunSuite with SparkFixture {
     assert(rows.toSeq == Seq((2L, 55.0, 2L), (1L, 30.0, 2L)))
   }
 
+  test("hash in a string literal is content, not a comment") {
+    val s = spark
+    import s.implicits._
+    val code =
+      """def model(dbt, session):
+        |    df = dbt.ref("m").df()
+        |    df["tag"] = "#promo"  # this comment goes
+        |    return df
+        |""".stripMargin
+    val m = Seq(1).toDF("id")
+    val out = PyModelPort.run(code, _ => m, (_, _) => m)
+    assert(out.collect().map(_.getString(1)).toSeq == Seq("#promo"))
+  }
+
+  test("a sort on one frame does not leak into another frame's windows") {
+    val s = spark
+    import s.implicits._
+    val code =
+      """def model(dbt, session):
+        |    a = dbt.ref("a").df()
+        |    b = dbt.ref("b").df()
+        |    a.sort_values(by="other", inplace=True)
+        |    b["prev"] = b.groupby("k")["ts"].shift(1)
+        |    return b
+        |""".stripMargin
+    val a = Seq((1, 9)).toDF("k", "other")
+    val b = Seq((1, 10), (1, 20)).toDF("k", "ts")
+    // b has no `other` column: if a's sort keys leaked into b's window
+    // this would throw; the fallback orders by the shifted column
+    val out = PyModelPort.run(code, n => if (n == "a") a else b, (_, _) => a)
+      .orderBy("ts").collect().map(r => (r.getInt(1), Option(r.get(2))))
+    assert(out.toSeq == Seq((10, None), (20, Some(10))))
+  }
+
+  test("drop_duplicates after sort_values keeps the first row in sort order") {
+    val s = spark
+    import s.implicits._
+    val code =
+      """def model(dbt, session):
+        |    df = dbt.ref("m").df()
+        |    df = df.sort_values(by="ts", ascending=False)
+        |    df = df.drop_duplicates(subset=["user"])
+        |    return df
+        |""".stripMargin
+    val m = Seq((1, 10, "a"), (1, 30, "c"), (1, 20, "b"), (2, 5, "z"))
+      .toDF("user", "ts", "v")
+    val out = PyModelPort.run(code, _ => m, (_, _) => m)
+      .orderBy("user").collect().map(r => (r.getInt(0), r.getString(2)))
+    // latest ts per user — deterministic, not an arbitrary survivor
+    assert(out.toSeq == Seq((1, "c"), (2, "z")))
+  }
+
   test("statements outside the surface fail loudly, not silently") {
     val code =
       """def model(dbt, session):

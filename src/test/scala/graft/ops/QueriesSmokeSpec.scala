@@ -44,6 +44,9 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.getString(0)).toSeq == Seq("mail", "web"))
     assert(rows.forall(_.isNullAt(rows.head.fieldIndex("bytes_per_char"))))
     assert(rows.map(r => r.getAs[Long]("total_chars")).forall(_ == 0L))
+    // dir-switch staleness guard: tables ABSENT from the fixture dir must
+    // error on use, not silently serve the previous dir's rows
+    intercept[Exception](s.table("lineitem"))
   }
 
   test("m05 finds the duplicate payload groups that exist at sf0.1") {
