@@ -24,9 +24,18 @@ import java.sql.Timestamp
   */
 object Streams {
 
-  /** Hourly per-type rollup with a watermark — streaming twin of
-    * q13_events_hourly. Append-mode emits each (hour, type) row exactly
-    * once, when the watermark passes the window end. */
+  /** Hourly per-type rollup with a watermark — the windowed-aggregation
+    * core of q13_events_hourly. Append-mode emits each (hour, type) row
+    * exactly once, when the watermark passes the window end. Row-shape
+    * deltas vs the batch projection, stated so reconciliation is a
+    * translation, not a surprise: `hour` is the raw window-start
+    * timestamp (batch formats it to 'yyyy-MM-dd HH:mm'), and q13's
+    * n_users column is absent (COUNT DISTINCT is unsupported in
+    * append-mode streaming; the t19-style KMV sketch is the streaming
+    * answer when approximate user counts are needed). The counts and
+    * decimal-then-double sums are bit-identical to batch — the kappa
+    * property StreamsSpec pins on this op compares against THIS
+    * function's batch execution. */
   def hourly(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
@@ -152,13 +161,6 @@ object Streams {
         col("purchase_ts"), col("purchase_value"))
   }
 
-  /** True on any Hadoop-visible filesystem (HDFS/S3A/local) — a
-    * `java.io.File` check would silently treat a remote path as absent. */
-  private def pathExists(spark: SparkSession, path: String): Boolean = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
-  }
-
   /** Durable run discriminator tied to the CHECKPOINT's lifetime: read
     * from `<checkpoint>/graft_run_id`, created on first use. Recovery
     * from an existing checkpoint reuses the id (so a replayed micro-batch
@@ -169,15 +171,70 @@ object Streams {
   private def checkpointRunId(spark: SparkSession, checkpoint: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_run_id")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-    } else {
+    def readId(): String =
+      if (!fs.exists(p)) ""
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      }
+    val existing = readId()
+    if (existing.nonEmpty) existing
+    else {
+      // a blank read means either "never created" or "crash between
+      // create and write" — both regenerate. Write-to-temp + rename so a
+      // crash mid-write can never leave a half-written id behind (an
+      // empty run_id would round-trip through a partition column as
+      // NULL and break the replay-exclusion filter).
+      if (fs.exists(p)) fs.delete(p, false)
       val id = java.util.UUID.randomUUID().toString
-      val out = fs.create(p, false)
+      val tmp = new org.apache.hadoop.fs.Path(checkpoint, s"graft_run_id.tmp-$id")
+      val out = fs.create(tmp, true)
       try out.write(id.getBytes("UTF-8")) finally out.close()
-      id
+      if (fs.rename(tmp, p)) id
+      else { fs.delete(tmp, false); readId() } // lost a concurrent race: reuse theirs
     }
+  }
+
+  /** Unpersist `cached` when the given query terminates — the static
+    * broadcast side of an ingest (eval-gram set) is cached for the
+    * query's lifetime, and a long-lived session launching many
+    * AvailableNow ingests must not accumulate orphaned cached RDDs. */
+  private def unpersistOnTermination(q: StreamingQuery, cached: DataFrame): Unit = {
+    val spark = cached.sparkSession
+    val listener: org.apache.spark.sql.streaming.StreamingQueryListener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            cached.unpersist()
+            spark.streams.removeListener(this)
+          }
+      }
+    spark.streams.addListener(listener)
+  }
+
+  /** Read a persistent index/target sink, treating ONLY "not created yet"
+    * as absent: a missing path, or an existing-but-contentless dir (no
+    * schema to infer), map to None. Any OTHER failure — throttling,
+    * permissions, corrupt footers — rethrows so the micro-batch fails
+    * and the engine retries it: swallowing those (the old
+    * `Try(...).toOption` pattern) would run the batch against EMPTY
+    * history and permanently admit duplicates. */
+  private def readIfPresent(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else
+      try Some(spark.read.parquet(path))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition != null &&
+              e.getCondition.startsWith("UNABLE_TO_INFER_SCHEMA") => None
+      }
   }
 
   /** Streaming near-duplicate suppression — the ingest-side twin of the
@@ -218,15 +275,16 @@ object Streams {
         val spark = batch.sparkSession
         import spark.implicits._
         val perDoc = batch
-          .select($"doc_id", split($"text", " ").as("ws"))
-          .filter(size($"ws") >= 3)
+          // fused tokenize+shingle kernel — THE batch d03 expression;
+          // <3-word docs have no shingles and are excluded (empty-array
+          // filter), never hashed to a degenerate signature
           .select($"doc_id",
-            graft.functions.ShingleKernels.minHash64(
-              graft.functions.ShingleKernels.shingles3($"ws")).as("sigs"))
+            graft.functions.ShingleKernels.shinglesText($"text", 3).as("arr"))
+          .filter(size($"arr") > 0)
+          .select($"doc_id",
+            graft.functions.ShingleKernels.minHash64($"arr").as("sigs"))
         val keys = graft.ops.Dedup.bandKeys(perDoc).localCheckpoint()
-        // Try-on-read doubles as the existence check (works on any Hadoop
-        // filesystem, and also covers an existing-but-empty index dir)
-        val histDup = scala.util.Try(spark.read.parquet(indexPath)).toOption match {
+        val histDup = readIfPresent(spark, indexPath) match {
           case None => spark.emptyDataset[Long].toDF("drop_id")
           case Some(hist) => keys.join(
             hist
@@ -295,17 +353,17 @@ object Streams {
     val runId = checkpointRunId(s0, checkpoint)
     val gramSet = evalGrams.select(col("g")).distinct().cache()
     gramSet.count() // materialize once, before the first micro-batch
-    docs.writeStream
+    val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         import s.implicits._
         val contaminated = batch
-          .select($"doc_id", split($"text", " ").as("ws"))
-          .filter(size($"ws") >= 4)
+          // fused kernel, THE batch d06/grams4 expression; <4-word docs
+          // yield an empty array that explode drops
           .select($"doc_id",
-            explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+            explode(graft.functions.ShingleKernels.shinglesText($"text", 4)).as("g"))
           .join(broadcast(gramSet), Seq("g"), "left_semi")
           .select($"doc_id").distinct()
         batch.join(contaminated, Seq("doc_id"), "left_anti")
@@ -315,6 +373,8 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    unpersistOnTermination(q, gramSet)
+    q
   }
 
   /** Streaming curation funnel — the ingest twin of batch d14's exact
@@ -349,7 +409,7 @@ object Streams {
     val runId = checkpointRunId(s0, checkpoint)
     val gramSet = evalGrams.select(col("g")).distinct().cache()
     gramSet.count() // materialize once, before the first micro-batch
-    docs.writeStream
+    val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -359,7 +419,7 @@ object Streams {
           .select($"doc_id", $"source", $"text",
             md5($"text".cast(BinaryType)).as("h"))
           .localCheckpoint()
-        val hist = scala.util.Try(s.read.parquet(indexPath)).toOption match {
+        val hist = readIfPresent(s, indexPath) match {
           case None => s.emptyDataset[String].toDF("h")
           case Some(ix) => ix
             .filter(!($"run_id" === runId && $"batch_id" === batchId))
@@ -372,10 +432,8 @@ object Streams {
         val dupIds = histDup.union(batchDup).distinct()
           .withColumn("e", lit(true)).localCheckpoint()
         val contamIds = hashed
-          .select($"doc_id", split($"text", " ").as("ws"))
-          .filter(size($"ws") >= 4)
           .select($"doc_id",
-            explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+            explode(graft.functions.ShingleKernels.shinglesText($"text", 4)).as("g"))
           .join(broadcast(gramSet), Seq("g"), "left_semi")
           .select($"doc_id").distinct()
           .withColumn("cf", lit(true))
@@ -403,6 +461,8 @@ object Streams {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+    unpersistOnTermination(q, gramSet)
+    q
   }
 
   /** Distinct 4-grams of a static eval-set corpus — the broadcast side of
@@ -411,9 +471,8 @@ object Streams {
     val s = evalDocs.sparkSession
     import s.implicits._
     evalDocs
-      .select(split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 4)
-      .select(explode(graft.functions.ShingleKernels.shinglesK($"ws", 4)).as("g"))
+      .select(explode(
+        graft.functions.ShingleKernels.shinglesText($"text", 4)).as("g"))
       .distinct()
   }
 
@@ -432,15 +491,14 @@ object Streams {
     import s.implicits._
     docs
       .withWatermark("ts", watermarkDelay)
-      .select($"ts", split($"text", " ").as("ws"))
-      .filter(size($"ws") >= 3)
-      // multiplicity-preserving trigrams — THE batch t12 expression
-      // (TextAnalysis.trigramsOf), not a hand-synced copy: the ShinglesK
-      // kernel dedups per doc, which is dedup semantics, not frequency
-      // semantics
-      .select($"ts", explode(graft.ops.TextAnalysis.trigramsOf($"ws")).as("trigram"))
-      .groupBy(window($"ts", windowLen).as("w"), $"trigram")
-      .agg(count(lit(1)).as("n"))
+      // multiplicity-counted trigrams — THE batch t12 kernel
+      // (ngram_counts_text), not a hand-synced copy: per-doc counts come
+      // out of the fused scan and only (gram, count) rows reach the
+      // windowed aggregation (map-side partials sum the counts)
+      .select($"ts", explode(
+        graft.functions.ShingleKernels.ngramCountsText($"text", 3)).as("gc"))
+      .groupBy(window($"ts", windowLen).as("w"), $"gc.g".as("trigram"))
+      .agg(sum($"gc.c").as("n"))
       .select($"w.start".as("window_start"), $"trigram", $"n")
   }
 
@@ -673,8 +731,10 @@ object Streams {
   }
 
   /** Scored closed hour emitted by [[anomalyIngest]] — the batch
-    * q43 row shape (z is null until the 24-hour baseline fills, or when
-    * the baseline has zero variance). */
+    * q43 row shape. Emitted only once the trailing 24-hour baseline is
+    * full, exactly like the batch gate (q43 filters n_base = 24), so the
+    * closed-prefix row SET matches batch output; z is null when the
+    * baseline has zero variance. */
   final case class HourScore(hour: String, cnt: Long, mean_cnt: Option[Double],
       z: Option[Double], is_spike: Long)
   /** Anomaly fold state: the open hour's running count plus the trailing
@@ -691,16 +751,25 @@ object Streams {
     *
     * The fold is keyed by a single constant — the GLOBAL hourly series
     * is one ring of 24 longs, so "one key" is one tiny state row, not a
-    * bottleneck: the heavy lifting (per-event traffic) happens before
-    * the shuffle as Spark's partial count toward the group, and only
-    * per-batch per-hour partial counts reach the state task. Events
-    * older than the open hour are dropped as late data (cf. scdIngest's
-    * frontier rule); the batch q43 over the full log stays the
-    * replayable source of truth.
+    * bottleneck — BUT `flatMapGroupsWithState` performs no partial
+    * aggregation of its own (that machinery exists only for
+    * Aggregator-based aggs), so the raw events are pre-reduced to
+    * per-partition (hour, count) partials with a narrow `mapPartitions`
+    * before the shuffle: only ≤ partitions × distinct-hours tiny rows
+    * ever reach (or are buffered by) the state task. Events older than
+    * the open hour are dropped as late data (cf. scdIngest's frontier
+    * rule); the batch q43 over the full log stays the replayable source
+    * of truth.
     *
-    * Emitted rows carry z only once 24 closed hours exist — identical
-    * to the batch gate, so stream output ≡ batch output on the closed
-    * prefix (the kappa property StreamsSpec pins). */
+    * Rows are emitted only once 24 closed hours exist — identical to the
+    * batch gate, so stream output ≡ batch output on the closed prefix
+    * (the kappa property StreamsSpec pins). A single corrupt far-future
+    * timestamp would otherwise zero-fill unboundedly AND poison the
+    * frontier so every genuine event reads as late forever: the fill is
+    * bounded at [[MaxFillHours]] and a violation fails the batch loudly
+    * (corrupt input is a data bug to fix upstream, not silently absorb). */
+  val MaxFillHours: Long = 24L * 366L
+
   def anomalyIngest(events: Dataset[Ev2]): Dataset[HourScore] = {
     val s = events.sparkSession
     import s.implicits._
@@ -712,48 +781,61 @@ object Streams {
     def round6(v: Double): Double =
       BigDecimal(v).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     // identical arithmetic to the batch op: exact integer moments, then
-    // one fixed tree of IEEE ops
-    def score(hourMs: Long, cnt: Long, ring: Seq[Long]): HourScore = {
-      if (ring.size < 24) HourScore(fmt(hourMs), cnt, None, None, 0L)
+    // one fixed tree of IEEE ops. None until the 24-hour baseline fills
+    // — the batch output has no such rows, so neither does the stream.
+    def score(hourMs: Long, cnt: Long, ring: Seq[Long]): Option[HourScore] = {
+      if (ring.size < 24) None
       else {
         val s1 = ring.sum
         val s2 = ring.map(c => c * c).sum
         val mean = s1.toDouble / 24.0d
         val varr = (24.0d * s2.toDouble - s1.toDouble * s1.toDouble) / (24.0d * 23.0d)
         val z = if (varr > 0.0d) Some(round6((cnt.toDouble - mean) / math.sqrt(varr))) else None
-        HourScore(fmt(hourMs), cnt, Some(round6(mean)), z,
-          if (z.exists(v => math.abs(v) > 3.0d)) 1L else 0L)
+        Some(HourScore(fmt(hourMs), cnt, Some(round6(mean)), z,
+          if (z.exists(v => math.abs(v) > 3.0d)) 1L else 0L))
       }
     }
-    events
+    // narrow per-partition pre-reduction: (hour, count) partials
+    val hourly: Dataset[(Long, Long)] = events.mapPartitions { it =>
+      val m = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { e =>
+        val t = e.ts.getTime
+        val hm = t - java.lang.Math.floorMod(t, HourMs)
+        m.update(hm, m.getOrElse(hm, 0L) + 1L)
+      }
+      m.iterator
+    }
+    hourly
       .groupByKey(_ => 0L)
       .flatMapGroupsWithState[AnomalyS, HourScore](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[Ev2], state: GroupState[AnomalyS]) =>
-          val ordered = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[AnomalyS]) =>
+          val ordered = rows.toSeq.sortBy(_._1)
           var st = state.getOption.orNull
           val out = Seq.newBuilder[HourScore]
           def closeInto(ring: Seq[Long], cnt: Long): Seq[Long] =
             (ring :+ cnt).takeRight(24)
-          ordered.foreach { e =>
-            val hm = {
-              val t = e.ts.getTime
-              t - java.lang.Math.floorMod(t, HourMs)
-            }
-            if (st == null) st = AnomalyS(hm, 1L, Nil)
+          ordered.foreach { case (hm, cnt) =>
+            if (st == null) st = AnomalyS(hm, cnt, Nil)
             else if (hm < st.openHourMs) () // late: older than the open hour
-            else if (hm == st.openHourMs) st = st.copy(openCnt = st.openCnt + 1)
+            else if (hm == st.openHourMs) st = st.copy(openCnt = st.openCnt + cnt)
             else {
+              val gapHours = (hm - st.openHourMs) / HourMs
+              if (gapHours > MaxFillHours)
+                throw new IllegalStateException(
+                  s"anomalyIngest: event hour ${fmt(hm)} is $gapHours hours past " +
+                    s"the open hour ${fmt(st.openHourMs)} (max $MaxFillHours) — " +
+                    "corrupt timestamp? failing the batch instead of poisoning state")
               // close the open hour, then zero-fill silent hours up to hm
-              out += score(st.openHourMs, st.openCnt, st.ring)
+              out ++= score(st.openHourMs, st.openCnt, st.ring)
               var ring = closeInto(st.ring, st.openCnt)
               var h = st.openHourMs + HourMs
               while (h < hm) {
-                out += score(h, 0L, ring)
+                out ++= score(h, 0L, ring)
                 ring = closeInto(ring, 0L)
                 h += HourMs
               }
-              st = AnomalyS(hm, 1L, ring)
+              st = AnomalyS(hm, cnt, ring)
             }
           }
           if (st != null) state.update(st)
@@ -830,17 +912,34 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val target = new org.apache.hadoop.fs.Path(path)
+        val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+        val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+        // crash recovery: a previous attempt may have died between
+        // deleting the target and renaming the (complete) tmp over it —
+        // finish that swap before reading history, or the merge would
+        // silently restart from the current batch alone
+        if (fs.exists(tmp) && readIfPresent(spark, path).isEmpty) {
+          fs.delete(target, true)
+          fs.rename(tmp, target)
+        }
         val deduped = batch.dropDuplicates(uniqueKey)
-        val merged =
-          if (!pathExists(spark, path)) deduped
-          else {
-            val existing = spark.read.parquet(path)
+        val merged = readIfPresent(spark, path) match {
+          case None => deduped
+          case Some(existing) =>
             existing.join(deduped.select(col(uniqueKey)), Seq(uniqueKey), "left_anti")
               .unionByName(deduped)
-          }
-        val tmp = path + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        }
+        // write the full merged state to tmp, then swap by directory
+        // rename: the vulnerable delete→rename window is covered by the
+        // recovery above (tmp IS the complete state), and the rename
+        // halves the I/O of the old copy-back
+        fs.delete(tmp, true)
+        merged.write.parquet(tmp.toString)
+        fs.delete(target, true)
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(
+            s"incrementalMerge: rename $tmp -> $target failed")
       }
       .trigger(Trigger.AvailableNow())
       .start()

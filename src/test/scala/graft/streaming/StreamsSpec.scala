@@ -564,6 +564,56 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq((1L, "a"), (2L, "c"), (3L, "d")))
   }
 
+  test("incrementalMerge recovers a crash between target delete and tmp rename") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dir = Files.createTempDirectory("graft_stream_rec").toString
+    val target = s"$dir/target"
+    val ckpt1 = s"$dir/ckpt1"
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"), (2L, "b"))
+    Streams.incrementalMerge(in.toDF().toDF("id", "payload"), target, ckpt1, "id")
+      .awaitTermination()
+    // simulate the crash window: the merged state sits complete in __tmp
+    // and the target has been deleted
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + "__tmp")))
+    in.addData((3L, "c"))
+    Streams.incrementalMerge(in.toDF().toDF("id", "payload"), target,
+      s"$dir/ckpt2", "id").awaitTermination()
+    // history from the recovered tmp survived the merge
+    val out = s.read.parquet(target).as[(Long, String)].collect().sorted
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("anomalyIngest: a far-future timestamp fails the batch loudly") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Streams.Ev2]
+    val q = Streams.anomalyIngest(in.toDS())
+      .writeStream.format("memory").queryName("anom_poison")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_anom_poison").toString)
+      .start()
+    try {
+      in.addData(Streams.Ev2(1L, 1L, "click", ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // ~year 9999: would zero-fill ~70M hours and poison the frontier
+      in.addData(Streams.Ev2(2L, 1L, "click", ts("9999-01-01 10:00:00"), 1.0))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        { q.processAllAvailable(); q.awaitTermination(10000) })
+      def hasGuard(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("corrupt timestamp")) ||
+          hasGuard(t.getCause))
+      assert(hasGuard(e), s"expected the MaxFillHours guard, got $e")
+    } finally q.stop()
+  }
+
   test("funnelIngest: summed counters equal the batch funnel stages (kappa)") {
     val s = spark
     import s.implicits._
