@@ -1107,6 +1107,126 @@ object Similarity {
        |    AS share_ppm
        |FROM hist ORDER BY bin_x20""".stripMargin
 
+  // ---------------------------------------------------------------- s18
+  /** Label-diversified retrieval (top-2 per label per query) — the
+    * quota-per-group variant of s01 that balanced few-shot mining and
+    * RAG context assembly actually run: a plain global top-k returns one
+    * dense cluster; the per-label quota forces every class into the
+    * result set (MMR's diversity goal, made deterministic — a quota is
+    * exact where MMR's greedy trade-off is seed-dependent).
+    *
+    * Determinism: same round(sim, 6)+vec_id ranking keys as s01.
+    *
+    * Scale (100 TB): identical shape to s01 — queries broadcast, the
+    * corpus streams once, and the quota window partitions by
+    * (query, label): MORE partitions than s01's per-query window, so
+    * the top-k sort state per partition only shrinks. No extra pass,
+    * no extra shuffle vs plain top-k. */
+  def s18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val q = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
+    val sim = all.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+    val w = Window.partitionBy($"qid", $"label")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    sim.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 2)
+      .select($"qid", $"label", $"rank", $"vec_id".as("neighbor_id"),
+        round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"label", $"rank")
+  }
+
+  val s18Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qnorm FROM v WHERE vec_id % 100 = 0),
+       |sim AS (SELECT qid, vec_id, label, ${dotSql("qe", "embedding")} / (qnorm * norm) AS sim
+       |        FROM v JOIN q ON vec_id <> qid),
+       |ranked AS (SELECT qid, label, vec_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid, label
+       |      ORDER BY round(sim, 6) DESC, vec_id) AS INTEGER) AS rank
+       |  FROM sim)
+       |SELECT qid, label, rank, vec_id AS neighbor_id, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 2 ORDER BY qid, label, rank""".stripMargin
+
+  // ---------------------------------------------------------------- s19
+  /** IVF-bounded hard-negative mining — the contrastive-training data
+    * op: for each anchor (vec_id % 53 = 0), the 3 most-similar vectors
+    * with a DIFFERENT label inside the anchor's probe-1 IVF cell.
+    * "Semantically close but differently labeled" is exactly what a
+    * triplet/InfoNCE loss needs, and the cell bound is what makes mining
+    * affordable: candidates per anchor are ≈ |corpus|/nlist, not
+    * |corpus|, and they are the same cell lists the ANN index (s02)
+    * already maintains.
+    *
+    * Determinism: assignment and ranking use the shared
+    * round(·, 6) + id tiebreak keys; sims are the deterministic fold.
+    *
+    * Scale (100 TB): the corpus is assigned once (broadcast-argmax, no
+    * shuffle of the big side — s02's pass, reusable across every mining
+    * run); anchors are a fixed-size broadcast sample; the candidate join
+    * is map-side on the precomputed cell id, so each corpus vector is
+    * touched once per mining pass and the label filter prunes before the
+    * top-k window. */
+  def s19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val cent = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(round($"csim", 6).desc, $"cid")
+    val assigned = all.join(broadcast(cent))
+      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"label", $"v", $"norm", $"cid")
+    val anchors = assigned.filter($"vec_id" % 53 === 0)
+      .select($"vec_id".as("aid"), $"label".as("alabel"),
+        $"v".as("av"), $"norm".as("anorm"), $"cid".as("acid"))
+    val wTop = Window.partitionBy($"aid")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    assigned
+      .join(broadcast(anchors),
+        $"cid" === $"acid" && $"label" =!= $"alabel")
+      .withColumn("sim", dot($"av", $"v") / ($"anorm" * $"norm"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 3)
+      .select($"aid".as("anchor_id"), $"alabel".as("anchor_label"),
+        $"rank", $"vec_id".as("negative_id"), $"label".as("neg_label"),
+        round($"sim", 4).as("sim"))
+      .orderBy($"anchor_id", $"rank")
+  }
+
+  val s19Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, norm AS cnorm FROM v WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, label, embedding, norm, cid FROM (
+       |    SELECT v.vec_id, v.label, v.embedding, v.norm, cent.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${dotSql("ce", "embedding")} / (cnorm * norm), 6) DESC, cid) AS arank
+       |    FROM v CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |anchors AS (SELECT vec_id AS aid, label AS alabel, embedding AS ae,
+       |    norm AS anorm, cid AS acid
+       |  FROM assigned WHERE vec_id % 53 = 0),
+       |hits AS (SELECT aid, alabel, vec_id, label,
+       |    ${dotSql("ae", "embedding")} / (anorm * norm) AS sim
+       |  FROM assigned JOIN anchors
+       |    ON cid = acid AND label <> alabel),
+       |ranked AS (SELECT aid, alabel, vec_id, label, sim,
+       |    CAST(row_number() OVER (PARTITION BY aid
+       |      ORDER BY round(sim, 6) DESC, vec_id) AS INTEGER) AS rank
+       |  FROM hits)
+       |SELECT aid AS anchor_id, alabel AS anchor_label, rank,
+       |  vec_id AS negative_id, label AS neg_label, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -1124,5 +1244,7 @@ object Similarity {
     Q("s14_centroid_separation", s14, Some(s14Sql)),
     Q("s15_probe_sweep", s15, Some(s15Sql)),
     Q("s16_pair_density", s16, Some(s16Sql)),
-    Q("s17_centroid_drift", s17, Some(s17Sql)))
+    Q("s17_centroid_drift", s17, Some(s17Sql)),
+    Q("s18_diversified_topk", s18, Some(s18Sql)),
+    Q("s19_hard_negatives", s19, Some(s19Sql)))
 }

@@ -773,6 +773,123 @@ object Temporal {
       |  END AS tv_ppm
       |FROM tot GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Lag-1 / lag-24 autocorrelation of the hourly event-count series —
+    * the seasonality check read next to q43's spike monitor: strong
+    * lag-24 correlation says the series has a daily cycle (so anomaly
+    * baselines must be same-hour-of-day, not trailing); strong lag-1
+    * says volume is bursty-persistent (a spike predicts the next hour).
+    * Computed as Pearson r between c_t and c_{t−k} over the densified
+    * hourly spine (q43's zero-filled grid — silent hours are real
+    * observations of zero, and skipping them would splice distant hours
+    * into adjacent pairs).
+    *
+    * Determinism: every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    * integer in DECIMAL(38,0); r is then a fixed tree of IEEE ops
+    * (two casts, one multiply, sqrt, divide, round) mirrored
+    * token-for-token in the oracle — bit-identical.
+    *
+    * Scale (100 TB): the only corpus-proportional stage is events →
+    * hourly counts, a map-side-combinable aggregate; the spine, the
+    * single-partition lag window and the moment aggregate all run on the
+    * ≤ 8760-rows/year series (q43's argument). Both lags ride ONE window
+    * pass, and the two output rows project from one lazily-checkpointed
+    * moment row, so the heavy aggregate runs exactly once. */
+  def q48(s: SparkSession, dir: String): DataFrame =
+    hourlyAutocorr(Tables.t(s, dir, "events"))
+
+  /** q48's kernel over any frame with a `ts` column — split out so the
+    * spec can pin the correlation arithmetic on constructed series (a
+    * perfectly 24-periodic pulse train → lag-24 r = 1; a constant series
+    * → zero variance → NULL). */
+  private[graft] def hourlyAutocorr(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val dec0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val counts = events
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = counts
+      .agg(min($"hour").as("lo"), max($"hour").as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("INTERVAL 1 HOUR"))).as("hour"))
+    val dense = spine.join(counts, Seq("hour"), "left")
+      .select($"hour", coalesce($"cnt", lit(0L)).as("cnt"))
+    val w = Window.orderBy($"hour")
+    val lagged = dense
+      .withColumn("y1", lag($"cnt", 1).over(w))
+      .withColumn("y24", lag($"cnt", 24).over(w))
+    val mk = lagged.agg(
+      count($"y1").as("n1"),
+      sum(when($"y1".isNotNull, dec0($"cnt"))).as("sx1"),
+      sum(dec0($"y1")).as("sy1"),
+      sum(dec0($"cnt") * dec0($"y1")).as("sxy1"),
+      sum(when($"y1".isNotNull, dec0($"cnt") * dec0($"cnt"))).as("sxx1"),
+      sum(dec0($"y1") * dec0($"y1")).as("syy1"),
+      count($"y24").as("n24"),
+      sum(when($"y24".isNotNull, dec0($"cnt"))).as("sx24"),
+      sum(dec0($"y24")).as("sy24"),
+      sum(dec0($"cnt") * dec0($"y24")).as("sxy24"),
+      sum(when($"y24".isNotNull, dec0($"cnt") * dec0($"cnt"))).as("sxx24"),
+      sum(dec0($"y24") * dec0($"y24")).as("syy24"))
+      .localCheckpoint(eager = false)
+    def rowFor(k: Int): DataFrame = {
+      val (n, sx, sy, sxy, sxx, syy) =
+        (col(s"n$k"), col(s"sx$k"), col(s"sy$k"),
+          col(s"sxy$k"), col(s"sxx$k"), col(s"syy$k"))
+      val num = n * sxy - sx * sy
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      mk.select(
+        lit(k).as("lag_h"), n.as("n_pairs"),
+        when(varx > 0 && vary > 0,
+          round(dbl(num) / sqrt(dbl(varx) * dbl(vary)), 6)).as("autocorr"))
+    }
+    rowFor(1).unionAll(rowFor(24)).orderBy($"lag_h")
+  }
+
+  val q48Sql: String = {
+    def momentsFor(k: Int): String =
+      s"""    COUNT(y$k) AS n$k,
+         |    SUM(CASE WHEN y$k IS NOT NULL THEN CAST(cnt AS HUGEINT) END) AS sx$k,
+         |    SUM(CAST(y$k AS HUGEINT)) AS sy$k,
+         |    SUM(CAST(cnt AS HUGEINT) * y$k) AS sxy$k,
+         |    SUM(CASE WHEN y$k IS NOT NULL THEN CAST(cnt AS HUGEINT) * cnt END) AS sxx$k,
+         |    SUM(CAST(y$k AS HUGEINT) * y$k) AS syy$k""".stripMargin
+    def rowFor(k: Int): String =
+      s"""SELECT $k AS lag_h, CAST(n$k AS BIGINT) AS n_pairs,
+         |  CASE WHEN n$k * sxx$k - sx$k * sx$k > 0
+         |        AND n$k * syy$k - sy$k * sy$k > 0 THEN
+         |    round(CAST(n$k * sxy$k - sx$k * sy$k AS DOUBLE) /
+         |      sqrt(CAST(n$k * sxx$k - sx$k * sx$k AS DOUBLE)
+         |         * CAST(n$k * syy$k - sy$k * sy$k AS DOUBLE)), 6)
+         |  END AS autocorr
+         |FROM m""".stripMargin
+    s"""WITH counts AS (
+       |  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1),
+       |spine AS (
+       |  SELECT UNNEST(generate_series(
+       |    (SELECT MIN(hour) FROM counts), (SELECT MAX(hour) FROM counts),
+       |    INTERVAL 1 HOUR)) AS hour),
+       |dense AS (
+       |  SELECT s.hour, COALESCE(c.cnt, 0) AS cnt
+       |  FROM spine s LEFT JOIN counts c ON s.hour = c.hour),
+       |lagged AS (
+       |  SELECT cnt,
+       |    lag(cnt, 1) OVER (ORDER BY hour) AS y1,
+       |    lag(cnt, 24) OVER (ORDER BY hour) AS y24
+       |  FROM dense),
+       |m AS (
+       |  SELECT
+       |${momentsFor(1)},
+       |${momentsFor(24)}
+       |  FROM lagged)
+       |${rowFor(1)}
+       |UNION ALL
+       |${rowFor(24)}
+       |ORDER BY lag_h""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -786,5 +903,6 @@ object Temporal {
     Q("q43_hourly_anomaly", q43, Some(q43Sql)),
     Q("q45_asof_forward", q45, Some(q45Sql)),
     Q("q46_event_gaps", q46, Some(q46Sql)),
-    Q("q47_value_drift", q47, Some(q47Sql)))
+    Q("q47_value_drift", q47, Some(q47Sql)),
+    Q("q48_hourly_autocorr", q48, Some(q48Sql)))
 }

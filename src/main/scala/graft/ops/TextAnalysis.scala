@@ -1688,6 +1688,79 @@ object TextAnalysis {
        |FROM cm ORDER BY labeled_lang, pred_lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t31
+  /** Cross-document n-gram novelty per source — the "how much of this
+    * source is new text" number a mixture designer reads next to d11's
+    * overlap matrix: for every distinct (doc, 3-gram) occurrence, is the
+    * gram unique to that one document corpus-wide (df = 1)? High novelty
+    * = original prose; low novelty = boilerplate and syndication (the
+    * RefinedWeb-style duplicated-n-gram diagnostic, aggregated to the
+    * source grain where mixture decisions are made).
+    *
+    * Determinism: counts are exact integers; the fraction is a single
+    * guarded division rounded via micro6 — engine-exact.
+    *
+    * Scale (100 TB): TWO exchanges total. The gram-space groupBy is the
+    * same inverted-index exchange every shingle op pays, but with
+    * fully-combinable partials (count + min) instead of posting lists —
+    * a billion-df gram still collapses map-side, so hot-gram skew cannot
+    * concentrate (no CappedCollect needed, no τ cut). The df=1 survivors
+    * carry their one source inline (`min(source)` IS the source when
+    * df = 1), so novelty aggregates straight to the ≤ |sources| grain
+    * with NO join back to the corpus — the only join is the final
+    * sources×sources merge of two post-aggregation frames. */
+  def t31(s: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.t(s, dir, "documents"))
+
+  /** t31's kernel over any (source, text) frame — split out so the spec
+    * can pin the df=1 semantics on a planted corpus (a duplicated doc
+    * pair contributes zero novel grams; a unique doc is 100% novel). */
+  private[graft] def ngramNovelty(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = docs
+      .select($"source",
+        graft.functions.ShingleKernels.shinglesText($"text", 3).as("arr"))
+      .filter(size($"arr") > 0)
+    val totals = grams.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size($"arr").cast(LongType)).as("n_doc_grams"))
+    val novel = grams
+      .select($"source", explode($"arr").as("g"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("df"), min($"source").as("src1"))
+      .filter($"df" === 1)
+      .groupBy($"src1".as("source"))
+      .agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("source"), "left")
+      .select($"source", $"n_docs", $"n_doc_grams",
+        coalesce($"n_novel", lit(0L)).as("n_novel"),
+        micro6(dbl(coalesce($"n_novel", lit(0L))) / $"n_doc_grams")
+          .as("novel_frac"))
+      .orderBy($"source")
+  }
+
+  val t31Sql: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |       UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |totals AS (
+      |  SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+      |    COUNT(*) AS n_doc_grams
+      |  FROM g GROUP BY source),
+      |novel AS (
+      |  SELECT src1 AS source, COUNT(*) AS n_novel FROM (
+      |    SELECT s, MIN(source) AS src1 FROM g
+      |    GROUP BY s HAVING COUNT(*) = 1)
+      |  GROUP BY src1)
+      |SELECT t.source, t.n_docs, t.n_doc_grams,
+      |  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+      |  CAST(round(CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / t.n_doc_grams * 1e6)
+      |    AS BIGINT) / 1e6 AS novel_frac
+      |FROM totals t LEFT JOIN novel n ON t.source = n.source
+      |ORDER BY t.source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1718,5 +1791,6 @@ object TextAnalysis {
     Q("t27_lexical_diversity", t27, Some(t27Sql)),
     Q("t28_lang_fertility", t28, Some(t28Sql)),
     Q("t29_atomic_packing", t29, Some(t29Sql)),
-    Q("t30_lang_confusion", t30, Some(t30Sql)))
+    Q("t30_lang_confusion", t30, Some(t30Sql)),
+    Q("t31_ngram_novelty", t31, Some(t31Sql)))
 }

@@ -513,4 +513,46 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!sp.contains("SortMergeJoin") && !sp.contains("CartesianProduct"),
       s"sample pair join must not shuffle or go cartesian:\n$sp")
   }
+
+  test("t31: novelty scans (source, text) only and never reshuffles at the doc grain") {
+    val p = plan(TextAnalysis.t31(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("source") && readSchema.contains("text") &&
+      !readSchema.contains("doc_id") && !readSchema.contains("n_chars"),
+      s"scan must read exactly (source, text): $readSchema")
+    val sp = simplePlan(TextAnalysis.t31(spark, dir))
+    // the df=1 survivors carry their source inline — a doc-keyed exchange
+    // would mean the plan joined back to the corpus
+    assert(!sp.contains("hashpartitioning(doc_id"),
+      s"novelty must not join back at the doc grain:\n$sp")
+    assert(!sp.contains("ObjectHashAggregate"),
+      s"gram agg must be combinable count+min, not a posting-list collect:\n$sp")
+  }
+
+  test("s18: queries broadcast; the corpus streams into the per-label quota window") {
+    val sp = simplePlan(Similarity.s18(spark, dir))
+    assert(sp.contains("BroadcastNestedLoopJoin") || sp.contains("BroadcastHashJoin"),
+      s"query side must broadcast:\n$sp")
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("CartesianProduct"),
+      s"corpus must stream, not shuffle into the join:\n$sp")
+  }
+
+  test("s19: assignment and mining both broadcast the small side — corpus scans, never shuffles into a join") {
+    val sp = simplePlan(Similarity.s19(spark, dir))
+    assert(sp.contains("BroadcastNestedLoopJoin") || sp.contains("BroadcastHashJoin"),
+      s"centroids/anchors must broadcast:\n$sp")
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("CartesianProduct"),
+      s"hard-negative mining must not shuffle the corpus into a join:\n$sp")
+  }
+
+  test("q48: the log collapses once; both lags ride one window over the tiny series") {
+    val p = plan(Temporal.q48(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("value") && !readSchema.contains("props") &&
+      !readSchema.contains("user_id"),
+      s"scan reads columns the op never uses: $readSchema")
+    val sp = simplePlan(Temporal.q48(spark, dir))
+    assert(!sp.contains("CartesianProduct") && !sp.contains("SortMergeJoin"),
+      s"autocorr grew a heavy join:\n$sp")
+  }
 }
