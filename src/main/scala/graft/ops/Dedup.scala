@@ -1619,6 +1619,51 @@ object Dedup {
        |FROM j""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d22
+  /** Shared-prefix boilerplate families: documents whose first 200
+    * characters hash identically but whose FULL texts differ — the
+    * "same header, different payload" pattern (scraped article pages,
+    * license preambles, generated reports) that exact dedup (d01) misses
+    * by construction and shingle Jaccard (d02) only catches when the
+    * shared prefix dominates the document. A family with many sources is
+    * syndicated boilerplate; one source is a template mill (cf. d17,
+    * which masks DIGITS — this keys on position instead and survives
+    * arbitrary suffix divergence).
+    *
+    * Determinism: pure exact hashing and integer counts; first_doc is a
+    * total order (a doc belongs to exactly one prefix family).
+    *
+    * Scale (100 TB): the exchange carries only 16-byte md5 keys (d01's
+    * argument — text never shuffles); the distinct counts expand the
+    * hash rows 3×, a constant factor on fixed-width rows, and the
+    * HAVING filter prunes the (already tiny) family table before the
+    * output sort. */
+  def d22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        md5(substring($"text", 1, 200).cast(BinaryType)).as("prefix_h"),
+        md5($"text".cast(BinaryType)).as("fh"))
+      .groupBy($"prefix_h")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"fh").as("n_distinct"),
+        countDistinct($"source").as("n_sources"),
+        min($"doc_id").as("first_doc"))
+      .filter($"n_docs" >= 2 && $"n_distinct" >= 2)
+      .orderBy($"first_doc")
+  }
+
+  val d22Sql: String =
+    """SELECT md5(substr(text, 1, 200)) AS prefix_h,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      |  MIN(doc_id) AS first_doc
+      |FROM documents GROUP BY 1
+      |HAVING COUNT(*) >= 2 AND COUNT(DISTINCT md5(text)) >= 2
+      |ORDER BY first_doc""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1640,5 +1685,6 @@ object Dedup {
     Q("d18_split_leakage", d18, Some(d18Sql)),
     Q("d19_simhash_audit", d19, Some(d19Sql)),
     Q("d20_dedup_agreement", d20, Some(d20Sql)),
-    Q("d21_band_sweep", d21, Some(d21Sql)))
+    Q("d21_band_sweep", d21, Some(d21Sql)),
+    Q("d22_prefix_families", d22, Some(d22Sql)))
 }

@@ -959,6 +959,81 @@ object GraphOps {
       |    THEN (n_triangles * 3 * 1000000) // n_wedges END AS transitivity_ppm
       |FROM scal""".stripMargin
 
+  // ---------------------------------------------------------------- g13
+  /** Average-neighbor-degree curve knn(k) of the near-dup graph — the
+    * degree-resolved view of g10's single assortativity number: for each
+    * degree class k, the mean degree over all neighbors of degree-k
+    * vertices (stub-weighted, Barabási's k_nn(k)). A falling curve is
+    * hub-and-spoke boilerplate (singletons attach to one canonical doc);
+    * a rising curve is a template family gluing its own hubs together.
+    * g10 can read ≈ 0 while the curve is strongly U-shaped — this is the
+    * shape g10 averages away, read before trusting g01's clusters.
+    *
+    * Determinism: neighbor-degree sums are exact integers in
+    * DECIMAL(38,0); knn is ONE IEEE division of two exact integers,
+    * then round(6) — token-identical in the oracle.
+    *
+    * Scale (100 TB): near-dup edges are ≪ corpus (the d02 pair bound);
+    * the degree table is a map-side-combinable count broadcast onto the
+    * stubs (g10's exact shape), and the curve is a groupBy over the
+    * stubs collapsing to |distinct degrees| rows. The corpus itself is
+    * only touched by the shared pair-generation substrate. */
+  private[graft] def knnDegree(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val dec0 = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val stubs = edgesIn.select($"da".as("x"), $"db".as("y"))
+      .union(edgesIn.select($"db".as("x"), $"da".as("y")))
+    val deg = stubs.groupBy($"x".as("doc_id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(eager = false) // consumed by both joins + n_docs
+    val joined = stubs
+      .join(broadcast(deg.select($"doc_id".as("x"), $"deg".as("dx"))), Seq("x"))
+      .join(broadcast(deg.select($"doc_id".as("y"), $"deg".as("dy"))), Seq("y"))
+    val perDeg = joined.groupBy($"dx".as("degree"))
+      .agg(count(lit(1)).as("n_stubs"), sum(dec0($"dy")).as("sy"))
+    val nDocs = deg.groupBy($"deg".as("degree")).agg(count(lit(1)).as("n_docs"))
+    perDeg.join(nDocs, Seq("degree"))
+      .select($"degree", $"n_docs", $"n_stubs",
+        round($"sy".cast("double") / $"n_stubs".cast("double"), 6)
+          .as("knn_degree"))
+      .orderBy($"degree")
+  }
+
+  def g13(s: SparkSession, dir: String): DataFrame =
+    knnDegree(Dedup.jaccardPairs(s, dir, 0.5))
+
+  val g13Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |e0 AS MATERIALIZED (SELECT da, db FROM inter
+      |       JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |stubs AS (SELECT da AS x, db AS y FROM e0
+      |          UNION ALL SELECT db AS x, da AS y FROM e0),
+      |deg AS (SELECT x AS doc_id, COUNT(*) AS deg FROM stubs GROUP BY x),
+      |perdeg AS (
+      |  SELECT dx.deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_stubs,
+      |    SUM(CAST(dy.deg AS HUGEINT)) AS sy
+      |  FROM stubs
+      |  JOIN deg dx ON stubs.x = dx.doc_id
+      |  JOIN deg dy ON stubs.y = dy.doc_id
+      |  GROUP BY dx.deg),
+      |ndocs AS (SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |          FROM deg GROUP BY deg)
+      |SELECT p.degree, n.n_docs, p.n_stubs,
+      |  round(CAST(sy AS DOUBLE) / CAST(n_stubs AS DOUBLE), 6) AS knn_degree
+      |FROM perdeg p JOIN ndocs n ON p.degree = n.degree
+      |ORDER BY p.degree""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -971,5 +1046,6 @@ object GraphOps {
     Q("g09_coengagement", g09, Some(g09Sql)),
     Q("g10_assortativity", g10, Some(g10Sql)),
     Q("g11_source_modularity", g11, Some(g11Sql)),
-    Q("g12_transitivity", g12, Some(g12Sql)))
+    Q("g12_transitivity", g12, Some(g12Sql)),
+    Q("g13_knn_degree", g13, Some(g13Sql)))
 }

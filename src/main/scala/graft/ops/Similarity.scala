@@ -1227,6 +1227,194 @@ object Similarity {
        |  vec_id AS negative_id, label AS neg_label, round(sim, 4) AS sim
        |FROM ranked WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s20
+  /** One-Lloyd-step centroid drift per IVF cell — the index-maintenance
+    * meter for s02's coarse quantizer: assign the corpus to the current
+    * centroids (s02's pass), recompute each cell's mean direction, and
+    * report how far it moved as cos(old, new). Cells near 1.0 are
+    * converged; low-cos cells say the quantizer was trained on a
+    * different distribution than it now serves (data drift) and probe
+    * recall (s06/s15) will degrade there first — the signal that decides
+    * WHEN an IVF index rebuild is worth its cost (cf. s17, which watches
+    * batch-to-batch drift per LABEL; this watches train-vs-serve drift
+    * per CELL).
+    *
+    * Determinism: cosine is scale-invariant, so the mean's division by
+    * |cell| is skipped — cos(old, mean) = cos(old, sum) — and both
+    * operands live on s14's 2⁻²⁰ integer grid (member elements are
+    * floored onto it and summed in DECIMAL(38,0); the old centroid is
+    * floored onto the same grid), leaving one IEEE dot/sqrt/divide tree
+    * mirrored token-for-token in the oracle.
+    *
+    * Scale (100 TB): the corpus is touched exactly once — the broadcast-
+    * argmax assignment (no shuffle of the big side) feeding a map-side-
+    * combinable (cid, dim) sum; everything after runs on nlist·64 rows.
+    * n_members rides the same aggregate (per-dim counts are the cell
+    * population), so no second corpus pass and no separate count job. */
+  def s20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val cent = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    val wAssign = Window.partitionBy($"vec_id")
+      .orderBy(round($"csim", 6).desc, $"cid")
+    val assigned = all.join(broadcast(cent))
+      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter($"arank" === 1)
+      .select($"vec_id", $"v", $"cid")
+    val agg = assigned
+      .select($"cid", posexplode($"v").as(Seq("dim", "e")))
+      .select($"cid", $"dim",
+        floor($"e" * lit(1048576.0d)).cast(LongType).as("qe"))
+      .groupBy($"cid", $"dim")
+      .agg(sum($"qe".cast(DecimalType(38, 0))).as("sd"),
+        count(lit(1)).as("c"))
+      .groupBy($"cid")
+      .agg(
+        transform(array_sort(collect_list(struct($"dim", $"sd"))),
+          c => c.getField("sd").cast(DoubleType)).as("nv"),
+        min($"c").as("n_members"))
+    val oldq = cent.select($"cid",
+      transform($"cv",
+        x => floor(x * lit(1048576.0d)).cast(LongType).cast(DoubleType))
+        .as("ov"))
+    agg.join(broadcast(oldq), Seq("cid"))
+      .select($"cid", $"n_members",
+        when(dot($"nv", $"nv") > 0 && dot($"ov", $"ov") > 0,
+          round(dot($"ov", $"nv") /
+            (sqrt(dot($"ov", $"ov")) * sqrt(dot($"nv", $"nv"))), 6))
+          .as("drift_cos"))
+      .orderBy($"cid")
+  }
+
+  val s20Sql: String =
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, norm AS cnorm
+       |         FROM v WHERE vec_id % 100 = 0),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT v.vec_id, v.embedding, cent.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY round(${dotSql("ce", "embedding")} / (cnorm * norm), 6) DESC, cid) AS arank
+       |    FROM v CROSS JOIN cent)
+       |  WHERE arank = 1),
+       |q AS (SELECT cid, i AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS HUGEINT) AS qe
+       |  FROM assigned, UNNEST(generate_series(1, 64)) AS t(i)),
+       |perdim AS (SELECT cid, dim, SUM(qe) AS sd, COUNT(*) AS c
+       |           FROM q GROUP BY cid, dim),
+       |agg AS (SELECT cid, list(CAST(sd AS DOUBLE) ORDER BY dim) AS nv,
+       |    MIN(c) AS n_members FROM perdim GROUP BY cid),
+       |oldq AS (SELECT vec_id AS cid, list_transform(embedding,
+       |    x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) AS DOUBLE)) AS ov
+       |  FROM embeddings WHERE vec_id % 100 = 0)
+       |SELECT a.cid, CAST(a.n_members AS BIGINT) AS n_members,
+       |  CASE WHEN ${dotSql("nv", "nv")} > 0 AND ${dotSql("ov", "ov")} > 0
+       |       THEN round(${dotSql("ov", "nv")} /
+       |         (sqrt(${dotSql("ov", "ov")}) * sqrt(${dotSql("nv", "nv")})), 6)
+       |  END AS drift_cos
+       |FROM agg a JOIN oldq o ON a.cid = o.cid
+       |ORDER BY a.cid""".stripMargin
+
+  // ---------------------------------------------------------------- s21
+  /** Reciprocal-rank fusion of two retrievers — the hybrid-search
+    * combinator every RAG/few-shot mining stack runs: each ranker
+    * contributes 1/(60+rank) per candidate (Cormack's RRF, k=60) and the
+    * fused top-k rewards agreement without ever comparing raw scores
+    * across scorers (cosine and integer dot live on incomparable
+    * scales — RRF needs only the ranks). Here the fused lists are the
+    * float-exact cosine ranking (s01's scorer) and the int8-quantized
+    * integer-dot ranking (s05's scorer): their disagreement is exactly
+    * the quantization error, so n_lists=1 rows in the fused top-k flag
+    * candidates the compressed index would lose.
+    *
+    * Determinism: contributions are integer (1000000 div (60+rank));
+    * both input rankings use the shared round(·,6)/exact-integer score
+    * keys with vec_id tiebreaks; the fused ordering ties on vec_id.
+    *
+    * Scale (100 TB): each ranker is the broadcast-queries / streaming-
+    * corpus pass it already runs standalone; fusion itself only touches
+    * the top-10 lists — ≤ 20·|queries| rows — so the combinator adds no
+    * corpus-proportional work regardless of how many rankers join the
+    * ensemble. */
+  def s21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val q = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wExact = Window.partitionBy($"qid")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    val exact = all.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .withColumn("rank", row_number().over(wExact))
+      .filter($"rank" <= 10)
+      .select($"qid", $"vec_id", $"rank")
+    val quant = Tables.t(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding",
+          x => round(x.cast(DoubleType) * 127).cast(LongType)).as("qv8"))
+    val q8 = quant.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"qv8".as("qq8"))
+    val idot = expr(
+      "aggregate(zip_with(qq8, qv8, (x, y) -> x * y), 0L, (acc, p) -> acc + p)")
+    val wInt = Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id")
+    val int8 = quant.join(broadcast(q8), $"vec_id" =!= $"qid")
+      .withColumn("score", idot)
+      .withColumn("rank", row_number().over(wInt))
+      .filter($"rank" <= 10)
+      .select($"qid", $"vec_id", $"rank")
+    val fused = exact.unionAll(int8)
+      .groupBy($"qid", $"vec_id")
+      .agg(sum(expr("1000000 div (60 + rank)")).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    val wFuse = Window.partitionBy($"qid")
+      .orderBy($"rrf_score".desc, $"vec_id")
+    fused.withColumn("rank", row_number().over(wFuse))
+      .filter($"rank" <= 5)
+      .select($"qid", $"rank", $"vec_id".as("neighbor_id"),
+        $"rrf_score", $"n_lists")
+      .orderBy($"qid", $"rank")
+  }
+
+  val s21Sql: String = {
+    val qdot8 = "list_reduce(list_transform(generate_series(1, 64), " +
+      "i -> qq8[i] * qv8[i]), (x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qnorm
+       |      FROM v WHERE vec_id % 100 = 0),
+       |exact AS (SELECT qid, vec_id, rank FROM (
+       |    SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY round(${dotSql("qe", "embedding")} / (qnorm * norm), 6) DESC,
+       |        vec_id) AS INTEGER) AS rank
+       |    FROM v JOIN q ON vec_id <> qid)
+       |  WHERE rank <= 10),
+       |quant AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT)) AS qv8
+       |  FROM embeddings),
+       |q8 AS (SELECT vec_id AS qid, qv8 AS qq8 FROM quant WHERE vec_id % 100 = 0),
+       |int8 AS (SELECT qid, vec_id, rank FROM (
+       |    SELECT qid, vec_id, CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY $qdot8 DESC, vec_id) AS INTEGER) AS rank
+       |    FROM quant JOIN q8 ON vec_id <> qid)
+       |  WHERE rank <= 10),
+       |lists AS (SELECT * FROM exact UNION ALL SELECT * FROM int8),
+       |fused AS (SELECT qid, vec_id,
+       |    CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_score,
+       |    CAST(COUNT(*) AS BIGINT) AS n_lists
+       |  FROM lists GROUP BY qid, vec_id)
+       |SELECT qid, rank, vec_id AS neighbor_id, rrf_score, n_lists FROM (
+       |  SELECT qid, vec_id, rrf_score, n_lists,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY rrf_score DESC, vec_id) AS INTEGER) AS rank
+       |  FROM fused)
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -1246,5 +1434,7 @@ object Similarity {
     Q("s16_pair_density", s16, Some(s16Sql)),
     Q("s17_centroid_drift", s17, Some(s17Sql)),
     Q("s18_diversified_topk", s18, Some(s18Sql)),
-    Q("s19_hard_negatives", s19, Some(s19Sql)))
+    Q("s19_hard_negatives", s19, Some(s19Sql)),
+    Q("s20_kmeans_drift", s20, Some(s20Sql)),
+    Q("s21_rrf_ensemble", s21, Some(s21Sql)))
 }

@@ -890,6 +890,64 @@ object Temporal {
        |ORDER BY lag_h""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q49
+  /** Per-user event-type transition matrix (first-order Markov counts) —
+    * the behavioral fingerprint read next to q23's fixed funnel: where
+    * the funnel asks "how many users completed THIS path", the transition
+    * matrix reports EVERY adjacent pair's frequency, surfacing the paths
+    * nobody thought to define (a heavy checkout→click backflow, an
+    * error→error self-loop). Within each user's ts-ordered stream, each
+    * event contributes one (type → next type) observation; the matrix
+    * aggregates globally with a row-conditional probability in ppm.
+    *
+    * Determinism: the per-user order is (ts, event_id) — total even on
+    * ts ties; counts are exact integers and p_ppm is integer floor
+    * division (1000000·n div row_total), so no FP appears anywhere.
+    *
+    * Scale (100 TB): one shuffle on user_id (the same bounded-state
+    * exchange family as q17/q38/q42 — per-user windows never concentrate
+    * on a partition beyond the hottest user's event count), then a
+    * map-side-combinable count collapsing to |types|² rows; the row
+    * totals are a second aggregate OVER that tiny matrix, broadcast back.
+    * Nothing downstream of the window grows with the corpus. */
+  def q49(s: SparkSession, dir: String): DataFrame =
+    transitionMatrix(Tables.t(s, dir, "events"))
+
+  /** q49's kernel over any (user_id, ts, event_id, event_type) frame —
+    * split out so the spec can pin the counting and ppm arithmetic on
+    * constructed streams (tie-broken ordering, per-user isolation, row
+    * sums). */
+  private[graft] def transitionMatrix(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n_trans"))
+    val tot = trans.groupBy($"from_type").agg(sum($"n_trans").as("tot"))
+    trans.join(broadcast(tot), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n_trans",
+        expr("(1000000 * n_trans) div tot").as("p_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val q49Sql: String =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+      |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, SUM(n_trans) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n_trans,
+      |  CAST((1000000 * c.n_trans) // tot.tot AS BIGINT) AS p_ppm
+      |FROM c JOIN tot ON c.from_type = tot.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -904,5 +962,6 @@ object Temporal {
     Q("q45_asof_forward", q45, Some(q45Sql)),
     Q("q46_event_gaps", q46, Some(q46Sql)),
     Q("q47_value_drift", q47, Some(q47Sql)),
-    Q("q48_hourly_autocorr", q48, Some(q48Sql)))
+    Q("q48_hourly_autocorr", q48, Some(q48Sql)),
+    Q("q49_event_transitions", q49, Some(q49Sql)))
 }

@@ -1761,6 +1761,70 @@ object TextAnalysis {
       |FROM totals t LEFT JOIN novel n ON t.source = n.source
       |ORDER BY t.source""".stripMargin
 
+  // ---------------------------------------------------------------- t32
+  /** Out-of-vocabulary profile per source against the corpus top-1000
+    * vocabulary — the transcendental-free core of the CCNet-style LM
+    * quality filter: a source whose token mass falls mostly outside the
+    * head vocabulary is boilerplate, code, another language, or noise —
+    * exactly the mass an n-gram LM would assign high perplexity — while
+    * the OOV TYPE count separates "rare words everywhere" (organic long
+    * tail) from "one weird token repeated" (template junk).
+    *
+    * Determinism: the vocabulary cut is (count desc, token) — total
+    * order at the boundary; all measures are exact integers and the ppm
+    * is floor division.
+    *
+    * Scale (100 TB): tokenization is the fused 1-gram kernel (pure scan
+    * work); the corpus collapses ONCE to the (source, token) grain —
+    * vocab-×-sources sized, ≪ corpus — which is lazily checkpointed and
+    * feeds both the top-1000 cut (map-side partial top-k) and the
+    * profile join; the 1000-row vocabulary broadcasts. No second corpus
+    * scan, no token-instance shuffle. */
+  def t32(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val st = Tables.t(s, dir, "documents")
+      .select($"source",
+        explode(graft.functions.ShingleKernels.ngramCountsText($"text", 1)).as("gc"))
+      .select($"source", $"gc.g".as("tok"), $"gc.c".as("c"))
+      .groupBy($"source", $"tok")
+      .agg(sum($"c").as("c"))
+      // consumed by the vocab cut AND the profile join; the recompute
+      // would cross the (source, tok) exchange → checkpoint (SURVEY §6)
+      .localCheckpoint(eager = false)
+    val vocab = st.groupBy($"tok").agg(sum($"c").as("n"))
+      .orderBy($"n".desc, $"tok").limit(1000)
+      .select($"tok".as("vtok"))
+    st.join(broadcast(vocab), $"tok" === $"vtok", "left")
+      .groupBy($"source")
+      .agg(
+        sum($"c").as("n_tokens"),
+        coalesce(sum(when($"vtok".isNull, $"c")), lit(0L)).as("n_oov"),
+        countDistinct(when($"vtok".isNull, $"tok")).as("n_oov_types"))
+      .select($"source", $"n_tokens", $"n_oov", $"n_oov_types",
+        expr("(1000000 * n_oov) div n_tokens").as("oov_ppm"))
+      .orderBy($"source")
+  }
+
+  val t32Sql: String =
+    """WITH words AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT source, ws[i] AS tok
+      |        FROM words, UNNEST(generate_series(1, len(ws))) AS t(i)),
+      |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1, 2),
+      |vocab AS (SELECT tok AS vtok FROM (
+      |    SELECT tok, SUM(c) AS n FROM st GROUP BY tok
+      |    ORDER BY n DESC, tok LIMIT 1000)),
+      |prof AS (
+      |  SELECT source, SUM(c) AS n_tokens,
+      |    COALESCE(SUM(CASE WHEN vtok IS NULL THEN c END), 0) AS n_oov,
+      |    COUNT(DISTINCT CASE WHEN vtok IS NULL THEN tok END) AS n_oov_types
+      |  FROM st LEFT JOIN vocab ON tok = vtok GROUP BY source)
+      |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n_oov AS BIGINT) AS n_oov,
+      |  CAST(n_oov_types AS BIGINT) AS n_oov_types,
+      |  CAST((1000000 * n_oov) // n_tokens AS BIGINT) AS oov_ppm
+      |FROM prof ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1792,5 +1856,6 @@ object TextAnalysis {
     Q("t28_lang_fertility", t28, Some(t28Sql)),
     Q("t29_atomic_packing", t29, Some(t29Sql)),
     Q("t30_lang_confusion", t30, Some(t30Sql)),
-    Q("t31_ngram_novelty", t31, Some(t31Sql)))
+    Q("t31_ngram_novelty", t31, Some(t31Sql)),
+    Q("t32_oov_profile", t32, Some(t32Sql)))
 }

@@ -545,6 +545,63 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"hard-negative mining must not shuffle the corpus into a join:\n$sp")
   }
 
+  test("q49: transitions scan only the stream columns; row totals broadcast back") {
+    val p = plan(Temporal.q49(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("value") && !readSchema.contains("props"),
+      s"scan reads columns the op never uses: $readSchema")
+    val sp = simplePlan(Temporal.q49(spark, dir))
+    assert(sp.contains("BroadcastHashJoin"),
+      s"the |types|-row total frame must broadcast:\n$sp")
+    assert(!sp.contains("CartesianProduct") && !sp.contains("SortMergeJoin"),
+      s"transition matrix grew a heavy join:\n$sp")
+  }
+
+  test("s20: assignment broadcasts centroids; the drift join broadcasts the old centroids") {
+    val sp = simplePlan(Similarity.s20(spark, dir))
+    assert(sp.contains("BroadcastNestedLoopJoin") || sp.contains("BroadcastHashJoin"),
+      s"centroid sides must broadcast:\n$sp")
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("CartesianProduct"),
+      s"drift must never shuffle the corpus into a join:\n$sp")
+  }
+
+  test("s21: both rankers broadcast their query side; fusion never rescans the corpus") {
+    val sp = simplePlan(Similarity.s21(spark, dir))
+    val bcasts = sp.linesIterator.count(l =>
+      l.contains("BroadcastNestedLoopJoin") || l.contains("BroadcastHashJoin"))
+    assert(bcasts >= 2, s"each ranker must broadcast its queries:\n$sp")
+    assert(!sp.contains("CartesianProduct"), s"fusion went cartesian:\n$sp")
+  }
+
+  test("g13: degree tables broadcast onto the stubs — the edge list never self-joins") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 3L)).toDF("da", "db")
+    val sp = simplePlan(GraphOps.knnDegree(edges))
+    assert(sp.contains("BroadcastHashJoin"),
+      s"degree frames must broadcast:\n$sp")
+    assert(!sp.contains("CartesianProduct"), s"knn curve went cartesian:\n$sp")
+  }
+
+  test("t32: one (source, token) collapse; the 1000-row vocabulary broadcasts") {
+    // the (source, token) checkpoint boundary hides the scan from the
+    // final explain (cf. q02), so the audit pins the join shape only
+    val sp = simplePlan(TextAnalysis.t32(spark, dir))
+    assert(sp.contains("BroadcastHashJoin"),
+      s"the vocabulary must broadcast into the profile join:\n$sp")
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("CartesianProduct"),
+      s"the (source, token) frame must not shuffle into the vocab join:\n$sp")
+  }
+
+  test("d22: prefix families are one hash aggregate — no join, no text in the exchange") {
+    val sp = simplePlan(Dedup.d22(spark, dir))
+    assert(!sp.contains("Join"), s"prefix families grew a join:\n$sp")
+    // the exchange must carry the md5 keys, never the text payload
+    val exchangeLines = sp.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchangeLines.contains("text"),
+      s"document text crosses an exchange:\n$exchangeLines")
+  }
+
   test("q48: the log collapses once; both lags ride one window over the tiny series") {
     val p = plan(Temporal.q48(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString

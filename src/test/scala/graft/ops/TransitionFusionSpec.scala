@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-8 additions: per-user event transitions (q49),
+  * IVF Lloyd-step drift (s20), reciprocal-rank fusion (s21), and the
+  * average-neighbor-degree curve (g13). */
+class TransitionFusionSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q49: a known stream yields exact transition counts and floor-div ppm") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // user 1: a→b→a→c ; user 2: a→b. Transitions: a→b ×2, b→a ×1, a→c ×1.
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "c"),
+      (2L, 1L, "a"), (2L, 2L, "b")
+    ).toDF("user_id", "event_id", "et")
+      .select($"user_id", $"event_id", $"et".as("event_type"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          expr("make_interval(0, 0, 0, 0, 0, 0, event_id)")).as("ts"))
+    val out = Temporal.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    // from 'a': 3 transitions total → a→b = 2/3 = 666666 ppm (floor), a→c = 333333
+    assert(out(("a", "b")) == ((2L, 666666L)))
+    assert(out(("a", "c")) == ((1L, 333333L)))
+    assert(out(("b", "a")) == ((1L, 1000000L)))
+    assert(!out.contains(("b", "c")) && !out.contains(("c", "a")),
+      "streams must not leak across users")
+  }
+
+  test("q49: ts ties are broken by event_id, not arrival order") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // same ts for all three events; event_id order is c(3) ← b(2) ← a(1)
+    val ev = Seq((9L, 3L, "c"), (9L, 1L, "a"), (9L, 2L, "b"))
+      .toDF("user_id", "event_id", "et")
+      .select($"user_id", $"event_id", $"et".as("event_type"),
+        to_timestamp(lit("2024-01-01 00:00:00")).as("ts"))
+    val out = Temporal.transitionMatrix(ev).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "b"), ("b", "c")))
+  }
+
+  test("s20: cells partition the corpus and drift_cos is a valid cosine") {
+    val rows = Similarity.s20(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 100 == 0, "cell ids must be the coarse centroids")
+      assert(r.getLong(1) >= 1, "a centroid is always a member of its own cell")
+      if (!r.isNullAt(2)) {
+        val c = r.getDouble(2)
+        assert(c >= -1.000001 && c <= 1.000001, s"cos out of range: $c")
+      }
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val n = Tables.t(spark, dir, "embeddings").count()
+    assert(total == n, s"cells must partition the corpus: $total != $n")
+  }
+
+  test("s21: fused candidates appearing in both lists outrank via summed RRF") {
+    val rows = Similarity.s21(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (qid, g) =>
+      assert(g.length <= 5)
+      val ranked = g.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to g.length).toSeq)
+      val scores = ranked.map(_.getLong(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"RRF not descending for $qid")
+      g.foreach { r =>
+        assert(r.getLong(2) != qid, "query fused as its own neighbor")
+        val nLists = r.getLong(4)
+        assert(nLists == 1L || nLists == 2L)
+        // max per-list contribution is 1000000 div 61 = 16393
+        if (nLists == 1L) assert(r.getLong(3) <= 16393L)
+        else assert(r.getLong(3) <= 2 * 16393L && r.getLong(3) >= 2 * (1000000 / 70))
+      }
+    }
+  }
+
+  test("g13: a star graph puts leaves at knn = hub degree and the hub at knn = 1") {
+    val s = spark
+    import s.implicits._
+    // star: 0–1, 0–2, 0–3 → hub degree 3, leaves degree 1
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("da", "db")
+    val out = GraphOps.knnDegree(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 3.0))) // 3 leaves, 3 stubs, each neighbor = hub(3)
+    assert(out(3L) == ((1L, 3L, 1.0))) // the hub: 3 stubs, all neighbors degree 1
+  }
+
+  test("g13: a 4-cycle is regular — one degree class at knn = 2") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("da", "db")
+    val out = GraphOps.knnDegree(edges).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L &&
+      r.getLong(2) == 8L && r.getDouble(3) == 2.0)
+  }
+}
