@@ -93,19 +93,38 @@ object Bench {
     }
     // a failed query must not read as a fast pass: sentinel -1 in the map,
     // name in "failed", wall-clock excluded from the total
-    val qs = results.map { case (k, v, ok) =>
+    def entry(k: String, v: Double, ok: Boolean): String =
       s"\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
-    }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, ok) => entry(k, v, ok) }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$repeat,"timing":"min","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    // stdout capture has been observed truncated in round artifacts
-    // (BENCH_r05/r06 stored a partial tail, parsed:null) — persist the
-    // full line next to the code so every per-query timing is committed
-    // evidence regardless of how the caller buffers stdout
+    // The round harness keeps only the LAST ~2000 chars of combined
+    // stdout/stderr (observed in BENCH_r01–r06: every artifact stored a
+    // mid-line tail fragment, parsed:null — the full per-query map has
+    // never fit). So stdout gets a size-bounded line that actually
+    // survives that window: failures and the slowest queries first (the
+    // informative ones), capped so line + sbt's trailing "[success]"
+    // banner stay inside the window. The complete map is persisted to
+    // BENCH_LOCAL.json (committed evidence) either way.
+    val budget = 1500
+    val ordered = results.filterNot(_._3) ++
+      results.filter(_._3).sortBy(-_._2) // failed first, then slowest
+    val kept = new StringBuilder
+    var omitted = 0
+    ordered.foreach { case (k, v, ok) =>
+      val e = entry(k, v, ok)
+      if (kept.length + e.length + 1 <= budget) {
+        if (kept.nonEmpty) kept.append(',')
+        kept.append(e)
+      } else omitted += 1
+    }
+    val stdoutJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$repeat,"timing":"min","n_queries":${results.size},"queries":{$kept},"queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json","failed":$failed,"sf":"$sfDir"}"""
+    println(stdoutJson)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json + "\n")
