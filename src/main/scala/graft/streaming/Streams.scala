@@ -897,6 +897,55 @@ object Streams {
       }
   }
 
+  /** Transition observation emitted by [[transitionIngest]] — the rows
+    * batch q49 counts into the matrix. */
+  final case class TransObs(user_id: Long, from_type: String, to_type: String)
+
+  /** Per-user frontier: last event's (micros, event_id, type). */
+  final case class TransS(lastUs: Long, lastEventId: Long, lastType: String)
+
+  /** Streaming event-type transition extraction — the live twin of batch
+    * q49's lead window: for each user stream, emit the (from_type →
+    * to_type) observation between every event and its predecessor.
+    * Downstream, any count of these rows IS the live transition matrix
+    * (grouped count + row-conditional ppm exactly as the batch op); the
+    * batch op over the full log stays the replayable source of truth.
+    *
+    * State per user is ONE frontier row — the same O(users) bound as
+    * firstSeen; nothing grows with history. Ordering inside a micro-batch
+    * is (ts micros, event_id), the batch window's total order; an event
+    * at or behind the frontier is late or replayed and is dropped
+    * (gapIngest's frontier rule — stream equals batch on any in-order
+    * delivery, however it is micro-batched). */
+  def transitionIngest(events: Dataset[Ev2]): Dataset[TransObs] = {
+    val s = events.sparkSession
+    import s.implicits._
+    def usOf(t: Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransS, TransObs](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev2], state: GroupState[TransS]) =>
+          val ordered = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[TransObs]
+          ordered.foreach { e =>
+            val us = usOf(e.ts)
+            if (st == null) st = TransS(us, e.event_id, e.event_type)
+            else if (us < st.lastUs ||
+                (us == st.lastUs && e.event_id <= st.lastEventId)) {
+              // late or replayed: at or behind the frontier — drop
+            } else {
+              out += TransObs(uid, st.lastType, e.event_type)
+              st = TransS(us, e.event_id, e.event_type)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming incremental materialization: each micro-batch is merged
     * into the parquet target by `uniqueKey` (delete-insert, the parquet
     * analog of MERGE INTO — same semantics as the batch Runner's

@@ -761,6 +761,58 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q2.stop()
   }
 
+  test("transitionIngest: emitted pairs equal batch q49's lead pairs; late events drop") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Streams.Ev2]
+    val q = Streams.transitionIngest(in.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1 arrives OUT of order within the batch: the fold must sort.
+      // u1: view(0s) → click(1s) → buy(3s); a ts TIE (ids 3,4) still
+      // transitions in event_id order.
+      in.addData(
+        Streams.Ev2(2, 1, "click", ts("2024-05-01 00:00:01"), 0.0),
+        Streams.Ev2(1, 1, "view", ts("2024-05-01 00:00:00"), 0.0),
+        Streams.Ev2(4, 1, "buy", ts("2024-05-01 00:00:03"), 0.0),
+        Streams.Ev2(3, 1, "click", ts("2024-05-01 00:00:03"), 0.0))
+      q.processAllAvailable()
+      // batch 2: a transition ACROSS the micro-batch boundary (buy →
+      // view); a late event behind the frontier drops; u2's lone event
+      // emits nothing
+      in.addData(
+        Streams.Ev2(5, 1, "view", ts("2024-05-01 00:00:10"), 0.0),
+        Streams.Ev2(9, 1, "click", ts("2024-05-01 00:00:02"), 0.0), // late
+        Streams.Ev2(7, 2, "view", ts("2024-05-01 00:00:30"), 0.0))
+      q.processAllAvailable()
+      val got = s.table("trans_out").as[Streams.TransObs].collect().toSeq
+        .map(t => (t.user_id, t.from_type, t.to_type)).sorted
+      assert(got == Seq(
+        (1L, "buy", "view"), (1L, "click", "buy"),
+        (1L, "click", "click"), (1L, "view", "click")))
+      // kappa: the same in-order event set (late id 9 excluded) through
+      // batch q49's kernel yields the matrix of exactly these pairs
+      val batch = graft.ops.Temporal.transitionMatrix(
+        Seq(
+          (1L, 1L, "view", ts("2024-05-01 00:00:00")),
+          (2L, 1L, "click", ts("2024-05-01 00:00:01")),
+          (3L, 1L, "click", ts("2024-05-01 00:00:03")),
+          (4L, 1L, "buy", ts("2024-05-01 00:00:03")),
+          (5L, 1L, "view", ts("2024-05-01 00:00:10")),
+          (7L, 2L, "view", ts("2024-05-01 00:00:30")))
+          .toDF("event_id", "user_id", "event_type", "ts"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(batch == Seq(
+        ("buy", "view", 1L, 1000000L),
+        ("click", "buy", 1L, 500000L),
+        ("click", "click", 1L, 500000L),
+        ("view", "click", 1L, 1000000L)))
+    } finally q.stop()
+  }
+
   test("gapIngest: emitted gaps equal batch q46's lag gaps; late events drop") {
     val s = spark
     import s.implicits._
