@@ -142,3 +142,71 @@ object Downsample {
   def apply(c: Column, step: Int): Column =
     Bridge.column(Downsample(Bridge.expression(c), step))
 }
+
+/** Code-point histogram summary of a payload string: the count of the
+  * most frequent code point and the number of distinct code points, in
+  * one compiled walk. Character (not byte) indexed so the DuckDB mirror
+  * (`text[i]` + GROUP BY) counts the identical units on any BMP text.
+  * Which character holds the mode is deliberately NOT emitted — MAX of
+  * counts is tiebreak-free where argmax would not be. */
+case class CharStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("mode_cnt", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"char_stats expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    CharStats.compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharStats.compute($c);")
+  override protected def withNewChildInternal(newChild: Expression): CharStats =
+    copy(child = newChild)
+  override def prettyName: String = "char_stats"
+}
+
+object CharStats {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def apply(c: Column): Column = Bridge.column(CharStats(Bridge.expression(c)))
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * ASCII rides a flat 128-slot array (the common case at memory speed);
+    * anything above falls into a small map. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val ascii = new Array[Long](128)
+    var high: java.util.HashMap[Integer, Long] = null
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1L
+      else {
+        if (high == null) high = new java.util.HashMap[Integer, Long]()
+        val prev = high.get(cp)
+        high.put(cp, if (prev == null) 1L else prev + 1L)
+      }
+      i += Character.charCount(cp)
+    }
+    var mode = 0L
+    var distinct = 0L
+    var k = 0
+    while (k < 128) {
+      val c = ascii(k)
+      if (c > 0) { distinct += 1; if (c > mode) mode = c }
+      k += 1
+    }
+    if (high != null) {
+      val it = high.values().iterator()
+      while (it.hasNext) {
+        val c: Long = it.next()
+        distinct += 1
+        if (c > mode) mode = c
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](mode, distinct))
+  }
+}

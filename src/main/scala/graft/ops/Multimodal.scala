@@ -412,6 +412,55 @@ object Multimodal {
       |JOIN sizes sb ON p.db = sb.doc_id
       |ORDER BY p.da, p.db""".stripMargin
 
+  // ---------------------------------------------------------------- m10
+  /** Payload concentration profile — the degenerate-asset detector run
+    * before any decode budget is spent: the most frequent code point's
+    * share of the payload (ppm) plus the distinct-symbol count. A share
+    * near 10⁶ is a constant/black-frame asset (decode yields nothing); a
+    * tiny share with a full symbol set is healthy compressed media. This
+    * is the transcendental-free stand-in for byte-entropy screening —
+    * the mode share bounds entropy from both sides, and unlike entropy
+    * it needs no log and hash-compares exactly.
+    *
+    * Determinism: counts are exact integers from the compiled
+    * [[graft.functions.CharStats]] walk (mode is MAX of counts —
+    * tiebreak-free where argmax would not be); share is floor-div ppm.
+    *
+    * Scale (100 TB): pure narrow per-row work in one compiled kernel
+    * pass; payloads never leave their partition (the m03 fan-out
+    * repartition is the only exchange). A real byte-level screen swaps
+    * the kernel body at the same seam as m02's decoder. */
+  def m10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .repartition($"doc_id") // fan-out, see m03
+      .withColumn("txt", decode($"bytes", "UTF-8"))
+      .withColumn("st", graft.functions.CharStats($"txt"))
+      .withColumn("n_chars", length($"txt").cast(LongType))
+      .withColumn("mode_cnt", $"st.mode_cnt")
+      .select($"doc_id", $"n_chars", $"st.n_distinct".as("n_distinct"),
+        when($"n_chars" > 0,
+          expr("(1000000 * mode_cnt) div n_chars")).as("mode_share_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val m10Sql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, text[i] AS ch
+      |  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+      |hist AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |         FROM chars GROUP BY 1, 2),
+      |agg AS (SELECT doc_id, MAX(c) AS mode_cnt,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct, SUM(c) AS n_chars
+      |  FROM hist GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(COALESCE(a.n_chars, 0) AS BIGINT) AS n_chars,
+      |  COALESCE(a.n_distinct, 0) AS n_distinct,
+      |  CASE WHEN a.n_chars > 0
+      |       THEN CAST((1000000 * a.mode_cnt) // a.n_chars AS BIGINT)
+      |  END AS mode_share_ppm
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
@@ -421,5 +470,6 @@ object Multimodal {
     Q("m06_scene_cuts", m06, Some(m06Sql)),
     Q("m07_pair_manifest", m07, Some(m07Sql)),
     Q("m08_decode_budget", m08, Some(m08Sql)),
-    Q("m09_video_neardup", m09, Some(m09Sql)))
+    Q("m09_video_neardup", m09, Some(m09Sql)),
+    Q("m10_payload_concentration", m10, Some(m10Sql)))
 }

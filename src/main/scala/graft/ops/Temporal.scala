@@ -948,6 +948,72 @@ object Temporal {
       |FROM c JOIN tot ON c.from_type = tot.from_type
       |ORDER BY c.from_type, c.to_type""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Top-20 within-session event-type path trigrams — the 3-step
+    * extension of q49's pairwise matrix, bounded to q17's 30-minute
+    * sessions so a path never spans a return visit: the "what do users
+    * actually DO in one sitting" report that funnels (q23) hard-code and
+    * the transition matrix can only approximate (a first-order chain has
+    * no memory; the trigram table IS the second-order evidence).
+    *
+    * Determinism: the per-user order is (ts, event_id); session breaks
+    * at gap ≥ 30 min mirror q17's session_window closure; counts are
+    * exact integers and the top-20 cut orders by (n desc, t1, t2, t3).
+    *
+    * Scale (100 TB): ONE shuffle — every window (session flag, running
+    * session id, both leads) rides the same user_id partitioning and
+    * sort, so Catalyst plans a single exchange + sort; session
+    * membership of the lead rows is checked with led session ids
+    * instead of re-partitioning by (user, session). The trigram count
+    * is map-side combinable and the top-20 lowers to
+    * TakeOrderedAndProject. */
+  def q50(s: SparkSession, dir: String): DataFrame =
+    pathTrigrams(Tables.t(s, dir, "events"))
+
+  /** q50's kernel over any (user_id, ts, event_id, event_type) frame —
+    * split out so the spec can pin the session-break and windowing rules
+    * on constructed streams. */
+  private[graft] def pathTrigrams(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("brk",
+        when(unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)) >=
+          1800000000L, 1L).otherwise(lit(0L)))
+      .withColumn("sess", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("s2", lead($"sess", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .withColumn("s3", lead($"sess", 2).over(w))
+      .filter($"s2" === $"sess" && $"s3" === $"sess")
+      .groupBy($"event_type".as("t1"), $"t2", $"t3")
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy($"n_paths".desc, $"t1", $"t2", $"t3")
+      .limit(20)
+  }
+
+  val q50Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (SELECT user_id, ts, event_id, event_type,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM o),
+      |l AS (SELECT event_type AS t1, sess,
+      |    lead(event_type, 1) OVER w AS t2, lead(sess, 1) OVER w AS s2,
+      |    lead(event_type, 2) OVER w AS t3, lead(sess, 2) OVER w AS s3
+      |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n_paths
+      |FROM l WHERE s2 = sess AND s3 = sess
+      |GROUP BY 1, 2, 3 ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -963,5 +1029,6 @@ object Temporal {
     Q("q46_event_gaps", q46, Some(q46Sql)),
     Q("q47_value_drift", q47, Some(q47Sql)),
     Q("q48_hourly_autocorr", q48, Some(q48Sql)),
-    Q("q49_event_transitions", q49, Some(q49Sql)))
+    Q("q49_event_transitions", q49, Some(q49Sql)),
+    Q("q50_path_trigrams", q50, Some(q50Sql)))
 }

@@ -1825,6 +1825,97 @@ object TextAnalysis {
       |  CAST((1000000 * n_oov) // n_tokens AS BIGINT) AS oov_ppm
       |FROM prof ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t33
+  /** Per-source token-distribution drift vs the corpus — total-variation
+    * distance over the top-1000 vocabulary plus one OOV bucket, in ppm.
+    * The mixture-health meter read next to t32: OOV rate says how much
+    * mass is OUTSIDE the head vocabulary; this says how differently a
+    * source USES the head itself (a source can be 0% OOV yet have a
+    * token distribution nothing like the corpus — template mills do).
+    * TV = ½·Σ|p_i − q_i| is the rational-arithmetic divergence — exact
+    * where KL needs logs — and bounds every downstream classifier's
+    * distinguishability (Le Cam).
+    *
+    * Determinism: cross-multiplied exact integers throughout —
+    * |c_i·T − C_i·T_s| summed in DECIMAL(38,0), one floor division to
+    * ppm. The vocabulary cut is t32's (count desc, token) total order.
+    *
+    * Scale (100 TB): the corpus collapses once to (source, token) (t32's
+    * checkpointed frame would be shareable in a fused pipeline); the
+    * bucketed frame is ≤ |sources|·1001 rows, the marginals are
+    * broadcast-sized, and the dense grid — which the absolute difference
+    * needs (a source MISSING a vocab token still contributes C_i·T_s) —
+    * is |sources|·1001 via a broadcast cross join. Nothing downstream of
+    * the first collapse grows with the corpus. */
+  def t33(s: SparkSession, dir: String): DataFrame =
+    sourceDrift(Tables.t(s, dir, "documents"))
+
+  /** t33's kernel over any (source, text) frame — split out so the spec
+    * can pin the TV arithmetic on constructed corpora (identical
+    * distributions → 0; disjoint vocabularies → the share bound). */
+  private[graft] def sourceDrift(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val st = docs
+      .select($"source",
+        explode(graft.functions.ShingleKernels.ngramCountsText($"text", 1)).as("gc"))
+      .select($"source", $"gc.g".as("tok"), $"gc.c".as("c"))
+      .groupBy($"source", $"tok")
+      .agg(sum($"c").as("c"))
+      .localCheckpoint(eager = false) // vocab cut + bucketing share it
+    val vocab = st.groupBy($"tok").agg(sum($"c").as("n"))
+      .orderBy($"n".desc, $"tok").limit(1000)
+      .select($"tok".as("vtok"))
+    // " OOV " contains a space, which no space-split token can — the
+    // bucket key cannot collide with a real vocabulary entry
+    val keyed = st.join(broadcast(vocab), $"tok" === $"vtok", "left")
+      .select($"source", coalesce($"vtok", lit(" OOV ")).as("vkey"), $"c")
+      .groupBy($"source", $"vkey").agg(sum($"c").as("c"))
+      .localCheckpoint(eager = false) // marginals + grid share it
+    val srcTot = keyed.groupBy($"source").agg(sum($"c").as("ts"))
+    val keyTot = keyed.groupBy($"vkey").agg(sum($"c").as("ck"))
+    val tot = srcTot.agg(sum($"ts").as("t"))
+    val dec0 = (c: Column) => c.cast(DecimalType(38, 0))
+    srcTot.crossJoin(broadcast(keyTot))
+      .join(keyed, Seq("source", "vkey"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"ts", $"t",
+        abs(dec0(coalesce($"c", lit(0L))) * dec0($"t") -
+          dec0($"ck") * dec0($"ts")).as("term"))
+      .groupBy($"source", $"ts", $"t")
+      .agg(sum($"term").as("sterm"))
+      .select($"source", $"ts".as("n_tokens"),
+        expr("(1000000 * sterm) div (2 * cast(ts as decimal(38,0)) * cast(t as decimal(38,0)))")
+          .cast(LongType).as("tv_ppm"))
+      .orderBy($"source")
+  }
+
+  val t33Sql: String =
+    """WITH words AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (SELECT source, ws[i] AS tok
+      |        FROM words, UNNEST(generate_series(1, len(ws))) AS t(i)),
+      |st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM tok GROUP BY 1, 2),
+      |vocab AS (SELECT tok AS vtok FROM (
+      |    SELECT tok, SUM(c) AS n FROM st GROUP BY tok
+      |    ORDER BY n DESC, tok LIMIT 1000)),
+      |keyed AS (SELECT source, COALESCE(vtok, ' OOV ') AS vkey, SUM(c) AS c
+      |          FROM st LEFT JOIN vocab ON tok = vtok GROUP BY 1, 2),
+      |srctot AS (SELECT source, SUM(c) AS ts FROM keyed GROUP BY 1),
+      |keytot AS (SELECT vkey, SUM(c) AS ck FROM keyed GROUP BY 1),
+      |tot AS (SELECT SUM(ts) AS t FROM srctot),
+      |grid AS (SELECT s.source, s.ts, k.vkey, k.ck, COALESCE(x.c, 0) AS c
+      |  FROM srctot s CROSS JOIN keytot k
+      |  LEFT JOIN keyed x ON x.source = s.source AND x.vkey = k.vkey),
+      |terms AS (SELECT source, ts,
+      |    abs(CAST(c AS HUGEINT) * (SELECT t FROM tot)
+      |      - CAST(ck AS HUGEINT) * ts) AS term
+      |  FROM grid)
+      |SELECT source, CAST(ts AS BIGINT) AS n_tokens,
+      |  CAST((1000000 * SUM(term))
+      |    // (2 * CAST(ts AS HUGEINT) * (SELECT t FROM tot)) AS BIGINT) AS tv_ppm
+      |FROM terms GROUP BY source, ts ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1857,5 +1948,6 @@ object TextAnalysis {
     Q("t29_atomic_packing", t29, Some(t29Sql)),
     Q("t30_lang_confusion", t30, Some(t30Sql)),
     Q("t31_ngram_novelty", t31, Some(t31Sql)),
-    Q("t32_oov_profile", t32, Some(t32Sql)))
+    Q("t32_oov_profile", t32, Some(t32Sql)),
+    Q("t33_source_drift", t33, Some(t33Sql)))
 }

@@ -367,6 +367,26 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("CharStats equals a brute-force code-point histogram on random strings") {
+    val rnd = new scala.util.Random(11)
+    def brute(s: String): (Long, Long) = {
+      val m = s.codePoints().toArray.groupBy(identity).view.mapValues(_.length.toLong)
+      if (m.isEmpty) (0L, 0L) else (m.values.max, m.size.toLong)
+    }
+    val cases = Seq("", "a", "aaaa", "ab", "aab", "héllo wörld", "日本語テキスト") ++
+      (1 to 30).map(_ => rnd.alphanumeric.take(rnd.nextInt(100)).mkString)
+    val s = spark
+    import s.implicits._
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", CharStats($"t").as("st"))
+      .select($"id", $"st.mode_cnt", $"st.n_distinct")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == brute(t), s"case $i: '$t'")
+    }
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._

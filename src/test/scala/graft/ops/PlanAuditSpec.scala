@@ -602,6 +602,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"document text crosses an exchange:\n$exchangeLines")
   }
 
+  test("q50: every window rides ONE user_id exchange; top-20 lowers to TakeOrdered") {
+    val sp = simplePlan(Temporal.q50(spark, dir))
+    val exchanges = sp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2,
+      s"session flag + leads must share the user_id exchange (plus the trigram agg):\n$sp")
+    assert(sp.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be a bounded heap, not a full sort:\n$sp")
+    assert(!sp.contains("CartesianProduct") && !sp.contains("Join"),
+      s"path trigrams grew a join:\n$sp")
+  }
+
+  test("t33: marginals and the dense grid broadcast; no corpus-proportional join") {
+    val sp = simplePlan(TextAnalysis.t33(spark, dir))
+    assert(sp.contains("BroadcastHashJoin") || sp.contains("BroadcastNestedLoopJoin"),
+      s"vocab/marginals must broadcast:\n$sp")
+    assert(!sp.contains("CartesianProduct"),
+      s"the drift grid must be a broadcast cross join, not cartesian:\n$sp")
+  }
+
+  test("m10: payload concentration is narrow kernel work — no join, one fan-out exchange") {
+    val sp = simplePlan(Multimodal.m10(spark, dir))
+    assert(!sp.contains("Join"), s"concentration profile grew a join:\n$sp")
+    assert(sp.contains("char_stats"),
+      s"the compiled kernel must appear in the plan:\n$sp")
+  }
+
   test("q48: the log collapses once; both lags ride one window over the tiny series") {
     val p = plan(Temporal.q48(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString

@@ -95,6 +95,57 @@ class TransitionFusionSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L) == ((1L, 3L, 1.0))) // the hub: 3 stubs, all neighbors degree 1
   }
 
+  test("q50: paths never cross a 30-minute session break") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // u1: a,b,c within minutes → one trigram (a,b,c); then a 30-min gap
+    // and d,e,f → one trigram (d,e,f). NO trigram spans the break.
+    val ev = Seq(
+      (1L, 1L, "a", 0), (2L, 1L, "b", 60), (3L, 1L, "c", 120),
+      (4L, 1L, "d", 1920), (5L, 1L, "e", 1980), (6L, 1L, "f", 2040)
+    ).toDF("event_id", "user_id", "et", "off")
+      .select($"event_id", $"user_id", $"et".as("event_type"),
+        (to_timestamp(lit("2024-01-01 00:00:00")) +
+          expr("make_interval(0, 0, 0, 0, 0, 0, off)")).as("ts"))
+    val out = Temporal.pathTrigrams(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(("a", "b", "c", 1L), ("d", "e", "f", 1L)))
+  }
+
+  test("t33: identical per-source distributions give tv_ppm 0; disjoint ones near 1e6") {
+    val s = spark
+    import s.implicits._
+    // srcA and srcB have the SAME distribution (each = half the corpus):
+    // p_i == q_i for every token → TV = 0 for both.
+    val same = Seq(("A", "x y x"), ("B", "x y x")).toDF("source", "text")
+    val got = TextAnalysis.sourceDrift(same).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("A" -> 0L, "B" -> 0L))
+    // disjoint vocabularies: each source holds half the corpus mass, so
+    // TV vs the corpus = 1/2 exactly → 500000 ppm
+    val disj = Seq(("A", "x x x x"), ("B", "y y y y")).toDF("source", "text")
+    val got2 = TextAnalysis.sourceDrift(disj).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got2 == Map("A" -> 500000L, "B" -> 500000L))
+  }
+
+  test("m10: constant, varied, and empty payloads profile correctly") {
+    val rows = graft.ops.Multimodal.m10(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1); val d = r.getLong(2)
+      if (n == 0) { assert(d == 0 && r.isNullAt(3)) }
+      else {
+        val ppm = r.getLong(3)
+        assert(d >= 1 && d <= n)
+        // mode share is bounded below by the uniform share and above by 1
+        assert(ppm <= 1000000L && ppm >= 1000000L / n - 1)
+      }
+    }
+  }
+
   test("g13: a 4-cycle is regular — one degree class at knn = 2") {
     val s = spark
     import s.implicits._
