@@ -1916,6 +1916,70 @@ object TextAnalysis {
       |    // (2 * CAST(ts AS HUGEINT) * (SELECT t FROM tot)) AS BIGINT) AS tv_ppm
       |FROM terms GROUP BY source, ts ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t34
+  /** Exact-dedup token-loss accounting per source — the MASS version of
+    * d14's doc-count funnel: how many TOKENS does exact dedup remove
+    * from each source, with the d07 survivor rule (lowest doc_id in
+    * each md5 group is kept, every other copy is removed). Mixture
+    * weights (t15/t23) and epoch math are set in tokens, not documents
+    * — a source that loses 40% of its token mass to dedup needs its
+    * sampling temperature recomputed even if its doc count barely moves
+    * (long boilerplate duplicates hit mass first).
+    *
+    * Determinism: pure exact hashing, integer token counts, floor-div
+    * ppm; the keeper choice is MIN(doc_id) — total.
+    *
+    * Scale (100 TB): the exchange carries (h, doc_id, source, n_tok) —
+    * 16-byte keys plus three integers, never text (d01's argument); the
+    * group stats and the flag join shuffle on the same h key, and the
+    * final per-source rollup is map-side combinable. The corpus is
+    * scanned twice (pure scan-side md5 + token count — cheaper than a
+    * checkpoint barrier, SURVEY §6's rule). */
+  def t34(s: SparkSession, dir: String): DataFrame =
+    dedupTokenLoss(Tables.t(s, dir, "documents"))
+
+  /** t34's kernel over any (doc_id, source, text) frame — split out so
+    * the spec can pin the keeper rule and the mass arithmetic. */
+  private[graft] def dedupTokenLoss(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val docs = docsIn
+      .select($"doc_id", $"source",
+        md5($"text".cast(BinaryType)).as("h"),
+        size(words($"text")).cast(LongType).as("n_tok"))
+    val groups = docs.groupBy($"h")
+      .agg(count(lit(1)).as("cnt"), min($"doc_id").as("keeper"))
+    docs.join(groups, Seq("h"))
+      .select($"source", $"n_tok",
+        ($"cnt" > 1 && $"doc_id" =!= $"keeper").cast(LongType).as("removed"))
+      .groupBy($"source")
+      .agg(
+        sum($"n_tok").as("n_tokens"),
+        sum($"removed").as("n_docs_removed"),
+        coalesce(sum(when($"removed" === 1, $"n_tok")), lit(0L))
+          .as("n_tokens_removed"))
+      .select($"source", $"n_tokens", $"n_docs_removed", $"n_tokens_removed",
+        expr("(1000000 * n_tokens_removed) div n_tokens").as("removed_ppm"))
+      .orderBy($"source")
+  }
+
+  val t34Sql: String =
+    """WITH d AS (SELECT doc_id, source, md5(text) AS h,
+      |    len(string_split(text, ' ')) AS n_tok FROM documents),
+      |g AS (SELECT h, COUNT(*) AS cnt, MIN(doc_id) AS keeper
+      |      FROM d GROUP BY h),
+      |f AS (SELECT d.source, CAST(d.n_tok AS BIGINT) AS n_tok,
+      |    CASE WHEN g.cnt > 1 AND d.doc_id <> g.keeper THEN 1 ELSE 0 END
+      |      AS removed
+      |  FROM d JOIN g ON d.h = g.h)
+      |SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(removed) AS BIGINT) AS n_docs_removed,
+      |  CAST(COALESCE(SUM(CASE WHEN removed = 1 THEN n_tok END), 0)
+      |    AS BIGINT) AS n_tokens_removed,
+      |  CAST((1000000 * COALESCE(SUM(CASE WHEN removed = 1 THEN n_tok END), 0))
+      |    // SUM(n_tok) AS BIGINT) AS removed_ppm
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -1949,5 +2013,6 @@ object TextAnalysis {
     Q("t30_lang_confusion", t30, Some(t30Sql)),
     Q("t31_ngram_novelty", t31, Some(t31Sql)),
     Q("t32_oov_profile", t32, Some(t32Sql)),
-    Q("t33_source_drift", t33, Some(t33Sql)))
+    Q("t33_source_drift", t33, Some(t33Sql)),
+    Q("t34_dedup_token_loss", t34, Some(t34Sql)))
 }

@@ -628,6 +628,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"the compiled kernel must appear in the plan:\n$sp")
   }
 
+  test("t34: token-loss exchanges carry hashes and counts, never text") {
+    val sp = simplePlan(TextAnalysis.t34(spark, dir))
+    val exchangeLines = sp.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchangeLines.contains("text"),
+      s"document text crosses an exchange:\n$exchangeLines")
+    assert(!sp.contains("CartesianProduct"), s"token loss went cartesian:\n$sp")
+  }
+
   test("q48: the log collapses once; both lags ride one window over the tiny series") {
     val p = plan(Temporal.q48(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString

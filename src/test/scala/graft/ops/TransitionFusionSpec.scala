@@ -146,6 +146,27 @@ class TransitionFusionSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("t34: the lowest doc_id survives; removed mass counts every later copy") {
+    val s = spark
+    import s.implicits._
+    // srcA: "a b" twice (4 tokens, one copy removable = 2 tokens) plus a
+    // unique 3-token doc; srcB: a third copy of "a b" — removed even
+    // though its keeper lives in srcA (cross-source groups attribute the
+    // loss to the source holding the copy).
+    val docs = Seq(
+      (1L, "A", "a b"), (2L, "A", "a b"), (3L, "A", "u v w"),
+      (4L, "B", "a b")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dedupTokenLoss(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // A: 7 tokens, 1 doc removed (id 2), 2 tokens removed → 285714 ppm
+    assert(out("A") == ((7L, 1L, 2L, 285714L)))
+    // B: 2 tokens, its only doc removed → 1000000 ppm
+    assert(out("B") == ((2L, 1L, 2L, 1000000L)))
+  }
+
   test("g13: a 4-cycle is regular — one degree class at knn = 2") {
     val s = spark
     import s.implicits._
