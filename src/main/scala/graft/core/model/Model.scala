@@ -62,6 +62,11 @@ final case class ModelNode(
     /** materialization: view | table | incremental | ephemeral */
     materialized: String = "view",
     uniqueKey: Option[String] = None,
+    /** dbt-spark `partition_by`: directory-partition the persisted table
+      * by these columns (Hive layout) so downstream filters prune at the
+      * source. Inline `config(partition_by='col')` or a patch-YAML
+      * string/list. */
+    partitionBy: Vector[String] = Vector.empty,
     contractEnforced: Boolean = false,
     contract: Option[StructType] = None,
     tags: Vector[String] = Vector.empty,

@@ -370,6 +370,13 @@ object ProjectLoader {
         materialized = conf.getOrElse("materialized",
           patchConfig.get("materialized").map(_.asStr).getOrElse("view")),
         uniqueKey = conf.get("unique_key").orElse(patchConfig.get("unique_key").map(_.asStr)),
+        partitionBy = conf.get("partition_by")
+          .map(v => Vector(v))
+          .orElse(patchConfig.get("partition_by").map {
+            case YList(items) => items.map(_.asStr)
+            case y => Vector(y.asStr)
+          })
+          .getOrElse(Vector.empty),
         contractEnforced = contractEnforced,
         contract = contract,
         tags = (patchEntry.get("tags").toSeq ++ patchConfig.get("tags").toSeq)

@@ -199,7 +199,7 @@ final class Runner(
     // skipping `dbt docs generate`)
     def cached: Option[DataFrame] = {
       val p = tablePath(m)
-      if (readCatalog && Files.exists(p)) Some(spark.read.parquet(p.toString))
+      if (readCatalog && Files.exists(p)) Some(readTable(p))
       else None
     }
     val out = m.materialized match {
@@ -236,10 +236,40 @@ final class Runner(
 
   private def tablePath(m: ModelNode): Path = warehouseDir.resolve(m.name)
 
+  private def schemaSidecar(p: Path): Path = p.resolve("_graft_schema.json")
+
+  /** Write a persisted table, honoring `partition_by` (Hive directory
+    * layout — downstream filters on the partition columns land in
+    * PartitionFilters and skip whole directories). Partitioned reads
+    * re-infer partition-column types from the directory names and move
+    * those columns last, so the model's declared schema is pinned in an
+    * underscore-prefixed sidecar (ignored by Spark's file index, like
+    * _SUCCESS) and re-applied on every read-back. */
+  private def writeTable(m: ModelNode, df: DataFrame, p: Path): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
+      .parquet(p.toString)
+    if (m.partitionBy.nonEmpty)
+      Files.writeString(schemaSidecar(p), df.schema.json)
+  }
+
+  private def readTable(p: Path): DataFrame = {
+    val sc = schemaSidecar(p)
+    if (Files.exists(sc)) {
+      val st = org.apache.spark.sql.types.DataType.fromJson(Files.readString(sc))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      // the user-provided schema pins partition-column TYPES (no
+      // inference), but Spark still appends partition columns last —
+      // the select restores the model's declared column order
+      spark.read.schema(st).parquet(p.toString)
+        .select(st.fieldNames.map(col): _*)
+    } else spark.read.parquet(p.toString)
+  }
+
   private def persist(m: ModelNode, df: DataFrame): DataFrame = {
     val p = tablePath(m)
-    df.write.mode("overwrite").parquet(p.toString)
-    spark.read.parquet(p.toString)
+    writeTable(m, df, p)
+    readTable(p)
   }
 
   /** Incremental: first run = full build; subsequent runs compute the
@@ -250,7 +280,7 @@ final class Runner(
     val p = tablePath(m)
     if (!Files.exists(p)) persist(m, execSql(m, isIncremental = false))
     else {
-      val existing = spark.read.parquet(p.toString)
+      val existing = readTable(p)
       existing.createOrReplaceTempView(viewName(m.name))
       val batch = execSql(m, isIncremental = true)
       val merged = m.uniqueKey match {
@@ -262,10 +292,10 @@ final class Runner(
       // reads from p, so p can't be overwritten in place; the swap costs a
       // rename instead of a second full write)
       val tmp = warehouseDir.resolve(m.name + "__tmp")
-      merged.write.mode("overwrite").parquet(tmp.toString)
+      writeTable(m, merged, tmp)
       deleteTree(p)
       Files.move(tmp, p)
-      spark.read.parquet(p.toString)
+      readTable(p)
     }
   }
 
@@ -292,7 +322,7 @@ final class Runner(
       .withColumn("dbt_valid_to", lit(null).cast(source.schema(updatedAt).dataType))
     if (!Files.exists(p)) persist(m, stamped)
     else {
-      val existing = spark.read.parquet(p.toString)
+      val existing = readTable(p)
       val closed = existing.filter(col("dbt_valid_to").isNotNull)
       val current = existing.filter(col("dbt_valid_to").isNull)
       val incoming = stamped.select(
@@ -317,10 +347,10 @@ final class Runner(
       val merged = closed.unionByName(keptCurrent)
         .unionByName(closedNow).unionByName(inserted)
       val tmp = warehouseDir.resolve(m.name + "__tmp")
-      merged.write.mode("overwrite").parquet(tmp.toString)
+      writeTable(m, merged, tmp)
       deleteTree(p)
       Files.move(tmp, p)
-      spark.read.parquet(p.toString)
+      readTable(p)
     }
   }
 

@@ -297,4 +297,52 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(out2.as[(Long, String)].collect().toSeq ==
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
+
+  test("partition_by: Hive layout on disk, pruned downstream scans, exact schema round-trip") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: pb\n",
+      "models/base.sql" ->
+        """{{ config(materialized='table', partition_by='region') }}
+          |select id, region, code from pb_input""".stripMargin,
+      "models/down.sql" ->
+        "select id, code from {{ ref('base') }} where region = 'eu'")
+    // code '007' keeps leading zeros ONLY if partition type inference is
+    // not applied to it — it is a data column here, but region's string
+    // type must also survive the round-trip (inference would try int on
+    // numeric-looking partition values)
+    Seq((1L, "us", "007"), (2L, "us", "008"), (3L, "eu", "009"))
+      .toDF("id", "region", "code").createOrReplaceTempView("pb_input")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    assert(manifest.nodes("model.pb.base").partitionBy == Vector("region"))
+    val wh = Files.createTempDirectory("graft_wh_pb")
+    val runner = new Runner(spark, manifest, cfg, wh, enforceAccess = false)
+    val out = runner.run()
+    // 1. Hive directory layout
+    assert(Files.exists(wh.resolve("base/region=us")) &&
+      Files.exists(wh.resolve("base/region=eu")), "no partition directories")
+    // 2. declared column order and types survive the read-back
+    val base = out("model.pb.base")
+    assert(base.schema.fieldNames.toSeq == Seq("id", "region", "code"))
+    assert(base.schema("region").dataType.typeName == "string")
+    assert(base.orderBy("id").collect().map(_.getString(2)).toSeq ==
+      Seq("007", "008", "009"))
+    // 3. the downstream filter prunes partitions at the scan
+    val downPlan = s.read
+      .schema(base.schema)
+      .parquet(wh.resolve("base").toString)
+      .filter($"region" === "eu")
+      .queryExecution.executedPlan.toString
+    assert(downPlan.contains("PartitionFilters: [isnotnull(region"),
+      s"partition filter not pushed:\n$downPlan")
+    assert(out("model.pb.down").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // 4. --read-catalog reuses the partitioned table with the same schema
+    val r2 = new Runner(spark, manifest, cfg, wh, enforceAccess = false,
+      readCatalog = true)
+    val cachedBase = r2.run()("model.pb.base")
+    assert(cachedBase.schema.fieldNames.toSeq == Seq("id", "region", "code"))
+    assert(cachedBase.count() == 3)
+  }
 }
