@@ -275,11 +275,30 @@ final class Runner(
   /** Incremental: first run = full build; subsequent runs compute the
     * post-watermark batch (with `{{ this }}` bound to the existing table)
     * and merge by unique_key (delete-insert semantics — the parquet
-    * analog of MERGE; with a Delta-style sink this becomes MERGE INTO). */
+    * analog of MERGE; with a Delta-style sink this becomes MERGE INTO).
+    *
+    * `incremental_strategy='insert_overwrite'` (dbt-spark spelling, needs
+    * `partition_by`) replaces ONLY the partitions present in the batch —
+    * Spark's dynamic partition overwrite — which is the backfill-safe
+    * shape at scale: re-running one day rewrites one directory, never
+    * the table, and needs no key join against the existing data. */
   private def runIncremental(m: ModelNode): DataFrame = {
     val p = tablePath(m)
+    val strategy = m.config.get("incremental_strategy").map(_.asStr)
+      .orElse(JinjaLite.findConfig(m.rawCode).get("incremental_strategy"))
     if (!Files.exists(p)) persist(m, execSql(m, isIncremental = false))
-    else {
+    else if (strategy.contains("insert_overwrite")) {
+      if (m.partitionBy.isEmpty) throw new IllegalArgumentException(
+        s"incremental model ${m.name}: insert_overwrite needs partition_by")
+      val existing = readTable(p)
+      existing.createOrReplaceTempView(viewName(m.name))
+      val batch = execSql(m, isIncremental = true)
+      batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(m.partitionBy: _*)
+        .parquet(p.toString)
+      readTable(p)
+    } else {
       val existing = readTable(p)
       existing.createOrReplaceTempView(viewName(m.name))
       val batch = execSql(m, isIncremental = true)

@@ -298,6 +298,35 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("insert_overwrite: an incremental batch replaces only its own partitions") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: io\n",
+      "models/daily.sql" ->
+        """{{ config(materialized='incremental',
+          |          incremental_strategy='insert_overwrite',
+          |          partition_by='day') }}
+          |select id, day, v from io_input
+          |{% if is_incremental() %}
+          |where day >= 2
+          |{% endif %}""".stripMargin)
+    Seq((1L, 1L, "a"), (2L, 2L, "b"))
+      .toDF("id", "day", "v").createOrReplaceTempView("io_input")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_io")
+    val runner = new Runner(spark, manifest, cfg, wh, enforceAccess = false)
+    runner.run()
+    // new batch: day 2 CORRECTED (id 2 re-stated as v='B') plus day 3;
+    // day 1 must remain untouched and day 2 must be replaced, not merged
+    Seq((1L, 1L, "STALE"), (2L, 2L, "B"), (3L, 3L, "c"))
+      .toDF("id", "day", "v").createOrReplaceTempView("io_input")
+    val out = runner.run()("model.io.daily").orderBy("id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 1L, "a"), (2L, 2L, "B"), (3L, 3L, "c")))
+  }
+
   test("partition_by: Hive layout on disk, pruned downstream scans, exact schema round-trip") {
     val s = spark
     import s.implicits._
