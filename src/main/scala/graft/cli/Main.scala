@@ -12,7 +12,7 @@ import java.nio.file.{Files, Path, Paths}
 /** CLI mirroring the reference's command surface (`main.py`):
   *
   * {{{
-  * graft run            [--select S]* [--project-dir P]
+  * graft run            [--select S]* [--project-dir P] [--full-refresh]
   * graft split NAME      --select S [--target-dir D] [--dry-run]
   * graft create-group G  --select S [--owner-name N] [--group-yml-path F]
   * graft group G         --select S [--owner-name N]   (create-group + contracts)
@@ -61,7 +61,7 @@ object Main {
       val a = argv(i)
       if (a == "--dry-run" || a == "--prerelease" || a == "--increment" ||
         a == "--latest" || a == "--debug" || a == "--read-catalog" ||
-        a == "--public-only")
+        a == "--public-only" || a == "--full-refresh")
         switches += a.stripPrefix("--")
       else if (a.startsWith("--")) {
         val key = a.stripPrefix("--")
@@ -132,7 +132,8 @@ object Main {
           else Some(selection(m))
         val out = new Runner(spark(), m, cfg,
           warehouse(), projectRoot = Some(root),
-          readCatalog = readCatalog).run(sel)
+          readCatalog = readCatalog,
+          fullRefresh = args.switches("full-refresh")).run(sel)
         out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
 
       case "split" =>

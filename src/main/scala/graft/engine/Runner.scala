@@ -37,7 +37,11 @@ final class Runner(
       * exists is READ, not recomputed — a repeat `contract`/`group` over
       * an unchanged project does zero Spark jobs for materialized models
       * (views are lazy and cost nothing either way). */
-    readCatalog: Boolean = false) {
+    readCatalog: Boolean = false,
+    /** dbt's `--full-refresh`: incremental and snapshot models rebuild
+      * from scratch (the non-incremental SQL, a fresh SCD2 baseline)
+      * instead of advancing existing state; wins over `readCatalog`. */
+    fullRefresh: Boolean = false) {
 
   def viewName(model: String): String = s"${manifest.projectName}__$model"
 
@@ -199,7 +203,7 @@ final class Runner(
     // skipping `dbt docs generate`)
     def cached: Option[DataFrame] = {
       val p = tablePath(m)
-      if (readCatalog && Files.exists(p)) Some(readTable(p))
+      if (readCatalog && !fullRefresh && Files.exists(p)) Some(readTable(p))
       else None
     }
     val out = m.materialized match {
@@ -286,7 +290,8 @@ final class Runner(
     val p = tablePath(m)
     val strategy = m.config.get("incremental_strategy").map(_.asStr)
       .orElse(JinjaLite.findConfig(m.rawCode).get("incremental_strategy"))
-    if (!Files.exists(p)) persist(m, execSql(m, isIncremental = false))
+    if (fullRefresh || !Files.exists(p))
+      persist(m, execSql(m, isIncremental = false))
     else if (strategy.contains("insert_overwrite")) {
       if (m.partitionBy.isEmpty) throw new IllegalArgumentException(
         s"incremental model ${m.name}: insert_overwrite needs partition_by")
@@ -339,7 +344,7 @@ final class Runner(
     val stamped = source
       .withColumn("dbt_valid_from", col(updatedAt))
       .withColumn("dbt_valid_to", lit(null).cast(source.schema(updatedAt).dataType))
-    if (!Files.exists(p)) persist(m, stamped)
+    if (fullRefresh || !Files.exists(p)) persist(m, stamped)
     else {
       val existing = readTable(p)
       val closed = existing.filter(col("dbt_valid_to").isNotNull)

@@ -298,6 +298,34 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("full refresh rebuilds an incremental from scratch, discarding merged state") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: fr\n",
+      "models/acc.sql" ->
+        """{{ config(materialized='incremental', unique_key='id') }}
+          |select id, v from fr_input
+          |{% if is_incremental() %}
+          |where id > (select max(id) from {{ this }})
+          |{% endif %}""".stripMargin)
+    Seq((1L, "old")).toDF("id", "v").createOrReplaceTempView("fr_input")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_fr")
+    new Runner(spark, manifest, cfg, wh, enforceAccess = false).run()
+    // source is RESTATED (id 1 corrected); a plain incremental run keeps
+    // the stale row (id 1 is not past the watermark), a full refresh
+    // rebuilds from the restated source
+    Seq((1L, "new")).toDF("id", "v").createOrReplaceTempView("fr_input")
+    val stale = new Runner(spark, manifest, cfg, wh, enforceAccess = false)
+      .run()("model.fr.acc").as[(Long, String)].collect().toSeq
+    assert(stale == Seq((1L, "old")))
+    val fresh = new Runner(spark, manifest, cfg, wh, enforceAccess = false,
+      fullRefresh = true).run()("model.fr.acc").as[(Long, String)].collect().toSeq
+    assert(fresh == Seq((1L, "new")))
+  }
+
   test("insert_overwrite: an incremental batch replaces only its own partitions") {
     val s = spark
     import s.implicits._
