@@ -286,6 +286,51 @@ final class Runner(
     * Spark's dynamic partition overwrite — which is the backfill-safe
     * shape at scale: re-running one day rewrites one directory, never
     * the table, and needs no key join against the existing data. */
+  /** dbt's `on_schema_change` policy for incremental models. Returns the
+    * (existing, batch) pair aligned onto ONE column set and order:
+    *  - ignore (default): the target schema wins — new batch columns are
+    *    dropped; a column the batch stopped producing is a hard error
+    *    (existing rows cannot be backfilled from nothing);
+    *  - fail: any difference aborts the run;
+    *  - append_new_columns: new columns join the target (existing rows
+    *    null), removed columns stay (new rows null);
+    *  - sync_all_columns: the batch schema wins — new columns join,
+    *    removed columns drop. */
+  private def alignSchemas(m: ModelNode, existing: DataFrame,
+      batch: DataFrame): (DataFrame, DataFrame) = {
+    val ex = existing.schema.fieldNames.toSeq
+    val b = batch.schema.fieldNames.toSeq
+    if (ex == b) return (existing, batch)
+    val added = b.filterNot(ex.contains)
+    val removed = ex.filterNot(b.contains)
+    val policy = m.config.get("on_schema_change").map(_.asStr)
+      .orElse(JinjaLite.findConfig(m.rawCode).get("on_schema_change"))
+      .getOrElse("ignore")
+    policy match {
+      case "fail" => throw new IllegalStateException(
+        s"incremental model ${m.name}: schema changed (added: [${added.mkString(", ")}], " +
+          s"removed: [${removed.mkString(", ")}]) and on_schema_change=fail")
+      case "append_new_columns" =>
+        val exPlus = added.foldLeft(existing)((df, c) =>
+          df.withColumn(c, lit(null).cast(batch.schema(c).dataType)))
+        val bPlus = removed.foldLeft(batch)((df, c) =>
+          df.withColumn(c, lit(null).cast(existing.schema(c).dataType)))
+        val order = ex ++ added
+        (exPlus.select(order.map(col): _*), bPlus.select(order.map(col): _*))
+      case "sync_all_columns" =>
+        val exPlus = added.foldLeft(existing)((df, c) =>
+          df.withColumn(c, lit(null).cast(batch.schema(c).dataType)))
+        (exPlus.select(b.map(col): _*), batch)
+      case "ignore" =>
+        if (removed.nonEmpty) throw new IllegalStateException(
+          s"incremental model ${m.name}: batch no longer produces column(s) " +
+            s"[${removed.mkString(", ")}] (on_schema_change=ignore)")
+        (existing, batch.select(ex.map(col): _*))
+      case other => throw new IllegalArgumentException(
+        s"incremental model ${m.name}: unknown on_schema_change '$other'")
+    }
+  }
+
   private def runIncremental(m: ModelNode): DataFrame = {
     val p = tablePath(m)
     val strategy = m.config.get("incremental_strategy").map(_.asStr)
@@ -297,16 +342,22 @@ final class Runner(
         s"incremental model ${m.name}: insert_overwrite needs partition_by")
       val existing = readTable(p)
       existing.createOrReplaceTempView(viewName(m.name))
-      val batch = execSql(m, isIncremental = true)
+      val (_, batch) = alignSchemas(m, existing,
+        execSql(m, isIncremental = true))
       batch.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(m.partitionBy: _*)
         .parquet(p.toString)
+      // the aligned batch schema IS the table's schema now; files from
+      // older partitions missing an appended column read as null under
+      // the explicit sidecar schema
+      Files.writeString(schemaSidecar(p), batch.schema.json)
       readTable(p)
     } else {
-      val existing = readTable(p)
-      existing.createOrReplaceTempView(viewName(m.name))
-      val batch = execSql(m, isIncremental = true)
+      val existing0 = readTable(p)
+      existing0.createOrReplaceTempView(viewName(m.name))
+      val (existing, batch) = alignSchemas(m, existing0,
+        execSql(m, isIncremental = true))
       val merged = m.uniqueKey match {
         case Some(k) => existing.join(batch.select(col(k)), Seq(k), "left_anti")
           .unionByName(batch)

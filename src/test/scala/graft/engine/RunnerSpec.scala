@@ -326,6 +326,43 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(fresh == Seq((1L, "new")))
   }
 
+  test("on_schema_change: append keeps old columns, sync drops them, fail aborts, ignore drops new ones") {
+    val s = spark
+    import s.implicits._
+    def proj(policy: String) = Map(
+      "dbt_project.yml" -> "name: sc\n",
+      "models/t.sql" ->
+        (s"{{ config(materialized='incremental', unique_key='id', on_schema_change='$policy') }}\n" +
+          """select * from sc_input
+            |{% if is_incremental() %}
+            |where id > (select max(id) from {{ this }})
+            |{% endif %}""".stripMargin))
+    def runTwice(policy: String): org.apache.spark.sql.DataFrame = {
+      Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("sc_input")
+      val root = writeProject(proj(policy))
+      val (cfg, manifest) = ProjectLoader.load(root)
+      val wh = Files.createTempDirectory("graft_wh_sc")
+      new Runner(spark, manifest, cfg, wh, enforceAccess = false).run()
+      // second batch RENAMES v -> w (one added, one removed column)
+      Seq((2L, "b")).toDF("id", "w").createOrReplaceTempView("sc_input")
+      new Runner(spark, manifest, cfg, wh, enforceAccess = false)
+        .run()("model.sc.t").orderBy("id")
+    }
+    val appended = runTwice("append_new_columns")
+    assert(appended.schema.fieldNames.toSeq == Seq("id", "v", "w"))
+    assert(appended.collect().map(r =>
+      (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)))).toSeq ==
+      Seq((1L, Some("a"), None), (2L, None, Some("b"))))
+    val synced = runTwice("sync_all_columns")
+    assert(synced.schema.fieldNames.toSeq == Seq("id", "w"))
+    assert(synced.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ==
+      Seq((1L, None), (2L, Some("b"))))
+    val e = intercept[IllegalStateException](runTwice("fail").collect())
+    assert(e.getMessage.contains("on_schema_change=fail"))
+    val e2 = intercept[IllegalStateException](runTwice("ignore").collect())
+    assert(e2.getMessage.contains("no longer produces"))
+  }
+
   test("insert_overwrite: an incremental batch replaces only its own partitions") {
     val s = spark
     import s.implicits._
