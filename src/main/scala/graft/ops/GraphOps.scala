@@ -1034,6 +1034,98 @@ object GraphOps {
       |FROM perdeg p JOIN ndocs n ON p.degree = n.degree
       |ORDER BY p.degree""".stripMargin
 
+  // ---------------------------------------------------------------- g14
+  /** Dedup-cluster threshold stability: every Jaccard ≥ 0.5 component
+    * (g01's clusters) against the ≥ 0.7 sub-clustering of its members —
+    * how many pieces does each cluster shatter into when the bar rises?
+    * n_fine = 1 means the cluster is threshold-robust (safe to collapse
+    * to one canonical doc); n_fine ≫ 1 means it was glued by borderline
+    * edges and d07's collapse at 0.5 would delete distinct documents.
+    * This is the cluster-grain answer to d15's pair-grain sweep — pairs
+    * can look stable while transitive chaining still merges clusters.
+    *
+    * Determinism: component ids are min-reachable-doc-ids (exact);
+    * members without a fine edge are their own fine cluster
+    * (coalesce to doc_id); counts are integers.
+    *
+    * Scale (100 TB): ONE inverted-index pair pass serves both
+    * thresholds (the jaccard column is computed once and filtered
+    * twice off a lazy checkpoint — the oracle's two recursive closures
+    * re-derive everything); both component runs ride [[components]]'
+    * local-finish/label-propagation split, and the final rollup is a
+    * groupBy over the (tiny) labeled vertex set. */
+  def g14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    thresholdStability(
+      Dedup.pairStats(Dedup.shingleArrays(s, dir))
+        .withColumn("jac",
+          $"i".cast("double") / ($"na" + $"nb" - $"i"))
+        .select($"da", $"db", $"jac"))
+  }
+
+  /** g14's kernel over any (da, db, jac) frame — split out so the spec
+    * can pin the split/robust classification on constructed graphs. */
+  private[graft] def thresholdStability(jacIn: DataFrame): DataFrame = {
+    val s = jacIn.sparkSession
+    import s.implicits._
+    val jac = jacIn
+      .localCheckpoint(eager = false) // both thresholds read one pair pass
+    val cc = components(jac.filter($"jac" >= 0.5).select($"da", $"db"))
+    val fc = components(jac.filter($"jac" >= 0.7).select($"da", $"db"))
+      .select($"doc_id".as("fdoc"), $"component".as("fine_comp"))
+    cc.join(fc, $"doc_id" === $"fdoc", "left")
+      .select($"doc_id", $"component",
+        coalesce($"fine_comp", $"doc_id").as("fine"))
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"fine").as("n_fine_clusters"))
+      .select($"component", $"n_docs", $"n_fine_clusters",
+        ($"n_fine_clusters" > 1).cast(LongType).as("split_flag"))
+      .orderBy($"component")
+  }
+
+  val g14Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |jac AS (SELECT da, db, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+      |        FROM inter
+      |        JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id),
+      |ce AS (SELECT da, db FROM jac WHERE jac >= 0.5),
+      |csym AS (SELECT da, db FROM ce UNION SELECT db, da FROM ce),
+      |cnodes AS (SELECT DISTINCT da AS doc_id FROM csym),
+      |creach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM cnodes
+      |  UNION
+      |  SELECT r.src, e.db FROM creach r JOIN csym e ON r.dst = e.da),
+      |cc AS (SELECT src AS doc_id, min(dst) AS component
+      |       FROM creach GROUP BY src),
+      |fe AS (SELECT da, db FROM jac WHERE jac >= 0.7),
+      |fsym AS (SELECT da, db FROM fe UNION SELECT db, da FROM fe),
+      |fnodes AS (SELECT DISTINCT da AS doc_id FROM fsym),
+      |freach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM fnodes
+      |  UNION
+      |  SELECT r.src, e.db FROM freach r JOIN fsym e ON r.dst = e.da),
+      |fc AS (SELECT src AS doc_id, min(dst) AS fine_comp
+      |       FROM freach GROUP BY src)
+      |SELECT cc.component, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT COALESCE(fc.fine_comp, cc.doc_id)) AS BIGINT)
+      |    AS n_fine_clusters,
+      |  CAST(CASE WHEN COUNT(DISTINCT COALESCE(fc.fine_comp, cc.doc_id)) > 1
+      |       THEN 1 ELSE 0 END AS BIGINT) AS split_flag
+      |FROM cc LEFT JOIN fc ON cc.doc_id = fc.doc_id
+      |GROUP BY cc.component
+      |ORDER BY cc.component""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -1047,5 +1139,6 @@ object GraphOps {
     Q("g10_assortativity", g10, Some(g10Sql)),
     Q("g11_source_modularity", g11, Some(g11Sql)),
     Q("g12_transitivity", g12, Some(g12Sql)),
-    Q("g13_knn_degree", g13, Some(g13Sql)))
+    Q("g13_knn_degree", g13, Some(g13Sql)),
+    Q("g14_threshold_stability", g14, Some(g14Sql)))
 }

@@ -167,6 +167,22 @@ class TransitionFusionSpec extends AnyFunSuite with SparkFixture {
     assert(out("B") == ((2L, 1L, 2L, 1000000L)))
   }
 
+  test("g14: a borderline-glued chain splits; a tight clique is robust") {
+    val s = spark
+    import s.implicits._
+    // cluster 1: a(1)-b(2) at 0.6 (coarse only), b(2)-c(3) at 0.8 →
+    // coarse {1,2,3}, fine {1} + {2,3} → n_fine 2, split.
+    // cluster 2: d(10)-e(11) at 0.9 → robust, n_fine 1.
+    val jac = Seq(
+      (1L, 2L, 0.6), (2L, 3L, 0.8), (10L, 11L, 0.9)
+    ).toDF("da", "db", "jac")
+    val out = GraphOps.thresholdStability(jac).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, 1L)))
+    assert(out(10L) == ((2L, 1L, 0L)))
+  }
+
   test("g13: a 4-cycle is regular — one degree class at knn = 2") {
     val s = spark
     import s.implicits._
