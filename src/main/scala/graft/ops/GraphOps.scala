@@ -1126,6 +1126,116 @@ object GraphOps {
       |GROUP BY cc.component
       |ORDER BY cc.component""".stripMargin
 
+  // ---------------------------------------------------------------- g15
+  /** Personalized PageRank from a seed set — the DAMPED contamination
+    * influence score, read next to g08's hard hop count: BFS says "3
+    * hops away", PPR says HOW MUCH of the seeds' mass actually reaches a
+    * vertex (a doc linked through one borderline edge scores far below
+    * one inside a contaminated clique, even at equal hop distance).
+    * Teleport mass restarts ONLY at seeds (the personalization), so
+    * rank IS seed-reachability weighted by path redundancy and damped
+    * by distance — the quarantine-priority ordering for leakage triage.
+    *
+    * Determinism: g04's integer fixed-point arithmetic — rank div deg
+    * contributions, DECIMAL(38) inbound sums, 85/100 integer damping —
+    * with the teleport term gated by the integer is_seed flag; the
+    * unrolled oracle hash-matches exactly.
+    *
+    * Scale (100 TB): identical loop skeleton to [[pagerank]] (edge list
+    * + degrees compute once and block-reuse; one join + one map-side-
+    * combining sum per round; per-round checkpoints keep lineage flat);
+    * the seed membership joins once into the reused base frame. */
+  private[graft] def personalizedPagerank(edgesIn: DataFrame,
+      seedsIn: DataFrame, iters: Int = 3): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val Scale = 1000000000000L
+    val e = edgesIn.select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
+    val sym = e.union(e.select($"db".as("da"), $"da".as("db")))
+      .localCheckpoint(eager = false) // reused every round
+    val deg = sym.groupBy($"da").agg(count(lit(1)).as("deg"))
+      .select($"da".as("doc_id"), $"deg")
+    val seeds = seedsIn.select($"doc_id".cast("long").as("sid")).distinct()
+    val base = deg.join(seeds, $"doc_id" === $"sid", "left")
+      .select($"doc_id", $"deg", $"sid".isNotNull.cast("long").as("is_seed"))
+      .localCheckpoint(eager = false) // reused every round
+    var ranks = base.withColumn("rank", $"is_seed" * lit(Scale))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.select($"doc_id".as("src"), expr("rank div deg").as("c"))
+      val inbound = sym.join(contrib, $"da" === $"src")
+        .groupBy($"db")
+        .agg(sum($"c".cast(DecimalType(38, 0))).as("in_sum"))
+      ranks = base.join(inbound, $"doc_id" === $"db", "left")
+        .select($"doc_id", $"deg", $"is_seed",
+          ($"is_seed" * lit(15L * Scale / 100) +
+            expr("(coalesce(in_sum, CAST(0 AS DECIMAL(38,0))) * 85) div 100"))
+            .as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select($"doc_id", $"is_seed", $"rank")
+  }
+
+  /** g15: 3-round personalized PageRank over the jaccard ≥ 0.5 near-dup
+    * graph from g08's directly-contaminated seed set. */
+  def g15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Dedup.grams4(Tables.t(s, dir, "documents"))
+    val evalG = grams.filter($"doc_id" % 97 === 0).select($"g").distinct()
+    val seeds = grams.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(evalG), Seq("g"))
+      .select($"doc_id").distinct()
+    personalizedPagerank(Dedup.jaccardPairs(s, dir, 0.5), seeds)
+      .orderBy($"doc_id")
+  }
+
+  val g15Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |sym AS (SELECT da, db FROM edges UNION ALL SELECT db, da FROM edges),
+      |deg AS (SELECT da AS doc_id, COUNT(*) AS deg FROM sym GROUP BY da),
+      |g4 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS g0
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+      |       WHERE len(ws) >= 4),
+      |seeds AS (SELECT DISTINCT t.doc_id FROM g4 t JOIN g4 e ON t.g0 = e.g0
+      |          WHERE e.doc_id % 97 = 0 AND t.doc_id % 97 <> 0),
+      |r0 AS (SELECT deg.doc_id, deg.deg,
+      |         CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+      |         CAST(CASE WHEN s.doc_id IS NOT NULL
+      |              THEN 1000000000000 ELSE 0 END AS BIGINT) AS rank
+      |       FROM deg LEFT JOIN seeds s ON deg.doc_id = s.doc_id),
+      |c0 AS (SELECT doc_id, rank // deg AS c FROM r0),
+      |i0 AS (SELECT sym.db AS doc_id, SUM(c) AS s
+      |       FROM sym JOIN c0 ON sym.da = c0.doc_id GROUP BY sym.db),
+      |r1 AS (SELECT r0.doc_id, r0.deg, r0.is_seed,
+      |         r0.is_seed * 150000000000 + (85 * COALESCE(i0.s, 0)) // 100 AS rank
+      |       FROM r0 LEFT JOIN i0 ON r0.doc_id = i0.doc_id),
+      |c1 AS (SELECT doc_id, rank // deg AS c FROM r1),
+      |i1 AS (SELECT sym.db AS doc_id, SUM(c) AS s
+      |       FROM sym JOIN c1 ON sym.da = c1.doc_id GROUP BY sym.db),
+      |r2 AS (SELECT r1.doc_id, r1.deg, r1.is_seed,
+      |         r1.is_seed * 150000000000 + (85 * COALESCE(i1.s, 0)) // 100 AS rank
+      |       FROM r1 LEFT JOIN i1 ON r1.doc_id = i1.doc_id),
+      |c2 AS (SELECT doc_id, rank // deg AS c FROM r2),
+      |i2 AS (SELECT sym.db AS doc_id, SUM(c) AS s
+      |       FROM sym JOIN c2 ON sym.da = c2.doc_id GROUP BY sym.db),
+      |r3 AS (SELECT r2.doc_id, CAST(r2.is_seed AS BIGINT) AS is_seed,
+      |         CAST(r2.is_seed * 150000000000
+      |           + (85 * COALESCE(i2.s, 0)) // 100 AS BIGINT) AS rank
+      |       FROM r2 LEFT JOIN i2 ON r2.doc_id = i2.doc_id)
+      |SELECT doc_id, is_seed, rank FROM r3 ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -1140,5 +1250,6 @@ object GraphOps {
     Q("g11_source_modularity", g11, Some(g11Sql)),
     Q("g12_transitivity", g12, Some(g12Sql)),
     Q("g13_knn_degree", g13, Some(g13Sql)),
-    Q("g14_threshold_stability", g14, Some(g14Sql)))
+    Q("g14_threshold_stability", g14, Some(g14Sql)),
+    Q("g15_contamination_ppr", g15, Some(g15Sql)))
 }

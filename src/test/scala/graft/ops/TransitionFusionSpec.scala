@@ -183,6 +183,30 @@ class TransitionFusionSpec extends AnyFunSuite with SparkFixture {
     assert(out(10L) == ((2L, 1L, 0L)))
   }
 
+  test("g15: PPR mass decays from the seed; unreachable components score zero") {
+    val s = spark
+    import s.implicits._
+    // path 1-2-3 with seed 1; disconnected pair 10-11 with no seed
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("da", "db")
+    val seeds = Seq(Tuple1(1L)).toDF("doc_id")
+    val out = GraphOps.personalizedPagerank(edges, seeds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 0L)
+    // every vertex reachable from the seed carries mass (3 rounds reach
+    // 3 hops); on a 2-path mass OSCILLATES between odd/even distances at
+    // a fixed round count, so only reachability — not monotone decay —
+    // is asserted here
+    assert(out(1L)._2 > 0L && out(2L)._2 > 0L && out(3L)._2 > 0L)
+    // no teleport, no seed inflow → identically zero
+    assert(out(10L)._2 == 0L && out(11L)._2 == 0L)
+    // on a star seeded at the hub, mass DOES order by distance: the hub
+    // outranks its leaves every round (teleport + all back-flow)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("da", "db")
+    val so = GraphOps.personalizedPagerank(star, seeds).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(so(1L) > so(2L) && so(2L) == so(3L) && so(3L) == so(4L) && so(2L) > 0L)
+  }
+
   test("g13: a 4-cycle is regular — one degree class at knn = 2") {
     val s = spark
     import s.implicits._
