@@ -135,8 +135,9 @@ object ProjectLoader {
       }
     }.toMap
 
-    // ---- YAML property files
-    val ymlFiles = cfg.modelPaths.flatMap { mp =>
+    // ---- YAML property files (dbt scans seed-paths for properties too —
+    // that is where `seeds:` entries with column_types conventionally live)
+    val ymlFiles = (cfg.modelPaths ++ cfg.seedPaths).distinct.flatMap { mp =>
       walk(root.resolve(mp), ".yml") ++ walk(root.resolve(mp), ".yaml")
     }
     var sources = Map.empty[String, SourceDefinition]
@@ -145,6 +146,7 @@ object ProjectLoader {
     var semanticModels = Map.empty[String, SemanticModel]
     var metrics = Map.empty[String, MetricNode]
     var modelPatches = Map.empty[String, (String, YMap)] // model name -> (patch path, entry)
+    var seedPatches = Map.empty[String, (String, YMap)] // seed name -> (patch path, entry)
 
     ymlFiles.foreach { p =>
       val rel = root.relativize(p).toString
@@ -211,6 +213,10 @@ object ProjectLoader {
         case m: YMap => modelPatches += m("name").asStr -> (rel, m)
         case _ =>
       }
+      doc.get("seeds").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
+        case m: YMap => seedPatches += m("name").asStr -> (rel, m)
+        case _ =>
+      }
     }
 
     // ---- seeds: CSV files under seed-paths become table-like nodes
@@ -219,11 +225,19 @@ object ProjectLoader {
       cfg.seedPaths.flatMap(sp => walk(root.resolve(sp), ".csv")).map { p =>
         val name = baseName(p)
         val id = s"seed.$proj.$name"
+        // seed properties (`seeds:` YAML section): config carries dbt's
+        // column_types — the CSV dtype override the Runner applies
+        val patch = seedPatches.get(name)
+        val patchConfig = patch.map(_._2).flatMap(_.get("config")).collect {
+          case c: YMap => c
+        }.getOrElse(YMap.empty)
         id -> ModelNode(
           uniqueId = id, name = name, packageName = proj,
           filePath = root.relativize(p).toString, rawCode = "",
           materialized = "seed",
-          relationName = Some(s"main.$baseSchema.$name"))
+          patchPath = patch.map(_._1),
+          relationName = Some(s"main.$baseSchema.$name"),
+          config = patchConfig)
       }.toMap
 
     // ---- model files

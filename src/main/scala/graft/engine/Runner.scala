@@ -214,10 +214,23 @@ final class Runner(
       case "seed" =>
         val root = projectRoot.getOrElse(throw new IllegalStateException(
           s"seed ${m.name}: Runner needs projectRoot to read seed CSVs"))
-        spark.read
-          .option("header", "true")
-          .option("inferSchema", "true")
-          .csv(root.resolve(m.filePath).toString)
+        val path = root.resolve(m.filePath).toString
+        def reader = spark.read.option("header", "true")
+        // dbt's seed column_types (contract type vocabulary): declared
+        // columns parse as the declared type DURING the CSV read — a
+        // post-hoc cast would run after inference already destroyed e.g.
+        // leading zeros on a numeric-looking varchar column
+        val colTypes = m.config.get("column_types").collect {
+          case ct: graft.core.yaml.YMap =>
+            ct.entries.map { case (c, t) => c -> Contracts.parseType(t.asStr) }.toMap
+        }.getOrElse(Map.empty[String, org.apache.spark.sql.types.DataType])
+        if (colTypes.isEmpty) reader.option("inferSchema", "true").csv(path)
+        else {
+          val inferred = reader.option("inferSchema", "true").csv(path).schema
+          val schema = org.apache.spark.sql.types.StructType(inferred.map(f =>
+            f.copy(dataType = colTypes.getOrElse(f.name, f.dataType))))
+          reader.schema(schema).csv(path)
+        }
       case "snapshot" => cached.getOrElse(runSnapshot(m))
       case other => throw new IllegalArgumentException(s"unknown materialization: $other")
     }

@@ -298,6 +298,32 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("seed column_types: declared types parse at read time, leading zeros survive") {
+    val s = spark
+    val proj = Map(
+      "dbt_project.yml" -> "name: st\n",
+      "seeds/codes.csv" -> "id,code,amount\n1,00742,10.5\n2,00013,2\n",
+      "seeds/_seeds.yml" ->
+        """version: 2
+          |seeds:
+          |  - name: codes
+          |    config:
+          |      column_types:
+          |        code: varchar
+          |        amount: decimal(10,2)
+          |""".stripMargin,
+      "models/use.sql" -> "select id, code, amount from {{ ref('codes') }}")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_st")
+    val out = new Runner(spark, manifest, cfg, wh, enforceAccess = false,
+      projectRoot = Some(root)).run()("model.st.use").orderBy("id")
+    assert(out.schema("code").dataType.typeName == "string")
+    assert(out.schema("amount").dataType.sql == "DECIMAL(10,2)")
+    // inference would have read 00742 as the integer 742
+    assert(out.collect().map(_.getString(1)).toSeq == Seq("00742", "00013"))
+  }
+
   test("full refresh rebuilds an incremental from scratch, discarding merged state") {
     val s = spark
     import s.implicits._
