@@ -12,7 +12,7 @@ import java.nio.file.{Files, Path, Paths}
 /** CLI mirroring the reference's command surface (`main.py`):
   *
   * {{{
-  * graft run            [--select S]* [--project-dir P] [--full-refresh]
+  * graft run            [--select S]* [--project-dir P] [--full-refresh] [--threads N]
   * graft split NAME      --select S [--target-dir D] [--dry-run]
   * graft create-group G  --select S [--owner-name N] [--group-yml-path F]
   * graft group G         --select S [--owner-name N]   (create-group + contracts)
@@ -130,10 +130,13 @@ object Main {
         val sel =
           if (args.flags("select").isEmpty && args.flags("selector").isEmpty) None
           else Some(selection(m))
+        // dbt's --threads: level-parallel model execution (independent
+        // DAG subtrees run concurrently on the shared session)
+        val threads = args.flags("threads").headOption.map(_.toInt).getOrElse(1)
         val out = new Runner(spark(), m, cfg,
           warehouse(), projectRoot = Some(root),
           readCatalog = readCatalog,
-          fullRefresh = args.switches("full-refresh")).run(sel)
+          fullRefresh = args.switches("full-refresh")).run(sel, parallelism = threads)
         out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
 
       case "split" =>

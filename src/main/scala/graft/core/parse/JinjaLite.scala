@@ -27,7 +27,9 @@ object JinjaLite {
   val commentRe: Regex = """\{#[\s\S]*?#\}""".r
   val currentTimestampRe: Regex = """\{\{\s*current_timestamp\s*\(\s*\)\s*\}\}""".r
   val thisRe: Regex = """\{\{\s*this\s*\}\}""".r
-  private val kwargRe = """([A-Za-z_][A-Za-z0-9_]*)\s*=\s*('[^']*'|"[^"]*"|[^,)\s]+)""".r
+  // value alternatives: quoted string, [list literal] (commas inside the
+  // brackets must not split the kwarg), or a bare token
+  private val kwargRe = """([A-Za-z_][A-Za-z0-9_]*)\s*=\s*('[^']*'|"[^"]*"|\[[^\]]*\]|[^,)\s]+)""".r
 
   def findRefs(code: String): Vector[RefCall] =
     refRe.findAllMatchIn(code).map { m =>

@@ -41,7 +41,11 @@ final class Runner(
     /** dbt's `--full-refresh`: incremental and snapshot models rebuild
       * from scratch (the non-incremental SQL, a fresh SCD2 baseline)
       * instead of advancing existing state; wins over `readCatalog`. */
-    fullRefresh: Boolean = false) {
+    fullRefresh: Boolean = false,
+    /** Version-stamp clock for `strategy='check'` snapshots (which have
+      * no source event time). None = wall clock; tests inject a fixed
+      * instant for reproducible valid_from/valid_to values. */
+    snapshotAt: Option[java.sql.Timestamp] = None) {
 
   def viewName(model: String): String = s"${manifest.projectName}__$model"
 
@@ -399,6 +403,10 @@ final class Runner(
   private def runSnapshot(m: ModelNode): DataFrame = {
     val key = m.uniqueKey.getOrElse(throw new IllegalArgumentException(
       s"snapshot ${m.name} needs unique_key"))
+    val strategy = m.config.get("strategy").map(_.asStr)
+      .orElse(JinjaLite.findConfig(m.rawCode).get("strategy"))
+      .getOrElse("timestamp")
+    if (strategy == "check") return runSnapshotCheck(m, key)
     val updatedAt = m.config.get("updated_at").map(_.asStr)
       .orElse(JinjaLite.findConfig(m.rawCode).get("updated_at"))
       .getOrElse(throw new IllegalArgumentException(
@@ -431,6 +439,75 @@ final class Runner(
       val inserted = joined // new key or new version: insert as current
         .filter(col("_k").isNotNull &&
           (col("cur." + key).isNull || col("_ts") > col("cur.dbt_valid_from")))
+        .select(current.columns.map(c => col("in." + c)): _*)
+      val merged = closed.unionByName(keptCurrent)
+        .unionByName(closedNow).unionByName(inserted)
+      val tmp = warehouseDir.resolve(m.name + "__tmp")
+      writeTable(m, merged, tmp)
+      deleteTree(p)
+      Files.move(tmp, p)
+      readTable(p)
+    }
+  }
+
+  /** Snapshot `strategy='check'` (dbt's column-compare SCD2): a new
+    * version opens whenever any check column differs null-safely from
+    * the key's current version — the strategy for sources with NO
+    * reliable updated_at. Versions are stamped with the run's clock
+    * (`snapshotAt`, injectable for determinism) since the source carries
+    * no event time. `check_cols='all'` compares every non-key column. */
+  private def runSnapshotCheck(m: ModelNode, key: String): DataFrame = {
+    val p = tablePath(m)
+    val at = snapshotAt.getOrElse(
+      new java.sql.Timestamp(System.currentTimeMillis()))
+    val source = execSql(m, isIncremental = false)
+    val tsType = org.apache.spark.sql.types.TimestampType
+    val stamped = source
+      .withColumn("dbt_valid_from", lit(at).cast(tsType))
+      .withColumn("dbt_valid_to", lit(null).cast(tsType))
+    val checkCols: Seq[String] = {
+      val conf = m.config.get("check_cols")
+        .orElse(JinjaLite.findConfig(m.rawCode).get("check_cols")
+          .map(graft.core.yaml.YStr.apply))
+      conf match {
+        case Some(graft.core.yaml.YList(items)) => items.map(_.asStr)
+        case Some(y) if y.asStr == "all" =>
+          source.columns.filterNot(_ == key).toSeq
+        case Some(y) if y.asStr.trim.startsWith("[") =>
+          // inline config list literal: check_cols=['a', 'b']
+          y.asStr.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
+            .map(_.trim.stripPrefix("'").stripSuffix("'")
+              .stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty)
+        case Some(y) => Seq(y.asStr)
+        case None => throw new IllegalArgumentException(
+          s"snapshot ${m.name}: strategy='check' needs check_cols")
+      }
+    }
+    if (fullRefresh || !Files.exists(p)) persist(m, stamped)
+    else {
+      val existing = readTable(p)
+      val closed = existing.filter(col("dbt_valid_to").isNotNull)
+      val current = existing.filter(col("dbt_valid_to").isNull)
+      val incoming = stamped.select(col(key).as("_k"), col("*"))
+      val joined = current.as("cur").join(
+        incoming.as("in"), col("cur." + key) === col("_k"), "full_outer")
+      // null-safe "any check column differs" — NULL→value and
+      // value→NULL transitions are real changes
+      val changed = checkCols
+        .map(c => !(col("cur." + c) <=> col("in." + c)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val keptCurrent = joined
+        .filter(col("cur." + key).isNotNull && (col("_k").isNull || !changed))
+        .select(current.columns.map(c => col("cur." + c)): _*)
+      val closedNow = joined
+        .filter(col("cur." + key).isNotNull && col("_k").isNotNull && changed)
+        .select(current.columns.map {
+          case "dbt_valid_to" => lit(at).cast(tsType).as("dbt_valid_to")
+          case c => col("cur." + c)
+        }: _*)
+      val inserted = joined
+        .filter(col("_k").isNotNull && (col("cur." + key).isNull || changed))
         .select(current.columns.map(c => col("in." + c)): _*)
       val merged = closed.unionByName(keptCurrent)
         .unionByName(closedNow).unionByName(inserted)

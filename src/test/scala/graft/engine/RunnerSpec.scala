@@ -298,6 +298,40 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("snapshot strategy=check: versions open on column change, not on a timestamp") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: ck\n",
+      "models/cust.sql" ->
+        """{{ config(materialized='snapshot', unique_key='id',
+          |          strategy='check', check_cols=['status']) }}
+          |select id, status, note from ck_input""".stripMargin)
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_ck")
+    def at(t: String) = Some(java.sql.Timestamp.valueOf(t))
+    // run 1: two customers
+    Seq((1L, "active", "x"), (2L, "idle", "x"))
+      .toDF("id", "status", "note").createOrReplaceTempView("ck_input")
+    new Runner(spark, manifest, cfg, wh, enforceAccess = false,
+      snapshotAt = at("2024-01-01 00:00:00")).run()
+    // run 2: id 1 changes STATUS (tracked → new version); id 2 changes
+    // only NOTE (untracked → no new version)
+    Seq((1L, "churned", "x"), (2L, "idle", "y"))
+      .toDF("id", "status", "note").createOrReplaceTempView("ck_input")
+    val out = new Runner(spark, manifest, cfg, wh, enforceAccess = false,
+      snapshotAt = at("2024-02-01 00:00:00")).run()("model.ck.cust")
+      .orderBy("id", "dbt_valid_from")
+      .select($"id", $"status", $"dbt_valid_from".cast("string"),
+        $"dbt_valid_to".cast("string"))
+      .as[(Long, String, String, Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, "active", "2024-01-01 00:00:00", Some("2024-02-01 00:00:00")),
+      (1L, "churned", "2024-02-01 00:00:00", None),
+      (2L, "idle", "2024-01-01 00:00:00", None)))
+  }
+
   test("seed column_types: declared types parse at read time, leading zeros survive") {
     val s = spark
     val proj = Map(
