@@ -13,6 +13,7 @@ import java.nio.file.{Files, Path, Paths}
   *
   * {{{
   * graft run            [--select S]* [--project-dir P] [--full-refresh] [--threads N]
+  * graft test           [--project-dir P]      (generic tests as violation queries)
   * graft split NAME      --select S [--target-dir D] [--dry-run]
   * graft create-group G  --select S [--owner-name N] [--group-yml-path F]
   * graft group G         --select S [--owner-name N]   (create-group + contracts)
@@ -203,6 +204,22 @@ object Main {
           apply(Commands.group(s, m2, name, owner, selected, path,
             runner.viewName, p => scala.util.Try(readFile(p)).toOption))
         }
+
+      case "test" =>
+        // dbt-test shape: materialize the DAG, run every generic test as
+        // a violation query, report per-test counts, exit 1 on failures
+        val (cfg, m) = ProjectLoader.load(root)
+        val runner = new Runner(spark(), m, cfg,
+          warehouse(), projectRoot = Some(root), readCatalog = readCatalog)
+        runner.run()
+        val results = runner.runTests()
+        results.toSeq.sortBy(_._1).foreach { case (tid, violations) =>
+          println(s"${if (violations == 0) "PASS" else "FAIL"} $tid" +
+            (if (violations == 0) "" else s" ($violations violations)"))
+        }
+        val nFail = results.count(_._2 > 0)
+        println(s"== ${results.size - nFail} pass, $nFail fail ==")
+        if (nFail > 0) sys.exit(1)
 
       case "contract" | "add-contract" =>
         val s = spark()

@@ -39,6 +39,28 @@ class MainSpec extends AnyFunSuite {
     assert(sub.projectName == "mart_proj")
   }
 
+  test("test command runs generic tests and reports pass counts") {
+    val root = writeProject(project ++ Map(
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: stg
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - not_null
+          |          - unique
+          |""".stripMargin))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("test", "--project-dir", root.toString))
+    }
+    val printed = out.toString
+    assert(printed.contains("PASS test.shop.not_null_stg_id"), printed)
+    assert(printed.contains("PASS test.shop.unique_stg_id"), printed)
+    assert(printed.contains("== 2 pass, 0 fail =="), printed)
+  }
+
   test("create-group applies access patches") {
     val root = writeProject(project)
     Main.main(Array("create-group", "core", "--select", "stg", "mart",
