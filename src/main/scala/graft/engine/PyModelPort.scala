@@ -80,6 +80,10 @@ object PyModelPort {
     """(?:(\w+)\s*=\s*)?(\w+)\.reset_index\(\s*(?:drop\s*=\s*True)?\s*\)""".r
   private val nlargestRe =
     s"""(\\w+)\\s*=\\s*(\\w+)\\.nlargest\\(\\s*(\\d+)\\s*,\\s*$q\\s*\\)""".r
+  private val headRe =
+    """(\w+)\s*=\s*(\w+)\.head\(\s*(\d+)\s*\)""".r
+  private val pivotRe =
+    s"""(\\w+)\\s*=\\s*(\\w+)\\.pivot_table\\(\\s*index\\s*=\\s*$q\\s*,\\s*columns\\s*=\\s*$q\\s*,\\s*values\\s*=\\s*$q\\s*,\\s*aggfunc\\s*=\\s*$q\\s*(?:,\\s*fill_value\\s*=\\s*([-\\d.]+))?\\s*\\)(?:\\.reset_index\\(\\))?""".r
   private val returnRe = """return\s+(\w+)""".r
   private val skipRe =
     """(?:import\s+.*|from\s+.*|dbt\.config\(.*|pd\.\w+\(.*|#.*)?""".r
@@ -265,6 +269,28 @@ object PyModelPort {
           env(Option(out).getOrElse(v)) = env(v) // frames carry no index
         case nlargestRe(out, v, n, c) =>
           env(out) = env(v).orderBy(col(c).desc).limit(n.toInt)
+        case headRe(out, v, n) =>
+          // pandas head takes the first n of the CURRENT order — after a
+          // sort_values this lowers to TakeOrdered, deterministic
+          env(out) = env(v).limit(n.toInt)
+        case pivotRe(out, v, idx, cols, values, fn, fillV) =>
+          // pandas pivot_table → one-shuffle groupBy().pivot().agg();
+          // both engines emit pivot columns in sorted distinct order
+          val agg = fn match {
+            case "sum" => sum(col(values))
+            case "mean" => avg(col(values))
+            case "max" => max(col(values))
+            case "min" => min(col(values))
+            case "count" => count(col(values))
+            case other => throw new UnsupportedOperationException(
+              s"python model: pivot aggfunc '$other' not in the ported surface")
+          }
+          val piv = env(v).groupBy(col(idx)).pivot(cols).agg(agg)
+          env(out) = Option(fillV) match {
+            case Some(f) if f.contains('.') => piv.na.fill(f.toDouble)
+            case Some(f) => piv.na.fill(f.toLong)
+            case None => piv
+          }
         case returnRe(v) =>
           return env.getOrElse(v, throw new IllegalArgumentException(
             s"python model returns unbound frame `$v`"))

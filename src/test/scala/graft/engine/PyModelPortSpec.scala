@@ -283,4 +283,29 @@ class PyModelPortSpec extends AnyFunSuite with SparkFixture {
       (1, "2024-01-05", Some("2024-01-01")),
       (2, "2024-02-01", None)))
   }
+
+  test("pivot_table lowers to one-shuffle groupBy().pivot(); head to limit") {
+    val s = spark
+    import s.implicits._
+    val code =
+      """def model(dbt, session):
+        |    sales = dbt.ref("sales").df()
+        |    wide = sales.pivot_table(index='region', columns='quarter', values='amount', aggfunc='sum', fill_value=0).reset_index()
+        |    wide = wide.sort_values(by='region')
+        |    top = wide.head(2)
+        |    return top
+        |""".stripMargin
+    val sales = Seq(
+      ("east", "q1", 10L), ("east", "q1", 5L), ("east", "q2", 7L),
+      ("west", "q2", 3L), ("north", "q1", 1L)).toDF("region", "quarter", "amount")
+    val out = PyModelPort.run(code,
+      resolveRef = { n => assert(n == "sales"); sales },
+      resolveSource = (_, _) => fail("no sources"))
+    assert(out.columns.toSeq == Seq("region", "q1", "q2"))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // sorted by region, head(2): east, north — the zero-filled cells are
+    // the fill_value, not null
+    assert(rows == Seq(("east", 15L, 7L), ("north", 1L, 0L)))
+  }
 }
