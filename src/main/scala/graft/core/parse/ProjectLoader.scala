@@ -64,6 +64,18 @@ object ProjectLoader {
     case YStr(s) => Vector(s)
   }
 
+  /** An inline-config value that may be a ['a', 'b'] list literal (the
+    * kwarg regex captures brackets whole) or a bare string. */
+  private def parseInlineStrList(s: String): Vector[String] = {
+    val t = s.trim
+    if (t.startsWith("["))
+      t.stripPrefix("[").stripSuffix("]").split(",").toVector
+        .map(_.trim.stripPrefix("'").stripSuffix("'")
+          .stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty)
+    else Vector(t)
+  }
+
   private def walk(dir: Path, ext: String): Vector[Path] =
     if (!Files.exists(dir)) Vector.empty
     else Files.walk(dir).iterator().asScala
@@ -385,7 +397,7 @@ object ProjectLoader {
           patchConfig.get("materialized").map(_.asStr).getOrElse("view")),
         uniqueKey = conf.get("unique_key").orElse(patchConfig.get("unique_key").map(_.asStr)),
         partitionBy = conf.get("partition_by")
-          .map(v => Vector(v))
+          .map(parseInlineStrList)
           .orElse(patchConfig.get("partition_by").map {
             case YList(items) => items.map(_.asStr)
             case y => Vector(y.asStr)

@@ -285,10 +285,15 @@ object PyModelPort {
             case other => throw new UnsupportedOperationException(
               s"python model: pivot aggfunc '$other' not in the ported surface")
           }
-          val piv = env(v).groupBy(col(idx)).pivot(cols).agg(agg)
+          // pandas parity: pivot_table drops null-index groups
+          // (dropna=True default) and fill_value fills only the CELLS —
+          // never the index column itself
+          val piv = env(v).filter(col(idx).isNotNull)
+            .groupBy(col(idx)).pivot(cols).agg(agg)
+          val cells = piv.columns.filterNot(_ == idx).toSeq
           env(out) = Option(fillV) match {
-            case Some(f) if f.contains('.') => piv.na.fill(f.toDouble)
-            case Some(f) => piv.na.fill(f.toLong)
+            case Some(f) if f.contains('.') => piv.na.fill(f.toDouble, cells)
+            case Some(f) => piv.na.fill(f.toLong, cells)
             case None => piv
           }
         case returnRe(v) =>

@@ -152,9 +152,12 @@ final class Runner(
       // --read-catalog applies language-independently: a persisted python
       // table model is read back, not recomputed
       val pyCached =
-        if (readCatalog && Set("table", "incremental")(m.materialized) &&
+        if (readCatalog && !fullRefresh &&
+            Set("table", "incremental")(m.materialized) &&
             Files.exists(tablePath(m)))
-          Some(spark.read.parquet(tablePath(m).toString))
+          // readTable, not a raw parquet read: a partitioned python
+          // model's sidecar schema must round-trip here too
+          Some(readTable(tablePath(m)))
         else None
       pyCached match {
         case Some(df) =>

@@ -864,14 +864,15 @@ object Streams {
     * behind the stored frontier is late or replayed and is dropped
     * (cf. scdIngest's frontier rule — batch and stream agree on any
     * in-order delivery, however it is micro-batched). */
+  /** Exact integer micros from the Timestamp's (epoch-second, nanos)
+    * pair — getTime alone would truncate to millis and break parity
+    * with the batch ops' unix_micros. Shared by every frontier ingest. */
+  private def usOf(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   def gapIngest(events: Dataset[Ev2]): Dataset[GapObs] = {
     val s = events.sparkSession
     import s.implicits._
-    // exact integer micros from the Timestamp's (epoch-second, nanos)
-    // pair — getTime alone would truncate to millis and break parity
-    // with the batch op's unix_micros
-    def usOf(t: Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState[GapS, GapObs](
@@ -920,8 +921,6 @@ object Streams {
   def transitionIngest(events: Dataset[Ev2]): Dataset[TransObs] = {
     val s = events.sparkSession
     import s.implicits._
-    def usOf(t: Timestamp): Long =
-      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[TransS, TransObs](

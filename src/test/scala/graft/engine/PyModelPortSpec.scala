@@ -248,6 +248,39 @@ class PyModelPortSpec extends AnyFunSuite with SparkFixture {
       "read-catalog run must not rewrite the persisted python table")
   }
 
+  test("--read-catalog round-trips a PARTITIONED python table through the sidecar") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_py_pb")
+    def write(rel: String, text: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, text)
+    }
+    write("dbt_project.yml", "name: pypb\n")
+    write("models/tbl.py",
+      """def model(dbt, session):
+        |    dbt.config(materialized="table", partition_by="region")
+        |    df = dbt.ref("pb_src").df()
+        |    return df
+        |""".stripMargin)
+    // '007' survives only if the cached read applies the sidecar schema
+    write("models/pb_src.sql",
+      "select * from values (1, 'us', '007'), (2, 'eu', '008') as t(id, region, code)")
+    val (cfg, m) = graft.core.parse.ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_pypb_wh")
+    assert(m.nodes("model.pypb.tbl").partitionBy == Vector("region"))
+    new Runner(spark, m, cfg, wh, enforceAccess = false,
+      projectRoot = Some(root)).run()
+    assert(Files.exists(wh.resolve("tbl/region=us")), "no partition layout")
+    val cached = new Runner(spark, m, cfg, wh, enforceAccess = false,
+      projectRoot = Some(root), readCatalog = true).run()("model.pypb.tbl")
+    assert(cached.schema.fieldNames.toSeq == Seq("id", "region", "code"))
+    assert(cached.schema("region").dataType.typeName == "string")
+    assert(cached.orderBy("id").collect().map(_.getString(2)).toSeq ==
+      Seq("007", "008"))
+  }
+
   test("mixed-language project: python model chains off a SQL model") {
     val root = Files.createTempDirectory("graft_py_proj")
     def write(rel: String, text: String): Unit = {

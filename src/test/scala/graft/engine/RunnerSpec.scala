@@ -452,6 +452,15 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq((1L, 1L, "a"), (2L, 2L, "B"), (3L, 3L, "c")))
   }
 
+  test("inline partition_by list literal parses into its column names") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: pl\n",
+      "models/t.sql" ->
+        "{{ config(materialized='table', partition_by=['dt', 'region']) }}\nselect 1 as id"))
+    val (_, m) = ProjectLoader.load(root)
+    assert(m.nodes("model.pl.t").partitionBy == Vector("dt", "region"))
+  }
+
   test("partition_by: Hive layout on disk, pruned downstream scans, exact schema round-trip") {
     val s = spark
     import s.implicits._
