@@ -1664,6 +1664,62 @@ object Dedup {
       |HAVING COUNT(*) >= 2 AND COUNT(DISTINCT md5(text)) >= 2
       |ORDER BY first_doc""".stripMargin
 
+  // ---------------------------------------------------------------- d23
+  /** Block-level near-dup pairs: document similarity over DISTINCT
+    * 10-word chunk sets (d08's tiling) with Jaccard ≥ 0.3 — the tier
+    * between d08 (which scores chunks but never pairs documents) and
+    * d02 (whose 3-gram shingles light up on any shared phrasing): two
+    * documents connect here only when a substantial fraction of their
+    * verbatim BLOCKS coincide — the compilation/re-release/partial-copy
+    * pattern where half a document is lifted wholesale and the rest is
+    * new. The lower 0.3 cutoff is deliberate: block overlap is a much
+    * stronger signal per unit of Jaccard than shingle overlap.
+    *
+    * Scale (100 TB): [[pairStats]]' inverted-index shape on the chunk
+    * space — ~1/10th the posting entries of the shingle index for the
+    * same corpus, with the same df ≤ 1000 stop-chunk cut bounding hot
+    * boilerplate fan-out. Nothing here is all-pairs. */
+  def d23(s: SparkSession, dir: String): DataFrame =
+    chunkJaccardPairs(Tables.t(s, dir, "documents"))
+
+  /** d23's kernel over any (doc_id, text) frame — split out so the spec
+    * can pin the block-overlap arithmetic on constructed documents. */
+  private[graft] def chunkJaccardPairs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chunkArrs = docs
+      .select($"doc_id", split($"text", " ").as("ws"))
+      .filter(size($"ws") >= 10)
+      .select($"doc_id", array_distinct(expr(
+        "transform(sequence(0, size(ws) div 10 - 1), " +
+          "i -> concat_ws(' ', slice(ws, 10*i + 1, 10)))")).as("arr"))
+    pairStats(chunkArrs)
+      .withColumn("jac", dbl($"i") / ($"na" + $"nb" - $"i"))
+      .filter($"jac" >= 0.3)
+      .select($"da", $"db", $"i".as("n_shared_chunks"),
+        round($"jac", 6).as("jaccard"))
+      .orderBy($"da", $"db")
+  }
+
+  val d23Sql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ch0 AS (SELECT DISTINCT doc_id,
+      |    array_to_string(ws[10*i + 1:10*i + 10], ' ') AS c
+      |  FROM words, UNNEST(generate_series(0, len(ws) // 10 - 1)) AS t(i)
+      |  WHERE len(ws) >= 10),
+      |cdf AS (SELECT c, COUNT(*) AS df FROM ch0 GROUP BY c),
+      |ch AS (SELECT doc_id, ch0.c FROM ch0 JOIN cdf ON ch0.c = cdf.c
+      |       WHERE cdf.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM ch GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM ch a JOIN ch b ON a.c = b.c AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id)
+      |SELECT da, db, CAST(i AS BIGINT) AS n_shared_chunks,
+      |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
+      |ORDER BY da, db""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1686,5 +1742,6 @@ object Dedup {
     Q("d19_simhash_audit", d19, Some(d19Sql)),
     Q("d20_dedup_agreement", d20, Some(d20Sql)),
     Q("d21_band_sweep", d21, Some(d21Sql)),
-    Q("d22_prefix_families", d22, Some(d22Sql)))
+    Q("d22_prefix_families", d22, Some(d22Sql)),
+    Q("d23_chunk_jaccard", d23, Some(d23Sql)))
 }

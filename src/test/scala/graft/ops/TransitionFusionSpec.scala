@@ -207,6 +207,24 @@ class TransitionFusionSpec extends AnyFunSuite with SparkFixture {
     assert(so(1L) > so(2L) && so(2L) == so(3L) && so(3L) == so(4L) && so(2L) > 0L)
   }
 
+  test("d23: docs sharing a 10-word block pair at the chunk grain; sub-block overlap does not") {
+    val s = spark
+    import s.implicits._
+    val block = (1 to 10).map(i => s"w$i").mkString(" ") // one exact chunk
+    val other = (11 to 20).map(i => s"x$i").mkString(" ")
+    val third = (21 to 30).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$block $other"), // chunks {block, other}
+      (2L, s"$block $third"), // chunks {block, third} → J = 1/3 ≥ 0.3
+      // shares 9 of block's words but WITHIN a shifted chunk boundary →
+      // no chunk coincides, no pair
+      (3L, s"pad ${block.split(' ').init.mkString(" ")} tail $third")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1L, 0.333333)))
+  }
+
   test("g13: a 4-cycle is regular — one degree class at knn = 2") {
     val s = spark
     import s.implicits._
