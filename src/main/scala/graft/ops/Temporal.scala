@@ -1014,6 +1014,54 @@ object Temporal {
       |FROM l WHERE s2 = sess AND s3 = sess
       |GROUP BY 1, 2, 3 ORDER BY n_paths DESC, t1, t2, t3 LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q51
+  /** Activity-concentration profile: per-user event counts bucketed into
+    * exact global deciles, with each decile's share of total volume in
+    * ppm — the Lorenz curve of the event log. A top decile near 10⁶ ppm
+    * is bot/power-user concentration (q44's skew meter at the USER
+    * grain, before it becomes join skew); a flat profile says per-user
+    * sampling caps are pointless. Read before designing user-level
+    * sampling or rate limits.
+    *
+    * Determinism: deciles use the (cnt, user_id) total order; counts
+    * and floor-div ppm are exact integers.
+    *
+    * Scale (100 TB): per-user counts are map-side combinable; the
+    * decile assignment is t14's distributed exact ntile (range
+    * repartition + per-partition offset ranks — NO single-partition
+    * window over 10⁹ users); the rollup is 10 rows and the one-row
+    * total broadcasts. */
+  def q51(s: SparkSession, dir: String): DataFrame =
+    activityDeciles(Tables.t(s, dir, "events"))
+
+  /** q51's kernel over any frame with a `user_id` column. */
+  private[graft] def activityDeciles(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val per = events
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+    val deciled = TextAnalysis.globalNtile(per, 10, $"cnt", $"user_id")
+    val tot = deciled.agg(sum($"cnt").as("tot"))
+    deciled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_users"), sum($"cnt").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n_users", $"n_events",
+        expr("(1000000 * n_events) div tot").as("share_ppm"))
+      .orderBy($"decile")
+  }
+
+  val q51Sql: String =
+    """WITH per AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      |             FROM events GROUP BY user_id),
+      |d AS (SELECT cnt, CAST(ntile(10) OVER (ORDER BY cnt, user_id)
+      |        AS INTEGER) AS decile FROM per),
+      |tot AS (SELECT SUM(cnt) AS t FROM d)
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(cnt) AS BIGINT) AS n_events,
+      |  CAST((1000000 * SUM(cnt)) // (SELECT t FROM tot) AS BIGINT)
+      |    AS share_ppm
+      |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -1030,5 +1078,6 @@ object Temporal {
     Q("q47_value_drift", q47, Some(q47Sql)),
     Q("q48_hourly_autocorr", q48, Some(q48Sql)),
     Q("q49_event_transitions", q49, Some(q49Sql)),
-    Q("q50_path_trigrams", q50, Some(q50Sql)))
+    Q("q50_path_trigrams", q50, Some(q50Sql)),
+    Q("q51_activity_deciles", q51, Some(q51Sql)))
 }

@@ -225,6 +225,23 @@ class TransitionFusionSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq((1L, 2L, 1L, 0.333333)))
   }
 
+  test("q51: a dominant user lands alone in the top decile with its exact share") {
+    val s = spark
+    import s.implicits._
+    // 10 users: users 1-9 have 1 event each, user 10 has 91 → total 100.
+    // Deciles over 10 users = 1 user per bucket; the heaviest lands in
+    // decile 10 with share 910000 ppm, every other decile at 10000.
+    val ev = ((1L to 9L).map(u => (u, 1)) :+ (10L, 91))
+      .flatMap { case (u, n) => Seq.fill(n)(u) }
+      .toDF("user_id")
+    val out = Temporal.activityDeciles(ev).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.size == 10)
+    assert(out(10) == ((1L, 91L, 910000L)))
+    (1 to 9).foreach(d => assert(out(d) == ((1L, 1L, 10000L)), s"decile $d"))
+  }
+
   test("g13: a 4-cycle is regular — one degree class at knn = 2") {
     val s = spark
     import s.implicits._
