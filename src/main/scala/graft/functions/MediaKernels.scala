@@ -210,3 +210,77 @@ object CharStats {
       Array[Any](mode, distinct))
   }
 }
+
+/** Non-overlapping fixed-width window energy profile of a payload string
+  * — the voice-activity-detection (VAD) shape of an audio pipeline over
+  * the container's text-derived payloads: the payload is cut into
+  * `win`-code-point windows (trailing partial window dropped, like a
+  * fixed-size audio frame), each window's "energy" is the exact integer
+  * sum of its code points, and the profile reports window count, total
+  * and peak energy, and how many windows fall under `quietMax` (the
+  * silence threshold a VAD would gate on). One compiled walk per row;
+  * the DuckDB mirror is `range` + character slicing + `list_sum`.
+  * A real audio deployment swaps code-point sum for sample RMS inside
+  * the same frame loop — the plumbing (framing, thresholds, per-doc
+  * rollup) is what this pins. */
+case class WindowEnergy(child: Expression, win: Int, quietMax: Long)
+    extends UnaryExpression {
+  require(win >= 1, s"window width must be >= 1, got $win")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_windows", LongType, nullable = false),
+    StructField("energy_sum", LongType, nullable = false),
+    StructField("peak_energy", LongType, nullable = false),
+    StructField("n_quiet", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"window_energy expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    WindowEnergy.compute(input.asInstanceOf[UTF8String], win, quietMax)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WindowEnergy.compute($c, $win, ${quietMax}L);")
+  override protected def withNewChildInternal(newChild: Expression): WindowEnergy =
+    copy(child = newChild)
+  override def prettyName: String = "window_energy"
+}
+
+object WindowEnergy {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def apply(c: Column, win: Int, quietMax: Long): Column =
+    Bridge.column(WindowEnergy(Bridge.expression(c), win, quietMax))
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, win: Int, quietMax: Long)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val n = str.length
+    var nWin = 0L
+    var total = 0L
+    var peak = 0L
+    var quiet = 0L
+    // walk code points; close a window every `win` code points. The
+    // trailing partial window (fewer than `win` code points) is dropped.
+    var e = 0L
+    var inWin = 0
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      e += cp
+      inWin += 1
+      if (inWin == win) {
+        nWin += 1
+        total += e
+        if (e > peak) peak = e
+        if (e < quietMax) quiet += 1
+        e = 0L
+        inWin = 0
+      }
+      i += Character.charCount(cp)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWin, total, peak, quiet))
+  }
+}

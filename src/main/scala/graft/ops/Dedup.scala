@@ -1720,6 +1720,99 @@ object Dedup {
       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.3
       |ORDER BY da, db""".stripMargin
 
+  // ---------------------------------------------------------------- d24
+  /** Exact-substring duplication coverage — the window-level dedup
+    * measure of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (arXiv:2107.06499), at word granularity: every
+    * ROLLING 10-word window of every document (stride 1 — unlike d08's
+    * stride-10 tiling, no duplicated span can fall between window
+    * boundaries), a window TYPE is "duplicated" when it appears in ≥ 2
+    * distinct documents, and each source is scored by how much of its
+    * distinct window space is duplicated text. `n_mostly_dup_docs`
+    * counts documents where duplicated types are a strict majority —
+    * the rows an exact-substring dedup pass would rewrite or drop.
+    *
+    * Determinism: exact string windows, integer counts, floor-div ppm;
+    * no floats anywhere.
+    *
+    * Scale (100 TB): windows come from the fused tokenize+shingle
+    * kernel ([[graft.functions.ShingleKernels.shinglesText]]) — one
+    * compiled pass, no word-array materialization; the df count is a
+    * map-side-combining COUNT(DISTINCT doc) per gram (no posting-list
+    * buffering anywhere — unlike the pair generators this op never
+    * needs WHICH docs share a window, so no CappedCollect and no τ
+    * fan-out bound is involved); the doc-level rollup joins the
+    * (already df-filtered) duplicated-gram set back on the gram key —
+    * both sides hash-partitioned on gram, sized by AQE. Index keys stay
+    * raw gram strings for oracle parity; at 100 TB the production move
+    * is hashing them to int64 before the exchange (see
+    * [[allPostings]]' note — same trade). */
+  def d24(s: SparkSession, dir: String): DataFrame =
+    dupSpanCoverage(Tables.t(s, dir, "documents"))
+
+  /** d24's kernel over any (doc_id, source, text) frame — split out so
+    * the spec can pin the rolling-window and majority arithmetic. */
+  private[graft] def dupSpanCoverage(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    // DISTINCT rolling 10-grams per doc (the kernel dedups in its one
+    // pass); lazily checkpointed — consumed by the df count AND the
+    // per-doc size projection
+    val arrs = docs
+      .select($"doc_id", $"source",
+        graft.functions.ShingleKernels.shinglesText($"text", 10).as("arr"))
+      .filter(size($"arr") > 0)
+      .localCheckpoint(eager = false)
+    val g = arrs.select($"doc_id", explode($"arr").as("gram"))
+    val dup = g.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= 2)
+      .select($"gram")
+    val perDocDup = g.join(dup, Seq("gram"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_dup"))
+    arrs
+      .select($"doc_id", $"source", size($"arr").cast(LongType).as("n_types"))
+      .join(perDocDup, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup"))
+      .groupBy($"source")
+      .agg(
+        sum($"n_types").as("total_grams"),
+        sum($"n_dup").as("dup_grams"),
+        sum(when(lit(2) * $"n_dup" > $"n_types", 1L).otherwise(0L))
+          .as("n_mostly_dup_docs"))
+      .select($"source", $"total_grams", $"dup_grams",
+        expr("(1000000 * dup_grams) div total_grams").as("dup_ppm"),
+        $"n_mostly_dup_docs")
+      .orderBy($"source")
+  }
+
+  val d24Sql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+      |    range(len(w) - 9), i -> array_to_string(w[i+1:i+10], ' '))))
+      |    AS gram
+      |  FROM ws WHERE len(w) >= 10),
+      |dup AS (
+      |  SELECT gram FROM g GROUP BY gram
+      |  HAVING COUNT(DISTINCT doc_id) >= 2),
+      |pd AS (
+      |  SELECT doc_id, COUNT(*) AS n_dup
+      |  FROM g JOIN dup USING (gram) GROUP BY doc_id),
+      |d AS (
+      |  SELECT g.source, g.doc_id, COUNT(*) AS n_types,
+      |    COALESCE(ANY_VALUE(pd.n_dup), 0) AS n_dup
+      |  FROM g LEFT JOIN pd USING (doc_id)
+      |  GROUP BY g.source, g.doc_id)
+      |SELECT source,
+      |  CAST(SUM(n_types) AS BIGINT) AS total_grams,
+      |  CAST(SUM(n_dup) AS BIGINT) AS dup_grams,
+      |  CAST((1000000 * SUM(n_dup)) // SUM(n_types) AS BIGINT) AS dup_ppm,
+      |  CAST(SUM(CASE WHEN 2 * n_dup > n_types THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_mostly_dup_docs
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1743,5 +1836,6 @@ object Dedup {
     Q("d20_dedup_agreement", d20, Some(d20Sql)),
     Q("d21_band_sweep", d21, Some(d21Sql)),
     Q("d22_prefix_families", d22, Some(d22Sql)),
-    Q("d23_chunk_jaccard", d23, Some(d23Sql)))
+    Q("d23_chunk_jaccard", d23, Some(d23Sql)),
+    Q("d24_dupspan_coverage", d24, Some(d24Sql)))
 }

@@ -461,6 +461,68 @@ object Multimodal {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m11
+  /** Windowed energy / silence profile — the voice-activity-detection
+    * (VAD) pass of an audio curation pipeline, over the text-derived
+    * payloads: each payload is framed into non-overlapping 32-code-point
+    * windows, each window's energy is the exact integer sum of its code
+    * points, and a window under [[QuietMax]] is "quiet" (the silence a
+    * VAD trims before transcription). Reports per-asset frame count,
+    * total/peak energy, quiet-frame count, and quiet share in ppm — the
+    * numbers a speech pipeline uses to budget ASR compute and drop
+    * dead-air assets. A real deployment swaps code-point sum for sample
+    * RMS inside the same compiled frame loop
+    * ([[graft.functions.WindowEnergy]]); framing, thresholding and the
+    * rollup are what this op pins.
+    *
+    * Scale (100 TB): pure narrow per-row work — one compiled walk per
+    * payload (no per-window string slicing, no explode), payloads never
+    * leave their scan partition, and the only exchange is the final
+    * presentation sort of per-asset rows. */
+  val EnergyWin = 32
+  val QuietMax: Long = 90L * EnergyWin
+
+  def m11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Q.sortedNarrow(energyProfile(mediaTable(s, dir)), $"doc_id")
+  }
+
+  /** m11's narrow per-payload profile (pre-sort) — split out so the plan
+    * audit can inspect the kernel stage (the presentation sort's lazy
+    * checkpoint replaces the logical plan with an RDD scan). */
+  private[graft] def energyProfile(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media
+      .withColumn("txt", decode($"bytes", "UTF-8"))
+      .withColumn("we", graft.functions.WindowEnergy($"txt", EnergyWin, QuietMax))
+      .select($"doc_id",
+        $"we.n_windows".as("n_windows"),
+        $"we.energy_sum".as("energy_sum"),
+        $"we.peak_energy".as("peak_energy"),
+        $"we.n_quiet".as("n_quiet"),
+        when($"we.n_windows" > 0,
+          expr("(1000000 * we.n_quiet) div we.n_windows")).as("quiet_ppm"))
+  }
+
+  val m11Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, length(text) // $EnergyWin AS nw,
+       |    list_transform(range(length(text) // $EnergyWin), k ->
+       |      list_sum(list_transform(
+       |        string_split(text[k*$EnergyWin+1 : k*$EnergyWin+$EnergyWin], ''),
+       |        c -> ascii(c)))) AS es
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(nw AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(list_sum(es), 0) AS BIGINT) AS energy_sum,
+       |  CAST(COALESCE(list_max(es), 0) AS BIGINT) AS peak_energy,
+       |  CAST(len(list_filter(es, e -> e < $QuietMax)) AS BIGINT) AS n_quiet,
+       |  CASE WHEN nw > 0 THEN
+       |    CAST((1000000 * len(list_filter(es, e -> e < $QuietMax))) // nw
+       |      AS BIGINT) END AS quiet_ppm
+       |FROM w ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
@@ -471,5 +533,6 @@ object Multimodal {
     Q("m07_pair_manifest", m07, Some(m07Sql)),
     Q("m08_decode_budget", m08, Some(m08Sql)),
     Q("m09_video_neardup", m09, Some(m09Sql)),
-    Q("m10_payload_concentration", m10, Some(m10Sql)))
+    Q("m10_payload_concentration", m10, Some(m10Sql)),
+    Q("m11_window_energy", m11, Some(m11Sql)))
 }

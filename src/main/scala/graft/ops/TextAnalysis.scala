@@ -1980,6 +1980,73 @@ object TextAnalysis {
       |    // SUM(n_tok) AS BIGINT) AS removed_ppm
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t35
+  /** Corpus-trained unigram surprisal profile — the perplexity-proxy
+    * quality signal every LLM curation pipeline runs (docs dominated by
+    * rare tokens are noise/code/garble candidates; docs of only the
+    * commonest tokens are boilerplate candidates). A unigram LM is
+    * "trained" on the corpus itself (token → corpus frequency), then each
+    * doc is scored against it: per-token commonness in integer ppm of
+    * corpus mass (`(1e6·cnt) div total` — the rational form of -log p,
+    * monotone in the same ordering; transcendental log is NOT
+    * cross-engine exact, integer floor-div is), summed exactly per doc.
+    * `n_rare_tokens` counts tokens under [[RareCppm]] (< 1% of corpus
+    * mass — tuned to the synthetic corpus's ~31-term vocabulary so the
+    * tail actually fires; a real web-scale vocabulary would use a far
+    * smaller cutoff) — the tail mass a rare-token filter would flag.
+    *
+    * Scale (100 TB): the LM table is vocabulary-sized (≪ corpus) and
+    * broadcast — docs are scored in their scan partitions; the only
+    * corpus-wide exchanges are the vocab count (map-side combinable on
+    * term) and the per-doc rollup on doc_id (perfectly spread). The ppm
+    * numerator 1e6·cnt stays < 2^63 up to ~9e12-token vocab entries; a
+    * larger corpus drops the multiplier to 1e3 (same ordering, coarser
+    * quantization) — noted here so the knob is explicit. */
+  val RareCppm = 10000L
+
+  def t35(s: SparkSession, dir: String): DataFrame =
+    surprisalProfile(Tables.t(s, dir, "documents"))
+
+  /** t35 kernel over any (doc_id, text) frame — split out so the spec can
+    * pin the scoring on a hand-built corpus (known counts → known ppm). */
+  private[graft] def surprisalProfile(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val tok = docsIn.select($"doc_id", explode(words($"text")).as("term"))
+    val vocab = tok.groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    val lm = vocab.crossJoin(broadcast(total))
+      .select($"term", expr("(1000000 * cnt) div total").as("cppm"))
+    tok.join(broadcast(lm), Seq("term"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum($"cppm").as("commonness_sum"),
+        sum(when($"cppm" < RareCppm, 1L).otherwise(0L)).as("n_rare_tokens"))
+      .withColumn("mean_cppm", dbl($"commonness_sum") / $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"commonness_sum", $"mean_cppm",
+        $"n_rare_tokens")
+      .orderBy($"doc_id")
+  }
+
+  val t35Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |v AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM v),
+       |lm AS (SELECT term, CAST((1000000 * cnt) // total AS BIGINT) AS cppm
+       |       FROM v, tot),
+       |d AS (
+       |  SELECT t.doc_id, COUNT(*) AS n, SUM(lm.cppm) AS csum,
+       |    SUM(CASE WHEN lm.cppm < $RareCppm THEN 1 ELSE 0 END) AS nr
+       |  FROM tok t JOIN lm ON t.term = lm.term GROUP BY t.doc_id)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(csum AS BIGINT) AS commonness_sum,
+       |  CAST(csum AS DOUBLE) / n AS mean_cppm,
+       |  CAST(nr AS BIGINT) AS n_rare_tokens
+       |FROM d ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2014,5 +2081,6 @@ object TextAnalysis {
     Q("t31_ngram_novelty", t31, Some(t31Sql)),
     Q("t32_oov_profile", t32, Some(t32Sql)),
     Q("t33_source_drift", t33, Some(t33Sql)),
-    Q("t34_dedup_token_loss", t34, Some(t34Sql)))
+    Q("t34_dedup_token_loss", t34, Some(t34Sql)),
+    Q("t35_surprisal", t35, Some(t35Sql)))
 }

@@ -387,6 +387,33 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("WindowEnergy frames, sums, peaks and quiet-counts match a brute walk") {
+    def brute(t: String, win: Int, quietMax: Long): (Long, Long, Long, Long) = {
+      val cps = t.codePoints().toArray
+      val wins = cps.grouped(win).filter(_.length == win)
+        .map(_.map(_.toLong).sum).toSeq
+      (wins.size.toLong, wins.sum, if (wins.isEmpty) 0L else wins.max,
+        wins.count(_ < quietMax).toLong)
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq("", "a", "abcd", "abcde", "    tiny    energy",
+      "日本語テキストとasciiの混在テスト文字列です") ++
+      (1 to 30).map(_ => rnd.alphanumeric.take(rnd.nextInt(120)).mkString)
+    val s = spark
+    import s.implicits._
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", WindowEnergy($"t", 4, 300L).as("we"))
+      .select($"id", $"we.n_windows", $"we.energy_sum", $"we.peak_energy",
+        $"we.n_quiet")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == brute(t, 4, 300L), s"case $i: '$t'")
+    }
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._

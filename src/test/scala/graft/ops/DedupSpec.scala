@@ -275,4 +275,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       // rank 2: family B
       (2, 2L, 2L, 1L, 6L)))
   }
+
+  test("d24: rolling-window duplication coverage and the strict-majority flag") {
+    val s = spark
+    import s.implicits._
+    val w = (1 to 12).map(i => s"w$i")
+    val docs = Seq(
+      // A: 12 words → 3 rolling 10-grams (w1..10, w2..11, w3..12)
+      (1L, "s1", w.mkString(" ")),
+      // B: same first 11 words, different 12th → shares A's first two
+      // grams; its third gram is unique. 2 of 3 duplicated → majority.
+      (2L, "s1", (w.take(11) :+ "other").mkString(" ")),
+      // C: exactly 10 unrelated words → 1 gram, unshared
+      (3L, "s2", (1 to 10).map(i => s"x$i").mkString(" ")),
+      // D: 9 words — below the window width, contributes nothing
+      (4L, "s2", (1 to 9).map(i => s"y$i").mkString(" "))).toDF(
+      "doc_id", "source", "text")
+    val rows = Dedup.dupSpanCoverage(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows == Seq(
+      // s1: 6 types, 4 duplicated (2 per doc), ppm = 4e6 div 6; both docs
+      // have 2*2 > 3 → 2 mostly-dup docs
+      ("s1", 6L, 4L, 666666L, 2L),
+      ("s2", 1L, 0L, 0L, 0L)))
+  }
 }

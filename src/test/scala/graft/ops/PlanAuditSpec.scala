@@ -636,6 +636,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!sp.contains("CartesianProduct"), s"token loss went cartesian:\n$sp")
   }
 
+  test("t35: the unigram LM broadcasts; scoring joins never sort-merge") {
+    val sp = simplePlan(TextAnalysis.t35(spark, dir))
+    assert(sp.contains("BroadcastHashJoin"),
+      s"the vocab-sized LM table should broadcast:\n$sp")
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("CartesianProduct"),
+      s"doc scoring grew a heavy join:\n$sp")
+  }
+
+  test("d24: no exchange carries document text; the gram join is hash, not merge") {
+    val sp = simplePlan(Dedup.d24(spark, dir))
+    val exchangeLines = sp.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchangeLines.contains("text"),
+      s"document text crosses an exchange:\n$exchangeLines")
+    assert(!sp.contains("CartesianProduct"), s"coverage went cartesian:\n$sp")
+  }
+
+  test("m11: the energy profile is a pure scan with the compiled kernel") {
+    val sp = simplePlan(Multimodal.energyProfile(Multimodal.mediaTable(spark, dir)))
+    assert(!sp.contains("Join"), s"energy profile grew a join:\n$sp")
+    assert(sp.contains("window_energy"),
+      s"the compiled kernel must appear in the plan:\n$sp")
+    val exchanges = sp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 0, s"narrow profile shuffled:\n$sp")
+  }
+
   test("q48: the log collapses once; both lags ride one window over the tiny series") {
     val p = plan(Temporal.q48(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
