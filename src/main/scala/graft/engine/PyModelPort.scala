@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   *  - `df = df[["a", "b"]]` projection; `df["c"] = df["c"].astype(t)`
   *  - `df = df.groupby(k, as_index=False).agg(out=("col", "fn"))`
   *  - `df = pd.concat([a, b])`, `df.reset_index()`, `df.nlargest(n, c)`
+  *  - `df = pd.merge(a, b, on=..., how=...)` (function form of merge)
+  *  - `df["c"] = np.where(df["a"] <op> <lit>, <col|lit>, <col|lit>)`
+  *  - `df = df.query("a <op> lit")` (single-predicate form)
   *  - `return df`
   *
   * Anything outside the surface raises with the offending line — the
@@ -53,6 +56,12 @@ object PyModelPort {
     s"""(\\w+)\\[$q\\]\\s*=\\s*(\\w+)\\.groupby\\(\\s*([^)]+)\\)\\[$q\\]\\.transform\\(\\s*$q\\s*\\)""".r
   private val mergeRe =
     """(\w+)\s*=\s*(\w+)\.merge\(\s*(\w+)\s*,\s*on\s*=\s*([^,)]+|\[[^\]]*\])\s*(?:,\s*how\s*=\s*["'](\w+)["'])?\s*\)""".r
+  private val mergeFnRe =
+    """(\w+)\s*=\s*pd\.merge\(\s*(\w+)\s*,\s*(\w+)\s*,\s*on\s*=\s*([^,)]+|\[[^\]]*\])\s*(?:,\s*how\s*=\s*["'](\w+)["'])?\s*\)""".r
+  private val npWhereRe =
+    s"""(\\w+)\\[$q\\]\\s*=\\s*np\\.where\\(\\s*(\\w+)\\[$q\\]\\s*(==|!=|<=|>=|<|>)\\s*(["'][^"']*["']|[-\\d.]+)\\s*,\\s*(\\w+\\[$q\\]|["'][^"']*["']|[-\\d.]+)\\s*,\\s*(\\w+\\[$q\\]|["'][^"']*["']|[-\\d.]+)\\s*\\)""".r
+  private val queryRe =
+    s"""(\\w+)\\s*=\\s*(\\w+)\\.query\\(\\s*["'](\\w+)\\s*(==|!=|<=|>=|<|>)\\s*('[^']*'|[-\\d.]+)["']\\s*\\)""".r
   private val renameRe =
     """(?:(\w+)\s*=\s*)?(\w+)\.rename\(\s*columns\s*=\s*\{([^}]*)\}\s*(?:,\s*inplace\s*=\s*True)?\s*\)""".r
   private val dropColsRe =
@@ -184,6 +193,32 @@ object PyModelPort {
               case "left" => "left"; case "right" => "right"
               case "outer" => "full"; case _ => "inner"
             })
+        case mergeFnRe(out, l, r, on, how) =>
+          env(out) = env(l).join(env(r), strList(on),
+            Option(how).getOrElse("inner") match {
+              case "left" => "left"; case "right" => "right"
+              case "outer" => "full"; case _ => "inner"
+            })
+        case npWhereRe(v, nc, v2, c, op, condLit, tWhole, tCol, eWhole, eCol)
+            if v == v2 =>
+          val l = col(c); val r = lit_(condLit)
+          val pred = op match {
+            case "==" => l === r; case "!=" => l =!= r
+            case "<=" => l <= r; case ">=" => l >= r
+            case "<" => l < r; case ">" => l > r
+          }
+          def arm(whole: String, cName: String): Column =
+            if (cName != null) col(cName) else lit_(whole)
+          env(v) = env(v).withColumn(nc,
+            when(pred, arm(tWhole, tCol)).otherwise(arm(eWhole, eCol)))
+        case queryRe(out, v, c, op, rhs) =>
+          val l = col(c); val r = lit_(rhs)
+          val pred = op match {
+            case "==" => l === r; case "!=" => l =!= r
+            case "<=" => l <= r; case ">=" => l >= r
+            case "<" => l < r; case ">" => l > r
+          }
+          env(out) = env(v).filter(pred)
         case renameRe(out, v, pairs) =>
           val m = s"""$q\\s*:\\s*$q""".r.findAllMatchIn(pairs)
             .map(x => x.group(1) -> x.group(2)).toSeq

@@ -2007,16 +2007,28 @@ object TextAnalysis {
   def t35(s: SparkSession, dir: String): DataFrame =
     surprisalProfile(Tables.t(s, dir, "documents"))
 
+  /** The "trained" unigram LM of a corpus: (term, cppm) where cppm is the
+    * term's integer share of corpus token mass in ppm. Vocabulary-sized
+    * output — the broadcastable artifact both batch scoring (t35) and
+    * the streaming gate ([[graft.streaming.Streams.surprisalGateIngest]])
+    * consume. */
+  private[graft] def unigramLm(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val vocab = docsIn.select(explode(words($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    vocab.crossJoin(broadcast(total))
+      .select($"term", expr("(1000000 * cnt) div total").as("cppm"))
+  }
+
   /** t35 kernel over any (doc_id, text) frame — split out so the spec can
     * pin the scoring on a hand-built corpus (known counts → known ppm). */
   private[graft] def surprisalProfile(docsIn: DataFrame): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
     val tok = docsIn.select($"doc_id", explode(words($"text")).as("term"))
-    val vocab = tok.groupBy($"term").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum($"cnt").as("total"))
-    val lm = vocab.crossJoin(broadcast(total))
-      .select($"term", expr("(1000000 * cnt) div total").as("cppm"))
+    val lm = unigramLm(docsIn)
     tok.join(broadcast(lm), Seq("term"))
       .groupBy($"doc_id")
       .agg(

@@ -525,6 +525,66 @@ object Streams {
       qualityGate(ws).as("is_quality"))
   }
 
+  /** Streaming surprisal gate — the serving twin of batch t35: documents
+    * arriving on the stream are scored against a FROZEN unigram LM
+    * (batch-trained over the reference corpus by
+    * [[graft.ops.TextAnalysis.unigramLm]] — the standard split: train
+    * offline where the full corpus is visible, score online per row) and
+    * a document survives only when its mean token commonness reaches
+    * `minMeanCppm`. The mean test runs in exact integers
+    * (`csum ≥ minMeanCppm · n` — no division, no floats), so the gate
+    * decision is bit-identical to scoring the same rows in batch.
+    *
+    * An out-of-vocabulary token — impossible in batch t35, routine on a
+    * live stream — scores cppm 0 (rarer than anything the LM saw), which
+    * is exactly the pressure the gate exists to apply.
+    *
+    * Runs inside foreachBatch: the vocabulary-sized LM broadcasts; per
+    * micro-batch the gram probe, per-doc rollup and the survivors'
+    * semi-join are batch-local (no state store — the LM is the state,
+    * and it is read-only). Output partitions by (`run_id`, `batch_id`)
+    * with dynamic partition overwrite — a replayed micro-batch replaces
+    * exactly its own partition (the [[nearDupIngest]] recipe).
+    *
+    * Scale: LM size is vocabulary, ≪ corpus, broadcast-safe by the same
+    * argument as batch t35; everything stream-side is one explode + one
+    * broadcast join + a batch-local doc rollup — no shuffle of text. */
+  def surprisalGateIngest(
+      docs: DataFrame,
+      lm: DataFrame, // (term, cppm) from TextAnalysis.unigramLm
+      minMeanCppm: Long,
+      outPath: String,
+      checkpoint: String): StreamingQuery = {
+    val s0 = docs.sparkSession
+    val runId = checkpointRunId(s0, checkpoint)
+    val lmCached = lm.cache()
+    lmCached.count() // materialize once, before the first micro-batch
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        import s.implicits._
+        val accepted = batch
+          .select($"doc_id", explode(split($"text", " ")).as("term"))
+          .join(broadcast(lmCached), Seq("term"), "left")
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(coalesce($"cppm", lit(0L))).as("csum"))
+          .filter($"csum" >= lit(minMeanCppm) * $"n")
+          .select($"doc_id")
+        batch.join(accepted, Seq("doc_id"), "left_semi")
+          .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_id", "batch_id").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    unpersistOnTermination(q, lmCached)
+    q
+  }
+
   /** Running per-source vocabulary estimate emitted by [[vocabSketch]]. */
   final case class VocabEstimate(source: String, kmv_size: Long, est_distinct: Double)
 

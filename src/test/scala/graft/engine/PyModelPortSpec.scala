@@ -341,4 +341,38 @@ class PyModelPortSpec extends AnyFunSuite with SparkFixture {
     // the fill_value, not null
     assert(rows == Seq(("east", 15L, 7L), ("north", 1L, 0L)))
   }
+
+  test("np.where conditional columns, pd.merge function form, and .query") {
+    val s = spark
+    import s.implicits._
+    val code =
+      """import numpy as np
+        |import pandas as pd
+        |
+        |def model(dbt, session):
+        |    orders = dbt.ref("orders").df()
+        |    tiers = dbt.ref("tiers").df()
+        |    orders["band"] = np.where(orders["amount"] >= 100, "big", "small")
+        |    orders["boosted"] = np.where(orders["amount"] < 10, orders["floor"], orders["amount"])
+        |    joined = pd.merge(orders, tiers, on="customer_id", how="left")
+        |    kept = joined.query("band == 'big'")
+        |    return kept
+        |""".stripMargin
+    val orders = Seq(
+      (1L, 150L, 10L), (1L, 5L, 10L), (2L, 100L, 10L), (3L, 99L, 10L))
+      .toDF("customer_id", "amount", "floor")
+    val tiers = Seq((1L, "gold"), (2L, "silver")).toDF("customer_id", "tier")
+    val out = PyModelPort.run(code,
+      resolveRef = { n => if (n == "orders") orders else tiers },
+      resolveSource = (_, _) => fail("no sources"))
+      .orderBy("customer_id", "amount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4),
+        Option(r.getString(5)))).toSeq
+    assert(out == Seq(
+      // band==big survives the query; customer 3 (99 → small) is dropped;
+      // boosted keeps amount (none under 10 in the survivors); customer 2
+      // left-joins its tier, customer 1's small order is filtered
+      (1L, 150L, "big", 150L, Some("gold")),
+      (2L, 100L, "big", 100L, Some("silver"))))
+  }
 }

@@ -272,6 +272,37 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       .toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("surprisalGateIngest: frozen-LM gate matches the batch integer test, OOV scores 0") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = Files.createTempDirectory("graft_surp")
+    val out = base.resolve("out").toString
+    // corpus: "a" 8/10 of mass (cppm 800000), "b" 2/10 (cppm 200000)
+    val corpus = Seq((1L, "a a a a b"), (2L, "a a a a b")).toDF("doc_id", "text")
+    val lm = graft.ops.TextAnalysis.unigramLm(corpus)
+    val in = MemoryStream[(Long, String)]
+
+    def drain(): Unit =
+      Streams.surprisalGateIngest(in.toDF().toDF("doc_id", "text"),
+        lm, 500000L, out, base.resolve("ckpt").toString).awaitTermination()
+
+    in.addData(
+      (10L, "a a b"),     // mean (8e5+8e5+2e5)/3 = 600000 ≥ floor → kept
+      (11L, "b b a"),     // 400000 < floor → dropped
+      (12L, "a a zzz"),   // OOV zzz scores 0: (8e5+8e5+0)/3 = 533333 → kept
+      (13L, "zzz qqq"))   // all OOV → 0 → dropped
+    drain()
+    assert(s.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(10L, 12L))
+
+    // second batch appends through the same frozen LM
+    in.addData((14L, "a a a a"), (15L, "b zzz"))
+    drain()
+    assert(s.read.parquet(out).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(10L, 12L, 14L))
+  }
+
   test("trendingNgrams: windowed trigram counts emit when the watermark passes") {
     val s = spark
     import s.implicits._
