@@ -74,13 +74,23 @@ final case class ModelNode(
     relationName: Option[String] = None,
     config: YMap = YMap.empty) extends Resource
 
+/** A file-backed source table (the dbt-external-tables pattern): the
+  * source's rows live at `location` in `format` (csv/json/parquet/orc)
+  * rather than in a pre-registered warehouse table. `options` pass
+  * through to the Spark DataFrameReader (header, delimiter, ...). */
+final case class ExternalSource(
+    location: String,
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty)
+
 final case class SourceDefinition(
     uniqueId: String,
     name: String, // table name
     sourceName: String, // source block name
     packageName: String,
     filePath: String,
-    relationName: Option[String] = None) extends Resource
+    relationName: Option[String] = None,
+    external: Option[ExternalSource] = None) extends Resource
 
 final case class MacroNode(
     uniqueId: String,

@@ -173,8 +173,20 @@ object ProjectLoader {
               val tn = t("name").asStr
               val ident = t.get("identifier").map(_.asStr).getOrElse(tn)
               val id = s"source.$proj.$srcName.$tn"
+              // dbt-external-tables: `external: {location, file_format,
+              // options: {...}}` under the table makes the source read
+              // files instead of a pre-registered warehouse table
+              val external = t.get("external").collect { case e: YMap =>
+                ExternalSource(
+                  location = e("location").asStr,
+                  format = e.get("file_format").map(_.asStr).getOrElse("parquet"),
+                  options = e.get("options").collect { case o: YMap =>
+                    o.entries.map { case (k, v) => k -> v.asStr }.toMap
+                  }.getOrElse(Map.empty))
+              }
               sources += id -> SourceDefinition(id, tn, srcName, proj, rel,
-                relationName = Some(s"$db.$schema.$ident"))
+                relationName = Some(s"$db.$schema.$ident"),
+                external = external)
             case _ =>
           }
         case _ =>

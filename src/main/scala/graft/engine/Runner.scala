@@ -58,6 +58,29 @@ final class Runner(
       case None => viewName(rc.name)
     }
 
+  /** Register (once) and name the temp view for an `external:` source —
+    * a file-backed source table read straight off its location
+    * (dbt-external-tables pattern). Relative locations resolve against
+    * the project root, absolute ones (s3://, /abs) pass through. The
+    * view is schema-only until a model action scans it, and Catalyst
+    * pushes filters/pruning into the csv/json/parquet scan like any
+    * other file source. */
+  private def externalView(src: graft.core.model.SourceDefinition): String = {
+    val ext = src.external.getOrElse(throw new IllegalStateException(
+      s"${src.uniqueId} is not an external source"))
+    val view = s"${manifest.projectName}__ext__${src.sourceName}__${src.name}"
+    if (!spark.catalog.tableExists(view)) {
+      val loc =
+        if (ext.location.contains("://") ||
+            java.nio.file.Paths.get(ext.location).isAbsolute) ext.location
+        else projectRoot.map(_.resolve(ext.location).toString)
+          .getOrElse(ext.location)
+      spark.read.format(ext.format).options(ext.options).load(loc)
+        .createOrReplaceTempView(view)
+    }
+    view
+  }
+
   private val macroDefs: Map[String, JinjaLite.MacroDef] =
     manifest.macros.values.map(m =>
       m.name -> JinjaLite.MacroDef(m.name, m.params, m.macroSql)).toMap
@@ -77,9 +100,11 @@ final class Runner(
             s"unknown source ${sc.sourceName}.${sc.table} in ${m.name}"))
         // a same-project seed with the source table's name materializes it
         // in-session (the jaffle pattern: seeds stand in for raw tables);
-        // otherwise the configured resolver (default: raw table name)
+        // an `external:` source registers its file read; otherwise the
+        // configured resolver (default: raw table name)
         val seedId = s"seed.${manifest.projectName}.${src.name}"
         if (manifest.nodes.contains(seedId)) viewName(src.name)
+        else if (src.external.isDefined) externalView(src)
         else sourceView(src)
       },
       vars = vars,
@@ -191,6 +216,7 @@ final class Runner(
               s"unknown source $sn.$tbl in ${m.name}"))
           val seedId = s"seed.${manifest.projectName}.${src.name}"
           if (manifest.nodes.contains(seedId)) spark.table(viewName(src.name))
+          else if (src.external.isDefined) spark.table(externalView(src))
           else spark.table(sourceView(src))
         })
       val res = m.materialized match {

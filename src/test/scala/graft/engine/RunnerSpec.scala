@@ -223,6 +223,85 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(results("test.jaffle.always_passes_stg_cents") == 0L)
   }
 
+  test("a {% for %}-generated union model renders through JinjaLite and runs") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "us"), (2L, "eu")).toDF("id", "region")
+      .createOrReplaceTempView("raw_a")
+    Seq((3L, "ap")).toDF("id", "region").createOrReplaceTempView("raw_b")
+    Seq((4L, "sa")).toDF("id", "region").createOrReplaceTempView("raw_c")
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: looped\n",
+      "models/__sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: raw
+          |    tables:
+          |      - name: raw_a
+          |      - name: raw_b
+          |      - name: raw_c
+          |""".stripMargin,
+      // the dbt loop-union idiom the reference inherits from dbt-core
+      // Jinja: per-shard selects stitched with UNION ALL, the separator
+      // suppressed on the last iteration
+      "models/all_shards.sql" ->
+        """{% set shards = ['raw_a', 'raw_b', 'raw_c'] %}
+          |{% for t in shards %}
+          |select id, region, '{{ t }}' as shard from {{ source('raw', t) }}
+          |{% if not loop.last %}union all{% endif %}
+          |{% endfor %}""".stripMargin))
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    val out = runner.run()("model.looped.all_shards").orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      Seq((1L, "raw_a"), (2L, "raw_a"), (3L, "raw_b"), (4L, "raw_c")))
+  }
+
+  test("external sources: csv and json locations read as source tables") {
+    val s = spark
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: ext\n",
+      "data/users.csv" ->
+        """id,name
+          |1,ada
+          |2,linus
+          |""".stripMargin,
+      "data/events.json" ->
+        """{"user_id": 1, "kind": "click"}
+          |{"user_id": 1, "kind": "view"}
+          |{"user_id": 2, "kind": "click"}
+          |""".stripMargin,
+      "models/__sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: lake
+          |    tables:
+          |      - name: users
+          |        external:
+          |          location: data/users.csv
+          |          file_format: csv
+          |          options:
+          |            header: "true"
+          |            inferSchema: "true"
+          |      - name: events
+          |        external:
+          |          location: data/events.json
+          |          file_format: json
+          |""".stripMargin,
+      "models/clicks_by_user.sql" ->
+        """select u.name, count(*) as n_clicks
+          |from {{ source('lake', 'events') }} e
+          |join {{ source('lake', 'users') }} u on u.id = e.user_id
+          |where e.kind = 'click'
+          |group by u.name""".stripMargin))
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh")
+    val runner = new Runner(s, manifest, cfg, wh, enforceAccess = false,
+      projectRoot = Some(root))
+    val out = runner.run()("model.ext.clicks_by_user")
+      .orderBy("name").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("ada", 1L), ("linus", 1L)))
+  }
+
   test("parallel run: independent sibling models execute level-concurrently") {
     val s = spark
     import s.implicits._
