@@ -425,3 +425,73 @@ object MinHash64 {
     new GenericArrayData(sig)
   }
 }
+
+/** One-walk feature-hashed bag-of-words summary of `text`: tokens are the
+  * single-space splits (trailing/consecutive empties INCLUDED — Java
+  * split(-1)/DuckDB string_split semantics), each token is bucketed by
+  * the t04 polynomial rolling hash mod `buckets`, and the bucket-count
+  * vector is folded to (nnz, ‖v‖², max_cnt, top_bucket) without ever
+  * materializing words, hashes, or the counts array per row in the plan.
+  * Semantically identical to the HOF chain
+  * `transform(split(text,' '), w -> rolling_hash(w) % B)` → per-bucket
+  * `size(filter(...))` → nnz/l2/argmax folds — but one compiled loop per
+  * row instead of O(B·n) interpreted lambda evaluations. First-maximal
+  * bucket wins ties (strict `>` while scanning ascending bucket ids). */
+case class HashedBow(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets >= 1, s"bucket count must be >= 1, got $buckets")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("nnz", LongType, nullable = false),
+    StructField("l2sq", LongType, nullable = false),
+    StructField("max_cnt", LongType, nullable = false),
+    StructField("top_bucket", LongType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_bow expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashedBow.compute(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedBow.compute($c, $buckets);")
+  override protected def withNewChildInternal(newChild: Expression): HashedBow =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_bow"
+}
+
+object HashedBow {
+  private val P = 1000000007L
+
+  import org.apache.spark.sql.graftbridge.Bridge
+  def apply(c: Column, buckets: Int): Column =
+    Bridge.column(HashedBow(Bridge.expression(c), buckets))
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, buckets: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val cnt = new Array[Long](buckets)
+    var h = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp == ' ') { cnt((h % buckets).toInt) += 1; h = 0L }
+      else h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    cnt((h % buckets).toInt) += 1 // final token; trailing empty included
+    var nnz = 0L; var l2 = 0L; var max = 0L; var arg = 0L
+    var b = 0
+    while (b < buckets) {
+      val c = cnt(b)
+      if (c > 0) nnz += 1
+      l2 += c * c
+      if (c > max) { max = c; arg = b.toLong }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nnz, l2, max, arg))
+  }
+}

@@ -2059,6 +2059,66 @@ object TextAnalysis {
        |  CAST(nr AS BIGINT) AS n_rare_tokens
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t36
+  /** Feature-hashed bag-of-words sketch — the "hashing trick"
+    * (Weinberger et al., ICML 2009) that turns unbounded vocabulary into
+    * a fixed-width vector with NO dictionary: each token is bucketed by
+    * `rolling_hash(w) mod 16` and the per-doc bucket-count vector is
+    * summarized (nnz, exact integer ‖v‖², modal bucket + its count).
+    * This is the text→vector bridge of the similarity family: the same
+    * vector a streaming featurizer would emit with zero coordination —
+    * no vocab broadcast, no OOV, stable across shards by construction.
+    *
+    * Determinism: the bucket hash is the t04 polynomial fold (pinned
+    * cross-engine), counts and ‖v‖² are integers, and the modal bucket
+    * takes the FIRST maximal bucket (array_position/list_position —
+    * lowest index), a total tiebreak.
+    *
+    * Scale (100 TB): pure narrow per-row work — tokenize, hash, and
+    * count in one projection; no explode, no exchange (vs the dictionary
+    * approach's corpus-wide vocab shuffle + broadcast). The 16-bucket
+    * width is the knob: production uses 2¹⁸⁺ buckets and emits the
+    * sparse (bucket, count) pairs instead of the dense array; the
+    * summary row per doc is what this op pins. */
+  val HashBuckets = 16
+
+  def t36(s: SparkSession, dir: String): DataFrame =
+    hashedBow(Tables.t(s, dir, "documents"))
+
+  /** t36's kernel over any (doc_id, text) frame — split out so the spec
+    * can pin bucketing, norm and the first-maximal tiebreak. */
+  private[graft] def hashedBow(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    // fused kernel: tokenize+hash+bucket+summarize in one compiled walk
+    // (the equivalent HOF chain pays O(buckets·len) interpreted lambdas)
+    docsIn
+      .select($"doc_id",
+        graft.functions.HashedBow($"text", HashBuckets).as("bow"))
+      .select($"doc_id", $"bow.nnz".as("nnz"), $"bow.l2sq".as("l2sq"),
+        $"bow.max_cnt".as("max_cnt"), $"bow.top_bucket".as("top_bucket"))
+      .transform(Q.sortedNarrow(_, $"doc_id"))
+  }
+
+  val t36Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), w ->
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, x) -> (a * 31 + x) % 1000000007) % $HashBuckets) AS bk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, list_transform(range($HashBuckets), i ->
+       |    len(list_filter(bk, x -> x = i))) AS cnts
+       |  FROM b)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(cnts, c -> c > 0)) AS BIGINT) AS nnz,
+       |  CAST(list_sum(list_transform(cnts, c -> c * c)) AS BIGINT) AS l2sq,
+       |  CAST(list_max(cnts) AS BIGINT) AS max_cnt,
+       |  CAST(list_position(cnts, list_max(cnts)) - 1 AS BIGINT) AS top_bucket
+       |FROM c ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2094,5 +2154,6 @@ object TextAnalysis {
     Q("t32_oov_profile", t32, Some(t32Sql)),
     Q("t33_source_drift", t33, Some(t33Sql)),
     Q("t34_dedup_token_loss", t34, Some(t34Sql)),
-    Q("t35_surprisal", t35, Some(t35Sql)))
+    Q("t35_surprisal", t35, Some(t35Sql)),
+    Q("t36_hashed_bow", t36, Some(t36Sql)))
 }

@@ -414,6 +414,35 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("HashedBow equals the transform/filter HOF chain on every summary field") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val cases = Seq("", " ", "a", "a b a", "a  b ", "tie0 tie1",
+      "多字节 токены mixed ascii") ++
+      (1 to 25).map(_ => (1 to rnd.nextInt(30)).map(_ =>
+        rnd.alphanumeric.take(rnd.nextInt(8)).mkString).mkString(" "))
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val B = 16L
+    val buckets = transform(split($"t", " "), w => RollingHash(w, 31L) % lit(B))
+    val cnts = transform(sequence(lit(0L), lit(B - 1)),
+      b => size(filter(buckets, x => x === b)).cast("long"))
+    val rows = df.select(
+      $"id",
+      HashedBow($"t", 16).as("fast"),
+      struct(
+        size(filter(cnts, c => c > 0)).cast("long").as("nnz"),
+        aggregate(cnts, lit(0L), (a, c) => a + c * c).as("l2sq"),
+        array_max(cnts).as("max_cnt"),
+        (array_position(cnts, array_max(cnts)) - 1).as("top_bucket")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getStruct(1).toSeq == r.getStruct(2).toSeq,
+        s"case ${r.getLong(0)}: '${cases(r.getLong(0).toInt)}'")
+    }
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._

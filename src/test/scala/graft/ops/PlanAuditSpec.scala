@@ -661,6 +661,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges == 0, s"narrow profile shuffled:\n$sp")
   }
 
+  test("t36: hashed BOW is narrow kernel work — no join, no hash exchange") {
+    val sp = simplePlan(TextAnalysis.t36(spark, dir))
+    assert(!sp.contains("Join"), s"hashing-trick featurizer grew a join:\n$sp")
+    assert(!sp.contains("Exchange hashpartitioning"),
+      s"narrow featurizer shuffled:\n$sp")
+  }
+
   test("q48: the log collapses once; both lags ride one window over the tiny series") {
     val p = plan(Temporal.q48(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
