@@ -295,15 +295,39 @@ final class Runner(
     * those columns last, so the model's declared schema is pinned in an
     * underscore-prefixed sidecar (ignored by Spark's file index, like
     * _SUCCESS) and re-applied on every read-back. */
+  /** dbt-spark's `file_format` config: the storage format a `table`
+    * model materializes as. Parquet (default) everywhere; csv/json/orc
+    * are honored for plain table materializations only — the
+    * incremental/snapshot merge paths stay parquet (their partition
+    * overwrite + sidecar machinery is parquet-shaped, and that is also
+    * dbt-spark's own v2-format restriction in spirit). */
+  private def fileFormat(m: ModelNode): String =
+    m.config.get("file_format").map(_.asStr)
+      .orElse(JinjaLite.findConfig(m.rawCode).get("file_format"))
+      .getOrElse("parquet")
+
+  private def formatSidecar(p: Path): Path = p.resolve("_graft_format")
+
   private def writeTable(m: ModelNode, df: DataFrame, p: Path): Unit = {
-    val w = df.write.mode("overwrite")
+    val fmt = fileFormat(m)
+    if (fmt != "parquet" && m.materialized != "table")
+      throw new IllegalArgumentException(
+        s"model ${m.name}: file_format='$fmt' is supported for " +
+          s"materialized='table' only (got '${m.materialized}')")
+    val w0 = df.write.mode("overwrite").format(fmt)
+    val w = if (fmt == "csv") w0.option("header", "true") else w0
     (if (m.partitionBy.nonEmpty) w.partitionBy(m.partitionBy: _*) else w)
-      .parquet(p.toString)
-    if (m.partitionBy.nonEmpty)
+      .save(p.toString)
+    // schema-lossy formats (csv: all strings; json: no decimals/ordering
+    // guarantees) and partitioned layouts round-trip through the sidecar
+    if (m.partitionBy.nonEmpty || fmt != "parquet")
       Files.writeString(schemaSidecar(p), df.schema.json)
+    if (fmt != "parquet") Files.writeString(formatSidecar(p), fmt)
   }
 
   private def readTable(p: Path): DataFrame = {
+    val fmtSc = formatSidecar(p)
+    val fmt = if (Files.exists(fmtSc)) Files.readString(fmtSc).trim else "parquet"
     val sc = schemaSidecar(p)
     if (Files.exists(sc)) {
       val st = org.apache.spark.sql.types.DataType.fromJson(Files.readString(sc))
@@ -311,9 +335,10 @@ final class Runner(
       // the user-provided schema pins partition-column TYPES (no
       // inference), but Spark still appends partition columns last —
       // the select restores the model's declared column order
-      spark.read.schema(st).parquet(p.toString)
-        .select(st.fieldNames.map(col): _*)
-    } else spark.read.parquet(p.toString)
+      val r0 = spark.read.schema(st).format(fmt)
+      val r = if (fmt == "csv") r0.option("header", "true") else r0
+      r.load(p.toString).select(st.fieldNames.map(col): _*)
+    } else spark.read.format(fmt).load(p.toString)
   }
 
   private def persist(m: ModelNode, df: DataFrame): DataFrame = {

@@ -302,6 +302,62 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq(("ada", 1L), ("linus", 1L)))
   }
 
+  test("file_format sinks: csv and json table models round-trip schema and feed refs") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 150L), (2L, 250L)).toDF("id", "cents")
+      .createOrReplaceTempView("ff_raw")
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: ff\n",
+      "models/__sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: raw
+          |    tables:
+          |      - name: ff_raw
+          |""".stripMargin,
+      "models/as_csv.sql" ->
+        ("{{ config(materialized='table', file_format='csv') }}\n" +
+          "select id, cast(cents / 100.0 as decimal(16,2)) as dollars " +
+          "from {{ source('raw', 'ff_raw') }}"),
+      "models/as_json.sql" ->
+        ("{{ config(materialized='table', file_format='json') }}\n" +
+          "select id, cents from {{ source('raw', 'ff_raw') }}"),
+      "models/downstream.sql" ->
+        """select c.id, c.dollars, j.cents
+          |from {{ ref('as_csv') }} c join {{ ref('as_json') }} j on c.id = j.id""".stripMargin))
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh")
+    val runner = new Runner(s, manifest, cfg, wh, enforceAccess = false)
+    val out = runner.run()
+    // files on disk ARE the declared formats
+    def files(dir: String) =
+      Files.list(wh.resolve(dir)).toArray.map(_.toString).toSeq
+    assert(files("as_csv").exists(_.endsWith(".csv")), files("as_csv"))
+    assert(files("as_json").exists(_.endsWith(".json")), files("as_json"))
+    // schema round-trips through the sidecar: decimal survives csv
+    val csvBack = out("model.ff.as_csv")
+    assert(csvBack.schema("dollars").dataType.typeName == "decimal(16,2)")
+    val down = out("model.ff.downstream").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDecimal(1).toString, r.getLong(2)))
+    assert(down.toSeq == Seq((1L, "1.50", 150L), (2L, "2.50", 250L)))
+    // read-catalog reuse honors the stored format
+    val r2 = new Runner(s, manifest, cfg, wh, enforceAccess = false,
+      readCatalog = true)
+    assert(r2.run()("model.ff.as_csv").count() == 2)
+    // non-table materializations refuse non-parquet formats
+    val badRoot = writeProject(Map(
+      "dbt_project.yml" -> "name: bad\n",
+      "models/inc.sql" ->
+        ("{{ config(materialized='incremental', file_format='csv') }}\n" +
+          "select 1 as id")))
+    val (bcfg, bman) = ProjectLoader.load(badRoot)
+    val bad = new Runner(s, bman, bcfg, Files.createTempDirectory("graft_wh"),
+      enforceAccess = false)
+    val e = intercept[Exception](bad.run())
+    assert(e.getMessage.contains("file_format"), e.getMessage)
+  }
+
   test("parallel run: independent sibling models execute level-concurrently") {
     val s = spark
     import s.implicits._
