@@ -70,7 +70,15 @@ object Tables {
     import org.apache.spark.sql.functions._
     df.schema.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // nanos vs micros magnitude guard: the driver has shipped
+        // TIMESTAMP(NANOS) (surfaced as long via nanosAsLong — ~1.7e18
+        // for 2024); a future micros-as-long encoding would be ~1.7e15.
+        // 1e17 separates them for any date between 1973 and 5138, so the
+        // per-row conditional is exact for either encoding (and costs
+        // one codegen'd comparison in the scan).
+        df.withColumn("ts", timestamp_micros(
+          when(abs(col("ts")) >= lit(100000000000000000L),
+            expr("ts div 1000")).otherwise(col("ts"))))
       case Some(TimestampNTZType) =>
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
