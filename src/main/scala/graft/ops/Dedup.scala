@@ -1813,6 +1813,74 @@ object Dedup {
       |    AS n_mostly_dup_docs
       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d25
+  /** Sharded-dedup consistency audit — the quantified version of the
+    * core 100 TB dedup design rule: a corpus sharded by INGESTION ID
+    * (`doc_id mod 8` here — the layout data arrives in) and deduped
+    * within shards only silently misses every near-dup pair that
+    * straddles shards. This op counts them over the d02 pair set: of
+    * all Jaccard ≥ 0.5 pairs, how many have both members in one shard
+    * (the only ones a shard-local pass can see) vs across shards.
+    * A large `missed_ppm` IS the argument for partitioning by CONTENT —
+    * shingle keys (d02's inverted index) or band keys (d03's LSH) —
+    * which routes every colliding pair to one reducer regardless of
+    * where the documents live.
+    *
+    * Determinism: the pair set is d02's (exact integer intersections);
+    * shard math and ppm are integer floor-div.
+    *
+    * Scale (100 TB): the audit adds one scalar aggregate over the
+    * already-bounded pair set — free next to the pair generation it
+    * piggybacks on (shared inverted-index substrate, τ-capped fan-out). */
+  val DedupShards = 8
+
+  def d25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shardConsistency(jaccardPairs(s, dir, 0.5))
+  }
+
+  /** d25's kernel over any (da, db) pair frame — split out so the spec
+    * can pin the pair arithmetic on constructed shard layouts. */
+  private[graft] def shardConsistency(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs
+      .select(($"da" % DedupShards === $"db" % DedupShards)
+        .cast(LongType).as("within"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum($"within").as("within_shard_pairs"))
+      .select($"n_pairs", $"within_shard_pairs",
+        ($"n_pairs" - $"within_shard_pairs").as("cross_shard_pairs"),
+        expr("(1000000 * (n_pairs - within_shard_pairs)) div n_pairs")
+          .as("missed_ppm"))
+  }
+
+  /** Oracle: d02's pair CTE (stop-shingle cut included) + shard math. */
+  val d25Sql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+       |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+       |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+       |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+       |       WHERE df.df <= 1000),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT da, db FROM inter
+       |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       |w AS (SELECT CASE WHEN da % $DedupShards = db % $DedupShards
+       |        THEN 1 ELSE 0 END AS within FROM pairs)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(within) AS BIGINT) AS within_shard_pairs,
+       |  CAST(COUNT(*) - SUM(within) AS BIGINT) AS cross_shard_pairs,
+       |  CAST((1000000 * (COUNT(*) - SUM(within))) // COUNT(*) AS BIGINT)
+       |    AS missed_ppm
+       |FROM w""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1837,5 +1905,6 @@ object Dedup {
     Q("d21_band_sweep", d21, Some(d21Sql)),
     Q("d22_prefix_families", d22, Some(d22Sql)),
     Q("d23_chunk_jaccard", d23, Some(d23Sql)),
-    Q("d24_dupspan_coverage", d24, Some(d24Sql)))
+    Q("d24_dupspan_coverage", d24, Some(d24Sql)),
+    Q("d25_shard_consistency", d25, Some(d25Sql)))
 }

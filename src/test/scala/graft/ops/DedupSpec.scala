@@ -276,6 +276,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       (2, 2L, 2L, 1L, 6L)))
   }
 
+  test("d25: cross-shard pair accounting on a constructed pair layout") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(
+      (0L, 8L),   // both shard 0 → within
+      (2L, 10L),  // both shard 2 → within
+      (0L, 1L),   // shards 0 vs 1 → missed by an id-sharded pass
+      (3L, 12L))  // shards 3 vs 4 → missed
+      .toDF("da", "db")
+    val r = Dedup.shardConsistency(pairs).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 2L, 500000L)))
+  }
+
   test("d24: rolling-window duplication coverage and the strict-majority flag") {
     val s = spark
     import s.implicits._
