@@ -2119,6 +2119,103 @@ object TextAnalysis {
        |  CAST(list_position(cnts, list_max(cnts)) - 1 AS BIGINT) AS top_bucket
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t37
+  /** Consolidated quality-rule filter — the Gopher-style rule battery
+    * (Rae et al., arXiv:2112.11446 §A1.1) as ONE pass with per-rule
+    * failure accounting per source, so a curation run reads WHICH gate
+    * is culling each source, not just how much survives:
+    *   len      — token count within [20, 90] (t02's bounds);
+    *   wordlen  — mean word length within [3, 10], integer
+    *              cross-multiplied (3n ≤ chars ≤ 10n, no division);
+    *   stop     — at least 2 stopword occurrences (Gopher's
+    *              "contains ≥ 2 of the stop list" rule);
+    *   rep      — top bigram ≤ 20% of bigram mass (5·max ≤ total,
+    *              t06's repetition signal as a hard gate).
+    * `n_pass`/`pass_ppm` count docs surviving ALL rules — the conjoint
+    * yield a mixture plan budgets against.
+    *
+    * Determinism: every predicate is integer cross-multiplied; the only
+    * non-integer output is the floor-div ppm.
+    *
+    * Scale (100 TB): one narrow scan — tokens via split, the bigram
+    * mode via the compiled [[graft.functions.TopBigramRun]] kernel (no
+    * bigram-array materialization), then ONE map-side-combining rollup
+    * on source. This is the cheapest possible shape for a rule battery:
+    * rules never fan out rows, and adding a rule adds a column, not a
+    * pass. */
+  def t37(s: SparkSession, dir: String): DataFrame =
+    qualityRules(Tables.t(s, dir, "documents"))
+
+  /** t37's kernel over any (source, text) frame — split out so the spec
+    * can fire every rule on constructed docs (the synthetic corpus only
+    * exercises len and stop). */
+  private[graft] def qualityRules(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val ws = words($"text")
+    val nTok = size(ws).cast(LongType)
+    val wordChars = (length($"text") - (size(ws) - 1)).cast(LongType)
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast(LongType)
+    val failLen = !(nTok >= 20 && nTok <= 90)
+    val failWordLen = !(lit(3L) * nTok <= wordChars && wordChars <= lit(10L) * nTok)
+    val failStop = nStop < 2
+    val failRep = (size(ws) >= 2) &&
+      lit(5L) * graft.functions.TopBigramRun(ws) > (nTok - 1L)
+    docsIn
+      .select($"source",
+        failLen.cast(LongType).as("f_len"),
+        failWordLen.cast(LongType).as("f_wordlen"),
+        failStop.cast(LongType).as("f_stop"),
+        failRep.cast(LongType).as("f_rep"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"f_len").as("fail_len"),
+        sum($"f_wordlen").as("fail_wordlen"),
+        sum($"f_stop").as("fail_stop"),
+        sum($"f_rep").as("fail_rep"),
+        sum(when($"f_len" + $"f_wordlen" + $"f_stop" + $"f_rep" === 0, 1L)
+          .otherwise(0L)).as("n_pass"))
+      .select($"source", $"n_docs", $"fail_len", $"fail_wordlen",
+        $"fail_stop", $"fail_rep", $"n_pass",
+        expr("(1000000 * n_pass) div n_docs").as("pass_ppm"))
+      .orderBy($"source")
+  }
+
+  val t37Sql: String = {
+    val set = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH words AS (
+       |  SELECT doc_id, source, text, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+       |       FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+       |       WHERE len(ws) >= 2),
+       |bcnt AS (SELECT doc_id, MAX(c) AS top_bg, SUM(c) AS n_bg FROM (
+       |    SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b)
+       |  GROUP BY doc_id),
+       |f AS (
+       |  SELECT w.source,
+       |    CASE WHEN len(ws) BETWEEN 20 AND 90 THEN 0 ELSE 1 END AS f_len,
+       |    CASE WHEN 3 * len(ws) <= length(text) - (len(ws) - 1)
+       |          AND length(text) - (len(ws) - 1) <= 10 * len(ws)
+       |         THEN 0 ELSE 1 END AS f_wordlen,
+       |    CASE WHEN len(list_filter(ws, x -> x IN ($set))) >= 2
+       |         THEN 0 ELSE 1 END AS f_stop,
+       |    CASE WHEN COALESCE(5 * b.top_bg > b.n_bg, FALSE)
+       |         THEN 1 ELSE 0 END AS f_rep
+       |  FROM words w LEFT JOIN bcnt b USING (doc_id))
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(f_len) AS BIGINT) AS fail_len,
+       |  CAST(SUM(f_wordlen) AS BIGINT) AS fail_wordlen,
+       |  CAST(SUM(f_stop) AS BIGINT) AS fail_stop,
+       |  CAST(SUM(f_rep) AS BIGINT) AS fail_rep,
+       |  CAST(SUM(CASE WHEN f_len + f_wordlen + f_stop + f_rep = 0
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST((1000000 * SUM(CASE WHEN f_len + f_wordlen + f_stop + f_rep = 0
+       |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS pass_ppm
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2155,5 +2252,6 @@ object TextAnalysis {
     Q("t33_source_drift", t33, Some(t33Sql)),
     Q("t34_dedup_token_loss", t34, Some(t34Sql)),
     Q("t35_surprisal", t35, Some(t35Sql)),
-    Q("t36_hashed_bow", t36, Some(t36Sql)))
+    Q("t36_hashed_bow", t36, Some(t36Sql)),
+    Q("t37_quality_rules", t37, Some(t37Sql)))
 }

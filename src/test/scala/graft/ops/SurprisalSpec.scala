@@ -30,4 +30,34 @@ class SurprisalSpec extends AnyFunSuite with SparkFixture {
       (1L, 100L, sum1, sum1.toDouble / 100, 0L),
       (2L, 2L, sum2, sum2.toDouble / 2, 1L)))
   }
+
+  test("t37: every quality rule fires on its constructed violator, and only it") {
+    val s = spark
+    import s.implicits._
+    // a doc that passes all four rules: 25 mid-length words incl. 2 stops
+    val pass = (Seq("the", "a") ++ (1 to 23).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      ("ok", pass),
+      // len: 10 words (distinct bigrams keep rep quiet; stops + mid
+      // lengths keep the other rules quiet)
+      ("len", (Seq("the", "a") ++ (1 to 8).map(i => s"word$i")).mkString(" ")),
+      // wordlen: 25 one-char words (all distinct → rep quiet) → mean < 3
+      ("wordlen", (Seq("the", "a") ++ ('b' to 'x').map(_.toString))
+        .mkString(" ")),
+      // stop: 25 mid-length words, none in the stop list
+      ("stop", (1 to 25).map(i => s"token$i").mkString(" ")),
+      // rep: 'dupword goes' ×12 — top bigram 12 of 25 (>20%), mean word
+      // length stays ≥ 3
+      ("rep", (Seq("the", "a") ++ Seq.fill(12)(Seq("dupword", "goes")).flatten)
+        .mkString(" "))).toDF("source", "text")
+    val rows = TextAnalysis.qualityRules(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    // (fail_len, fail_wordlen, fail_stop, fail_rep, n_pass) per source
+    assert(rows("ok") == ((0L, 0L, 0L, 0L, 1L)))
+    assert(rows("len") == ((1L, 0L, 0L, 0L, 0L)))
+    assert(rows("wordlen") == ((0L, 1L, 0L, 0L, 0L)))
+    assert(rows("stop") == ((0L, 0L, 1L, 0L, 0L)))
+    assert(rows("rep") == ((0L, 0L, 0L, 1L, 0L)))
+  }
 }
