@@ -1415,6 +1415,91 @@ object Similarity {
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s22
+  /** Greedy k-center coreset selection (Gonzalez's maximin, the
+    * 2-approximation behind diversity sampling / facility location):
+    * seed with the lowest vec_id, then 4× pick the vector whose maximum
+    * cosine similarity to the already-chosen set is SMALLEST (the
+    * farthest point), ties to the lowest id. The chosen 5 are the
+    * diversity coreset a data-selection pass keeps first — the
+    * anti-near-dup complement of d13's SemDeDup (which drops the
+    * closest; this keeps the farthest).
+    *
+    * Determinism: every pairwise cosine is the s01 formulation rounded
+    * at 6 BEFORE the max/argmin, so ties and orderings are identical in
+    * both engines; the id tiebreak is total.
+    *
+    * Scale (100 TB): the canonical driver-bounded iterative shape (cf.
+    * g04's pagerank loop): k−1 passes, each joining the corpus against
+    * a BROADCAST ≤k-row center set, map-side max per vector, and a
+    * TakeOrdered(1) argmin — the driver only ever holds k rows. The
+    * corpus projection is lazily checkpointed once and block-reused by
+    * all k−1 passes. */
+  val KCenters = 5
+
+  def s22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    kcenter(vecs(s, dir).select($"vec_id", $"v", $"norm"), KCenters)
+  }
+
+  /** s22's kernel over any (vec_id, v, norm) frame — split out so the
+    * spec can pin the greedy maximin order on hand-built vectors. */
+  private[graft] def kcenter(vecsIn: DataFrame, k: Int): DataFrame = {
+    val s = vecsIn.sparkSession
+    import s.implicits._
+    val all = vecsIn.localCheckpoint(eager = false)
+    val seed = all.agg(min($"vec_id")).collect().head.getLong(0)
+    var chosen = Vector(seed)
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (1, seed, None))
+    for (rank <- 2 to k) {
+      val centers = all.filter($"vec_id".isin(chosen: _*))
+        .select($"v".as("cv"), $"norm".as("cnorm"))
+      val next = all.filter(!$"vec_id".isin(chosen: _*))
+        .join(broadcast(centers))
+        .select($"vec_id",
+          round(dot($"v", $"cv") / ($"norm" * $"cnorm"), 6).as("sim"))
+        .groupBy($"vec_id").agg(max($"sim").as("ms"))
+        .orderBy($"ms".asc, $"vec_id".asc)
+        .limit(1).collect().head
+      chosen :+= next.getLong(0)
+      picks += ((rank, next.getLong(0), Some(next.getDouble(1))))
+    }
+    picks.toSeq.toDF("rank", "vec_id", "max_prior_sim")
+      .orderBy($"rank")
+  }
+
+  /** Unrolled maximin chain: m_i carries each candidate's running max
+    * similarity to centers 1..i (GREATEST of the previous chain and the
+    * newly chosen center), p_{i+1} takes its argmin. */
+  val s22Sql: String = {
+    val steps = (2 to KCenters).map { i =>
+      val prev = i - 1
+      val mPrev = if (prev == 1) "m1" else s"m$prev"
+      val simExpr = s"round(${dotSql("x.embedding", s"c$i.embedding")} / " +
+        s"(x.norm * c$i.norm), 6)"
+      s"""p$i AS (SELECT vec_id, ms FROM $mPrev ORDER BY ms ASC, vec_id ASC LIMIT 1),
+         |c$i AS (SELECT v.* FROM v, p$i WHERE v.vec_id = p$i.vec_id),
+         |m$i AS (SELECT x.vec_id, GREATEST($mPrev.ms, $simExpr) AS ms
+         |        FROM v x JOIN $mPrev ON x.vec_id = $mPrev.vec_id, c$i
+         |        WHERE x.vec_id <> c$i.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val selects = (2 to KCenters).map(i =>
+      s"SELECT $i AS rank, vec_id, ms AS max_prior_sim FROM p$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |c1 AS (SELECT * FROM v WHERE vec_id = (SELECT MIN(vec_id) FROM v)),
+       |m1 AS (SELECT x.vec_id,
+       |    round(${dotSql("x.embedding", "c1.embedding")} / (x.norm * c1.norm), 6) AS ms
+       |  FROM v x, c1 WHERE x.vec_id <> c1.vec_id),
+       |$steps
+       |SELECT CAST(rank AS INTEGER) AS rank, vec_id, max_prior_sim FROM (
+       |  SELECT 1 AS rank, vec_id, CAST(NULL AS DOUBLE) AS max_prior_sim FROM c1
+       |  UNION ALL $selects)
+       |ORDER BY rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -1436,5 +1521,6 @@ object Similarity {
     Q("s18_diversified_topk", s18, Some(s18Sql)),
     Q("s19_hard_negatives", s19, Some(s19Sql)),
     Q("s20_kmeans_drift", s20, Some(s20Sql)),
-    Q("s21_rrf_ensemble", s21, Some(s21Sql)))
+    Q("s21_rrf_ensemble", s21, Some(s21Sql)),
+    Q("s22_kcenter_coreset", s22, Some(s22Sql)))
 }

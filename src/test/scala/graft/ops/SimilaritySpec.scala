@@ -64,4 +64,21 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       0L  -> ((3L, 500000L)),
       -20L -> ((2L, 333333L))))
   }
+
+  test("s22 kernel: greedy maximin picks the farthest-from-set, ties to lowest id") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{sqrt => fsqrt, _}
+    // 2-D: id1 east, id2 almost-east (near-dup of 1), id3 north, id4 west
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.995, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0)))
+      .toDF("vec_id", "v")
+      .withColumn("norm", fsqrt(graft.functions.DotProduct($"v", $"v")))
+    val rows = Similarity.kcenter(vecs, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // seed 1 (lowest id); farthest from {1} is 4 (sim -1); farthest from
+    // {1,4} is 3 (max-sim 0) — the near-dup 2 is never chosen
+    assert(rows == Seq((1, 1L), (2, 4L), (3, 3L)))
+  }
 }
