@@ -1881,6 +1881,94 @@ object Dedup {
        |    AS missed_ppm
        |FROM w""".stripMargin
 
+  // ---------------------------------------------------------------- d26
+  /** Incremental dedup against history — the DAILY-INGEST shape: a new
+    * batch (odd doc_ids here) is probed against the already-accepted
+    * corpus (even doc_ids), never corpus-vs-corpus. Tiers mirror the
+    * production ladder: a new doc is `exact_hist` when its md5 matches
+    * any historical doc (16-byte semi-join probe), else `near_hist`
+    * when it has a Jaccard ≥ 0.5 shingle pair with a historical doc
+    * (the batch-audit form of what [[graft.streaming.Streams
+    * .nearDupIngest]]'s persistent band index decides per micro-batch),
+    * else fresh. Per-source fresh ppm is the number ingestion dashboards
+    * watch: a crash says the crawler is re-fetching yesterday.
+    *
+    * Scale (100 TB): the exact probe is a hash semi-join on digests
+    * (history side is the big one — it stays hash-partitioned, the
+    * batch streams); the near tier rides the shared inverted-index
+    * pair substrate restricted to cross-parity pairs; nothing here
+    * rescans history text. In production the near tier probes the
+    * persisted BAND-KEY index instead of re-deriving pairs — same
+    * decisions, index-sized state (the streaming twin does exactly
+    * that). */
+  def d26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+    val withH = docs.select($"doc_id", $"source",
+      md5($"text".cast(BinaryType)).as("h"))
+    val hist = withH.filter($"doc_id" % 2 === 0)
+    val batch = withH.filter($"doc_id" % 2 === 1)
+    val exactIds = batch.join(hist.select($"h").distinct(), Seq("h"), "left_semi")
+      .select($"doc_id")
+    // cross-parity near-dup pairs: the odd side is the new doc
+    val nearIds = jaccardPairs(s, dir, 0.5)
+      .filter($"da" % 2 =!= $"db" % 2)
+      .select(when($"da" % 2 === 1, $"da").otherwise($"db").as("doc_id"))
+      .distinct()
+    batch
+      .join(exactIds.withColumn("is_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(1L)), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("is_exact", "is_near"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_new"),
+        sum($"is_exact").as("n_exact_hist"),
+        sum(when($"is_exact" === 0 && $"is_near" === 1, 1L).otherwise(0L))
+          .as("n_near_hist"),
+        sum(when($"is_exact" === 0 && $"is_near" === 0, 1L).otherwise(0L))
+          .as("n_fresh"))
+      .select($"source", $"n_new", $"n_exact_hist", $"n_near_hist", $"n_fresh",
+        expr("(1000000 * n_fresh) div n_new").as("fresh_ppm"))
+      .orderBy($"source")
+  }
+
+  val d26Sql: String =
+    """WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      |hist AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+      |batch AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+      |ex AS (SELECT DISTINCT b.doc_id FROM batch b
+      |       JOIN hist x ON b.h = x.h),
+      |words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |near AS (SELECT DISTINCT
+      |    CASE WHEN da % 2 = 1 THEN da ELSE db END AS doc_id
+      |  FROM inter
+      |  JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+      |    AND da % 2 <> db % 2),
+      |f AS (SELECT b.source,
+      |    CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_exact,
+      |    CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_near
+      |  FROM batch b LEFT JOIN ex ON b.doc_id = ex.doc_id
+      |  LEFT JOIN near ON b.doc_id = near.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+      |  CAST(SUM(is_exact) AS BIGINT) AS n_exact_hist,
+      |  CAST(SUM(CASE WHEN is_exact = 0 AND is_near = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_near_hist,
+      |  CAST(SUM(CASE WHEN is_exact = 0 AND is_near = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_fresh,
+      |  CAST((1000000 * SUM(CASE WHEN is_exact = 0 AND is_near = 0
+      |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS fresh_ppm
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1906,5 +1994,6 @@ object Dedup {
     Q("d22_prefix_families", d22, Some(d22Sql)),
     Q("d23_chunk_jaccard", d23, Some(d23Sql)),
     Q("d24_dupspan_coverage", d24, Some(d24Sql)),
-    Q("d25_shard_consistency", d25, Some(d25Sql)))
+    Q("d25_shard_consistency", d25, Some(d25Sql)),
+    Q("d26_incremental_dedup", d26, Some(d26Sql)))
 }
