@@ -2149,24 +2149,31 @@ object TextAnalysis {
   /** t37's kernel over any (source, text) frame — split out so the spec
     * can fire every rule on constructed docs (the synthetic corpus only
     * exercises len and stop). */
+  /** The four t37 rule-failure predicates over a text Column, in rule
+    * order (len, wordlen, stop, rep) — shared by the batch battery and
+    * the streaming gate ([[graft.streaming.Streams.rulesGateIngest]]) so
+    * a backfill and the live ingest make bit-identical decisions. */
+  private[graft] def ruleFailures(text: Column): Seq[(String, Column)] = {
+    val ws = words(text)
+    val nTok = size(ws).cast(LongType)
+    val wordChars = (length(text) - (size(ws) - 1)).cast(LongType)
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast(LongType)
+    Seq(
+      "len" -> !(nTok >= 20 && nTok <= 90),
+      "wordlen" ->
+        !(lit(3L) * nTok <= wordChars && wordChars <= lit(10L) * nTok),
+      "stop" -> (nStop < 2),
+      "rep" -> ((size(ws) >= 2) &&
+        lit(5L) * graft.functions.TopBigramRun(ws) > (nTok - 1L)))
+  }
+
   private[graft] def qualityRules(docsIn: DataFrame): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val ws = words($"text")
-    val nTok = size(ws).cast(LongType)
-    val wordChars = (length($"text") - (size(ws) - 1)).cast(LongType)
-    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast(LongType)
-    val failLen = !(nTok >= 20 && nTok <= 90)
-    val failWordLen = !(lit(3L) * nTok <= wordChars && wordChars <= lit(10L) * nTok)
-    val failStop = nStop < 2
-    val failRep = (size(ws) >= 2) &&
-      lit(5L) * graft.functions.TopBigramRun(ws) > (nTok - 1L)
+    val flags = ruleFailures($"text")
     docsIn
-      .select($"source",
-        failLen.cast(LongType).as("f_len"),
-        failWordLen.cast(LongType).as("f_wordlen"),
-        failStop.cast(LongType).as("f_stop"),
-        failRep.cast(LongType).as("f_rep"))
+      .select($"source" +:
+        flags.map { case (n, c) => c.cast(LongType).as(s"f_$n") }: _*)
       .groupBy($"source")
       .agg(
         count(lit(1)).as("n_docs"),

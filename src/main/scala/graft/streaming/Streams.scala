@@ -585,6 +585,27 @@ object Streams {
     q
   }
 
+  /** Streaming quality-rules gate — the live twin of batch t37: every
+    * arriving document is flagged by the SAME four rule Columns
+    * ([[graft.ops.TextAnalysis.ruleFailures]] — token-count bounds,
+    * integer-cross-multiplied mean word length, stopword floor,
+    * top-bigram dominance), so backfill and ingest make bit-identical
+    * keep/drop decisions. Stateless narrow per-row work (no watermark,
+    * no state store) — pipelines at source parallelism like
+    * [[scrubIngest]], which this composes with in a real ingest.
+    *
+    * Emits (doc_id, f_len, f_wordlen, f_stop, f_rep, passes) for every
+    * arriving doc; the caller filters on `passes` or routes failures to
+    * a quarantine sink. */
+  def rulesGateIngest(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val flags = graft.ops.TextAnalysis.ruleFailures($"text")
+    docs.select($"doc_id" +:
+      (flags.map { case (n, c) => c.cast("long").as(s"f_$n") } :+
+        flags.map(_._2).reduce(_ || _).unary_!.as("passes")): _*)
+  }
+
   /** Running per-source vocabulary estimate emitted by [[vocabSketch]]. */
   final case class VocabEstimate(source: String, kmv_size: Long, est_distinct: Double)
 

@@ -303,6 +303,31 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       .toSeq == Seq(10L, 12L, 14L))
   }
 
+  test("rulesGateIngest: streamed rule flags equal the batch t37 columns (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val docs = Seq(
+      (1L, (Seq("the", "a") ++ (1 to 23).map(i => s"word$i")).mkString(" ")),
+      (2L, "too short"),
+      (3L, (1 to 25).map(i => s"token$i").mkString(" ")))
+    val batch = Streams.rulesGateIngest(
+      docs.toDF("doc_id", "text")).collect().map(_.toSeq).toSet
+
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.rulesGateIngest(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rules_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = s.table("rules_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.exists(r => r.head == 1L && r.last == true))
+      assert(batch.exists(r => r.head == 2L && r.last == false))
+    } finally q.stop()
+  }
+
   test("trendingNgrams: windowed trigram counts emit when the watermark passes") {
     val s = spark
     import s.implicits._
