@@ -84,7 +84,18 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // each run builds FRESH lazy-checkpoint RDDs (Q.sortedNarrow and
+        // the shared-index ops); their MEMORY_AND_DISK blocks are only
+        // reclaimed when the driver GCs the RDD object, so across
+        // 160+ queries × 3 runs storage fills and later checkpoint-heavy
+        // queries pay eviction/spill I/O that has nothing to do with
+        // their plan (observed: d24 0.8s isolated → 15s late in a full
+        // sweep). Blocks are never shared across runs — drop them
+        // eagerly once the run is timed.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (dt, ok)
       }
       val best = runs.filter(_._2).map(_._1).sorted.headOption.getOrElse(-1.0)
       // ok requires EVERY run to pass — a query that flakes on any run is
