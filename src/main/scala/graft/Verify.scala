@@ -32,6 +32,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release this query's lazy-checkpoint blocks (same accumulation
+      // Bench hit: 160+ queries of retained MEMORY_AND_DISK blocks force
+      // spills on the later checkpoint-heavy queries; blocks are never
+      // shared across queries)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
