@@ -1079,5 +1079,68 @@ object Temporal {
     Q("q48_hourly_autocorr", q48, Some(q48Sql)),
     Q("q49_event_transitions", q49, Some(q49Sql)),
     Q("q50_path_trigrams", q50, Some(q50Sql)),
-    Q("q51_activity_deciles", q51, Some(q51Sql)))
+    Q("q51_activity_deciles", q51, Some(q51Sql)),
+    Q("q52_relational_division", q52, Some(q52Sql)))
+
+  // ---------------------------------------------------------------- q52
+  /** Relational division with support — "users who performed EVERY event
+    * type, each at least [[DivisionSupport]] times" — the classic ÷
+    * operator missing from the join/set family, in its thresholded form
+    * (plain division is vacuous on this log: every user touches every
+    * type eventually; habitual completeness splits the population
+    * 73/150 at sf0.01). The scalable plan is count-matching, not
+    * |types| chained semi-joins: collapse to (user, type, count) with a
+    * map-side-combinable aggregate, keep qualifying types, count per
+    * user, and keep users whose qualifying-type count equals the global
+    * domain size (a broadcast 1-row cross join).
+    *
+    * Determinism: pure integer counts; the example ids are MIN/MAX.
+    *
+    * Scale (100 TB): two exchanges — the (user, type) collapse
+    * (combines map-side; ≤|users|·|types| rows out) and the per-user
+    * count (|users| rows); the domain size is one broadcast row. The
+    * naive formulation (anti-join of the user×domain cross product)
+    * builds |users|·|types| rows AGAIN just to look for holes; the
+    * count-match never materializes a cross product. */
+  val DivisionSupport = 10
+
+  def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val utc = Tables.t(s, dir, "events")
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false) // reused: domain + per-user count
+    val domain = utc.agg(countDistinct($"event_type").as("n_types"))
+    val perUser = utc.filter($"c" >= DivisionSupport)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val allUsers = utc.select($"user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val complete = perUser.crossJoin(broadcast(domain))
+      .filter($"n" === $"n_types")
+    complete.agg(
+      count(lit(1)).as("n_complete_users"),
+      min($"user_id").as("first_complete"),
+      max($"user_id").as("last_complete"))
+      .crossJoin(broadcast(allUsers))
+      .crossJoin(broadcast(domain))
+      .select($"n_types", $"n_users", $"n_complete_users",
+        expr("(1000000 * n_complete_users) div n_users").as("complete_ppm"),
+        $"first_complete", $"last_complete")
+  }
+
+  val q52Sql: String =
+    s"""WITH utc AS (SELECT user_id, event_type, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |dom AS (SELECT COUNT(DISTINCT event_type) AS n_types FROM utc),
+       |pu AS (SELECT user_id, COUNT(*) AS n FROM utc
+       |       WHERE c >= $DivisionSupport GROUP BY user_id),
+       |c AS (SELECT pu.user_id FROM pu, dom WHERE pu.n = dom.n_types)
+       |SELECT dom.n_types,
+       |  CAST((SELECT COUNT(DISTINCT user_id) FROM utc) AS BIGINT) AS n_users,
+       |  CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_complete_users,
+       |  CAST((1000000 * (SELECT COUNT(*) FROM c))
+       |    // (SELECT COUNT(DISTINCT user_id) FROM utc) AS BIGINT)
+       |    AS complete_ppm,
+       |  (SELECT MIN(user_id) FROM c) AS first_complete,
+       |  (SELECT MAX(user_id) FROM c) AS last_complete
+       |FROM dom""".stripMargin
 }
