@@ -931,6 +931,53 @@ object Streams {
   /** Last-seen frontier per (user, type): micros + event_id tiebreak. */
   final case class GapS(lastUs: Long, lastEventId: Long)
 
+  /** Funnel-stage state: first-completion micros per stage, -1 = unset. */
+  final case class FunnelS(t0: Long, t1: Long, t2: Long)
+  /** Stage-completion row emitted by [[conversionIngest]]:
+    * stage 0 = signup, 1 = click-within-48h, 2 = purchase-within-48h. */
+  final case class StageHit(user_id: Long, stage: Int, us: Long)
+
+  /** Streaming ordered conversion funnel — the live twin of batch q23
+    * (signup → click ≤ 48 h later → purchase ≤ 48 h after that, each
+    * stage keyed to the FIRST qualifying event): a per-user
+    * `flatMapGroupsWithState` state machine holding three micros
+    * (O(users) state, nothing grows with history) that emits one
+    * [[StageHit]] the moment a stage first completes. Counting hits per
+    * stage over the output IS the live funnel; on in-order delivery the
+    * totals equal batch q23's per-stage counts (the scdIngest frontier
+    * caveat: an out-of-order signup older than the recorded first one
+    * cannot retroactively re-run the funnel — the batch op over the full
+    * log stays the replayable source of truth). */
+  def conversionIngest(events: Dataset[Ev2]): Dataset[StageHit] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val win = 48L * 3600 * 1000000 // 48 h in micros
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelS, StageHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev2], state: GroupState[FunnelS]) =>
+          var st = state.getOption.getOrElse(FunnelS(-1L, -1L, -1L))
+          val out = Seq.newBuilder[StageHit]
+          rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).foreach { e =>
+            val us = usOf(e.ts)
+            e.event_type match {
+              case "signup" if st.t0 < 0 =>
+                st = st.copy(t0 = us); out += StageHit(uid, 0, us)
+              case "click" if st.t0 >= 0 && st.t1 < 0 &&
+                  us > st.t0 && us <= st.t0 + win =>
+                st = st.copy(t1 = us); out += StageHit(uid, 1, us)
+              case "purchase" if st.t1 >= 0 && st.t2 < 0 &&
+                  us > st.t1 && us <= st.t1 + win =>
+                st = st.copy(t2 = us); out += StageHit(uid, 2, us)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming inter-arrival gap extraction — the live twin of batch
     * q46's lag window: for each (user, event_type) stream, emit the gap
     * (whole seconds, floored from exact integer micros) between every

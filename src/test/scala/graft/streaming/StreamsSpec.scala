@@ -479,6 +479,42 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("conversionIngest: per-user funnel state machine matches q23 stage rules") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Streams.Ev2]
+    val q = Streams.conversionIngest(in.toDS())
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        // user 1: full funnel, delivered out of order within the batch
+        Streams.Ev2(2, 1, "click", ts("2024-01-01 12:00:00"), 0.0),
+        Streams.Ev2(1, 1, "signup", ts("2024-01-01 10:00:00"), 0.0),
+        // user 2: signup only; the click is 49h later → stage 1 never fires
+        Streams.Ev2(3, 2, "signup", ts("2024-01-01 10:00:00"), 0.0),
+        Streams.Ev2(4, 2, "click", ts("2024-01-03 11:00:00"), 0.0),
+        // user 3: purchase BEFORE any click → ignored
+        Streams.Ev2(5, 3, "signup", ts("2024-01-01 10:00:00"), 0.0),
+        Streams.Ev2(6, 3, "purchase", ts("2024-01-01 11:00:00"), 0.0))
+      q.processAllAvailable()
+      // second batch: user 1 purchases within 48h of the click; a second
+      // signup for user 1 is ignored (first-completion only)
+      in.addData(
+        Streams.Ev2(7, 1, "signup", ts("2024-01-02 09:00:00"), 0.0),
+        Streams.Ev2(8, 1, "purchase", ts("2024-01-02 10:00:00"), 0.0))
+      q.processAllAvailable()
+      val rows = s.table("conv_out").as[Streams.StageHit]
+        .collect().toSeq.sortBy(h => (h.user_id, h.stage))
+      assert(rows.map(h => (h.user_id, h.stage)) ==
+        Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0), (3L, 0)))
+      // stage totals ARE the live funnel: 3 signups, 1 click, 1 purchase
+      assert(rows.groupBy(_.stage).view.mapValues(_.size).toMap ==
+        Map(0 -> 3, 1 -> 1, 2 -> 1))
+    } finally q.stop()
+  }
+
   test("firstSeen: each user emits once, on their earliest event in the batch") {
     val s = spark
     import s.implicits._
