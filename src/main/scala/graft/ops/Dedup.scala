@@ -1969,6 +1969,97 @@ object Dedup {
       |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS fresh_ppm
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d27
+  /** Keeper-choice sensitivity — how much the lowest-id survivor
+    * convention (d07's, and most pipelines') leaves on the table: per
+    * near-dup cluster, compare the id-keeper against a QUALITY keeper
+    * (most distinct tokens, ties to the lowest id — an integer key, so
+    * the choice is total and engine-exact) and report how many clusters
+    * would pick differently plus the distinct-token mass each policy
+    * retains. A high differs-share says the dedup stage should rank
+    * survivors by quality (t02/t37 signals) rather than arrival order.
+    *
+    * Scale (100 TB): the cluster set is pairs-sized (≪ corpus); the
+    * per-doc quality key computes in the scan, clusters group on the
+    * component id, and the final rollup is one row — same broadcast
+    * geometry as d07. */
+  def d27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val comp = GraphOps.components(jaccardPairs(s, dir, 0.5))
+    val stats = Tables.t(s, dir, "documents")
+      .select($"doc_id",
+        size(array_distinct(split($"text", " "))).cast(LongType).as("n_dist"))
+    val member = comp.join(stats, Seq("doc_id"))
+    val wQ = Window.partitionBy($"component")
+      .orderBy($"n_dist".desc, $"doc_id".asc)
+    val wId = Window.partitionBy($"component").orderBy($"doc_id".asc)
+    val keepers = member
+      .withColumn("rn_q", row_number().over(wQ))
+      .withColumn("rn_id", row_number().over(wId))
+    val q = keepers.filter($"rn_q" === 1)
+      .select($"component", $"doc_id".as("q_keeper"), $"n_dist".as("q_tokens"))
+    val i = keepers.filter($"rn_id" === 1)
+      .select($"component", $"doc_id".as("id_keeper"), $"n_dist".as("id_tokens"))
+    q.join(i, Seq("component"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(($"q_keeper" =!= $"id_keeper").cast(LongType)).as("n_differs"),
+        sum($"id_tokens").as("tokens_id_policy"),
+        sum($"q_tokens").as("tokens_quality_policy"))
+      .select($"n_clusters", $"n_differs", $"tokens_id_policy",
+        $"tokens_quality_policy",
+        expr("(1000000 * (tokens_quality_policy - tokens_id_policy)) " +
+          "div tokens_id_policy").as("token_gain_ppm"))
+  }
+
+  /** Oracle: d07's recursive components + window keeper picks. */
+  val d27Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |sym AS (SELECT da, db FROM edges UNION SELECT db, da FROM edges),
+      |nodes AS (SELECT DISTINCT da AS doc_id FROM sym),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.db FROM reach r JOIN sym e ON r.dst = e.da),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component
+      |         FROM reach GROUP BY src),
+      |member AS (
+      |  SELECT c.component, c.doc_id,
+      |    len(list_distinct(string_split(d.text, ' '))) AS n_dist
+      |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+      |ranked AS (SELECT *,
+      |    row_number() OVER (PARTITION BY component
+      |      ORDER BY n_dist DESC, doc_id ASC) AS rn_q,
+      |    row_number() OVER (PARTITION BY component
+      |      ORDER BY doc_id ASC) AS rn_id
+      |  FROM member),
+      |q AS (SELECT component, doc_id AS q_keeper, n_dist AS q_tokens
+      |      FROM ranked WHERE rn_q = 1),
+      |i AS (SELECT component, doc_id AS id_keeper, n_dist AS id_tokens
+      |      FROM ranked WHERE rn_id = 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(CASE WHEN q_keeper <> id_keeper THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_differs,
+      |  CAST(SUM(id_tokens) AS BIGINT) AS tokens_id_policy,
+      |  CAST(SUM(q_tokens) AS BIGINT) AS tokens_quality_policy,
+      |  CAST((1000000 * (SUM(q_tokens) - SUM(id_tokens))) // SUM(id_tokens)
+      |    AS BIGINT) AS token_gain_ppm
+      |FROM q JOIN i USING (component)""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -1995,5 +2086,6 @@ object Dedup {
     Q("d23_chunk_jaccard", d23, Some(d23Sql)),
     Q("d24_dupspan_coverage", d24, Some(d24Sql)),
     Q("d25_shard_consistency", d25, Some(d25Sql)),
-    Q("d26_incremental_dedup", d26, Some(d26Sql)))
+    Q("d26_incremental_dedup", d26, Some(d26Sql)),
+    Q("d27_keeper_sensitivity", d27, Some(d27Sql)))
 }
