@@ -1251,5 +1251,71 @@ object GraphOps {
     Q("g12_transitivity", g12, Some(g12Sql)),
     Q("g13_knn_degree", g13, Some(g13Sql)),
     Q("g14_threshold_stability", g14, Some(g14Sql)),
-    Q("g15_contamination_ppr", g15, Some(g15Sql)))
+    Q("g15_contamination_ppr", g15, Some(g15Sql)),
+    Q("g16_component_profile", g16, Some(g16Sql)))
+
+  // ---------------------------------------------------------------- g16
+  /** Component-size profile of the near-dup graph — the OVER-MERGING
+    * alarm read before trusting d07's cluster collapse: the size
+    * histogram (how many components of 2, of 3, …) plus the giant
+    * component's share of all clustered docs in ppm. A Jaccard
+    * threshold set too low (or a hot template family the stop-shingle
+    * cut missed) shows up here as one component swallowing a large
+    * share of the clustered mass — at which point "keep one per
+    * cluster" would delete distinct content wholesale. g03 profiles
+    * DEGREES (local density); this profiles the transitive closure the
+    * keeper decision actually runs on.
+    *
+    * Scale (100 TB): two map-side-combinable aggregations over the
+    * pairs-sized component map (component → size, size → count) and a
+    * 1-row broadcast total; nothing touches the corpus. */
+  def g16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val comp = components(Dedup.jaccardPairs(s, dir, 0.5))
+    val sizes = comp.groupBy($"component").agg(count(lit(1)).as("size"))
+      .localCheckpoint(eager = false) // reused: histogram + totals
+    val totals = sizes.agg(
+      sum($"size").as("n_clustered"), max($"size").as("giant"))
+    sizes.groupBy($"size").agg(count(lit(1)).as("n_components"))
+      .crossJoin(broadcast(totals))
+      .select($"size", $"n_components",
+        ($"size" === $"giant").as("is_giant"),
+        expr("(1000000 * size) div n_clustered").as("share_ppm_per_component"))
+      .orderBy($"size")
+  }
+
+  /** Oracle: g01's recursive components → size histogram + giant flag. */
+  val g16Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes0 AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes0 sa ON da = sa.doc_id JOIN sizes0 sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |sym AS (SELECT da, db FROM edges UNION SELECT db, da FROM edges),
+      |nodes AS (SELECT DISTINCT da AS doc_id FROM sym),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.db FROM reach r JOIN sym e ON r.dst = e.da),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component
+      |         FROM reach GROUP BY src),
+      |cs AS (SELECT component, COUNT(*) AS size FROM comp GROUP BY component),
+      |tot AS (SELECT CAST(SUM(size) AS BIGINT) AS n_clustered,
+      |               MAX(size) AS giant FROM cs)
+      |SELECT CAST(size AS BIGINT) AS size,
+      |  CAST(COUNT(*) AS BIGINT) AS n_components,
+      |  size = tot.giant AS is_giant,
+      |  CAST((1000000 * size) // tot.n_clustered AS BIGINT)
+      |    AS share_ppm_per_component
+      |FROM cs, tot GROUP BY size, tot.giant, tot.n_clustered
+      |ORDER BY size""".stripMargin
 }
