@@ -668,6 +668,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"narrow featurizer shuffled:\n$sp")
   }
 
+  test("q52: division count-matches — no cartesian user×domain expansion") {
+    val sp = simplePlan(Temporal.q52(spark, dir))
+    assert(!sp.contains("CartesianProduct"), s"division went cartesian:\n$sp")
+    assert(sp.contains("BroadcastNestedLoopJoin") || sp.contains("BroadcastExchange"),
+      s"the 1-row domain should broadcast:\n$sp")
+  }
+
+  test("d26: incremental probe exchanges carry digests, never text") {
+    val sp = simplePlan(Dedup.d26(spark, dir))
+    val exchangeLines = sp.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchangeLines.contains("text"),
+      s"document text crosses an exchange:\n$exchangeLines")
+    assert(!sp.contains("CartesianProduct"), s"probe went cartesian:\n$sp")
+  }
+
   test("q48: the log collapses once; both lags ride one window over the tiny series") {
     val p = plan(Temporal.q48(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
