@@ -62,6 +62,48 @@ class CurationPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("s22 greedy maximin equals the brute-force reference on random vectors") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{sqrt => fsqrt}
+    val vecGen: Gen[Seq[(Long, Array[Double])]] = for {
+      n <- Gen.chooseNum(3, 8)
+      vs <- Gen.listOfN(n, Gen.listOfN(3,
+        Gen.chooseNum(-5, 5).map(_.toDouble)))
+      if vs.forall(v => v.exists(_ != 0.0)) // nonzero norms only
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      round6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    def brute(vs: Seq[(Long, Array[Double])], k: Int): Seq[(Int, Long)] = {
+      var chosen = Vector(vs.map(_._1).min)
+      val byId = vs.toMap
+      (2 to math.min(k, vs.size)).foreach { _ =>
+        val next = vs.filterNot(v => chosen.contains(v._1))
+          .map { case (id, v) =>
+            (chosen.map(c => cos(byId(c), v)).max, id)
+          }.minBy { case (ms, id) => (ms, id) }
+        chosen :+= next._2
+      }
+      chosen.zipWithIndex.map { case (id, i) => (i + 1, id) }
+    }
+    forAll(vecGen, 20) { vs =>
+      val df = vs.toDF("vec_id", "v")
+        .withColumn("norm", fsqrt(graft.functions.DotProduct(
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("v"))))
+      val k = math.min(3, vs.size)
+      val got = Similarity.kcenter(df, k).collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(got == brute(vs, k), s"vectors: ${vs.map(_._2.toSeq)}")
+    }
+  }
+
   test("t35 commonness equals the brute-force unigram reference") {
     val s = spark
     import s.implicits._
