@@ -56,4 +56,24 @@ class QueriesSmokeSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == 8, s"expected 8 dup groups, got ${rows.length}")
     assert(rows.forall(_.getLong(1) >= 2), "every group must have copies")
   }
+
+  test("the new dedup audits are non-vacuous on the shipped data") {
+    // guard against a future data refresh silently making these gates
+    // prove only the empty case (the m05 lesson): each audit must have
+    // something to report at the SF it is graded on
+    val d25 = Dedup.d25(spark, "/root/testdata/sf0.01").collect().head
+    assert(d25.getAs[Long]("n_pairs") > 0 &&
+      d25.getAs[Long]("missed_ppm") > 0,
+      s"d25 found no cross-shard pairs: $d25")
+    val d26 = Dedup.d26(spark, "/root/testdata/sf0.01").collect()
+    assert(d26.exists(_.getAs[Long]("n_near_hist") > 0),
+      "d26 found no near-dups against history")
+    val d27 = Dedup.d27(spark, "/root/testdata/sf0.01").collect().head
+    assert(d27.getAs[Long]("n_clusters") > 0 &&
+      d27.getAs[Long]("n_differs") > 0,
+      s"d27 keeper policies never disagree: $d27")
+    val g16 = GraphOps.g16(spark, "/root/testdata/sf0.01").collect()
+    assert(g16.nonEmpty && g16.map(_.getAs[Long]("n_components")).sum > 1,
+      "g16 found no component-size spread")
+  }
 }
