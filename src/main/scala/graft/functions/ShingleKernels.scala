@@ -495,3 +495,55 @@ object HashedBow {
       Array[Any](nnz, l2, max, arg))
   }
 }
+
+/** DISTINCT character k-grams of a string, first-occurrence order — the
+  * character-level sibling of [[ShinglesK]] (which works on word
+  * arrays): one compiled walk emitting each distinct k-code-point
+  * window, for the char-trigram language-ID profile (t38). Equivalent
+  * to `list_distinct(list_transform(range(length(s)-k+1), i ->
+  * substr(s, i+1, k)))` in DuckDB; strings shorter than k yield an
+  * empty array. */
+case class CharGrams(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"gram width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_grams expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    CharGrams.compute(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharGrams.compute($c, $k);")
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+  override def prettyName: String = s"char_grams$k"
+}
+
+object CharGrams {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def apply(c: Column, k: Int): Column =
+    Bridge.column(CharGrams(Bridge.expression(c), k))
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, k: Int): GenericArrayData = {
+    val str = s.toString
+    // code-point boundaries so windows slice whole characters
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i <= n - k) {
+      seen.add(UTF8String.fromString(new String(cps, i, k)))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var p = 0
+    while (it.hasNext) { out(p) = it.next(); p += 1 }
+    new GenericArrayData(out)
+  }
+}

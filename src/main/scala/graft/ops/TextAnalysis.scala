@@ -2223,6 +2223,85 @@ object TextAnalysis {
        |FROM f GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t38
+  /** Corpus-trained character-trigram language ID — the fastText-shaped
+    * upgrade over t03's fixed marker words: per-language profiles are
+    * LEARNED from the labeled corpus (top-[[LangProfileK]] trigrams by
+    * document frequency, ties to the lexicographically first gram) and
+    * every document is re-scored against all profiles (hit count,
+    * argmax with a lang-ascending tiebreak; zero-hit docs predict
+    * 'und'). `is_match` against the label is the self-consistency
+    * audit — the same train/score split as t35's unigram LM, at the
+    * character level where language signal actually lives.
+    *
+    * Determinism: integer df and hit counts, total tiebreaks at both
+    * argmax sites, explicit 'und' fallback.
+    *
+    * Scale (100 TB): trigram extraction is one compiled pass
+    * ([[graft.functions.CharGrams]] — distinct grams per doc, no
+    * per-window substring lambdas); the learned profile is
+    * |langs|·K rows — broadcast; scoring is a map-side probe + one
+    * (doc, lang) rollup. Train and score share one lazily-checkpointed
+    * gram frame. */
+  val LangProfileK = 20
+
+  def t38(s: SparkSession, dir: String): DataFrame =
+    charTrigramLangId(Tables.t(s, dir, "documents"))
+
+  /** t38's kernel over any (doc_id, lang, text) frame — split out so the
+    * spec can pin profile learning and the und fallback. */
+  private[graft] def charTrigramLangId(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val grams = docsIn
+      .select($"doc_id", $"lang",
+        explode(graft.functions.CharGrams($"text", 3)).as("gram"))
+      .localCheckpoint(eager = false) // shared by train + score passes
+    val prof = grams.groupBy($"lang", $"gram")
+      .agg(countDistinct($"doc_id").as("df"))
+    val wp = Window.partitionBy($"lang").orderBy($"df".desc, $"gram".asc)
+    val profile = prof.withColumn("rn", row_number().over(wp))
+      .filter($"rn" <= LangProfileK)
+      .select($"lang".as("plang"), $"gram")
+    val scored = grams.join(broadcast(profile), Seq("gram"))
+      .groupBy($"doc_id", $"plang").agg(count(lit(1)).as("n"))
+    val wd = Window.partitionBy($"doc_id").orderBy($"n".desc, $"plang".asc)
+    val best = scored.withColumn("rn", row_number().over(wd))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"plang", $"n")
+    docsIn.select($"doc_id", $"lang".as("labeled_lang"))
+      .join(best, Seq("doc_id"), "left")
+      .select($"doc_id", $"labeled_lang",
+        coalesce($"plang", lit("und")).as("pred_lang"),
+        coalesce($"n", lit(0L)).as("n_hits"),
+        (coalesce($"plang", lit("und")) === $"labeled_lang").as("is_match"))
+      .orderBy($"doc_id")
+  }
+
+  val t38Sql: String =
+    s"""WITH grams AS (
+       |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+       |    range(length(text) - 2), i -> substr(text, i + 1, 3)))) AS gram
+       |  FROM documents WHERE length(text) >= 3),
+       |prof AS (SELECT lang, gram, COUNT(DISTINCT doc_id) AS df
+       |         FROM grams GROUP BY 1, 2),
+       |topp AS (SELECT lang AS plang, gram FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY lang
+       |      ORDER BY df DESC, gram ASC) AS rn FROM prof)
+       |  WHERE rn <= $LangProfileK),
+       |sc AS (SELECT g.doc_id, t.plang, COUNT(*) AS n
+       |       FROM grams g JOIN topp t ON g.gram = t.gram GROUP BY 1, 2),
+       |best AS (SELECT doc_id, plang, n FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY n DESC, plang ASC) AS rn FROM sc)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, d.lang AS labeled_lang,
+       |  COALESCE(b.plang, 'und') AS pred_lang,
+       |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_hits,
+       |  COALESCE(b.plang, 'und') = d.lang AS is_match
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2260,5 +2339,6 @@ object TextAnalysis {
     Q("t34_dedup_token_loss", t34, Some(t34Sql)),
     Q("t35_surprisal", t35, Some(t35Sql)),
     Q("t36_hashed_bow", t36, Some(t36Sql)),
-    Q("t37_quality_rules", t37, Some(t37Sql)))
+    Q("t37_quality_rules", t37, Some(t37Sql)),
+    Q("t38_trigram_langid", t38, Some(t38Sql)))
 }

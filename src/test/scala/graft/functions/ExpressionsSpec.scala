@@ -443,6 +443,26 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("CharGrams equals the sliding-substring HOF chain, distinct + ordered") {
+    def brute(t: String, k: Int): Seq[String] = {
+      val cps = t.codePoints().toArray
+      if (cps.length < k) Seq.empty
+      else (0 to cps.length - k).map(i => new String(cps, i, k)).distinct
+    }
+    val rnd = new scala.util.Random(13)
+    val cases = Seq("", "ab", "abc", "aaaa", "abcabc", "日本語テキスト混在abc") ++
+      (1 to 25).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val s = spark
+    import s.implicits._
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", CharGrams($"t", 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == brute(t, 3), s"case $i: '$t'")
+    }
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._
