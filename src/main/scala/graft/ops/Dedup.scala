@@ -492,15 +492,18 @@ object Dedup {
     * what a production pipeline actually writes out; d02/d03/g01 are its
     * intermediate stages.
     *
-    * Scale: the clustered set is tiny relative to the corpus (pairs ≪
-    * docs), so the drop-list broadcasts and the final pass is a narrow
-    * anti-join over the full scan — the corpus itself is never shuffled. */
+    * Scale: the clustered set is small relative to the corpus (pairs ≪
+    * docs) but grows WITH it (heavy syndication = unbounded dup count),
+    * so the drop-list carries no broadcast hint: AQE broadcasts it while
+    * it fits the threshold and falls back to a shuffled anti-join when
+    * the dup population outgrows executor memory. Either way only
+    * doc_ids cross the exchange — the corpus text is never shuffled. */
   def d07(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val comp = GraphOps.components(jaccardPairs(s, dir, 0.5))
     val drop = comp.filter($"doc_id" =!= $"component").select($"doc_id")
     Tables.t(s, dir, "documents")
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"lang", $"source", $"n_chars".cast(LongType).as("n_chars"))
       .orderBy($"doc_id")
   }
@@ -1025,7 +1028,9 @@ object Dedup {
       .groupBy($"vb").agg(min($"va").as("dup_of"))
     docs
       .join(assigned.select($"vec_id", $"cid"), $"doc_id" === $"vec_id")
-      .join(broadcast(dupOf), $"doc_id" === $"vb", "left")
+      // the dup-of list grows with corpus redundancy — no broadcast
+      // hint; AQE picks broadcast only while it fits the threshold
+      .join(dupOf, $"doc_id" === $"vb", "left")
       .select($"doc_id", $"source", $"cid".as("cell"),
         $"dup_of".isNull.as("kept"), $"dup_of")
       .orderBy($"doc_id")
@@ -1074,9 +1079,12 @@ object Dedup {
     *
     * Scale (100 TB): one md5-keyed window for the exact rank (16-byte
     * keys, never text — d01's exchange story); the near-dup and
-    * contamination drop sets are pair-generator outputs (tiny vs the
-    * corpus) and broadcast into flag joins; one final aggregate on
-    * source. The corpus itself shuffles once, on the hash. */
+    * contamination drop sets are pair-generator outputs — small vs the
+    * corpus but corpus-GROWING, so they merge into ONE flag frame that
+    * joins via [[Q.boundedBroadcast]] (measured: broadcast under the
+    * cap, shuffle join beyond — never a forced executor-memory bet);
+    * one final aggregate on source. The corpus itself shuffles once, on
+    * the hash. */
   def d14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1093,12 +1101,15 @@ object Dedup {
       .union(docs.filter($"doc_id" % 97 === 0).select($"doc_id"))
       .distinct()
       .withColumn("cf", lit(true))
+    // one merged flag frame (full outer of the two small sets) → ONE
+    // probe pass over the corpus instead of two, and one measured
+    // threshold-switch instead of two
+    val flags = nearDrop.join(contam, Seq("doc_id"), "full_outer")
     val wH = Window.partitionBy($"h").orderBy($"doc_id")
     docs
       .withColumn("h", md5($"text".cast(BinaryType)))
       .withColumn("e", row_number().over(wH) > 1)
-      .join(broadcast(nearDrop), Seq("doc_id"), "left")
-      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(Q.boundedBroadcast(flags), Seq("doc_id"), "left")
       .select($"source", $"e",
         coalesce($"nd", lit(false)).as("nd"),
         coalesce($"cf", lit(false)).as("cf"))

@@ -526,15 +526,17 @@ object GraphOps {
     * canonical id is the doc d07 keeps.
     *
     * Scale (100 TB): the component labels cover only documents that
-    * appear in near-dup edges — a tiny fraction of the corpus — so the
-    * label frame broadcasts into the documents join and the corpus
-    * never shuffles; the profile aggregate keys on component ids
-    * (≤ |labeled docs|), with map-side partials. */
+    * appear in near-dup edges — a small fraction of the corpus, but one
+    * that GROWS with it, so the label frame carries no broadcast hint:
+    * AQE broadcasts it below the threshold and shuffles the (inner-join
+    * reduced, id+source+n_chars only) sides beyond it; the profile
+    * aggregate keys on component ids (≤ |labeled docs|), with map-side
+    * partials. */
   def g07(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val labels = components(Dedup.jaccardPairs(s, dir, 0.5))
     Tables.t(s, dir, "documents")
-      .join(broadcast(labels), Seq("doc_id"))
+      .join(labels, Seq("doc_id"))
       .groupBy($"component")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -724,9 +726,12 @@ object GraphOps {
     * list makes the x and y marginals identical — so r reduces to ONE
     * IEEE division of two exactly-computed integers, then round(6).
     *
-    * Scale (100 TB): the near-dup edge list is already ≪ corpus; the
-    * degree table is a map-side-combinable count broadcast back onto
-    * the stubs, and the moments are a single global aggregate. Nothing
+    * Scale (100 TB): the near-dup edge list is already ≪ corpus, but its
+    * VERTEX set is unbounded (a crawl with heavy syndication grows it
+    * with the corpus), so the per-vertex degree table must never
+    * broadcast — it rides SHUFFLE_HASH joins (hash-partitioned build
+    * per task, no driver collect, no executor-wide copy) onto the
+    * stubs, and the moments are a single global aggregate. Nothing
     * here touches the raw corpus. */
   private[graft] def assortativity(edgesIn: DataFrame): DataFrame = {
     val s = edgesIn.sparkSession
@@ -736,8 +741,10 @@ object GraphOps {
       .union(edgesIn.select($"db".as("x"), $"da".as("y")))
     val deg = stubs.groupBy($"x".as("doc_id")).agg(count(lit(1)).as("deg"))
     val joined = stubs
-      .join(broadcast(deg.select($"doc_id".as("x"), $"deg".as("dx"))), Seq("x"))
-      .join(broadcast(deg.select($"doc_id".as("y"), $"deg".as("dy"))), Seq("y"))
+      .join(deg.select($"doc_id".as("x"), $"deg".as("dx"))
+        .hint("SHUFFLE_HASH"), Seq("x"))
+      .join(deg.select($"doc_id".as("y"), $"deg".as("dy"))
+        .hint("SHUFFLE_HASH"), Seq("y"))
     joined
       .agg(
         count(lit(1)).as("m"),
@@ -804,10 +811,12 @@ object GraphOps {
     * Q = (4m·Σe_s − Σd_s²) / 4m² is ONE IEEE division of two exactly-
     * computed integers, then round(6).
     *
-    * Scale (100 TB): the edge list is ≪ corpus; its endpoint set is
-    * broadcast-joined against `documents` so the full doc→source map is
-    * NEVER materialized or shuffled — the corpus scan reduces to the
-    * graph's vertices before anything joins. All aggregates are map-side
+    * Scale (100 TB): the edge list is ≪ corpus but its VERTEX set grows
+    * with the corpus, so neither the endpoint set nor the vertex→source
+    * label map carries a broadcast hint: AQE broadcasts them below the
+    * threshold, and beyond it the joins shuffle id/source columns only —
+    * the corpus scan reduces to (doc_id, source) before anything joins
+    * and document text never moves. All aggregates are map-side
     * combinable. */
   private[graft] def sourceModularity(edgesIn: DataFrame, docs: DataFrame): DataFrame = {
     val s = edgesIn.sparkSession
@@ -817,10 +826,10 @@ object GraphOps {
     val verts = edges.select($"da".as("doc_id"))
       .union(edges.select($"db".as("doc_id"))).distinct()
     val lab = docs.select($"doc_id", $"source")
-      .join(broadcast(verts), Seq("doc_id"))
+      .join(verts, Seq("doc_id"))
     val labeled = edges
-      .join(broadcast(lab.select($"doc_id".as("da"), $"source".as("sa"))), Seq("da"))
-      .join(broadcast(lab.select($"doc_id".as("db"), $"source".as("sb"))), Seq("db"))
+      .join(lab.select($"doc_id".as("da"), $"source".as("sa")), Seq("da"))
+      .join(lab.select($"doc_id".as("db"), $"source".as("sb")), Seq("db"))
     // per-source degree mass: each edge contributes one stub per side
     val dmass = labeled.select(explode(array($"sa", $"sb")).as("source"))
       .groupBy($"source").agg(count(lit(1)).as("ds"))
@@ -973,11 +982,13 @@ object GraphOps {
     * DECIMAL(38,0); knn is ONE IEEE division of two exact integers,
     * then round(6) — token-identical in the oracle.
     *
-    * Scale (100 TB): near-dup edges are ≪ corpus (the d02 pair bound);
-    * the degree table is a map-side-combinable count broadcast onto the
-    * stubs (g10's exact shape), and the curve is a groupBy over the
-    * stubs collapsing to |distinct degrees| rows. The corpus itself is
-    * only touched by the shared pair-generation substrate. */
+    * Scale (100 TB): near-dup edges are ≪ corpus (the d02 pair bound),
+    * but the VERTEX set grows with the corpus, so the per-vertex degree
+    * table joins onto the stubs via SHUFFLE_HASH (g10's exact shape —
+    * hash-partitioned build, never a broadcast of a corpus-growing
+    * frame), and the curve is a groupBy over the stubs collapsing to
+    * |distinct degrees| rows. The corpus itself is only touched by the
+    * shared pair-generation substrate. */
   private[graft] def knnDegree(edgesIn: DataFrame): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
@@ -987,8 +998,10 @@ object GraphOps {
     val deg = stubs.groupBy($"x".as("doc_id")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false) // consumed by both joins + n_docs
     val joined = stubs
-      .join(broadcast(deg.select($"doc_id".as("x"), $"deg".as("dx"))), Seq("x"))
-      .join(broadcast(deg.select($"doc_id".as("y"), $"deg".as("dy"))), Seq("y"))
+      .join(deg.select($"doc_id".as("x"), $"deg".as("dx"))
+        .hint("SHUFFLE_HASH"), Seq("x"))
+      .join(deg.select($"doc_id".as("y"), $"deg".as("dy"))
+        .hint("SHUFFLE_HASH"), Seq("y"))
     val perDeg = joined.groupBy($"dx".as("degree"))
       .agg(count(lit(1)).as("n_stubs"), sum(dec0($"dy")).as("sy"))
     val nDocs = deg.groupBy($"deg".as("degree")).agg(count(lit(1)).as("n_docs"))

@@ -375,9 +375,12 @@ object Relational {
       |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
 
   // ---------------------------------------------------------------- q12
-  /** 5-way star join with broadcast dims — the flagship plan shape for
-    * 100 TB: fact table streams once, all dims broadcast, one shuffle for
-    * the final aggregate. */
+  /** 5-way star join — the flagship plan shape for 100 TB: fact table
+    * streams once, fixed-cardinality dims (nation=25, region=5) broadcast
+    * unconditionally, while supplier — which scales linearly with SF
+    * (10k·SF rows, ~150 GB at the 100 TB point) — carries no hint so AQE
+    * broadcasts it only while it fits; one shuffle for the final
+    * aggregate. */
   def q12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val l = Tables.t(s, dir, "lineitem")
@@ -388,7 +391,7 @@ object Relational {
     val n = Tables.t(s, dir, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
     val r = Tables.t(s, dir, "region")
     val joined = l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(sup, l("l_suppkey") === sup("s_suppkey"))
       .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .select($"r_name", $"n_name",

@@ -364,10 +364,11 @@ object TextAnalysis {
     * (transcendental functions are not).
     *
     * Plan shape: explode → (doc, term) count [shuffle 1] → term df
-    * [shuffle 2, output ≈ vocabulary, tiny → broadcast back] → per-doc
-    * top-3 window [shuffle 3 on doc_id]. At 100 TB the vocabulary side
-    * stays broadcastable (vocab ≪ corpus) and the window partitions by
-    * doc_id — perfectly spread, no skew. */
+    * [shuffle 2, output ≈ vocabulary] → per-doc top-3 window [shuffle 3
+    * on doc_id]. The vocabulary grows with the corpus (Heaps' law), so
+    * the df side carries no broadcast hint — AQE broadcasts it while it
+    * fits and falls back to a term-keyed shuffle join beyond; the window
+    * partitions by doc_id — perfectly spread, no skew. */
   def t10(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.t(s, dir, "documents")
@@ -375,7 +376,7 @@ object TextAnalysis {
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(df), Seq("term"))
+    val scored = tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score", round($"tf" * (dbl($"n_docs") / $"df"), 6))
     val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
@@ -1027,7 +1028,9 @@ object TextAnalysis {
       .withColumn("w1", substring_index($"bg", " ", 1))
     val prefix = corpus.groupBy($"w1").agg(sum($"n_total").as("n_pref"))
     docBg.join(corpus.hint("SHUFFLE_HASH"), Seq("bg"))
-      .join(broadcast(prefix), Seq("w1"))
+      // the prefix table ≈ distinct first words: vocabulary-growing — no
+      // broadcast hint, AQE threshold-switches
+      .join(prefix, Seq("w1"))
       .groupBy($"doc_id")
       .agg(
         sum($"c").as("n_bigrams"),
@@ -2029,7 +2032,10 @@ object TextAnalysis {
     import s.implicits._
     val tok = docsIn.select($"doc_id", explode(words($"text")).as("term"))
     val lm = unigramLm(docsIn)
-    tok.join(broadcast(lm), Seq("term"))
+    // the LM is vocabulary-sized (Heaps-growing): no broadcast hint, AQE
+    // broadcasts while it fits and shuffles on term beyond — a deployed
+    // gate would also prune the LM to a top-K artifact (Streams does)
+    tok.join(lm, Seq("term"))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
