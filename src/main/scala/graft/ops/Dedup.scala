@@ -253,12 +253,12 @@ object Dedup {
     // d02's full inverted-index pair enumeration never runs, which is the
     // entire point of LSH at scale
     val pa = docsArr.select($"doc_id".as("da"),
-      size($"arr").cast("long").as("na"), $"arr".as("ssa"))
+      size($"arr").cast("long").as("na"), array_sort($"arr").as("ssa"))
     val pb = docsArr.select($"doc_id".as("db"),
-      size($"arr").cast("long").as("nb"), $"arr".as("ssb"))
+      size($"arr").cast("long").as("nb"), array_sort($"arr").as("ssb"))
     cand.hint("SHUFFLE_HASH") // pairs are the small build side (d12's trade)
       .join(pa, Seq("da")).join(pb, Seq("db"))
-      .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
+      .withColumn("i", graft.functions.IntersectCount($"ssa", $"ssb"))
       .withColumn("jac", dbl($"i") / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= 0.5)
       .select($"da", $"db", round($"jac", 6).as("jaccard"))
@@ -803,13 +803,13 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     val pa = withSig.select($"doc_id".as("da"),
-      size($"arr").cast("long").as("na"), $"arr".as("ssa"), $"sigs".as("siga"))
+      size($"arr").cast("long").as("na"), array_sort($"arr").as("ssa"), $"sigs".as("siga"))
     val pb = withSig.select($"doc_id".as("db"),
-      size($"arr").cast("long").as("nb"), $"arr".as("ssb"), $"sigs".as("sigb"))
+      size($"arr").cast("long").as("nb"), array_sort($"arr").as("ssb"), $"sigs".as("sigb"))
     cand.hint("SHUFFLE_HASH").join(pa, Seq("da")).join(pb, Seq("db"))
       .withColumn("n_eq",
         expr("CAST(size(filter(zip_with(siga, sigb, (x, y) -> x = y), p -> p)) AS BIGINT)"))
-      .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
+      .withColumn("i", graft.functions.IntersectCount($"ssa", $"ssb"))
       .withColumn("jac_exact", dbl($"i") / ($"na" + $"nb" - $"i"))
       .withColumn("jac_est", dbl($"n_eq") / 64)
       .select($"da", $"db", $"n_eq",
@@ -895,32 +895,43 @@ object Dedup {
     // join — the exact side never sees the long tail of incidental
     // collisions. Production audits sample exactly like this: the
     // estimate-vs-exact distribution needs coverage, not every pair.
+    // hamming + the ≤ 8 cut land INSIDE the band join (so only decision-
+    // relevant sampled pairs reach the dedup), and the multi-band dedup
+    // keys on the already-slim (da, db, hamming) triple — the spent
+    // 64-bit signatures never enter the distinct exchange
     val cand = bands.as("a").hint("SHUFFLE_HASH")
       .join(bands.as("b").hint("SHUFFLE_HASH"),
         col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id") &&
-          (col("a.doc_id") + col("b.doc_id")) % 10 === 0)
+          (col("a.doc_id") + col("b.doc_id")) % 10 === 0 &&
+          expr("bit_count(a.sh ^ b.sh) <= 8"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("a.sh").as("sa"), col("b.sh").as("sb"))
+        expr("CAST(bit_count(a.sh ^ b.sh) AS BIGINT)").as("hamming"))
       .distinct()
     val docsArr = shingleArrays(s, dir)
     val pa = docsArr.select($"doc_id".as("da"),
-      size($"arr").cast("long").as("na"), $"arr".as("ssa"))
+      size($"arr").cast("long").as("na"), array_sort($"arr").as("ssa"))
     val pb = docsArr.select($"doc_id".as("db"),
-      size($"arr").cast("long").as("nb"), $"arr".as("ssb"))
-    cand
-      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-      .filter($"hamming" <= 8)
+      size($"arr").cast("long").as("nb"), array_sort($"arr").as("ssb"))
+    // The pair-side exchange is kept deliberately: the per-pair intersect
+    // is the CPU-heavy step, and the hash exchange is what spreads it
+    // over all cores when the upstream scan has few splits (a broadcast-
+    // join variant measured 5× slower at bench SF for exactly that
+    // reason — and at cluster scale the exchange cost is id-tuples only).
+    val scored = cand
       .hint("SHUFFLE_HASH") // the sampled pair set is the small build side
       .join(pa, Seq("da")).join(pb, Seq("db"))
-      .withColumn("i", size(array_intersect($"ssa", $"ssb")).cast("long"))
+      .withColumn("i", graft.functions.IntersectCount($"ssa", $"ssb"))
       .withColumn("jac_exact", dbl($"i") / ($"na" + $"nb" - $"i"))
       .withColumn("agree", dbl(lit(60L) - $"hamming") / 60)
       .select($"da", $"db", $"hamming",
         round($"agree", 6).as("agreement_est"),
         round($"jac_exact", 6).as("jaccard_exact"),
         round(abs($"agree" - $"jac_exact"), 6).as("gap"))
-      .orderBy($"da", $"db")
+    // the intersect tier is expensive and shuffle-terminal-free: without
+    // the checkpoint the output sort's range sampler would re-run every
+    // per-pair intersect a second time (Q.sortedNarrow's contract)
+    Q.sortedNarrow(scored, $"da", $"db")
   }
 
   val d19Sql: String =

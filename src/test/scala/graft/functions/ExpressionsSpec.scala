@@ -463,6 +463,38 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("IntersectCount equals size(array_intersect) on sorted random arrays") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 40).map(i => s"w$i")
+    // include empties, full overlap, disjoint, and duplicate elements
+    // (the kernel must count each matched value once, like array_intersect)
+    def randArr(): Seq[String] = {
+      val base = Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      val dups = base ++ Seq.fill(rnd.nextInt(4))(
+        if (base.nonEmpty) base(rnd.nextInt(base.size)) else "w0")
+      dups.sorted
+    }
+    val cases = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a"), Seq.empty[String]),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "a", "b"), Seq("a", "b", "b"))) ++
+      (1 to 40).map(_ => (randArr(), randArr()))
+    val s = spark
+    import s.implicits._
+    val got = cases.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+      .select($"id",
+        IntersectCount($"a", $"b").as("k"),
+        size(array_intersect($"a", $"b")).cast("long").as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"case ${r.getLong(0)}: kernel=${r.getLong(1)} ref=${r.getLong(2)}")
+    }
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._
