@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round harness parses ONE JSON line from the tail of the bench
+// run's combined output. Two sbt behaviors used to break that contract
+// (every BENCH_r* artifact through r07 stored parsed:null):
+//  - forked run output was routed through sbt's logger, prefixing the
+//    JSON line with "[info] " — StdoutOutput passes it through raw;
+//  - sbt printed a "[success] Total time…" banner AFTER the JSON line,
+//    so it was never the last line — showSuccess drops the banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -44,7 +44,12 @@ object Bench {
       .flatMap(_.split(";")).map(_.split("=", 2))
       .foreach { case Array(k, v) => builder.config(k, v); case _ => }
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the per-run unpersist of lazily-checkpointed RDDs
+    // emits an async "lineage truncated" WARN per block, and any WARN
+    // that lands after the final JSON line breaks the harness's
+    // last-line parse (ADVICE r7). Real failures still surface — the
+    // bench prints them itself via System.err.
+    spark.sparkContext.setLogLevel("ERROR")
     // JVM + parquet-footer + view-registration warmup, excluded from
     // timings; the shuffle job initializes codegen, the shuffle system,
     // and the broadcast machinery so the first timed query isn't charged
@@ -135,11 +140,21 @@ object Bench {
     }
     val stdoutJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$repeat,"timing":"min","n_queries":${results.size},"queries":{$kept},"queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json","failed":$failed,"sf":"$sfDir"}"""
-    println(stdoutJson)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json + "\n")
     catch { case _: Throwable => () }
+    // drain every outstanding checkpoint block SYNCHRONOUSLY, stop Spark,
+    // and only then print the JSON — nothing (async unpersist WARNs,
+    // executor shutdown chatter) may interleave after the line the round
+    // harness parses from its bounded tail window. build.sbt passes the
+    // forked stdout through raw and suppresses sbt's [success] banner, so
+    // this println IS the final line of the run's combined output.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     spark.stop()
+    System.out.flush(); System.err.flush()
+    println(stdoutJson)
+    System.out.flush()
   }
 }
