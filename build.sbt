@@ -19,7 +19,7 @@ run / fork := true
 //  - sbt printed a "[success] Total time…" banner AFTER the JSON line,
 //    so it was never the last line — showSuccess drops the banner.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-showSuccess := false
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -207,8 +207,18 @@ object PyModelPort {
             case "<=" => l <= r; case ">=" => l >= r
             case "<" => l < r; case ">" => l > r
           }
+          // an arm referencing a DIFFERENT frame (np.where(cond,
+          // other["x"], df["b"])) must fail loudly, not silently resolve
+          // "x" against the target frame (the module's contract:
+          // anything outside the surface raises)
           def arm(whole: String, cName: String): Column =
-            if (cName != null) col(cName) else lit_(whole)
+            if (cName != null) {
+              val frame = whole.takeWhile(_ != '[')
+              if (frame != v) throw new UnsupportedOperationException(
+                s"python model: np.where arm references frame '$frame' " +
+                  s"but the target frame is '$v': $whole")
+              col(cName)
+            } else lit_(whole)
           env(v) = env(v).withColumn(nc,
             when(pred, arm(tWhole, tCol)).otherwise(arm(eWhole, eCol)))
         case queryRe(out, v, c, op, rhs) =>

@@ -69,14 +69,24 @@ final class Runner(
     val ext = src.external.getOrElse(throw new IllegalStateException(
       s"${src.uniqueId} is not an external source"))
     val view = s"${manifest.projectName}__ext__${src.sourceName}__${src.name}"
-    if (!spark.catalog.tableExists(view)) {
-      val loc =
-        if (ext.location.contains("://") ||
-            java.nio.file.Paths.get(ext.location).isAbsolute) ext.location
-        else projectRoot.map(_.resolve(ext.location).toString)
-          .getOrElse(ext.location)
+    val loc =
+      if (ext.location.contains("://") ||
+          java.nio.file.Paths.get(ext.location).isAbsolute) ext.location
+      else projectRoot.map(_.resolve(ext.location).toString)
+        .getOrElse(ext.location)
+    // key the registration on the RESOLVED (location, format, options) —
+    // a mere tableExists check would keep serving a stale registration
+    // when a re-parsed project changes any of them within one Spark
+    // session (Tables.load keys its views on dir for the same reason);
+    // unchanged configs skip the re-read (csv/json registration pays a
+    // schema-inference job)
+    val key = (loc, ext.format, ext.options.toSeq.sorted)
+    if (!Runner.externalRegistered.get(
+        (System.identityHashCode(spark), view)).contains(key)) {
       spark.read.format(ext.format).options(ext.options).load(loc)
         .createOrReplaceTempView(view)
+      Runner.externalRegistered(
+        (System.identityHashCode(spark), view)) = key
     }
     view
   }
@@ -627,4 +637,15 @@ final class Runner(
       }
       tid -> violations
     }
+}
+
+object Runner {
+  /** (session identity, view name) → the resolved (location, format,
+    * options) the external-source temp view was registered from. See
+    * [[Runner.externalView]]: registration must re-run when any of the
+    * three changes within a session, and must NOT re-run (schema
+    * inference job) when none did. */
+  private[engine] val externalRegistered =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String), (String, String, Seq[(String, String)])]
 }

@@ -375,4 +375,25 @@ class PyModelPortSpec extends AnyFunSuite with SparkFixture {
       (1L, 150L, "big", 150L, Some("gold")),
       (2L, 100L, "big", 100L, Some("silver"))))
   }
+
+  test("np.where arm referencing a different frame raises, never mis-resolves") {
+    val s = spark
+    import s.implicits._
+    val code =
+      """import numpy as np
+        |
+        |def model(dbt, session):
+        |    df = dbt.ref("orders").df()
+        |    other = dbt.ref("tiers").df()
+        |    df["x"] = np.where(df["amount"] >= 100, other["amount"], df["amount"])
+        |    return df
+        |""".stripMargin
+    val orders = Seq((1L, 150L)).toDF("customer_id", "amount")
+    val tiers = Seq((1L, 5L)).toDF("customer_id", "amount")
+    val e = intercept[UnsupportedOperationException](
+      PyModelPort.run(code,
+        resolveRef = { n => if (n == "orders") orders else tiers },
+        resolveSource = (_, _) => fail("no sources")))
+    assert(e.getMessage.contains("references frame 'other'"), e.getMessage)
+  }
 }
