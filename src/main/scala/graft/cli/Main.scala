@@ -109,9 +109,18 @@ object Main {
     // selection = --select/--exclude grammar ∪ --selector (named selector
     // from selectors.yml, like the reference's pass-through to dbt ls)
     def selection(m: graft.core.model.Manifest): Set[String] = {
+      // --state <path>: comparison manifest for state:modified/state:new —
+      // a dbt-core manifest.json (or a directory containing one, dbt's
+      // --state convention), loaded through the artifact-interop front end
+      val state = args.flags("state").headOption.map { p =>
+        val path = Paths.get(p)
+        val mf =
+          if (Files.isDirectory(path)) path.resolve("manifest.json") else path
+        graft.core.parse.ManifestJson.load(mf)
+      }
       val bySelect =
         if (args.flags("select").isEmpty) Set.empty[String]
-        else Selector.select(m, args.flags("select"), args.flags("exclude"))
+        else Selector.select(m, args.flags("select"), args.flags("exclude"), state)
       val byName = args.flags("selector").headOption.map { name =>
         Selector.namedSelector(m, readFile("selectors.yml"), name)
       }.getOrElse(Set.empty)

@@ -26,7 +26,10 @@ object Selector {
       method: Option[String], name: String,
       descendants: Boolean, descendantDepth: Int)
 
-  private val knownMethods = Set("tag", "path", "source")
+  private val knownMethods = Set("tag", "path", "source", "state")
+
+  private def isKnownMethod(m: String): Boolean =
+    knownMethods(m) || m.startsWith("config.")
 
   /** Unix-style wildcard (fnmatch) predicate; plain names compare equal. */
   private def matches(pattern: String)(value: String): Boolean =
@@ -59,17 +62,38 @@ object Selector {
       .map(_.toInt).getOrElse(Int.MaxValue)
     val t1 = descM.fold(t0a)(m => t0a.substring(0, m.start))
     val (method, name) = t1.split(":", 2) match {
-      case Array(m, n) if knownMethods(m) => (Some(m), n)
+      case Array(m, n) if isKnownMethod(m) => (Some(m), n)
       case Array(m, _) => throw new IllegalArgumentException(
-        s"unsupported selector method '$m:' in '$token' (supported: tag:, path:)")
+        s"unsupported selector method '$m:' in '$token' " +
+          "(supported: tag:, path:, source:, config.<key>:, state:)")
       case Array(n) => (None, n)
     }
     require(name.nonEmpty, s"empty selector token: '$token'")
     Criterion(anc, ancDepth, atOp, method, name, desc, descDepth)
   }
 
+  /** The semantic fields `state:modified` compares — deliberately NOT
+    * full structural equality: the same project loaded through different
+    * front ends (native JinjaLite parse vs a dbt-core manifest.json)
+    * differs in incidental carrier fields (the raw config YMap, macro
+    * body whitespace), and those must not read as modifications. dbt's
+    * own state:modified similarly hashes content + a fixed config list. */
+  private def fingerprint(r: graft.core.model.Resource): Any = r match {
+    case m: graft.core.model.ModelNode =>
+      (m.rawCode, m.materialized, m.uniqueKey, m.partitionBy, m.access,
+        m.group, m.version, m.latestVersion, m.tags.sorted,
+        m.contractEnforced, m.patchPath, m.language)
+    case s: graft.core.model.SourceDefinition =>
+      (s.sourceName, s.name, s.relationName, s.external)
+    case mc: graft.core.model.MacroNode => mc.macroSql
+    case d: graft.core.model.Documentation => d.blockContents
+    case t: graft.core.model.TestNode => (t.testType, t.column, t.dependsOn)
+    case other => other.filePath
+  }
+
   /** Resolve one criterion's base set (before graph operators). */
-  private def resolve(manifest: Manifest, c: Criterion): Set[String] = c.method match {
+  private def resolve(manifest: Manifest, c: Criterion,
+      state: Option[Manifest]): Set[String] = c.method match {
     case Some("tag") =>
       manifest.nodes.collect { case (id, n) if n.tags.contains(c.name) => id }.toSet
     case Some("path") =>
@@ -82,6 +106,26 @@ object Selector {
         case (id, s) if matches(c.name)(s.sourceName) ||
           matches(c.name)(s"${s.sourceName}.${s.name}") => id
       }.toSet
+    case Some("state") =>
+      val st = state.getOrElse(throw new IllegalArgumentException(
+        s"'state:${c.name}' requires a comparison manifest " +
+          "(--state <path to a dbt manifest.json or its directory>)"))
+      c.name match {
+        case "new" => manifest.allResources.keySet -- st.allResources.keySet
+        case "modified" =>
+          // dbt semantics: modified INCLUDES new nodes
+          val old = st.allResources
+          manifest.allResources.collect {
+            case (id, r) if !old.get(id).map(fingerprint).contains(fingerprint(r)) => id
+          }.toSet
+        case other => throw new IllegalArgumentException(
+          s"unsupported state sub-method 'state:$other' (supported: modified, new)")
+      }
+    case Some(m) if m.startsWith("config.") =>
+      val key = m.stripPrefix("config.")
+      manifest.nodes.collect {
+        case (id, n) if configValue(n, key).exists(matches(c.name)) => id
+      }.toSet
     case _ =>
       val all = manifest.allResources
       if (all.contains(c.name)) Set(c.name)
@@ -90,8 +134,23 @@ object Selector {
       }.toSet
   }
 
-  private def evalCriterion(manifest: Manifest, c: Criterion): Set[String] = {
-    val base = resolve(manifest, c)
+  /** Model config lookup for `config.<key>:` — the dedicated typed
+    * fields first (materialized lives there), then the raw config map. */
+  private def configValue(n: graft.core.model.ModelNode, key: String): Option[String] =
+    key match {
+      case "materialized" => Some(n.materialized)
+      case "unique_key" => n.uniqueKey
+      case "group" => n.group
+      case k => n.config.get(k).collect {
+        case s: graft.core.yaml.YStr => s.s
+        case y: graft.core.yaml.YInt => y.i.toString
+        case y: graft.core.yaml.YBool => y.b.toString
+      }
+    }
+
+  private def evalCriterion(manifest: Manifest, c: Criterion,
+      state: Option[Manifest]): Set[String] = {
+    val base = resolve(manifest, c, state)
     if (c.atOp) {
       // @x = x ∪ descendants(x) ∪ ancestors(x ∪ descendants(x))
       val down = base ++ base.flatMap(Dag.descendants(manifest.childMap, _))
@@ -107,11 +166,12 @@ object Selector {
 
   /** Evaluate `--select` / `--exclude` to a set of unique ids (A1).
     * Each token unions; `,`-joined criteria within a token intersect. */
-  def select(manifest: Manifest, select: Seq[String], exclude: Seq[String] = Nil): Set[String] = {
+  def select(manifest: Manifest, select: Seq[String], exclude: Seq[String] = Nil,
+      state: Option[Manifest] = None): Set[String] = {
     def evalToken(tok: String): Set[String] =
       tok.split(",").filter(_.nonEmpty).toSeq match {
         case Seq() => Set.empty
-        case parts => parts.map(p => evalCriterion(manifest, parseCriterion(p)))
+        case parts => parts.map(p => evalCriterion(manifest, parseCriterion(p), state))
           .reduce(_ intersect _)
       }
     def eval(tokens: Seq[String]): Set[String] =

@@ -216,6 +216,28 @@ class MainSpec extends AnyFunSuite {
     assert(s.table("shop__stg").count() == 2)
   }
 
+  test("--select state:modified --state picks only the changed model") {
+    val root = writeProject(project)
+    // store the pre-change state as a dbt-core manifest.json (the --state
+    // convention: a directory containing the artifact)
+    val (_, before) = ProjectLoader.load(root)
+    val stateDir = Files.createTempDirectory("graft_state")
+    Files.writeString(stateDir.resolve("manifest.json"),
+      graft.core.parse.ManifestJsonSpec.emit(before))
+    // mart changes; stg does not
+    Files.writeString(root.resolve("models/mart.sql"),
+      "select id from {{ ref('stg') }}")
+    Main.main(Array("version",
+      "--select", "state:modified",
+      "--state", stateDir.toString,
+      "--project-dir", root.toString))
+    // only the modified model was versioned
+    assert(Files.exists(root.resolve("models/mart_v1.sql")))
+    assert(!Files.exists(root.resolve("models/mart.sql")))
+    assert(Files.exists(root.resolve("models/stg.sql")))
+    assert(!Files.exists(root.resolve("models/stg_v1.sql")))
+  }
+
   test("connect rewrites the downstream and registers the dependency") {
     val up = writeProject(Map(
       "dbt_project.yml" -> "name: up_proj\n",

@@ -124,8 +124,55 @@ class SelectorSpec extends AnyFunSuite {
   }
 
   test("unknown methods fail loudly") {
-    intercept[IllegalArgumentException](Selector.select(manifest, Seq("state:modified")))
+    intercept[IllegalArgumentException](Selector.select(manifest, Seq("result:error")))
     intercept[IllegalArgumentException](Selector.select(manifest, Seq("@+x")))
+    // state: is supported but NEEDS a comparison manifest — still loud
+    val e = intercept[IllegalArgumentException](
+      Selector.select(manifest, Seq("state:modified")))
+    assert(e.getMessage.contains("--state"), e.getMessage)
+    // and unknown state sub-methods are loud even with one
+    intercept[IllegalArgumentException](
+      Selector.select(manifest, Seq("state:old"), state = Some(manifest)))
+  }
+
+  test("config.materialized: and generic config.<key>: methods") {
+    val t = manifest.nodes("model.p.b").copy(materialized = "table",
+      config = graft.core.yaml.YMap(Vector(
+        "file_format" -> graft.core.yaml.YStr("parquet"))))
+    val m2 = manifest.copy(nodes = manifest.nodes.updated(t.uniqueId, t))
+    assert(ids(Selector.select(m2, Seq("config.materialized:table"))) == Set("b"))
+    assert(ids(Selector.select(m2, Seq("config.materialized:view"))) ==
+      Set("a", "c", "d", "e"))
+    // graph operators compose with the method
+    assert(ids(Selector.select(m2, Seq("config.materialized:table+"))) ==
+      Set("b", "d"))
+    // generic keys hit the raw config map
+    assert(ids(Selector.select(m2, Seq("config.file_format:parquet"))) == Set("b"))
+    assert(Selector.select(m2, Seq("config.file_format:orc")).isEmpty)
+  }
+
+  test("state:modified and state:new against a stored manifest") {
+    // b's SQL changed, f is brand new; everything else is untouched
+    val changedB = manifest.nodes("model.p.b").copy(rawCode = "select 2")
+    val f = ModelNode("model.p.f", "f", "p", "models/f.sql", "select 3")
+    val current = manifest.copy(nodes = manifest.nodes
+      .updated(changedB.uniqueId, changedB).updated(f.uniqueId, f))
+    assert(ids(Selector.select(current, Seq("state:new"), state = Some(manifest))) ==
+      Set("f"))
+    // modified includes new (dbt semantics)
+    assert(ids(Selector.select(current, Seq("state:modified"), state = Some(manifest))) ==
+      Set("b", "f"))
+    // config-only changes count as modified too
+    val retagged = manifest.nodes("model.p.c").copy(materialized = "table")
+    val current2 = manifest.copy(nodes =
+      manifest.nodes.updated(retagged.uniqueId, retagged))
+    assert(ids(Selector.select(current2, Seq("state:modified"), state = Some(manifest))) ==
+      Set("c"))
+    // graph operators compose: modified plus descendants
+    assert(ids(Selector.select(current2, Seq("state:modified+"), state = Some(manifest))) ==
+      Set("c", "d"))
+    // identical manifests select nothing
+    assert(Selector.select(manifest, Seq("state:modified"), state = Some(manifest)).isEmpty)
   }
 
   test("intersection of only excludes fails with a meaningful error") {
