@@ -412,6 +412,29 @@ final class Runner(
     }
   }
 
+  /** Config value that may be a YAML list, an inline `['a','b']`
+    * literal, or a bare string (check_cols / merge_exclude_columns). */
+  private def strListConfig(m: ModelNode, key: String): Seq[String] = {
+    val conf = m.config.get(key)
+      .orElse(JinjaLite.findConfig(m.rawCode).get(key)
+        .map(graft.core.yaml.YStr.apply))
+    conf match {
+      case Some(graft.core.yaml.YList(items)) => items.map(_.asStr)
+      case Some(y) if y.asStr.trim.startsWith("[") =>
+        y.asStr.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
+          .map(_.trim.stripPrefix("'").stripSuffix("'")
+            .stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+      case Some(y) => Seq(y.asStr)
+      case None => Seq.empty
+    }
+  }
+
+  private def boolConfig(m: ModelNode, key: String): Boolean =
+    m.config.get(key).map(_.asStr)
+      .orElse(JinjaLite.findConfig(m.rawCode).get(key))
+      .exists(v => v.equalsIgnoreCase("true"))
+
   private def runIncremental(m: ModelNode): DataFrame = {
     val p = tablePath(m)
     val strategy = m.config.get("incremental_strategy").map(_.asStr)
@@ -439,7 +462,26 @@ final class Runner(
       existing0.createOrReplaceTempView(viewName(m.name))
       val (existing, batch) = alignSchemas(m, existing0,
         execSql(m, isIncremental = true))
+      // dbt's merge_exclude_columns: for keys that ALREADY exist, the
+      // listed columns keep their stored value instead of taking the
+      // batch's (the created_at/inserted_at audit-column pattern — MERGE
+      // with those columns dropped from the UPDATE SET list); brand-new
+      // keys still take the batch row whole
+      val mergeExclude = strListConfig(m, "merge_exclude_columns")
       val merged = m.uniqueKey match {
+        case Some(k) if mergeExclude.nonEmpty =>
+          val kept = existing.join(batch.select(col(k)), Seq(k), "left_anti")
+          val stored = existing.select(
+            col(k).as("_mk") +: mergeExclude.map(c => col(c).as(s"_ex_$c")): _*)
+          // match-flag, not coalesce: a stored NULL in an excluded column
+          // must stay NULL, not fall through to the batch value
+          val upserted = batch.join(stored, col(k) === col("_mk"), "left")
+            .select(batch.columns.toSeq.map { c =>
+              if (mergeExclude.contains(c))
+                when(col("_mk").isNotNull, col(s"_ex_$c")).otherwise(col(c)).as(c)
+              else col(c)
+            }: _*)
+          kept.unionByName(upserted)
         case Some(k) => existing.join(batch.select(col(k)), Seq(k), "left_anti")
           .unionByName(batch)
         case None => existing.unionByName(batch)
@@ -489,10 +531,25 @@ final class Runner(
         col(key).as("_k"), col(updatedAt).as("_ts"), col("*"))
       val joined = current.as("cur").join(
         incoming.as("in"), col("cur." + key) === col("_k"), "full_outer")
+      // dbt's invalidate_hard_deletes: a current row whose key vanished
+      // from the source closes at the RUN's clock (the source carries no
+      // event time for a deletion); default false = deleted keys stay
+      // open, dbt's default
+      val hardDelete = boolConfig(m, "invalidate_hard_deletes")
+      val delStamp = lit(snapshotAt.getOrElse(
+        new java.sql.Timestamp(System.currentTimeMillis())))
+        .cast(source.schema(updatedAt).dataType)
       val keptCurrent = joined // unchanged or no new row: keep as-is
         .filter(col("cur." + key).isNotNull &&
           (col("_k").isNull || col("_ts") <= col("cur.dbt_valid_from")))
+        .filter(if (hardDelete) col("_k").isNotNull else lit(true))
         .select(current.columns.map(c => col("cur." + c)): _*)
+      val hardClosed = joined // key gone from the source: close at run time
+        .filter(lit(hardDelete) && col("cur." + key).isNotNull && col("_k").isNull)
+        .select(current.columns.map {
+          case "dbt_valid_to" => delStamp.as("dbt_valid_to")
+          case c => col("cur." + c)
+        }: _*)
       val closedNow = joined // superseded: close with the new timestamp
         .filter(col("cur." + key).isNotNull && col("_k").isNotNull &&
           col("_ts") > col("cur.dbt_valid_from"))
@@ -504,7 +561,7 @@ final class Runner(
         .filter(col("_k").isNotNull &&
           (col("cur." + key).isNull || col("_ts") > col("cur.dbt_valid_from")))
         .select(current.columns.map(c => col("in." + c)): _*)
-      val merged = closed.unionByName(keptCurrent)
+      val merged = closed.unionByName(keptCurrent).unionByName(hardClosed)
         .unionByName(closedNow).unionByName(inserted)
       val tmp = warehouseDir.resolve(m.name + "__tmp")
       writeTable(m, merged, tmp)
@@ -561,9 +618,20 @@ final class Runner(
       val changed = checkCols
         .map(c => !(col("cur." + c) <=> col("in." + c)))
         .reduceOption(_ || _).getOrElse(lit(false))
+      // invalidate_hard_deletes composes with strategy='check' the same
+      // way: vanished keys close at the run clock (`at` IS the run clock
+      // here — check-strategy versions are always stamped with it)
+      val hardDelete = boolConfig(m, "invalidate_hard_deletes")
       val keptCurrent = joined
         .filter(col("cur." + key).isNotNull && (col("_k").isNull || !changed))
+        .filter(if (hardDelete) col("_k").isNotNull else lit(true))
         .select(current.columns.map(c => col("cur." + c)): _*)
+      val hardClosed = joined
+        .filter(lit(hardDelete) && col("cur." + key).isNotNull && col("_k").isNull)
+        .select(current.columns.map {
+          case "dbt_valid_to" => lit(at).cast(tsType).as("dbt_valid_to")
+          case c => col("cur." + c)
+        }: _*)
       val closedNow = joined
         .filter(col("cur." + key).isNotNull && col("_k").isNotNull && changed)
         .select(current.columns.map {
@@ -573,7 +641,7 @@ final class Runner(
       val inserted = joined
         .filter(col("_k").isNotNull && (col("cur." + key).isNull || changed))
         .select(current.columns.map(c => col("in." + c)): _*)
-      val merged = closed.unionByName(keptCurrent)
+      val merged = closed.unionByName(keptCurrent).unionByName(hardClosed)
         .unionByName(closedNow).unionByName(inserted)
       val tmp = warehouseDir.resolve(m.name + "__tmp")
       writeTable(m, merged, tmp)

@@ -182,6 +182,106 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
       (3L, "new", "2024-02-01", None))) // inserted
   }
 
+  test("snapshot invalidate_hard_deletes: vanished keys close at the run clock; default keeps them open") {
+    val s = spark
+    import s.implicits._
+    def proj(flag: String) = Map(
+      "dbt_project.yml" -> "name: jaffle\n",
+      "models/dim_hd.sql" ->
+        (s"{{ config(materialized='snapshot', unique_key='id', " +
+          s"updated_at='updated_at'$flag) }}\n" +
+          "select * from source_hd"))
+    // flag ON: the deleted key's version closes at the injected run clock
+    val root = writeProject(proj(", invalidate_hard_deletes=true"))
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("wh_hd")
+    val at = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val runner = new Runner(s, manifest, cfg, wh, enforceAccess = false,
+      snapshotAt = Some(at))
+    Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"))
+      .toDF("id", "v", "updated_at").createOrReplaceTempView("source_hd")
+    runner.run()
+    // id 2 disappears from the source; id 1 unchanged
+    Seq((1L, "a", "2024-01-01"))
+      .toDF("id", "v", "updated_at").createOrReplaceTempView("source_hd")
+    val out = runner.run()("model.jaffle.dim_hd")
+      .select("id", "dbt_valid_to").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, None), // still current
+      (2L, Some("2024-03-01 00:00:00")))) // hard-deleted: closed at run clock
+    // default (no flag): the vanished key stays open — dbt's default
+    val root2 = writeProject(proj(""))
+    val (cfg2, manifest2) = ProjectLoader.load(root2)
+    val wh2 = Files.createTempDirectory("wh_hd2")
+    val runner2 = new Runner(s, manifest2, cfg2, wh2, enforceAccess = false,
+      snapshotAt = Some(at))
+    Seq((1L, "a", "2024-01-01"), (2L, "b", "2024-01-01"))
+      .toDF("id", "v", "updated_at").createOrReplaceTempView("source_hd")
+    runner2.run()
+    Seq((1L, "a", "2024-01-01"))
+      .toDF("id", "v", "updated_at").createOrReplaceTempView("source_hd")
+    val out2 = runner2.run()("model.jaffle.dim_hd")
+      .select("id", "dbt_valid_to").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(out2.toSeq == Seq((1L, None), (2L, None)))
+  }
+
+  test("invalidate_hard_deletes composes with strategy=check") {
+    val s = spark
+    import s.implicits._
+    val files = Map(
+      "dbt_project.yml" -> "name: jaffle\n",
+      "models/dim_chk.sql" ->
+        ("{{ config(materialized='snapshot', unique_key='id', strategy='check', " +
+          "check_cols=['v'], invalidate_hard_deletes=true) }}\n" +
+          "select * from source_chk_hd"))
+    val root = writeProject(files)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("wh_chk_hd")
+    val at = java.sql.Timestamp.valueOf("2024-05-01 00:00:00")
+    val runner = new Runner(s, manifest, cfg, wh, enforceAccess = false,
+      snapshotAt = Some(at))
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("source_chk_hd")
+    runner.run()
+    Seq((1L, "x")).toDF("id", "v").createOrReplaceTempView("source_chk_hd")
+    val out = runner.run()("model.jaffle.dim_chk")
+      .select("id", "dbt_valid_to").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(1)))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, None), (2L, Some(at))))
+  }
+
+  test("merge_exclude_columns: existing keys keep their stored audit columns through a merge") {
+    val s = spark
+    import s.implicits._
+    val files = Map(
+      "dbt_project.yml" -> "name: jaffle\n",
+      "models/orders_inc.sql" ->
+        """{{ config(materialized='incremental', unique_key='id',
+          |   merge_exclude_columns=['created_at']) }}
+          |select id, status, created_at from src_orders
+          |""".stripMargin)
+    val root = writeProject(files)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("wh_mex")
+    val runner = new Runner(s, manifest, cfg, wh, enforceAccess = false)
+    Seq((1L, "new", "d1"), (2L, "new", "d1"))
+      .toDF("id", "status", "created_at").createOrReplaceTempView("src_orders")
+    runner.run()
+    // the re-processed batch carries a LATER created_at (the classic
+    // reprocessing artifact); id 1's status legitimately advanced, id 3
+    // is new and takes the batch value whole
+    Seq((1L, "shipped", "d2"), (2L, "new", "d2"), (3L, "new", "d2"))
+      .toDF("id", "status", "created_at").createOrReplaceTempView("src_orders")
+    val out = runner.run()("model.jaffle.orders_inc").orderBy("id")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, "shipped", "d1"), // status updated, created_at preserved
+      (2L, "new", "d1"), // unchanged, created_at preserved
+      (3L, "new", "d2"))) // new key: batch values whole
+  }
+
   test("custom generic tests: {% test %} blocks compile to violation queries") {
     val s = spark
     import s.implicits._
