@@ -2308,6 +2308,145 @@ object TextAnalysis {
        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t39
+  /** Number of BPE merges t39 learns. Small enough that the oracle's
+    * unrolled per-merge SQL stages stay readable; large enough that
+    * multi-character pieces dominate the learned table. */
+  private val BpeMergeK = 8
+
+  /** Train a REAL byte-pair-encoding merge table on the corpus — the
+    * Sennrich 2015 algorithm (arXiv:1508.07909, the public GPT-2 vocab
+    * construction): start from per-character symbols over the word
+    * -frequency vocabulary, then K times (a) count adjacent symbol
+    * pairs weighted by word frequency, (b) take the most frequent pair
+    * (ties: lexicographic), (c) merge it everywhere as one left-to-right
+    * non-overlapping pass. Upgrades t05's regex "BPE-ish" pieces to a
+    * corpus-trained tokenizer, the way t38 upgraded t03's marker words
+    * to trained profiles.
+    *
+    * Scale (100 TB): training runs over the DISTINCT-WORD vocabulary
+    * (Heaps-sublinear in the corpus), each iteration one combinable
+    * pair-count aggregate plus a 1-ROW argmax collect — K driver rows
+    * total, the same documented bound as s22's k-center picks. The
+    * segmentation frame re-checkpoints per iteration so iteration i
+    * never re-runs folds 1..i-1. */
+  private[graft] def bpeMerges(docs: DataFrame, k: Int): Seq[(String, String)] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val emptyArr = array().cast("array<string>")
+    // one left-to-right non-overlapping merge pass as an array fold: the
+    // freshly merged symbol a+b can never re-match as a LEFT operand
+    // (that would need a == a+b), so the fold is exactly the
+    // reference implementation's per-merge replace pass
+    def mergeOnce(syms: Column, a: String, b: String): Column =
+      org.apache.spark.sql.functions.aggregate(syms, emptyArr, (acc, x) =>
+        when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+    // NB Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being empty
+    // (unlike generate_series), so single-symbol words guard through
+    // try_element_at + a null filter rather than the range bound
+    val pairsOf = expr(
+      "filter(transform(sequence(1, greatest(size(syms) - 1, 1)), " +
+        "i -> struct(try_element_at(syms, i) AS a, try_element_at(syms, i + 1) AS b)), " +
+        "p -> p.a IS NOT NULL AND p.b IS NOT NULL)")
+    var seg = docs.select(explode(words($"text")).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .select($"w", $"freq", split($"w", "").as("syms"))
+      .localCheckpoint(eager = false)
+    val merges = Seq.newBuilder[(String, String)]
+    var exhausted = false
+    for (_ <- 0 until k if !exhausted) {
+      val top = seg
+        .select($"freq", explode(pairsOf).as("p"))
+        .groupBy($"p.a", $"p.b").agg(sum($"freq").as("cnt"))
+        .orderBy($"cnt".desc, $"a".asc, $"b".asc)
+        .limit(1).collect() // 1 row: the argmax pair (documented bound)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        seg = seg.select($"w", $"freq", mergeOnce($"syms", a, b).as("syms"))
+          .localCheckpoint(eager = false)
+      }
+    }
+    merges.result()
+  }
+
+  /** Learned-BPE fertility profile: encode every document with the
+    * corpus-trained merge table ([[bpeMerges]]) via the compiled
+    * [[graft.functions.BpeEncode]] kernel and report word/piece counts
+    * plus integer-ppm pieces-per-word — the tokenizer-cost signal t28
+    * approximates with t05's untrained regex pieces.
+    *
+    * Determinism: training argmax is totally ordered (count desc, pair
+    * asc); encoding is integer counting; ppm is floor division.
+    *
+    * Scale (100 TB): the trained table (K rows) rides the kernel as a
+    * literal, so scoring is pure scan work — the corpus never joins a
+    * vocabulary, unlike the oracle's join-to-vocab formulation. */
+  def t39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMerges(Tables.t(s, dir, "documents"), BpeMergeK)
+    Tables.t(s, dir, "documents")
+      .repartition($"doc_id") // fan-out: per-doc encoding dominates
+      .select($"doc_id",
+        graft.functions.BpeEncode($"text", merges).as("e"))
+      .select($"doc_id", $"e.n_words".as("n_words"),
+        $"e.n_pieces".as("n_pieces"))
+      .withColumn("pieces_per_word_ppm",
+        when($"n_words" > 0, expr("(1000000 * n_pieces) div n_words")))
+      .transform(Q.sortedNarrow(_, $"doc_id"))
+  }
+
+  /** The oracle trains the SAME K merges in unrolled SQL stages: the
+    * segmentation is a marker-delimited string (chr(1)sym chr(2) per
+    * symbol — markers absent from the corpus), so one merge pass is one
+    * non-overlapping left-to-right `replace`, which is exactly the
+    * reference algorithm's apply step. Final per-word piece counts join
+    * back to document words (the vocabulary formulation; the Spark side
+    * encodes in-scan with the kernel instead). */
+  val t39Sql: String = {
+    val stages = (1 to BpeMergeK).map { i =>
+      val prev = if (i == 1) "seg0" else s"seg${i - 1}"
+      s"""sy$i AS (SELECT w, freq, seg,
+         |  string_split(substring(seg, 2, length(seg) - 2), chr(2) || chr(1)) AS s
+         |  FROM $prev),
+         |pr$i AS (SELECT s[j] AS a, s[j + 1] AS b, SUM(freq) AS cnt
+         |  FROM sy$i, UNNEST(generate_series(1, len(s) - 1)) t(j)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT a, b FROM pr$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |seg$i AS (SELECT w, freq,
+         |  replace(seg, chr(1) || a || chr(2) || chr(1) || b || chr(2),
+         |    chr(1) || a || b || chr(2)) AS seg
+         |  FROM sy$i, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY w),
+       |seg0 AS (SELECT w, freq,
+       |  chr(1) || array_to_string(string_split(w, ''), chr(2) || chr(1)) || chr(2) AS seg
+       |  FROM vocab),
+       |$stages,
+       |wp AS (SELECT w,
+       |  CAST(length(seg) - length(replace(seg, chr(1), '')) AS BIGINT) AS pieces
+       |  FROM seg$BpeMergeK),
+       |agg AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(p.pieces) AS BIGINT) AS n_pieces
+       |  FROM toks t JOIN wp p ON t.w = p.w GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_words, 0) AS n_words,
+       |  COALESCE(a.n_pieces, 0) AS n_pieces,
+       |  CASE WHEN COALESCE(a.n_words, 0) > 0
+       |    THEN (1000000 * a.n_pieces) // a.n_words END AS pieces_per_word_ppm
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2346,5 +2485,6 @@ object TextAnalysis {
     Q("t35_surprisal", t35, Some(t35Sql)),
     Q("t36_hashed_bow", t36, Some(t36Sql)),
     Q("t37_quality_rules", t37, Some(t37Sql)),
-    Q("t38_trigram_langid", t38, Some(t38Sql)))
+    Q("t38_trigram_langid", t38, Some(t38Sql)),
+    Q("t39_bpe_learned", t39, Some(t39Sql)))
 }

@@ -495,6 +495,57 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("BpeEncode equals a brute-force Sennrich apply on random corpora") {
+    val rnd = new scala.util.Random(41)
+    // brute reference: chars → per-merge left-to-right non-overlapping pass
+    def bruteWord(w: String, merges: Seq[(String, String)]): Int = {
+      var syms = w.map(_.toString).toList
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: t if x == a && y == b => out += (a + b); rest = t
+          case x :: t => out += x; rest = t
+          case Nil => ()
+        }
+        syms = out.toList
+      }
+      syms.size
+    }
+    def brute(text: String, merges: Seq[(String, String)]): (Long, Long) = {
+      val ws = text.split(" ").filter(_.nonEmpty)
+      (ws.length.toLong, ws.map(w => bruteWord(w, merges).toLong).sum)
+    }
+    val merges = Seq("a" -> "b", "ab" -> "c", "b" -> "b", "c" -> "a")
+    val cases = Seq("", " ", "ab", "abc abc", "bbbb", "abab", "  a  b ", "ca ab") ++
+      (1 to 40).map(_ => (0 until rnd.nextInt(8)).map(_ =>
+        (0 until (1 + rnd.nextInt(6))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+        .mkString(" "))
+    val s = spark
+    import s.implicits._
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", BpeEncode($"t", merges).as("e"))
+      .select($"id", $"e.n_words", $"e.n_pieces")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == brute(t, merges), s"case $i: '$t'")
+    }
+  }
+
+  test("bpeMerges learns the expected table on a hand-built corpus") {
+    val s = spark
+    import s.implicits._
+    // "aa" dominates: freq-weighted pairs are (a,a)=6 over "aaa"x2 docs
+    // + 2 over "aab"; after merging (a,a) the best is (aa,b)
+    val docs = Seq("aaa aaa aab", "aaa aab ba").toDF("text")
+    val merges = graft.ops.TextAnalysis.bpeMerges(docs, 2)
+    assert(merges.head == ("a", "a"), merges.toString)
+    assert(merges.size == 2)
+    // the second merge must involve the learned "aa" symbol
+    assert(merges(1)._1 == "aa" || merges(1)._2 == "aa", merges.toString)
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._
