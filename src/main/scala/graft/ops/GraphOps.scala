@@ -1249,6 +1249,81 @@ object GraphOps {
       |       FROM r2 LEFT JOIN i2 ON r2.doc_id = i2.doc_id)
       |SELECT doc_id, is_seed, rank FROM r3 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- g17
+  /** Edge embeddedness / bridge audit of the near-dup graph: for every
+    * Jaccard ≥ 0.5 edge, the number of triangles it sits in (the count
+    * of common neighbors of its endpoints). An edge with support 0 is a
+    * BRIDGE-like link — the only evidence tying its two docs together —
+    * and is exactly where transitive chaining (g14's borderline glue)
+    * merges clusters on a single uncorroborated match; high-support
+    * edges sit inside mutually-confirming duplicate cliques. g02 counts
+    * triangles at the VERTEX grain; the keeper/split decisions d07 and
+    * g14 motivate read them at the EDGE grain.
+    *
+    * Determinism: integer counting; (da, db) is a total order.
+    *
+    * Scale (100 TB): the same low→high wedge join as g02 (never a
+    * cartesian product, fan-out bounded by the df-cut degree bound);
+    * each triangle credits its three edges through one explode +
+    * map-side-combining count, and the final left join keys on the
+    * (pairs-sized) edge list — the corpus is touched only by the shared
+    * pair substrate. */
+  def g17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    edgeSupport(Dedup.jaccardPairs(s, dir, 0.5)).orderBy($"da", $"db")
+  }
+
+  private[graft] def edgeSupport(edgesIn: DataFrame): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val e = edgesIn.select($"da", $"db")
+      .localCheckpoint(eager = false) // wedges + closing + output spine
+    val wedges = e.as("x").join(e.as("y"),
+      col("x.da") === col("y.da") && col("x.db") < col("y.db"))
+      .select(col("x.da").as("a"), col("x.db").as("b"), col("y.db").as("c"))
+    val tri = wedges.join(e.as("z"),
+      col("b") === col("z.da") && col("c") === col("z.db"))
+      .select($"a", $"b", $"c")
+    val support = tri.select(explode(array(
+        struct($"a".as("da"), $"b".as("db")),
+        struct($"a".as("da"), $"c".as("db")),
+        struct($"b".as("da"), $"c".as("db")))).as("t"))
+      .groupBy(col("t.da").as("da"), col("t.db").as("db"))
+      .agg(count(lit(1)).as("support"))
+    e.join(support, Seq("da", "db"), "left")
+      .select($"da", $"db",
+        coalesce($"support", lit(0L)).as("support"),
+        (coalesce($"support", lit(0L)) === 0).as("is_bridge"))
+  }
+
+  val g17Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS MATERIALIZED (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |tri AS (SELECT x.da AS a, x.db AS b, y.db AS c
+      |        FROM edges x JOIN edges y ON x.da = y.da AND x.db < y.db
+      |        JOIN edges z ON z.da = x.db AND z.db = y.db),
+      |etri AS (SELECT a AS da, b AS db FROM tri
+      |         UNION ALL SELECT a, c FROM tri
+      |         UNION ALL SELECT b, c FROM tri),
+      |sup AS (SELECT da, db, COUNT(*) AS c FROM etri GROUP BY 1, 2)
+      |SELECT e.da, e.db,
+      |  CAST(COALESCE(s.c, 0) AS BIGINT) AS support,
+      |  COALESCE(s.c, 0) = 0 AS is_bridge
+      |FROM edges e LEFT JOIN sup s ON e.da = s.da AND e.db = s.db
+      |ORDER BY e.da, e.db""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -1265,7 +1340,8 @@ object GraphOps {
     Q("g13_knn_degree", g13, Some(g13Sql)),
     Q("g14_threshold_stability", g14, Some(g14Sql)),
     Q("g15_contamination_ppr", g15, Some(g15Sql)),
-    Q("g16_component_profile", g16, Some(g16Sql)))
+    Q("g16_component_profile", g16, Some(g16Sql)),
+    Q("g17_edge_support", g17, Some(g17Sql)))
 
   // ---------------------------------------------------------------- g16
   /** Component-size profile of the near-dup graph — the OVER-MERGING

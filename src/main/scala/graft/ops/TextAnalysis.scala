@@ -2447,6 +2447,111 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t40
+  /** Held-out bigram fluency scoring with stupid backoff (Brants et al.
+    * 2007, "Large Language Models in Machine Translation"): a bigram LM
+    * trained on the EVEN-doc_id half of the corpus scores every ODD
+    * document — the honest train/held-out shape, so the backoff path
+    * genuinely fires on unseen bigrams instead of self-scoring like
+    * t35's unigram surprisal. Per held-out doc: adjacent token pairs get
+    * conditional commonness ppm = 1e6·c(w1 w2) div c(w1) when the bigram
+    * was seen in training, else 0.4 · unigram ppm of w2 (the fixed
+    * stupid-backoff penalty, floor-divided). Low mean = disfluent or
+    * out-of-domain text; high backoff share = novel phrasing — the two
+    * axes a perplexity-based quality filter actually reads.
+    *
+    * Determinism: every score is a floor division of exact integer
+    * counts; mean is `sum div n` — engine-exact, no transcendentals.
+    *
+    * Scale (100 TB): two combinable training aggregates (unigram,
+    * bigram) over the training half; held-out docs explode their pairs
+    * narrowly (the t39 adjacent-struct pattern — no window, no
+    * self-join) and join the LM tables hint-FREE: vocabularies grow with
+    * the corpus (Heaps), so AQE threshold-switches instead of betting
+    * executor memory; the 1-row token total broadcasts. */
+  def t40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wsCol = expr("filter(split(text, ' '), x -> x <> '')")
+    val pairsOf = expr(
+      "filter(transform(sequence(1, greatest(size(ws) - 1, 1)), " +
+        "i -> struct(try_element_at(ws, i) AS w1, try_element_at(ws, i + 1) AS w2)), " +
+        "p -> p.w1 IS NOT NULL AND p.w2 IS NOT NULL)")
+    val docs = Tables.t(s, dir, "documents")
+    val train = docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", wsCol.as("ws"))
+      .localCheckpoint(eager = false) // unigram + bigram tables share it
+    val uni = train.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw"))
+    val total = uni.agg(sum($"cw").as("t"))
+    val bi = train.select(explode(pairsOf).as("p"))
+      .groupBy($"p.w1".as("b1"), $"p.w2".as("b2"))
+      .agg(count(lit(1)).as("cb"))
+    val heldOut = docs.filter($"doc_id" % 2 === 1)
+    val scored = heldOut
+      .select($"doc_id", wsCol.as("ws"))
+      .select($"doc_id", explode(pairsOf).as("p"))
+      .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
+      .join(bi, $"w1" === $"b1" && $"w2" === $"b2", "left")
+      .join(uni.select($"w".as("u1"), $"cw".as("c1")), $"w1" === $"u1", "left")
+      .join(uni.select($"w".as("u2"), $"cw".as("c2")), $"w2" === $"u2", "left")
+      .crossJoin(broadcast(total))
+      .select($"doc_id", $"cb",
+        when($"cb".isNotNull, expr("(1000000 * cb) div c1"))
+          .otherwise(expr("(4 * coalesce((1000000 * c2) div t, 0)) div 10"))
+          .as("score"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when($"cb".isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum($"score").as("score_sum"))
+    heldOut.select($"doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"n_backoff", lit(0L)).as("n_backoff"),
+        coalesce($"score_sum", lit(0L)).as("score_sum"))
+      .withColumn("mean_cond_ppm",
+        when($"n_bigrams" > 0, expr("score_sum div n_bigrams")))
+      .transform(Q.sortedNarrow(_, $"doc_id"))
+  }
+
+  val t40Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |trainp AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM d, UNNEST(generate_series(1, len(ws) - 1)) t(i)
+      |  WHERE doc_id % 2 = 0),
+      |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM (
+      |    SELECT unnest(ws) AS w FROM d WHERE doc_id % 2 = 0) GROUP BY w),
+      |tot AS (SELECT SUM(cw) AS t FROM uni),
+      |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb
+      |  FROM trainp GROUP BY 1, 2),
+      |ho AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM d, UNNEST(generate_series(1, len(ws) - 1)) t(i)
+      |  WHERE doc_id % 2 = 1),
+      |sc AS (SELECT ho.doc_id, bi.cb,
+      |    CASE WHEN bi.cb IS NOT NULL THEN (1000000 * bi.cb) // u1.cw
+      |      ELSE (4 * COALESCE((1000000 * u2.cw) // tot.t, 0)) // 10 END AS score
+      |  FROM ho
+      |  LEFT JOIN bi ON ho.w1 = bi.w1 AND ho.w2 = bi.w2
+      |  LEFT JOIN uni u1 ON ho.w1 = u1.w
+      |  LEFT JOIN uni u2 ON ho.w2 = u2.w
+      |  CROSS JOIN tot),
+      |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+      |    CAST(SUM(score) AS BIGINT) AS score_sum
+      |  FROM sc GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(a.n_backoff, 0) AS n_backoff,
+      |  COALESCE(a.score_sum, 0) AS score_sum,
+      |  CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+      |    THEN a.score_sum // a.n_bigrams END AS mean_cond_ppm
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2486,5 +2591,6 @@ object TextAnalysis {
     Q("t36_hashed_bow", t36, Some(t36Sql)),
     Q("t37_quality_rules", t37, Some(t37Sql)),
     Q("t38_trigram_langid", t38, Some(t38Sql)),
-    Q("t39_bpe_learned", t39, Some(t39Sql)))
+    Q("t39_bpe_learned", t39, Some(t39Sql)),
+    Q("t40_bigram_backoff", t40, Some(t40Sql)))
 }

@@ -352,4 +352,27 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
   test("transitivity: a single edge has no wedges — ratio is null") {
     assert(transOf(Seq(1L -> 2L)) == ((1L, 0L, 0L, None)))
   }
+
+  test("edge support: triangle edges corroborate, the pendant edge is a bridge") {
+    val s2 = spark
+    import s2.implicits._
+    // triangle 1-2-3 plus pendant edge 3-4: every triangle edge has
+    // support 1; (3,4) rests on a single uncorroborated match
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 3L -> 4L).toDF("da", "db")
+    val out = GraphOps.edgeSupport(edges).orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, false), (1L, 3L, 1L, false),
+      (2L, 3L, 1L, false), (3L, 4L, 0L, true)))
+  }
+
+  test("edge support: K4 — every edge sits in two triangles") {
+    val s2 = spark
+    import s2.implicits._
+    val edges = Seq(1L -> 2L, 1L -> 3L, 1L -> 4L, 2L -> 3L, 2L -> 4L, 3L -> 4L)
+      .toDF("da", "db")
+    val out = GraphOps.edgeSupport(edges).collect()
+      .map(r => (r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out.size == 6 && out.forall(_ == ((2L, false))))
+  }
 }
