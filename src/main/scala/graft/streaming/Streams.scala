@@ -597,6 +597,35 @@ object Streams {
     * Emits (doc_id, f_len, f_wordlen, f_stop, f_rep, passes) for every
     * arriving doc; the caller filters on `passes` or routes failures to
     * a quarantine sink. */
+  /** Streaming learned-BPE fertility gate — the live twin of batch t39:
+    * every arriving document is encoded with the FROZEN merge table a
+    * batch [[graft.ops.TextAnalysis.bpeMerges]] run trained, via the
+    * same compiled [[graft.functions.BpeEncode]] kernel, so backfill and
+    * ingest compute bit-identical pieces-per-word ppm and make the same
+    * keep/drop call. High fertility (many pieces per word) means the
+    * tokenizer fragments the text — out-of-domain or junk relative to
+    * the training corpus, the signal multilingual curation reads before
+    * paying sequence-length budget for a document.
+    *
+    * The merge table rides the kernel as a literal (K rows, frozen at
+    * deploy — the tokenizer-artifact pattern), so this is stateless
+    * narrow per-row work: no join, no state store, source parallelism.
+    * Wordless docs pass (nothing to gate). */
+  def bpeFertilityGate(docs: DataFrame, merges: Seq[(String, String)],
+      maxPiecesPerWordPpm: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id",
+        graft.functions.BpeEncode($"text", merges).as("e"))
+      .select($"doc_id", $"e.n_words".as("n_words"),
+        $"e.n_pieces".as("n_pieces"))
+      .withColumn("pieces_per_word_ppm",
+        when($"n_words" > 0, expr("(1000000 * n_pieces) div n_words")))
+      .withColumn("passes",
+        coalesce($"pieces_per_word_ppm" <= maxPiecesPerWordPpm, lit(true)))
+  }
+
   def rulesGateIngest(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -303,6 +303,42 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       .toSeq == Seq(10L, 12L, 14L))
   }
 
+  test("bpeFertilityGate: frozen-tokenizer stream decisions equal batch encoding (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // train on an in-domain corpus: (h,e)→(he,l)→… merges make 'hello'
+    // cheap; unseen character material stays one piece per char
+    val corpus = Seq((1L, "hello hello hello world world"),
+      (2L, "hello world hello")).toDF("doc_id", "text")
+    val merges = graft.ops.TextAnalysis.bpeMerges(corpus, 4)
+    assert(merges.size == 4)
+    val docs = Seq(
+      (10L, "hello hello"), // in-domain: few pieces per word
+      (11L, "zq xk vj"),    // out-of-domain: one piece per char
+      (12L, ""))            // wordless: passes vacuously
+    val batch = Streams.bpeFertilityGate(
+      docs.toDF("doc_id", "text"), merges, 1500000L)
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.bpeFertilityGate(
+      in.toDF().toDF("doc_id", "text"), merges, 1500000L)
+      .writeStream.format("memory").queryName("bpe_gate_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = s.table("bpe_gate_out").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(batch.exists(r => r.head == 10L && r.last == true))
+      // the 4 merges collapse 'hello' to ONE piece (el→ell→ello→hello),
+      // so doc 10 scores 1e6 ppm; unseen 2-char words stay 2 pieces/word
+      // = 2e6 ppm, over the 1.5e6 gate
+      assert(batch.exists(r => r.head == 11L && r.last == false), batch.toString)
+      assert(batch.exists(r => r.head == 12L && r.last == true))
+    } finally q.stop()
+  }
+
   test("rulesGateIngest: streamed rule flags equal the batch t37 columns (kappa)") {
     val s = spark
     import s.implicits._
