@@ -670,6 +670,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!sp.contains("CartesianProduct"), s"token loss went cartesian:\n$sp")
   }
 
+  test("g17: edge support rides real equi-joins — no cartesian, no broadcast of the edge frame") {
+    val p = simplePlan(GraphOps.g17(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge/support join degraded:\n$p")
+  }
+
+  test("t40: the LM joins are hint-free; AQE broadcasts the small tables at this SF") {
+    // audit the pre-sort body: the output checkpoint hides the joins (q02)
+    val ep = executedPlan(TextAnalysis.t40Body(spark, dir))
+    assert(ep.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the small LM tables:\n$ep")
+    assert(!ep.contains("CartesianProduct"), s"scoring went cartesian:\n$ep")
+  }
+
   test("t35: the unigram LM join is hint-free — AQE broadcasts it at this SF") {
     // the LM is vocabulary-sized (Heaps-growing) → no forced broadcast;
     // AQE's runtime size check must still pick broadcast while it fits
