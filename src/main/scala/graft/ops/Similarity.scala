@@ -1500,6 +1500,120 @@ object Similarity {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s23
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * for every query, pick 3 results from its cosine top-20 shortlist by
+    * iterated argmax of λ·relevance − (1−λ)·max-similarity-to-picked
+    * (λ = 0.7) — the diversified retrieval RAG/few-shot mining uses so
+    * three near-identical passages don't fill the context window. s18
+    * diversifies by LABEL quota; this diversifies by geometry.
+    *
+    * Determinism: every cosine lands on the integer micro grid
+    * (round(·,6)·10⁶ re-rounded to kill FP residue); the MMR score is
+    * the exact integer 7·rel − 3·maxsim (λ×10); ties take the lowest
+    * vec_id. The pick sequence is therefore engine-exact.
+    *
+    * Scale (100 TB): the only corpus-sized work is the s01-shaped
+    * relevance scan (queries broadcast, corpus streams once); the MMR
+    * iterations then run on the (|queries| × 20) shortlist — sequential
+    * in k but PARALLEL across queries (per-query windows, no driver
+    * loop, unlike s22's inherently global k-center). */
+  def s23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // zero-norm vectors can't be cosine-ranked (0/0): excluded on BOTH
+    // sides, in both engines
+    val all = vecs(s, dir).filter($"norm" > 0)
+    val q = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
+    mmrPicks(all, q).orderBy($"qid", $"rank")
+  }
+
+  /** The MMR rounds over (vec_id, v, norm) candidates and (qid, qv,
+    * qnorm) queries — split out so the spec can pin the pick sequence on
+    * hand vectors. */
+  private[graft] def mmrPicks(all: DataFrame, q: DataFrame): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def micro(c: Column): Column =
+      round(round(c, 6) * 1000000, 0).cast(LongType)
+    val byRel = Window.partitionBy($"qid").orderBy($"relm".desc, $"vec_id")
+    val short = all.join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("relm", micro(dot($"qv", $"v") / ($"qnorm" * $"norm")))
+      .withColumn("rk", row_number().over(byRel))
+      .filter($"rk" <= 20)
+      .select($"qid", $"vec_id", $"v", $"norm", $"relm")
+      .localCheckpoint(eager = false) // 3 MMR rounds re-read the shortlist
+    def pickCols(p: DataFrame) = p.select($"qid".as("pqid"),
+      $"vec_id".as("pid"), $"v".as("pv"), $"norm".as("pnorm"))
+    def simToPick(cands: DataFrame, p: DataFrame): DataFrame =
+      cands.join(pickCols(p), $"qid" === $"pqid" && $"vec_id" =!= $"pid")
+        .withColumn("simm", micro(dot($"pv", $"v") / ($"pnorm" * $"norm")))
+    // round 1: pure relevance argmax
+    val p1 = short.withColumn("rn", row_number().over(byRel)).filter($"rn" === 1)
+    // round 2: score the survivors against the single pick
+    val byScore = Window.partitionBy($"qid").orderBy($"score10".desc, $"vec_id")
+    val pool2 = simToPick(short, p1)
+      .withColumn("maxsimm", $"simm")
+      .withColumn("score10", lit(7L) * $"relm" - lit(3L) * $"maxsimm")
+      .select($"qid", $"vec_id", $"v", $"norm", $"relm", $"maxsimm", $"score10")
+      .localCheckpoint(eager = false)
+    val p2 = pool2.withColumn("rn", row_number().over(byScore)).filter($"rn" === 1)
+    // round 3: fold the second pick into the running max-similarity
+    val pool3 = simToPick(pool2, p2)
+      .withColumn("maxsimm", greatest($"maxsimm", $"simm"))
+      .withColumn("score10", lit(7L) * $"relm" - lit(3L) * $"maxsimm")
+      .select($"qid", $"vec_id", $"relm", $"score10")
+    val p3 = pool3.withColumn("rn", row_number().over(byScore)).filter($"rn" === 1)
+    p1.select($"qid", lit(1).as("rank"), $"vec_id".as("pick_id"),
+        $"relm", (lit(7L) * $"relm").as("score10"))
+      .unionByName(p2.select($"qid", lit(2).as("rank"),
+        $"vec_id".as("pick_id"), $"relm", $"score10"))
+      .unionByName(p3.select($"qid", lit(3).as("rank"),
+        $"vec_id".as("pick_id"), $"relm", $"score10"))
+  }
+
+  private def microSql(x: String): String =
+    s"CAST(round(round($x, 6) * 1000000, 0) AS BIGINT)"
+
+  val s23Sql: String =
+    s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings)
+       |  WHERE norm > 0),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, norm AS qnorm
+       |      FROM v WHERE vec_id % 100 = 0),
+       |rel AS (SELECT qid, vec_id, embedding, norm,
+       |    ${microSql(s"${dotSql("qe", "embedding")} / (qnorm * norm)")} AS relm
+       |  FROM v JOIN q ON vec_id <> qid),
+       |short AS (SELECT * FROM (SELECT rel.*, row_number()
+       |      OVER (PARTITION BY qid ORDER BY relm DESC, vec_id) AS rk FROM rel)
+       |  WHERE rk <= 20),
+       |p1 AS (SELECT qid, vec_id, embedding, norm, relm FROM short WHERE rk = 1),
+       |pool2 AS (SELECT s.qid, s.vec_id, s.embedding, s.norm, s.relm,
+       |    ${microSql(s"${dotSql("p.embedding", "s.embedding")} / (p.norm * s.norm)")}
+       |      AS maxsimm
+       |  FROM short s JOIN p1 p ON s.qid = p.qid AND s.vec_id <> p.vec_id),
+       |sc2 AS (SELECT *, 7 * relm - 3 * maxsimm AS score10,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY 7 * relm - 3 * maxsimm DESC, vec_id) AS rn
+       |  FROM pool2),
+       |p2 AS (SELECT qid, vec_id, embedding, norm, relm, score10 FROM sc2 WHERE rn = 1),
+       |pool3 AS (SELECT s.qid, s.vec_id, s.relm,
+       |    greatest(s.maxsimm,
+       |      ${microSql(s"${dotSql("p.embedding", "s.embedding")} / (p.norm * s.norm)")})
+       |      AS maxsimm
+       |  FROM sc2 s JOIN p2 p ON s.qid = p.qid AND s.vec_id <> p.vec_id),
+       |sc3 AS (SELECT *, 7 * relm - 3 * maxsimm AS score10,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY 7 * relm - 3 * maxsimm DESC, vec_id) AS rn
+       |  FROM pool3),
+       |p3 AS (SELECT qid, vec_id, relm, score10 FROM sc3 WHERE rn = 1)
+       |SELECT qid, CAST(1 AS INTEGER) AS rank, vec_id AS pick_id, relm,
+       |    7 * relm AS score10 FROM p1
+       |UNION ALL SELECT qid, 2, vec_id, relm, score10 FROM p2
+       |UNION ALL SELECT qid, 3, vec_id, relm, score10 FROM p3
+       |ORDER BY qid, rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -1522,5 +1636,6 @@ object Similarity {
     Q("s19_hard_negatives", s19, Some(s19Sql)),
     Q("s20_kmeans_drift", s20, Some(s20Sql)),
     Q("s21_rrf_ensemble", s21, Some(s21Sql)),
-    Q("s22_kcenter_coreset", s22, Some(s22Sql)))
+    Q("s22_kcenter_coreset", s22, Some(s22Sql)),
+    Q("s23_mmr_rerank", s23, Some(s23Sql)))
 }

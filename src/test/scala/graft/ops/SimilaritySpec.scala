@@ -81,4 +81,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // {1,4} is 3 (max-sim 0) — the near-dup 2 is never chosen
     assert(rows == Seq((1, 1L), (2, 4L), (3, 3L)))
   }
+
+  test("s23 MMR: the diverse equally-relevant pick beats the near-duplicate") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions.{sqrt => fsqrt, _}
+    // query (1,0,0); A and C are mirror-symmetric (identical relevance,
+    // micro-rounded), B is a near-duplicate of A with the same relevance
+    val all = Seq(
+      (10L, Array(0.9, 0.43, 0.0)),   // A
+      (11L, Array(0.9, 0.4301, 0.0)), // B ~ A, a hair less relevant
+      (12L, Array(0.9, -0.43, 0.0)))  // C: A mirrored
+      .toDF("vec_id", "v")
+      .withColumn("norm", fsqrt(graft.functions.DotProduct($"v", $"v")))
+    val q = Seq((0L, Array(1.0, 0.0, 0.0))).toDF("qid", "qv")
+      .withColumn("qnorm", fsqrt(graft.functions.DotProduct($"qv", $"qv")))
+    val picks = Similarity.mmrPicks(all, q).orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    // p1: rel tie A/C -> lowest id A; p2: C (diverse) beats B (sim~1 to A);
+    // p3: the near-dup comes last
+    assert(picks == Seq((1, 10L), (2, 12L), (3, 11L)))
+  }
 }
