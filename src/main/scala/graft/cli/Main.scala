@@ -62,7 +62,7 @@ object Main {
       val a = argv(i)
       if (a == "--dry-run" || a == "--prerelease" || a == "--increment" ||
         a == "--latest" || a == "--debug" || a == "--read-catalog" ||
-        a == "--public-only" || a == "--full-refresh")
+        a == "--public-only" || a == "--full-refresh" || a == "--defer")
         switches += a.stripPrefix("--")
       else if (a.startsWith("--")) {
         val key = a.stripPrefix("--")
@@ -143,10 +143,20 @@ object Main {
         // dbt's --threads: level-parallel model execution (independent
         // DAG subtrees run concurrently on the shared session)
         val threads = args.flags("threads").headOption.map(_.toInt).getOrElse(1)
+        // dbt's --defer: refs outside the selection serve from the state
+        // manifest's relations (requires --state, like state: selectors)
+        val deferM = if (args.switches("defer")) {
+          val p = args.flags("state").headOption.getOrElse(
+            throw new IllegalArgumentException("--defer requires --state"))
+          val path = Paths.get(p)
+          Some(graft.core.parse.ManifestJson.load(
+            if (Files.isDirectory(path)) path.resolve("manifest.json") else path))
+        } else None
         val out = new Runner(spark(), m, cfg,
           warehouse(), projectRoot = Some(root),
           readCatalog = readCatalog,
-          fullRefresh = args.switches("full-refresh")).run(sel, parallelism = threads)
+          fullRefresh = args.switches("full-refresh"),
+          defer = deferM).run(sel, parallelism = threads)
         out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
 
       case "split" =>

@@ -23,6 +23,25 @@ object Dag {
   /** Depth-limited closures (dbt's `N+model` / `model+N` selectors). */
   def ancestorsTo(parentMap: Map[String, Set[String]], start: String, depth: Int): Set[String] =
     closure(parentMap, start, depth)
+  /** Ancestor closure that PRUNES at a boundary predicate: a node
+    * matching `stopAt` is neither included nor expanded — the traversal
+    * shape `--defer` needs (a deferred parent serves from its state
+    * relation, so its own upstream is out of scope). */
+  def ancestorsTo(parentMap: Map[String, Set[String]], start: String,
+      depth: Int, stopAt: String => Boolean): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    val queue = mutable.Queue(start -> 0)
+    while (queue.nonEmpty) {
+      val (n, d) = queue.dequeue()
+      if (d < depth)
+        parentMap.getOrElse(n, Set.empty).foreach { m =>
+          if (!seen.contains(m) && !stopAt(m)) {
+            seen += m; queue.enqueue(m -> (d + 1))
+          }
+        }
+    }
+    seen.toSet
+  }
   def descendantsTo(childMap: Map[String, Set[String]], start: String, depth: Int): Set[String] =
     closure(childMap, start, depth)
 

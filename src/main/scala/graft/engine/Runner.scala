@@ -45,7 +45,17 @@ final class Runner(
     /** Version-stamp clock for `strategy='check'` snapshots (which have
       * no source event time). None = wall clock; tests inject a fixed
       * instant for reproducible valid_from/valid_to values. */
-    snapshotAt: Option[java.sql.Timestamp] = None) {
+    snapshotAt: Option[java.sql.Timestamp] = None,
+    /** dbt's `--defer --state`: when running a SELECTION, refs to models
+      * outside it resolve to the state manifest's `relation_name` (the
+      * production table) instead of requiring the upstream to run — the
+      * slim-CI pattern: build only what changed, read the rest from
+      * prod. An unselected model with no state relation still runs
+      * locally. Only meaningful with a selection. */
+    defer: Option[Manifest] = None) {
+
+  /** model name → deferred relation, populated per run(). */
+  @volatile private var deferTargets: Map[String, String] = Map.empty
 
   def viewName(model: String): String = s"${manifest.projectName}__$model"
 
@@ -102,7 +112,10 @@ final class Runner(
   def renderSql(m: ModelNode, isIncremental: Boolean): String =
     JinjaLite.render(
       m.rawCode,
-      resolveRef = refView,
+      resolveRef = rc =>
+        if (rc.project.forall(_ == manifest.projectName))
+          deferTargets.getOrElse(rc.name, refView(rc))
+        else refView(rc),
       resolveSource = sc => {
         val src = manifest.sources.values
           .find(s => s.sourceName == sc.sourceName && s.name == sc.table)
@@ -133,6 +146,18 @@ final class Runner(
       AccessControl.forSession(spark).registerManifest(manifest, viewName)
     val modelIds = manifest.nodes.keySet
       .filter(id => selected.forall(_.contains(id)))
+    // --defer: every UNSELECTED model whose state manifest carries a
+    // relation_name resolves to that relation instead of running; its
+    // own upstream closure is skipped with it. No state relation → the
+    // model still builds locally (dbt's fallback).
+    deferTargets = (defer, selected) match {
+      case (Some(state), Some(_)) =>
+        manifest.nodes.collect {
+          case (id, m) if !modelIds.contains(id) =>
+            state.nodes.get(id).flatMap(_.relationName).map(m.name -> _)
+        }.flatten.toMap
+      case _ => Map.empty
+    }
     // scheduling edges: the manifest's depends_on, plus an implicit edge
     // from any model reading a source whose table a same-project seed
     // materializes (the jaffle pattern — dbt orders this via `dbt seed`
@@ -156,8 +181,14 @@ final class Runner(
         pm.updated(id, pm.getOrElse(id, Set.empty) ++ seeds)
       }
     }
+    // ancestors pulled into the run stop at a deferred boundary: a
+    // deferred parent serves from its state relation, so neither it nor
+    // anything above it executes
+    val deferredIds: String => Boolean = id =>
+      manifest.nodes.get(id).exists(n => deferTargets.contains(n.name))
     val all = modelIds.flatMap(id =>
-      Dag.ancestors(parentMapSched, id).filter(manifest.nodes.contains)) ++ modelIds
+      Dag.ancestorsTo(parentMapSched, id, Int.MaxValue,
+        stopAt = deferredIds).filter(manifest.nodes.contains)) ++ modelIds
     val order = Dag.topoSort(all, parentMapSched)
     if (parallelism <= 1)
       order.flatMap(id => manifest.nodes.get(id).map(m => id -> runModel(m))).toMap
@@ -212,12 +243,14 @@ final class Runner(
       // cross-group ref fails identically in both languages.
       val out = PyModelPort.run(
         m.rawCode,
-        resolveRef = name => {
-          if (enforceAccess)
-            graft.enforce.AccessControl.forSession(spark).checkRelation(
-              viewName(name),
-              graft.enforce.AccessControl.Context(m.packageName, m.group))
-          spark.table(viewName(name))
+        resolveRef = name => deferTargets.get(name) match {
+          case Some(rel) => spark.table(rel) // deferred to the state relation
+          case None =>
+            if (enforceAccess)
+              graft.enforce.AccessControl.forSession(spark).checkRelation(
+                viewName(name),
+                graft.enforce.AccessControl.Context(m.packageName, m.group))
+            spark.table(viewName(name))
         },
         resolveSource = (sn, tbl) => {
           val src = manifest.sources.values

@@ -182,6 +182,37 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
       (3L, "new", "2024-02-01", None))) // inserted
   }
 
+  test("--defer: unselected upstream serves from the state relation and never runs") {
+    val s = spark
+    import s.implicits._
+    val files = Map(
+      "dbt_project.yml" -> "name: jaffle\n",
+      "models/stg_d.sql" -> "select * from missing_src_table", // would FAIL if run
+      "models/mart_d.sql" -> "select id, v from {{ ref('stg_d') }} where id > 1")
+    val root = writeProject(files)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    // "prod" state: stg_d materialized as the prod_stg_d relation
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("prod_stg_d")
+    val state = manifest.copy(nodes = manifest.nodes.map {
+      case (id, m) if m.name == "stg_d" =>
+        id -> m.copy(relationName = Some("prod_stg_d"))
+      case other => other
+    })
+    val wh = Files.createTempDirectory("wh_defer")
+    val runner = new Runner(s, manifest, cfg, wh, enforceAccess = false,
+      defer = Some(state))
+    val out = runner.run(Some(Set("model.jaffle.mart_d")))
+    // only the selected model ran; its ref read the prod relation
+    assert(out.keySet == Set("model.jaffle.mart_d"))
+    assert(out("model.jaffle.mart_d").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((2L, "b"), (3L, "c")))
+    // without defer the same selection pulls the broken upstream and fails
+    val plain = new Runner(s, manifest, cfg,
+      Files.createTempDirectory("wh_defer2"), enforceAccess = false)
+    intercept[Exception](plain.run(Some(Set("model.jaffle.mart_d"))))
+  }
+
   test("snapshot invalidate_hard_deletes: vanished keys close at the run clock; default keeps them open") {
     val s = spark
     import s.implicits._
