@@ -152,10 +152,17 @@ object Main {
           Some(graft.core.parse.ManifestJson.load(
             if (Files.isDirectory(path)) path.resolve("manifest.json") else path))
         } else None
+        // dbt's --vars '{key: value}' — an inline YAML map overriding
+        // dbt_project.yml vars for this invocation
+        val varOv = args.flags("vars").headOption.map { y =>
+          graft.core.yaml.Yaml.parseMap(y).entries
+            .map { case (k, v) => k -> v.asStr }.toMap
+        }.getOrElse(Map.empty[String, String])
         val out = new Runner(spark(), m, cfg,
           warehouse(), projectRoot = Some(root),
           readCatalog = readCatalog,
           fullRefresh = args.switches("full-refresh"),
+          varOverrides = varOv,
           defer = deferM).run(sel, parallelism = threads)
         out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
 

@@ -46,6 +46,9 @@ final class Runner(
       * no source event time). None = wall clock; tests inject a fixed
       * instant for reproducible valid_from/valid_to values. */
     snapshotAt: Option[java.sql.Timestamp] = None,
+    /** dbt's `--vars '{k: v}'`: per-invocation overrides layered over
+      * dbt_project.yml `vars:` (CLI wins, like dbt). */
+    varOverrides: Map[String, String] = Map.empty,
     /** dbt's `--defer --state`: when running a SELECTION, refs to models
       * outside it resolve to the state manifest's `relation_name` (the
       * production table) instead of requiring the upstream to run — the
@@ -106,7 +109,7 @@ final class Runner(
       m.name -> JinjaLite.MacroDef(m.name, m.params, m.macroSql)).toMap
 
   private def vars: Map[String, String] =
-    cfg.vars.entries.map { case (k, v) => k -> v.asStr }.toMap
+    cfg.vars.entries.map { case (k, v) => k -> v.asStr }.toMap ++ varOverrides
 
   /** Render a model's SQL to executable Spark SQL. */
   def renderSql(m: ModelNode, isIncremental: Boolean): String =

@@ -238,6 +238,23 @@ class MainSpec extends AnyFunSuite {
     assert(!Files.exists(root.resolve("models/stg_v1.sql")))
   }
 
+  test("run --vars overrides dbt_project.yml vars for the invocation") {
+    val root = writeProject(Map(
+      "dbt_project.yml" ->
+        """name: shop
+          |vars:
+          |  floor: 10
+          |""".stripMargin,
+      "seeds/raw.csv" -> "id\n5\n15\n25\n",
+      "models/kept.sql" ->
+        "select * from {{ ref('raw') }} where id > {{ var('floor') }}"))
+    Main.main(Array("run", "--project-dir", root.toString,
+      "--vars", "{floor: 20}"))
+    val s = org.apache.spark.sql.SparkSession.active
+    // CLI floor=20 wins over the project default 10 → only id 25 survives
+    assert(s.table("shop__kept").collect().map(_.getInt(0)).toSeq == Seq(25))
+  }
+
   test("connect rewrites the downstream and registers the dependency") {
     val up = writeProject(Map(
       "dbt_project.yml" -> "name: up_proj\n",
