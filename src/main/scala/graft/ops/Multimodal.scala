@@ -523,6 +523,97 @@ object Multimodal {
        |      AS BIGINT) END AS quiet_ppm
        |FROM w ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m12
+  /** Perceptual frame near-dup — the hamming-TOLERANT tier above m09's
+    * exact frame hashes: per-frame 60-bit dHash gradients (compiled
+    * [[graft.functions.FrameDHash]] kernel, 61-unit windows at stride
+    * 32), banded 4×15 for candidate generation, hamming ≤ 6 to match.
+    * Uniform byte shifts from a re-encode flip few gradient bits, so
+    * this catches the re-encoded copies exact hashing misses; assets
+    * sharing ≥ 2 tolerant frames pair up with their match count.
+    *
+    * Determinism: signatures and hamming are integer bit math; the pair
+    * key is a total order.
+    *
+    * Scale (100 TB): d04's exact banding economics — signatures are one
+    * compiled scan pass, only (doc_id, sig) longs enter the band
+    * exchange, hot band buckets (> 1000 members: letterbox/black-frame
+    * families) are cut BEFORE pair generation exactly like the
+    * stop-shingle rule, and the hamming cut sits inside the join. */
+  def m12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = mediaTable(s, dir)
+      .withColumn("txt", decode($"bytes", "UTF-8"))
+      .select($"doc_id",
+        explode(graft.functions.FrameDHash($"txt", 61, 32)).as("sig"))
+      .distinct()
+      .localCheckpoint(eager = false) // bands + sizes share it
+    val bands = sigs
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .select($"doc_id", $"sig", $"b",
+        expr("shiftright(sig, b * 15) & 32767").as("bv"))
+      .localCheckpoint(eager = false) // bucket census + both join sides
+    val keptBuckets = bands.groupBy($"b", $"bv")
+      .agg(count(lit(1)).as("n")).filter($"n" <= 1000)
+      .select($"b", $"bv")
+    val kb = bands.join(keptBuckets.hint("SHUFFLE_HASH"), Seq("b", "bv"))
+    val cand = kb.as("a").hint("SHUFFLE_HASH")
+      .join(kb.as("b").hint("SHUFFLE_HASH"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.sig ^ b.sig) <= 6"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+    val sizes = sigs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = cand.groupBy($"da", $"db")
+      .agg(count(lit(1)).as("n_matched"))
+      .filter($"n_matched" >= 2)
+    pairs
+      .join(sizes.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
+      .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
+      .select($"da", $"db", $"n_matched", $"na", $"nb")
+      .orderBy($"da", $"db")
+  }
+
+  val m12Sql: String =
+    """WITH fr AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(text) >= 61
+      |      THEN (length(text) - 61) // 32 + 1 ELSE 0 END AS nf
+      |  FROM documents),
+      |sg AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, 60),
+      |        i -> CASE WHEN ascii(text[k * 32 + i]) > ascii(text[k * 32 + i + 1])
+      |          THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)),
+      |      (a, b) -> a + b) AS sig
+      |  FROM fr, UNNEST(generate_series(0, CAST(nf AS INT) - 1)) AS t(k)
+      |  WHERE nf > 0),
+      |bands AS (
+      |  SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 AS bv
+      |  FROM sg, UNNEST(generate_series(0, 3)) AS t(b)),
+      |keptb AS (SELECT b, bv FROM (
+      |    SELECT b, bv, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+      |  WHERE n <= 1000),
+      |kb AS (SELECT bands.* FROM bands JOIN keptb
+      |       ON bands.b = keptb.b AND bands.bv = keptb.bv),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+      |  FROM kb a JOIN kb b ON a.b = b.b AND a.bv = b.bv
+      |    AND a.doc_id < b.doc_id
+      |    AND bit_count(xor(a.sig, b.sig)) <= 6),
+      |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY 1),
+      |pairs AS (SELECT da, db, CAST(COUNT(*) AS BIGINT) AS n_matched
+      |          FROM cand GROUP BY 1, 2)
+      |SELECT p.da, p.db, p.n_matched, sa.n AS na, sb.n AS nb
+      |FROM pairs p
+      |JOIN sizes sa ON p.da = sa.doc_id
+      |JOIN sizes sb ON p.db = sb.doc_id
+      |WHERE p.n_matched >= 2
+      |ORDER BY p.da, p.db""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
@@ -534,5 +625,6 @@ object Multimodal {
     Q("m08_decode_budget", m08, Some(m08Sql)),
     Q("m09_video_neardup", m09, Some(m09Sql)),
     Q("m10_payload_concentration", m10, Some(m10Sql)),
-    Q("m11_window_energy", m11, Some(m11Sql)))
+    Q("m11_window_energy", m11, Some(m11Sql)),
+    Q("m12_perceptual_neardup", m12, Some(m12Sql)))
 }

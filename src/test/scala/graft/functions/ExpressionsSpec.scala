@@ -495,6 +495,29 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("FrameDHash equals a brute-force gradient walk on random strings") {
+    val rnd = new scala.util.Random(53)
+    def brute(s: String, fl: Int, st: Int): Seq[Long] = {
+      val n = if (s.length < fl) 0 else (s.length - fl) / st + 1
+      (0 until n).map { k =>
+        (0 until fl - 1).foldLeft(0L) { (acc, i) =>
+          if (s(k * st + i) > s(k * st + i + 1)) acc | (1L << i) else acc
+        }
+      }
+    }
+    val cases = Seq("", "x" * 60, "x" * 61, "ab" * 40) ++
+      (1 to 30).map(_ => rnd.alphanumeric.take(rnd.nextInt(250)).mkString)
+    val s = spark
+    import s.implicits._
+    val got = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", FrameDHash($"t", 61, 32).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    cases.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == brute(t, 61, 32), s"case $i")
+    }
+  }
+
   test("BpeEncode equals a brute-force Sennrich apply on random corpora") {
     val rnd = new scala.util.Random(41)
     // brute reference: chars → per-merge left-to-right non-overlapping pass
