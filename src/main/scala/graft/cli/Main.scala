@@ -231,6 +231,31 @@ object Main {
             runner.viewName, p => scala.util.Try(readFile(p)).toOption))
         }
 
+      case "source" if args.positional.headOption.contains("freshness") =>
+        // dbt's `source freshness`: max(loaded_at_field) per configured
+        // source vs its warn_after/error_after bounds; exit 1 on error
+        val (cfg, m) = ProjectLoader.load(root)
+        val runner = new Runner(spark(), m, cfg,
+          warehouse(), projectRoot = Some(root), readCatalog = readCatalog)
+        val results = runner.sourceFreshness()
+        results.toSeq.sortBy(_._1).foreach { case (id, (status, maxTs)) =>
+          println(s"${status.toUpperCase} $id" +
+            maxTs.map(t => s" (max loaded_at $t)").getOrElse(""))
+        }
+        if (results.values.exists(v => v._1.startsWith("error") || v._1.startsWith("runtime")))
+          sys.exit(1)
+
+      case "ls" | "list" =>
+        // dbt-ls shape: evaluate the selection grammar and print matching
+        // unique_ids (the very surface the reference shells to for A1,
+        // dbt_projects.py:351-376); no selection = every resource
+        val (_, m) = ProjectLoader.load(root)
+        val ids =
+          if (args.flags("select").isEmpty && args.flags("selector").isEmpty)
+            m.allResources.keySet
+          else selection(m)
+        ids.toSeq.sorted.foreach(println)
+
       case "test" =>
         // dbt-test shape: materialize the DAG, run every generic test as
         // a violation query, report per-test counts, exit 1 on failures

@@ -83,6 +83,22 @@ final case class ExternalSource(
     format: String = "parquet",
     options: Map[String, String] = Map.empty)
 
+/** One dbt freshness bound: `{count: 12, period: hour}`. */
+final case class FreshnessRule(count: Long, period: String) {
+  def seconds: Long = period match {
+    case "minute" => count * 60L
+    case "hour" => count * 3600L
+    case "day" => count * 86400L
+    case other => throw new IllegalArgumentException(
+      s"freshness period must be minute|hour|day, got '$other'")
+  }
+}
+
+/** dbt source `freshness:` block (warn_after / error_after). */
+final case class Freshness(
+    warnAfter: Option[FreshnessRule] = None,
+    errorAfter: Option[FreshnessRule] = None)
+
 final case class SourceDefinition(
     uniqueId: String,
     name: String, // table name
@@ -90,7 +106,11 @@ final case class SourceDefinition(
     packageName: String,
     filePath: String,
     relationName: Option[String] = None,
-    external: Option[ExternalSource] = None) extends Resource
+    external: Option[ExternalSource] = None,
+    /** dbt `loaded_at_field` + `freshness:` — the inputs of
+      * `source freshness` (table-level overrides source-level). */
+    loadedAtField: Option[String] = None,
+    freshness: Option[Freshness] = None) extends Resource
 
 final case class MacroNode(
     uniqueId: String,

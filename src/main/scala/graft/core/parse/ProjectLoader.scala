@@ -168,6 +168,21 @@ object ProjectLoader {
           val srcName = src("name").asStr
           val db = src.get("database").map(_.asStr).getOrElse("main")
           val schema = src.get("schema").map(_.asStr).getOrElse(srcName)
+          // dbt freshness config: table-level overrides source-level, and
+          // an explicit `freshness:` null at the table OPTS OUT (outer
+          // Option = key present, inner = enabled)
+          def freshOf(m: YMap): Option[Option[Freshness]] =
+            m.get("freshness").map {
+              case f: YMap =>
+                def rule(k: String) = f.get(k).collect { case r: YMap =>
+                  FreshnessRule(
+                    r("count").asStr.toLong, r("period").asStr)
+                }
+                Some(Freshness(rule("warn_after"), rule("error_after")))
+              case _ => None // explicit null: freshness disabled
+            }
+          val srcFresh = freshOf(src).flatten
+          val srcLoadedAt = src.get("loaded_at_field").map(_.asStr)
           src.get("tables").collect { case YList(ts) => ts }.getOrElse(Vector.empty).foreach {
             case t: YMap =>
               val tn = t("name").asStr
@@ -186,7 +201,10 @@ object ProjectLoader {
               }
               sources += id -> SourceDefinition(id, tn, srcName, proj, rel,
                 relationName = Some(s"$db.$schema.$ident"),
-                external = external)
+                external = external,
+                loadedAtField =
+                  t.get("loaded_at_field").map(_.asStr).orElse(srcLoadedAt),
+                freshness = freshOf(t).getOrElse(srcFresh))
             case _ =>
           }
         case _ =>

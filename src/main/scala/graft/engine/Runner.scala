@@ -694,6 +694,40 @@ final class Runner(
         .iterator().asScala.foreach(Files.deleteIfExists(_))
     }
 
+  // --------------------------------------------------------- freshness
+  /** dbt `source freshness`: for every source carrying `freshness:` +
+    * `loaded_at_field`, compute max(loaded_at_field) and classify the
+    * age against warn_after/error_after. Returns
+    * sourceId → (status ∈ pass|warn|error|runtime error, max loaded_at).
+    * One MAX aggregate per source — combinable, no shuffle beyond the
+    * scalar collect; `now` is injectable for deterministic tests. */
+  def sourceFreshness(
+      now: java.sql.Timestamp = new java.sql.Timestamp(System.currentTimeMillis())
+  ): Map[String, (String, Option[java.sql.Timestamp])] =
+    manifest.sources.collect {
+      case (id, src) if src.freshness.isDefined && src.loadedAtField.isDefined =>
+        val f = src.freshness.get
+        val view =
+          if (src.external.isDefined) externalView(src) else sourceView(src)
+        val res = try {
+          val row = spark.table(view)
+            .agg(max(col(src.loadedAtField.get).cast("timestamp"))).head()
+          if (row.isNullAt(0)) ("error", None) // empty source: stale by definition
+          else {
+            val maxTs = row.getTimestamp(0)
+            val age = (now.getTime - maxTs.getTime) / 1000L
+            val status =
+              if (f.errorAfter.exists(r => age > r.seconds)) "error"
+              else if (f.warnAfter.exists(r => age > r.seconds)) "warn"
+              else "pass"
+            (status, Some(maxTs))
+          }
+        } catch {
+          case e: Exception => (s"runtime error: ${e.getMessage}", None)
+        }
+        id -> res
+    }
+
   // ------------------------------------------------------------- tests
   /** Run generic data tests as violation queries; returns violations per
     * test id (0 = pass), mirroring dbt test semantics (SURVEY §2.F). */

@@ -238,6 +238,22 @@ class MainSpec extends AnyFunSuite {
     assert(!Files.exists(root.resolve("models/stg_v1.sql")))
   }
 
+  test("ls prints selected unique_ids; bare ls lists everything") {
+    val root = writeProject(project)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("ls", "--select", "+mart",
+        "--project-dir", root.toString))
+    }
+    assert(out.toString.trim.linesIterator.toSeq ==
+      Seq("model.shop.mart", "model.shop.stg"))
+    val all = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(all)) {
+      Main.main(Array("ls", "--project-dir", root.toString))
+    }
+    assert(all.toString.contains("model.shop.stg"))
+  }
+
   test("run --vars overrides dbt_project.yml vars for the invocation") {
     val root = writeProject(Map(
       "dbt_project.yml" ->

@@ -182,6 +182,49 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
       (3L, "new", "2024-02-01", None))) // inserted
   }
 
+  test("source freshness: warn/error bounds classify max(loaded_at) age; table overrides source") {
+    val s = spark
+    import s.implicits._
+    val files = Map(
+      "dbt_project.yml" -> "name: jaffle\n",
+      "models/__sources.yml" ->
+        """version: 2
+          |sources:
+          |  - name: raw
+          |    loaded_at_field: updated_at
+          |    freshness:
+          |      warn_after: {count: 1, period: hour}
+          |      error_after: {count: 1, period: day}
+          |    tables:
+          |      - name: fresh_t
+          |      - name: warn_t
+          |      - name: error_t
+          |        freshness:
+          |          error_after: {count: 2, period: hour}
+          |      - name: nofresh_t
+          |        freshness:
+          |""".stripMargin)
+    val root = writeProject(files)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    def mk(name: String, at: String): Unit =
+      Seq((1L, java.sql.Timestamp.valueOf(at))).toDF("id", "updated_at")
+        .createOrReplaceTempView(name)
+    mk("fresh_t", "2024-06-01 11:30:00") // 30 min old → pass
+    mk("warn_t", "2024-06-01 09:00:00") // 3 h old → warn (error at 1 day)
+    mk("error_t", "2024-06-01 09:00:00") // 3 h old, table error bound 2 h → error
+    val runner = new Runner(s, manifest, cfg,
+      Files.createTempDirectory("wh_fresh"), enforceAccess = false)
+    val out = runner.sourceFreshness(
+      java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))
+    assert(out("source.jaffle.raw.fresh_t")._1 == "pass")
+    assert(out("source.jaffle.raw.warn_t")._1 == "warn")
+    assert(out("source.jaffle.raw.error_t")._1 == "error")
+    // an explicit null freshness at the table OPTS OUT (dbt semantics)
+    assert(!out.contains("source.jaffle.raw.nofresh_t"))
+    assert(out("source.jaffle.raw.error_t")._2.get ==
+      java.sql.Timestamp.valueOf("2024-06-01 09:00:00"))
+  }
+
   test("--defer: unselected upstream serves from the state relation and never runs") {
     val s = spark
     import s.implicits._
