@@ -1324,6 +1324,89 @@ object GraphOps {
       |FROM edges e LEFT JOIN sup s ON e.da = s.da AND e.db = s.db
       |ORDER BY e.da, e.db""".stripMargin
 
+  // ---------------------------------------------------------------- g18
+  /** Incremental connected-components maintenance — the g-family's d26:
+    * the even-id near-dup graph stands in for yesterday's labeled
+    * history, edges touching odd ids for today's batch. Instead of
+    * re-running the closure over everything, the batch edges CONTRACT
+    * through the old labels (endpoint → its old component id, which is
+    * that component's min doc_id) and components run only on the tiny
+    * contracted graph; old labels then re-map through the contracted
+    * result. Because old labels are min-ids, the composed label is the
+    * global min of every merged cluster — BIT-IDENTICAL to a full
+    * recompute, which is exactly what the oracle computes (full closure
+    * + old closure for the old_component column).
+    *
+    * Scale (100 TB): the daily win — the full-history edge closure never
+    * re-runs; the incremental pass touches |batch edges| + the contracted
+    * vertex set (≤ |old components| + |new vertices|), and the final
+    * relabel is one join over the (pairs-sized) label table. */
+  def g18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.jaccardPairs(s, dir, 0.5).select($"da", $"db")
+      .localCheckpoint(eager = false) // old/batch splits + vertex spine
+    val oldE = pairs.filter($"da" % 2 === 0 && $"db" % 2 === 0)
+    val batchE = pairs.filter($"da" % 2 === 1 || $"db" % 2 === 1)
+    val oldLab = components(oldE).localCheckpoint(eager = false)
+    val contracted = batchE
+      .join(oldLab.select($"doc_id".as("da"), $"component".as("la")),
+        Seq("da"), "left")
+      .join(oldLab.select($"doc_id".as("db"), $"component".as("lb")),
+        Seq("db"), "left")
+      .select(coalesce($"la", $"da").as("x"), coalesce($"lb", $"db").as("y"))
+      .filter($"x" =!= $"y")
+      .select(least($"x", $"y").as("da"), greatest($"x", $"y").as("db"))
+      .distinct()
+    val merged = components(contracted)
+    val verts = pairs.select($"da".as("doc_id"))
+      .union(pairs.select($"db".as("doc_id"))).distinct()
+    verts
+      .join(oldLab.select($"doc_id", $"component".as("old_component")),
+        Seq("doc_id"), "left")
+      .withColumn("c0", coalesce($"old_component", $"doc_id"))
+      .join(merged.select($"doc_id".as("cv"), $"component".as("c1")),
+        $"c0" === $"cv", "left")
+      .select($"doc_id",
+        coalesce($"c1", $"c0").as("component"), $"old_component")
+      .orderBy($"doc_id")
+  }
+
+  val g18Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS MATERIALIZED (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |symo AS (SELECT da, db FROM edges WHERE da % 2 = 0 AND db % 2 = 0
+      |         UNION SELECT db, da FROM edges WHERE da % 2 = 0 AND db % 2 = 0),
+      |nodeso AS (SELECT DISTINCT da AS doc_id FROM symo),
+      |reacho(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM nodeso
+      |  UNION
+      |  SELECT r.src, e.db FROM reacho r JOIN symo e ON r.dst = e.da),
+      |oldc AS (SELECT src AS doc_id, min(dst) AS component
+      |         FROM reacho GROUP BY src),
+      |sym AS (SELECT da, db FROM edges UNION SELECT db, da FROM edges),
+      |nodes AS (SELECT DISTINCT da AS doc_id FROM sym),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.db FROM reach r JOIN sym e ON r.dst = e.da),
+      |fullc AS (SELECT src AS doc_id, min(dst) AS component
+      |          FROM reach GROUP BY src)
+      |SELECT f.doc_id, f.component, o.component AS old_component
+      |FROM fullc f LEFT JOIN oldc o ON f.doc_id = o.doc_id
+      |ORDER BY f.doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -1341,7 +1424,8 @@ object GraphOps {
     Q("g14_threshold_stability", g14, Some(g14Sql)),
     Q("g15_contamination_ppr", g15, Some(g15Sql)),
     Q("g16_component_profile", g16, Some(g16Sql)),
-    Q("g17_edge_support", g17, Some(g17Sql)))
+    Q("g17_edge_support", g17, Some(g17Sql)),
+    Q("g18_incremental_components", g18, Some(g18Sql)))
 
   // ---------------------------------------------------------------- g16
   /** Component-size profile of the near-dup graph — the OVER-MERGING

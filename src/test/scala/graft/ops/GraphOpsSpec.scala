@@ -375,4 +375,36 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(2), r.getBoolean(3))).toSeq
     assert(out.size == 6 && out.forall(_ == ((2L, false))))
   }
+
+  test("incremental components: contracted merge equals full recompute on a hand graph") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions.{coalesce, least, greatest}
+    // old graph (even ids): {2,4} and {6,8}; batch edges: the new odd
+    // vertex 7 bridges both old components (4-7, 6-7), and 8-9 chains in
+    // a second new vertex
+    val pairs = Seq(2L -> 4L, 6L -> 8L, 4L -> 7L, 6L -> 7L, 8L -> 9L).toDF("da", "db")
+    val oldE = pairs.filter($"da" % 2 === 0 && $"db" % 2 === 0)
+    val batchE = pairs.filter($"da" % 2 === 1 || $"db" % 2 === 1)
+    // replicate g18's incremental composition on the hand graph
+    val oldLab = GraphOps.components(oldE)
+    val contracted = batchE
+      .join(oldLab.select($"doc_id".as("da"), $"component".as("la")), Seq("da"), "left")
+      .join(oldLab.select($"doc_id".as("db"), $"component".as("lb")), Seq("db"), "left")
+      .select(coalesce($"la", $"da").as("x"), coalesce($"lb", $"db").as("y"))
+      .filter($"x" =!= $"y")
+      .select(least($"x", $"y").as("da"), greatest($"x", $"y").as("db")).distinct()
+    val merged = GraphOps.components(contracted)
+    val verts = pairs.select($"da".as("doc_id")).union(pairs.select($"db".as("doc_id"))).distinct()
+    val incr = verts
+      .join(oldLab.select($"doc_id", $"component".as("oldc")), Seq("doc_id"), "left")
+      .withColumn("c0", coalesce($"oldc", $"doc_id"))
+      .join(merged.select($"doc_id".as("cv"), $"component".as("c1")), $"c0" === $"cv", "left")
+      .select($"doc_id", coalesce($"c1", $"c0").as("component"))
+    val full = GraphOps.components(pairs)
+    val a = incr.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val b = full.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == b)
+    assert(a.forall(_._2 == 2L)) // one merged cluster labeled by the global min
+  }
 }
