@@ -2082,6 +2082,68 @@ object Dedup {
       |    AS BIGINT) AS token_gain_ppm
       |FROM q JOIN i USING (component)""".stripMargin
 
+  // ---------------------------------------------------------------- d28
+  /** Pair evidence: for every near-dup pair (Jaccard ≥ 0.5), the 3
+    * RAREST shared shingles (df asc, shingle asc) — the human-review
+    * artifact behind a dedup decision. A pair whose rarest shared
+    * evidence still has high df was glued by common phrasing (d17/d22
+    * territory); singleton-df evidence is verbatim copying. This is what
+    * a curation UI shows next to d02's bare score.
+    *
+    * Determinism: df is an exact integer, ranking totally ordered by
+    * (df, shingle); output keyed (da, db, rank).
+    *
+    * Scale (100 TB): the shared-shingle stream is pairStats' inverted-
+    * index pair generation with the shingle kept — the same one-index-
+    * shuffle economics and τ² fan-out bound; the qualifying-pair
+    * semi-join cuts it to near-dup pairs BEFORE the per-pair window,
+    * which partitions on the pair key (perfectly spread). */
+  def d28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val post = allPostings(shingleArrays(s, dir), StopShingleDf)
+      .filter(size($"ds") <= StopShingleDf)
+    val shared = post
+      .select($"s", size($"ds").cast(LongType).as("df"), $"ds")
+      .select($"s", $"df", explode($"ds").as("da"), $"ds")
+      .select($"s", $"df", $"da", explode($"ds").as("db"))
+      .filter($"da" < $"db")
+    val qualifying = jaccardPairs(s, dir, 0.5).select($"da", $"db")
+    val w = Window.partitionBy($"da", $"db").orderBy($"df".asc, $"s".asc)
+    shared
+      .join(qualifying, Seq("da", "db"), "left_semi")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"da", $"db", $"rank", $"s".as("shingle"), $"df")
+      .orderBy($"da", $"db", $"rank")
+  }
+
+  val d28Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s, df.df FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |shared AS (SELECT a.doc_id AS da, b.doc_id AS db, a.s,
+      |             CAST(a.df AS BIGINT) AS df
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           JOIN edges e ON e.da = a.doc_id AND e.db = b.doc_id),
+      |ranked AS (SELECT *, CAST(row_number() OVER (
+      |    PARTITION BY da, db ORDER BY df ASC, s ASC) AS INTEGER) AS rank
+      |  FROM shared)
+      |SELECT da, db, rank, s AS shingle, df
+      |FROM ranked WHERE rank <= 3
+      |ORDER BY da, db, rank""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -2109,5 +2171,6 @@ object Dedup {
     Q("d24_dupspan_coverage", d24, Some(d24Sql)),
     Q("d25_shard_consistency", d25, Some(d25Sql)),
     Q("d26_incremental_dedup", d26, Some(d26Sql)),
-    Q("d27_keeper_sensitivity", d27, Some(d27Sql)))
+    Q("d27_keeper_sensitivity", d27, Some(d27Sql)),
+    Q("d28_pair_evidence", d28, Some(d28Sql)))
 }
