@@ -1576,6 +1576,69 @@ object Similarity {
   private def microSql(x: String): String =
     s"CAST(round(round($x, 6) * 1000000, 0) AS BIGINT)"
 
+  // ---------------------------------------------------------------- s24
+  /** Per-vector outlier score vs the OWN-label centroid — the
+    * vector-grain mislabel/junk gate beside s10's kNN vote and s11's
+    * norm profile: a vector at NEGATIVE cosine to its class
+    * centroid points away from its own class — mislabeled, an
+    * embedding-pipeline failure, or genuine distribution tail — all three are what a curation pass pulls for
+    * review before contrastive training trusts the label.
+    *
+    * Determinism: centroids use s14's exact construction (elements
+    * floored onto the 2⁻²⁰ grid, per-dimension DECIMAL integer sums —
+    * cosine's scale-invariance elides the mean division); the score
+    * lands on the integer micro grid; the flag is an integer compare.
+    * Centroids include the scored vector itself (the standard cheap
+    * form; at class sizes ≫ 1 the self-term is negligible and the
+    * convention is mirrored in the oracle).
+    *
+    * Scale (100 TB): one narrow posexplode → (label, dim) integer sums
+    * (map-side combinable, |labels|·64 rows), then scoring is a second
+    * single corpus scan against the broadcast fixed-cardinality
+    * centroid table. Nothing downstream grows with the corpus. */
+  def s24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def micro(c: Column): Column =
+      round(round(c, 6) * 1000000, 0).cast(LongType)
+    val cent = Tables.t(s, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("dim", "e")))
+      .select($"label", $"dim",
+        floor(($"e".cast(DoubleType)) * lit(1048576.0d)).cast(LongType).as("qv"))
+      .groupBy($"label", $"dim")
+      .agg(sum($"qv".cast(DecimalType(38, 0))).as("sd"))
+      .groupBy($"label")
+      .agg(transform(
+        array_sort(collect_list(struct($"dim", $"sd"))),
+        c => c.getField("sd").cast(DoubleType)).as("cv"))
+      .withColumn("cn", dot($"cv", $"cv"))
+    vecs(s, dir).filter($"norm" > 0)
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("centm", micro(dot($"v", $"cv") / ($"norm" * sqrt($"cn"))))
+      .select($"vec_id", $"label", $"centm",
+        ($"centm" < 0L).as("is_outlier"))
+      .orderBy($"vec_id")
+  }
+
+  val s24Sql: String =
+    s"""WITH q AS (
+       |  SELECT label, i AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS HUGEINT) AS qv
+       |  FROM embeddings, UNNEST(generate_series(1, 64)) AS t(i)),
+       |c AS (SELECT label, dim, SUM(qv) AS sd FROM q GROUP BY label, dim),
+       |cent AS (SELECT label, list(CAST(sd AS DOUBLE) ORDER BY dim) AS cv
+       |         FROM c GROUP BY label),
+       |cn AS (SELECT label, cv, ${dotSql("cv", "cv")} AS nn FROM cent),
+       |v AS (SELECT * FROM (SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings)
+       |  WHERE norm > 0)
+       |SELECT v.vec_id, v.label,
+       |  ${microSql(s"${dotSql("v.embedding", "cn.cv")} / (v.norm * sqrt(cn.nn))")}
+       |    AS centm,
+       |  ${microSql(s"${dotSql("v.embedding", "cn.cv")} / (v.norm * sqrt(cn.nn))")}
+       |    < 0 AS is_outlier
+       |FROM v JOIN cn ON v.label = cn.label
+       |ORDER BY v.vec_id""".stripMargin
+
   val s23Sql: String =
     s"""WITH v AS (SELECT * FROM (SELECT vec_id, embedding,
        |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings)
@@ -1637,5 +1700,6 @@ object Similarity {
     Q("s20_kmeans_drift", s20, Some(s20Sql)),
     Q("s21_rrf_ensemble", s21, Some(s21Sql)),
     Q("s22_kcenter_coreset", s22, Some(s22Sql)),
-    Q("s23_mmr_rerank", s23, Some(s23Sql)))
+    Q("s23_mmr_rerank", s23, Some(s23Sql)),
+    Q("s24_centroid_outliers", s24, Some(s24Sql)))
 }

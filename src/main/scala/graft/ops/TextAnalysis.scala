@@ -2558,6 +2558,70 @@ object TextAnalysis {
       |LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t41
+  /** Leakage-safe train/valid/test split — the FIX for what d18 audits:
+    * t08 hashes each doc independently, so near-duplicate pairs straddle
+    * split boundaries (d18 measures exactly how many); here the hash key
+    * is the near-dup COMPONENT id (g01's min-reachable label; singletons
+    * key on themselves), so every near-dup cluster lands in one split by
+    * construction and held-out integrity survives dedup-grade redundancy.
+    * Same md5 90/5/5 bands as t08 — swapping t08 for t41 changes only
+    * WHERE clustered docs go, never the marginal split rates.
+    *
+    * Scale (100 TB): the label table is pairs-sized and joins hint-free
+    * (AQE threshold-switch — corpus-growing, same rule as g07); the hash
+    * and banding are pure scan work. */
+  def t41(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lab = GraphOps.components(Dedup.jaccardPairs(s, dir, 0.5))
+    Tables.t(s, dir, "documents")
+      .select($"doc_id")
+      .join(lab, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce($"component", $"doc_id"))
+      .select($"doc_id", $"group_key",
+        md5Bucket($"group_key", "").as("bucket"))
+      .withColumn("split",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "valid")
+          .otherwise("test"))
+      .orderBy($"doc_id")
+  }
+
+  val t41Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |sym AS (SELECT da, db FROM edges UNION SELECT db, da FROM edges),
+      |nodes AS (SELECT DISTINCT da AS doc_id FROM sym),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.db FROM reach r JOIN sym e ON r.dst = e.da),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component
+      |         FROM reach GROUP BY src),
+      |keyed AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_key
+      |          FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+      |SELECT doc_id, group_key,
+      |  CAST(CAST('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 6) AS BIGINT)
+      |    % 100 AS BIGINT) AS bucket,
+      |  CASE WHEN CAST('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 6) AS BIGINT)
+      |    % 100 < 90 THEN 'train'
+      |       WHEN CAST('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 6) AS BIGINT)
+      |    % 100 < 95 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM keyed ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2598,5 +2662,6 @@ object TextAnalysis {
     Q("t37_quality_rules", t37, Some(t37Sql)),
     Q("t38_trigram_langid", t38, Some(t38Sql)),
     Q("t39_bpe_learned", t39, Some(t39Sql)),
-    Q("t40_bigram_backoff", t40, Some(t40Sql)))
+    Q("t40_bigram_backoff", t40, Some(t40Sql)),
+    Q("t41_leakage_safe_split", t41, Some(t41Sql)))
 }
