@@ -1407,6 +1407,69 @@ object GraphOps {
       |FROM fullc f LEFT JOIN oldc o ON f.doc_id = o.doc_id
       |ORDER BY f.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- g19
+  /** Per-component density — the clique-vs-chain triage at the CLUSTER
+    * grain: density 10⁶ ppm (= complete graph) is a mutually-confirming
+    * duplicate family, safe for d07's collapse; density near the tree
+    * floor (2/n) is a chain glued by borderline edges (g17's bridges at
+    * the component grain), where collapse deletes distinct docs. g16
+    * profiles SIZES; this adds the edge mass each size carries.
+    *
+    * Determinism: counts are integers; density is one floor division
+    * (×2·10⁶ cross-multiplied); single-doc math never occurs (every
+    * component here has ≥ 2 docs by construction).
+    *
+    * Scale (100 TB): both aggregates run over pairs-sized frames (the
+    * edge list and the label table); one join keyed on component ids. */
+  def g19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Dedup.jaccardPairs(s, dir, 0.5).select($"da", $"db")
+      .localCheckpoint(eager = false) // labels + edge counts share it
+    val lab = components(edges)
+    // both endpoints share a component by definition — label via da
+    val eCnt = edges
+      .join(lab.select($"doc_id".as("da"), $"component"), Seq("da"))
+      .groupBy($"component").agg(count(lit(1)).as("n_edges"))
+    val sizes = lab.groupBy($"component").agg(count(lit(1)).as("n_docs"))
+    sizes.join(eCnt, Seq("component"))
+      .select($"component", $"n_docs", $"n_edges",
+        expr("(2000000 * n_edges) div (n_docs * (n_docs - 1))")
+          .as("density_ppm"))
+      .orderBy($"component")
+  }
+
+  val g19Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS MATERIALIZED (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |sym AS (SELECT da, db FROM edges UNION SELECT db, da FROM edges),
+      |nodes AS (SELECT DISTINCT da AS doc_id FROM sym),
+      |reach(src, dst) AS (
+      |  SELECT doc_id, doc_id FROM nodes
+      |  UNION
+      |  SELECT r.src, e.db FROM reach r JOIN sym e ON r.dst = e.da),
+      |comp AS (SELECT src AS doc_id, min(dst) AS component
+      |         FROM reach GROUP BY src),
+      |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |       FROM comp GROUP BY 1),
+      |ec AS (SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_edges
+      |       FROM edges e JOIN comp c ON e.da = c.doc_id GROUP BY 1)
+      |SELECT cs.component, cs.n_docs, ec.n_edges,
+      |  (2000000 * ec.n_edges) // (cs.n_docs * (cs.n_docs - 1)) AS density_ppm
+      |FROM cs JOIN ec ON cs.component = ec.component
+      |ORDER BY cs.component""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -1425,7 +1488,8 @@ object GraphOps {
     Q("g15_contamination_ppr", g15, Some(g15Sql)),
     Q("g16_component_profile", g16, Some(g16Sql)),
     Q("g17_edge_support", g17, Some(g17Sql)),
-    Q("g18_incremental_components", g18, Some(g18Sql)))
+    Q("g18_incremental_components", g18, Some(g18Sql)),
+    Q("g19_component_density", g19, Some(g19Sql)))
 
   // ---------------------------------------------------------------- g16
   /** Component-size profile of the near-dup graph — the OVER-MERGING
