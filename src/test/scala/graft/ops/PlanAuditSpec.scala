@@ -684,6 +684,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!ep.contains("CartesianProduct"), s"scoring went cartesian:\n$ep")
   }
 
+  test("m12: only (doc_id, sig) longs enter the band exchange — no payload, no cartesian") {
+    val sp = simplePlan(Multimodal.m12(spark, dir))
+    assert(!sp.contains("CartesianProduct"), s"band join went cartesian:\n$sp")
+    val exchangeLines = sp.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchangeLines.contains("bytes") && !exchangeLines.contains("txt"),
+      s"media payload crosses an exchange:\n$exchangeLines")
+  }
+
+  test("d28: evidence ranking windows on the pair key; no cartesian") {
+    val sp = simplePlan(Dedup.d28(spark, dir))
+    assert(!sp.contains("CartesianProduct"), s"evidence join went cartesian:\n$sp")
+    assert(sp.contains("Window"), s"per-pair ranking lost its window:\n$sp")
+  }
+
+  test("g19: density is two aggregates over pairs-sized frames + one component join") {
+    val sp = simplePlan(GraphOps.g19(spark, dir))
+    assert(!sp.contains("CartesianProduct"), s"density went cartesian:\n$sp")
+    assert(sp.contains("HashAggregate"), s"density lost its aggregates:\n$sp")
+  }
+
+  test("t41: the component label table joins hint-free; the hash is scan work") {
+    val ep = executedPlan(TextAnalysis.t41(spark, dir))
+    assert(!ep.contains("CartesianProduct"), s"split assignment went cartesian:\n$ep")
+    assert(ep.contains("BroadcastHashJoin") || ep.contains("ShuffledHashJoin") ||
+      ep.contains("SortMergeJoin"), s"label join missing:\n$ep")
+  }
+
+  test("s24: centroids collapse to |labels|x64 integer sums; scoring never sort-merges") {
+    val sp = simplePlan(Similarity.s24(spark, dir))
+    assert(!sp.contains("SortMergeJoin") && !sp.contains("CartesianProduct"),
+      s"centroid scoring grew a heavy join:\n$sp")
+    assert(sp.contains("BroadcastHashJoin"),
+      s"the fixed-cardinality centroid table must broadcast:\n$sp")
+  }
+
   test("t35: the unigram LM join is hint-free — AQE broadcasts it at this SF") {
     // the LM is vocabulary-sized (Heaps-growing) → no forced broadcast;
     // AQE's runtime size check must still pick broadcast while it fits
