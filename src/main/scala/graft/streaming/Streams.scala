@@ -597,6 +597,64 @@ object Streams {
     * Emits (doc_id, f_len, f_wordlen, f_stop, f_rep, passes) for every
     * arriving doc; the caller filters on `passes` or routes failures to
     * a quarantine sink. */
+  /** Streaming component maintenance — the live twin of batch g18: a
+    * stream of near-dup EDGES (the band tier's output) folds into a
+    * persistent component-label store per micro-batch via the same
+    * contraction step ([[graft.ops.GraphOps.incrementalLabels]]): batch
+    * edges contract through the previous labels, components run only on
+    * the contracted graph, and a full label SNAPSHOT lands in the store.
+    * The full-history closure never re-runs — each micro-batch pays
+    * |batch edges| + the contracted graph.
+    *
+    * Replay safety: snapshots are partitioned by (run_id, batch_id) and
+    * carry a seq number = 1 + the latest seq EXCLUDING this (run, batch)
+    * partition — so a replayed micro-batch reads the same previous
+    * snapshot, recomputes the same labels (re-applying edges is a no-op
+    * by the min-id argument on [[graft.ops.GraphOps.incrementalLabels]]),
+    * and dynamic-overwrites exactly its own partition; a fresh-checkpoint
+    * restart reads the previous run's latest snapshot as genuine history
+    * (the [[nearDupIngest]] recipe). Readers take `seq = max(seq)`.
+    *
+    * Scale: the label store is pairs-sized (≪ corpus); snapshots are
+    * full copies of it, prunable by seq. */
+  def componentIngest(
+      edges: DataFrame,
+      labelPath: String,
+      checkpoint: String): StreamingQuery = {
+    val runId = checkpointRunId(edges.sparkSession, checkpoint)
+    edges.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val e = batch
+          .select(least($"da", $"db").as("da"), greatest($"da", $"db").as("db"))
+          .filter($"da" =!= $"db").distinct()
+        val prev = readIfPresent(spark, labelPath)
+          .map(_.filter(!($"run_id" === lit(runId) && $"batch_id" === lit(batchId))))
+        val (prevSeq, oldLab) = prev match {
+          case None => (0L, None)
+          case Some(df) =>
+            val m = df.agg(max($"seq")).head()
+            if (m.isNullAt(0)) (0L, None)
+            else (m.getLong(0), Some(
+              df.filter($"seq" === m.getLong(0)).select($"doc_id", $"component")))
+        }
+        val updated = oldLab match {
+          case None => graft.ops.GraphOps.components(e)
+          case Some(lab) => graft.ops.GraphOps.incrementalLabels(lab, e)
+        }
+        updated
+          .withColumn("seq", lit(prevSeq + 1L))
+          .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("run_id", "batch_id").parquet(labelPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming learned-BPE fertility gate — the live twin of batch t39:
     * every arriving document is encoded with the FROZEN merge table a
     * batch [[graft.ops.TextAnalysis.bpeMerges]] run trained, via the

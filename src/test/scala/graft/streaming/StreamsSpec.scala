@@ -303,6 +303,39 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       .toSeq == Seq(10L, 12L, 14L))
   }
 
+  test("componentIngest: streamed label maintenance equals a full batch recompute (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = Files.createTempDirectory("graft_comp_ingest")
+    val labels = base.resolve("labels").toString
+    val in = MemoryStream[(Long, Long)]
+    def drain(): Unit =
+      Streams.componentIngest(in.toDF().toDF("da", "db"),
+        labels, base.resolve("ckpt").toString).awaitTermination()
+    def current(): Seq[(Long, Long)] = {
+      val df = s.read.parquet(labels)
+      val top = df.agg(org.apache.spark.sql.functions.max($"seq")).head().getLong(0)
+      df.filter($"seq" === top).select("doc_id", "component")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    // batch 1: two separate clusters
+    in.addData((2L, 4L), (6L, 8L))
+    drain()
+    assert(current() == Seq((2L, 2L), (4L, 2L), (6L, 6L), (8L, 6L)))
+    // batch 2: a new vertex bridges them, plus an unrelated new pair
+    in.addData((4L, 7L), (7L, 6L), (10L, 12L))
+    drain()
+    val got = current()
+    val all = Seq(2L -> 4L, 6L -> 8L, 4L -> 7L, 7L -> 6L, 10L -> 12L)
+      .toDF("da", "db")
+    val full = graft.ops.GraphOps.components(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == full)
+    assert(got.filter(_._1 <= 8L).forall(_._2 == 2L)) // merged cluster
+    assert(got.find(_._1 == 10L).get._2 == 10L)
+  }
+
   test("bpeFertilityGate: frozen-tokenizer stream decisions equal batch encoding (kappa)") {
     val s = spark
     import s.implicits._
