@@ -128,4 +128,28 @@ class CurationPropertySpec extends AnyFunSuite with SparkFixture {
       assert(got == ref, s"corpus: $corpus")
     }
   }
+
+  test("t41 invariant: no near-dup pair ever straddles a split boundary") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val split = TextAnalysis.t41(s2, dir)
+      .select($"doc_id", $"split")
+    val pairs = Dedup.jaccardPairs(s2, dir, 0.5)
+    val straddling = pairs
+      .join(split.select($"doc_id".as("da"), $"split".as("sa")), Seq("da"))
+      .join(split.select($"doc_id".as("db"), $"split".as("sb")), Seq("db"))
+      .filter($"sa" =!= $"sb")
+      .count()
+    assert(straddling == 0L)
+    // and the same join over t08's doc-grain split DOES leak (the d18
+    // finding t41 exists to fix) — guard against a vacuous graph
+    assert(pairs.count() > 0)
+    val t08s = TextAnalysis.t08(s2, dir).select($"doc_id", $"split")
+    val t08Straddle = pairs
+      .join(t08s.select($"doc_id".as("da"), $"split".as("sa")), Seq("da"))
+      .join(t08s.select($"doc_id".as("db"), $"split".as("sb")), Seq("db"))
+      .filter($"sa" =!= $"sb").count()
+    assert(t08Straddle > 0L, "expected doc-grain leakage on this corpus")
+  }
 }
