@@ -231,6 +231,25 @@ object Main {
             runner.viewName, p => scala.util.Try(readFile(p)).toOption))
         }
 
+      case "seed" | "snapshot" =>
+        // dbt's dedicated entry points: run ONLY the seeds (resp. only
+        // the snapshot models, plus whatever upstream they need — the
+        // scheduler pulls ancestors automatically)
+        val (cfg, m) = ProjectLoader.load(root)
+        val wanted = m.nodes.collect {
+          case (id, n) if command == "seed" && n.materialized == "seed" => id
+          case (id, n) if command == "snapshot" && n.materialized == "snapshot" => id
+        }.toSet
+        val narrowed =
+          if (args.flags("select").isEmpty && args.flags("selector").isEmpty) wanted
+          else wanted intersect selection(m)
+        val out = new Runner(spark(), m, cfg,
+          warehouse(), projectRoot = Some(root),
+          readCatalog = readCatalog,
+          fullRefresh = args.switches("full-refresh"))
+          .run(Some(narrowed))
+        out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
+
       case "source" if args.positional.headOption.contains("freshness") =>
         // dbt's `source freshness`: max(loaded_at_field) per configured
         // source vs its warn_after/error_after bounds; exit 1 on error

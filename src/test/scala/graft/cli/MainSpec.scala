@@ -254,6 +254,28 @@ class MainSpec extends AnyFunSuite {
     assert(all.toString.contains("model.shop.stg"))
   }
 
+  test("seed and snapshot commands run only their materialization kind") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "seeds/raw_items.csv" -> "id\n1\n2\n",
+      "models/stg_items.sql" -> "select * from {{ ref('raw_items') }}",
+      "models/snap_items.sql" ->
+        ("{{ config(materialized='snapshot', unique_key='id', " +
+          "updated_at='id') }}\nselect * from {{ ref('stg_items') }}")))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("seed", "--project-dir", root.toString))
+    }
+    val ran = out.toString.trim.linesIterator.toSeq
+    assert(ran == Seq("ran seed.shop.raw_items"), ran.toString)
+    // snapshot pulls its upstream (the runner needs the views in-session)
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.main(Array("snapshot", "--project-dir", root.toString))
+    }
+    assert(out2.toString.contains("ran model.shop.snap_items"), out2.toString)
+  }
+
   test("run --vars overrides dbt_project.yml vars for the invocation") {
     val root = writeProject(Map(
       "dbt_project.yml" ->
