@@ -2144,6 +2144,65 @@ object Dedup {
       |FROM ranked WHERE rank <= 3
       |ORDER BY da, db, rank""".stripMargin
 
+  // ---------------------------------------------------------------- d29
+  /** Directional copy matrix — d11's symmetric overlap matrix given an
+    * arrow: for every CROSS-source near-dup pair, the lower doc_id is
+    * the earlier crawl (the corpus's ingestion-order proxy), so
+    * (source-of-earlier → source-of-later) counts estimate who
+    * originates and who syndicates. share_of_later_ppm answers "what
+    * fraction of THIS source's duplicated intake comes from THAT
+    * origin" — the provenance signal that decides which feed to
+    * de-prioritize at the crawler, upstream of any dedup spend.
+    *
+    * Determinism: integer counts; ppm by floor division; ordered pair
+    * keys.
+    *
+    * Scale (100 TB): pairs are the shared substrate; the source lookup
+    * joins carry (doc_id, source) only and the matrix is |sources|²
+    * rows with a window over that tiny frame. */
+  def d29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val srcs = Tables.t(s, dir, "documents").select($"doc_id", $"source")
+    val w = Window.partitionBy($"src_later")
+    jaccardPairs(s, dir, 0.5)
+      .join(srcs.select($"doc_id".as("da"), $"source".as("src_earlier")), Seq("da"))
+      .join(srcs.select($"doc_id".as("db"), $"source".as("src_later")), Seq("db"))
+      .filter($"src_earlier" =!= $"src_later")
+      .groupBy($"src_earlier", $"src_later")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share_of_later_ppm",
+        expr("(1000000 * n_pairs) div sum(n_pairs) over (partition by src_later)"))
+      .orderBy($"src_earlier", $"src_later")
+  }
+
+  val d29Sql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+      |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+      |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+      |       WHERE df.df <= 1000),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY a.doc_id, b.doc_id),
+      |edges AS (SELECT da, db FROM inter
+      |          JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+      |lab AS (SELECT e.da, e.db, x.source AS src_earlier, y.source AS src_later
+      |        FROM edges e
+      |        JOIN documents x ON e.da = x.doc_id
+      |        JOIN documents y ON e.db = y.doc_id
+      |        WHERE x.source <> y.source),
+      |m AS (SELECT src_earlier, src_later, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |      FROM lab GROUP BY 1, 2)
+      |SELECT src_earlier, src_later, n_pairs,
+      |  CAST((1000000 * n_pairs) // SUM(n_pairs) OVER (PARTITION BY src_later)
+      |    AS BIGINT) AS share_of_later_ppm
+      |FROM m ORDER BY src_earlier, src_later""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -2172,5 +2231,6 @@ object Dedup {
     Q("d25_shard_consistency", d25, Some(d25Sql)),
     Q("d26_incremental_dedup", d26, Some(d26Sql)),
     Q("d27_keeper_sensitivity", d27, Some(d27Sql)),
-    Q("d28_pair_evidence", d28, Some(d28Sql)))
+    Q("d28_pair_evidence", d28, Some(d28Sql)),
+    Q("d29_copy_direction", d29, Some(d29Sql)))
 }
