@@ -1576,6 +1576,57 @@ object Similarity {
   private def microSql(x: String): String =
     s"CAST(round(round($x, 6) * 1000000, 0) AS BIGINT)"
 
+  // ---------------------------------------------------------------- s25
+  /** Embedding-space label confusion matrix — t30's long-form confusion
+    * audit replayed in VECTOR space: s10's exact-cosine top-5 kNN vote
+    * predicts a label for every sampled vector; the matrix of
+    * (own_label, knn_label) counts with per-own-label row shares in ppm
+    * shows WHICH classes the embedding geometry conflates (s14 measures
+    * centroid separation — this measures actual boundary confusion at
+    * the decision grain, including asymmetric A→B leakage a symmetric
+    * centroid cosine can't express).
+    *
+    * Determinism: s10's vote pipeline is already totally ordered; the
+    * rollup is integer counting + floor-division ppm.
+    *
+    * Scale (100 TB): one s01-shaped relevance scan (queries broadcast,
+    * corpus streams) feeding per-query windows; the matrix itself is
+    * |labels|² rows. */
+  def s25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s10(s, dir)
+      .groupBy($"own_label", $"knn_label")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_share_ppm",
+        expr("(1000000 * n) div sum(n) over (partition by own_label)"))
+      .withColumn("is_diagonal", $"own_label" === $"knn_label")
+      .orderBy($"own_label", $"knn_label")
+  }
+
+  val s25Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe, norm AS qnorm
+       |      FROM v WHERE vec_id % 7 = 0),
+       |ranked AS (SELECT qid, qlabel, vec_id, label,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(${dotSql("qe", "embedding")} / (qnorm * norm), 6) DESC, vec_id) AS rank
+       |  FROM v JOIN q ON vec_id <> qid),
+       |votes AS (SELECT qid, qlabel, label, COUNT(*) AS votes
+       |          FROM ranked WHERE rank <= 5 GROUP BY qid, qlabel, label),
+       |best AS (SELECT qid, qlabel, label,
+       |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vrank
+       |  FROM votes),
+       |pred AS (SELECT CAST(qlabel AS BIGINT) AS own_label,
+       |    CAST(label AS BIGINT) AS knn_label FROM best WHERE vrank = 1),
+       |m AS (SELECT own_label, knn_label, CAST(COUNT(*) AS BIGINT) AS n
+       |      FROM pred GROUP BY 1, 2)
+       |SELECT own_label, knn_label, n,
+       |  CAST((1000000 * n) // SUM(n) OVER (PARTITION BY own_label) AS BIGINT)
+       |    AS row_share_ppm,
+       |  own_label = knn_label AS is_diagonal
+       |FROM m ORDER BY own_label, knn_label""".stripMargin
+
   // ---------------------------------------------------------------- s24
   /** Per-vector outlier score vs the OWN-label centroid — the
     * vector-grain mislabel/junk gate beside s10's kNN vote and s11's
@@ -1701,5 +1752,6 @@ object Similarity {
     Q("s21_rrf_ensemble", s21, Some(s21Sql)),
     Q("s22_kcenter_coreset", s22, Some(s22Sql)),
     Q("s23_mmr_rerank", s23, Some(s23Sql)),
-    Q("s24_centroid_outliers", s24, Some(s24Sql)))
+    Q("s24_centroid_outliers", s24, Some(s24Sql)),
+    Q("s25_knn_confusion", s25, Some(s25Sql)))
 }
