@@ -2622,6 +2622,54 @@ object TextAnalysis {
       |       ELSE 'test' END AS split
       |FROM keyed ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t42
+  /** Word-length burstiness: the variance-to-mean ratio of per-word
+    * lengths, per document, in exact integer arithmetic —
+    * VMR = (n·Σx² − (Σx)²) / (n·Σx) as a single floor-divided ppm.
+    * Templated/generated text runs at suspiciously uniform word lengths
+    * (low VMR); human prose is bursty — the cheap narrow screen read
+    * beside t06's repetition and t37's rule battery before anything
+    * expensive runs. No transcendentals, no shuffle before the output
+    * sort: three integer folds over the token array per row.
+    *
+    * Determinism: lengths, sums and squares are exact integers; one
+    * floor division. Docs with no words emit NULL ratios. */
+  def t42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val body = Tables.t(s, dir, "documents")
+      .withColumn("lens",
+        expr("transform(filter(split(text, ' '), x -> x <> ''), w -> CAST(length(w) AS BIGINT))"))
+      .select($"doc_id",
+        size($"lens").cast(LongType).as("n_words"),
+        expr("aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x)").as("s1"),
+        expr("aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x * x)").as("s2"))
+      .withColumn("vmr_ppm",
+        when($"n_words" > 0 && $"s1" > 0,
+          expr("(1000000 * (n_words * s2 - s1 * s1)) div (n_words * s1)")))
+      .select($"doc_id", $"n_words", $"s1".as("sum_len"),
+        $"s2".as("sum_len_sq"), $"vmr_ppm")
+    Q.sortedNarrow(body, $"doc_id")
+  }
+
+  val t42Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+      |      w -> CAST(length(w) AS BIGINT)) AS lens
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(lens) AS BIGINT) AS n_words,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lens),
+      |      (a, x) -> a + x) AS BIGINT) AS s1,
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), lens),
+      |      (a, x) -> a + x * x) AS BIGINT) AS s2
+      |  FROM d)
+      |SELECT doc_id, n_words, s1 AS sum_len, s2 AS sum_len_sq,
+      |  CASE WHEN n_words > 0 AND s1 > 0
+      |    THEN (1000000 * (n_words * s2 - s1 * s1)) // (n_words * s1) END
+      |    AS vmr_ppm
+      |FROM m ORDER BY doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2663,5 +2711,6 @@ object TextAnalysis {
     Q("t38_trigram_langid", t38, Some(t38Sql)),
     Q("t39_bpe_learned", t39, Some(t39Sql)),
     Q("t40_bigram_backoff", t40, Some(t40Sql)),
-    Q("t41_leakage_safe_split", t41, Some(t41Sql)))
+    Q("t41_leakage_safe_split", t41, Some(t41Sql)),
+    Q("t42_length_burstiness", t42, Some(t42Sql)))
 }
