@@ -1260,6 +1260,80 @@ object Relational {
       |  CAST((MIN(mx) * 1000000) // MIN(nr) AS BIGINT) AS top1_ppm
       |FROM cum""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** Pareto / ABC revenue classification — "which customers are the 80%"
+    * — built on a DISTRIBUTED exact prefix-sum instead of the
+    * single-partition window a naive cumulative share plants (the same
+    * reason t14 carries globalNtile): per-customer long-cents revenues
+    * range-partition on (revenue desc, custkey), each partition
+    * prefix-sums locally, and the per-partition totals (≤ #partitions
+    * rows, a documented driver bound like t14's) become broadcast
+    * offsets. Prefix values depend only on the total order, so the
+    * sampled range boundaries never affect results. Classes are exact
+    * integer cross-multiplications (A ≤ 80%, B ≤ 95%, C rest, crossing
+    * item included downward), rolled up to one row per class so the
+    * gate checks every prefix through the class populations.
+    */
+  def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val revs = Tables.t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(sum(cents($"o_totalprice")).as("rev"))
+      // pin the partition layout: the offsets pass and the prefix pass
+      // must see the SAME partitioning of the same rows
+      .repartitionByRange(32, $"rev".desc, $"o_custkey".asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val offsets = revs.groupBy($"pid").agg(sum($"rev").as("psum"))
+      .orderBy($"pid").collect() // ≤ #partitions rows (t14's bound)
+      .scanLeft((-1, 0L, 0L)) { case ((_, _, cum), r) =>
+        (r.getInt(0), r.getLong(1), cum + r.getLong(1))
+      }.drop(1).map { case (pid, psum, cum) => (pid, cum - psum) }
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "offset"))
+    val grand = revs.agg(sum($"rev")).head().getLong(0)
+    val wLocal = Window.partitionBy($"pid")
+      .orderBy($"rev".desc, $"o_custkey".asc)
+    revs
+      .withColumn("local_prefix", sum($"rev").over(wLocal))
+      .join(offDf, Seq("pid"))
+      .withColumn("prefix", $"local_prefix" + $"offset")
+      .withColumn("cls",
+        when($"prefix" * 5 <= lit(grand) * 4, "A")
+          .when($"prefix" * 20 <= lit(grand) * 19, "B")
+          .otherwise("C"))
+      .groupBy($"cls")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum($"rev").as("class_cents"),
+        min($"o_custkey").as("first_custkey"),
+        max($"o_custkey").as("last_custkey"))
+      .withColumn("share_ppm",
+        expr(s"(1000000 * class_cents) div ${grand}L"))
+      .orderBy($"cls")
+  }
+
+  val q53Sql: String =
+    """WITH revs AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |    AS BIGINT) AS rev
+      |  FROM orders GROUP BY o_custkey),
+      |tot AS (SELECT SUM(rev) AS g FROM revs),
+      |pre AS (SELECT o_custkey, rev,
+      |    SUM(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      |  FROM revs),
+      |cls AS (SELECT o_custkey, rev,
+      |    CASE WHEN prefix * 5 <= g * 4 THEN 'A'
+      |         WHEN prefix * 20 <= g * 19 THEN 'B'
+      |         ELSE 'C' END AS cls
+      |  FROM pre, tot)
+      |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(rev) AS BIGINT) AS class_cents,
+      |  MIN(o_custkey) AS first_custkey, MAX(o_custkey) AS last_custkey,
+      |  CAST((1000000 * SUM(rev)) // (SELECT g FROM tot) AS BIGINT) AS share_ppm
+      |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -1295,5 +1369,7 @@ object Relational {
     Q("q33_date_parts", q33, Some(q33Sql)),
     Q("q34_argminmax", q34, Some(q34Sql)),
     Q("q37_unpivot", q37, Some(q37Sql)),
-    Q("q44_skew_profile", q44, Some(q44Sql)))
+    Q("q44_skew_profile", q44, Some(q44Sql)),
+    Q("q53_pareto_abc", q53, Some(q53Sql)))
+
 }
