@@ -2670,6 +2670,69 @@ object TextAnalysis {
       |    AS vmr_ppm
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t43
+  /** Pairwise source-vocabulary overlap: Jaccard between the top-200
+    * token vocabularies (by occurrence count, ties lexicographic) of
+    * every source pair — the mixture-REDUNDANCY meter beside t33's
+    * per-source-vs-corpus drift: two sources with near-identical top
+    * vocabularies cover the same register, and upweighting both buys
+    * diversity it doesn't deliver. Exact integers end to end (set sizes
+    * are fixed at 200 except for tiny sources; overlap in ppm by floor
+    * division).
+    *
+    * Scale (100 TB): one (source, token) count aggregate (combinable),
+    * a per-source top-200 window over the vocabulary-sized frame, and a
+    * pair join over |sources|·200 rows — nothing downstream grows with
+    * the corpus. */
+  def t43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"tok".asc)
+    val top = Tables.t(s, dir, "documents")
+      .select($"source", explode(words($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"source", $"tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 200)
+      .select($"source", $"tok")
+      .localCheckpoint(eager = false) // sizes + both pair sides
+    val sizes = top.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = top.as("a")
+      .join(top.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select($"source".as("src_a"), $"n".as("na")), Seq("src_a"))
+      .join(sizes.select($"source".as("src_b"), $"n".as("nb")), Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_shared", $"na", $"nb",
+        expr("(1000000 * n_shared) div (na + nb - n_shared)")
+          .as("jaccard_ppm"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val t43Sql: String =
+    """WITH tok AS (
+      |  SELECT source, w AS tok, COUNT(*) AS cnt FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE w <> '' GROUP BY 1, 2),
+      |top AS (SELECT source, tok FROM (
+      |    SELECT source, tok, row_number() OVER (PARTITION BY source
+      |      ORDER BY cnt DESC, tok ASC) AS rk FROM tok)
+      |  WHERE rk <= 200),
+      |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM top GROUP BY 1),
+      |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM top a JOIN top b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT i.src_a, i.src_b, i.n_shared, sa.n AS na, sb.n AS nb,
+      |  (1000000 * i.n_shared) // (sa.n + sb.n - i.n_shared) AS jaccard_ppm
+      |FROM inter i
+      |JOIN sizes sa ON i.src_a = sa.source
+      |JOIN sizes sb ON i.src_b = sb.source
+      |ORDER BY i.src_a, i.src_b""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2712,5 +2775,6 @@ object TextAnalysis {
     Q("t39_bpe_learned", t39, Some(t39Sql)),
     Q("t40_bigram_backoff", t40, Some(t40Sql)),
     Q("t41_leakage_safe_split", t41, Some(t41Sql)),
-    Q("t42_length_burstiness", t42, Some(t42Sql)))
+    Q("t42_length_burstiness", t42, Some(t42Sql)),
+    Q("t43_vocab_overlap", t43, Some(t43Sql)))
 }
