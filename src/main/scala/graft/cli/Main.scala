@@ -119,13 +119,23 @@ object Main {
         graft.core.parse.ManifestJson.load(mf)
       }
       val bySelect =
-        if (args.flags("select").isEmpty) Set.empty[String]
-        else Selector.select(m, args.flags("select"), args.flags("exclude"), state)
+        if (args.flags("select").nonEmpty)
+          Selector.select(m, args.flags("select"), args.flags("exclude"), state)
+        else if (args.flags("exclude").nonEmpty)
+          // dbt: a bare --exclude applies against the FULL resource set
+          // (`dbt ls --exclude x` = everything but x's selection)
+          m.allResources.keySet --
+            Selector.select(m, args.flags("exclude"), Nil, state)
+        else Set.empty[String]
       val byName = args.flags("selector").headOption.map { name =>
         Selector.namedSelector(m, readFile("selectors.yml"), name)
       }.getOrElse(Set.empty)
       bySelect ++ byName
     }
+    // any of --select/--selector/--exclude narrows the resource set
+    def selectionActive: Boolean =
+      args.flags("select").nonEmpty || args.flags("selector").nonEmpty ||
+        args.flags("exclude").nonEmpty
     def spark(): SparkSession = {
       val s = SparkSession.builder()
         .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
@@ -137,9 +147,7 @@ object Main {
     command match {
       case "run" =>
         val (cfg, m) = ProjectLoader.load(root)
-        val sel =
-          if (args.flags("select").isEmpty && args.flags("selector").isEmpty) None
-          else Some(selection(m))
+        val sel = if (!selectionActive) None else Some(selection(m))
         // dbt's --threads: level-parallel model execution (independent
         // DAG subtrees run concurrently on the shared session)
         val threads = args.flags("threads").headOption.map(_.toInt).getOrElse(1)
@@ -241,8 +249,7 @@ object Main {
           case (id, n) if command == "snapshot" && n.materialized == "snapshot" => id
         }.toSet
         val narrowed =
-          if (args.flags("select").isEmpty && args.flags("selector").isEmpty) wanted
-          else wanted intersect selection(m)
+          if (!selectionActive) wanted else wanted intersect selection(m)
         val out = new Runner(spark(), m, cfg,
           warehouse(), projectRoot = Some(root),
           readCatalog = readCatalog,
@@ -269,10 +276,7 @@ object Main {
         // unique_ids (the very surface the reference shells to for A1,
         // dbt_projects.py:351-376); no selection = every resource
         val (_, m) = ProjectLoader.load(root)
-        val ids =
-          if (args.flags("select").isEmpty && args.flags("selector").isEmpty)
-            m.allResources.keySet
-          else selection(m)
+        val ids = if (!selectionActive) m.allResources.keySet else selection(m)
         ids.toSeq.sorted.foreach(println)
 
       case "test" =>

@@ -105,9 +105,13 @@ object ManifestJson {
               meta.flatMap(m => opt(m, "kwargs"))
                 .flatMap(optStr(_, "column_name"))),
             config = cfg.map(toY(_).asMap).getOrElse(YMap.empty))
-        case other =>
-          throw new IllegalArgumentException(
-            s"manifest.json: unsupported node resource_type '$other' ($id)")
+        case _ =>
+          // Real dbt-core manifests carry 'operation' (on-run-start/end
+          // hooks), 'analysis', 'sql_operation', … under nodes; the
+          // reference tolerates these (dbt_projects.py:211-218). Skip —
+          // they are not part of the mesh surface — and only fail on
+          // malformed entries of the types we DO consume above.
+          ()
       }
     }
 
