@@ -120,17 +120,25 @@ object Main {
       }
       val bySelect =
         if (args.flags("select").nonEmpty)
+          // --exclude is applied inside the select grammar here
           Selector.select(m, args.flags("select"), args.flags("exclude"), state)
-        else if (args.flags("exclude").nonEmpty)
-          // dbt: a bare --exclude applies against the FULL resource set
-          // (`dbt ls --exclude x` = everything but x's selection)
-          m.allResources.keySet --
-            Selector.select(m, args.flags("exclude"), Nil, state)
         else Set.empty[String]
       val byName = args.flags("selector").headOption.map { name =>
         Selector.namedSelector(m, readFile("selectors.yml"), name)
       }.getOrElse(Set.empty)
-      bySelect ++ byName
+      val excluded =
+        if (args.flags("exclude").nonEmpty)
+          Selector.select(m, args.flags("exclude"), Nil, state)
+        else Set.empty[String]
+      if (args.flags("select").nonEmpty || args.flags("selector").nonEmpty)
+        // --exclude narrows the named-selector set too (dbt subtracts the
+        // exclusion from whatever was selected, never widens)
+        bySelect ++ (byName -- excluded)
+      else if (excluded.nonEmpty)
+        // dbt: a bare --exclude applies against the FULL resource set
+        // (`dbt ls --exclude x` = everything but x's selection)
+        m.allResources.keySet -- excluded
+      else Set.empty[String]
     }
     // any of --select/--selector/--exclude narrows the resource set
     def selectionActive: Boolean =
@@ -296,29 +304,47 @@ object Main {
         if (nFail > 0) sys.exit(1)
 
       case "contract" | "add-contract" =>
-        val s = spark()
         val (cfg, m) = ProjectLoader.load(root)
         val selected = selection(m)
-        val runner = new Runner(s, m, cfg,
-          warehouse(), enforceAccess = false,
-          projectRoot = Some(root), readCatalog = readCatalog)
-        runner.run()
-        val cs = selected.toSeq.sorted.flatMap(m.nodes.get)
+        def contractable = selected.toSeq.sorted.flatMap(m.nodes.get)
           .filter(_.uniqueId.startsWith("model."))
           .collect { case node: graft.core.model.ModelNode
             // --public-only contracts only public-access models
             // (`main.py:275,292-295`)
             if !args.switches("public-only") ||
               node.access == graft.core.model.AccessType.Public => node }
-          .map(node => Contractor.generateContract(s, node, runner.viewName(node.name)))
+        // --read-catalog with a dbt-core target/catalog.json present:
+        // generate contracts from the cached warehouse crawl, no Spark run
+        // (`dbt_projects.py:279-290`). Otherwise materialize with Spark
+        // and freeze the produced schemas.
+        val catalogJson = root.resolve("target").resolve("catalog.json")
+        val cs =
+          if (readCatalog && Files.exists(catalogJson)) {
+            val catalog = graft.core.parse.CatalogJson.load(catalogJson)
+            contractable.map { node =>
+              val entry = catalog.getOrElse(node.uniqueId,
+                graft.core.parse.CatalogJson.Entry(node.uniqueId, Vector.empty))
+              Contractor.generateContractFromCatalog(node, entry)
+            }
+          } else {
+            val s = spark()
+            val runner = new Runner(s, m, cfg,
+              warehouse(), enforceAccess = false,
+              projectRoot = Some(root), readCatalog = readCatalog)
+            runner.run()
+            contractable.map(node =>
+              Contractor.generateContract(s, node, runner.viewName(node.name)))
+          }
         apply(ChangeSet(cs.toVector))
 
       case "version" | "add-version" | "bump-version" =>
         val (_, m) = ProjectLoader.load(root)
         // reference selects with --select; a bare positional model name is
-        // accepted as a convenience
+        // accepted as a convenience. A bare --exclude is an active
+        // selection here too (all-minus-exclusion), consistent with every
+        // other command.
         val names: Seq[String] =
-          if (args.flags("select").nonEmpty || args.flags("selector").nonEmpty)
+          if (selectionActive)
             selection(m).toSeq.sorted.flatMap(m.nodes.get)
               .filter(_.uniqueId.startsWith("model.")).map(_.name)
           else args.positional

@@ -88,6 +88,24 @@ object Contracts {
       "columns" -> cols)
   }
 
+  /** Contract patch from raw warehouse catalog columns (a dbt
+    * `catalog.json` entry) — types pass through lower-cased VERBATIM like
+    * the reference (`contractor.py:24-31`), no whitelist; name casing
+    * follows the same declared-case rule as [[contractPatch]]. */
+  def contractPatchFromCatalog(columns: Seq[(String, String)],
+      declaredCase: Map[String, String] = Map.empty): YMap = {
+    val enforced =
+      YMap.of("config" -> YMap.of("contract" -> YMap.of("enforced" -> YBool(true))))
+    // a node absent from the crawl still gets the enforced flag, columns
+    // omitted (`contractor.py:21-22,36-37`: `columns = None` → no key)
+    if (columns.isEmpty) enforced
+    else enforced.updated("columns", YList(columns.toVector.map {
+      case (rawName, tpe) =>
+        val name = declaredCase.getOrElse(rawName.toLowerCase, rawName.toLowerCase)
+        YMap.of("name" -> YStr(name), "data_type" -> YStr(tpe.toLowerCase)): Y
+    }))
+  }
+
   final case class ContractViolation(model: String, problems: Seq[String])
     extends RuntimeException(s"contract violation on $model: ${problems.mkString("; ")}")
 

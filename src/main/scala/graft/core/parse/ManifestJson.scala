@@ -59,15 +59,17 @@ object ManifestJson {
     val tests = Map.newBuilder[String, TestNode]
     fields("nodes").foreach { case (id, n) =>
       val rt = str(n, "resource_type", id)
-      val name = str(n, "name", id)
-      val pkg = str(n, "package_name", id)
-      val file = str(n, "original_file_path", id)
       val cfg = opt(n, "config")
+      // name/package_name/original_file_path are required only on the
+      // resource types we consume — extracting them lazily keeps skipped
+      // types (analysis/operation/…) tolerated even when malformed.
       rt match {
         case "model" | "seed" | "snapshot" =>
           val config = cfg.map(toY(_).asMap).getOrElse(YMap.empty)
           nodes += id -> ModelNode(
-            uniqueId = id, name = name, packageName = pkg, filePath = file,
+            uniqueId = id, name = str(n, "name", id),
+            packageName = str(n, "package_name", id),
+            filePath = str(n, "original_file_path", id),
             rawCode = optStr(n, "raw_code").getOrElse(""),
             language = optStr(n, "language").getOrElse("sql"),
             dependsOn = dependsOn(n),
@@ -98,7 +100,9 @@ object ManifestJson {
         case "test" =>
           val meta = opt(n, "test_metadata")
           tests += id -> TestNode(
-            uniqueId = id, name = name, packageName = pkg, filePath = file,
+            uniqueId = id, name = str(n, "name", id),
+            packageName = str(n, "package_name", id),
+            filePath = str(n, "original_file_path", id),
             dependsOn = dependsOn(n),
             testType = meta.flatMap(optStr(_, "name")).getOrElse("custom"),
             column = optStr(n, "column_name").orElse(

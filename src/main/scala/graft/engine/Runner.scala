@@ -94,12 +94,14 @@ final class Runner(
     // unchanged configs skip the re-read (csv/json registration pays a
     // schema-inference job)
     val key = (loc, ext.format, ext.options.toSeq.sorted)
-    if (!Runner.externalRegistered.get(
-        (System.identityHashCode(spark), view)).contains(key)) {
+    val registered = Runner.externalKeys(spark)
+    // belt-and-braces tableExists: even with a matching key, re-register
+    // if the temp view was dropped out from under us
+    if (!registered.get(view).contains(key) ||
+        !spark.catalog.tableExists(view)) {
       spark.read.format(ext.format).options(ext.options).load(loc)
         .createOrReplaceTempView(view)
-      Runner.externalRegistered(
-        (System.identityHashCode(spark), view)) = key
+      registered(view) = key
     }
     view
   }
@@ -572,9 +574,25 @@ final class Runner(
       // event time for a deletion); default false = deleted keys stay
       // open, dbt's default
       val hardDelete = boolConfig(m, "invalidate_hard_deletes")
+      // The deletion stamp is a wall-clock Timestamp cast to updated_at's
+      // dtype. For a NUMERIC updated_at (e.g. an epoch-nanos long) that
+      // cast yields epoch SECONDS — dbt_valid_to would land in different
+      // units than dbt_valid_from, closing rows decades in the past. No
+      // encoding metadata exists to scale by, so fail loudly: normalize
+      // updated_at to a timestamp (see graft.ops.Tables.normalizeTs)
+      // before enabling invalidate_hard_deletes. Timestamp/date/string
+      // casts are unit-safe.
+      val updatedAtType = source.schema(updatedAt).dataType
+      if (hardDelete && updatedAtType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType])
+        throw new IllegalArgumentException(
+          s"snapshot ${m.name}: invalidate_hard_deletes requires a " +
+            s"timestamp/date updated_at column; '$updatedAt' is " +
+            s"${updatedAtType.simpleString}. Cast it in the snapshot query " +
+            "(epoch-long encodings are ambiguous: sec/ms/ns).")
       val delStamp = lit(snapshotAt.getOrElse(
         new java.sql.Timestamp(System.currentTimeMillis())))
-        .cast(source.schema(updatedAt).dataType)
+        .cast(updatedAtType)
       val keptCurrent = joined // unchanged or no new row: keep as-is
         .filter(col("cur." + key).isNotNull &&
           (col("_k").isNull || col("_ts") <= col("cur.dbt_valid_from")))
@@ -778,12 +796,28 @@ final class Runner(
 }
 
 object Runner {
-  /** (session identity, view name) → the resolved (location, format,
-    * options) the external-source temp view was registered from. See
+  private type ExtKey = (String, String, Seq[(String, String)])
+
+  /** Per-session view name → the resolved (location, format, options)
+    * the external-source temp view was registered from. See
     * [[Runner.externalView]]: registration must re-run when any of the
     * three changes within a session, and must NOT re-run (schema
-    * inference job) when none did. */
+    * inference job) when none did. Keyed on the session OBJECT through a
+    * WeakHashMap (reference identity, auto-evicted when a stopped
+    * session is GC'd) — an identityHashCode key could collide with a
+    * later session after GC and silently skip registration. */
   private[engine] val externalRegistered =
-    scala.collection.concurrent.TrieMap
-      .empty[(Int, String), (String, String, Seq[(String, String)])]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, ExtKey]]()
+
+  private[engine] def externalKeys(
+      spark: SparkSession): scala.collection.concurrent.TrieMap[String, ExtKey] =
+    externalRegistered.synchronized {
+      var m = externalRegistered.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, ExtKey]
+        externalRegistered.put(spark, m)
+      }
+      m
+    }
 }

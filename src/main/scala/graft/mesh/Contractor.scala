@@ -29,4 +29,19 @@ object Contractor {
     ResourceChange(op, EntityType.Model, model.name,
       model.patchPath.getOrElse(patchPathDefault(model)), data)
   }
+
+  /** Plan a contract from a dbt-core `catalog.json` entry instead of a
+    * live Spark relation — the reference's cached-crawl path
+    * (`dbt_projects.py:279-290` + `utilities/contractor.py:16-31`). Lets
+    * `graft contract` run against warehouses graft never materialized. */
+  def generateContractFromCatalog(model: ModelNode,
+      entry: graft.core.parse.CatalogJson.Entry,
+      existingEntry: YMap = YMap.empty,
+      patchPathDefault: ModelNode => String = PatchPaths.default): ResourceChange = {
+    val data = Contracts.contractPatchFromCatalog(
+      entry.columns, declaredCase(existingEntry))
+    val op = if (model.patchPath.isDefined) Operation.Update else Operation.Add
+    ResourceChange(op, EntityType.Model, model.name,
+      model.patchPath.getOrElse(patchPathDefault(model)), data)
+  }
 }

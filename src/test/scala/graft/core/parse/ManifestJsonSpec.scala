@@ -65,18 +65,28 @@ class ManifestJsonSpec extends AnyFunSuite {
     assert(csJson == csNative)
   }
 
-  test("missing required fields and unknown resource types fail loudly") {
+  test("missing required fields on consumed resource types fail loudly") {
     val bad =
       """{"metadata":{"project_name":"p"},
         |"nodes":{"model.p.m":{"resource_type":"model","name":"m"}}}""".stripMargin
     val e = intercept[IllegalArgumentException](ManifestJson.parse(bad))
     assert(e.getMessage.contains("model.p.m"), e.getMessage)
-    val badRt =
+  }
+
+  test("unknown resource types are skipped, even when malformed") {
+    // Real dbt-core manifests carry analysis/operation/sql_operation nodes
+    // under `nodes`; the reference tolerates them (dbt_projects.py:211-218).
+    // The analysis node here is also missing package_name — skipped types
+    // must not be validated at all.
+    val m = ManifestJson.parse(
       """{"metadata":{"project_name":"p"},
-        |"nodes":{"analysis.p.a":{"resource_type":"analysis","name":"a",
-        |"package_name":"p","original_file_path":"x.sql"}}}""".stripMargin
-    val e2 = intercept[IllegalArgumentException](ManifestJson.parse(badRt))
-    assert(e2.getMessage.contains("analysis"), e2.getMessage)
+        |"nodes":{
+        |"analysis.p.a":{"resource_type":"analysis","name":"a"},
+        |"operation.p.o":{"resource_type":"operation"},
+        |"model.p.m":{"resource_type":"model","name":"m",
+        |"package_name":"p","original_file_path":"m.sql"}}}""".stripMargin)
+    assert(m.nodes.keySet == Set("model.p.m"))
+    assert(m.tests.isEmpty)
   }
 }
 
