@@ -150,6 +150,11 @@ object Bench {
     // harness parses from its bounded tail window. build.sbt passes the
     // forked stdout through raw and suppresses sbt's [success] banner, so
     // this println IS the final line of the run's combined output.
+    // silence shutdown chatter entirely: a non-fatal DAGScheduler
+    // event-loop stack trace logged during unpersist/stop used to land in
+    // the harness's 2000-char tail window ahead of the JSON line — every
+    // measurement is already taken by this point
+    spark.sparkContext.setLogLevel("OFF")
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     spark.stop()

@@ -14,10 +14,13 @@ import graft.core.model.Manifest
   *  - `path:models/staging` — resources under a path prefix (wildcards ok)
   *  - `source:raw` / `source:raw.orders` — source nodes by source or
   *    source.table name (wildcards ok)
+  *  - `resource_type:model` / `group:g` / `package:p` / `exposure:e` /
+  *    `test_name:unique` / `version:{latest|prerelease|old|none|N}` —
+  *    the `dbt ls` method vocabulary (manifest-attribute lookups)
   *  - space-separated tokens union; `a,b` intersects criteria
   *  - `--exclude` is set-minus over the same grammar
-  * Anything else (`state:`, `result:` methods…) fails loudly rather than
-  * silently selecting nothing (SURVEY §7).
+  * Anything else (`result:` needs a run_results artifact…) fails loudly
+  * rather than silently selecting nothing (SURVEY §7).
   */
 object Selector {
 
@@ -26,7 +29,8 @@ object Selector {
       method: Option[String], name: String,
       descendants: Boolean, descendantDepth: Int)
 
-  private val knownMethods = Set("tag", "path", "source", "state")
+  private val knownMethods = Set("tag", "path", "source", "state",
+    "resource_type", "group", "version", "test_name", "package", "exposure")
 
   private def isKnownMethod(m: String): Boolean =
     knownMethods(m) || m.startsWith("config.")
@@ -65,7 +69,8 @@ object Selector {
       case Array(m, n) if isKnownMethod(m) => (Some(m), n)
       case Array(m, _) => throw new IllegalArgumentException(
         s"unsupported selector method '$m:' in '$token' " +
-          "(supported: tag:, path:, source:, config.<key>:, state:)")
+          "(supported: tag:, path:, source:, config.<key>:, state:, " +
+          "resource_type:, group:, version:, test_name:, package:, exposure:)")
       case Array(n) => (None, n)
     }
     require(name.nonEmpty, s"empty selector token: '$token'")
@@ -80,13 +85,18 @@ object Selector {
     * own state:modified similarly hashes content + a fixed config list. */
   private def fingerprint(r: graft.core.model.Resource): Any = r match {
     case m: graft.core.model.ModelNode =>
-      (m.rawCode, m.materialized, m.uniqueKey, m.partitionBy, m.access,
+      // rawCode is TRIMMED: dbt-core strips file contents when populating
+      // raw_code (`load_file_contents(strip=True)`) while the native
+      // loader keeps the file verbatim — without trimming, every model
+      // with a trailing newline would read as modified against a
+      // dbt-produced --state manifest, silently defeating slim-CI
+      (m.rawCode.trim, m.materialized, m.uniqueKey, m.partitionBy, m.access,
         m.group, m.version, m.latestVersion, m.tags.sorted,
         m.contractEnforced, m.patchPath, m.language)
     case s: graft.core.model.SourceDefinition =>
       (s.sourceName, s.name, s.relationName, s.external)
-    case mc: graft.core.model.MacroNode => mc.macroSql
-    case d: graft.core.model.Documentation => d.blockContents
+    case mc: graft.core.model.MacroNode => mc.macroSql.trim
+    case d: graft.core.model.Documentation => d.blockContents.trim
     case t: graft.core.model.TestNode => (t.testType, t.column, t.dependsOn)
     case other => other.filePath
   }
@@ -125,6 +135,42 @@ object Selector {
       val key = m.stripPrefix("config.")
       manifest.nodes.collect {
         case (id, n) if configValue(n, key).exists(matches(c.name)) => id
+      }.toSet
+    // `dbt ls`-vocabulary methods (node_selector_methods in dbt-core;
+    // the unique_id prefix IS the resource type across this codebase)
+    case Some("resource_type") =>
+      manifest.allResources.keySet.filter(_.startsWith(c.name + "."))
+    case Some("group") =>
+      manifest.nodes.collect {
+        case (id, n) if n.group.exists(matches(c.name)) => id
+      }.toSet
+    case Some("package") =>
+      manifest.allResources.collect {
+        case (id, r) if matches(c.name)(r.packageName) => id
+      }.toSet
+    case Some("exposure") =>
+      manifest.exposures.collect {
+        case (id, e) if matches(c.name)(e.name) => id
+      }.toSet
+    case Some("test_name") =>
+      manifest.tests.collect {
+        case (id, t) if matches(c.name)(t.testType) => id
+      }.toSet
+    case Some("version") =>
+      // dbt sub-methods: latest / prerelease / old / none / a number
+      manifest.nodes.collect {
+        case (id, n) if (c.name match {
+          case "none" => n.version.isEmpty
+          case "latest" => n.version.isDefined &&
+            n.latestVersion.forall(lv => n.version.contains(lv))
+          case "prerelease" =>
+            (for (v <- n.version; lv <- n.latestVersion) yield v > lv)
+              .getOrElse(false)
+          case "old" =>
+            (for (v <- n.version; lv <- n.latestVersion) yield v < lv)
+              .getOrElse(false)
+          case num => n.version.exists(_.toString == num)
+        }) => id
       }.toSet
     case _ =>
       val all = manifest.allResources

@@ -146,7 +146,7 @@ class MainSpec extends AnyFunSuite {
     assert(stg.contractEnforced)
     assert(stg.contract.exists(_.fieldNames.toSeq == Seq("id", "amount")))
     val yml = Files.readString(root.resolve("models/_models.yml"))
-    assert(yml.contains("data_type: decimal(16,2)"), yml)
+    assert(yml.contains("data_type: \"decimal(16,2)\""), yml)
   }
 
   test("bare `contract` (no operation prefix) still works") {
@@ -279,6 +279,24 @@ class MainSpec extends AnyFunSuite {
       Main.main(Array("ls", "--project-dir", root.toString))
     }
     assert(all.toString.contains("model.shop.stg"))
+  }
+
+  test("ls --select resource_type:model filters by the dbt ls method vocabulary") {
+    val root = writeProject(project ++ Map(
+      "seeds/lookup.csv" -> "id\n1\n"))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("ls", "--select", "resource_type:model",
+        "--project-dir", root.toString))
+    }
+    assert(out.toString.trim.linesIterator.toSeq ==
+      Seq("model.shop.mart", "model.shop.stg"))
+    val seeds = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(seeds)) {
+      Main.main(Array("ls", "--select", "resource_type:seed",
+        "--project-dir", root.toString))
+    }
+    assert(seeds.toString.trim == "seed.shop.lookup")
   }
 
   test("seed and snapshot commands run only their materialization kind") {

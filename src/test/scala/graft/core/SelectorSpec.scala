@@ -135,6 +135,44 @@ class SelectorSpec extends AnyFunSuite {
       Selector.select(manifest, Seq("state:old"), state = Some(manifest)))
   }
 
+  test("resource_type:, package:, and test_name: methods") {
+    val t = TestNode("test.p.not_null_a_id", "not_null_a_id", "p",
+      "models/_models.yml", dependsOn = DependsOn(Vector("model.p.a")),
+      testType = "not_null", column = Some("id"))
+    val m2 = manifest.copy(tests = Map(t.uniqueId -> t))
+    assert(Selector.select(m2, Seq("resource_type:source")) ==
+      Set("source.p.raw.src"))
+    assert(Selector.select(m2, Seq("resource_type:test")) ==
+      Set("test.p.not_null_a_id"))
+    assert(ids(Selector.select(m2, Seq("resource_type:model"))) ==
+      Set("a", "b", "c", "d", "e"))
+    assert(Selector.select(m2, Seq("test_name:not_null")) == Set(t.uniqueId))
+    assert(Selector.select(m2, Seq("test_name:unique")) == Set.empty)
+    // every resource here lives in package p
+    assert(Selector.select(m2, Seq("package:p")).size == 7)
+    assert(Selector.select(m2, Seq("package:other")) == Set.empty)
+  }
+
+  test("group: and version: methods") {
+    val m2 = manifest.copy(nodes = manifest.nodes.map {
+      case (id, n) if n.name == "a" =>
+        id -> n.copy(group = Some("core"), version = Some(1L), latestVersion = Some(2L))
+      case (id, n) if n.name == "b" =>
+        id -> n.copy(group = Some("core"), version = Some(2L), latestVersion = Some(2L))
+      case (id, n) if n.name == "c" =>
+        id -> n.copy(version = Some(3L), latestVersion = Some(2L))
+      case other => other
+    })
+    assert(ids(Selector.select(m2, Seq("group:core"))) == Set("a", "b"))
+    assert(ids(Selector.select(m2, Seq("version:old"))) == Set("a"))
+    assert(ids(Selector.select(m2, Seq("version:latest"))) == Set("b"))
+    assert(ids(Selector.select(m2, Seq("version:prerelease"))) == Set("c"))
+    assert(ids(Selector.select(m2, Seq("version:none"))) == Set("d", "e"))
+    assert(ids(Selector.select(m2, Seq("version:3"))) == Set("c"))
+    // composes with graph ops and intersection like any other method
+    assert(ids(Selector.select(m2, Seq("group:core+,version:none"))) == Set("d"))
+  }
+
   test("config.materialized: and generic config.<key>: methods") {
     val t = manifest.nodes("model.p.b").copy(materialized = "table",
       config = graft.core.yaml.YMap(Vector(
