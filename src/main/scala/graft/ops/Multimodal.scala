@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * `BinaryType` columns with a typed metadata struct, per the standard
   * lakehouse pattern (path/bytes/metadata columns + batch decode).
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic fake (see [[fakeDecode]]); everything
-  * around it — binary schema, metadata struct, partition-batched decode
-  * plumbing, frame sampling, downsampling — is real and oracle-checked.
-  * The payloads are derived from `documents.text` (UTF-8 bytes) so DuckDB
-  * can verify byte-exact semantics.
+  * The container has no native media libs, so m02's generic DECODE stub
+  * is a clearly-marked deterministic fake (see [[fakeDecode]]) — but m13
+  * runs a REAL codec end-to-end: payloads are PNG-encoded grayscale
+  * renders of the document bytes and the decode is a format-sniffing
+  * `javax.imageio.ImageIO.read` (pure JVM). Everything around the seam —
+  * binary schema, metadata struct, partition-batched decode plumbing,
+  * frame sampling, downsampling — is real and oracle-checked. The
+  * payloads derive from `documents.text` (UTF-8 bytes) so DuckDB can
+  * verify byte-exact semantics.
   *
   * Scale (100 TB): media pipelines are embarrassingly parallel over rows;
   * the plan below never shuffles before the final (tiny) ordered output.
@@ -614,6 +617,110 @@ object Multimodal {
       |WHERE p.n_matched >= 2
       |ORDER BY p.da, p.db""".stripMargin
 
+  // ---------------------------------------------------------------- m13
+  /** One media row with a REAL image payload. */
+  final case class PngRow(doc_id: Long, png: Array[Byte])
+  final case class PngFeatures(
+      doc_id: Long, decoded: Boolean, width: Int, height: Int,
+      px_sum: Long, px_max: Long)
+
+  /** Render a payload's bytes into a genuine width-32 grayscale image and
+    * PNG-encode it with `javax.imageio` (pure JVM, part of the JDK).
+    * Pixel (r,c) = byte r*32+c, zero-padded — so every pixel statistic is
+    * an exact integer function of the text the oracle can recompute. */
+  private[ops] def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    // memory-backed ImageIO streams: the default cache spools every
+    // encode/decode through a temp FILE — pure per-call overhead here
+    javax.imageio.ImageIO.setUseCache(false)
+    val w = 32
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < bytes.length) {
+      raster.setSample(i % w, i / w, 0, bytes(i) & 0xff)
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL decode: format-sniffing `ImageIO.read` (no format hint — the
+    * reader is chosen from the payload's magic bytes) + raster feature
+    * extraction. Returns None when no installed reader recognizes the
+    * payload — the caller degrades to digest features. */
+  private[ops] def decodeImage(bytes: Array[Byte]): Option[PngFeatures] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var (sum, max) = (0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0).toLong
+          sum += v; if (v > max) max = v
+          x += 1
+        }
+        y += 1
+      }
+      Some(PngFeatures(0L, decoded = true, w, h, sum, max))
+    }
+  }
+
+  /** Batched REAL image decode (VERDICT r9 next #6): payloads are
+    * PNG-encoded grayscale renders of the document bytes — a genuine
+    * codec on both sides of the seam (`javax.imageio`, sniffed reader),
+    * in the same batched `mapPartitions` shape as [[m02]]. The gate pins
+    * `decoded = true` on every row, so a silently-skipped codec path
+    * fails the oracle, and the pixel stats are exact integers DuckDB
+    * recomputes from the text.
+    *
+    * Scale (100 TB): decode is embarrassingly parallel per row; batches
+    * bound codec memory per task; nothing shuffles before the final
+    * presentation sort. A production pipeline swaps encodePng for real
+    * stored assets and keeps the decode stage unchanged. */
+  def m13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[PngRow] = mediaTable(s, dir)
+      // fan-out (see m03): the compact scan is a single split, and codec
+      // work is the expensive part — one cheap exchange of the raw bytes
+      // spreads encode+decode across every core
+      .repartition($"doc_id")
+      .select($"doc_id", $"bytes").as[MediaRow]
+      .mapPartitions(_.map(r => PngRow(r.doc_id, encodePng(r.bytes))))
+    val batchSize = 64
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          decodeImage(r.png) match {
+            case Some(f) => f.copy(doc_id = r.doc_id)
+            case None => // digest fallback — decoded=false fails the gate
+              val d = fakeDecode(r.png)
+              PngFeatures(r.doc_id, decoded = false, 0, 0, d(0), d(1))
+          }
+        }
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
+  val m13Sql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, CAST(ascii(text[i]) AS BIGINT) AS b
+      |  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+      |agg AS (SELECT doc_id, SUM(b) AS px_sum, MAX(b) AS px_max
+      |        FROM chars GROUP BY doc_id)
+      |SELECT d.doc_id, TRUE AS decoded, 32 AS width,
+      |  CAST(greatest(1, ceil(length(d.text) / 32.0)) AS INT) AS height,
+      |  CAST(COALESCE(a.px_sum, 0) AS BIGINT) AS px_sum,
+      |  CAST(COALESCE(a.px_max, 0) AS BIGINT) AS px_max
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
@@ -626,5 +733,6 @@ object Multimodal {
     Q("m09_video_neardup", m09, Some(m09Sql)),
     Q("m10_payload_concentration", m10, Some(m10Sql)),
     Q("m11_window_energy", m11, Some(m11Sql)),
-    Q("m12_perceptual_neardup", m12, Some(m12Sql)))
+    Q("m12_perceptual_neardup", m12, Some(m12Sql)),
+    Q("m13_image_decode", m13, Some(m13Sql)))
 }
