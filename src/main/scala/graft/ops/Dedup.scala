@@ -110,30 +110,43 @@ object Dedup {
     * co-occurring pair narrowly and a map-side-combining groupBy counts
     * them into intersections — no candidate materialization, no per-pair
     * set operations, no second shuffle of the index. */
+  /** Pre-checkpoint pair-count build: posting lists explode narrowly into
+    * co-occurring (da ≤ db) pairs and ONE hash aggregation counts them —
+    * diagonal rows included (they carry the pruned set sizes, see
+    * [[pairStats]]). Exposed for the plan audit. */
+  private[graft] def pairCounts(docsArr: DataFrame, tau: Long): DataFrame = {
+    val s = docsArr.sparkSession
+    import s.implicits._
+    postings(docsArr, tau)
+      .select(explode($"ds").as("da"), $"ds")
+      .select($"da", explode($"ds").as("db"))
+      .filter($"da" <= $"db")
+      .groupBy($"da", $"db")
+      .agg(count(lit(1)).as("i"))
+  }
+
   private[graft] def pairStats(docsArr: DataFrame,
       tau: Long = StopShingleDf): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
-    // the SURVIVING (df ≤ τ) posting lists — complete by construction
-    // (the τ+1 cap only ever truncates hot groups, which the filter
-    // drops); consumed twice (sizes + pairs), lazy so the index
-    // materializes inside the first consumer's job
-    val post = postings(docsArr, tau).localCheckpoint(eager = false)
-    // per-doc PRUNED set size: explode the surviving postings back out;
-    // map-side partials collapse to one row per doc before the (small)
-    // shuffle. Everything here is bounded — no broadcast of any
-    // data-dependent frame, no driver-side structure (a hot-shingle-key
-    // broadcast variant measured the same at bench scale but its key set
-    // grows as |postings|/τ, corpus-proportional — not broadcast-safe).
-    val sizes = post.select(explode($"ds").as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = post
-      .select(explode($"ds").as("da"), $"ds")
-      .select($"da", explode($"ds").as("db"))
-      .filter($"da" < $"db")
-      .groupBy($"da", $"db")
-      .agg(count(lit(1)).as("i"))
-    inter
+    // ONE aggregation carries both intersections AND pruned set sizes:
+    // the pair generator keeps the DIAGONAL (da = db), so the (d, d)
+    // count is exactly d's surviving-shingle count — the separate
+    // per-doc sizes pass (a second full explode + exchange of the
+    // posting index, plus the postings checkpoint that fed it twice)
+    // folds into the pair exchange it was always co-shuffled with.
+    // Everything stays bounded — no broadcast of any data-dependent
+    // frame, no driver-side structure (a hot-shingle-key broadcast
+    // variant measured the same at bench scale but its key set grows as
+    // |postings|/τ, corpus-proportional — not broadcast-safe).
+    val grouped = pairCounts(docsArr, tau)
+      // consumed twice (pairs + diagonal); lazy so it materializes
+      // inside the first consumer's job — far smaller than the posting
+      // index the previous shape checkpointed
+      .localCheckpoint(eager = false)
+    val sizes = grouped.filter($"da" === $"db")
+      .select($"da".as("doc_id"), $"i".as("n"))
+    grouped.filter($"da" < $"db")
       .join(sizes.as("sa"), $"da" === col("sa.doc_id"))
       .join(sizes.as("sb"), $"db" === col("sb.doc_id"))
       .select($"da", $"db", $"i",
@@ -884,29 +897,36 @@ object Dedup {
     val sim = Tables.t(s, dir, "documents")
       .filter(trim($"text") =!= "")
       .select($"doc_id", graft.functions.SimHash60Text($"text").as("sh"))
-    val bands = sim
-      .withColumn("b", explode(sequence(lit(0), lit(3))))
-      .select($"doc_id", $"sh", $"b", expr("shiftright(sh, b * 15) & 32767").as("bv"))
     // audit a deterministic 10% of the candidate stream, in the
     // decision-relevant band only (d04 cuts at ≤ 1; ≤ 8 shows the
     // estimator on both sides of any plausible threshold). The sample
-    // predicate sits IN the join so the dedup of band collisions only
-    // ever sees sampled pairs, and both cuts land before the shingle
-    // join — the exact side never sees the long tail of incidental
-    // collisions. Production audits sample exactly like this: the
-    // estimate-vs-exact distribution needs coverage, not every pair.
-    // hamming + the ≤ 8 cut land INSIDE the band join (so only decision-
-    // relevant sampled pairs reach the dedup), and the multi-band dedup
-    // keys on the already-slim (da, db, hamming) triple — the spent
-    // 64-bit signatures never enter the distinct exchange
-    val cand = bands.as("a").hint("SHUFFLE_HASH")
-      .join(bands.as("b").hint("SHUFFLE_HASH"),
-        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          (col("a.doc_id") + col("b.doc_id")) % 10 === 0 &&
-          expr("bit_count(a.sh ^ b.sh) <= 8"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        expr("CAST(bit_count(a.sh ^ b.sh) AS BIGINT)").as("hamming"))
+    // predicate sits IN the pair generator so the dedup of band
+    // collisions only ever sees sampled pairs, and both cuts land before
+    // the shingle join — the exact side never sees the long tail of
+    // incidental collisions. Production audits sample exactly like this:
+    // the estimate-vs-exact distribution needs coverage, not every pair.
+    //
+    // Band keys are PRE-AGGREGATED into bucket lists (the pairStats
+    // posting shape) instead of a bands⋈bands self-join: one exchange on
+    // (band, value) replaces the two SHUFFLE_HASH sides, and the SimHash
+    // kernel runs once instead of once per side. Per-bucket lists buffer
+    // exactly what the hash join buffered per key; a pathological hot
+    // bucket is the production cue for an m12-style hot-bucket cut
+    // (absent here because the audit's oracle joins ALL collisions).
+    val buckets = sim
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .select(
+        $"b", expr("shiftright(sh, b * 15) & 32767").as("bv"),
+        struct($"doc_id", $"sh").as("e"))
+      .groupBy($"b", $"bv").agg(collect_list($"e").as("es"))
+    val cand = buckets
+      .select(explode($"es").as("x"), $"es")
+      .select($"x", explode($"es").as("y"))
+      .filter($"x.doc_id" < $"y.doc_id" &&
+        ($"x.doc_id" + $"y.doc_id") % 10 === 0 &&
+        expr("bit_count(x.sh ^ y.sh) <= 8"))
+      .select($"x.doc_id".as("da"), $"y.doc_id".as("db"),
+        expr("CAST(bit_count(x.sh ^ y.sh) AS BIGINT)").as("hamming"))
       .distinct()
     val docsArr = shingleArrays(s, dir)
     val pa = docsArr.select($"doc_id".as("da"),

@@ -147,10 +147,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val exchanges = pp.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"index build must shuffle exactly once, got $exchanges:\n$pp")
     // downstream, pairs generate narrowly from the postings (explode, not
-    // a second shuffle of the index through a self-join)
+    // a second shuffle of the index through a self-join) and ONE hash
+    // aggregation carries intersections and (diagonal) sizes together —
+    // audited pre-checkpoint, like the index build above
+    val pc = simplePlan(Dedup.pairCounts(Dedup.shinglesOfDocs(docs), 1000L))
+    val explodes = pc.linesIterator.count(_.contains("Generate explode"))
+    assert(explodes >= 3, s"posting-list explodes absent ($explodes):\n$pc")
+    assert(!pc.contains("Join"), s"pair build should not join:\n$pc")
+    val pcExchanges = pc.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(pcExchanges == 2,
+      s"pair build = index exchange + ONE pair exchange, got $pcExchanges:\n$pc")
     val p = simplePlan(Dedup.d02(spark, dir))
-    val explodes = p.linesIterator.count(_.contains("Generate explode"))
-    assert(explodes >= 3, s"posting-list explodes absent ($explodes):\n$p")
     assert(!p.contains("ShuffledHashJoin"), s"index self-join resurfaced:\n$p")
   }
 
