@@ -1520,7 +1520,8 @@ object GraphOps {
     Q("g16_component_profile", g16, Some(g16Sql)),
     Q("g17_edge_support", g17, Some(g17Sql)),
     Q("g18_incremental_components", g18, Some(g18Sql)),
-    Q("g19_component_density", g19, Some(g19Sql)))
+    Q("g19_component_density", g19, Some(g19Sql)),
+    Q("g20_lpa_communities", g20, Some(g20Sql)))
 
   // ---------------------------------------------------------------- g16
   /** Component-size profile of the near-dup graph — the OVER-MERGING
@@ -1586,4 +1587,130 @@ object GraphOps {
       |    AS share_ppm_per_component
       |FROM cs, tot GROUP BY size, tot.giant, tot.n_clustered
       |ORDER BY size""".stripMargin
+
+  // ---------------------------------------------------------------- g20
+  /** Synchronous label propagation (Raghavan et al. 2007), made fully
+    * deterministic: every vertex starts as its own label; each round it
+    * adopts the label most frequent among its NEIGHBORS, ties broken by
+    * the SMALLEST label (the argmax is `max(struct(count, -label))` — a
+    * pure integer function of the graph, no random visit order). Fixed
+    * 4 rounds, g04's trade: predictable cost, unrolled-SQL oracle.
+    *
+    * Why beside g01: components answer "what's transitively linked";
+    * LPA communities answer "what's DENSELY linked" — inside a giant
+    * component chained by g17-style support-0 bridges, LPA splits the
+    * mutually-corroborating groups that near-dup curation actually
+    * wants to collapse, without the threshold re-sweep of g14.
+    *
+    * Scale (100 TB graph): the [[pagerank]] skeleton — edges symmetrize
+    * and checkpoint once; each round is one join (label side, AQE
+    * decides) + a two-level aggregation (vote counts on (v, label),
+    * then the per-v argmax); lineage truncates per round. The two agg
+    * levels ride consecutive exchanges on (v,label)→(v) — the second is
+    * vertex-sized, not edge-sized. */
+  def labelPropagation(edgesIn: DataFrame, rounds: Int = 4,
+      localFinishEdges: Long = 5000000L): DataFrame = {
+    val s = edgesIn.sparkSession
+    import s.implicits._
+    val e = edgesIn.na.drop(Seq("da", "db")).select(
+      coalesce($"da".cast("long"), lit(0L)).as("da"),
+      coalesce($"db".cast("long"), lit(0L)).as("db"))
+      .localCheckpoint() // reused: count + (either strategy's) rounds
+    // local finish (the components() trade): near-dup edge sets are tiny
+    // relative to the corpus, so ONE executor task running the rounds
+    // in-memory replaces 4 × (join + 2 aggs + checkpoint) of pure stage
+    // latency. Identical output to the loop below by construction (same
+    // synchronous update, same min-label tiebreak). No collect — the
+    // task runs on an executor.
+    if (e.count() <= localFinishEdges) {
+      return e.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val adj = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.ArrayBuffer[Long]]
+        def nb(v: Long) = adj.getOrElseUpdate(
+          v, scala.collection.mutable.ArrayBuffer.empty[Long])
+        it.foreach { case (a, b) => nb(a) += b; nb(b) += a }
+        var lbl = scala.collection.mutable.LongMap.empty[Long]
+        adj.keys.foreach(v => lbl(v) = v)
+        for (_ <- 1 to rounds) {
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          adj.foreach { case (v, ns) =>
+            val cnt = scala.collection.mutable.LongMap.empty[Long]
+            ns.foreach(n => cnt(lbl(n)) = cnt.getOrElse(lbl(n), 0L) + 1L)
+            // argmax by (count desc, label asc) — the synchronous,
+            // deterministic update the distributed loop applies
+            var (bestL, bestC) = (Long.MaxValue, 0L)
+            cnt.foreach { case (l, c) =>
+              if (c > bestC || (c == bestC && l < bestL)) { bestL = l; bestC = c }
+            }
+            next(v) = bestL
+          }
+          lbl = next
+        }
+        lbl.keys.toArray.sorted.iterator.map(v => (v, lbl(v)))
+      }.toDF("doc_id", "lbl")
+    }
+    val sym = e.union(e.select($"db".as("da"), $"da".as("db")))
+      .localCheckpoint(eager = false) // reused every round
+    var labels = sym.select($"da".as("doc_id")).distinct()
+      .withColumn("lbl", $"doc_id")
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.select($"doc_id".as("src"), $"lbl"), $"da" === $"src")
+        .groupBy($"db", $"lbl").agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy($"db")
+        .agg(max(struct($"c", (-$"lbl").as("nl"))).as("m"))
+        .select($"db".as("doc_id"), (-$"m.nl").as("lbl"))
+        .localCheckpoint(eager = false) // truncate per-round lineage
+    }
+    labels
+  }
+
+  /** g20: 4-round deterministic LPA communities of the near-dup graph
+    * (same d02 edges at jaccard ≥ 0.5 as g01–g06), with community
+    * sizes — the density-grain counterpart of g01's components. */
+  def g20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lab = labelPropagation(Dedup.jaccardPairs(s, dir, 0.5))
+    val sizes = lab.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, Seq("lbl"))
+      .select($"doc_id", $"lbl".as("community"), $"community_size")
+      .orderBy($"doc_id")
+  }
+
+  /** The 4 LPA rounds unrolled over the shared edge prelude; row_number
+    * (c DESC, lbl ASC) mirrors the Spark argmax tiebreak exactly. */
+  val g20Sql: String = {
+    val prelude =
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM words, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)),
+        |df AS (SELECT s, COUNT(*) AS df FROM sh0 GROUP BY s),
+        |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN df ON sh0.s = df.s
+        |       WHERE df.df <= 1000),
+        |sizes0 AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id),
+        |edges AS (SELECT da, db FROM inter
+        |          JOIN sizes0 sa ON da = sa.doc_id JOIN sizes0 sb ON db = sb.doc_id
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |sym AS (SELECT da, db FROM edges UNION SELECT db, da FROM edges),
+        |nodes AS (SELECT DISTINCT da AS doc_id FROM sym),
+        |lab0 AS (SELECT doc_id, doc_id AS lbl FROM nodes)""".stripMargin
+    val round = (i: Int) =>
+      s"""v$i AS (SELECT s.db AS v, l.lbl, COUNT(*) AS c
+         |       FROM sym s JOIN lab${i - 1} l ON s.da = l.doc_id GROUP BY 1, 2),
+         |lab$i AS (SELECT v AS doc_id, lbl FROM (
+         |    SELECT v, lbl, row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl) AS rn
+         |    FROM v$i) WHERE rn = 1)""".stripMargin
+    s"""$prelude,
+       |${(1 to 4).map(round).mkString(",\n")},
+       |cs AS (SELECT lbl, COUNT(*) AS size FROM lab4 GROUP BY lbl)
+       |SELECT l.doc_id, CAST(l.lbl AS BIGINT) AS community,
+       |  CAST(cs.size AS BIGINT) AS community_size
+       |FROM lab4 l JOIN cs ON l.lbl = cs.lbl
+       |ORDER BY l.doc_id""".stripMargin
+  }
 }

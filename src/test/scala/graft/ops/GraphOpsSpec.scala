@@ -109,6 +109,32 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(runTriangles(g) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 0L))
   }
 
+  test("LPA splits a bridged barbell that components merge; ties break to min label") {
+    val s = spark
+    import s.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by bridge 3-4: one
+    // connected component, but the dense groups are separate communities.
+    // Hand-simulated 4 synchronous rounds (neighbor-majority, min-label
+    // tiebreak): {1,2,3} -> 1, {4,5,6} -> 3.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L)
+    // both physical strategies (single-task local finish and the
+    // distributed loop) must apply the identical synchronous update
+    val local = GraphOps.labelPropagation(g.toDF("da", "db"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = GraphOps.labelPropagation(g.toDF("da", "db"),
+        localFinishEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected, local)
+    assert(loop == expected, loop)
+    // components on the same graph: ONE cluster — LPA is the finer grain
+    val comp = GraphOps.components(g.toDF("da", "db"))
+      .collect().map(_.getLong(1)).distinct
+    assert(comp.length == 1)
+  }
+
   test("clustering coefficient: K4 is all 1.0, pendant 0, hinge 1/3") {
     val s = spark
     import s.implicits._
