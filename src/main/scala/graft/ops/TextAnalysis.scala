@@ -2733,6 +2733,73 @@ object TextAnalysis {
       |JOIN sizes sb ON i.src_b = sb.source
       |ORDER BY i.src_a, i.src_b""".stripMargin
 
+  // ---------------------------------------------------------------- t44
+  /** Deterministic curriculum interleave — the EPOCH-ASSEMBLY artifact a
+    * training run consumes after curation: every doc gets a global
+    * training position such that any prefix of the schedule matches the
+    * corpus mixture (per-source token share). Mechanics: sources weight
+    * by integer token-share ppm; docs order within their source by
+    * (md5(text), doc_id) — the content-keyed deterministic shuffle — at
+    * position p; the interleave key k = p·10⁶ div ppm is the classic
+    * weighted round-robin stride (heavier sources stride shorter, so
+    * they appear proportionally more often early). Emitted: the first
+    * 200 schedule slots — the first-batch manifest.
+    *
+    * Determinism: ppm and k are integer floor divisions; the schedule
+    * order (k, source, p) is a total order; md5 ties are broken by
+    * doc_id — engine-exact everywhere.
+    *
+    * Scale (100 TB): the per-source window sort is the once-per-epoch
+    * shard sort every training-data pipeline pays (distributed range
+    * sort per source; skew follows source sizes, the usual sharding
+    * answer applies); source shares are a |sources|-row fixed-domain
+    * broadcast; the final top-200 lowers to TakeOrdered — no global
+    * row_number over the corpus, the 200-row window ranks post-limit. */
+  def t44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        size(words($"text")).cast(LongType).as("n_tokens"),
+        md5($"text").as("h"))
+    val srcTot = perDoc.groupBy($"source").agg(sum($"n_tokens").as("tok"))
+    val total = srcTot.agg(sum($"tok").as("tot"))
+    val shares = srcTot.crossJoin(broadcast(total))
+      .select($"source", expr("(1000000 * tok) div tot").as("ppm"))
+    val pos = perDoc.withColumn("p",
+      row_number().over(Window.partitionBy($"source").orderBy($"h", $"doc_id"))
+        .cast(LongType))
+    val first = pos.join(broadcast(shares), Seq("source"))
+      .withColumn("k", expr("(p * 1000000) div ppm"))
+      .select($"doc_id", $"source", $"p", $"k")
+      .orderBy($"k", $"source", $"p").limit(200)
+    first
+      .withColumn("train_pos",
+        row_number().over(Window.orderBy($"k", $"source", $"p")).cast(LongType))
+      .select($"train_pos", $"doc_id", $"source", $"p", $"k")
+      .orderBy($"train_pos")
+  }
+
+  val t44Sql: String =
+    """WITH perdoc AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    md5(text) AS h
+      |  FROM documents),
+      |tot AS (SELECT source, SUM(n_tokens) AS tok FROM perdoc GROUP BY source),
+      |allt AS (SELECT SUM(tok) AS t FROM tot),
+      |shares AS (SELECT source, (1000000 * tok) // t AS ppm FROM tot, allt),
+      |pos AS (SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS p
+      |  FROM perdoc),
+      |keyed AS (SELECT pos.doc_id, pos.source, p,
+      |    CAST((p * 1000000) // ppm AS BIGINT) AS k
+      |  FROM pos JOIN shares ON pos.source = shares.source),
+      |lim AS (SELECT * FROM keyed ORDER BY k, source, p LIMIT 200)
+      |SELECT CAST(row_number() OVER (ORDER BY k, source, p) AS BIGINT) AS train_pos,
+      |  doc_id, source, p, k
+      |FROM lim ORDER BY train_pos""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2776,5 +2843,6 @@ object TextAnalysis {
     Q("t40_bigram_backoff", t40, Some(t40Sql)),
     Q("t41_leakage_safe_split", t41, Some(t41Sql)),
     Q("t42_length_burstiness", t42, Some(t42Sql)),
-    Q("t43_vocab_overlap", t43, Some(t43Sql)))
+    Q("t43_vocab_overlap", t43, Some(t43Sql)),
+    Q("t44_curriculum_interleave", t44, Some(t44Sql)))
 }

@@ -224,6 +224,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("t44: schedule prefix lowers to TakeOrdered; the only full window partitions by source") {
+    val p = simplePlan(TextAnalysis.t44(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-200 schedule prefix did not lower to per-partition heaps:\n$p")
+    // the single-partition window may rank only the post-limit 200 rows;
+    // the corpus-sized window must be the per-source position sort
+    assert(p.contains("windowspecdefinition(source"),
+      s"per-source position window absent:\n$p")
+  }
+
   test("t12: the fused kernel leaves ONE corpus exchange (the trigram agg)") {
     val p = simplePlan(TextAnalysis.t12(spark, dir))
     val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
