@@ -2800,6 +2800,69 @@ object TextAnalysis {
       |  doc_id, source, p, k
       |FROM lim ORDER BY train_pos""".stripMargin
 
+  // ---------------------------------------------------------------- t45
+  /** Exact corpus quantiles of an integer quality score — the threshold
+    * picker behind "keep the top X% by quality": for q ∈ {1, 5, 25, 50,
+    * 75, 95, 99} the smallest score whose cumulative count reaches
+    * ⌈q·n/100⌉ (the discrete lower quantile), plus how many docs sit at
+    * or below it. Score here: distinct-token ratio in ppm (t02's
+    * lexical-diversity signal as a pure integer).
+    *
+    * Why not approx_percentile: a filtering threshold feeds a REPRODUCIBLE
+    * keep/drop decision — sketch quantiles drift run-to-run and
+    * engine-to-engine. The exact construction is the standard scale
+    * pattern for BOUNDED-DOMAIN scores: one corpus pass builds the score
+    * histogram (≤ 10⁶+1 rows by construction, independent of corpus
+    * size), the cumulative walk and threshold picks run on the
+    * DOMAIN-sized frame. The single-partition cumsum window is bounded
+    * by the score domain, never the corpus — the q-grid is a 7-row
+    * fixed-domain cross join.
+    *
+    * Determinism: histogram counts, ⌈·⌉ by integer arithmetic, min-score
+    * pick — all exact integers, engine-identical. */
+  def t45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val score = Tables.t(s, dir, "documents")
+      .select(expr(
+        "(1000000 * size(array_distinct(split(text, ' ')))) div size(split(text, ' '))")
+        .as("score_ppm"))
+    val hist = score.groupBy($"score_ppm").agg(count(lit(1)).as("cnt"))
+    val cum = hist.withColumn("cum",
+      sum($"cnt").over(Window.orderBy($"score_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = hist.agg(sum($"cnt").as("n"))
+    val qs = s.range(1, 8).select(
+      element_at(array(Seq(1, 5, 25, 50, 75, 95, 99).map(lit): _*), $"id".cast("int"))
+        .cast(LongType).as("q_pct"))
+    qs.crossJoin(broadcast(total))
+      .join(cum, $"cum" >= expr("(q_pct * n + 99) div 100"))
+      .groupBy($"q_pct")
+      .agg(min(struct($"score_ppm", $"cum")).as("m"))
+      .select($"q_pct", $"m.score_ppm".as("threshold_ppm"),
+        $"m.cum".as("n_at_or_below"))
+      .orderBy($"q_pct")
+  }
+
+  val t45Sql: String =
+    """WITH sc AS (
+      |  SELECT (1000000 * len(list_distinct(string_split(text, ' '))))
+      |    // len(string_split(text, ' ')) AS score_ppm
+      |  FROM documents),
+      |hist AS (SELECT score_ppm, COUNT(*) AS cnt FROM sc GROUP BY score_ppm),
+      |cum AS (SELECT score_ppm, cnt,
+      |    SUM(cnt) OVER (ORDER BY score_ppm
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM hist),
+      |tot AS (SELECT SUM(cnt) AS n FROM hist),
+      |qs AS (SELECT UNNEST([1, 5, 25, 50, 75, 95, 99]) AS q_pct)
+      |SELECT CAST(q.q_pct AS BIGINT) AS q_pct,
+      |  CAST(MIN(c.score_ppm) AS BIGINT) AS threshold_ppm,
+      |  CAST(MIN(c.cum) AS BIGINT) AS n_at_or_below
+      |FROM qs q CROSS JOIN tot t CROSS JOIN cum c
+      |WHERE c.cum >= (q.q_pct * t.n + 99) // 100
+      |GROUP BY q.q_pct ORDER BY q_pct""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2844,5 +2907,6 @@ object TextAnalysis {
     Q("t41_leakage_safe_split", t41, Some(t41Sql)),
     Q("t42_length_burstiness", t42, Some(t42Sql)),
     Q("t43_vocab_overlap", t43, Some(t43Sql)),
-    Q("t44_curriculum_interleave", t44, Some(t44Sql)))
+    Q("t44_curriculum_interleave", t44, Some(t44Sql)),
+    Q("t45_quality_quantiles", t45, Some(t45Sql)))
 }
