@@ -468,8 +468,9 @@ object HashedBow {
   def apply(c: Column, buckets: Int): Column =
     Bridge.column(HashedBow(Bridge.expression(c), buckets))
 
-  /** Static kernel shared by interpreted eval and generated code. */
-  def compute(s: UTF8String, buckets: Int): org.apache.spark.sql.catalyst.InternalRow = {
+  /** Dense bucket-count vector of the feature-hashed BOW — the shared
+    * walk behind [[compute]] and [[HashedBowCounts]]. */
+  def computeCounts(s: UTF8String, buckets: Int): Array[Long] = {
     val str = s.toString
     val cnt = new Array[Long](buckets)
     var h = 0L
@@ -482,6 +483,12 @@ object HashedBow {
       i += Character.charCount(cp)
     }
     cnt((h % buckets).toInt) += 1 // final token; trailing empty included
+    cnt
+  }
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(s: UTF8String, buckets: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val cnt = computeCounts(s, buckets)
     var nnz = 0L; var l2 = 0L; var max = 0L; var arg = 0L
     var b = 0
     while (b < buckets) {
@@ -494,6 +501,42 @@ object HashedBow {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nnz, l2, max, arg))
   }
+}
+
+/** The dense bucket-count VECTOR of the feature-hashed bag-of-words —
+  * [[HashedBow]]'s walk, but returning all `buckets` counts (zeros
+  * included, index = bucket id) instead of the folded summary. One
+  * compiled loop per row; the array is `buckets` longs regardless of
+  * document length, so downstream positional ops (`zip_with` against a
+  * broadcast weight vector, positional explode for distribution fits)
+  * stay aligned with no sparse-key join. */
+case class HashedBowCounts(child: Expression, buckets: Int)
+    extends UnaryExpression {
+  require(buckets >= 1, s"bucket count must be >= 1, got $buckets")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_bow_counts expects string, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    HashedBowCounts.compute(input.asInstanceOf[UTF8String], buckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedBowCounts.compute($c, $buckets);")
+  override protected def withNewChildInternal(newChild: Expression): HashedBowCounts =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_bow_counts"
+}
+
+object HashedBowCounts {
+  import org.apache.spark.sql.graftbridge.Bridge
+  def apply(c: Column, buckets: Int): Column =
+    Bridge.column(HashedBowCounts(Bridge.expression(c), buckets))
+
+  def compute(s: UTF8String, buckets: Int): GenericArrayData =
+    new GenericArrayData(HashedBow.computeCounts(s, buckets))
 }
 
 /** DISTINCT character k-grams of a string, first-occurrence order — the

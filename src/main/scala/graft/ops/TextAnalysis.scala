@@ -2863,6 +2863,116 @@ object TextAnalysis {
       |WHERE c.cum >= (q.q_pct * t.n + 99) // 100
       |GROUP BY q.q_pct ORDER BY q_pct""".stripMargin
 
+  // ---------------------------------------------------------------- t46
+  /** DSIR-style target-conditional data selection (Xie et al., NeurIPS
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"), in exact integer arithmetic: score every document by
+    * how much its hashed n-gram feature mass is ENRICHED in a target
+    * distribution vs the raw corpus, then keep the top 20%.
+    *
+    *   - features: t36's feature-hashed BOW (polynomial rolling hash mod
+    *     16 buckets — production uses 2¹⁸; the shape is identical);
+    *   - target: `lang = 'en'` documents (the paper's "formal text"
+    *     target stand-in; any doc predicate slots in);
+    *   - bucket weight: add-one-smoothed enrichment ratio in ppm,
+    *     w_b = ⌊(tgt_b+1)·(raw_tot+B)·10⁶ / ((raw_b+1)·(tgt_tot+B))⌋ —
+    *     the exact-integer coarsening of the paper's log-likelihood
+    *     ratio (monotone in the per-bucket ratio; products run in
+    *     DECIMAL(38) / HUGEINT so 10¹²-token counts cannot overflow);
+    *   - doc score: Σ_b cnt_b·w_b (int64 dot product);
+    *   - selection: top-2 deciles of (score, doc_id) via the
+    *     distributed exact ntile — the reproducible keep set.
+    *
+    * Output: per-source selection report — the mixture-shift readout
+    * (DSIR's whole point is that target-like sources survive selection).
+    *
+    * Determinism: hash/counts/weights/scores are integers; ties break on
+    * doc_id; ntile arithmetic is Spark-exact on both engines.
+    *
+    * Scale (100 TB): the distributions are ONE map-side-combining pass
+    * collapsing to B rows; weights are a B-row broadcast (≤ 2¹⁸ rows,
+    * ~4 MB, bounded by the hash width — never by corpus or vocabulary);
+    * scoring is narrow scan work (zip_with against the broadcast weight
+    * vector — no doc-grain exchange); the only corpus-sized shuffle is
+    * [[globalNtile]]'s range sort of 24-byte (doc_id, source, score)
+    * rows. No vocabulary is ever built — the hashing trick keeps the
+    * pipeline dictionary-free exactly as t36 documents. */
+  val DsirTargetLang = "en"
+
+  def t46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", $"lang",
+        graft.functions.HashedBowCounts($"text", HashBuckets).as("cnts"))
+    // B-row distribution fit: posexplode keeps zero buckets so the dense
+    // weight vector always has exactly B entries
+    val pairs = perDoc.select($"lang",
+      posexplode($"cnts").as(Seq("bucket", "cnt")))
+    val dist = pairs.groupBy($"bucket").agg(
+      sum($"cnt").as("raw_b"),
+      sum(when($"lang" === DsirTargetLang, $"cnt").otherwise(0L)).as("tgt_b"))
+    val tot = dist.agg(sum($"raw_b").as("raw_tot"), sum($"tgt_b").as("tgt_tot"))
+    val weights = dist.crossJoin(broadcast(tot)).select(
+      $"bucket",
+      expr(s"""(cast(tgt_b + 1 as decimal(38, 0)) * (raw_tot + $HashBuckets)
+              | * 1000000)
+              | div (cast(raw_b + 1 as decimal(38, 0)) * (tgt_tot + $HashBuckets))
+              |""".stripMargin.replace("\n", " ")).as("w_ppm"))
+    // pack the B weights into ONE broadcast row → per-doc scoring is narrow
+    val wrow = weights.agg(
+      transform(array_sort(collect_list(struct($"bucket", $"w_ppm"))),
+        x => x("w_ppm")).as("w"))
+    val scored = perDoc.crossJoin(broadcast(wrow)).select(
+      $"doc_id", $"source",
+      aggregate(zip_with($"cnts", $"w", (c, w) => c * w),
+        lit(0L), (a, x) => a + x).as("score"))
+    globalNtile(scored, 10, $"score", $"doc_id")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"decile" >= 9, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"decile" >= 9, $"score").otherwise(0L)).as("kept_score"))
+      .withColumn("kept_ppm", expr("(1000000 * n_kept) div n_docs"))
+      .select($"source", $"n_docs", $"n_kept", $"kept_ppm", $"kept_score")
+      .orderBy($"source")
+  }
+
+  val t46Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source, lang, list_transform(string_split(text, ' '), w ->
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, x) -> (a * 31 + x) % 1000000007) % $HashBuckets) AS bk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, lang, list_transform(range($HashBuckets), i ->
+       |    CAST(len(list_filter(bk, x -> x = i)) AS BIGINT)) AS cnts
+       |  FROM b),
+       |p AS (
+       |  SELECT doc_id, source, lang,
+       |    UNNEST(range($HashBuckets)) AS bucket, UNNEST(cnts) AS cnt
+       |  FROM c),
+       |dist AS (
+       |  SELECT bucket, SUM(cnt) AS raw_b,
+       |    SUM(CASE WHEN lang = '$DsirTargetLang' THEN cnt ELSE 0 END) AS tgt_b
+       |  FROM p GROUP BY bucket),
+       |tot AS (SELECT SUM(raw_b) AS raw_tot, SUM(tgt_b) AS tgt_tot FROM dist),
+       |w AS (
+       |  SELECT bucket,
+       |    ((tgt_b + 1)::HUGEINT * (raw_tot + $HashBuckets) * 1000000)
+       |      // ((raw_b + 1)::HUGEINT * (tgt_tot + $HashBuckets)) AS w_ppm
+       |  FROM dist, tot),
+       |sc AS (
+       |  SELECT p.doc_id, p.source, CAST(SUM(p.cnt * w.w_ppm) AS BIGINT) AS score
+       |  FROM p JOIN w USING (bucket) GROUP BY p.doc_id, p.source),
+       |n AS (SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS decile FROM sc)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN decile >= 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST((1000000 * SUM(CASE WHEN decile >= 9 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS kept_ppm,
+       |  CAST(SUM(CASE WHEN decile >= 9 THEN score ELSE 0 END) AS BIGINT) AS kept_score
+       |FROM n GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -2908,5 +3018,6 @@ object TextAnalysis {
     Q("t42_length_burstiness", t42, Some(t42Sql)),
     Q("t43_vocab_overlap", t43, Some(t43Sql)),
     Q("t44_curriculum_interleave", t44, Some(t44Sql)),
-    Q("t45_quality_quantiles", t45, Some(t45Sql)))
+    Q("t45_quality_quantiles", t45, Some(t45Sql)),
+    Q("t46_dsir_selection", t46, Some(t46Sql)))
 }

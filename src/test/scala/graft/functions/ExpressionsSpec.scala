@@ -443,6 +443,35 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("HashedBowCounts is the dense vector behind HashedBow's summary") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val cases = Seq("", " ", "a", "a b a", "a  b ", "tie0 tie1",
+      "多字节 токены mixed ascii") ++
+      (1 to 25).map(_ => (1 to rnd.nextInt(30)).map(_ =>
+        rnd.alphanumeric.take(rnd.nextInt(8)).mkString).mkString(" "))
+    val rows = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id",
+        HashedBowCounts($"t", 16).as("cnts"),
+        HashedBow($"t", 16).as("sum"),
+        (size(split($"t", " ", -1))).cast("long").as("n_tok"))
+      .collect()
+    rows.foreach { r =>
+      val cnts = r.getSeq[Long](1)
+      val sm = r.getStruct(2)
+      assert(cnts.length == 16, s"case ${r.getLong(0)}: width")
+      // the dense vector folds to exactly HashedBow's summary fields
+      assert(cnts.count(_ > 0).toLong == sm.getLong(0), "nnz")
+      assert(cnts.map(c => c * c).sum == sm.getLong(1), "l2sq")
+      assert(cnts.max == sm.getLong(2), "max_cnt")
+      assert(cnts.indexOf(cnts.max).toLong == sm.getLong(3), "top_bucket")
+      // total mass = token count (trailing/consecutive empties included)
+      assert(cnts.sum == r.getLong(3), s"case ${r.getLong(0)}: mass")
+    }
+  }
+
   test("CharGrams equals the sliding-substring HOF chain, distinct + ordered") {
     def brute(t: String, k: Int): Seq[String] = {
       val cps = t.codePoints().toArray
