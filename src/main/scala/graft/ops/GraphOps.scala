@@ -1501,6 +1501,92 @@ object GraphOps {
       |FROM cs JOIN ec ON cs.component = ec.component
       |ORDER BY cs.component""".stripMargin
 
+  // ---------------------------------------------------------------- g21
+  /** g21: Resource-Allocation link prediction over the co-purchase graph
+    * (Zhou, Lü & Zhang, Eur. Phys. J. B 71, 2009 — the local-information
+    * index that consistently beats Adamic–Adar in their benchmarks):
+    * parts are vertices, an edge means "co-ordered in ≥ 2 orders"
+    * (support cut, g17's debulking move), and for every NON-adjacent
+    * pair (x, y), RA(x,y) = Σ_{z ∈ Γ(x)∩Γ(y)} 1/deg(z) — the top-20
+    * ranked predictions are the recommendation candidates the
+    * co-purchase evidence almost, but never directly, supports. (The
+    * near-dup graph is the WRONG substrate here: Jaccard ≥ t is
+    * near-transitive, so its open-wedge set is empty at every t —
+    * verified at both SFs; basket co-occurrence is the textbook open
+    * graph.)
+    *
+    * Exact-integer form: the weight is 10⁶ div deg(z) and the score the
+    * int64 sum — Adamic–Adar's 1/log(deg) would drag a transcendental
+    * into the gate; RA's plain reciprocal is floor-div-exact on both
+    * engines (and is the better-published index anyway).
+    *
+    * Hub cut: middles with deg > 1000 are dropped before the wedge
+    * join — a hub middle contributes ≤ 10⁶/1000 per pair (noise) yet
+    * costs deg² wedge rows; bounding it keeps the join
+    * Σ min(deg, 1000)² instead of unbounded-quadratic in the hubbiest
+    * part.
+    *
+    * Scale (100 TB): the pair generator fans out C(items-per-order, 2)
+    * per order — bounded by basket size, never quadratic in parts; the
+    * support cut collapses it map-side. Degrees ride ONE vertex-keyed
+    * aggregation and attach to the wedge frame on the SAME key the
+    * wedge join shuffles on (no extra exchange); candidates collapse in
+    * a map-side-combining (x, y) aggregation; existing edges leave via
+    * left_anti on the low→high pair key; top-20 is TakeOrdered — no
+    * global sort ever materializes. No collect, no broadcast of
+    * anything vertex-sized. */
+  val RaMaxMiddleDegree = 1000L
+  val RaMinSupport = 2L
+
+  def g21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val op = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val e = op.as("a").join(op.as("b"),
+      col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("da"), col("b.l_partkey").as("db"))
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= RaMinSupport)
+      .select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
+      .localCheckpoint(eager = false) // reused: sym + the anti-join probe
+    val sym = e.union(e.select($"db".as("da"), $"da".as("db")))
+      .localCheckpoint(eager = false) // reused: degrees + both wedge sides
+    val deg = sym.groupBy($"da").agg(count(lit(1)).as("d"))
+    // middle-degree weight joins on da — the wedge join's own key
+    val mid = sym.join(deg.filter($"d" <= RaMaxMiddleDegree), Seq("da"))
+      .select($"da".as("z"), $"db".as("x"), expr("1000000 div d").as("w"))
+    val wedges = mid.as("l").join(sym.as("r"),
+      col("l.z") === col("r.da") && col("l.x") < col("r.db"))
+      .select(col("l.x").as("x"), col("r.db").as("y"), col("l.w").as("w"))
+    wedges.groupBy($"x", $"y").agg(sum($"w").as("ra_score"))
+      .join(e, $"x" === $"da" && $"y" === $"db", "left_anti")
+      .select($"x".as("da"), $"y".as("db"), $"ra_score")
+      .orderBy($"ra_score".desc, $"da", $"db").limit(20)
+  }
+
+  val g21Sql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |co AS (SELECT a.l_partkey AS da, b.l_partkey AS db, COUNT(*) AS support
+       |       FROM op a JOIN op b
+       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2),
+       |edges AS (SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db
+       |          FROM co WHERE support >= $RaMinSupport),
+       |sym AS (SELECT da, db FROM edges UNION ALL SELECT db, da FROM edges),
+       |deg AS (SELECT da AS z, COUNT(*) AS d FROM sym GROUP BY da),
+       |mid AS (SELECT s.da AS z, s.db AS x, 1000000 // d AS w
+       |        FROM sym s JOIN deg ON s.da = deg.z
+       |        WHERE d <= $RaMaxMiddleDegree),
+       |wed AS (SELECT m.x, s2.db AS y, m.w
+       |        FROM mid m JOIN sym s2 ON m.z = s2.da AND m.x < s2.db),
+       |cand AS (SELECT x, y, CAST(SUM(w) AS BIGINT) AS ra_score
+       |         FROM wed GROUP BY x, y),
+       |pred AS (SELECT * FROM cand WHERE NOT EXISTS
+       |          (SELECT 1 FROM edges e WHERE e.da = cand.x AND e.db = cand.y))
+       |SELECT x AS da, y AS db, ra_score FROM pred
+       |ORDER BY ra_score DESC, da, db LIMIT 20""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -1521,7 +1607,8 @@ object GraphOps {
     Q("g17_edge_support", g17, Some(g17Sql)),
     Q("g18_incremental_components", g18, Some(g18Sql)),
     Q("g19_component_density", g19, Some(g19Sql)),
-    Q("g20_lpa_communities", g20, Some(g20Sql)))
+    Q("g20_lpa_communities", g20, Some(g20Sql)),
+    Q("g21_link_prediction", g21, Some(g21Sql)))
 
   // ---------------------------------------------------------------- g16
   /** Component-size profile of the near-dup graph — the OVER-MERGING
