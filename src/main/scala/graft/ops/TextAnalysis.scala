@@ -2899,27 +2899,37 @@ object TextAnalysis {
     * pipeline dictionary-free exactly as t36 documents. */
   val DsirTargetLang = "en"
 
-  def t46(s: SparkSession, dir: String): DataFrame = {
+  /** The B-row DSIR weight fit of t46, split out so the streaming gate's
+    * offline training path ([[graft.streaming.Streams.dsirGate]]) shares
+    * the exact arithmetic: (bucket, w_ppm) for every bucket, zero
+    * buckets included (posexplode of the dense kernel vector), so the
+    * packed weight vector always has exactly [[HashBuckets]] entries. */
+  private[graft] def dsirWeights(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
     import s.implicits._
-    val perDoc = Tables.t(s, dir, "documents")
-      .select($"doc_id", $"source", $"lang",
+    val pairs = docsIn
+      .select($"lang",
         graft.functions.HashedBowCounts($"text", HashBuckets).as("cnts"))
-    // B-row distribution fit: posexplode keeps zero buckets so the dense
-    // weight vector always has exactly B entries
-    val pairs = perDoc.select($"lang",
-      posexplode($"cnts").as(Seq("bucket", "cnt")))
+      .select($"lang", posexplode($"cnts").as(Seq("bucket", "cnt")))
     val dist = pairs.groupBy($"bucket").agg(
       sum($"cnt").as("raw_b"),
       sum(when($"lang" === DsirTargetLang, $"cnt").otherwise(0L)).as("tgt_b"))
     val tot = dist.agg(sum($"raw_b").as("raw_tot"), sum($"tgt_b").as("tgt_tot"))
-    val weights = dist.crossJoin(broadcast(tot)).select(
+    dist.crossJoin(broadcast(tot)).select(
       $"bucket",
       expr(s"""(cast(tgt_b + 1 as decimal(38, 0)) * (raw_tot + $HashBuckets)
               | * 1000000)
               | div (cast(raw_b + 1 as decimal(38, 0)) * (tgt_tot + $HashBuckets))
               |""".stripMargin.replace("\n", " ")).as("w_ppm"))
+  }
+
+  def t46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+    val perDoc = docs.select($"doc_id", $"source",
+      graft.functions.HashedBowCounts($"text", HashBuckets).as("cnts"))
     // pack the B weights into ONE broadcast row → per-doc scoring is narrow
-    val wrow = weights.agg(
+    val wrow = dsirWeights(docs).agg(
       transform(array_sort(collect_list(struct($"bucket", $"w_ppm"))),
         x => x("w_ppm")).as("w"))
     val scored = perDoc.crossJoin(broadcast(wrow)).select(

@@ -684,6 +684,35 @@ object Streams {
         coalesce($"pieces_per_word_ppm" <= maxPiecesPerWordPpm, lit(true)))
   }
 
+  /** Streaming DSIR selection gate — the serving twin of batch t46: every
+    * arriving document is scored against a FROZEN hashed-n-gram
+    * importance-weight vector (batch-fit offline by
+    * [[graft.ops.TextAnalysis.dsirWeights]] over the reference corpus —
+    * B longs, bounded by the hash width, never by vocabulary or corpus)
+    * and kept when its int64 dot-product score reaches `minScore` (the
+    * batch side exports the threshold as a t45-style exact quantile of
+    * training-corpus scores). Kernel, weights and arithmetic are the
+    * batch op's own, so ingest and backfill make bit-identical keep
+    * decisions — the kappa property, pinned by StreamsSpec.
+    *
+    * Stateless narrow per-row work (no watermark, no state store, no
+    * join — the weight vector rides in as a literal): pipelines at
+    * source parallelism like [[scrubIngest]] and [[rulesGateIngest]],
+    * which this composes with in a real curation ingest. */
+  def dsirGate(docs: DataFrame, weightsPpm: Seq[Long], minScore: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(weightsPpm.nonEmpty, "weight vector must be non-empty")
+    docs
+      .select($"doc_id",
+        graft.functions.HashedBowCounts($"text", weightsPpm.length).as("cnts"),
+        lit(weightsPpm.toArray).as("w"))
+      .select($"doc_id",
+        aggregate(zip_with($"cnts", $"w", (c, w) => c * w),
+          lit(0L), (a, x) => a + x).as("score"))
+      .withColumn("keep", $"score" >= minScore)
+  }
+
   def rulesGateIngest(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -397,6 +397,50 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("dsirGate: frozen-weight scores equal the batch fit + dot product (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // train the weights offline on a corpus where 'en' over-represents
+    // the word "alpha" and other langs over-represent "omega"
+    val corpus = Seq(
+      (1L, "alpha alpha beta", "en"),
+      (2L, "alpha gamma beta", "en"),
+      (3L, "omega omega delta", "zh"),
+      (4L, "omega epsilon", "fr")).toDF("doc_id", "text", "lang")
+    val w = graft.ops.TextAnalysis.dsirWeights(corpus)
+      .orderBy($"bucket").collect().map(_.getLong(1)).toSeq
+    assert(w.length == graft.ops.TextAnalysis.HashBuckets)
+
+    val arriving = Seq(
+      (10L, "alpha alpha alpha"), // target-like: should score high
+      (11L, "omega omega omega")) // raw-like: should score low
+    val batch = Streams.dsirGate(
+      arriving.toDF("doc_id", "text"), w, minScore = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val scoreHi = batch.find(_._1 == 10L).get._2
+    val scoreLo = batch.find(_._1 == 11L).get._2
+    assert(scoreHi > scoreLo, s"target-like $scoreHi !> raw-like $scoreLo")
+
+    // threshold between the two scores splits keeps deterministically;
+    // the streamed decisions must be bit-identical to batch
+    val cut = scoreLo + (scoreHi - scoreLo) / 2
+    val expected = Streams.dsirGate(arriving.toDF("doc_id", "text"), w, cut)
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dsirGate(in.toDF().toDF("doc_id", "text"), w, cut)
+      .writeStream.format("memory").queryName("dsir_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = s.table("dsir_out").collect().map(_.toSeq).toSet
+      assert(streamed == expected)
+      assert(streamed.exists(r => r.head == 10L && r.last == true))
+      assert(streamed.exists(r => r.head == 11L && r.last == false))
+    } finally q.stop()
+  }
+
   test("trendingNgrams: windowed trigram counts emit when the watermark passes") {
     val s = spark
     import s.implicits._
