@@ -1540,15 +1540,23 @@ object GraphOps {
 
   def g21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val op = Tables.t(s, dir, "lineitem")
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val e = op.as("a").join(op.as("b"),
-      col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("da"), col("b.l_partkey").as("db"))
+    // basket-collect pair generation: ONE order-keyed exchange replaces
+    // the distinct + self-join (2 fewer shuffles); the in-basket pair
+    // expand is bounded by C(basket,2) — basket size is an order's item
+    // count, never corpus-scaled, so neither the set nor the fan-out
+    // grows past the largest order
+    val baskets = Tables.t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey".cast("long"))).as("parts"))
+    val inst = baskets.select(explode(expr(
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts)),
+        |    y -> struct(x as da, y as db))))""".stripMargin)).as("p"))
+      .select($"p.da".as("da"), $"p.db".as("db"))
+    val e = inst.groupBy($"da", $"db")
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= RaMinSupport)
-      .select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
+      .select($"da", $"db")
       .localCheckpoint(eager = false) // reused: sym + the anti-join probe
     val sym = e.union(e.select($"db".as("da"), $"da".as("db")))
       .localCheckpoint(eager = false) // reused: degrees + both wedge sides
