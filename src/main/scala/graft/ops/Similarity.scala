@@ -1753,5 +1753,91 @@ object Similarity {
     Q("s22_kcenter_coreset", s22, Some(s22Sql)),
     Q("s23_mmr_rerank", s23, Some(s23Sql)),
     Q("s24_centroid_outliers", s24, Some(s24Sql)),
-    Q("s25_knn_confusion", s25, Some(s25Sql)))
+    Q("s25_knn_confusion", s25, Some(s25Sql)),
+    Q("s26_margin_mining", s26, Some(s26Sql)))
+
+  // ---------------------------------------------------------------- s26
+  /** Margin-based candidate-pair mining (Artetxe & Schwenk, ACL 2019 —
+    * the LASER/CCMatrix bitext-mining criterion): a raw cosine threshold
+    * over-mines dense hubs and under-mines sparse regions; the margin
+    * score divides each pair's cosine by the mean of the two endpoints'
+    * local kNN densities, so only pairs that stand OUT of their
+    * neighborhoods survive. Here the two collections are the even- and
+    * odd-label halves of the embedding table (the two-language /
+    * two-modality stand-in): a bounded query batch X (even label,
+    * vec_id % 7 = 0 — the batch an ANN index would serve; modeled
+    * bounded like s16's census sample) mines against the full odd-label
+    * collection Y, margin(x,y) = cos(x,y) / ((dX(x) + dY(y)) / 2k) with
+    * k = 4 and both densities measured inside the X×Y candidate frame.
+    * Output: the top-20 mined pairs.
+    *
+    * Determinism: cosines are the fold-dot; per-endpoint density sums
+    * add round-6 DECIMAL(18,6) terms (exact, order-free); the margin is
+    * ONE IEEE division of engine-exact quantities, ranked on round 6
+    * with (qid, vec_id) tiebreaks.
+    *
+    * Scale (100 TB): X broadcasts (bounded by the batch parameter —
+    * NEVER the collection; a production miner streams batches through
+    * the IVF path of s02/s08 instead of brute force); Y streams in its
+    * scan partitions; BOTH kNN densities are windows over the same
+    * X×Y pair frame — two exchanges (by x, by y), no vector-sized join,
+    * no all-pairs self-join of either collection; top-20 is
+    * TakeOrdered. */
+  def s26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val all = vecs(s, dir)
+    val xb = all.filter($"label" % 2 === 0 && $"vec_id" % 7 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
+    val ys = all.filter($"label" % 2 === 1)
+    val k = 4
+    val dd = DecimalType(18, 6)
+    val pairs = ys.join(broadcast(xb))
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .select($"qid", $"vec_id", $"sim",
+        round($"sim", 6).cast(dd).as("sim6"))
+    val wx = Window.partitionBy($"qid").orderBy($"sim6".desc, $"vec_id")
+    val wxs = Window.partitionBy($"qid")
+    val wy = Window.partitionBy($"vec_id").orderBy($"sim6".desc, $"qid")
+    val wys = Window.partitionBy($"vec_id")
+    pairs
+      .withColumn("rnx", row_number().over(wx))
+      .withColumn("dx", sum(when($"rnx" <= k, $"sim6")
+        .otherwise(lit(0).cast(dd))).over(wxs))
+      .withColumn("rny", row_number().over(wy))
+      .withColumn("dy", sum(when($"rny" <= k, $"sim6")
+        .otherwise(lit(0).cast(dd))).over(wys))
+      .withColumn("margin",
+        $"sim" / (($"dx" + $"dy").cast(DoubleType) / (2.0 * k)))
+      .orderBy(round($"margin", 6).desc, $"qid", $"vec_id").limit(20)
+      .select($"qid", $"vec_id".as("mined_id"),
+        round($"sim", 4).as("sim"), round($"margin", 4).as("margin"))
+  }
+
+  val s26Sql: String =
+    s"""WITH v AS (SELECT vec_id, label, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |x AS (SELECT vec_id AS qid, embedding AS qe, norm AS qnorm
+       |      FROM v WHERE label % 2 = 0 AND vec_id % 7 = 0),
+       |y AS (SELECT vec_id, embedding, norm FROM v WHERE label % 2 = 1),
+       |p0 AS (SELECT qid, vec_id,
+       |    ${dotSql("qe", "embedding")} / (qnorm * norm) AS sim
+       |  FROM y CROSS JOIN x),
+       |p AS (SELECT qid, vec_id, sim,
+       |    CAST(round(sim, 6) AS DECIMAL(18,6)) AS sim6 FROM p0),
+       |r AS (SELECT qid, vec_id, sim, sim6,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim6 DESC, vec_id) AS rnx,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim6 DESC, qid) AS rny
+       |  FROM p),
+       |d AS (SELECT qid, vec_id, sim,
+       |    SUM(CASE WHEN rnx <= 4 THEN sim6 ELSE CAST(0 AS DECIMAL(18,6)) END)
+       |      OVER (PARTITION BY qid) AS dx,
+       |    SUM(CASE WHEN rny <= 4 THEN sim6 ELSE CAST(0 AS DECIMAL(18,6)) END)
+       |      OVER (PARTITION BY vec_id) AS dy
+       |  FROM r),
+       |m AS (SELECT qid, vec_id, sim,
+       |    sim / (CAST(dx + dy AS DOUBLE) / 8.0) AS margin FROM d)
+       |SELECT qid, vec_id AS mined_id, round(sim, 4) AS sim,
+       |  round(margin, 4) AS margin
+       |FROM m ORDER BY round(margin, 6) DESC, qid, vec_id LIMIT 20""".stripMargin
 }
