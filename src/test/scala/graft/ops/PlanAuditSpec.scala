@@ -784,6 +784,33 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!sp.contains("CartesianProduct"), s"probe went cartesian:\n$sp")
   }
 
+  test("t46: the packed weight row broadcasts; scoring is narrow (no doc-grain hash exchange)") {
+    // audit the weight fit + the scoring attach; the final ntile/groupBy
+    // run behind globalNtile's checkpoint boundary
+    val docs = Tables.t(spark, dir, "documents")
+    val p = executedPlan(TextAnalysis.dsirWeights(docs))
+    assert(!p.contains("CartesianProduct"), s"weight fit grew a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row totals frame did not broadcast:\n$p")
+  }
+
+  test("g21: link prediction never broadcasts a vertex-sized frame; top-20 is TakeOrdered") {
+    val p = simplePlan(GraphOps.g21(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 did not lower to per-partition heaps:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+  }
+
+  test("s26: only the bounded query batch broadcasts; top-20 is TakeOrdered") {
+    val p = simplePlan(Similarity.s26(spark, dir))
+    val bcasts = p.linesIterator.count(_.contains("BroadcastExchange"))
+    assert(bcasts == 1, s"expected exactly the query-batch broadcast, got $bcasts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 did not lower to per-partition heaps:\n$p")
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected cartesian:\n$p")
+  }
+
   test("q48: the log collapses once; both lags ride one window over the tiny series") {
     val p = plan(Temporal.q48(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
