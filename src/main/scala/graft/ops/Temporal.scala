@@ -1062,6 +1062,80 @@ object Temporal {
       |    AS share_ppm
       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  /** U-shaped (position-based) multi-touch attribution — the standard
+    * marketing-analytics credit model: every purchase distributes
+    * exactly 10⁶ ppm of credit over the user's preceding touches
+    * (click/view/signup, strictly before the purchase, within 7 days):
+    * first and last touch get 40% each, the middles split the remaining
+    * 20% by integer floor-div with the REMAINDER going to the first
+    * touch (so per-purchase credit sums to exactly 10⁶ — auditable);
+    * one touch takes 100%, two take 50/50. Output: per touch type, how
+    * many touches earned credit and the total credit — the
+    * budget-allocation readout.
+    *
+    * Determinism: touch order is (micros, event_id) — total; credit is
+    * pure integer arithmetic on (rank, n).
+    *
+    * Scale (100 TB): the purchase×touch pairing is a user-keyed join
+    * with a time-range residual — fan-out bounded per user by activity,
+    * never cross-user; ranks and counts ride ONE window exchange on the
+    * purchase id; the rollup is |event types| rows with map-side
+    * combine. No self-join of the full log (touches and purchases are
+    * disjoint row sets of one scan). */
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.t(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("pm"), $"event_id".as("pid"))
+    val touches = ev.filter($"event_type".isin("click", "view", "signup"))
+      .select($"user_id", unix_micros($"ts").as("tm"),
+        $"event_id".as("tid"), $"event_type".as("touch_type"))
+    val week = 7L * 24 * 3600 * 1000000L
+    val paired = purchases.join(touches, Seq("user_id"))
+      .filter($"tm" < $"pm" && $"tm" >= $"pm" - week)
+    val w = Window.partitionBy($"pid").orderBy($"tm", $"tid")
+    val ws = Window.partitionBy($"pid")
+    paired
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("n", count(lit(1)).over(ws))
+      .withColumn("credit_ppm",
+        when($"n" === 1, lit(1000000L))
+          .when($"n" === 2, lit(500000L))
+          .when($"rn" === $"n", lit(400000L))
+          .when($"rn" === 1,
+            lit(400000L) + lit(200000L) - ($"n" - 2) * expr("200000 div (n - 2)"))
+          .otherwise(expr("200000 div (n - 2)")))
+      .groupBy($"touch_type")
+      .agg(count(lit(1)).as("n_touches"), sum($"credit_ppm").as("credit_ppm"))
+      .orderBy($"touch_type")
+  }
+
+  val q54Sql: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS pm, event_id AS pid
+      |           FROM events WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, epoch_us(ts) AS tm, event_id AS tid,
+      |        event_type AS touch_type
+      |      FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      |paired AS (
+      |  SELECT p.pid, t.tid, t.tm, t.touch_type
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |  WHERE t.tm < p.pm AND t.tm >= p.pm - 604800000000),
+      |r AS (SELECT pid, tid, touch_type,
+      |    CAST(row_number() OVER (PARTITION BY pid ORDER BY tm, tid) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS n
+      |  FROM paired),
+      |c AS (SELECT touch_type,
+      |    CASE WHEN n = 1 THEN 1000000
+      |         WHEN n = 2 THEN 500000
+      |         WHEN rn = n THEN 400000
+      |         WHEN rn = 1 THEN 400000 + 200000 - (n - 2) * (200000 // (n - 2))
+      |         ELSE 200000 // (n - 2) END AS credit_ppm
+      |  FROM r)
+      |SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_touches,
+      |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm
+      |FROM c GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -1080,7 +1154,8 @@ object Temporal {
     Q("q49_event_transitions", q49, Some(q49Sql)),
     Q("q50_path_trigrams", q50, Some(q50Sql)),
     Q("q51_activity_deciles", q51, Some(q51Sql)),
-    Q("q52_relational_division", q52, Some(q52Sql)))
+    Q("q52_relational_division", q52, Some(q52Sql)),
+    Q("q54_attribution", q54, Some(q54Sql)))
 
   // ---------------------------------------------------------------- q52
   /** Relational division with support — "users who performed EVERY event
