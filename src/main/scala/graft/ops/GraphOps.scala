@@ -452,13 +452,44 @@ object GraphOps {
     * so plans don't grow with iteration. Peel cascades longer than
     * `rounds` (rare on near-dup graphs, whose components are shallow)
     * leave sub-kc vertices behind — a production run raises `rounds` or
-    * loops until `edges.count()` is stable, same skeleton. */
-  def kcore(edgesIn: DataFrame, kc: Int = 2, rounds: Int = 3): DataFrame = {
+    * loops until `edges.count()` is stable, same skeleton.
+    *
+    * Two physical strategies, the [[labelPropagation]]/components trade:
+    * near-dup edge sets are tiny relative to the corpus, so under
+    * `localFinishEdges` ONE executor task peels in memory — identical
+    * output to the distributed loop by construction (same per-round
+    * degree test on the current surviving edge set), pinned by
+    * GraphOpsSpec, and it replaces rounds × (agg + 2 semi-joins +
+    * checkpoint) of pure stage latency. No collect — the task runs on
+    * an executor. */
+  def kcore(edgesIn: DataFrame, kc: Int = 2, rounds: Int = 3,
+      localFinishEdges: Long = 5000000L): DataFrame = {
     val s = edgesIn.sparkSession
     import s.implicits._
     var edges = edgesIn
       .select($"da".cast("long").as("da"), $"db".cast("long").as("db"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint() // reused: count + (either strategy's) rounds
+    if (edges.count() <= localFinishEdges) {
+      return edges.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        var es = it.toArray
+        for (_ <- 1 to rounds) {
+          val deg = scala.collection.mutable.LongMap.empty[Long]
+          es.foreach { case (a, b) =>
+            deg(a) = deg.getOrElse(a, 0L) + 1L
+            deg(b) = deg.getOrElse(b, 0L) + 1L
+          }
+          es = es.filter { case (a, b) =>
+            deg(a) >= kc && deg(b) >= kc
+          }
+        }
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        es.foreach { case (a, b) =>
+          deg(a) = deg.getOrElse(a, 0L) + 1L
+          deg(b) = deg.getOrElse(b, 0L) + 1L
+        }
+        deg.keys.toArray.sorted.iterator.map(v => (v, deg(v)))
+      }.toDF("doc_id", "degree")
+    }
     def degrees(e: DataFrame): DataFrame =
       e.select(explode(array($"da", $"db")).as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("degree"))

@@ -238,6 +238,25 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
       Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("kcore: local-finish and distributed peel agree on cascading graphs") {
+    val s = spark
+    import s.implicits._
+    // star (full cascade to empty) + triangle (stable) + pendant chain
+    // (one peel per round) — exercises every per-round outcome
+    val graphs = Seq(
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L), (6L, 7L), (5L, 7L)),
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L), (5L, 6L), (6L, 7L)),
+      Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+    graphs.foreach { edges =>
+      val df = edges.toDF("da", "db")
+      val local = GraphOps.kcore(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = GraphOps.kcore(df, localFinishEdges = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == loop, s"strategies disagree on $edges")
+    }
+  }
+
   private def runBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
       maxHops: Int): Map[Long, Long] = {
     val s = spark
