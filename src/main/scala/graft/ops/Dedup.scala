@@ -2223,6 +2223,66 @@ object Dedup {
       |    AS BIGINT) AS share_of_later_ppm
       |FROM m ORDER BY src_earlier, src_later""".stripMargin
 
+  // ---------------------------------------------------------------- d30
+  /** Soft dedup — frequency-weighted downsampling instead of dropping
+    * (the "SoftDeDup" reweighting idea: He et al. 2024, arXiv:2407.04126):
+    * every document in an exact-duplicate cluster of size c keeps
+    * sampling weight 1/c, so each distinct content contributes exactly
+    * one effective document regardless of copy count, while all copies
+    * stay available to the sampler. The report is the per-source budget
+    * readout a mixture planner consumes: raw docs/tokens next to the
+    * EFFECTIVE docs/tokens (in exact ppm, weight = 10⁶ div c) that
+    * survive reweighting — the gap between the two columns is precisely
+    * the over-counted duplicate mass d01 tallies, here priced in tokens.
+    *
+    * Determinism: counts and integer floor-div weights only; every doc
+    * in a cluster shares c, so Σ tok·w folds to w·Σ tok per
+    * (cluster, source) group — no float path anywhere.
+    *
+    * Scale (100 TB): two-level like d01 — the corpus collapses map-side
+    * to distinct (md5 digest, source) groups BEFORE any exchange (a
+    * megadup text is exactly the hot key that combine flattens, which
+    * also kills the skew a doc-grain window over the digest would
+    * re-create); cluster size c is a window sum over that collapsed
+    * frame (second, much smaller exchange keyed by the 16-byte digest);
+    * the final rollup is |sources| rows. Text never shuffles. */
+  def d30(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val grp = Tables.t(s, dir, "documents")
+      .select($"source",
+        md5($"text".cast(BinaryType)).as("h"),
+        size(split($"text", " ")).cast("long").as("tok"))
+      .groupBy($"h", $"source")
+      .agg(count(lit(1)).as("n"), sum($"tok").as("tok"))
+    grp
+      .withColumn("c", sum($"n").over(Window.partitionBy($"h")))
+      .groupBy($"source")
+      .agg(
+        sum($"n").as("n_docs"),
+        sum($"tok").as("raw_tokens"),
+        sum(expr("n * (1000000 div c)")).as("eff_docs_ppm"),
+        sum(expr("tok * (1000000 div c)")).as("eff_tokens_ppm"))
+      .orderBy($"source")
+  }
+
+  /** Oracle mirrors the md5 cluster key (d01's rationale) and the
+    * two-level fold, so both engines floor-divide identical integers. */
+  val d30Sql: String =
+    """WITH d AS (
+      |  SELECT source, md5(text) AS h,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |g AS (SELECT h, source, COUNT(*) AS n, SUM(tok) AS tok
+      |      FROM d GROUP BY h, source),
+      |c AS (SELECT *, SUM(n) OVER (PARTITION BY h) AS c FROM g)
+      |SELECT source,
+      |  CAST(SUM(n) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS raw_tokens,
+      |  CAST(SUM(n * (1000000 // c)) AS BIGINT) AS eff_docs_ppm,
+      |  CAST(SUM(tok * (1000000 // c)) AS BIGINT) AS eff_tokens_ppm
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -2252,5 +2312,6 @@ object Dedup {
     Q("d26_incremental_dedup", d26, Some(d26Sql)),
     Q("d27_keeper_sensitivity", d27, Some(d27Sql)),
     Q("d28_pair_evidence", d28, Some(d28Sql)),
-    Q("d29_copy_direction", d29, Some(d29Sql)))
+    Q("d29_copy_direction", d29, Some(d29Sql)),
+    Q("d30_soft_dedup", d30, Some(d30Sql)))
 }

@@ -1626,6 +1626,87 @@ object GraphOps {
        |SELECT x AS da, y AS db, ra_score FROM pred
        |ORDER BY ra_score DESC, da, db LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- g22
+  /** Two-hop reach profile of the co-purchase graph — the
+    * friend-of-friend expansion-rate readout: for every part, how many
+    * DISTINCT parts are within ≤ 2 hops (direct co-purchase or one
+    * shared neighbor away)? The histogram (reach → node count) is the
+    * capacity planner for anything that fans out over 2-hop
+    * neighborhoods — g21's link-prediction candidate volume, a
+    * recommendation retrieval stage, a graph-sampled training batch —
+    * and its tail is the early-warning for densification (2-hop reach
+    * grows quadratically before 1-hop degree looks alarming).
+    *
+    * Hub cut (g21's): middles with degree > 1000 are excluded from the
+    * expansion — through a hub, "2-hop reach" degenerates to "most of
+    * the graph" while costing deg² join rows; capping keeps the wedge
+    * volume Σ min(deg, 1000)·deg and the metric meaningful. The oracle
+    * mirrors the cap exactly.
+    *
+    * Determinism: pure set cardinalities over integer part keys.
+    *
+    * Scale (100 TB): edges collapse map-side under the support cut
+    * (bounded by basket size, as g21 documents); the wedge join is
+    * keyed on the middle vertex, the de-dup of (node, reached) pairs is
+    * ONE map-side-combining distinct whose volume the hub cut bounds by
+    * cap·|E|, and the reach counts then collapse to a histogram no
+    * larger than the degree domain. No collect, no broadcast of
+    * anything vertex-sized, no global sort (the final order-by rides
+    * the |histogram|-row frame). */
+  def g22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val baskets = Tables.t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey".cast("long"))).as("parts"))
+    val inst = baskets.select(explode(expr(
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts)),
+        |    y -> struct(x as da, y as db))))""".stripMargin)).as("p"))
+      .select($"p.da".as("da"), $"p.db".as("db"))
+    val e = inst.groupBy($"da", $"db")
+      .agg(count(lit(1)).as("support"))
+      .filter($"support" >= RaMinSupport)
+      .select($"da", $"db")
+    val sym = e.union(e.select($"db".as("da"), $"da".as("db")))
+      .localCheckpoint(eager = false) // reused: degrees + both wedge sides
+    val deg = sym.groupBy($"da").agg(count(lit(1)).as("d"))
+    // (z → x) legs whose middle z stays under the hub cap; the join key
+    // da is the wedge join's own key, so degrees attach with no extra
+    // exchange
+    val mid = sym.join(deg.filter($"d" <= RaMaxMiddleDegree), Seq("da"))
+      .select($"da".as("z"), $"db".as("x"))
+    val twoHop = mid.as("l").join(sym.as("r"),
+      col("l.z") === col("r.da") && col("l.x") =!= col("r.db"))
+      .select(col("l.x").as("x"), col("r.db").as("y"))
+    val reach = twoHop.union(sym.select($"da".as("x"), $"db".as("y")))
+      .distinct()
+      .groupBy($"x").agg(count(lit(1)).as("reach"))
+    reach.groupBy($"reach").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"reach")
+  }
+
+  val g22Sql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |co AS (SELECT a.l_partkey AS da, b.l_partkey AS db, COUNT(*) AS support
+       |       FROM op a JOIN op b
+       |         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |       GROUP BY 1, 2),
+       |edges AS (SELECT CAST(da AS BIGINT) AS da, CAST(db AS BIGINT) AS db
+       |          FROM co WHERE support >= $RaMinSupport),
+       |sym AS (SELECT da, db FROM edges UNION ALL SELECT db, da FROM edges),
+       |deg AS (SELECT da AS z, COUNT(*) AS d FROM sym GROUP BY da),
+       |mid AS (SELECT s.da AS z, s.db AS x FROM sym s JOIN deg ON s.da = deg.z
+       |        WHERE d <= $RaMaxMiddleDegree),
+       |two AS (SELECT m.x, s2.db AS y
+       |        FROM mid m JOIN sym s2 ON m.z = s2.da AND m.x <> s2.db),
+       |reach AS (
+       |  SELECT x, COUNT(*) AS reach FROM (
+       |    SELECT DISTINCT x, y FROM
+       |      (SELECT x, y FROM two UNION ALL SELECT da, db FROM sym) u0) u1
+       |  GROUP BY x)
+       |SELECT reach, COUNT(*) AS n_nodes
+       |FROM reach GROUP BY reach ORDER BY reach""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("g01_components", g01, Some(g01Sql), headline = true),
     Q("g02_triangles", g02, Some(g02Sql)),
@@ -1647,7 +1728,8 @@ object GraphOps {
     Q("g18_incremental_components", g18, Some(g18Sql)),
     Q("g19_component_density", g19, Some(g19Sql)),
     Q("g20_lpa_communities", g20, Some(g20Sql)),
-    Q("g21_link_prediction", g21, Some(g21Sql)))
+    Q("g21_link_prediction", g21, Some(g21Sql)),
+    Q("g22_two_hop_reach", g22, Some(g22Sql)))
 
   // ---------------------------------------------------------------- g16
   /** Component-size profile of the near-dup graph — the OVER-MERGING

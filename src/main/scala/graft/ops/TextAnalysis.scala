@@ -2983,6 +2983,61 @@ object TextAnalysis {
        |  CAST(SUM(CASE WHEN decile >= 9 THEN score ELSE 0 END) AS BIGINT) AS kept_score
        |FROM n GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t47
+  /** k-anonymity audit over the corpus's quasi-identifiers (Sweeney 2002)
+    * — the privacy-governance readout a training-data release runs before
+    * shipping: treating (lang, source, length-bucket) as the
+    * quasi-identifier tuple, how many documents sit in an equivalence
+    * class smaller than k? A record in a tiny class is re-identifiable
+    * by its metadata alone even after t13's PII scrub, so release
+    * pipelines either suppress those rows or coarsen the identifiers
+    * until every class reaches k. One row per audited k (2/5/10/20):
+    * class count, classes below k, records at risk, and the at-risk
+    * share of the corpus in exact ppm.
+    *
+    * Determinism: every measure is a count or an integer floor-div —
+    * bit-identical on any engine and any partitioning.
+    *
+    * Scale (100 TB): ONE map-side-combining aggregation collapses the
+    * corpus to its equivalence classes (bounded by the quasi-identifier
+    * domain — |langs|·|sources|·|len buckets|, never by docs; only the
+    * 16-byte-wide key tuple ever shuffles, no text); the per-k sweep
+    * cross-joins a broadcast 4-row k frame against the class frame and
+    * re-aggregates to 4 rows. Nothing touches the corpus twice. */
+  def t47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = Tables.t(s, dir, "documents")
+      .groupBy($"lang", $"source", expr("n_chars div 200").as("len_bucket"))
+      .agg(count(lit(1)).as("csize"))
+      .localCheckpoint(eager = false) // reused by every audited k
+    val ks = Seq(2L, 5L, 10L, 20L).toDF("k")
+    classes.crossJoin(broadcast(ks))
+      .groupBy($"k")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when($"csize" < $"k", 1L).otherwise(0L)).as("risky_classes"),
+        sum(when($"csize" < $"k", $"csize").otherwise(0L)).as("records_at_risk"),
+        expr("(1000000 * sum(case when csize < k then csize else 0 end))" +
+          " div sum(csize)").as("risk_ppm"))
+      .orderBy($"k")
+  }
+
+  val t47Sql: String =
+    """WITH cls AS (
+      |  SELECT lang, source, n_chars // 200 AS len_bucket,
+      |    COUNT(*) AS csize
+      |  FROM documents GROUP BY 1, 2, 3),
+      |ks AS (SELECT UNNEST([2, 5, 10, 20]) AS k)
+      |SELECT CAST(k AS BIGINT) AS k,
+      |  COUNT(*) AS n_classes,
+      |  CAST(SUM(CASE WHEN csize < k THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS risky_classes,
+      |  CAST(SUM(CASE WHEN csize < k THEN csize ELSE 0 END) AS BIGINT)
+      |    AS records_at_risk,
+      |  CAST((1000000 * SUM(CASE WHEN csize < k THEN csize ELSE 0 END))
+      |    // SUM(csize) AS BIGINT) AS risk_ppm
+      |FROM ks CROSS JOIN cls GROUP BY k ORDER BY k""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -3029,5 +3084,6 @@ object TextAnalysis {
     Q("t43_vocab_overlap", t43, Some(t43Sql)),
     Q("t44_curriculum_interleave", t44, Some(t44Sql)),
     Q("t45_quality_quantiles", t45, Some(t45Sql)),
-    Q("t46_dsir_selection", t46, Some(t46Sql)))
+    Q("t46_dsir_selection", t46, Some(t46Sql)),
+    Q("t47_k_anonymity", t47, Some(t47Sql)))
 }

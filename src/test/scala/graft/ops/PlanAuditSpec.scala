@@ -821,4 +821,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!sp.contains("CartesianProduct") && !sp.contains("SortMergeJoin"),
       s"autocorr grew a heavy join:\n$sp")
   }
+
+  test("t47: classes collapse once; only the 4-row k frame broadcasts; text never scans") {
+    val sp = simplePlan(TextAnalysis.t47(spark, dir))
+    val readSchema = sp.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"),
+      s"k-anonymity audit reads document text: $readSchema")
+    assert(!sp.contains("CartesianProduct"), s"k sweep went cartesian:\n$sp")
+    assert(sp.contains("BroadcastNestedLoopJoin") || sp.contains("BroadcastExchange"),
+      s"the 4-row k frame should broadcast:\n$sp")
+  }
+
+  test("d30: soft dedup exchanges carry digests, never text; no join in the plan") {
+    val sp = simplePlan(Dedup.d30(spark, dir))
+    val exchangeLines = sp.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchangeLines.contains("text"),
+      s"document text crosses an exchange:\n$exchangeLines")
+    assert(!sp.contains("Join"), s"reweighting needs no join at all:\n$sp")
+  }
+
+  test("g22: two-hop expansion never broadcasts a vertex-sized frame, no cartesian") {
+    val sp = simplePlan(GraphOps.g22(spark, dir))
+    assert(!sp.contains("CartesianProduct"), s"FoF expansion went cartesian:\n$sp")
+    // exactly ONE range exchange: the final order-by on the
+    // |histogram|-row frame. A second one would mean a global sort
+    // somewhere on the pair-scale frames — the scale smell.
+    val ranges = sp.linesIterator.count(_.contains("rangepartitioning"))
+    assert(ranges <= 1, s"global sort upstream of the histogram:\n$sp")
+  }
 }
