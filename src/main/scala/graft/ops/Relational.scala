@@ -1334,6 +1334,70 @@ object Relational {
       |  CAST((1000000 * SUM(rev)) // (SELECT g FROM tot) AS BIGINT) AS share_ppm
       |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  /** Local-supplier volume (TPC-H Q5 analog): revenue by nation where
+    * customer and supplier share the nation, nations restricted to one
+    * region, orders to one year — the canonical 6-table snowflake probe.
+    *
+    * Join strategy at scale: region⋈nation collapses to a ≤ |nations|
+    * frame FIRST and broadcasts under the fixed-domain rule; the
+    * supplier dim pre-filters through that broadcast so non-region
+    * suppliers never reach a fact join; lineitem⋈orders shuffles on
+    * the order key (both fact-sized — the unavoidable exchange);
+    * supplier and customer attach hint-free (AQE broadcasts them at
+    * bench SF, shuffles at 100 TB where they're 10⁸-row dims). The
+    * co-location predicate c_nationkey = s_nationkey rides the
+    * customer join as a residual, so no extra exchange.
+    *
+    * Money: per-nation groups are corpus-sized, so long-cents partials
+    * combine in DECIMAL(38) (q01's two-level shape) — exact at any
+    * scale; round-then-cast keeps the double bit-identical to the
+    * oracle's decimal sum. */
+  def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = Tables.t(s, dir, "nation")
+      .join(broadcast(Tables.t(s, dir, "region")
+        .filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val sup = Tables.t(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+    val o = Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+        $"o_orderdate" < ts("1997-01-01 00:00:00"))
+      .select($"o_orderkey", $"o_custkey")
+    val c = Tables.t(s, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey",
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(c, $"o_custkey" === $"c_custkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .select($"n_name", $"pd4")
+    twoLevelCents(base, Seq("n_name"), Seq("spd4" -> $"pd4"))
+      .select($"n_name", dbl(round($"spd4" / 10000, 2)).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q55Sql: String =
+    """SELECT n_name,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -1370,6 +1434,7 @@ object Relational {
     Q("q34_argminmax", q34, Some(q34Sql)),
     Q("q37_unpivot", q37, Some(q37Sql)),
     Q("q44_skew_profile", q44, Some(q44Sql)),
-    Q("q53_pareto_abc", q53, Some(q53Sql)))
+    Q("q53_pareto_abc", q53, Some(q53Sql)),
+    Q("q55_local_supplier", q55, Some(q55Sql)))
 
 }

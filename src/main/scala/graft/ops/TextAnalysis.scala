@@ -3004,11 +3004,22 @@ object TextAnalysis {
     * 16-byte-wide key tuple ever shuffles, no text); the per-k sweep
     * cross-joins a broadcast 4-row k frame against the class frame and
     * re-aggregates to 4 rows. Nothing touches the corpus twice. */
-  def t47(s: SparkSession, dir: String): DataFrame = {
+  /** t47's equivalence-class build, split out so the streaming gate's
+    * offline fit ([[graft.streaming.Streams.kAnonGate]]) shares the
+    * exact quasi-identifier definition: one map-side-combining collapse
+    * of the corpus to (lang, source, len_bucket, csize) — bounded by
+    * the QI domain, never by docs. */
+  private[graft] def qiClasses(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val classes = Tables.t(s, dir, "documents")
+    docs
       .groupBy($"lang", $"source", expr("n_chars div 200").as("len_bucket"))
       .agg(count(lit(1)).as("csize"))
+  }
+
+  def t47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val classes = qiClasses(Tables.t(s, dir, "documents"))
       .localCheckpoint(eager = false) // reused by every audited k
     val ks = Seq(2L, 5L, 10L, 20L).toDF("k")
     classes.crossJoin(broadcast(ks))

@@ -713,6 +713,36 @@ object Streams {
       .withColumn("keep", $"score" >= minScore)
   }
 
+  /** Streaming k-anonymity release gate — the serving twin of batch
+    * t47: every arriving document is checked against a FROZEN
+    * quasi-identifier class map (batch-fit offline by
+    * [[graft.ops.TextAnalysis.qiClasses]] over the reference corpus)
+    * and flagged when its (lang, source, length-bucket) class has
+    * fewer than k members there. A document landing in a sub-k class —
+    * or in a class the reference corpus has never seen (csize absent →
+    * 0) — is a re-identification risk the release pipeline holds back
+    * for suppression or coarsening, BEFORE it reaches a published
+    * shard; the batch audit then prices the aggregate risk.
+    *
+    * The class map is bounded by the QI domain (|langs|·|sources|·|len
+    * buckets|, never by corpus), so it broadcasts under the SURVEY §8
+    * fixed-domain rule and the stream-static left join stays stateless
+    * narrow work: no watermark, no state store — pipelines at source
+    * parallelism like [[scrubIngest]], which it composes with in a
+    * real release ingest. Bucket arithmetic is the batch op's own
+    * (`n_chars div 200`), so ingest and backfill flag bit-identically
+    * — the kappa property, pinned by StreamsSpec. */
+  def kAnonGate(docs: DataFrame, classSizes: DataFrame, k: Long): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .withColumn("len_bucket", expr("n_chars div 200"))
+      .join(broadcast(classSizes), Seq("lang", "source", "len_bucket"), "left")
+      .select($"doc_id", $"lang", $"source", $"len_bucket",
+        coalesce($"csize", lit(0L)).as("csize"))
+      .withColumn("release_ok", $"csize" >= k)
+  }
+
   def rulesGateIngest(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -840,6 +840,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!sp.contains("Join"), s"reweighting needs no join at all:\n$sp")
   }
 
+  test("q55: snowflake probe prunes the lineitem scan and broadcasts the region dims") {
+    val p = plan(Relational.q55(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_tax") &&
+      !readSchema.contains("l_returnflag"),
+      s"lineitem scan reads columns Q5 never uses: $readSchema")
+    assert(p.contains("BroadcastExchange"),
+      s"the region-filtered nation dim should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"snowflake went cartesian:\n$p")
+  }
+
   test("g22: two-hop expansion never broadcasts a vertex-sized frame, no cartesian") {
     val sp = simplePlan(GraphOps.g22(spark, dir))
     assert(!sp.contains("CartesianProduct"), s"FoF expansion went cartesian:\n$sp")

@@ -397,6 +397,40 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("kAnonGate: frozen class map flags sub-k and unseen classes like batch (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // reference corpus: (en, web, bucket 0) has 3 members; (fr, web, 0) has 1
+    val corpus = Seq(
+      (1L, "en", "web", 50L), (2L, "en", "web", 120L), (3L, "en", "web", 10L),
+      (4L, "fr", "web", 30L)).toDF("doc_id", "lang", "source", "n_chars")
+    val classes = graft.ops.TextAnalysis.qiClasses(corpus)
+
+    val arriving = Seq(
+      (10L, "en", "web", 80L), // class of 3 → releasable at k=2
+      (11L, "fr", "web", 40L), // class of 1 → held back
+      (12L, "de", "web", 40L)) // class the corpus never saw → held back
+    val expected = Streams.kAnonGate(
+      arriving.toDF("doc_id", "lang", "source", "n_chars"), classes, k = 2L)
+      .collect().map(_.toSeq).toSet
+
+    val in = MemoryStream[(Long, String, String, Long)]
+    val q = Streams.kAnonGate(
+      in.toDF().toDF("doc_id", "lang", "source", "n_chars"), classes, k = 2L)
+      .writeStream.format("memory").queryName("kanon_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = s.table("kanon_out").collect().map(_.toSeq).toSet
+      assert(streamed == expected)
+      assert(streamed.exists(r => r.head == 10L && r.last == true))
+      assert(streamed.exists(r => r.head == 11L && r.last == false))
+      assert(streamed.exists(r => r.head == 12L && r.last == false))
+    } finally q.stop()
+  }
+
   test("dsirGate: frozen-weight scores equal the batch fit + dot product (kappa)") {
     val s = spark
     import s.implicits._
