@@ -112,23 +112,36 @@ object Main {
       // --state <path>: comparison manifest for state:modified/state:new —
       // a dbt-core manifest.json (or a directory containing one, dbt's
       // --state convention), loaded through the artifact-interop front end
-      val state = args.flags("state").headOption.map { p =>
+      val state = args.flags("state").headOption.flatMap { p =>
         val path = Paths.get(p)
         val mf =
           if (Files.isDirectory(path)) path.resolve("manifest.json") else path
-        graft.core.parse.ManifestJson.load(mf)
+        // a --state dir may carry only run_results.json (the retry flow);
+        // state:modified then fails loudly in the selector rather than
+        // here with a bare NoSuchFileException
+        if (Files.isRegularFile(mf))
+          Some(graft.core.parse.ManifestJson.load(mf))
+        else None
+      }
+      // run_results.json rides the same --state directory (dbt's retry
+      // convention); absent file → None, and `result:` then fails loudly
+      val results = args.flags("state").headOption.flatMap { p =>
+        val path = Paths.get(p)
+        val dir = if (Files.isDirectory(path)) path else path.getParent
+        Option(dir).flatMap(graft.core.parse.RunResultsJson.loadIfPresent)
       }
       val bySelect =
         if (args.flags("select").nonEmpty)
           // --exclude is applied inside the select grammar here
-          Selector.select(m, args.flags("select"), args.flags("exclude"), state)
+          Selector.select(m, args.flags("select"), args.flags("exclude"),
+            state, results)
         else Set.empty[String]
       val byName = args.flags("selector").headOption.map { name =>
         Selector.namedSelector(m, readFile("selectors.yml"), name)
       }.getOrElse(Set.empty)
       val excluded =
         if (args.flags("exclude").nonEmpty)
-          Selector.select(m, args.flags("exclude"), Nil, state)
+          Selector.select(m, args.flags("exclude"), Nil, state, results)
         else Set.empty[String]
       if (args.flags("select").nonEmpty || args.flags("selector").nonEmpty)
         // --exclude narrows the named-selector set too (dbt subtracts the

@@ -17,10 +17,13 @@ import graft.core.model.Manifest
   *  - `resource_type:model` / `group:g` / `package:p` / `exposure:e` /
   *    `test_name:unique` / `version:{latest|prerelease|old|none|N}` —
   *    the `dbt ls` method vocabulary (manifest-attribute lookups)
+  *  - `result:{success|error|fail|warn|skipped|pass}` — last-invocation
+  *    status from the `--state` directory's `run_results.json` (the
+  *    `dbt retry` flow: `--select result:error+ --state ./target`)
   *  - space-separated tokens union; `a,b` intersects criteria
   *  - `--exclude` is set-minus over the same grammar
-  * Anything else (`result:` needs a run_results artifact…) fails loudly
-  * rather than silently selecting nothing (SURVEY §7).
+  * Anything else fails loudly rather than silently selecting nothing
+  * (SURVEY §7).
   */
 object Selector {
 
@@ -30,7 +33,8 @@ object Selector {
       descendants: Boolean, descendantDepth: Int)
 
   private val knownMethods = Set("tag", "path", "source", "state",
-    "resource_type", "group", "version", "test_name", "package", "exposure")
+    "resource_type", "group", "version", "test_name", "package", "exposure",
+    "result")
 
   private def isKnownMethod(m: String): Boolean =
     knownMethods(m) || m.startsWith("config.")
@@ -70,7 +74,8 @@ object Selector {
       case Array(m, _) => throw new IllegalArgumentException(
         s"unsupported selector method '$m:' in '$token' " +
           "(supported: tag:, path:, source:, config.<key>:, state:, " +
-          "resource_type:, group:, version:, test_name:, package:, exposure:)")
+          "resource_type:, group:, version:, test_name:, package:, " +
+          "exposure:, result:)")
       case Array(n) => (None, n)
     }
     require(name.nonEmpty, s"empty selector token: '$token'")
@@ -103,7 +108,20 @@ object Selector {
 
   /** Resolve one criterion's base set (before graph operators). */
   private def resolve(manifest: Manifest, c: Criterion,
-      state: Option[Manifest]): Set[String] = c.method match {
+      state: Option[Manifest],
+      results: Option[Map[String, String]]): Set[String] = c.method match {
+    case Some("result") =>
+      // dbt retry flow: `--select result:error+ --state ./target` re-runs
+      // what last failed. The artifact rides in with --state; ids the
+      // current manifest no longer carries are dropped (a deleted model's
+      // stale failure must not select a ghost).
+      val rs = results.getOrElse(throw new IllegalArgumentException(
+        s"'result:${c.name}' requires a run_results artifact " +
+          "(--state <dir containing run_results.json>)"))
+      rs.collect {
+        case (id, status) if matches(c.name)(status) &&
+          manifest.allResources.contains(id) => id
+      }.toSet
     case Some("tag") =>
       manifest.nodes.collect { case (id, n) if n.tags.contains(c.name) => id }.toSet
     case Some("path") =>
@@ -195,8 +213,9 @@ object Selector {
     }
 
   private def evalCriterion(manifest: Manifest, c: Criterion,
-      state: Option[Manifest]): Set[String] = {
-    val base = resolve(manifest, c, state)
+      state: Option[Manifest],
+      results: Option[Map[String, String]]): Set[String] = {
+    val base = resolve(manifest, c, state, results)
     if (c.atOp) {
       // @x = x ∪ descendants(x) ∪ ancestors(x ∪ descendants(x))
       val down = base ++ base.flatMap(Dag.descendants(manifest.childMap, _))
@@ -213,11 +232,13 @@ object Selector {
   /** Evaluate `--select` / `--exclude` to a set of unique ids (A1).
     * Each token unions; `,`-joined criteria within a token intersect. */
   def select(manifest: Manifest, select: Seq[String], exclude: Seq[String] = Nil,
-      state: Option[Manifest] = None): Set[String] = {
+      state: Option[Manifest] = None,
+      results: Option[Map[String, String]] = None): Set[String] = {
     def evalToken(tok: String): Set[String] =
       tok.split(",").filter(_.nonEmpty).toSeq match {
         case Seq() => Set.empty
-        case parts => parts.map(p => evalCriterion(manifest, parseCriterion(p), state))
+        case parts => parts
+          .map(p => evalCriterion(manifest, parseCriterion(p), state, results))
           .reduce(_ intersect _)
       }
     def eval(tokens: Seq[String]): Set[String] =

@@ -265,6 +265,24 @@ class MainSpec extends AnyFunSuite {
     assert(!Files.exists(root.resolve("models/stg_v1.sql")))
   }
 
+  test("ls --select result:error+ --state re-selects what last failed (dbt retry)") {
+    val root = writeProject(project)
+    val stateDir = Files.createTempDirectory("graft_results")
+    Files.writeString(stateDir.resolve("run_results.json"),
+      """{"results": [
+        |  {"unique_id": "model.shop.stg", "status": "error"},
+        |  {"unique_id": "model.shop.mart", "status": "skipped"}
+        |]}""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("ls", "--select", "result:error+",
+        "--state", stateDir.toString,
+        "--project-dir", root.toString))
+    }
+    assert(out.toString.trim.linesIterator.toSeq ==
+      Seq("model.shop.mart", "model.shop.stg"))
+  }
+
   test("ls prints selected unique_ids; bare ls lists everything") {
     val root = writeProject(project)
     val out = new java.io.ByteArrayOutputStream()

@@ -213,6 +213,39 @@ class SelectorSpec extends AnyFunSuite {
     assert(Selector.select(manifest, Seq("state:modified"), state = Some(manifest)).isEmpty)
   }
 
+  test("result: selects by last-run status from a run_results artifact") {
+    val results = Map(
+      "model.p.a" -> "success",
+      "model.p.b" -> "error",
+      "model.p.c" -> "skipped",
+      "model.p.ghost" -> "error") // deleted since the run: must not select
+    assert(ids(Selector.select(manifest, Seq("result:error"),
+      results = Some(results))) == Set("b"))
+    // the dbt retry flow: what failed plus what was skipped behind it,
+    // with descendants — graph operators compose
+    assert(ids(Selector.select(manifest, Seq("result:error+", "result:skipped"),
+      results = Some(results))) == Set("b", "c", "d"))
+    // no artifact → loud failure, not an empty selection
+    val e = intercept[IllegalArgumentException](
+      Selector.select(manifest, Seq("result:error")))
+    assert(e.getMessage.contains("run_results"))
+  }
+
+  test("result: statuses load from a dbt-written run_results.json") {
+    val rs = graft.core.parse.RunResultsJson.load(
+      java.nio.file.Paths.get("src/test/resources/jaffle_run_results.json"))
+    assert(rs("model.split_proj.customers") == "error")
+    assert(rs("model.split_proj.stg_orders") == "success")
+    assert(rs("model.split_proj.leaf_node") == "skipped")
+    // selection against the matching checked-in manifest: the stale id
+    // (deleted_model) is in the artifact but not the manifest — dropped
+    val m = graft.core.parse.ManifestJson.load(
+      java.nio.file.Paths.get("src/test/resources/jaffle_manifest.json"))
+    val sel = Selector.select(m, Seq("result:error", "result:skipped"),
+      results = Some(rs))
+    assert(sel == Set("model.split_proj.customers", "model.split_proj.leaf_node"))
+  }
+
   test("intersection of only excludes fails with a meaningful error") {
     val yml =
       """selectors:
