@@ -62,7 +62,8 @@ object Main {
       val a = argv(i)
       if (a == "--dry-run" || a == "--prerelease" || a == "--increment" ||
         a == "--latest" || a == "--debug" || a == "--read-catalog" ||
-        a == "--public-only" || a == "--full-refresh" || a == "--defer")
+        a == "--public-only" || a == "--full-refresh" || a == "--defer" ||
+        a == "--no-compile")
         switches += a.stripPrefix("--")
       else if (a.startsWith("--")) {
         val key = a.stripPrefix("--")
@@ -349,6 +350,32 @@ object Main {
               Contractor.generateContract(s, node, runner.viewName(node.name)))
           }
         apply(ChangeSet(cs.toVector))
+
+      case "docs" if args.positional.headOption.contains("generate") =>
+        // dbt docs generate: write target/manifest.json (+ catalog.json).
+        // The manifest half needs no warehouse; the catalog half
+        // materializes (or --read-catalog reuses) the project like the
+        // contract flow, then crawls the produced schemas. --no-compile
+        // (dbt's own flag) skips the catalog half.
+        val (cfg, m) = ProjectLoader.load(root)
+        val target = root.resolve("target")
+        graft.core.parse.ManifestJsonWriter.write(
+          m, target.resolve("manifest.json"))
+        println(s"wrote ${target.resolve("manifest.json")}")
+        if (!args.switches("no-compile")) {
+          val s = spark()
+          val runner = new Runner(s, m, cfg, warehouse(),
+            enforceAccess = false,
+            projectRoot = Some(root), readCatalog = readCatalog)
+          runner.run()
+          val entries = m.nodes.values.toSeq.sortBy(_.uniqueId).map { node =>
+            (node.uniqueId, runner.viewName(node.name),
+              s.table(runner.viewName(node.name)).schema)
+          }
+          graft.core.parse.CatalogJsonWriter.write(
+            entries, target.resolve("catalog.json"))
+          println(s"wrote ${target.resolve("catalog.json")}")
+        }
 
       case "version" | "add-version" | "bump-version" =>
         val (_, m) = ProjectLoader.load(root)

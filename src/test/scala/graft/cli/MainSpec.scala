@@ -283,6 +283,39 @@ class MainSpec extends AnyFunSuite {
       Seq("model.shop.mart", "model.shop.stg"))
   }
 
+  test("docs generate writes dbt-core manifest.json + catalog.json that round-trip") {
+    val root = writeProject(project)
+    Main.main(Array("docs", "generate", "--project-dir", root.toString))
+    // the manifest half loads back through the artifact reader and
+    // carries the same resource graph the native parse produced
+    val emitted = graft.core.parse.ManifestJson.load(
+      root.resolve("target").resolve("manifest.json"))
+    val (_, native) = ProjectLoader.load(root)
+    assert(emitted.nodes.keySet == native.nodes.keySet)
+    // slim-CI property: the emitted artifact reads as UNMODIFIED state
+    assert(graft.core.graph.Selector.select(
+      native, Seq("state:modified"), state = Some(emitted)).isEmpty)
+    // the catalog half carries the materialized schemas and plans the
+    // SAME contract as a live session would
+    val cat = graft.core.parse.CatalogJson.load(
+      root.resolve("target").resolve("catalog.json"))
+    val mart = native.nodes("model.shop.mart")
+    val fromArtifact = graft.mesh.Contractor.generateContractFromCatalog(
+      mart, cat("model.shop.mart"))
+    val s = org.apache.spark.sql.SparkSession.active
+    val live = graft.mesh.Contractor.generateContract(s, mart, "shop__mart")
+    assert(fromArtifact.data == live.data)
+    assert(cat("model.shop.stg").columns == Vector("id" -> "integer"))
+  }
+
+  test("docs generate --no-compile writes only the manifest half") {
+    val root = writeProject(project)
+    Main.main(Array("docs", "generate", "--no-compile",
+      "--project-dir", root.toString))
+    assert(Files.exists(root.resolve("target").resolve("manifest.json")))
+    assert(!Files.exists(root.resolve("target").resolve("catalog.json")))
+  }
+
   test("ls prints selected unique_ids; bare ls lists everything") {
     val root = writeProject(project)
     val out = new java.io.ByteArrayOutputStream()
