@@ -1334,6 +1334,89 @@ object Relational {
       |  CAST((1000000 * SUM(rev)) // (SELECT g FROM tot) AS BIGINT) AS share_ppm
       |FROM cls GROUP BY cls ORDER BY cls""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** National market share (TPC-H Q8 analog): of the revenue a region's
+    * customers spend on one part type, what share (exact ppm) do
+    * suppliers of one nation capture, per order year — the
+    * double-role-dimension probe (nation keys the customer-side market
+    * filter AND the supplier-side attribution).
+    *
+    * Join strategy at scale: both nation roles collapse through
+    * broadcast fixed-domain dims BEFORE any fact join (customers
+    * pre-filter to the region, suppliers pre-label with their nation);
+    * part pre-filters on type and joins the lineitem scan first (the
+    * most selective fact-side cut); lineitem⋈orders is the one
+    * unavoidable fact-fact exchange; customer/supplier attach
+    * hint-free (AQE broadcast at bench SF, shuffle at 100 TB).
+    *
+    * Money: the share is a ratio of two corpus-sized sums — both ride
+    * ONE two-level DECIMAL(38) combine as scale-4 long-cents partials;
+    * the ppm is one integral divide of exact integers, so the ratio is
+    * bit-identical on any engine and any partitioning. */
+  val MktShareNation = "NATION_1"
+
+  def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n1 = Tables.t(s, dir, "nation")
+      .join(broadcast(Tables.t(s, dir, "region")
+        .filter($"r_name" === "AMERICA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey".as("cust_nk"))
+    val n2 = Tables.t(s, dir, "nation")
+      .select($"n_nationkey".as("supp_nk"), $"n_name".as("supp_nation"))
+    val c = Tables.t(s, dir, "customer")
+      .join(broadcast(n1), $"c_nationkey" === $"cust_nk")
+      .select($"c_custkey")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
+    val p = Tables.t(s, dir, "part")
+      .filter($"p_type" === "PROMO").select($"p_partkey")
+    val sup = Tables.t(s, dir, "supplier")
+      .join(broadcast(n2), $"s_nationkey" === $"supp_nk")
+      .select($"s_suppkey", $"supp_nation")
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+      .join(p, $"l_partkey" === $"p_partkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .select($"o_year", $"pd4",
+        when($"supp_nation" === MktShareNation, $"pd4").otherwise(lit(0L))
+          .as("pdn"))
+    twoLevelCents(base, Seq("o_year"), Seq("tot4" -> $"pd4", "nat4" -> $"pdn"))
+      .select($"o_year",
+        dbl(round($"tot4" / 10000, 2)).as("total_volume"),
+        expr("(1000000 * nat4) div tot4").cast(LongType).as("mkt_share_ppm"))
+      .orderBy($"o_year")
+  }
+
+  /** Oracle mirrors the cents scaling for the ppm ratio (exact integer
+    * floor-div on both engines) and q01's DECIMAL sum for the money
+    * double. */
+  val q56Sql: String =
+    s"""WITH v AS (
+       |  SELECT EXTRACT(year FROM o_orderdate) AS yr,
+       |    CAST(l_extendedprice AS DECIMAL(18,6))
+       |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS vol,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT)
+       |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol4,
+       |    n2.n_name AS supp_nation
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+       |SELECT CAST(yr AS INTEGER) AS o_year,
+       |  CAST(ROUND(SUM(vol), 2) AS DOUBLE) AS total_volume,
+       |  CAST((1000000 * SUM(CASE WHEN supp_nation = '$MktShareNation'
+       |      THEN vol4 ELSE 0 END)) // SUM(vol4) AS BIGINT) AS mkt_share_ppm
+       |FROM v GROUP BY yr ORDER BY o_year""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** Local-supplier volume (TPC-H Q5 analog): revenue by nation where
     * customer and supplier share the nation, nations restricted to one
@@ -1435,6 +1518,7 @@ object Relational {
     Q("q37_unpivot", q37, Some(q37Sql)),
     Q("q44_skew_profile", q44, Some(q44Sql)),
     Q("q53_pareto_abc", q53, Some(q53Sql)),
-    Q("q55_local_supplier", q55, Some(q55Sql)))
+    Q("q55_local_supplier", q55, Some(q55Sql)),
+    Q("q56_market_share", q56, Some(q56Sql)))
 
 }

@@ -851,6 +851,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"snowflake went cartesian:\n$p")
   }
 
+  test("q56: both nation roles collapse via broadcast dims; lineitem scan prunes") {
+    val p = plan(Relational.q56(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_tax") &&
+      !readSchema.contains("l_shipdate"),
+      s"lineitem scan reads columns Q8 never uses: $readSchema")
+    assert(p.contains("BroadcastExchange"),
+      s"the fixed-domain nation dims should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"snowflake went cartesian:\n$p")
+  }
+
   test("g22: two-hop expansion never broadcasts a vertex-sized frame, no cartesian") {
     val sp = simplePlan(GraphOps.g22(spark, dir))
     assert(!sp.contains("CartesianProduct"), s"FoF expansion went cartesian:\n$sp")
