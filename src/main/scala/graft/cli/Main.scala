@@ -317,6 +317,60 @@ object Main {
         println(s"== ${results.size - nFail} pass, $nFail fail ==")
         if (nFail > 0) sys.exit(1)
 
+      case "build" =>
+        // dbt build: materialize the (selected) DAG AND run its data
+        // tests, one command, exit 1 on any test failure. dbt interleaves
+        // each node's tests right after it; on a single-session engine a
+        // later model cannot alter an earlier model's already-built
+        // relation, so run-then-test yields the same verdicts — tests are
+        // scoped to exactly the models this invocation materialized.
+        val (cfg, m) = ProjectLoader.load(root)
+        val sel = if (!selectionActive) None else Some(selection(m))
+        val threads = args.flags("threads").headOption.map(_.toInt).getOrElse(1)
+        val runner = new Runner(spark(), m, cfg, warehouse(),
+          projectRoot = Some(root), readCatalog = readCatalog,
+          fullRefresh = args.switches("full-refresh"))
+        val ran = runner.run(sel, parallelism = threads)
+        ran.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
+        // tests scope to the SELECTION (dbt build --select tests only
+        // selected nodes); ancestors materialize as session views out of
+        // necessity but their tests don't run unless selected
+        val results = runner.runTests(Some(sel.getOrElse(ran.keySet)))
+        results.toSeq.sortBy(_._1).foreach { case (tid, violations) =>
+          println(s"${if (violations == 0) "PASS" else "FAIL"} $tid" +
+            (if (violations == 0) "" else s" ($violations violations)"))
+        }
+        val nFail = results.count(_._2 > 0)
+        println(s"== ${ran.size} ran, ${results.size - nFail} pass, $nFail fail ==")
+        if (nFail > 0) sys.exit(1)
+
+      case "retry" =>
+        // dbt retry: re-select the nodes the previous invocation left in
+        // error/fail/skipped, from the run_results artifact (--state
+        // dir; defaults to ./target, where `docs generate` and dbt
+        // itself write artifacts). Upstream of the selection
+        // re-materializes as in any selected run (idempotent views /
+        // incremental merges) so refs resolve.
+        val stateDir = args.flags("state").headOption
+          .map(Paths.get(_)).getOrElse(root.resolve("target"))
+        val dir = if (Files.isDirectory(stateDir)) stateDir
+          else Option(stateDir.getParent).getOrElse(root)
+        val rs = graft.core.parse.RunResultsJson.loadIfPresent(dir)
+          .getOrElse(throw new IllegalArgumentException(
+            s"retry needs run_results.json under $dir " +
+              "(pass --state <dir> to point at a previous run's artifacts)"))
+        val (cfg, m) = ProjectLoader.load(root)
+        val sel = Selector.select(m,
+          Seq("result:error", "result:fail", "result:skipped"),
+          Nil, None, Some(rs))
+        if (sel.isEmpty) println("nothing to retry")
+        else {
+          val out = new Runner(spark(), m, cfg, warehouse(),
+            projectRoot = Some(root), readCatalog = readCatalog)
+            .run(Some(sel))
+          out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
+        }
+
       case "contract" | "add-contract" =>
         val (cfg, m) = ProjectLoader.load(root)
         val selected = selection(m)
@@ -462,7 +516,7 @@ object Main {
       case other =>
         println(
           s"""unknown command: $other
-             |usage: graft {run|split|create-group|group|contract|version|connect} [options]
+             |usage: graft {run|build|retry|test|ls|seed|snapshot|docs|split|create-group|group|contract|version|connect} [options]
              |""".stripMargin)
         sys.exit(if (other == "help") 0 else 1)
     }

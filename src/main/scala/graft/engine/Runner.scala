@@ -749,8 +749,13 @@ final class Runner(
   // ------------------------------------------------------------- tests
   /** Run generic data tests as violation queries; returns violations per
     * test id (0 = pass), mirroring dbt test semantics (SURVEY §2.F). */
-  def runTests(): Map[String, Long] =
-    manifest.tests.map { case (tid, t) =>
+  def runTests(onModels: Option[Set[String]] = None): Map[String, Long] =
+    manifest.tests
+      // `graft build` scopes tests to the models it materialized; the
+      // bare `graft test` keeps the full suite (onModels = None)
+      .filter { case (_, t) =>
+        onModels.forall(ran => t.dependsOn.nodes.exists(ran)) }
+      .map { case (tid, t) =>
       val modelId = t.dependsOn.nodes.find(_.startsWith("model."))
         .getOrElse(throw new IllegalStateException(s"test $tid has no model dep"))
       val df = spark.table(viewName(manifest.nodes(modelId).name))

@@ -283,6 +283,62 @@ class MainSpec extends AnyFunSuite {
       Seq("model.shop.mart", "model.shop.stg"))
   }
 
+  test("build runs the DAG and its tests in one command, scoped to the selection") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "models/stg.sql" -> "select 1 as id union all select 2 as id",
+      "models/mart.sql" -> "select * from {{ ref('stg') }}",
+      "models/schema.yml" ->
+        """version: 2
+          |models:
+          |  - name: stg
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - not_null
+          |          - unique
+          |""".stripMargin))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("build", "--project-dir", root.toString))
+    }
+    val text = out.toString
+    assert(text.contains("ran model.shop.stg") && text.contains("ran model.shop.mart"))
+    assert(text.contains("PASS") && !text.contains("FAIL"), text)
+    assert(text.contains("== 2 ran, 2 pass, 0 fail =="), text)
+    // selecting only mart scopes the tests away (they belong to stg,
+    // which materializes as an upstream view but is not selected)
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.main(Array("build", "--select", "mart", "--project-dir", root.toString))
+    }
+    assert(out2.toString.contains("== 2 ran, 0 pass, 0 fail =="), out2.toString)
+  }
+
+  test("retry re-runs what run_results.json says failed or was skipped") {
+    val root = writeProject(project)
+    Files.createDirectories(root.resolve("target"))
+    Files.writeString(root.resolve("target").resolve("run_results.json"),
+      """{"results": [
+        |  {"unique_id": "model.shop.stg", "status": "success"},
+        |  {"unique_id": "model.shop.mart", "status": "error"}
+        |]}""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("retry", "--project-dir", root.toString))
+    }
+    // mart re-runs (stg re-materializes as its upstream view)
+    assert(out.toString.contains("ran model.shop.mart"), out.toString)
+    // a clean artifact retries nothing
+    Files.writeString(root.resolve("target").resolve("run_results.json"),
+      """{"results": [{"unique_id": "model.shop.mart", "status": "success"}]}""")
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.main(Array("retry", "--project-dir", root.toString))
+    }
+    assert(out2.toString.contains("nothing to retry"), out2.toString)
+  }
+
   test("docs generate writes dbt-core manifest.json + catalog.json that round-trip") {
     val root = writeProject(project)
     Main.main(Array("docs", "generate", "--project-dir", root.toString))
