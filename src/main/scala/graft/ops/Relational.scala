@@ -1417,6 +1417,58 @@ object Relational {
        |      THEN vol4 ELSE 0 END)) // SUM(vol4) AS BIGINT) AS mkt_share_ppm
        |FROM v GROUP BY yr ORDER BY o_year""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  /** Small-quantity revenue (TPC-H Q17 analog): revenue sitting in
+    * lineitems whose quantity is below 20% of their part's average —
+    * the correlated-scalar-subquery classic, decorrelated to one
+    * aggregate + one self-join on the part key.
+    *
+    * Exactness: the 0.2·avg threshold is a ratio — comparing
+    * qty < sum/(5·cnt) in floats would diverge between engines, so the
+    * predicate cross-multiplies to pure integers:
+    * 5·q2·cnt < Σq2 (quantities in hundredths). At 10⁷ rows per part
+    * the product stays ≲ 2.5·10¹¹ — int64-safe at any corpus scale.
+    *
+    * Join strategy at scale: the per-part stats frame is the SAME
+    * cardinality class as the part dimension and joins back on the key
+    * the aggregation just shuffled on (co-partitioned — no extra
+    * exchange on the probe); the brand label attaches hint-free (AQE
+    * broadcasts the part dim at bench SF, shuffles at 100 TB); the
+    * per-brand rollup is q01's two-level DECIMAL(38) combine. */
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.t(s, dir, "lineitem")
+      .select($"l_partkey",
+        cents($"l_quantity").as("q2"),
+        cents($"l_extendedprice").as("pc"))
+    val stats = l.groupBy($"l_partkey")
+      .agg(sum($"q2").as("sumq"), count(lit(1)).as("cnt"))
+    val p = Tables.t(s, dir, "part").select($"p_partkey", $"p_brand")
+    val base = l.join(stats, Seq("l_partkey"))
+      .filter(expr("5 * q2 * cnt < sumq"))
+      .join(p, $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"pc")
+    twoLevelCents(base, Seq("p_brand"), Seq("spc" -> $"pc"))
+      .select($"p_brand", $"__cnt".as("n_small"),
+        dbl(round($"spc" / 100, 2)).as("lost_revenue"))
+      .orderBy($"p_brand")
+  }
+
+  val q57Sql: String =
+    """WITH l AS (
+      |  SELECT l_partkey,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q2,
+      |    CAST(l_extendedprice AS DECIMAL(18,6)) AS price
+      |  FROM lineitem),
+      |st AS (SELECT l_partkey, SUM(q2) AS sumq, COUNT(*) AS cnt
+      |       FROM l GROUP BY 1),
+      |sm AS (SELECT l.l_partkey, price FROM l JOIN st USING (l_partkey)
+      |       WHERE 5 * q2 * cnt < sumq)
+      |SELECT p_brand, COUNT(*) AS n_small,
+      |  CAST(ROUND(SUM(price), 2) AS DOUBLE) AS lost_revenue
+      |FROM sm JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ---------------------------------------------------------------- q55
   /** Local-supplier volume (TPC-H Q5 analog): revenue by nation where
     * customer and supplier share the nation, nations restricted to one
@@ -1519,6 +1571,7 @@ object Relational {
     Q("q44_skew_profile", q44, Some(q44Sql)),
     Q("q53_pareto_abc", q53, Some(q53Sql)),
     Q("q55_local_supplier", q55, Some(q55Sql)),
-    Q("q56_market_share", q56, Some(q56Sql)))
+    Q("q56_market_share", q56, Some(q56Sql)),
+    Q("q57_small_quantity", q57, Some(q57Sql)))
 
 }

@@ -862,6 +862,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"snowflake went cartesian:\n$p")
   }
 
+  test("q57: decorrelated avg joins back on the aggregation's own key; scan prunes") {
+    val p = plan(Relational.q57(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax") &&
+      !readSchema.contains("l_discount"),
+      s"lineitem scan reads columns Q17 never uses: $readSchema")
+    assert(!p.contains("CartesianProduct"), s"decorrelation went cartesian:\n$p")
+    // the lineitem-side probe shuffles on l_partkey at most twice (probe +
+    // aggregate input); a third partkey exchange would mean the stats
+    // join ignored the aggregation's partitioning
+    val partkeyExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && l.contains("l_partkey"))
+    assert(partkeyExchanges <= 2, s"extra partkey exchange:\n$p")
+  }
+
   test("g22: two-hop expansion never broadcasts a vertex-sized frame, no cartesian") {
     val sp = simplePlan(GraphOps.g22(spark, dir))
     assert(!sp.contains("CartesianProduct"), s"FoF expansion went cartesian:\n$sp")
