@@ -1728,6 +1728,65 @@ object Similarity {
        |UNION ALL SELECT qid, 3, vec_id, relm, score10 FROM p3
        |ORDER BY qid, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s27
+  /** Int8 quantization error audit — the QA readout a deployment runs
+    * before trusting s05's memory-bound path: how much reconstruction
+    * error does q = round(v·127) inject, per label class? Reported in
+    * the fixed-point domain the exact ops already use: per dimension,
+    * err = |127·⌊v·2²⁰⌋ − q·2²⁰| — the cross-multiplied integer form of
+    * 127·2²⁰·|v − q/127| (no float subtraction ever happens, so the
+    * audit itself cannot suffer the rounding it measures). Per label:
+    * vector count, total and worst per-dimension error, and the mean
+    * per-dimension error by integer floor-div — a label whose
+    * mean/worst jumps is the class whose embedding scale drifted
+    * outside the int8 range assumption (quantize-then-search would
+    * silently misrank exactly there).
+    *
+    * Determinism: round/floor fixed-point lifts are the s05/s14-proven
+    * engine-exact constructions; everything after is int64 (per-dim
+    * err ≲ 1.3·10⁸, 64-dim sums ≲ 10¹⁰, corpus sums ride HUGEINT/
+    * DECIMAL-safe casts).
+    *
+    * Scale (100 TB): ONE narrow pass (quantize, lift, fold per row),
+    * then a map-side-combining |labels|-row aggregate. No join, no
+    * broadcast, nothing vector-sized ever shuffles. */
+  def s27(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.t(s, dir, "embeddings")
+      .select($"label",
+        expr("""transform(embedding, x ->
+            abs(127 * cast(floor(cast(x as double) * 1048576.0) as bigint)
+                - cast(round(cast(x as double) * 127) as bigint) * 1048576))"""
+          .replace("\n", " ")).as("errs"))
+      .select($"label",
+        expr("aggregate(errs, 0L, (a, x) -> a + x)").as("sum_err"),
+        expr("array_max(errs)").as("max_err"))
+    per.groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum($"sum_err").as("total_err"),
+        max($"max_err").as("worst_err"),
+        expr("sum(sum_err) div (count(1) * 64)").as("mean_dim_err"))
+      .orderBy($"label")
+  }
+
+  val s27Sql: String =
+    """WITH p AS (
+      |  SELECT label, list_transform(embedding, x ->
+      |    abs(127 * CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+      |        - CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT) * 1048576))
+      |    AS errs
+      |  FROM embeddings),
+      |v AS (SELECT label,
+      |    list_reduce(errs, (a, x) -> a + x) AS sum_err,
+      |    list_max(errs) AS max_err
+      |  FROM p)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  CAST(SUM(sum_err) AS BIGINT) AS total_err,
+      |  CAST(MAX(max_err) AS BIGINT) AS worst_err,
+      |  CAST(SUM(sum_err) // (COUNT(*) * 64) AS BIGINT) AS mean_dim_err
+      |FROM v GROUP BY label ORDER BY label""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -1754,7 +1813,8 @@ object Similarity {
     Q("s23_mmr_rerank", s23, Some(s23Sql)),
     Q("s24_centroid_outliers", s24, Some(s24Sql)),
     Q("s25_knn_confusion", s25, Some(s25Sql)),
-    Q("s26_margin_mining", s26, Some(s26Sql)))
+    Q("s26_margin_mining", s26, Some(s26Sql)),
+    Q("s27_quantization_error", s27, Some(s27Sql)))
 
   // ---------------------------------------------------------------- s26
   /** Margin-based candidate-pair mining (Artetxe & Schwenk, ACL 2019 —

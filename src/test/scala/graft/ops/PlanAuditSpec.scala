@@ -877,6 +877,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(partkeyExchanges <= 2, s"extra partkey exchange:\n$p")
   }
 
+  test("s27: quantization audit is one narrow pass — no join, one label exchange") {
+    val sp = simplePlan(Similarity.s27(spark, dir))
+    assert(!sp.contains("Join"), s"the audit needs no join:\n$sp")
+    val hashExchanges = sp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"more than the |labels|-row aggregate exchange:\n$sp")
+  }
+
   test("g22: two-hop expansion never broadcasts a vertex-sized frame, no cartesian") {
     val sp = simplePlan(GraphOps.g22(spark, dir))
     assert(!sp.contains("CartesianProduct"), s"FoF expansion went cartesian:\n$sp")
