@@ -1533,6 +1533,359 @@ object Relational {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** Sole blocking supplier (TPC-H Q21 analog): for finished orders that
+    * involve more than one supplier, count — per supplier — the orders
+    * where that supplier was the ONLY one to ship pathologically late
+    * (> 1460 days after the order date; the driver's synthetic dates have
+    * a multi-year tail, so this isolates the ~3 % worst). The classic
+    * EXISTS(other supplier) AND NOT EXISTS(other late supplier) pair,
+    * decorrelated to per-order counters: nsupp > 1 ∧ nlate = 1 with the
+    * blamed key carried by max(CASE WHEN late THEN suppkey).
+    *
+    * Join strategy at scale: after the fact⋈orders equi-join, ONE forced
+    * hash exchange on the order key feeds BOTH aggregation levels —
+    * HashPartitioning(orderkey) satisfies the clustered distribution of
+    * (orderkey, suppkey) (subset rule), so the per-supplier dedup and the
+    * per-order counters run exchange-free on top of it. Supplier names
+    * attach to the ≤ |supplier| result hint-free. */
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val lo = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 1460 DAYS"))
+          .cast(IntegerType).as("late"))
+      .repartition($"l_orderkey")
+    val perSupp = lo.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"late").as("any_late"))
+    val blamed = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("nsupp"), sum($"any_late").as("nlate"),
+        max(when($"any_late" === 1, $"l_suppkey")).as("blamed"))
+      .filter($"nsupp" > 1 && $"nlate" === 1)
+    val sup = Tables.t(s, dir, "supplier").select($"s_suppkey", $"s_name")
+    blamed.groupBy($"blamed").agg(count(lit(1)).as("numwait"))
+      .join(sup, $"blamed" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
+  val q58Sql: String =
+    """WITH lo AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    CASE WHEN l_shipdate > o_orderdate + INTERVAL 1460 DAY
+      |         THEN 1 ELSE 0 END AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |per_supp AS (
+      |  SELECT l_orderkey, l_suppkey, MAX(late) AS any_late
+      |  FROM lo GROUP BY 1, 2),
+      |per_order AS (
+      |  SELECT l_orderkey, COUNT(*) AS nsupp,
+      |    SUM(any_late) AS nlate,
+      |    MAX(CASE WHEN any_late = 1 THEN l_suppkey END) AS blamed
+      |  FROM per_supp GROUP BY 1)
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM per_order JOIN supplier ON blamed = s_suppkey
+      |WHERE nsupp > 1 AND nlate = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  /** Cheapest regional supplier per part (TPC-H Q2 analog): among
+    * suppliers in one region, find — for every part they actually
+    * shipped — the supplier(s) achieving the minimum observed unit
+    * price. The correlated MIN subquery, decorrelated to a per-part
+    * aggregate joined back on its own grouping key.
+    *
+    * Exactness: unit price is a ratio (price/quantity), so it is held
+    * as the integer floor-division pc·10⁴ div q2 — hundredths of cents
+    * per unit — identical in both engines for positive operands (Spark
+    * `div` truncates, DuckDB `//` floors). No float division happens
+    * before the ORDER BY.
+    *
+    * Join strategy at scale: region⋈nation⋈supplier collapses to a
+    * supplier-keyed frame that prunes the fact scan via a hint-free
+    * equi-join (AQE broadcasts it at bench SF; at 10⁸-supplier scale it
+    * shuffles). ONE forced part-key exchange then feeds everything
+    * downstream: the (part, supplier) best-offer rollup and the per-part
+    * min both cluster on subsets containing the part key, and the
+    * min-back join sees both sides already co-partitioned — no further
+    * exchange anywhere in the plan. */
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val supEu = Tables.t(s, dir, "supplier")
+      .join(broadcast(Tables.t(s, dir, "nation")
+          .join(broadcast(Tables.t(s, dir, "region")
+            .filter($"r_name" === "EUROPE")),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    val offers = Tables.t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey",
+        expr("cast(round(l_extendedprice * 100) as bigint) * 10000 " +
+          "div cast(round(l_quantity * 100) as bigint)").as("unit_c4"))
+      .join(supEu, $"l_suppkey" === $"s_suppkey")
+      .repartition($"l_partkey")
+    val bestPerSupp = offers.groupBy($"l_partkey", $"s_name")
+      .agg(min($"unit_c4").as("unit_c4"))
+    val minPart = bestPerSupp.groupBy($"l_partkey")
+      .agg(min($"unit_c4").as("min_c4"))
+    bestPerSupp.join(minPart, Seq("l_partkey"))
+      .filter($"unit_c4" === $"min_c4")
+      .select($"l_partkey".as("p_partkey"), $"s_name",
+        $"unit_c4".as("min_unit_c4"))
+      .orderBy($"p_partkey", $"s_name")
+  }
+
+  val q59Sql: String =
+    """WITH offers AS (
+      |  SELECT l_partkey, s_name,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) * 10000
+      |      // CAST(round(l_quantity * 100) AS BIGINT) AS unit_c4
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'),
+      |best AS (
+      |  SELECT l_partkey, s_name, MIN(unit_c4) AS unit_c4
+      |  FROM offers GROUP BY 1, 2),
+      |mn AS (SELECT l_partkey, MIN(unit_c4) AS min_c4 FROM best GROUP BY 1)
+      |SELECT l_partkey AS p_partkey, s_name,
+      |  CAST(unit_c4 AS BIGINT) AS min_unit_c4
+      |FROM best JOIN mn USING (l_partkey)
+      |WHERE unit_c4 = min_c4
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** Dominant-supplier promotion audit (TPC-H Q20 analog): suppliers
+    * who, for at least one part, shipped strictly more than half of that
+    * part's total 1997 volume — the nested-IN-with-aggregate-threshold
+    * classic, decorrelated to two aggregation levels over one forced
+    * part-key exchange (the > 50 % test cross-multiplies to the pure
+    * integer 2·sq > tq; quantities are summed in hundredths).
+    *
+    * Scale shape: the year filter prunes the scan; ONE hash exchange on
+    * the part key feeds the (part, supplier) rollup, the per-part total
+    * (subset-partitioning reuse), and the co-partitioned dominance join;
+    * the ≤ |supplier| result attaches names/nations hint-free. */
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l97 = Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+        $"l_shipdate" < ts("1998-01-01 00:00:00"))
+      .select($"l_partkey", $"l_suppkey", cents($"l_quantity").as("q2"))
+      .repartition($"l_partkey")
+    val ps = l97.groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"q2").as("sq"))
+    val pt = ps.groupBy($"l_partkey").agg(sum($"sq").as("tq"))
+    val dom = ps.join(pt, Seq("l_partkey"))
+      .filter($"sq" * 2 > $"tq")
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_dominated"))
+    val sup = Tables.t(s, dir, "supplier")
+      .select($"s_suppkey", $"s_name", $"s_nationkey")
+      .join(broadcast(Tables.t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+    dom.join(sup, $"l_suppkey" === $"s_suppkey")
+      .select($"s_name", $"n_name", $"n_dominated")
+      .orderBy($"n_dominated".desc, $"s_name")
+  }
+
+  val q60Sql: String =
+    """WITH l97 AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS q2
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |ps AS (SELECT l_partkey, l_suppkey, SUM(q2) AS sq
+      |       FROM l97 GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey, SUM(sq) AS tq FROM ps GROUP BY 1),
+      |dom AS (
+      |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_dominated
+      |  FROM ps JOIN pt USING (l_partkey)
+      |  WHERE sq * 2 > tq GROUP BY 1)
+      |SELECT s_name, n_name, n_dominated
+      |FROM dom
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_dominated DESC, s_name""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  /** Idle rich accounts (TPC-H Q22 analog): customers whose balance
+    * exceeds the mean positive balance yet who have placed no order
+    * since 2000-01-01 (the dataset spans 1995–2001, so "idle" = dormant
+    * for the trailing ~20 months), profiled per nation. The
+    * global-scalar-threshold + anti-join classic.
+    *
+    * Exactness: the mean comparison never divides — bal2·n_pos > sum_pos
+    * cross-multiplies to pure long-cents integers (10⁶ cents × 10⁹
+    * customers = 10¹⁵, int64-safe at any census size).
+    *
+    * Scale shape: the threshold is a 1-row aggregate crossJoin-broadcast
+    * (the documented param-frame pattern); the no-orders test is a
+    * LEFT ANTI equi-join on the customer key — both sides fact-class, so
+    * it shuffles on the join key; the per-nation rollup is a ≤ |nation|
+    * two-level DECIMAL combine. */
+  def q61(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey", cents($"c_acctbal").as("bal2"))
+    val stats = c.filter($"bal2" > 0)
+      .agg(sum($"bal2").as("sum_pos"), count(lit(1)).as("n_pos"))
+    val rich = c.crossJoin(broadcast(stats))
+      .filter($"bal2" * $"n_pos" > $"sum_pos")
+    val idle = rich.join(
+      Tables.t(s, dir, "orders")
+        .filter($"o_orderdate" >= ts("2000-01-01 00:00:00"))
+        .select($"o_custkey"),
+      $"c_custkey" === $"o_custkey", "left_anti")
+    val byNation = twoLevelCents(idle, Seq("c_nationkey"),
+      Seq("sbal2" -> $"bal2"))
+    byNation
+      .join(broadcast(Tables.t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"__cnt".as("n_idle_rich"),
+        dbl(round($"sbal2" / 100, 2)).as("total_bal"))
+      .orderBy($"n_name")
+  }
+
+  val q61Sql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal2,
+      |    CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+      |  FROM customer),
+      |st AS (SELECT CAST(SUM(bal2) AS BIGINT) AS sum_pos,
+      |              CAST(COUNT(*) AS BIGINT) AS n_pos
+      |       FROM c WHERE bal2 > 0),
+      |idle AS (
+      |  SELECT c_nationkey, bal FROM c, st
+      |  WHERE bal2 * n_pos > sum_pos
+      |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+      |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_idle_rich,
+      |  CAST(ROUND(SUM(bal), 2) AS DOUBLE) AS total_bal
+      |FROM idle JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** Large-volume orders (TPC-H Q18 analog): orders whose total line
+    * quantity tops 250 units, with their customer — the HAVING-threshold
+    * + join-back classic. The per-order sum is a single-level long agg
+    * (an order has a bounded line count, so no overflow tier is needed);
+    * the surviving ≲ 2 % of orders probe orders/customer hint-free (AQE
+    * broadcasts the survivors at bench SF; all joins are key-equi and
+    * shuffle cleanly at 100 TB).
+    *
+    * Total quantity is emitted in exact hundredths (BIGINT) rather than
+    * as a float division. */
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", cents($"l_quantity").as("q2"))
+      .groupBy($"l_orderkey").agg(sum($"q2").as("sum_q2"))
+      .filter($"sum_q2" > 25000L)
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        cents($"o_totalprice").as("tp2"))
+    val c = Tables.t(s, dir, "customer").select($"c_custkey", $"c_name")
+    big.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(c, $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"o_orderkey".as("orderkey"),
+        d8($"o_orderdate").as("o_date"),
+        dbl(round($"tp2" / 100, 2)).as("o_total"),
+        $"sum_q2")
+      .orderBy($"sum_q2".desc, $"orderkey")
+  }
+
+  val q62Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      |      AS sum_q2
+      |  FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+      |SELECT c_name, o_orderkey AS orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      |  CAST(ROUND(CAST(round(o_totalprice * 100) AS BIGINT) / 100, 2)
+      |    AS DOUBLE) AS o_total,
+      |  sum_q2
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY sum_q2 DESC, orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  /** Bilateral shipping volume (TPC-H Q7 analog): discounted revenue
+    * flowing between two nations — supplier on one side, customer on the
+    * other, both directions — by ship year. The two-sided
+    * dimension-pair-filter classic.
+    *
+    * Scale shape: both nation filters collapse to ≤ |nation| broadcast
+    * frames that prune supplier/customer BEFORE any fact join, so only
+    * lines touching the two nations reach the fact⋈orders exchange; the
+    * cross-pair condition rides the customer join as a residual
+    * (supp_nation ≠ cust_nation), never a separate pass. Money in exact
+    * cents×(100−d¢), two-level DECIMAL combine. */
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pair = Tables.t(s, dir, "nation")
+      .filter($"n_name".isin("NATION_3", "NATION_7"))
+      .select($"n_nationkey", $"n_name")
+    val supN = Tables.t(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(pair), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val custN = Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+      .join(broadcast(pair), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    val o = Tables.t(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", year($"l_shipdate").as("l_year"),
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+      .join(supN, $"l_suppkey" === $"s_suppkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(custN, $"o_custkey" === $"c_custkey" &&
+        $"supp_nation" =!= $"cust_nation")
+      .select($"supp_nation", $"cust_nation", $"l_year", $"pd4")
+    twoLevelCents(base, Seq("supp_nation", "cust_nation", "l_year"),
+      Seq("spd4" -> $"pd4"))
+      .select($"supp_nation", $"cust_nation", $"l_year",
+        dbl(round($"spd4" / 10000, 2)).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  val q63Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS rev
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  WHERE ns.n_name IN ('NATION_3', 'NATION_7')
+      |    AND nc.n_name IN ('NATION_3', 'NATION_7')
+      |    AND ns.n_name <> nc.n_name)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -1572,6 +1925,12 @@ object Relational {
     Q("q53_pareto_abc", q53, Some(q53Sql)),
     Q("q55_local_supplier", q55, Some(q55Sql)),
     Q("q56_market_share", q56, Some(q56Sql)),
-    Q("q57_small_quantity", q57, Some(q57Sql)))
+    Q("q57_small_quantity", q57, Some(q57Sql)),
+    Q("q58_blocking_supplier", q58, Some(q58Sql)),
+    Q("q59_min_cost_supplier", q59, Some(q59Sql)),
+    Q("q60_dominant_supplier", q60, Some(q60Sql)),
+    Q("q61_idle_rich", q61, Some(q61Sql)),
+    Q("q62_large_orders", q62, Some(q62Sql)),
+    Q("q63_bilateral_volume", q63, Some(q63Sql)))
 
 }

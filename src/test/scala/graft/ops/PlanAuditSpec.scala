@@ -893,4 +893,71 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val ranges = sp.linesIterator.count(_.contains("rangepartitioning"))
     assert(ranges <= 1, s"global sort upstream of the histogram:\n$sp")
   }
+
+  test("q58: one orderkey exchange feeds both aggregation levels; scan prunes") {
+    val p = plan(Relational.q58(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_extendedprice") && !readSchema.contains("l_tax"),
+      s"lineitem scan reads columns Q21 never uses: $readSchema")
+    assert(!p.contains("CartesianProduct"), s"decorrelation went cartesian:\n$p")
+    // the forced repartition is the ONLY orderkey hash exchange above the
+    // join: the per-supplier dedup and the per-order counters cluster on
+    // supersets of it (subset-partitioning reuse)
+    val okExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_orderkey"))
+    assert(okExchanges <= 2, s"aggregation levels re-shuffled the order key:\n$p")
+  }
+
+  test("q59: one partkey exchange serves rollup, per-part min, and min-back join") {
+    val p = plan(Relational.q59(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"min decorrelation went cartesian:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the region-filtered supplier dim should broadcast at bench SF:\n$p")
+    val pkExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_partkey"))
+    assert(pkExchanges <= 1, s"subset-partitioning reuse broke:\n$p")
+  }
+
+  test("q60: one partkey exchange; year filter and projection push to the scan") {
+    val p = plan(Relational.q60(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_discount"),
+      s"lineitem scan reads columns Q20 never uses: $readSchema")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"the year window should reach the parquet scan:\n$p")
+    val pkExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_partkey"))
+    assert(pkExchanges <= 1, s"subset-partitioning reuse broke:\n$p")
+    assert(!p.contains("CartesianProduct"), s"dominance test went cartesian:\n$p")
+  }
+
+  test("q61: threshold is a 1-row broadcast; no-orders test is a left anti join") {
+    val p = plan(Relational.q61(spark, dir))
+    assert(p.contains("LeftAnti"), s"the no-orders test should be an anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row threshold frame should broadcast:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("o_totalprice") && !readSchema.contains("c_name"),
+      s"scans read columns Q22 never uses: $readSchema")
+  }
+
+  test("q62: per-order agg is single-level; threshold survivors probe hint-free") {
+    val p = plan(Relational.q62(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_tax"),
+      s"lineitem scan reads columns Q18 never uses: $readSchema")
+    assert(!p.contains("CartesianProduct"), s"join-back went cartesian:\n$p")
+  }
+
+  test("q63: nation pair broadcasts prune both fact sides; scan prunes") {
+    val p = plan(Relational.q63(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_tax"),
+      s"lineitem scan reads columns Q7 never uses: $readSchema")
+    assert(p.contains("BroadcastExchange"),
+      s"the fixed-domain nation pair should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"bilateral filter went cartesian:\n$p")
+  }
 }
