@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Compiled basket→pair expansion. */
+object PairKernels {
+  import org.apache.spark.sql.graftbridge.Bridge
+
+  /** Column API: all ordered index pairs (i < j) of a long array as
+    * `array<struct<da, db>>` — on a sorted-distinct input (the basket
+    * ops feed `sort_array(collect_set(...))`) that is exactly the
+    * da < db co-occurrence pair set. One compiled pass replacing the
+    * `flatten(transform(.., transform(slice(..))))` HOF chain whose
+    * lambdas evaluate interpreted per element with a closure dispatch
+    * and two intermediate nested arrays per basket. */
+  def sortedPairs(arr: Column): Column =
+    Bridge.column(SortedPairs(Bridge.expression(arr)))
+}
+
+/** All (arr(i), arr(j)) with i < j, basket-pair order. C(n,2) output
+  * elements — bounded by the basket (per-group collection) size, never
+  * corpus-scaled; callers cap the group size upstream where baskets can
+  * grow (an order's item count is semantically bounded).
+  *
+  * Keys stay full 64-bit longs (no 32-bit packing), so the kernel is
+  * safe for any key domain at any scale. */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("da", LongType, nullable = false),
+      StructField("db", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pairs expects array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SortedPairs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SortedPairs.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
+    copy(child = newChild)
+
+  override def prettyName: String = "sorted_pairs"
+}
+
+object SortedPairs {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(
+          Array[Any](a, arr.getLong(j))): InternalRow
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

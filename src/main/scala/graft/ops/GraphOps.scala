@@ -1579,10 +1579,8 @@ object GraphOps {
     val baskets = Tables.t(s, dir, "lineitem")
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey".cast("long"))).as("parts"))
-    val inst = baskets.select(explode(expr(
-      """flatten(transform(parts, (x, i) ->
-        |  transform(slice(parts, i + 2, size(parts)),
-        |    y -> struct(x as da, y as db))))""".stripMargin)).as("p"))
+    val inst = baskets.select(explode(
+        graft.functions.PairKernels.sortedPairs($"parts")).as("p"))
       .select($"p.da".as("da"), $"p.db".as("db"))
     val e = inst.groupBy($"da", $"db")
       .agg(count(lit(1)).as("support"))
@@ -1658,10 +1656,8 @@ object GraphOps {
     val baskets = Tables.t(s, dir, "lineitem")
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey".cast("long"))).as("parts"))
-    val inst = baskets.select(explode(expr(
-      """flatten(transform(parts, (x, i) ->
-        |  transform(slice(parts, i + 2, size(parts)),
-        |    y -> struct(x as da, y as db))))""".stripMargin)).as("p"))
+    val inst = baskets.select(explode(
+        graft.functions.PairKernels.sortedPairs($"parts")).as("p"))
       .select($"p.da".as("da"), $"p.db".as("db"))
     val e = inst.groupBy($"da", $"db")
       .agg(count(lit(1)).as("support"))

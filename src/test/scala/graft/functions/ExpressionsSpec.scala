@@ -598,6 +598,32 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(merges(1)._1 == "aa" || merges(1)._2 == "aa", merges.toString)
   }
 
+  test("SortedPairs equals the HOF transform/slice/flatten chain") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Seq(1L, 2L, 3L, 4L),
+      Seq(7L, 9L),
+      Seq(5L), // singleton: no pairs
+      Seq.empty[Long])
+      .toDF("parts")
+    val rows = df.select(
+      PairKernels.sortedPairs($"parts").as("fast"),
+      expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |    y -> struct(x as da, y as db))))""".stripMargin).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) ==
+        r.getSeq[org.apache.spark.sql.Row](1),
+        s"fast=${r.getSeq(0)} ref=${r.getSeq(1)}")
+    }
+    // C(n,2) cardinality
+    val n = df.select(explode(PairKernels.sortedPairs($"parts"))).count()
+    assert(n == 6 + 1 + 0 + 0)
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._
