@@ -2495,16 +2495,20 @@ object TextAnalysis {
     val uni = train.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("cw"))
     val total = uni.agg(sum($"cw").as("t"))
+    // the w1 denominator attaches at BUILD time (both tables are
+    // vocabulary-sized, and the join key is the bigram aggregation's own
+    // leading key), so the corpus-sized probe pays TWO lookup joins
+    // instead of three — cb can only be non-null when c1 is
     val bi = train.select(explode(pairsOf).as("p"))
       .groupBy($"p.w1".as("b1"), $"p.w2".as("b2"))
       .agg(count(lit(1)).as("cb"))
+      .join(uni.select($"w".as("b1"), $"cw".as("c1")), Seq("b1"))
     val heldOut = docs.filter($"doc_id" % 2 === 1)
     val scored = heldOut
       .select($"doc_id", wsCol.as("ws"))
       .select($"doc_id", explode(pairsOf).as("p"))
       .select($"doc_id", $"p.w1".as("w1"), $"p.w2".as("w2"))
       .join(bi, $"w1" === $"b1" && $"w2" === $"b2", "left")
-      .join(uni.select($"w".as("u1"), $"cw".as("c1")), $"w1" === $"u1", "left")
       .join(uni.select($"w".as("u2"), $"cw".as("c2")), $"w2" === $"u2", "left")
       .crossJoin(broadcast(total))
       .select($"doc_id", $"cb",
