@@ -1886,6 +1886,44 @@ object Relational {
       |    AND ns.n_name <> nc.n_name)
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Order-priority checking (TPC-H Q4 analog): for one order quarter,
+    * count per priority the orders with at least one line shipped more
+    * than 60 days after the order date — the EXISTS-with-correlated-
+    * inequality classic, expressed as a LEFT SEMI equi-join on the order
+    * key with the lateness inequality riding as a join residual (never a
+    * second pass, never an aggregate-then-dedup).
+    *
+    * Scale shape: the quarter filter pushes to the orders scan, the semi
+    * join shuffles both fact sides on the order key once (semi output ≤
+    * left side, no fan-out on multi-line matches), and the rollup is a
+    * ≤ |priorities| map-side-combining aggregate. Pure integer counts. */
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" >= ts("1997-07-01 00:00:00") &&
+        $"o_orderdate" < ts("1997-10-01 00:00:00"))
+      .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+    val l = Tables.t(s, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    o.join(l, $"o_orderkey" === $"l_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q64Sql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -1931,6 +1969,7 @@ object Relational {
     Q("q60_dominant_supplier", q60, Some(q60Sql)),
     Q("q61_idle_rich", q61, Some(q61Sql)),
     Q("q62_large_orders", q62, Some(q62Sql)),
-    Q("q63_bilateral_volume", q63, Some(q63Sql)))
+    Q("q63_bilateral_volume", q63, Some(q63Sql)),
+    Q("q64_priority_check", q64, Some(q64Sql)))
 
 }

@@ -1787,6 +1787,96 @@ object Similarity {
       |  CAST(SUM(sum_err) // (COUNT(*) * 64) AS BIGINT) AS mean_dim_err
       |FROM v GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- s28
+  /** Simplified-silhouette audit of the label clustering (the
+    * centroid-based silhouette of Hruschka et al. — a(i)/b(i) against
+    * centroids instead of all points, which is what makes it computable
+    * without a corpus self-join): per label, how many members sit
+    * strictly closer to their own label centroid than to ANY other
+    * label's, and the mean own-centroid squared distance. The
+    * embedding-space cousin of s25's kNN confusion — s25 audits local
+    * neighborhoods, this audits the global cluster geometry.
+    *
+    * Exactness: vectors lift to the s05/s27 fixed-point domain
+    * (⌊v·2²⁰⌋); centroids are the integral-divided fixed-point mean
+    * Σq div n — Spark `div` and DuckDB `//` BOTH truncate toward zero
+    * (verified on negative sums; they'd diverge from a floor division),
+    * so the audited centroid is itself an exact integer vector and
+    * every distance is an int64 Σ(qᵢ−cᵢ)² — a 2²¹
+    * difference squared ×64 dims is 2⁴⁸, no overflow at any corpus size.
+    *
+    * Scale (100 TB): the centroid table is |labels|·dims — a bounded
+    * label domain, so the driver collect is the documented k-row kind
+    * (s22's rule) and the per-point pass embeds centroids as literals:
+    * the whole scoring stage is NARROW (10 compiled SqDistLong evals per
+    * row inside whole-stage codegen, no join, no shuffle of anything
+    * vector-sized); the only exchanges are the (label, dim) centroid
+    * aggregate and the |labels|-row rollup. */
+  def s28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        expr("transform(embedding, x -> " +
+          "cast(floor(cast(x as double) * 1048576.0) as bigint))").as("qe"))
+    val cents = q
+      .select($"label", posexplode($"qe").as(Seq("dim", "qv")))
+      .groupBy($"label", $"dim")
+      .agg(sum($"qv").as("sm"), count(lit(1)).as("n"))
+      .select($"label", $"dim", expr("sm div n").as("c"))
+      .groupBy($"label")
+      .agg(sort_array(collect_list(struct($"dim", $"c"))).as("dc"))
+      .select($"label", expr("transform(dc, p -> p.c)").as("carr"))
+      .collect() // |labels| rows — bounded domain (s22's k-row rule)
+      .map(r => r.getInt(0) -> r.getSeq[Long](1))
+      .sortBy(_._1)
+    val own = cents.foldLeft(lit(null).cast(LongType)) {
+      case (acc, (l, arr)) =>
+        when($"label" === l,
+          graft.functions.SqDistLong($"qe", typedLit(arr))).otherwise(acc)
+    }
+    val other = least(cents.map { case (l, arr) =>
+      when($"label" =!= l, graft.functions.SqDistLong($"qe", typedLit(arr)))
+    }: _*)
+    q.select($"label", own.as("a"), other.as("b"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(a) div count(1)").cast(LongType).as("mean_own_d2"),
+        sum(when($"a" < $"b", 1L).otherwise(0L)).as("n_closer_own"))
+      .withColumn("closer_ppm",
+        expr("(1000000 * n_closer_own) div n_vecs").cast(LongType))
+      .orderBy($"label")
+  }
+
+  val s28Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label, list_transform(embedding, x ->
+      |    CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT label, i AS dim, SUM(qe[i]) AS sm, COUNT(*) AS n
+      |  FROM q, UNNEST(generate_series(1, 64)) t(i)
+      |  GROUP BY 1, 2),
+      |c AS (SELECT label, dim, CAST(sm // n AS BIGINT) AS c FROM s),
+      |carr AS (SELECT label, list(c ORDER BY dim) AS carr FROM c GROUP BY 1),
+      |z AS (
+      |  SELECT q.vec_id, q.label, cc.label AS clabel,
+      |    list_reduce(list_transform(generate_series(1, 64),
+      |      i -> (qe[i] - carr[i]) * (qe[i] - carr[i])), (x, y) -> x + y)
+      |      AS dist
+      |  FROM q, carr cc),
+      |d AS (
+      |  SELECT vec_id, label,
+      |    MIN(CASE WHEN label = clabel THEN dist END) AS a,
+      |    MIN(CASE WHEN label <> clabel THEN dist END) AS b
+      |  FROM z GROUP BY 1, 2)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(a) // COUNT(*) AS BIGINT) AS mean_own_d2,
+      |  CAST(SUM(CASE WHEN a < b THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_closer_own,
+      |  CAST((1000000 * SUM(CASE WHEN a < b THEN 1 ELSE 0 END))
+      |    // COUNT(*) AS BIGINT) AS closer_ppm
+      |FROM d GROUP BY label ORDER BY label""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -1814,7 +1904,8 @@ object Similarity {
     Q("s24_centroid_outliers", s24, Some(s24Sql)),
     Q("s25_knn_confusion", s25, Some(s25Sql)),
     Q("s26_margin_mining", s26, Some(s26Sql)),
-    Q("s27_quantization_error", s27, Some(s27Sql)))
+    Q("s27_quantization_error", s27, Some(s27Sql)),
+    Q("s28_silhouette_audit", s28, Some(s28Sql)))
 
   // ---------------------------------------------------------------- s26
   /** Margin-based candidate-pair mining (Artetxe & Schwenk, ACL 2019 —

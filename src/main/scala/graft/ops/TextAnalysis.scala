@@ -3058,6 +3058,99 @@ object TextAnalysis {
       |    // SUM(csize) AS BIGINT) AS risk_ppm
       |FROM ks CROSS JOIN cls GROUP BY k ORDER BY k""".stripMargin
 
+  // ---------------------------------------------------------------- t48
+  /** Lorenz curve + Gini coefficient of the token-frequency distribution
+    * — the vocabulary-concentration meter beside t24's Zipf fit: how
+    * unequally is the corpus's token mass spread over its types? A Gini
+    * near 1 means a handful of types carry the corpus (dedup/boilerplate
+    * smell, weak lexical signal); a falling Gini across pipeline stages
+    * is the measurable effect of t13/t37-style cleaning. Emits one row
+    * per type-rank decile (types ranked by ascending frequency): type
+    * count, token mass, cumulative token share in exact ppm — plus the
+    * global Gini in exact ppm on every row.
+    *
+    * Exactness: ranks and prefix sums derive from the total (cnt, term)
+    * order; Gini = (2·Σ rank·cnt − (V+1)·T) / (V·T) evaluates in
+    * DECIMAL(38) cross-multiplied integer form with ONE final integral
+    * divide (ppm) — no float ever; decile = 1 + (rank−1)·10 div V, a pure
+    * integer bucket both engines compute identically.
+    *
+    * Scale (100 TB): the vocabulary aggregate is the one corpus-sized
+    * exchange; ranking rides q53's distributed prefix-sum substrate —
+    * range-repartition on (cnt, term), per-partition offsets (≤ one row
+    * per partition to the driver), narrow local windows. No
+    * single-partition window, no vocab-sized collect. */
+  def t48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freq = Tables.t(s, dir, "documents")
+      .select(explode(words($"text")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+    val ranged = freq
+      .repartitionByRange(32, $"cnt".asc, $"term".asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val parts = ranged.groupBy($"pid")
+      .agg(count(lit(1)).as("n"), sum($"cnt").as("t"))
+      .orderBy($"pid").collect() // ≤ #partitions rows (q53's bound)
+    val offsets = parts.scanLeft((-1, 0L, 0L, 0L, 0L)) {
+      case ((_, _, _, rowCum, tokCum), r) =>
+        (r.getInt(0), r.getLong(1), r.getLong(2),
+          rowCum + r.getLong(1), tokCum + r.getLong(2))
+    }.drop(1).map { case (pid, n, t, rowCum, tokCum) =>
+      (pid, rowCum - n, tokCum - t)
+    }
+    val vTypes = parts.map(_.getLong(1)).sum
+    val tTokens = parts.map(_.getLong(2)).sum
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "row_off", "tok_off"))
+    val wLocal = Window.partitionBy($"pid").orderBy($"cnt".asc, $"term".asc)
+    val ranked = ranged
+      .withColumn("lrow", row_number().over(wLocal).cast(LongType))
+      .withColumn("lsum", sum($"cnt").over(wLocal))
+      .join(offDf, Seq("pid"))
+      .select($"term", $"cnt",
+        ($"lrow" + $"row_off").as("rank"),
+        ($"lsum" + $"tok_off").as("cum"))
+      .localCheckpoint(eager = false) // reused: Gini sum + decile rollup
+    val gini = broadcast(ranked.agg(
+      sum(($"rank".cast(DecimalType(38, 0)) * $"cnt")).as("s")))
+    ranked
+      .withColumn("decile", expr(s"1 + (rank - 1) * 10 div ${vTypes}L")
+        .cast(IntegerType))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_types"),
+        sum($"cnt").as("decile_tokens"),
+        max($"cum").as("max_cum"))
+      .crossJoin(gini)
+      .select($"decile", $"n_types", $"decile_tokens",
+        expr(s"(1000000 * cast(max_cum as decimal(38,0))) div ${tTokens}L")
+          .cast(LongType).as("cum_share_ppm"),
+        expr(s"(1000000 * (2 * s - cast(${vTypes + 1} as decimal(38,0)) " +
+          s"* ${tTokens}L)) div (cast($vTypes as decimal(38,0)) * ${tTokens}L)")
+          .cast(LongType).as("gini_ppm"))
+      .orderBy($"decile")
+  }
+
+  val t48Sql: String =
+    """WITH freq AS (
+      |  SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+      |       UNNEST(ws) AS t(w)
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT term, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt ASC, term ASC) AS BIGINT) AS rank,
+      |    SUM(cnt) OVER (ORDER BY cnt ASC, term ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM freq),
+      |tv AS (SELECT COUNT(*) AS v, SUM(cnt) AS t, SUM(rank * cnt) AS s FROM r)
+      |SELECT CAST(1 + (rank - 1) * 10 // v AS INTEGER) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(cnt) AS BIGINT) AS decile_tokens,
+      |  CAST((1000000 * MAX(cum)) // t AS BIGINT) AS cum_share_ppm,
+      |  CAST((1000000 * (2 * s - (v + 1) * t)) // (v * t) AS BIGINT) AS gini_ppm
+      |FROM r, tv
+      |GROUP BY 1, v, t, s ORDER BY decile""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -3105,5 +3198,6 @@ object TextAnalysis {
     Q("t44_curriculum_interleave", t44, Some(t44Sql)),
     Q("t45_quality_quantiles", t45, Some(t45Sql)),
     Q("t46_dsir_selection", t46, Some(t46Sql)),
-    Q("t47_k_anonymity", t47, Some(t47Sql)))
+    Q("t47_k_anonymity", t47, Some(t47Sql)),
+    Q("t48_token_gini", t48, Some(t48Sql)))
 }

@@ -624,6 +624,22 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(n == 6 + 1 + 0 + 0)
   }
 
+  test("SqDistLong equals the integer HOF fold, negatives included") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(1L, -2L, 3L), Seq(-4L, 5L, 6L)),
+      (Seq(0L, 0L), Seq(0L, 0L)),
+      (Seq(-1048576L, 1048576L), Seq(1048576L, -1048576L)))
+      .toDF("a", "b")
+    val rows = df.select(
+      SqDistLong($"a", $"b").as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0L, " +
+        "(acc, v) -> acc + v)").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"fast=${r.getLong(0)} ref=${r.getLong(1)}"))
+  }
+
   test("expressions survive whole-stage codegen over a real plan") {
     val s = spark
     import s.implicits._

@@ -951,6 +951,36 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"join-back went cartesian:\n$p")
   }
 
+  test("q64: the lateness test is one LEFT SEMI with a residual; scans prune") {
+    val p = plan(Relational.q64(spark, dir))
+    assert(p.contains("LeftSemi"), s"the EXISTS should lower to a semi join:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_quantity") &&
+      !readSchema.contains("l_extendedprice"),
+      s"lineitem scan reads columns Q4 never uses: $readSchema")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"the quarter window should reach the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"semi join went cartesian:\n$p")
+  }
+
+  test("t48: rank/prefix ride the distributed range substrate — no global window") {
+    val sp = simplePlan(TextAnalysis.t48(spark, dir))
+    // ONE range exchange for the rank substrate + one for the 10-row
+    // output sort; a third would mean a bare global-order window snuck in
+    val ranges = sp.linesIterator.count(_.contains("rangepartitioning"))
+    assert(ranges <= 2, s"extra global sort in the Lorenz substrate:\n$sp")
+    assert(!sp.contains("CartesianProduct"),
+      s"the 1-row Gini frame should broadcast-nest, not cartesian:\n$sp")
+  }
+
+  test("s28: the scoring pass is NARROW — centroid literals, no join at all") {
+    val sp = simplePlan(Similarity.s28(spark, dir))
+    assert(!sp.contains("Join"), s"scoring should embed centroid literals:\n$sp")
+    val hashExchanges = sp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"more than the |labels|-row rollup exchange:\n$sp")
+    assert(sp.contains("sq_dist_long"), s"distances should use the compiled kernel:\n$sp")
+  }
+
   test("q63: nation pair broadcasts prune both fact sides; scan prunes") {
     val p = plan(Relational.q63(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
