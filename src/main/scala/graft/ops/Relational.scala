@@ -1924,6 +1924,237 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q65
+  /** Customer order-count distribution (TPC-H Q13 analog): how many
+    * customers placed exactly N qualifying orders (o_totalprice > 100),
+    * ZERO included — the left-outer-join-then-histogram classic whose
+    * whole point is that inner-join shapes silently drop the
+    * zero-order customers.
+    *
+    * Scale shape: the price filter pushes to the orders scan; the LEFT
+    * join shuffles both sides on the customer key once, and the
+    * per-customer count reuses that very partitioning (groupBy on the
+    * join's own key — no second customer exchange); the count-of-counts
+    * histogram is a ≤ max-order-count rollup. Pure integers. */
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.t(s, dir, "customer").select($"c_custkey")
+    val o = Tables.t(s, dir, "orders")
+      .filter($"o_totalprice" > 100.0)
+      .select($"o_custkey", $"o_orderkey")
+    c.join(o, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q65Sql: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_totalprice > 100
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** Supplier diversity per part family (TPC-H Q16 analog): for each
+    * (brand, type) of mid-size parts, how many DISTINCT suppliers
+    * actually shipped one — excluding suppliers in bad standing
+    * (negative balance), the NOT-IN classic as a LEFT ANTI join.
+    *
+    * Scale shape: the bad-supplier exclusion anti-joins the fact BEFORE
+    * any widening (the excluded set is supplier-dim-scaled — hint-free,
+    * AQE broadcasts it at bench SF); the part attributes attach
+    * hint-free; the distinct collapses (brand, type, suppkey) map-side
+    * and the final count is a ≤ |brand×type| rollup. */
+  def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bad = Tables.t(s, dir, "supplier")
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    val p = Tables.t(s, dir, "part")
+      .filter($"p_size" >= 10 && $"p_size" <= 30)
+      .select($"p_partkey", $"p_brand", $"p_type")
+    Tables.t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey")
+      .join(bad, $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(p, $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"p_type", $"l_suppkey").distinct()
+      .groupBy($"p_brand", $"p_type")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type")
+  }
+
+  val q66Sql: String =
+    """SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+      |  AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size BETWEEN 10 AND 30
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  // ---------------------------------------------------------------- q67
+  /** Returned-item losses, top customers (TPC-H Q10 analog): per
+    * customer, the discounted revenue sitting in 'R'-flagged lines of
+    * one order quarter — the top-20 churn-review list. Ranking happens
+    * on the EXACT decimal sum (ties broken by key) BEFORE the display
+    * double is derived, and the top-20 lowers to TakeOrdered — no
+    * global sort of the per-customer frame ever materializes.
+    *
+    * Scale shape: quarter + returnflag filters push to both scans;
+    * lineitem⋈orders is the one fact-fact exchange; the per-customer
+    * rollup is two-level DECIMAL (a customer's quarter can hold
+    * unbounded lines at 100 TB); customer/nation attach to the ranked
+    * 20-row frame only. */
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.t(s, dir, "orders")
+      .filter($"o_orderdate" >= ts("1997-01-01 00:00:00") &&
+        $"o_orderdate" < ts("1997-04-01 00:00:00"))
+      .select($"o_orderkey", $"o_custkey")
+    val base = Tables.t(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", $"pd4")
+    val top = twoLevelCents(base, Seq("o_custkey"), Seq("spd4" -> $"pd4"))
+      .orderBy($"spd4".desc, $"o_custkey").limit(20)
+    val c = Tables.t(s, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_nationkey")
+      .join(broadcast(Tables.t(s, dir, "nation")
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+    top.join(c, $"o_custkey" === $"c_custkey")
+      .select($"o_custkey".as("custkey"), $"c_name", $"n_name",
+        dbl(round($"spd4" / 10000, 2)).as("lost_revenue"))
+      .orderBy($"lost_revenue".desc, $"custkey")
+  }
+
+  val q67Sql: String =
+    """WITH r AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev,
+      |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS spd4
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY o_custkey
+      |  ORDER BY spd4 DESC, o_custkey LIMIT 20)
+      |SELECT o_custkey AS custkey, c_name, n_name,
+      |  CAST(ROUND(rev, 2) AS DOUBLE) AS lost_revenue
+      |FROM r
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY lost_revenue DESC, custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Disjunctive-predicate revenue (TPC-H Q19 analog): revenue from
+    * lines matching any of three (brand, quantity-band, size-band)
+    * conjunctions — the OR-of-ANDs classic that tests whether the
+    * engine keeps a single equi-join with the disjunction as a residual
+    * (instead of three scans unioned, or worse, a cartesian).
+    *
+    * Scale shape: one partkey equi-join (hint-free — part is a real
+    * dimension); the OR residual references both sides so it rides the
+    * join; quantity bounds prune the lineitem scan via the enclosing
+    * [1, 30] envelope pushed below the join. One-row exact result. */
+  def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.t(s, dir, "lineitem")
+      .filter($"l_quantity" >= 1.0 && $"l_quantity" <= 30.0)
+      .select($"l_partkey", cents($"l_quantity").as("q2"),
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+    val p = Tables.t(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val matched = l.join(p, $"l_partkey" === $"p_partkey" && (
+      ($"p_brand" === "Brand#3" && $"q2".between(100L, 1100L) &&
+        $"p_size".between(1, 5)) ||
+      ($"p_brand" === "Brand#14" && $"q2".between(1000L, 2000L) &&
+        $"p_size".between(1, 10)) ||
+      ($"p_brand" === "Brand#23" && $"q2".between(2000L, 3000L) &&
+        $"p_size".between(1, 15))))
+    twoLevelCents(matched.select($"pd4", lit(1).as("one")),
+        Seq("one"), Seq("spd4" -> $"pd4"))
+      .select($"__cnt".as("n_lines"),
+        dbl(round($"spd4" / 10000, 2)).as("revenue"))
+  }
+
+  val q68Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE)
+      |    AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#3'
+      |    AND CAST(round(l_quantity * 100) AS BIGINT) BETWEEN 100 AND 1100
+      |    AND p_size BETWEEN 1 AND 5)
+      |  OR (p_brand = 'Brand#14'
+      |    AND CAST(round(l_quantity * 100) AS BIGINT) BETWEEN 1000 AND 2000
+      |    AND p_size BETWEEN 1 AND 10)
+      |  OR (p_brand = 'Brand#23'
+      |    AND CAST(round(l_quantity * 100) AS BIGINT) BETWEEN 2000 AND 3000
+      |    AND p_size BETWEEN 1 AND 15)""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** Top supplier by quarterly revenue (TPC-H Q15 analog): suppliers
+    * whose quarter revenue EQUALS the global maximum — the
+    * view-plus-max classic. The comparison happens on the exact decimal
+    * sum (never the display double), so the winner set is bit-identical
+    * in any engine; the 1-row max broadcasts (the documented param-frame
+    * pattern).
+    *
+    * Scale shape: quarter filter pushes to the scan; per-supplier
+    * revenue is one two-level DECIMAL rollup; the max is a 1-row
+    * aggregate of that rollup (exchange-free on top of it), and names
+    * attach to the ≤ |ties| winners hint-free. */
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = twoLevelCents(
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+          $"l_shipdate" < ts("1997-04-01 00:00:00"))
+        .select($"l_suppkey",
+          (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+            .as("pd4")),
+      Seq("l_suppkey"), Seq("spd4" -> $"pd4"))
+      .localCheckpoint(eager = false) // reused: max + winner filter
+    val mx = rev.agg(max($"spd4").as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter($"spd4" === $"mx")
+      .join(Tables.t(s, dir, "supplier").select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey".as("suppkey"), $"s_name",
+        dbl(round($"spd4" / 10000, 2)).as("total_revenue"))
+      .orderBy($"suppkey")
+  }
+
+  val q69Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT l_suppkey AS suppkey, s_name,
+      |  CAST(ROUND(rev, 2) AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev = (SELECT MAX(rev) FROM rev)
+      |ORDER BY suppkey""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -1970,6 +2201,11 @@ object Relational {
     Q("q61_idle_rich", q61, Some(q61Sql)),
     Q("q62_large_orders", q62, Some(q62Sql)),
     Q("q63_bilateral_volume", q63, Some(q63Sql)),
-    Q("q64_priority_check", q64, Some(q64Sql)))
+    Q("q64_priority_check", q64, Some(q64Sql)),
+    Q("q65_order_count_dist", q65, Some(q65Sql)),
+    Q("q66_supplier_diversity", q66, Some(q66Sql)),
+    Q("q67_returned_losses", q67, Some(q67Sql)),
+    Q("q68_disjunctive_revenue", q68, Some(q68Sql)),
+    Q("q69_top_supplier", q69, Some(q69Sql)))
 
 }

@@ -981,6 +981,61 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(sp.contains("sq_dist_long"), s"distances should use the compiled kernel:\n$sp")
   }
 
+  test("q65: per-customer count reuses the left join's own key partitioning") {
+    val p = plan(Relational.q65(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("o_totalprice"),
+      s"the price filter should reach the orders scan:\n$p")
+    // custkey appears in at most the join's two side exchanges — the
+    // per-customer count must NOT re-shuffle it
+    val ckExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") &&
+        (l.contains("c_custkey") || l.contains("o_custkey")))
+    assert(ckExchanges <= 2, s"the count re-shuffled the customer key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"histogram went cartesian:\n$p")
+  }
+
+  test("q66: bad suppliers anti-join the fact before widening; scans prune") {
+    val p = plan(Relational.q66(spark, dir))
+    assert(p.contains("LeftAnti"), s"NOT IN should lower to an anti join:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_quantity"),
+      s"lineitem scan reads columns Q16 never uses: $readSchema")
+    assert(!p.contains("CartesianProduct"), s"diversity count went cartesian:\n$p")
+  }
+
+  test("q67: top-20 lowers to TakeOrdered; names attach after the cut") {
+    val p = plan(Relational.q67(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 should never materialize a global sort:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      s"the returnflag filter should reach the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"churn list went cartesian:\n$p")
+  }
+
+  test("q68: OR-of-ANDs stays ONE partkey equi-join with a residual") {
+    val p = plan(Relational.q68(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the disjunction broke the equi-join:\n$p")
+    // ONE join operator in the tree (formatted explain lists each node
+    // once in the tree and once in the details; count detail headers)
+    val joins = p.linesIterator.count(_.matches("""\(\d+\) \w*Join\w*.*"""))
+    assert(joins <= 1, s"the three conjunctions should not fan into scans:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_tax"),
+      s"lineitem scan reads columns Q19 never uses: $readSchema")
+  }
+
+  test("q69: the global max is a 1-row broadcast over the revenue rollup") {
+    val p = plan(Relational.q69(spark, dir))
+    // the revenue rollup is checkpointed (reused by max + winner filter),
+    // which hides the scan from this explain — the pushed quarter filter
+    // is covered by the shared scan-pruning audits; pin the join shapes
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row max frame should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"winner filter went cartesian:\n$p")
+  }
+
   test("q63: nation pair broadcasts prune both fact sides; scan prunes") {
     val p = plan(Relational.q63(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
