@@ -1812,13 +1812,19 @@ object Similarity {
     * row inside whole-stage codegen, no join, no shuffle of anything
     * vector-sized); the only exchanges are the (label, dim) centroid
     * aggregate and the |labels|-row rollup. */
-  def s28(s: SparkSession, dir: String): DataFrame = {
+  /** Fixed-point lift of the embedding column (the s05/s27 domain). */
+  private[graft] val quantized: Column =
+    expr("transform(embedding, x -> " +
+      "cast(floor(cast(x as double) * 1048576.0) as bigint))")
+
+  /** Batch-fit the per-label fixed-point centroids (Σq div n per dim) —
+    * |labels|·dims values, a bounded domain, collected under s22's
+    * k-row rule. Shared by s28 and the streaming centroidGate so the
+    * live gate and a batch backfill score against the SAME integers. */
+  private[graft] def fitCentroids(emb: DataFrame): Seq[(Int, Seq[Long])] = {
+    val s = emb.sparkSession
     import s.implicits._
-    val q = Tables.t(s, dir, "embeddings")
-      .select($"vec_id", $"label",
-        expr("transform(embedding, x -> " +
-          "cast(floor(cast(x as double) * 1048576.0) as bigint))").as("qe"))
-    val cents = q
+    emb.select($"label", quantized.as("qe"))
       .select($"label", posexplode($"qe").as(Seq("dim", "qv")))
       .groupBy($"label", $"dim")
       .agg(sum($"qv").as("sm"), count(lit(1)).as("n"))
@@ -1826,17 +1832,32 @@ object Similarity {
       .groupBy($"label")
       .agg(sort_array(collect_list(struct($"dim", $"c"))).as("dc"))
       .select($"label", expr("transform(dc, p -> p.c)").as("carr"))
-      .collect() // |labels| rows — bounded domain (s22's k-row rule)
-      .map(r => r.getInt(0) -> r.getSeq[Long](1))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toSeq
       .sortBy(_._1)
+  }
+
+  /** (own-centroid d², min other-centroid d²) columns over literal
+    * centroids — pure narrow compiled work, usable on a stream. */
+  private[graft] def silhouetteCols(
+      cents: Seq[(Int, Seq[Long])], label: Column, qe: Column): (Column, Column) = {
     val own = cents.foldLeft(lit(null).cast(LongType)) {
       case (acc, (l, arr)) =>
-        when($"label" === l,
-          graft.functions.SqDistLong($"qe", typedLit(arr))).otherwise(acc)
+        when(label === l,
+          graft.functions.SqDistLong(qe, typedLit(arr))).otherwise(acc)
     }
     val other = least(cents.map { case (l, arr) =>
-      when($"label" =!= l, graft.functions.SqDistLong($"qe", typedLit(arr)))
+      when(label =!= l, graft.functions.SqDistLong(qe, typedLit(arr)))
     }: _*)
+    (own, other)
+  }
+
+  def s28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", $"label", quantized.as("qe"))
+    val cents = fitCentroids(Tables.t(s, dir, "embeddings"))
+    val (own, other) = silhouetteCols(cents, $"label", $"qe")
     q.select($"label", own.as("a"), other.as("b"))
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),

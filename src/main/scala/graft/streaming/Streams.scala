@@ -743,6 +743,29 @@ object Streams {
       .withColumn("release_ok", $"csize" >= k)
   }
 
+  /** Streaming label-integrity gate — the live twin of batch
+    * s28_silhouette_audit: incoming (vec_id, label, embedding) rows are
+    * scored against FROZEN batch-fit fixed-point centroids
+    * ([[graft.ops.Similarity.fitCentroids]]); a vector not strictly
+    * closest to its claimed label's centroid routes to review
+    * (mislabeled ingest, drifted encoder, or out-of-distribution data).
+    *
+    * Stateless and NARROW — the centroids embed as literals (bounded
+    * label domain, s22's k-row rule), every distance is the compiled
+    * exact-integer SqDistLong, no state, no watermark, no join — so the
+    * gate runs at scan speed and flags bit-identically to an s28-style
+    * batch backfill over the same rows (the kappa property, pinned by
+    * StreamsSpec). */
+  def centroidGate(vecs: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val q = vecs.select($"vec_id", $"label",
+      graft.ops.Similarity.quantized.as("qe"))
+    val (own, other) = graft.ops.Similarity.silhouetteCols(cents, $"label", $"qe")
+    q.select($"vec_id", $"label", own.as("own_d2"), other.as("other_d2"))
+      .withColumn("label_ok", $"own_d2" < $"other_d2")
+  }
+
   def rulesGateIngest(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -431,6 +431,42 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("centroidGate: frozen centroids flag mislabeled vectors like batch (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // two well-separated label clusters in 3 dims
+    val corpus = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)), (2L, 0, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, 1, Seq(0.0f, 1.0f, 0.0f)), (4L, 1, Seq(0.1f, 0.9f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val cents = graft.ops.Similarity.fitCentroids(corpus)
+    assert(cents.map(_._1) == Seq(0, 1))
+
+    val arriving = Seq(
+      (10L, 0, Seq(0.95f, 0.05f, 0.0f)), // genuinely label 0 → ok
+      (11L, 1, Seq(0.9f, 0.0f, 0.1f)),   // claims 1, sits at 0 → flagged
+      (12L, 1, Seq(0.0f, 0.95f, 0.0f)))  // genuinely label 1 → ok
+    val expected = Streams.centroidGate(
+      arriving.toDF("vec_id", "label", "embedding"), cents)
+      .collect().map(_.toSeq).toSet
+
+    val in = MemoryStream[(Long, Int, Seq[Float])]
+    val q = Streams.centroidGate(
+      in.toDF().toDF("vec_id", "label", "embedding"), cents)
+      .writeStream.format("memory").queryName("centroid_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = s.table("centroid_out").collect().map(_.toSeq).toSet
+      assert(streamed == expected)
+      assert(streamed.exists(r => r.head == 10L && r.last == true))
+      assert(streamed.exists(r => r.head == 11L && r.last == false))
+      assert(streamed.exists(r => r.head == 12L && r.last == true))
+    } finally q.stop()
+  }
+
   test("dsirGate: frozen-weight scores equal the batch fit + dot product (kappa)") {
     val s = spark
     import s.implicits._
