@@ -1136,6 +1136,58 @@ object Temporal {
       |  CAST(SUM(credit_ppm) AS BIGINT) AS credit_ppm
       |FROM c GROUP BY touch_type ORDER BY touch_type""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  /** Half-life-decayed user value — the recency-weighted engagement
+    * feature a ranking/training pipeline derives from an event log:
+    * each event's spend decays by ½ per week of age at a fixed as-of
+    * anchor, so score = Σ value·2^(−age_weeks). Exponential decay is
+    * normally a float op; here the half-life is a power of two, so the
+    * weight is the INTEGER 2²⁰ ≫ age_weeks and the whole feature is
+    * exact fixed-point arithmetic — bit-identical on any engine and
+    * auditable (decayed_fp div 2²⁰ = whole decayed cents).
+    *
+    * The shift is CLAMPED (age ≥ 21 weeks → weight 0) on both sides:
+    * Java's `>>` wraps the shift count mod 64 (1048576 >> 84 = 1, not
+    * 0) while DuckDB saturates — an unclamped shift diverges the
+    * engines on any corpus spanning > 64 weeks.
+    *
+    * Scale shape: pure scan work into ONE user-keyed
+    * map-side-combining aggregate; no window, no join. */
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.t(s, dir, "events")
+      .select($"user_id", $"event_id",
+        round($"value" * 100).cast(LongType).as("v2"),
+        expr("(unix_micros(to_timestamp('2024-01-31 00:00:00')) " +
+          "- unix_micros(ts)) div 604800000000").as("age_w"))
+      .withColumn("w",
+        when($"age_w" >= 21L, 0L)
+          .otherwise(expr("shiftright(1048576L, cast(age_w as int))")))
+    base.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"v2").as("raw_cents"),
+        sum($"v2" * $"w").as("decayed_fp"))
+      .withColumn("decayed_cents", expr("decayed_fp div 1048576"))
+      .orderBy($"user_id")
+  }
+
+  val q70Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(round(value * 100) AS BIGINT) AS v2,
+      |    (epoch_us(TIMESTAMP '2024-01-31 00:00:00') - epoch_us(ts))
+      |      // 604800000000 AS age_w
+      |  FROM events),
+      |w AS (SELECT user_id, v2,
+      |    CASE WHEN age_w >= 21 THEN 0
+      |         ELSE 1048576 >> age_w END AS w
+      |  FROM e)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(v2) AS BIGINT) AS raw_cents,
+      |  CAST(SUM(v2 * w) AS BIGINT) AS decayed_fp,
+      |  CAST(SUM(v2 * w) // 1048576 AS BIGINT) AS decayed_cents
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -1155,7 +1207,8 @@ object Temporal {
     Q("q50_path_trigrams", q50, Some(q50Sql)),
     Q("q51_activity_deciles", q51, Some(q51Sql)),
     Q("q52_relational_division", q52, Some(q52Sql)),
-    Q("q54_attribution", q54, Some(q54Sql)))
+    Q("q54_attribution", q54, Some(q54Sql)),
+    Q("q70_decayed_value", q70, Some(q70Sql)))
 
   // ---------------------------------------------------------------- q52
   /** Relational division with support — "users who performed EVERY event
