@@ -708,6 +708,102 @@ object Multimodal {
     }.toDF().orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- m14
+  final case class PooledFeatures(
+      doc_id: Long, decoded: Boolean, pooled_w: Int, pooled_h: Int,
+      pooled_sum: Long, pooled_max: Long)
+
+  /** 2×2 average-pool of a REAL decoded raster: each pooled cell is the
+    * truncated mean (Σ div 4, padding zeros included) of its 2×2 block;
+    * out-of-raster rows contribute 0, exactly like the oracle's
+    * absent-pixel groups. Returns None when no reader sniffs the
+    * payload. */
+  private[ops] def poolDecoded(bytes: Array[Byte]): Option[PooledFeatures] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val (pw, ph) = ((w + 1) / 2, (h + 1) / 2)
+      var (sum, max) = (0L, 0L)
+      var py = 0
+      while (py < ph) {
+        var px = 0
+        while (px < pw) {
+          var cell = 0L
+          var dy = 0
+          while (dy < 2) {
+            var dx = 0
+            while (dx < 2) {
+              val (x, y) = (2 * px + dx, 2 * py + dy)
+              if (x < w && y < h) cell += raster.getSample(x, y, 0)
+              dx += 1
+            }
+            dy += 1
+          }
+          val pv = cell / 4
+          sum += pv; if (pv > max) max = pv
+          px += 1
+        }
+        py += 1
+      }
+      Some(PooledFeatures(0L, decoded = true, pw, ph, sum, max))
+    }
+  }
+
+  /** Real decoded downsample — m04's resize seam upgraded the way m13
+    * upgraded m02's: the payload round-trips through a genuine PNG
+    * codec and the 2×2 average-pool runs on the DECODED raster, not on
+    * the raw bytes. Pooled values are truncated integer means, so the
+    * oracle recomputes every one of them from the text's known 32-wide
+    * pixel layout (`encodePng`) — a silently-skipped decode or a float
+    * resampler both fail the gate.
+    *
+    * Scale (100 TB): same batched embarrassingly-parallel shape as m13
+    * (fan-out exchange of raw bytes, codec + pool per row, nothing else
+    * shuffles); swapping 2×2-mean for a real resampling kernel keeps
+    * every Spark-side seam unchanged. */
+  def m14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[PngRow] = mediaTable(s, dir)
+      .repartition($"doc_id")
+      .select($"doc_id", $"bytes").as[MediaRow]
+      .mapPartitions(_.map(r => PngRow(r.doc_id, encodePng(r.bytes))))
+    val batchSize = 64
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          poolDecoded(r.png) match {
+            case Some(f) => f.copy(doc_id = r.doc_id)
+            case None => // decoded=false fails the gate — see m13
+              PooledFeatures(r.doc_id, decoded = false, 0, 0, 0L, 0L)
+          }
+        }
+      }
+    }.toDF().orderBy($"doc_id")
+  }
+
+  val m14Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |    CAST(((i - 1) // 32) // 2 AS BIGINT) AS py,
+      |    CAST(((i - 1) % 32) // 2 AS BIGINT) AS pxc,
+      |    CAST(ascii(text[i]) AS BIGINT) AS v
+      |  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+      |cells AS (
+      |  SELECT doc_id, py, pxc, SUM(v) // 4 AS pv
+      |  FROM px GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT doc_id, SUM(pv) AS pooled_sum, MAX(pv) AS pooled_max
+      |  FROM cells GROUP BY 1)
+      |SELECT d.doc_id, TRUE AS decoded, 16 AS pooled_w,
+      |  CAST(ceil(greatest(1, ceil(length(d.text) / 32.0)) / 2.0) AS INT)
+      |    AS pooled_h,
+      |  CAST(COALESCE(a.pooled_sum, 0) AS BIGINT) AS pooled_sum,
+      |  CAST(COALESCE(a.pooled_max, 0) AS BIGINT) AS pooled_max
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val m13Sql: String =
     """WITH chars AS (
       |  SELECT doc_id, CAST(ascii(text[i]) AS BIGINT) AS b
@@ -734,5 +830,6 @@ object Multimodal {
     Q("m10_payload_concentration", m10, Some(m10Sql)),
     Q("m11_window_energy", m11, Some(m11Sql)),
     Q("m12_perceptual_neardup", m12, Some(m12Sql)),
-    Q("m13_image_decode", m13, Some(m13Sql)))
+    Q("m13_image_decode", m13, Some(m13Sql)),
+    Q("m14_real_resize", m14, Some(m14Sql)))
 }
