@@ -3151,6 +3151,81 @@ object TextAnalysis {
       |FROM r, tv
       |GROUP BY 1, v, t, s ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------- t49
+  /** Systematic probability-proportional-to-size sample (Madow 1949) —
+    * the deterministic mixture subsampler: lay every document's length
+    * on one cumulative line, drop k = 100 equally-spaced picks on it,
+    * and a document is selected iff a pick lands inside its span. Unlike
+    * hash sampling (t08/t09) the inclusion probability is ∝ size — the
+    * right marginal when downstream cost is per-TOKEN, not per-doc —
+    * and unlike a random reservoir it is a pure function of the data:
+    * re-runs, backfills and engines agree bit-for-bit.
+    *
+    * Exactness: doc i is hit ⌊cumᵢ·k/T⌋ − ⌊(cumᵢ−wᵢ)·k/T⌋ times — pure
+    * integer floor math that telescopes to exactly k hits corpus-wide
+    * (the audit pins Σ hits = k); selection is hits ≥ 1 (an over-long
+    * doc can absorb several picks, so n_selected ≤ k).
+    *
+    * Scale (100 TB): the cumulative line rides q53's distributed
+    * prefix-sum substrate — range repartition on doc_id, ≤ 1 row per
+    * partition to the driver, narrow local windows; cum·k stays int64
+    * to 10¹⁷ total chars (DECIMAL(38) beyond). The rollup is a
+    * ≤ |sources| aggregate. */
+  def t49(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 100L
+    val slim = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", $"n_chars")
+    val ranged = slim
+      .repartitionByRange(32, $"doc_id".asc)
+      .sortWithinPartitions($"doc_id".asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val parts = ranged.groupBy($"pid").agg(sum($"n_chars").as("t"))
+      .orderBy($"pid").collect() // ≤ #partitions rows (q53's bound)
+    val offsets = parts.scanLeft((-1, 0L, 0L)) {
+      case ((_, _, cum), r) => (r.getInt(0), r.getLong(1), cum + r.getLong(1))
+    }.drop(1).map { case (pid, t, cum) => (pid, cum - t) }
+    val total = parts.map(_.getLong(1)).sum
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
+    val wLocal = Window.partitionBy($"pid").orderBy($"doc_id".asc)
+    val hits = ranged
+      .withColumn("lsum", sum($"n_chars").over(wLocal))
+      .join(offDf, Seq("pid"))
+      .select($"doc_id", $"source", $"n_chars",
+        ($"lsum" + $"off").as("cum"))
+      .withColumn("m", expr(
+        s"(cum * $k) div ${total}L - ((cum - n_chars) * $k) div ${total}L"))
+    hits.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"m" >= 1L, 1L).otherwise(0L)).as("n_selected"),
+        sum($"m").as("n_hits"),
+        sum(when($"m" >= 1L, $"n_chars").otherwise(0L)).as("sel_chars"))
+      .withColumn("sel_ppm",
+        expr(s"(1000000 * sel_chars) div ${total}L"))
+      .orderBy($"source")
+  }
+
+  val t49Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    SUM(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM documents),
+      |tv AS (SELECT SUM(n_chars) AS t FROM documents),
+      |h AS (SELECT source, n_chars,
+      |    (cum * 100) // t - ((cum - n_chars) * 100) // t AS m
+      |  FROM r, tv)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN m >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_selected,
+      |  CAST(SUM(m) AS BIGINT) AS n_hits,
+      |  CAST(SUM(CASE WHEN m >= 1 THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS sel_chars,
+      |  CAST((1000000 * SUM(CASE WHEN m >= 1 THEN n_chars ELSE 0 END))
+      |    // (SELECT t FROM tv) AS BIGINT) AS sel_ppm
+      |FROM h GROUP BY source ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -3199,5 +3274,6 @@ object TextAnalysis {
     Q("t45_quality_quantiles", t45, Some(t45Sql)),
     Q("t46_dsir_selection", t46, Some(t46Sql)),
     Q("t47_k_anonymity", t47, Some(t47Sql)),
-    Q("t48_token_gini", t48, Some(t48Sql)))
+    Q("t48_token_gini", t48, Some(t48Sql)),
+    Q("t49_pps_sample", t49, Some(t49Sql)))
 }

@@ -973,6 +973,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"the 1-row Gini frame should broadcast-nest, not cartesian:\n$sp")
   }
 
+  test("t49: systematic PPS rides the range substrate; hits telescope to exactly k") {
+    val sp = simplePlan(TextAnalysis.t49(spark, dir))
+    val ranges = sp.linesIterator.count(_.contains("rangepartitioning"))
+    assert(ranges <= 2, s"extra global sort in the PPS substrate:\n$sp")
+    assert(!sp.contains("CartesianProduct"), s"PPS went cartesian:\n$sp")
+    // Madow's invariant: the floor differences telescope to k hits total
+    val hits = TextAnalysis.t49(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_hits")).head().getLong(0)
+    assert(hits == 100L, s"systematic picks must telescope to k: $hits")
+  }
+
   test("s28: the scoring pass is NARROW — centroid literals, no join at all") {
     val sp = simplePlan(Similarity.s28(spark, dir))
     assert(!sp.contains("Join"), s"scoring should embed centroid literals:\n$sp")
