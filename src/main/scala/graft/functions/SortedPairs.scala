@@ -62,7 +62,14 @@ object SortedPairs {
   def compute(arr: ArrayData): GenericArrayData = {
     val n = arr.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Long math: n*(n-1) overflows Int32 at n ≥ 46342 (to a NEGATIVE
+    // size). Fail loudly with the offending cardinality instead — an
+    // uncapped group reaching this kernel is a caller bug.
+    val m = n.toLong * (n - 1) / 2
+    require(m <= Int.MaxValue,
+      s"sorted_pairs: group of $n elements expands to $m pairs; " +
+        "cap the group size upstream")
+    val out = new Array[Any](m.toInt)
     var k = 0
     var i = 0
     while (i < n) {

@@ -81,8 +81,12 @@ object SqDist {
   * fixed-point embedding audits: `Σ (xᵢ−yᵢ)²` in int64 (callers bound
   * the element magnitude so the squared terms cannot overflow; a 2²¹
   * fixed-point difference squared is 2⁴², leaving 2²¹ dims of headroom).
-  * Same sequential left fold as `aggregate(zip_with(a, b,
-  * (x, y) -> (x-y)*(x-y)), 0L, _+_)`. */
+  * On equal-length inputs this is the same sequential left fold as
+  * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0L, _+_)`; on
+  * MISMATCHED lengths it folds the first min(|a|,|b|) elements
+  * ([[SqDist]]'s convention) where the zip_with form null-poisons —
+  * callers feeding variable-width vectors should validate dimensions
+  * upstream rather than rely on either behavior. */
 case class SqDistLong(left: Expression, right: Expression)
     extends BinaryExpression {
 

@@ -705,7 +705,9 @@ object Multimodal {
           }
         }
       }
-    }.toDF().orderBy($"doc_id")
+      // sortedNarrow: a bare orderBy's range sampling would re-run the
+      // whole codec stage — the dominant cost here — a second time
+    }.toDF().transform(df => Q.sortedNarrow(df, df("doc_id")))
   }
 
   // ---------------------------------------------------------------- m14
@@ -780,7 +782,8 @@ object Multimodal {
           }
         }
       }
-    }.toDF().orderBy($"doc_id")
+      // sortedNarrow, as in m13: don't pay the codec twice for sampling
+    }.toDF().transform(df => Q.sortedNarrow(df, df("doc_id")))
   }
 
   val m14Sql: String =

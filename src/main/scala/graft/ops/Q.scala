@@ -63,4 +63,76 @@ object Q {
       org.apache.spark.sql.functions.broadcast(pinned)
     else pinned
   }
+
+  /** Distributed exact global rank + running sums over a total `keys…`
+    * order — the prefix-sum substrate shared by q53 (Pareto classes),
+    * t48 (Lorenz/Gini) and t49 (systematic PPS), extracted so its
+    * delicate invariants live ONCE:
+    *
+    *  - range-repartition on the keys = a distributed global sort with
+    *    no single-partition stage;
+    *  - the partition layout is pinned (lazy localCheckpoint) BEFORE
+    *    anything reads it, so the per-partition offsets pass and the
+    *    local-window prefix pass see the SAME rows in the SAME
+    *    partitions (RangePartitioner boundaries are sampled and NOT
+    *    deterministic across executions — but ranks/prefixes derive
+    *    from the total key order, which boundaries cannot change);
+    *  - per-partition row counts and weight sums go to the driver as
+    *    ≤ one row per partition (bounded by cluster width, not data)
+    *    and fold into exclusive offsets in pid order;
+    *  - a narrow pid-local window plus the broadcast offsets yields the
+    *    exact global `__rank` (1-based) and `__cum_<w>` running sum for
+    *    every weight column, bit-identical to a global-window form.
+    *
+    * Returns (frame + __rank/__cum_* columns, total row count, total
+    * per weight). Weight columns must be LongType. */
+  private[ops] def rankedPrefix(dfIn: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+      weightCols: Seq[String]): (DataFrame, Long, Map[String, Long]) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val s = dfIn.sparkSession
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = dfIn
+      .repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val partRows = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"),
+        weightCols.map(w => sum(col(w)).as(s"__s_$w")): _*)
+      .orderBy(col("__pid")).collect()
+    var rowCum = 0L
+    val wCum = scala.collection.mutable.LinkedHashMap(
+      weightCols.map(_ -> 0L): _*)
+    val offRows = partRows.map { r =>
+      val rowOff = rowCum
+      rowCum += r.getLong(1)
+      val wOffs = weightCols.zipWithIndex.map { case (w, i) =>
+        val off = wCum(w)
+        wCum(w) += r.getLong(2 + i)
+        off
+      }
+      org.apache.spark.sql.Row.fromSeq(r.getInt(0) +: rowOff +: wOffs)
+    }
+    val offSchema = StructType(
+      StructField("__pid", IntegerType, nullable = false) +:
+        StructField("__row_off", LongType, nullable = false) +:
+        weightCols.map(w => StructField(s"__off_$w", LongType, nullable = false)))
+    val offDf = broadcast(s.createDataFrame(
+      s.sparkContext.parallelize(offRows.toSeq, 1), offSchema))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    var out = ranged
+      .withColumn("__lrow", row_number().over(wLocal).cast(LongType))
+    weightCols.foreach { w =>
+      out = out.withColumn(s"__lsum_$w", sum(col(w)).over(wLocal))
+    }
+    out = out.join(offDf, Seq("__pid"))
+      .withColumn("__rank", col("__lrow") + col("__row_off"))
+    weightCols.foreach { w =>
+      out = out.withColumn(s"__cum_$w", col(s"__lsum_$w") + col(s"__off_$w"))
+    }
+    val dropped = Seq("__pid", "__lrow", "__row_off") ++
+      weightCols.flatMap(w => Seq(s"__lsum_$w", s"__off_$w"))
+    (out.drop(dropped: _*), rowCum, wCum.toMap)
+  }
 }

@@ -1276,28 +1276,16 @@ object Relational {
     */
   def q53(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val revs = Tables.t(s, dir, "orders")
       .groupBy($"o_custkey")
       .agg(sum(cents($"o_totalprice")).as("rev"))
-      // pin the partition layout: the offsets pass and the prefix pass
-      // must see the SAME partitioning of the same rows
-      .repartitionByRange(32, $"rev".desc, $"o_custkey".asc)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(eager = false)
-    val offsets = revs.groupBy($"pid").agg(sum($"rev").as("psum"))
-      .orderBy($"pid").collect() // ≤ #partitions rows (t14's bound)
-      .scanLeft((-1, 0L, 0L)) { case ((_, _, cum), r) =>
-        (r.getInt(0), r.getLong(1), cum + r.getLong(1))
-      }.drop(1).map { case (pid, psum, cum) => (pid, cum - psum) }
-    val offDf = broadcast(offsets.toSeq.toDF("pid", "offset"))
-    val grand = revs.agg(sum($"rev")).head().getLong(0)
-    val wLocal = Window.partitionBy($"pid")
-      .orderBy($"rev".desc, $"o_custkey".asc)
-    revs
-      .withColumn("local_prefix", sum($"rev").over(wLocal))
-      .join(offDf, Seq("pid"))
-      .withColumn("prefix", $"local_prefix" + $"offset")
+    // Q.rankedPrefix carries the substrate's invariants (layout pinned
+    // before both passes, pid-ordered offset fold) — shared with t48/t49
+    val (ranked, _, totals) =
+      Q.rankedPrefix(revs, Seq($"rev".desc, $"o_custkey".asc), Seq("rev"))
+    val grand = totals("rev")
+    ranked
+      .withColumn("prefix", $"__cum_rev")
       .withColumn("cls",
         when($"prefix" * 5 <= lit(grand) * 4, "A")
           .when($"prefix" * 20 <= lit(grand) * 19, "B")
@@ -1603,10 +1591,10 @@ object Relational {
     * aggregate joined back on its own grouping key.
     *
     * Exactness: unit price is a ratio (price/quantity), so it is held
-    * as the integer floor-division pc·10⁴ div q2 — hundredths of cents
-    * per unit — identical in both engines for positive operands (Spark
-    * `div` truncates, DuckDB `//` floors). No float division happens
-    * before the ORDER BY.
+    * as the integer division pc·10⁴ div q2 — hundredths of cents per
+    * unit — identical in both engines (Spark `div` and DuckDB `//` BOTH
+    * truncate toward zero; verified on negative operands, see s28). No
+    * float division happens before the ORDER BY.
     *
     * Join strategy at scale: region⋈nation⋈supplier collapses to a
     * supplier-keyed frame that prunes the fact scan via a hint-free
@@ -2085,10 +2073,17 @@ object Relational {
         $"p_size".between(1, 10)) ||
       ($"p_brand" === "Brand#23" && $"q2".between(2000L, 3000L) &&
         $"p_size".between(1, 15))))
-    twoLevelCents(matched.select($"pd4", lit(1).as("one")),
-        Seq("one"), Seq("spd4" -> $"pd4"))
-      .select($"__cnt".as("n_lines"),
-        dbl(round($"spd4" / 10000, 2)).as("revenue"))
+    // global (keyless) final aggregate, NOT a constant-key groupBy: a
+    // grouped aggregate on empty input yields 0 rows while the oracle's
+    // global aggregate always yields 1 — the two-level shape here keeps
+    // the long partials AND the guaranteed single output row
+    val partial = matched
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum($"pd4").as("p"), count(lit(1)).as("n"))
+    partial.agg(
+        coalesce(sum($"n"), lit(0L)).as("n_lines"),
+        dbl(round(sum($"p".cast(DecimalType(38, 0))) / 10000, 2))
+          .as("revenue"))
   }
 
   val q68Sql: String =

@@ -1861,7 +1861,11 @@ object Similarity {
     q.select($"label", own.as("a"), other.as("b"))
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),
-        expr("sum(a) div count(1)").cast(LongType).as("mean_own_d2"),
+        // the per-row distance is bounded 2⁴⁸, but a label's row count
+        // is not — sum in DECIMAL(38) (the oracle's HUGEINT mirror), a
+        // bare long sum wraps silently at corpus scale
+        expr("sum(cast(a as decimal(38,0))) div count(1)")
+          .cast(LongType).as("mean_own_d2"),
         sum(when($"a" < $"b", 1L).otherwise(0L)).as("n_closer_own"))
       .withColumn("closer_ppm",
         expr("(1000000 * n_closer_own) div n_vecs").cast(LongType))

@@ -3085,31 +3085,12 @@ object TextAnalysis {
     val freq = Tables.t(s, dir, "documents")
       .select(explode(words($"text")).as("term"))
       .groupBy($"term").agg(count(lit(1)).as("cnt"))
-    val ranged = freq
-      .repartitionByRange(32, $"cnt".asc, $"term".asc)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(eager = false)
-    val parts = ranged.groupBy($"pid")
-      .agg(count(lit(1)).as("n"), sum($"cnt").as("t"))
-      .orderBy($"pid").collect() // ≤ #partitions rows (q53's bound)
-    val offsets = parts.scanLeft((-1, 0L, 0L, 0L, 0L)) {
-      case ((_, _, _, rowCum, tokCum), r) =>
-        (r.getInt(0), r.getLong(1), r.getLong(2),
-          rowCum + r.getLong(1), tokCum + r.getLong(2))
-    }.drop(1).map { case (pid, n, t, rowCum, tokCum) =>
-      (pid, rowCum - n, tokCum - t)
-    }
-    val vTypes = parts.map(_.getLong(1)).sum
-    val tTokens = parts.map(_.getLong(2)).sum
-    val offDf = broadcast(offsets.toSeq.toDF("pid", "row_off", "tok_off"))
-    val wLocal = Window.partitionBy($"pid").orderBy($"cnt".asc, $"term".asc)
-    val ranked = ranged
-      .withColumn("lrow", row_number().over(wLocal).cast(LongType))
-      .withColumn("lsum", sum($"cnt").over(wLocal))
-      .join(offDf, Seq("pid"))
-      .select($"term", $"cnt",
-        ($"lrow" + $"row_off").as("rank"),
-        ($"lsum" + $"tok_off").as("cum"))
+    // Q.rankedPrefix carries the substrate's invariants — shared q53/t49
+    val (pre, vTypes, totals) =
+      Q.rankedPrefix(freq, Seq($"cnt".asc, $"term".asc), Seq("cnt"))
+    val tTokens = totals("cnt")
+    val ranked = pre
+      .select($"term", $"cnt", $"__rank".as("rank"), $"__cum_cnt".as("cum"))
       .localCheckpoint(eager = false) // reused: Gini sum + decile rollup
     val gini = broadcast(ranked.agg(
       sum(($"rank".cast(DecimalType(38, 0)) * $"cnt")).as("s")))
@@ -3176,24 +3157,12 @@ object TextAnalysis {
     val k = 100L
     val slim = Tables.t(s, dir, "documents")
       .select($"doc_id", $"source", $"n_chars")
-    val ranged = slim
-      .repartitionByRange(32, $"doc_id".asc)
-      .sortWithinPartitions($"doc_id".asc)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(eager = false)
-    val parts = ranged.groupBy($"pid").agg(sum($"n_chars").as("t"))
-      .orderBy($"pid").collect() // ≤ #partitions rows (q53's bound)
-    val offsets = parts.scanLeft((-1, 0L, 0L)) {
-      case ((_, _, cum), r) => (r.getInt(0), r.getLong(1), cum + r.getLong(1))
-    }.drop(1).map { case (pid, t, cum) => (pid, cum - t) }
-    val total = parts.map(_.getLong(1)).sum
-    val offDf = broadcast(offsets.toSeq.toDF("pid", "off"))
-    val wLocal = Window.partitionBy($"pid").orderBy($"doc_id".asc)
-    val hits = ranged
-      .withColumn("lsum", sum($"n_chars").over(wLocal))
-      .join(offDf, Seq("pid"))
-      .select($"doc_id", $"source", $"n_chars",
-        ($"lsum" + $"off").as("cum"))
+    // Q.rankedPrefix carries the substrate's invariants — shared q53/t48
+    val (pre, _, totals) =
+      Q.rankedPrefix(slim, Seq($"doc_id".asc), Seq("n_chars"))
+    val total = totals("n_chars")
+    val hits = pre
+      .select($"doc_id", $"source", $"n_chars", $"__cum_n_chars".as("cum"))
       .withColumn("m", expr(
         s"(cum * $k) div ${total}L - ((cum - n_chars) * $k) div ${total}L"))
     hits.groupBy($"source")

@@ -763,7 +763,12 @@ object Streams {
       graft.ops.Similarity.quantized.as("qe"))
     val (own, other) = graft.ops.Similarity.silhouetteCols(cents, $"label", $"qe")
     q.select($"vec_id", $"label", own.as("own_d2"), other.as("other_d2"))
-      .withColumn("label_ok", $"own_d2" < $"other_d2")
+      // a label the batch fit never saw yields NULL own_d2 — precisely
+      // the corrupted/new-label ingest this gate exists to catch, so it
+      // must flag false (route to review), never NULL (which would
+      // vanish from BOTH filter(label_ok) and filter(!label_ok))
+      .withColumn("label_ok",
+        coalesce($"own_d2" < $"other_d2", lit(false)))
   }
 
   def rulesGateIngest(docs: DataFrame): DataFrame = {

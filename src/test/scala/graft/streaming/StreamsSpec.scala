@@ -446,7 +446,8 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     val arriving = Seq(
       (10L, 0, Seq(0.95f, 0.05f, 0.0f)), // genuinely label 0 → ok
       (11L, 1, Seq(0.9f, 0.0f, 0.1f)),   // claims 1, sits at 0 → flagged
-      (12L, 1, Seq(0.0f, 0.95f, 0.0f)))  // genuinely label 1 → ok
+      (12L, 1, Seq(0.0f, 0.95f, 0.0f)),  // genuinely label 1 → ok
+      (13L, 7, Seq(0.5f, 0.5f, 0.0f)))   // label the fit never saw → flagged
     val expected = Streams.centroidGate(
       arriving.toDF("vec_id", "label", "embedding"), cents)
       .collect().map(_.toSeq).toSet
@@ -464,6 +465,9 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
       assert(streamed.exists(r => r.head == 10L && r.last == true))
       assert(streamed.exists(r => r.head == 11L && r.last == false))
       assert(streamed.exists(r => r.head == 12L && r.last == true))
+      // an UNSEEN label must flag false (route to review), never a NULL
+      // that vanishes from both the pass and the review filters
+      assert(streamed.exists(r => r.head == 13L && r.last == false))
     } finally q.stop()
   }
 
