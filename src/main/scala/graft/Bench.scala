@@ -50,6 +50,15 @@ object Bench {
     // last-line parse (ADVICE r7). Real failures still surface — the
     // bench prints them itself via System.err.
     spark.sparkContext.setLogLevel("ERROR")
+    // the per-run eager unpersist races in-flight task completions, and
+    // DAGScheduler logs a benign multi-line "Failed to update accumulator
+    // (Unknown class)" ERROR stack per race — 60 lines of it can land
+    // directly ahead of the final JSON inside the harness's 2000-char
+    // tail window. Query failures surface through the caught exception
+    // per run (stderr + the failed list), never through this logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.OFF)
     // JVM + parquet-footer + view-registration warmup, excluded from
     // timings; the shuffle job initializes codegen, the shuffle system,
     // and the broadcast machinery so the first timed query isn't charged
