@@ -2150,6 +2150,47 @@ object Relational {
       |WHERE rev = (SELECT MAX(rev) FROM rev)
       |ORDER BY suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  /** Column profile of the orders table — the docs-generate/DQ-crawl
+    * primitive: per column, its null count and EXACT distinct count in
+    * one statement. Multiple exact COUNT(DISTINCT) in one aggregate is
+    * the classic Expand shape: Spark multiplies each input row once per
+    * distinct-column (6× here), partial-aggregates the expanded stream
+    * map-side, and never materializes a per-column pass — ONE scan, one
+    * exchange. (At extreme scale a profiler trades exactness for
+    * approx_count_distinct; the oracle gate needs the exact form, and
+    * the Expand shape is the right exact plan.) The wide 1-row result
+    * unpivots to (column, n_nulls, n_distinct) rows via stack — a
+    * narrow row expand (q37's move). */
+  def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val o = Tables.t(s, dir, "orders")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    wide.select($"n_rows", expr(
+        s"stack(${cols.size}, $stackArgs) as (column_name, n_nulls, n_distinct)"))
+      .select($"column_name", $"n_rows", $"n_nulls", $"n_distinct")
+      .orderBy($"column_name")
+  }
+
+  val q71Sql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -2201,6 +2242,7 @@ object Relational {
     Q("q66_supplier_diversity", q66, Some(q66Sql)),
     Q("q67_returned_losses", q67, Some(q67Sql)),
     Q("q68_disjunctive_revenue", q68, Some(q68Sql)),
-    Q("q69_top_supplier", q69, Some(q69Sql)))
+    Q("q69_top_supplier", q69, Some(q69Sql)),
+    Q("q71_column_profile", q71, Some(q71Sql)))
 
 }

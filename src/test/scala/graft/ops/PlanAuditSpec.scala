@@ -1047,6 +1047,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"winner filter went cartesian:\n$p")
   }
 
+  test("q71: the multi-distinct profile is ONE scan through an Expand, no joins") {
+    val p = plan(Relational.q71(spark, dir))
+    assert(p.contains("Expand"),
+      s"6 exact COUNT(DISTINCT)s should plan one Expand, not per-column passes:\n$p")
+    val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
+    assert(scans <= 1, s"the profile re-scanned the table:\n$p")
+    assert(!p.contains("Join"), s"profiling needs no join:\n$p")
+  }
+
   test("q63: nation pair broadcasts prune both fact sides; scan prunes") {
     val p = plan(Relational.q63(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
