@@ -2283,6 +2283,51 @@ object Dedup {
       |  CAST(SUM(tok * (1000000 // c)) AS BIGINT) AS eff_tokens_ppm
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- d31
+  /** Duplication-level histogram — the memorization-exposure curve of
+    * Lee et al. 2022 / Carlini et al. 2023: for every exact-duplicate
+    * multiplicity c, how many clusters sit at that level, how many
+    * documents and how much character mass they carry, and that mass's
+    * corpus share in exact ppm. The planning readout BEHIND d01's
+    * per-source counts and d30's keep-weights: a corpus with its mass
+    * in c = 2–5 needs soft dedup (d30); a megadup spike at c ≥ 100 is
+    * boilerplate for d17/d22; the c = 1 share is the dedup ceiling.
+    *
+    * Scale (100 TB): text never shuffles — documents collapse map-side
+    * to (digest, chars) partials, the cluster rollup is digest-keyed,
+    * and the histogram is ≤ max-multiplicity rows; the corpus total is
+    * a 1-row broadcast (the documented param-frame pattern). */
+  def d31(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = Tables.t(s, dir, "documents")
+      .select(md5($"text".cast(BinaryType)).as("h"), $"n_chars")
+      .groupBy($"h")
+      .agg(count(lit(1)).as("c"), sum($"n_chars").as("chars"))
+    val total = clusters.agg(sum($"chars").as("t"))
+    clusters.groupBy($"c")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"chars").as("char_mass"))
+      .crossJoin(broadcast(total))
+      .select($"c".as("dup_level"), $"n_clusters",
+        ($"c" * $"n_clusters").as("n_docs"),
+        $"char_mass",
+        expr("(1000000 * char_mass) div t").as("mass_ppm"))
+      .orderBy($"dup_level")
+  }
+
+  val d31Sql: String =
+    """WITH cl AS (
+      |  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM documents GROUP BY 1),
+      |tv AS (SELECT SUM(chars) AS t FROM cl)
+      |SELECT c AS dup_level, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(c * COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(chars) AS BIGINT) AS char_mass,
+      |  CAST((1000000 * SUM(chars)) // (SELECT t FROM tv) AS BIGINT)
+      |    AS mass_ppm
+      |FROM cl GROUP BY c ORDER BY dup_level""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("d01_exact_dedup", d01, Some(d01Sql)),
     Q("d02_ngram_jaccard", d02, Some(d02Sql), headline = true),
@@ -2313,5 +2358,6 @@ object Dedup {
     Q("d27_keeper_sensitivity", d27, Some(d27Sql)),
     Q("d28_pair_evidence", d28, Some(d28Sql)),
     Q("d29_copy_direction", d29, Some(d29Sql)),
-    Q("d30_soft_dedup", d30, Some(d30Sql)))
+    Q("d30_soft_dedup", d30, Some(d30Sql)),
+    Q("d31_dup_histogram", d31, Some(d31Sql)))
 }

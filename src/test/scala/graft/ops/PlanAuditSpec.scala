@@ -840,6 +840,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!sp.contains("Join"), s"reweighting needs no join at all:\n$sp")
   }
 
+  test("d31: histogram exchanges carry digests, never text; total is a 1-row broadcast") {
+    val sp = simplePlan(Dedup.d31(spark, dir))
+    val exchangeLines = sp.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!exchangeLines.contains("text"),
+      s"document text crosses an exchange:\n$exchangeLines")
+    assert(!sp.contains("CartesianProduct"),
+      s"the 1-row total should broadcast-nest:\n$sp")
+  }
+
   test("q55: snowflake probe prunes the lineitem scan and broadcasts the region dims") {
     val p = plan(Relational.q55(spark, dir))
     val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
