@@ -3195,6 +3195,83 @@ object TextAnalysis {
       |    // (SELECT t FROM tv) AS BIGINT) AS sel_ppm
       |FROM h GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- t50
+  /** Count-Min sketch error audit (Cormode & Muthukrishnan 2005): build
+    * the 4×1024 CMS every streaming frequency estimator actually ships,
+    * then measure its overestimation on the top-50 tokens against exact
+    * counts — the calibration read before trusting sketch counts for
+    * heavy-hitter cutoffs or mixture weights. The sketch is a pure
+    * deterministic function of the data (row hashes are disjoint 12-bit
+    * slices of md5, mod 1024), so BOTH engines rebuild the identical
+    * sketch and the audit gates bit-exact: true count, CMS estimate
+    * (min over the 4 rows), and the overestimate — never negative, by
+    * construction — per token.
+    *
+    * Scale (100 TB): the sketch aggregate map-side-combines to ≤ 4·1024
+    * cells per partition regardless of corpus size (that is the point
+    * of a CMS) and the final table is 4096 rows — broadcast by
+    * definition of the sketch params; exact top-50 counts ride the
+    * vocabulary aggregate; the probe joins 200 (token, row) keys
+    * against the broadcast sketch. */
+  def t50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val CmsRows = 4
+    val CmsWidth = 1024
+    def bucket(w: Column, row: Int): Column =
+      (conv(substring(md5(w), 1 + 3 * row, 3), 16, 10)
+        .cast(LongType) % CmsWidth).cast(IntegerType)
+    val tok = Tables.t(s, dir, "documents")
+      .select(explode(words($"text")).as("w"))
+      .localCheckpoint(eager = false) // shared: sketch + exact counts
+    val cms = tok.select(explode(array(
+        (0 until CmsRows).map(i =>
+          struct(lit(i).as("r"), bucket($"w", i).as("b"))): _*)).as("c"))
+      .groupBy($"c.r".as("r"), $"c.b".as("b"))
+      .agg(count(lit(1)).as("cell"))
+    val top = tok.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
+      .orderBy($"true_cnt".desc, $"w").limit(50)
+    val probes = top.select($"w", $"true_cnt", explode(array(
+        (0 until CmsRows).map(i =>
+          struct(lit(i).as("r"), bucket($"w", i).as("b"))): _*)).as("c"))
+      .select($"w", $"true_cnt", $"c.r".as("r"), $"c.b".as("b"))
+    probes.join(broadcast(cms), Seq("r", "b"))
+      .groupBy($"w", $"true_cnt")
+      .agg(min($"cell").as("cms_est"))
+      .withColumn("overest", $"cms_est" - $"true_cnt")
+      .orderBy($"true_cnt".desc, $"w")
+  }
+
+  val t50Sql: String = {
+    // 12-bit value of hex chars [1+3r .. 3+3r] of m, mod 1024
+    def parse(row: Int): String = {
+      val terms = (0 until 3).map { j =>
+        val w = 1 << (4 * (2 - j))
+        s"(strpos('0123456789abcdef', substr(m, ${1 + 3 * row + j}, 1)) - 1) * $w"
+      }.mkString(" + ")
+      s"CAST(($terms) % 1024 AS INTEGER)"
+    }
+    val buckets = (0 until 4).map(r => s"SELECT w, $r AS r, ${parse(r)} AS b FROM hm")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT w FROM (SELECT string_split(text, ' ') AS ws FROM documents),
+       |       UNNEST(ws) AS t(w)),
+       |cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt
+       |        FROM tok GROUP BY w),
+       |hm AS (SELECT w, md5(w) AS m FROM cnt),
+       |bk AS ($buckets),
+       |cms AS (SELECT r, b, CAST(SUM(true_cnt) AS BIGINT) AS cell
+       |        FROM bk JOIN cnt USING (w) GROUP BY r, b),
+       |top AS (SELECT w, true_cnt FROM cnt
+       |        ORDER BY true_cnt DESC, w LIMIT 50)
+       |SELECT top.w, top.true_cnt,
+       |  CAST(MIN(cms.cell) AS BIGINT) AS cms_est,
+       |  CAST(MIN(cms.cell) - top.true_cnt AS BIGINT) AS overest
+       |FROM top JOIN bk ON top.w = bk.w
+       |JOIN cms ON bk.r = cms.r AND bk.b = cms.b
+       |GROUP BY top.w, top.true_cnt
+       |ORDER BY top.true_cnt DESC, top.w""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -3244,5 +3321,6 @@ object TextAnalysis {
     Q("t46_dsir_selection", t46, Some(t46Sql)),
     Q("t47_k_anonymity", t47, Some(t47Sql)),
     Q("t48_token_gini", t48, Some(t48Sql)),
-    Q("t49_pps_sample", t49, Some(t49Sql)))
+    Q("t49_pps_sample", t49, Some(t49Sql)),
+    Q("t50_cms_audit", t50, Some(t50Sql)))
 }

@@ -993,6 +993,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(hits == 100L, s"systematic picks must telescope to k: $hits")
   }
 
+  test("t50: the 4096-cell CMS broadcasts; probes are 200 keys; no cartesian") {
+    val sp = simplePlan(TextAnalysis.t50(spark, dir))
+    assert(sp.contains("BroadcastExchange") || sp.contains("BroadcastHashJoin"),
+      s"the sketch table is bounded by its params and should broadcast:\n$sp")
+    assert(!sp.contains("CartesianProduct"), s"CMS probe went cartesian:\n$sp")
+    // overestimates are >= 0 by construction — a negative one means the
+    // two engines' sketches diverged
+    val neg = TextAnalysis.t50(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("overest") < 0).count()
+    assert(neg == 0L, "CMS estimate below the true count")
+  }
+
   test("s28: the scoring pass is NARROW — centroid literals, no join at all") {
     val sp = simplePlan(Similarity.s28(spark, dir))
     assert(!sp.contains("Join"), s"scoring should embed centroid literals:\n$sp")
