@@ -1320,7 +1320,8 @@ object Dedup {
     *
     * Scale (100 TB): the masked hash is 16 bytes — like d01, document
     * text never shuffles; the group-by reduces map-side, and the top-10
-    * window runs over template groups (≪ docs). */
+    * is TakeOrderedAndProject over the (corpus-growing) template-group
+    * frame — never an unpartitioned rank window. */
   /** d17 kernel on any (doc_id, source, text) frame — the synthetic
     * corpus has no digits to mask, so the oracle gate only proves the
     * empty case; DedupSpec pins the positive template-collapse cases. */
@@ -1340,9 +1341,15 @@ object Dedup {
         countDistinct($"source").as("n_sources"),
         min($"doc_id").as("example_doc"))
       .filter($"n_distinct_texts" > 1)
+    // global top-10 as orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps, 10 rows to the driver) — the template-group frame is
+    // corpus-growing (one row per masked-hash family), so a row_number
+    // over an unpartitioned window would shuffle ALL of it to one
+    // partition. The rank window then runs over just the 10 survivors
+    // (the t11 pattern; PlanAuditSpec pins the shape).
+    val top = groups.orderBy($"n_docs".desc, $"ht").limit(10)
     val w = Window.orderBy($"n_docs".desc, $"ht")
-    groups.withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
+    top.withColumn("rank", row_number().over(w))
       .select($"rank", $"n_docs", $"n_distinct_texts", $"n_sources", $"example_doc")
       .orderBy($"rank")
   }
@@ -2311,7 +2318,11 @@ object Dedup {
       .select($"c".as("dup_level"), $"n_clusters",
         ($"c" * $"n_clusters").as("n_docs"),
         $"char_mass",
-        expr("(1000000 * char_mass) div t").as("mass_ppm"))
+        // char_mass is corpus-proportional: promote to DECIMAL(38,0)
+        // before the *1e6 (the oracle's HUGEINT mirror) — a bare long
+        // multiply wraps above ~9.2e12 chars at one dup level
+        expr("(1000000 * cast(char_mass as decimal(38,0))) div t")
+          .cast(LongType).as("mass_ppm"))
       .orderBy($"dup_level")
   }
 

@@ -121,10 +121,17 @@ object Q {
     val offDf = broadcast(s.createDataFrame(
       s.sparkContext.parallelize(offRows.toSeq, 1), offSchema))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+    // Explicit ROWS frame: the default (RANGE ... CURRENT ROW) is
+    // peer-INCLUSIVE — under tied keys it would sum following peers,
+    // silently breaking the documented per-row prefix contract. All
+    // current call sites pass a unique total order, but the helper must
+    // match its executable spec (RankedPrefixSpec) even under ties.
+    val wLocalRows = wLocal.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
     var out = ranged
       .withColumn("__lrow", row_number().over(wLocal).cast(LongType))
     weightCols.foreach { w =>
-      out = out.withColumn(s"__lsum_$w", sum(col(w)).over(wLocal))
+      out = out.withColumn(s"__lsum_$w", sum(col(w)).over(wLocalRows))
     }
     out = out.join(offDf, Seq("__pid"))
       .withColumn("__rank", col("__lrow") + col("__row_off"))

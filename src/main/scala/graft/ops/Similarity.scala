@@ -1868,7 +1868,10 @@ object Similarity {
           .cast(LongType).as("mean_own_d2"),
         sum(when($"a" < $"b", 1L).otherwise(0L)).as("n_closer_own"))
       .withColumn("closer_ppm",
-        expr("(1000000 * n_closer_own) div n_vecs").cast(LongType))
+        // n_closer_own is corpus-proportional — DECIMAL(38,0) before
+        // the *1e6 (HUGEINT mirror), long multiply wraps at ~9.2e12 rows
+        expr("(1000000 * cast(n_closer_own as decimal(38,0))) div n_vecs")
+          .cast(LongType))
       .orderBy($"label")
   }
 

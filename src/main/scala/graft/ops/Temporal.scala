@@ -1146,10 +1146,13 @@ object Temporal {
     * exact fixed-point arithmetic — bit-identical on any engine and
     * auditable (decayed_fp div 2²⁰ = whole decayed cents).
     *
-    * The shift is CLAMPED (age ≥ 21 weeks → weight 0) on both sides:
-    * Java's `>>` wraps the shift count mod 64 (1048576 >> 84 = 1, not
-    * 0) while DuckDB saturates — an unclamped shift diverges the
-    * engines on any corpus spanning > 64 weeks.
+    * The shift is CLAMPED ON BOTH TAILS on both sides: age ≥ 21 weeks
+    * → weight 0 (Java's `>>` wraps the shift count mod 64 — 1048576 >>
+    * 84 = 1 — while DuckDB saturates, so an unclamped upper tail
+    * diverges on any corpus spanning > 64 weeks), and age < 0 (event
+    * after the as-of anchor) → full weight 2²⁰ (a negative shift count
+    * wraps in Java but saturates-to-0 in DuckDB at age ≤ −44; future
+    * events deserve undivided weight, not silent zero).
     *
     * Scale shape: pure scan work into ONE user-keyed
     * map-side-combining aggregate; no window, no join. */
@@ -1161,7 +1164,8 @@ object Temporal {
         expr("(unix_micros(to_timestamp('2024-01-31 00:00:00')) " +
           "- unix_micros(ts)) div 604800000000").as("age_w"))
       .withColumn("w",
-        when($"age_w" >= 21L, 0L)
+        when($"age_w" < 0L, 1048576L)
+          .when($"age_w" >= 21L, 0L)
           .otherwise(expr("shiftright(1048576L, cast(age_w as int))")))
     base.groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"),
@@ -1179,7 +1183,8 @@ object Temporal {
       |      // 604800000000 AS age_w
       |  FROM events),
       |w AS (SELECT user_id, v2,
-      |    CASE WHEN age_w >= 21 THEN 0
+      |    CASE WHEN age_w < 0 THEN 1048576
+      |         WHEN age_w >= 21 THEN 0
       |         ELSE 1048576 >> age_w END AS w
       |  FROM e)
       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -1263,8 +1263,12 @@ object TextAnalysis {
     * (transcendentals are not).
     *
     * Scale (100 TB): term counting is the canonical map-side-combinable
-    * aggregate; ranking runs over the vocabulary (≪ corpus, sublinear
-    * growth), so the single-partition top-30 window is bounded. */
+    * aggregate; the vocabulary is sublinear but UNBOUNDED (10⁹+ distinct
+    * tokens on web text), so the top-30 is orderBy+limit →
+    * TakeOrderedAndProject (per-partition heaps, 30 rows to the driver),
+    * never a row_number over an unpartitioned window — that would sort
+    * the full term table on one partition. The rank window runs over
+    * just the 30 survivors (t11 pattern; PlanAuditSpec pins it). */
   def t24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val freq = Tables.t(s, dir, "documents")
@@ -1272,8 +1276,8 @@ object TextAnalysis {
       .groupBy($"term").agg(count(lit(1)).as("freq"))
     val w = Window.orderBy($"freq".desc, $"term")
     val top = freq
+      .orderBy($"freq".desc, $"term").limit(30)
       .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 30)
     val topFreq = top.agg(max($"freq").as("top_freq"))
     top.crossJoin(broadcast(topFreq))
       .select($"rank", $"term", $"freq",
@@ -3171,7 +3175,10 @@ object TextAnalysis {
         sum($"m").as("n_hits"),
         sum(when($"m" >= 1L, $"n_chars").otherwise(0L)).as("sel_chars"))
       .withColumn("sel_ppm",
-        expr(s"(1000000 * sel_chars) div ${total}L"))
+        // sel_chars is corpus-proportional — DECIMAL(38,0) before the
+        // *1e6 (HUGEINT mirror), same as t48's cum_share_ppm
+        expr(s"(1000000 * cast(sel_chars as decimal(38,0))) div ${total}L")
+          .cast(LongType))
       .orderBy($"source")
   }
 
