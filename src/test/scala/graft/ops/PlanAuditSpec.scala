@@ -9,6 +9,34 @@ import org.scalatest.funsuite.AnyFunSuite
   * scaladoc must be visible in the executed plan — filter pushdown to the
   * parquet scan, column pruning in ReadSchema, broadcast joins for small
   * dims, and whole-stage codegen spans. */
+object PlanAuditSpec {
+  import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec,
+    GlobalLimitExec, LocalLimitExec, CollectLimitExec}
+  import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+
+  /** True when some limit operator below `p` bounds the row count feeding
+    * it — an unpartitioned window over such input ranks a handful of
+    * survivors (the t11 pattern), not the corpus. */
+  private def limitBelow(p: SparkPlan): Boolean =
+    p.find {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+           _: LocalLimitExec | _: CollectLimitExec => true
+      case _ => false
+    }.isDefined
+
+  /** Unpartitioned window operators whose input is NOT bounded by a limit
+    * — the single-partition global-sort shape that kills distributed
+    * plans. Subqueries included. */
+  def unboundedGlobalWindows(plan: SparkPlan): Seq[String] =
+    plan.collectWithSubqueries {
+      case w: WindowExec if w.partitionSpec.isEmpty && !limitBelow(w.child) =>
+        w.simpleStringWithNodeId()
+      case w: WindowGroupLimitExec
+          if w.partitionSpec.isEmpty && !limitBelow(w.child) =>
+        w.simpleStringWithNodeId()
+    }
+}
+
 class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   private val dir = "/root/testdata/sf0.001"
@@ -1075,6 +1103,55 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val scans = p.linesIterator.count(_.matches("""\(\d+\) Scan parquet\s*"""))
     assert(scans <= 1, s"the profile re-scanned the table:\n$p")
     assert(!p.contains("Join"), s"profiling needs no join:\n$p")
+  }
+
+  test("d17/t24: global top-k lowers to TakeOrdered; rank windows see only survivors") {
+    for ((nm, df) <- Seq("d17" -> Dedup.d17(spark, dir),
+                         "t24" -> TextAnalysis.t24(spark, dir))) {
+      val p = simplePlan(df)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$nm: top-k did not lower to per-partition heaps:\n$p")
+      val bad = PlanAuditSpec.unboundedGlobalWindows(df.queryExecution.sparkPlan)
+      assert(bad.isEmpty,
+        s"$nm: unpartitioned window over UNBOUNDED input (must rank only the " +
+          s"post-limit survivors): $bad\n$p")
+    }
+  }
+
+  /** The class-wide scale-killer guard: NO registered query may plan an
+    * unpartitioned WindowExec over unbounded input — that shape sorts a
+    * corpus-proportional frame on ONE partition and is the single most
+    * common way a distributed plan silently degrades to a single node.
+    * Windows over post-limit survivors (TakeOrdered below) are bounded by
+    * construction and auto-exempt; everything else must appear in the
+    * allowlist below with its documented domain bound. */
+  test("sweep: no registered query windows an unbounded frame on one partition") {
+    // name -> why the window input is bounded by something other than a limit
+    val allow = Map(
+      "q44_skew_profile" -> "percentile window over the count-of-counts histogram (|distinct per-key counts| rows)",
+      "q40_user_growth" -> "cumulative window over the per-day spine (|days| rows)",
+      "q43_hourly_anomaly" -> "z-score windows over the per-hour spine (|hours| rows)",
+      "t23_mixture_budget" -> "largest-remainder windows over the per-source budget frame (|sources| rows)",
+      "t26_vocab_growth" -> "Heaps-curve window over the per-batch frame (|batches| rows)",
+      "t45_quality_quantiles" -> "documented <=1e6+1 quantile grid (clamped before the window)",
+      "s09_cell_balance" -> "balance window over the per-IVF-cell histogram (n_lists rows, algorithm parameter)",
+      "s16_pair_density" -> "density census over the documented bounded sample (O(sample^2) requires it)")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for (q <- Q.registry) {
+      val df = q.fn(spark, dir)
+      if (PlanAuditSpec.unboundedGlobalWindows(df.queryExecution.sparkPlan).nonEmpty)
+        offenders += q.name
+      // queries pin layouts with lazy localCheckpoints; free the blocks so
+      // the 217-query sweep doesn't accumulate them (CLAUDE.md rule)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    val unexpected = offenders.filterNot(allow.contains)
+    assert(unexpected.isEmpty,
+      s"unpartitioned window over unbounded input in: ${unexpected.mkString(", ")} — " +
+        "repartition the window, lower the top-k to orderBy+limit, or document the bound here")
+    val stale = allow.keySet -- offenders.toSet
+    assert(stale.isEmpty,
+      s"allowlist entries no longer plan a global window — prune them: ${stale.mkString(", ")}")
   }
 
   test("q63: nation pair broadcasts prune both fact sides; scan prunes") {
