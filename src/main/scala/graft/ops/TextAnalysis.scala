@@ -2254,10 +2254,15 @@ object TextAnalysis {
     *
     * Scale (100 TB): trigram extraction is one compiled pass
     * ([[graft.functions.CharGrams]] — distinct grams per doc, no
-    * per-window substring lambdas); the learned profile is
-    * |langs|·K rows — broadcast; scoring is a map-side probe + one
-    * (doc, lang) rollup. Train and score share one lazily-checkpointed
-    * gram frame. */
+    * per-window substring lambdas); the learned profile is |langs|·K
+    * rows — an algorithm-parameter bound (SURVEY §8), so it collects to
+    * the driver and embeds as LITERAL gram sets, like s28's centroids.
+    * The score pass is then a PURE NARROW scan: per-language hit counts
+    * are codegen'd `array_intersect` sizes against the literals — no
+    * second gram explode, no (doc, lang) shuffle, no join back to the
+    * corpus, and (the round-11 sin) no checkpoint of the exploded
+    * corpus×grams frame, which materialized a ~10–30×-corpus block just
+    * to save re-running a narrow scan. */
   val LangProfileK = 20
 
   def t38(s: SparkSession, dir: String): DataFrame =
@@ -2268,29 +2273,47 @@ object TextAnalysis {
   private[graft] def charTrigramLangId(docsIn: DataFrame): DataFrame = {
     val s = docsIn.sparkSession
     import s.implicits._
-    val grams = docsIn
+    // Train: one compiled gram scan → (lang, gram) document frequencies →
+    // per-lang top-K (the per-lang window partitions on lang; its input is
+    // the vocabulary-sized df frame, never the corpus).
+    val prof = docsIn
       .select($"doc_id", $"lang",
         explode(graft.functions.CharGrams($"text", 3)).as("gram"))
-      .localCheckpoint(eager = false) // shared by train + score passes
-    val prof = grams.groupBy($"lang", $"gram")
+      .groupBy($"lang", $"gram")
       .agg(countDistinct($"doc_id").as("df"))
     val wp = Window.partitionBy($"lang").orderBy($"df".desc, $"gram".asc)
     val profile = prof.withColumn("rn", row_number().over(wp))
       .filter($"rn" <= LangProfileK)
-      .select($"lang".as("plang"), $"gram")
-    val scored = grams.join(broadcast(profile), Seq("gram"))
-      .groupBy($"doc_id", $"plang").agg(count(lit(1)).as("n"))
-    val wd = Window.partitionBy($"doc_id").orderBy($"n".desc, $"plang".asc)
-    val best = scored.withColumn("rn", row_number().over(wd))
-      .filter($"rn" === 1)
-      .select($"doc_id", $"plang", $"n")
-    docsIn.select($"doc_id", $"lang".as("labeled_lang"))
-      .join(best, Seq("doc_id"), "left")
+      .select($"lang", $"gram")
+    // |langs|·K rows by construction — the documented parameter bound.
+    val byLang: Seq[(String, Seq[String])] = profile.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
+    // Score: hit count per language = |doc grams ∩ profile(lang)| over the
+    // literal gram sets; argmax keeps the lang-ASCENDING tiebreak because
+    // `filter` preserves the ascending build order of the hits array.
+    // empty corpus / all-short texts ⇒ no profile: every doc scores 'und'
+    val hitsArr =
+      if (byLang.isEmpty) array(struct(lit(0).as("n"), lit("und").as("lang")))
+      else array(byLang.map { case (l, gs) =>
+        struct(
+          size(array_intersect($"__grams", typedlit(gs))).as("n"),
+          lit(l).as("lang"))
+      }: _*)
+    val scored = docsIn
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        graft.functions.CharGrams($"text", 3).as("__grams"))
+      .select($"doc_id", $"labeled_lang", hitsArr.as("__hits"))
+      .select($"doc_id", $"labeled_lang", $"__hits",
+        array_max($"__hits".getField("n")).as("__max_n"))
       .select($"doc_id", $"labeled_lang",
-        coalesce($"plang", lit("und")).as("pred_lang"),
-        coalesce($"n", lit(0L)).as("n_hits"),
-        (coalesce($"plang", lit("und")) === $"labeled_lang").as("is_match"))
-      .orderBy($"doc_id")
+        when($"__max_n" > 0,
+          element_at(filter($"__hits", h => h.getField("n") === $"__max_n"), 1)
+            .getField("lang"))
+          .otherwise(lit("und")).as("pred_lang"),
+        $"__max_n".cast("long").as("n_hits"))
+      .withColumn("is_match", $"pred_lang" === $"labeled_lang")
+    Q.sortedNarrow(scored, $"doc_id")
   }
 
   val t38Sql: String =
