@@ -2191,6 +2191,220 @@ object Relational {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  // ---------------------------------------------------------------- q72
+  /** Product-line profit by nation and year (TPC-H Q9 analog — the
+    * testdata has no partsupp, so unit cost comes from p_retailprice).
+    * Profit per line = discounted revenue − retail cost of the shipped
+    * quantity; grouped by the supplier's nation and the ship year.
+    *
+    * Exactness: both terms live in the long scale-4 cents domain
+    * (p¢·(100−d¢) and retail¢·qty¢), so the per-line profit is an exact
+    * integer; the rollup is two-level (long partials, DECIMAL(38)
+    * final), rounded before the one display double cast.
+    *
+    * Scale shape: the %gear% name filter prunes part BEFORE the fact
+    * join; part and supplier join hint-free (real SF-growing dimensions
+    * — AQE picks broadcast while they fit); nation is the fixed 25-row
+    * domain and broadcasts by policy. One fact exchange per dim key,
+    * then a (nation, year)-grain aggregate — 25·|years| cells. */
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.t(s, dir, "part")
+      .filter($"p_name".contains("gear"))
+      .select($"p_partkey", cents($"p_retailprice").as("rc"))
+    val sup = Tables.t(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+    val n = broadcast(Tables.t(s, dir, "nation")
+      .select($"n_nationkey", $"n_name"))
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey",
+        year($"l_shipdate").as("o_year"),
+        cents($"l_quantity").as("q2"),
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+      .join(p, $"l_partkey" === $"p_partkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(n, $"s_nationkey" === $"n_nationkey")
+      .select($"n_name".as("nation"), $"o_year",
+        ($"pd4" - $"rc" * $"q2").as("profit4"))
+    twoLevelCents(base, Seq("nation", "o_year"), Seq("p4" -> $"profit4"))
+      .select($"nation", $"o_year",
+        dbl(round($"p4" / 10000, 2)).as("profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val q72Sql: String =
+    """SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,6)))
+      |    - CAST(p_retailprice AS DECIMAL(18,6))
+      |      * CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%gear%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Important parts by shipped value (TPC-H Q11 analog — partsupp's
+    * availqty·supplycost becomes the shipped discounted value): parts
+    * whose value from one nation's suppliers exceeds 1/1000 of that
+    * nation's total. The threshold compare happens on EXACT integers
+    * (1000·part4 > total4 in DECIMAL(38)) — never on a display double,
+    * so the survivor set is bit-identical in any engine.
+    *
+    * Scale shape: the nation filter collapses supplier to one nation's
+    * slice before the fact join (hint-free); per-part value is a
+    * two-level rollup; the grand total is a 1-row aggregate OF the
+    * rollup (exchange-free on top of it) and broadcasts back as the
+    * documented 1-row param frame — the q69 pattern. */
+  def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.t(s, dir, "supplier")
+      .join(broadcast(Tables.t(s, dir, "nation")
+        .filter($"n_name" === "NATION_7").select($"n_nationkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val base = Tables.t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey",
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .select($"l_partkey", $"pd4")
+    val perPart = twoLevelCents(base, Seq("l_partkey"), Seq("v4" -> $"pd4"))
+      .localCheckpoint(eager = false) // reused: total + threshold filter
+    val total = perPart.agg(sum($"v4").as("t4"))
+    perPart.crossJoin(broadcast(total))
+      .filter($"v4" * 1000 > $"t4")
+      .select($"l_partkey".as("partkey"),
+        dbl(round($"v4" / 10000, 2)).as("value"))
+      .orderBy($"value".desc, $"partkey")
+  }
+
+  val q73Sql: String =
+    """WITH pv AS (
+      |  SELECT l_partkey,
+      |    SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS v4,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS vdec
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY l_partkey)
+      |SELECT l_partkey AS partkey,
+      |  CAST(ROUND(vdec, 2) AS DOUBLE) AS value
+      |FROM pv
+      |WHERE v4 * 1000 > (SELECT SUM(v4) FROM pv)
+      |ORDER BY value DESC, partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Shipping priority split by line status (TPC-H Q12 analog — the
+    * testdata carries no shipmode/commitdate, so the dimension is
+    * l_linestatus and the window is one ship year): per status, how
+    * many lines belong to critical-priority orders vs the rest — pure
+    * integer CASE-counts, trivially exact.
+    *
+    * Scale shape: the year filter pushes to the lineitem scan and cuts
+    * the fact BEFORE the orders join (hint-free fact-fact equi-join on
+    * orderkey); the final aggregate has |status| cells with map-side
+    * partials. */
+  def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1998-01-01 00:00:00") &&
+        $"l_shipdate" < ts("1999-01-01 00:00:00"))
+      .select($"l_orderkey", $"l_linestatus")
+    val o = Tables.t(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderpriority")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(
+        sum(when($"o_orderpriority" === "1-URGENT" ||
+          $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority" =!= "1-URGENT" &&
+          $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q74Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q75
+  /** Promotion revenue share for one ship month (TPC-H Q14 analog):
+    * the fraction of September-1997 revenue sitting in PROMO-typed
+    * parts, as exact integer ppm — (10⁶·promo4) div total4 with the
+    * numerator promoted to DECIMAL(38) first (the d31 rule: a
+    * corpus-proportional long·10⁶ wraps) and both engines truncating
+    * toward zero on positive operands.
+    *
+    * Scale shape: the month filter prunes the fact scan; part joins
+    * hint-free; the final is a KEYLESS two-level aggregate (q68's
+    * shape — guaranteed exactly one row on any input, long partials per
+    * partition, DECIMAL(38) final). */
+  def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.t(s, dir, "part").select($"p_partkey", $"p_type")
+    val matched = Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-09-01 00:00:00") &&
+        $"l_shipdate" < ts("1997-10-01 00:00:00"))
+      .select($"l_partkey",
+        (cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .as("pd4"))
+      .join(p, $"l_partkey" === $"p_partkey")
+    val partial = matched
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(
+        sum(when($"p_type" === "PROMO", $"pd4").otherwise(0L)).as("pr"),
+        sum($"pd4").as("tot"), count(lit(1)).as("n"))
+    partial.agg(
+        coalesce(sum($"n"), lit(0L)).as("n_lines"),
+        dbl(round(sum($"pr".cast(DecimalType(38, 0))) / 10000, 2))
+          .as("promo_revenue"),
+        dbl(round(sum($"tot".cast(DecimalType(38, 0))) / 10000, 2))
+          .as("total_revenue"),
+        expr("cast((1000000 * sum(cast(pr as decimal(38,0))))" +
+          " div sum(cast(tot as decimal(38,0))) as bigint)")
+          .as("promo_ppm"))
+  }
+
+  val q75Sql: String =
+    """WITH f AS (
+      |  SELECT CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+      |        * (100 - CAST(round(l_discount * 100) AS BIGINT))
+      |      ELSE 0 END AS pr,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS tot,
+      |    CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(18,6))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,6)))
+      |      ELSE CAST(0 AS DECIMAL(18,6)) END AS prdec,
+      |    CAST(l_extendedprice AS DECIMAL(18,6))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,6))) AS totdec
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00')
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(ROUND(SUM(prdec), 2) AS DOUBLE) AS promo_revenue,
+      |  CAST(ROUND(SUM(totdec), 2) AS DOUBLE) AS total_revenue,
+      |  CAST((1000000 * SUM(pr)) // SUM(tot) AS BIGINT) AS promo_ppm
+      |FROM f""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -2243,6 +2457,10 @@ object Relational {
     Q("q67_returned_losses", q67, Some(q67Sql)),
     Q("q68_disjunctive_revenue", q68, Some(q68Sql)),
     Q("q69_top_supplier", q69, Some(q69Sql)),
-    Q("q71_column_profile", q71, Some(q71Sql)))
+    Q("q71_column_profile", q71, Some(q71Sql)),
+    Q("q72_profit_by_nation", q72, Some(q72Sql)),
+    Q("q73_important_parts", q73, Some(q73Sql)),
+    Q("q74_priority_split", q74, Some(q74Sql)),
+    Q("q75_promo_share", q75, Some(q75Sql)))
 
 }
