@@ -3243,26 +3243,37 @@ object TextAnalysis {
     * definition of the sketch params; exact top-50 counts ride the
     * vocabulary aggregate; the probe joins 200 (token, row) keys
     * against the broadcast sketch. */
+  /** CMS geometry: 4 rows × 1024 buckets; row hashes are disjoint 12-bit
+    * slices of md5 — shared by batch t50 and the streaming cmsIngest so
+    * the two sketches are the same deterministic function of the data. */
+  private[graft] val CmsRows = 4
+  private[graft] val CmsWidth = 1024
+  private[graft] def cmsBucket(w: Column, row: Int): Column =
+    (conv(substring(md5(w), 1 + 3 * row, 3), 16, 10)
+      .cast(LongType) % CmsWidth).cast(IntegerType)
+
+  /** The (r, b, cell) sketch table of a token frame (column `w`). A plain
+    * count aggregate over ≤ [[CmsRows]]·[[CmsWidth]] keys — streaming-legal
+    * as-is (update/complete modes), with state bounded by the sketch
+    * params, never by the stream. */
+  private[graft] def cmsCells(tok: DataFrame): DataFrame =
+    tok.select(explode(array(
+        (0 until CmsRows).map(i =>
+          struct(lit(i).as("r"), cmsBucket(col("w"), i).as("b"))): _*)).as("c"))
+      .groupBy(col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cell"))
+
   def t50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val CmsRows = 4
-    val CmsWidth = 1024
-    def bucket(w: Column, row: Int): Column =
-      (conv(substring(md5(w), 1 + 3 * row, 3), 16, 10)
-        .cast(LongType) % CmsWidth).cast(IntegerType)
     val tok = Tables.t(s, dir, "documents")
       .select(explode(words($"text")).as("w"))
       .localCheckpoint(eager = false) // shared: sketch + exact counts
-    val cms = tok.select(explode(array(
-        (0 until CmsRows).map(i =>
-          struct(lit(i).as("r"), bucket($"w", i).as("b"))): _*)).as("c"))
-      .groupBy($"c.r".as("r"), $"c.b".as("b"))
-      .agg(count(lit(1)).as("cell"))
+    val cms = cmsCells(tok)
     val top = tok.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
       .orderBy($"true_cnt".desc, $"w").limit(50)
     val probes = top.select($"w", $"true_cnt", explode(array(
         (0 until CmsRows).map(i =>
-          struct(lit(i).as("r"), bucket($"w", i).as("b"))): _*)).as("c"))
+          struct(lit(i).as("r"), cmsBucket($"w", i).as("b"))): _*)).as("c"))
       .select($"w", $"true_cnt", $"c.r".as("r"), $"c.b".as("b"))
     probes.join(broadcast(cms), Seq("r", "b"))
       .groupBy($"w", $"true_cnt")
@@ -3301,6 +3312,136 @@ object TextAnalysis {
        |GROUP BY top.w, top.true_cnt
        |ORDER BY top.true_cnt DESC, top.w""".stripMargin
   }
+
+  // ---------------------------------------------------------------- t51
+  /** Corpus-trained multinomial Naive-Bayes language classifier over the
+    * [[HashBuckets]]-dim hashing-trick features (t36's kernel) — the
+    * trained-model upgrade over t38's profile-membership scorer. The
+    * model is the classic add-one-smoothed NB table: per class,
+    * like_ppm[b] = ⌊10⁶·(cnt_b+1)/(total+B)⌋ and
+    * prior_ppm = ⌊10⁶·(n_docs+1)/(N+|langs|)⌋ — exact integer ppm, so
+    * the frozen model is bit-identical in any engine. Scoring replaces
+    * the (transcendental, engine-divergent) log-likelihood sum with the
+    * exact integer surrogate score = prior_ppm + Σ_b cnt_b·like_ppm[b]
+    * — a deterministic linear scorer over the SAME trained table, argmax
+    * with a lang-ascending total tiebreak (the t38 discipline).
+    *
+    * Scale (100 TB): training is one narrow kernel scan + a (lang,
+    * bucket) rollup of |langs|·B cells; the model is parameter-bounded
+    * (|langs|·(B+1) rows — SURVEY §8's algorithm-parameter class), so it
+    * collects and embeds as literals and scoring is a PURE NARROW scan
+    * (compiled zip_with dot products, no join, no shuffle). The same
+    * frozen literals drive [[graft.streaming.Streams]]' nbGate, so
+    * ingest and backfill classify bit-identically (kappa). */
+  def t51(s: SparkSession, dir: String): DataFrame =
+    Q.sortedNarrow(
+      nbClassify(Tables.t(s, dir, "documents"), nbModel(Tables.t(s, dir, "documents"))),
+      col("doc_id"))
+
+  /** Train the add-one-smoothed NB table: (lang, prior_ppm,
+    * like_ppm[HashBuckets]), langs ascending. The collect is bounded by
+    * |langs|·B (parameter-sized); the ppm divisions happen driver-side
+    * in BigInt — truncation toward zero on positives, exactly DuckDB's
+    * `//` and Spark's `div`. */
+  private[graft] def nbModel(docsIn: DataFrame): Seq[(String, Long, Seq[Long])] = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val pairs = docsIn
+      .select($"lang",
+        graft.functions.HashedBowCounts($"text", HashBuckets).as("cnts"))
+      .select($"lang", posexplode($"cnts").as(Seq("bucket", "cnt")))
+      .groupBy($"lang", $"bucket").agg(sum($"cnt").as("cb"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val docCounts = docsIn.groupBy($"lang").agg(count(lit(1)).as("nd"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val nTotal = docCounts.values.sum
+    val nLangs = docCounts.size
+    pairs.groupBy(_._1).toSeq.sortBy(_._1).map { case (lang, rows) =>
+      val tl = rows.map(_._3).sum
+      val likes = rows.sortBy(_._2).map { case (_, _, cb) =>
+        (BigInt(cb + 1) * 1000000 / (tl + HashBuckets)).toLong
+      }
+      val prior =
+        (BigInt(docCounts(lang) + 1) * 1000000 / (nTotal + nLangs)).toLong
+      (lang, prior, likes.toSeq)
+    }
+  }
+
+  /** Classify any (doc_id, lang, text) frame against a FROZEN model —
+    * shared verbatim by batch t51 and the streaming nbGate, so the two
+    * paths cannot diverge. Narrow per-row work only. */
+  private[graft] def nbClassify(docsIn: DataFrame,
+      model: Seq[(String, Long, Seq[Long])]): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    // empty corpus ⇒ empty model ⇒ every doc classifies 'und' at score 0
+    val hitsArr =
+      if (model.isEmpty) array(struct(lit(0L).as("s"), lit("und").as("lang")))
+      else array(model.sortBy(_._1).map { case (l, prior, likes) =>
+        struct(
+          (lit(prior) + aggregate(
+            zip_with($"__cnts", typedlit(likes), (c, w) => c * w),
+            lit(0L), (a, x) => a + x)).as("s"),
+          lit(l).as("lang"))
+      }: _*)
+    docsIn
+      .select($"doc_id", $"lang".as("labeled_lang"),
+        graft.functions.HashedBowCounts($"text", HashBuckets).as("__cnts"))
+      .select($"doc_id", $"labeled_lang", hitsArr.as("__hits"))
+      .select($"doc_id", $"labeled_lang", $"__hits",
+        array_max($"__hits".getField("s")).as("score"))
+      .select($"doc_id", $"labeled_lang",
+        element_at(filter($"__hits", h => h.getField("s") === $"score"), 1)
+          .getField("lang").as("pred_lang"),
+        $"score")
+      .withColumn("is_match", $"pred_lang" === $"labeled_lang")
+  }
+
+  val t51Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, list_transform(string_split(text, ' '), w ->
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |      (a, x) -> (a * 31 + x) % 1000000007) % $HashBuckets) AS bk
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, lang, list_transform(range($HashBuckets), i ->
+       |    CAST(len(list_filter(bk, x -> x = i)) AS BIGINT)) AS cnts
+       |  FROM b),
+       |p AS (
+       |  SELECT doc_id, lang,
+       |    UNNEST(range($HashBuckets)) AS bucket, UNNEST(cnts) AS cnt
+       |  FROM c),
+       |cls AS (SELECT lang AS plang, bucket, SUM(cnt) AS cb
+       |        FROM p GROUP BY 1, 2),
+       |ltot AS (SELECT plang, SUM(cb) AS tl FROM cls GROUP BY 1),
+       |likes AS (
+       |  SELECT cls.plang, bucket,
+       |    ((cb + 1) * 1000000) // (tl + $HashBuckets) AS like_ppm
+       |  FROM cls JOIN ltot USING (plang)),
+       |gtot AS (SELECT COUNT(*) AS ndt, COUNT(DISTINCT lang) AS nl
+       |         FROM documents),
+       |priors AS (
+       |  SELECT lang AS plang,
+       |    ((COUNT(*) + 1) * 1000000) // (MAX(ndt) + MAX(nl)) AS prior_ppm
+       |  FROM documents, gtot GROUP BY 1),
+       |scores AS (
+       |  SELECT p.doc_id, likes.plang,
+       |    MAX(priors.prior_ppm) + SUM(p.cnt * likes.like_ppm) AS score
+       |  FROM p
+       |  JOIN likes USING (bucket)
+       |  JOIN priors ON likes.plang = priors.plang
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, plang, score, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
+       |  FROM scores)
+       |SELECT d.doc_id, d.lang AS labeled_lang, b.plang AS pred_lang,
+       |  CAST(b.score AS BIGINT) AS score,
+       |  b.plang = d.lang AS is_match
+       |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
 
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
@@ -3352,5 +3493,6 @@ object TextAnalysis {
     Q("t47_k_anonymity", t47, Some(t47Sql)),
     Q("t48_token_gini", t48, Some(t48Sql)),
     Q("t49_pps_sample", t49, Some(t49Sql)),
-    Q("t50_cms_audit", t50, Some(t50Sql)))
+    Q("t50_cms_audit", t50, Some(t50Sql)),
+    Q("t51_nb_langid", t51, Some(t51Sql)))
 }

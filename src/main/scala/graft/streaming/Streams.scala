@@ -713,6 +713,47 @@ object Streams {
       .withColumn("keep", $"score" >= minScore)
   }
 
+  /** Streaming Count-Min frequency sketch — the live state twin of the
+    * 4×1024 CMS that batch t50 error-audits: arriving documents fold
+    * into the running (r, b, cell) count table via the SAME disjoint
+    * md5-slice row hashes ([[graft.ops.TextAnalysis.cmsBucket]]), so any
+    * closed prefix of the stream holds cells bit-identical to a batch
+    * rebuild over the same rows (exact integer counts + commutative
+    * addition — the kappa property, pinned by StreamsSpec). Downstream
+    * heavy-hitter cutoffs and mixture weights read estimates that batch
+    * and ingest agree on exactly.
+    *
+    * State is ≤ [[graft.ops.TextAnalysis.CmsRows]]·
+    * [[graft.ops.TextAnalysis.CmsWidth]] = 4096 cells, CONSTANT in
+    * stream length — that is the point of a CMS, and why this aggregate
+    * runs forever without a watermark (update or complete mode; the
+    * in-partition explode map-side-combines to ≤ 4096 partials per
+    * task exactly like batch t50). */
+  def cmsIngest(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.ops.TextAnalysis.cmsCells(
+      docs.select(explode(split($"text", " ")).as("w")))
+  }
+
+  /** Streaming language-label gate — the live twin of batch
+    * t51_nb_langid: arriving labeled documents are classified against
+    * the FROZEN batch-trained Naive-Bayes table (add-one-smoothed
+    * integer-ppm likelihoods + priors, batch-fit by
+    * [[graft.ops.TextAnalysis.nbModel]]) through the VERBATIM batch
+    * scoring expression ([[graft.ops.TextAnalysis.nbClassify]] — literal
+    * model, compiled zip_with dot products, lang-ascending argmax), so
+    * ingest and backfill predict bit-identically (kappa). A doc whose
+    * prediction disagrees with its label routes to review — the t38/s28
+    * mislabel-quarantine pattern with a trained classifier behind it.
+    *
+    * Stateless NARROW per-row work: the |langs|·(B+1) model is
+    * parameter-bounded and rides in as literals — no state store, no
+    * watermark, no join; pipelines at source parallelism like
+    * [[scrubIngest]] and [[rulesGateIngest]]. */
+  def nbGate(docs: DataFrame, model: Seq[(String, Long, Seq[Long])]): DataFrame =
+    graft.ops.TextAnalysis.nbClassify(docs, model)
+
   /** Streaming k-anonymity release gate — the serving twin of batch
     * t47: every arriving document is checked against a FROZEN
     * quasi-identifier class map (batch-fit offline by

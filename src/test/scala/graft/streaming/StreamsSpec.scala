@@ -515,6 +515,77 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("cmsIngest: closed-prefix sketch cells are bit-identical to the batch CMS (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val batch1 = Seq((1L, "alpha beta alpha"), (2L, "gamma beta"))
+    val batch2 = Seq((3L, "alpha delta delta epsilon"), (4L, "beta"))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.cmsIngest(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      // prefix 1: live cells == batch rebuild over batch1 alone
+      val exp1 = graft.ops.TextAnalysis.cmsCells(
+        batch1.toDF("doc_id", "text")
+          .selectExpr("explode(split(text, ' ')) as w"))
+        .collect().map(_.toSeq).toSet
+      assert(s.table("cms_out").collect().map(_.toSeq).toSet == exp1)
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // prefix 2: cells fold, never reset — == batch rebuild over ALL rows
+      val exp2 = graft.ops.TextAnalysis.cmsCells(
+        (batch1 ++ batch2).toDF("doc_id", "text")
+          .selectExpr("explode(split(text, ' ')) as w"))
+        .collect().map(_.toSeq).toSet
+      val live = s.table("cms_out").collect().map(_.toSeq).toSet
+      assert(live == exp2)
+      // the state bound: never more cells than the sketch geometry allows
+      assert(live.size <= graft.ops.TextAnalysis.CmsRows *
+        graft.ops.TextAnalysis.CmsWidth)
+    } finally q.stop()
+  }
+
+  test("nbGate: frozen-model predictions equal batch t51 classify (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // train offline: 'en' dominated by "alpha", 'zh' by "omega"
+    val corpus = Seq(
+      (1L, "alpha alpha beta", "en"),
+      (2L, "alpha gamma", "en"),
+      (3L, "omega omega delta", "zh"),
+      (4L, "omega epsilon", "zh")).toDF("doc_id", "text", "lang")
+    val model = graft.ops.TextAnalysis.nbModel(corpus)
+    assert(model.map(_._1) == Seq("en", "zh"))
+    assert(model.forall(_._3.length == graft.ops.TextAnalysis.HashBuckets))
+
+    val arriving = Seq(
+      (10L, "alpha alpha alpha", "en"),  // consistent label
+      (11L, "omega omega", "en"),        // mislabeled → review
+      (12L, "omega delta", "zh"))
+    val expected = Streams.nbGate(
+      arriving.toDF("doc_id", "text", "lang"), model)
+      .collect().map(_.toSeq).toSet
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.nbGate(in.toDF().toDF("doc_id", "text", "lang"), model)
+      .writeStream.format("memory").queryName("nb_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(arriving: _*)
+      q.processAllAvailable()
+      val streamed = s.table("nb_out").collect().map(_.toSeq).toSet
+      assert(streamed == expected)
+      val byId = streamed.map(r => r.head.asInstanceOf[Long] -> r).toMap
+      assert(byId(10L)(2) == "en" && byId(10L)(4) == true)
+      assert(byId(11L)(2) == "zh" && byId(11L)(4) == false) // quarantined
+      assert(byId(12L)(2) == "zh" && byId(12L)(4) == true)
+    } finally q.stop()
+  }
+
   test("trendingNgrams: windowed trigram counts emit when the watermark passes") {
     val s = spark
     import s.implicits._
