@@ -405,6 +405,50 @@ object Main {
           }
         apply(ChangeSet(cs.toVector))
 
+      case "clone" =>
+        // dbt clone: copy the --state manifest's relations for the
+        // selected nodes into this project's warehouse WITHOUT
+        // recomputing them. Persistent materializations only (a view
+        // re-renders for free on its next run, exactly dbt's behavior of
+        // recreating views from definitions); each clone lands at the
+        // model's own table path + session view, and target/manifest.json
+        // records the clone views as relation_name — so a subsequent
+        // `run --defer --state <project>/target` serves unselected refs
+        // from the clones, and `run --read-catalog` reuses them as
+        // already-materialized catalog tables.
+        val (cfg, m) = ProjectLoader.load(root)
+        val stateP = args.flags("state").headOption.map(Paths.get(_))
+          .getOrElse(throw new IllegalArgumentException("clone requires --state"))
+        val stateM = graft.core.parse.ManifestJson.load(
+          if (Files.isDirectory(stateP)) stateP.resolve("manifest.json")
+          else stateP)
+        val sel = if (selectionActive) selection(m) else m.nodes.keySet
+        val persistent = Set("table", "incremental", "snapshot", "seed")
+        val s = spark()
+        val runner = new Runner(s, m, cfg, warehouse(),
+          enforceAccess = false, projectRoot = Some(root),
+          readCatalog = readCatalog)
+        val cloned = sel.toSeq.sorted.flatMap { id =>
+          for {
+            node <- m.nodes.get(id)
+            if persistent(node.materialized)
+            rel <- stateM.nodes.get(id).flatMap(_.relationName)
+          } yield {
+            runner.cloneRelation(node, s.table(rel))
+            println(s"cloned $id from $rel")
+            id
+          }
+        }.toSet
+        val target = Files.createDirectories(root.resolve("target"))
+        val outM = m.copy(nodes = m.nodes.map { case (id, n) =>
+          id -> (if (cloned(id))
+            n.copy(relationName = Some(runner.viewName(n.name)))
+          else n)
+        })
+        graft.core.parse.ManifestJsonWriter.write(
+          outM, target.resolve("manifest.json"))
+        println(s"wrote ${target.resolve("manifest.json")}")
+
       case "docs" if args.positional.headOption.contains("generate") =>
         // dbt docs generate: write target/manifest.json (+ catalog.json).
         // The manifest half needs no warehouse; the catalog half
@@ -516,7 +560,7 @@ object Main {
       case other =>
         println(
           s"""unknown command: $other
-             |usage: graft {run|build|retry|test|ls|seed|snapshot|docs|split|create-group|group|contract|version|connect} [options]
+             |usage: graft {run|build|retry|test|ls|seed|snapshot|clone|docs|split|create-group|group|contract|version|connect} [options]
              |""".stripMargin)
         sys.exit(if (other == "help") 0 else 1)
     }

@@ -389,6 +389,22 @@ final class Runner(
     } else spark.read.format(fmt).load(p.toString)
   }
 
+  /** dbt's `clone`: materialize `df` (a state relation's current rows)
+    * as this model's relation in THIS project's warehouse WITHOUT
+    * running the model — the adapter-portable create-table-as-select
+    * fallback (local parquet has no zero-copy snapshot; on a warehouse
+    * with one, only this write changes). The clone is indistinguishable
+    * from a ran model: same table path, same partition/sidecar handling,
+    * same session view — so a later `run --read-catalog` serves it from
+    * the catalog instead of recomputing, and a `run --defer` against a
+    * manifest that records the clone views resolves unselected refs to
+    * them. */
+  def cloneRelation(m: ModelNode, df: DataFrame): DataFrame = {
+    val out = persist(m, df)
+    out.createOrReplaceTempView(viewName(m.name))
+    out
+  }
+
   private def persist(m: ModelNode, df: DataFrame): DataFrame = {
     val p = tablePath(m)
     writeTable(m, df, p)

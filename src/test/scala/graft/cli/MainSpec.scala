@@ -507,4 +507,55 @@ class MainSpec extends AnyFunSuite {
       == "select * from {{ ref('up_proj', 'shared') }}")
     assert(Files.exists(base.resolve("down/dependencies.yml")))
   }
+
+  test("clone + run --defer: state relations copy without recompute and serve refs") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop2\n",
+      // would FAIL if executed — clone must never run the model
+      "models/stg_c.sql" ->
+        "{{ config(materialized='table') }}\nselect * from missing_prod_only_table",
+      "models/mart_c.sql" -> "select id, v from {{ ref('stg_c') }} where id > 1"))
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .appName("graft").config("spark.ui.enabled", "false").getOrCreate()
+    import s.implicits._
+    // "prod" state: stg_c lives as the prod_stg_c relation
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("prod_stg_c")
+    val (_, m) = ProjectLoader.load(root)
+    val state = m.copy(nodes = m.nodes.map { case (id, n) =>
+      id -> (if (n.name == "stg_c") n.copy(relationName = Some("prod_stg_c"))
+             else n)
+    })
+    val stateDir = Files.createTempDirectory("graft_state_clone")
+    graft.core.parse.ManifestJsonWriter.write(
+      state, stateDir.resolve("manifest.json"))
+
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("clone", "--select", "stg_c",
+        "--state", stateDir.toString,
+        "--project-dir", root.toString, "--read-catalog"))
+    }
+    assert(out.toString.contains("cloned model.shop2.stg_c from prod_stg_c"),
+      out.toString)
+    // a real catalog table materialized WITHOUT running the broken SQL
+    assert(Files.exists(root.resolve(".graft/warehouse/stg_c")))
+    assert(s.table("shop2__stg_c").count() == 3L)
+    // clone's artifact records the clone view as the relation
+    assert(Files.readString(root.resolve("target/manifest.json"))
+      .contains("shop2__stg_c"))
+
+    // downstream defers its unselected upstream to the clone
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.main(Array("run", "--select", "mart_c", "--defer",
+        "--state", root.resolve("target").toString,
+        "--project-dir", root.toString))
+    }
+    assert(out2.toString.contains("ran model.shop2.mart_c"), out2.toString)
+    assert(!out2.toString.contains("ran model.shop2.stg_c"))
+    assert(s.table("shop2__mart_c").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((2L, "b"), (3L, "c")))
+  }
 }
