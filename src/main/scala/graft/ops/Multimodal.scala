@@ -892,7 +892,13 @@ object Multimodal {
     * presentation sort; a production pipeline swaps encodeWav for stored
     * assets (and this PCM reader for a compressed-codec JNI) and keeps
     * every Spark-side seam unchanged. */
-  def m15(s: SparkSession, dir: String): DataFrame = {
+  def m15(s: SparkSession, dir: String): DataFrame =
+    // sortedNarrow, as in m13: don't pay the codec twice for sampling
+    m15Body(s, dir).transform(df => Q.sortedNarrow(df, df("doc_id")))
+
+  /** m15 pre-sort body — split out so PlanAuditSpec can see past the
+    * sortedNarrow checkpoint boundary (the q02 pattern). */
+  private[ops] def m15Body(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = mediaTable(s, dir)
       .repartition($"doc_id")
@@ -909,8 +915,7 @@ object Multimodal {
           }
         }
       }
-      // sortedNarrow, as in m13: don't pay the codec twice for sampling
-    }.toDF().transform(df => Q.sortedNarrow(df, df("doc_id")))
+    }.toDF()
   }
 
   val m15Sql: String =

@@ -1105,6 +1105,72 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), s"profiling needs no join:\n$p")
   }
 
+  test("q72: part prunes before the fact join; nation broadcasts; scan prunes") {
+    val p = plan(Relational.q72(spark, dir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"),
+      s"lineitem scan reads columns Q9 never uses: $readSchema")
+    assert(p.contains("PushedFilters") && p.contains("p_name"),
+      s"the %gear% filter should reach the part scan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the fixed-domain nation dim should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"profit rollup went cartesian:\n$p")
+  }
+
+  test("q73: the grand total is a 1-row broadcast over the per-part rollup") {
+    val p = plan(Relational.q73(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total frame should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"threshold test went cartesian:\n$p")
+    // the per-part rollup is checkpointed and reused by total + filter —
+    // the partkey key must not re-shuffle past its own aggregation
+    val pkExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("l_partkey"))
+    assert(pkExchanges <= 1, s"rollup re-shuffled the part key:\n$p")
+  }
+
+  test("q74: the year filter pushes to the fact scan; one equi-join, partial aggs") {
+    val p = plan(Relational.q74(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"the ship-year window should reach the lineitem scan:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_quantity"),
+      s"lineitem scan reads columns Q12 never uses: $readSchema")
+    assert(!p.contains("CartesianProduct"), s"priority split went cartesian:\n$p")
+    val sp = simplePlan(Relational.q74(spark, dir))
+    assert(sp.contains("partial_sum") || sp.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"no map-side partials before the |status|-cell final:\n$sp")
+  }
+
+  test("q75: month filter pushes down; keyless final yields one row, no cartesian") {
+    val p = plan(Relational.q75(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"the month window should reach the lineitem scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"promo share went cartesian:\n$p")
+    val sp = simplePlan(Relational.q75(spark, dir))
+    // two-level keyless: per-partition partial+final, then global partial+final
+    assert(sp.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"keyless two-level aggregate lost a level:\n$sp")
+  }
+
+  test("t51: the trained model rides as literals — scoring is a pure narrow scan") {
+    // audit the pre-sort classify body: the sortedNarrow checkpoint hides
+    // the scan from the final query's explain (the q02 pattern)
+    val docs = Tables.t(spark, dir, "documents")
+    val sp = simplePlan(TextAnalysis.nbClassify(docs, TextAnalysis.nbModel(docs)))
+    assert(!sp.contains("Join"), s"classify should embed the model, not join it:\n$sp")
+    assert(!sp.contains("Exchange"), s"narrow scoring shuffled:\n$sp")
+    assert(sp.toLowerCase.contains("hashed_bow"),
+      s"the compiled featurizer must appear in the plan:\n$sp")
+  }
+
+  test("m15: audio decode is codec work behind ONE fan-out exchange — no join") {
+    val sp = simplePlan(Multimodal.m15Body(spark, dir))
+    assert(!sp.contains("Join"), s"audio stats grew a join:\n$sp")
+    val exchanges = sp.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected only the codec fan-out exchange:\n$sp")
+  }
+
   test("d17/t24: global top-k lowers to TakeOrdered; rank windows see only survivors") {
     for ((nm, df) <- Seq("d17" -> Dedup.d17(spark, dir),
                          "t24" -> TextAnalysis.t24(spark, dir))) {
