@@ -2405,6 +2405,47 @@ object Relational {
       |  CAST((1000000 * SUM(pr)) // SUM(tot) AS BIGINT) AS promo_ppm
       |FROM f""".stripMargin
 
+  // ---------------------------------------------------------------- q76
+  /** Forecast-revenue-change (TPC-H Q6 analog — the last of the 22: with
+    * q76 every TPC-H query shape has an analog here, the three
+    * partsupp-based ones adapted to retailprice): revenue that would be
+    * recovered by eliminating small-quantity discounts in a narrow
+    * discount band over one ship year. The canonical pushdown probe —
+    * ONE table, three scan-range predicates, one keyless sum: at 100 TB
+    * this query is a pure test of filter pushdown + map-side
+    * aggregation, and the plan must show exactly that (PlanAuditSpec).
+    *
+    * Exactness: revenue = price¢·disc¢ per line (scale 4, exact longs);
+    * keyless two-level final (the q68 shape — exactly one row on any
+    * input, DECIMAL(38) combine). */
+  def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val matched = Tables.t(s, dir, "lineitem")
+      .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+        $"l_shipdate" < ts("1998-01-01 00:00:00"))
+      .select(cents($"l_quantity").as("q2"), cents($"l_discount").as("d2"),
+        cents($"l_extendedprice").as("pc"))
+      .filter($"d2".between(5L, 7L) && $"q2" < 2400L)
+      .select(($"pc" * $"d2").as("rev4"))
+    val partial = matched
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum($"rev4").as("r"), count(lit(1)).as("n"))
+    partial.agg(
+        coalesce(sum($"n"), lit(0L)).as("n_lines"),
+        dbl(round(sum($"r".cast(DecimalType(38, 0))) / 10000, 2))
+          .as("revenue"))
+  }
+
+  val q76Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+      |    * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND CAST(round(l_quantity * 100) AS BIGINT) < 2400""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q01_pricing_summary", q01, Some(q01Sql), headline = true),
     Q("q02_stg_projection", q02, Some(q02Sql)),
@@ -2461,6 +2502,7 @@ object Relational {
     Q("q72_profit_by_nation", q72, Some(q72Sql)),
     Q("q73_important_parts", q73, Some(q73Sql)),
     Q("q74_priority_split", q74, Some(q74Sql)),
-    Q("q75_promo_share", q75, Some(q75Sql)))
+    Q("q75_promo_share", q75, Some(q75Sql)),
+    Q("q76_forecast_revenue", q76, Some(q76Sql)))
 
 }

@@ -1153,6 +1153,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"keyless two-level aggregate lost a level:\n$sp")
   }
 
+  test("q76: the pushdown probe — date range reaches the scan, no join, keyless two-level") {
+    val p = plan(Relational.q76(spark, dir))
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("LessThan(l_shipdate"),
+      s"the ship-year range should reach the parquet scan:\n$p")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_orderkey"),
+      s"lineitem scan reads columns Q6 never uses: $readSchema")
+    assert(!p.contains("Join"), s"single-table probe grew a join:\n$p")
+    val sp = simplePlan(Relational.q76(spark, dir))
+    assert(sp.linesIterator.count(_.contains("HashAggregate")) >= 4,
+      s"keyless two-level aggregate lost a level:\n$sp")
+  }
+
   test("t51: the trained model rides as literals — scoring is a pure narrow scan") {
     // audit the pre-sort classify body: the sortedNarrow checkpoint hides
     // the scan from the final query's explain (the q02 pattern)
