@@ -3397,8 +3397,11 @@ object TextAnalysis {
       .withColumn("is_match", $"pred_lang" === $"labeled_lang")
   }
 
-  val t51Sql: String =
-    s"""WITH b AS (
+  /** The shared t51/t52 oracle ladder: tokenize→hash→bucket counts, the
+    * add-one-smoothed NB table, per-(doc, lang) scores, and the ranked
+    * best prediction (rn = 1 row per doc). */
+  private val nbSqlLadder: String =
+    s"""b AS (
        |  SELECT doc_id, lang, list_transform(string_split(text, ' '), w ->
        |    list_reduce(
        |      list_prepend(CAST(0 AS BIGINT),
@@ -3436,12 +3439,67 @@ object TextAnalysis {
        |best AS (
        |  SELECT doc_id, plang, score, row_number() OVER (
        |    PARTITION BY doc_id ORDER BY score DESC, plang ASC) AS rn
-       |  FROM scores)
+       |  FROM scores)""".stripMargin
+
+  val t51Sql: String =
+    s"""WITH $nbSqlLadder
        |SELECT d.doc_id, d.lang AS labeled_lang, b.plang AS pred_lang,
        |  CAST(b.score AS BIGINT) AS score,
        |  b.plang = d.lang AS is_match
        |FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t52
+  /** Calibration (reliability) audit of t51's trained classifier — the
+    * curve every model-gated curation pipeline must read before trusting
+    * a score cutoff: per global score decile, document count, correct
+    * predictions, exact accuracy ppm, and the decile's score bounds. A
+    * well-calibrated scorer shows accuracy rising monotonically with the
+    * decile; a flat curve says the score carries no signal and a cutoff
+    * is arbitrary. Deciles are SQL-ntile-exact over the total
+    * (score, doc_id) order on the distributed [[globalNtile]] substrate
+    * (range repartition + per-partition offsets — NO single-partition
+    * window), so the bucketing is bit-identical in both engines.
+    *
+    * Scale (100 TB): scoring is t51's pure narrow literal-model scan;
+    * the ntile substrate is the t14/t46 machinery (≤ one row per
+    * partition to the driver); the rollup is 10 cells. */
+  def t52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+    val scored = nbClassify(docs, nbModel(docs))
+      .select($"doc_id", $"score", $"is_match")
+    globalNtile(scored, 10, $"score", $"doc_id")
+      .groupBy($"decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"is_match", 1L).otherwise(0L)).as("n_correct"),
+        min($"score").as("min_score"),
+        max($"score").as("max_score"))
+      .withColumn("accuracy_ppm", expr("(1000000 * n_correct) div n_docs"))
+      .select($"decile", $"n_docs", $"n_correct", $"accuracy_ppm",
+        $"min_score", $"max_score")
+      .orderBy($"decile")
+  }
+
+  val t52Sql: String =
+    s"""WITH $nbSqlLadder,
+       |perdoc AS (
+       |  SELECT d.doc_id, CAST(b.score AS BIGINT) AS score,
+       |    b.plang = d.lang AS ok
+       |  FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+       |ntiled AS (
+       |  SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS decile
+       |  FROM perdoc)
+       |SELECT CAST(decile AS INTEGER) AS decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST((1000000 * SUM(CASE WHEN ok THEN 1 ELSE 0 END)) // COUNT(*)
+       |    AS BIGINT) AS accuracy_ppm,
+       |  CAST(MIN(score) AS BIGINT) AS min_score,
+       |  CAST(MAX(score) AS BIGINT) AS max_score
+       |FROM ntiled GROUP BY decile ORDER BY decile""".stripMargin
+
 
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
@@ -3494,5 +3552,6 @@ object TextAnalysis {
     Q("t48_token_gini", t48, Some(t48Sql)),
     Q("t49_pps_sample", t49, Some(t49Sql)),
     Q("t50_cms_audit", t50, Some(t50Sql)),
-    Q("t51_nb_langid", t51, Some(t51Sql)))
+    Q("t51_nb_langid", t51, Some(t51Sql)),
+    Q("t52_nb_calibration", t52, Some(t52Sql)))
 }
