@@ -858,6 +858,51 @@ object Streams {
       }
   }
 
+  /** Per-language NB sufficient statistics emitted by [[nbCountsIngest]]. */
+  final case class NbLangCounts(lang: String, n_docs: Long, tokens: Long,
+      counts: Seq[Long])
+
+  /** Streaming Naive-Bayes model maintenance — the TRAINING half of t51
+    * as live state: arriving labeled documents fold their hashed-bucket
+    * token counts into a per-language accumulator (mapGroupsWithState),
+    * emitting the refreshed sufficient statistics (doc count, token
+    * total, per-bucket counts) for every language that received data in
+    * a micro-batch (update mode). The add-one-smoothed ppm table derives
+    * from these statistics exactly as [[graft.ops.TextAnalysis.nbModel]]
+    * derives it from a batch fit — so a model refreshed from the stream
+    * is bit-identical to retraining on the closed prefix (kappa, pinned
+    * by StreamsSpec), and the serving [[nbGate]] can hot-swap it without
+    * a backfill.
+    *
+    * State is ONE (B+2)-long vector per language — bounded by
+    * |langs|·(B+2), CONSTANT in stream length (the hashing trick's
+    * point: the feature space never grows), so no watermark is needed.
+    * Featurization is the batch kernel itself (HashedBowCounts), so
+    * stream and backfill count identically. */
+  def nbCountsIngest(docs: DataFrame): Dataset[NbLangCounts] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val B = graft.ops.TextAnalysis.HashBuckets
+    docs
+      .select($"lang",
+        graft.functions.HashedBowCounts($"text", B).as("cnts"))
+      .as[(String, Seq[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], NbLangCounts](GroupStateTimeout.NoTimeout) {
+        (lang: String, rows: Iterator[(String, Seq[Long])],
+            state: GroupState[Array[Long]]) =>
+          // layout: [0] = n_docs, [1..B] = per-bucket counts
+          val acc = state.getOption.getOrElse(new Array[Long](B + 1))
+          rows.foreach { case (_, cnts) =>
+            acc(0) += 1
+            var i = 0
+            while (i < B) { acc(i + 1) += cnts(i); i += 1 }
+          }
+          state.update(acc)
+          NbLangCounts(lang, acc(0), acc.drop(1).sum, acc.drop(1).toSeq)
+      }
+  }
+
   /** Latest-state row emitted by [[latestState]]. */
   final case class Latest(
       user_id: Long, event_type: String, event_id: Long,

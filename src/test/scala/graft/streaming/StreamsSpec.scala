@@ -586,6 +586,44 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("nbCountsIngest: a model derived from streamed statistics equals the batch fit (kappa)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val B = graft.ops.TextAnalysis.HashBuckets
+    val batch1 = Seq((1L, "alpha alpha beta", "en"), (2L, "omega delta", "zh"))
+    val batch2 = Seq((3L, "alpha gamma", "en"), (4L, "omega omega", "zh"),
+      (5L, "alpha omega", "fr"))
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.nbCountsIngest(in.toDF().toDF("doc_id", "text", "lang"))
+      .writeStream.format("memory").queryName("nbcounts_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // last emission per lang = the closed-prefix sufficient statistics
+      val last = s.table("nbcounts_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Long](3)))
+        .zipWithIndex.groupBy(_._1._1)
+        .map { case (l, rows) => l -> rows.maxBy(_._2)._1 }
+      // derive the add-one ppm table exactly as nbModel does
+      val nTotal = last.values.map(_._2).sum
+      val nLangs = last.size
+      val derived = last.toSeq.sortBy(_._1).map { case (l, (_, nd, tl, cb)) =>
+        (l,
+          (BigInt(nd + 1) * 1000000 / (nTotal + nLangs)).toLong,
+          cb.map(c => (BigInt(c + 1) * 1000000 / (tl + B)).toLong))
+      }
+      val expected = graft.ops.TextAnalysis.nbModel(
+        (batch1 ++ batch2).toDF("doc_id", "text", "lang"))
+      assert(derived == expected,
+        "streamed statistics must reproduce the batch-trained model exactly")
+    } finally q.stop()
+  }
+
   test("trendingNgrams: windowed trigram counts emit when the watermark passes") {
     val s = spark
     import s.implicits._
