@@ -846,37 +846,21 @@ object Multimodal {
     * when no installed reader recognizes the payload or the format is
     * not the 16-bit mono PCM this pipeline ships. */
   private[ops] def decodeWav(bytes: Array[Byte]): Option[AudioFeatures] =
-    try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val f = ais.getFormat
-      if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
-        f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
-        None
-      else {
-        val data = ais.readAllBytes()
-        val n = data.length / 2
-        var (sum, sqsum, peak, zc) = (0L, 0L, 0L, 0L)
-        var prevNonNeg = false
-        var i = 0
-        while (i < n) {
-          val lo = data(2 * i) & 0xff
-          val hi = data(2 * i + 1)
-          val v: Long =
-            if (f.isBigEndian) ((data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)).toLong
-            else ((hi.toInt << 8) | lo).toLong
-          sum += v; sqsum += v * v
-          val a = math.abs(v); if (a > peak) peak = a
-          val nonNeg = v >= 0
-          if (i > 0 && nonNeg != prevNonNeg) zc += 1
-          prevNonNeg = nonNeg
-          i += 1
-        }
-        Some(AudioFeatures(0L, decoded = true, n, sum, sqsum, peak, zc))
+    decodeWavSamples(bytes).map { samples =>
+      val n = samples.length
+      var (sum, sqsum, peak, zc) = (0L, 0L, 0L, 0L)
+      var prevNonNeg = false
+      var i = 0
+      while (i < n) {
+        val v = samples(i)
+        sum += v; sqsum += v * v
+        val a = math.abs(v); if (a > peak) peak = a
+        val nonNeg = v >= 0
+        if (i > 0 && nonNeg != prevNonNeg) zc += 1
+        prevNonNeg = nonNeg
+        i += 1
       }
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      AudioFeatures(0L, decoded = true, n, sum, sqsum, peak, zc)
     }
 
   /** Batched REAL audio decode (the m13 recipe at the audio seam):
@@ -917,6 +901,120 @@ object Multimodal {
       }
     }.toDF()
   }
+
+  // ---------------------------------------------------------------- m16
+  final case class VadFeatures(
+      doc_id: Long, decoded: Boolean, n_segments: Long,
+      voiced_samples: Long, longest_segment: Long, voiced_ppm: Long)
+
+  /** Voice-activity segmentation over REAL decoded samples — m11's
+    * byte-level energy proxy upgraded to the decoded-PCM level the way
+    * m13 upgraded m02: a sample is voiced when |s| ≥ 16384 (|byte−128| ≥
+    * 64 under the encode map), a segment is a maximal voiced run, and a
+    * run counts as speech when ≥ 3 samples long. Emits per doc the
+    * segment count, total voiced samples, longest run, and exact voiced
+    * ppm — the utterance-boundary statistics an audio curation pipeline
+    * cuts training clips on. Returns None when the payload doesn't
+    * sniff as the expected PCM. */
+  private[ops] def decodeVad(bytes: Array[Byte]): Option[VadFeatures] =
+    decodeWavSamples(bytes).map { samples =>
+      val n = samples.length
+      var (voiced, segs, longest, run) = (0L, 0L, 0L, 0L)
+      var i = 0
+      while (i < n) {
+        if (math.abs(samples(i)) >= 16384L) {
+          voiced += 1; run += 1
+          if (run > longest) longest = run
+          if (run == 3) segs += 1 // the run just became a real segment
+        } else run = 0
+        i += 1
+      }
+      VadFeatures(0L, decoded = true, segs, voiced, longest,
+        if (n == 0) 0L else 1000000L * voiced / n)
+    }
+
+  /** Shared sniffing decode → raw 16-bit samples (m15/m16 seam). */
+  private[ops] def decodeWavSamples(bytes: Array[Byte]): Option[Array[Long]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val f = ais.getFormat
+      if (f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+        f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (f.isBigEndian)
+              ((data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)).toLong
+            else
+              ((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)).toLong
+          i += 1
+        }
+        Some(out)
+      }
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Batched VAD over the real codec seam — same fan-out + batch shape
+    * as m15; `decoded = true` pinned so a skipped codec fails the gate.
+    * Scale: identical argument to m15. */
+  def m16(s: SparkSession, dir: String): DataFrame =
+    m16Body(s, dir).transform(df => Q.sortedNarrow(df, df("doc_id")))
+
+  private[ops] def m16Body(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir)
+      .repartition($"doc_id")
+      .select($"doc_id", $"bytes").as[MediaRow]
+      .mapPartitions(_.map(r => WavRow(r.doc_id, encodeWav(r.bytes))))
+    val batchSize = 64
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          decodeVad(r.wav) match {
+            case Some(f) => f.copy(doc_id = r.doc_id)
+            case None =>
+              VadFeatures(r.doc_id, decoded = false, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+    }.toDF()
+  }
+
+  val m16Sql: String =
+    """WITH s AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN ascii(text[i]) >= 192 OR ascii(text[i]) <= 64
+      |         THEN 1 ELSE 0 END AS voiced
+      |  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
+      |isl AS (
+      |  SELECT doc_id, i - row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY i) AS island
+      |  FROM s WHERE voiced = 1),
+      |runs AS (
+      |  SELECT doc_id, island, COUNT(*) AS run_len
+      |  FROM isl GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS n_segments,
+      |    SUM(run_len) AS voiced_samples,
+      |    MAX(run_len) AS longest_segment
+      |  FROM runs GROUP BY 1)
+      |SELECT d.doc_id, TRUE AS decoded,
+      |  CAST(COALESCE(a.n_segments, 0) AS BIGINT) AS n_segments,
+      |  CAST(COALESCE(a.voiced_samples, 0) AS BIGINT) AS voiced_samples,
+      |  CAST(COALESCE(a.longest_segment, 0) AS BIGINT) AS longest_segment,
+      |  CAST(1000000 * COALESCE(a.voiced_samples, 0)
+      |    // greatest(1, length(d.text)) AS BIGINT) AS voiced_ppm
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   val m15Sql: String =
     """WITH s AS (
@@ -970,5 +1068,6 @@ object Multimodal {
     Q("m12_perceptual_neardup", m12, Some(m12Sql)),
     Q("m13_image_decode", m13, Some(m13Sql)),
     Q("m14_real_resize", m14, Some(m14Sql)),
-    Q("m15_audio_decode", m15, Some(m15Sql)))
+    Q("m15_audio_decode", m15, Some(m15Sql)),
+    Q("m16_audio_vad", m16, Some(m16Sql)))
 }
