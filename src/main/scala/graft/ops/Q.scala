@@ -86,6 +86,47 @@ object Q {
     *
     * Returns (frame + __rank/__cum_* columns, total row count, total
     * per weight). Weight columns must be LongType. */
+  /** Distributed exact RUNNING MAX over a total `keys…` order — the
+    * max-fold sibling of [[rankedPrefix]], sharing its invariants: range
+    * repartition (no single-partition stage), layout pinned by a lazy
+    * localCheckpoint BEFORE the offsets and local passes read it,
+    * ≤ one row per partition to the driver, pid-ordered exclusive fold,
+    * narrow pid-local window + broadcast offsets. Adds `__pmax` = the
+    * inclusive prefix max of LongType `valueCol` in key order. */
+  private[ops] def prefixMax(dfIn: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val s = dfIn.sparkSession
+    val parts = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = dfIn
+      .repartitionByRange(parts, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val partMax = ranged.groupBy(col("__pid"))
+      .agg(max(col(valueCol)).as("__m"))
+      .orderBy(col("__pid")).collect()
+    var cur = Long.MinValue
+    val offRows = partMax.map { r =>
+      val off = cur
+      cur = math.max(cur, r.getLong(1))
+      org.apache.spark.sql.Row(r.getInt(0), off)
+    }
+    val offDf = broadcast(s.createDataFrame(
+      s.sparkContext.parallelize(offRows.toSeq, 1),
+      StructType(Seq(
+        StructField("__pid", IntegerType, nullable = false),
+        StructField("__off_max", LongType, nullable = false)))))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__lmax", max(col(valueCol)).over(wLocal))
+      .join(offDf, Seq("__pid"))
+      .withColumn("__pmax", greatest(col("__lmax"), col("__off_max")))
+      .drop("__pid", "__lmax", "__off_max")
+  }
+
   private[ops] def rankedPrefix(dfIn: DataFrame, keys: Seq[org.apache.spark.sql.Column],
       weightCols: Seq[String]): (DataFrame, Long, Map[String, Long]) = {
     import org.apache.spark.sql.functions._

@@ -1193,6 +1193,60 @@ object Temporal {
       |  CAST(SUM(v2 * w) // 1048576 AS BIGINT) AS decayed_cents
       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** Watermark-delay planner — the batch audit that decides what
+    * `withWatermark` delay the streaming twins should ship: for each
+    * candidate delay, how many events would a watermark drop? An event's
+    * LATENESS is the event-time frontier at its arrival (running max of
+    * ts in event_id = arrival order, inclusive) minus its own ts —
+    * exact integer micros — and a delay D drops it when lateness >
+    * D·10⁶. The four candidate delays (1 min / 10 min / 1 h / 1 d) cover
+    * the decision range of every gate in [[graft.streaming.Streams]].
+    *
+    * Determinism: exact integer micros, total (event_id) arrival order,
+    * integer-ppm drop rates.
+    *
+    * Scale (100 TB): the global running max rides [[Q.prefixMax]] —
+    * range repartition + pid-ordered driver fold of ≤ one row per
+    * partition + narrow local windows, NO single-partition stage; the
+    * lateness frame then collapses in ONE map-side-combining keyless
+    * aggregate (one CASE-sum per candidate delay) and the 4-row output
+    * unpivots narrowly (q37's stack). */
+  def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val delays = Seq(60L, 600L, 3600L, 86400L)
+    val ev = Tables.t(s, dir, "events")
+      .select($"event_id", unix_micros($"ts").as("tsu"))
+    val late = Q.prefixMax(ev, Seq($"event_id"), "tsu")
+      .select(($"__pmax" - $"tsu").as("late_us"))
+    val aggs = count(lit(1)).as("n_events") +:
+      delays.map(d => sum(when($"late_us" > d * 1000000L, 1L).otherwise(0L))
+        .as(s"late_$d"))
+    val wide = late.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = delays.map(d => s"${d}L, late_$d").mkString(", ")
+    wide.select($"n_events", expr(
+        s"stack(${delays.size}, $stackArgs) as (delay_s, n_late)"))
+      .select($"delay_s", $"n_events", $"n_late",
+        expr("(1000000 * n_late) div n_events").as("late_ppm"))
+      .orderBy($"delay_s")
+  }
+
+  val q77Sql: String =
+    """WITH f AS (
+      |  SELECT epoch_us(ts) AS tsu,
+      |    MAX(epoch_us(ts)) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmax
+      |  FROM events),
+      |l AS (SELECT pmax - tsu AS late_us FROM f),
+      |d AS (SELECT CAST(UNNEST([60, 600, 3600, 86400]) AS BIGINT) AS delay_s)
+      |SELECT CAST(delay_s AS BIGINT) AS delay_s,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_late,
+      |  CAST((1000000 * SUM(CASE WHEN late_us > delay_s * 1000000
+      |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS late_ppm
+      |FROM l, d GROUP BY delay_s ORDER BY delay_s""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),
     Q("q18_asof_join", q18, Some(q18Sql)),
@@ -1213,7 +1267,8 @@ object Temporal {
     Q("q51_activity_deciles", q51, Some(q51Sql)),
     Q("q52_relational_division", q52, Some(q52Sql)),
     Q("q54_attribution", q54, Some(q54Sql)),
-    Q("q70_decayed_value", q70, Some(q70Sql)))
+    Q("q70_decayed_value", q70, Some(q70Sql)),
+    Q("q77_watermark_planner", q77, Some(q77Sql)))
 
   // ---------------------------------------------------------------- q52
   /** Relational division with support — "users who performed EVERY event
