@@ -820,12 +820,13 @@ object Multimodal {
     * exact integer function of the text the oracle can recompute. An
     * empty payload emits one zero sample (a zero-frame WAV is not
     * readable back). */
-  private[ops] def encodeWav(bytes: Array[Byte]): Array[Byte] = {
+  private[ops] def encodeWav(bytes: Array[Byte], center: Int = 128): Array[Byte] = {
     val n = math.max(1, bytes.length)
     val pcm = new Array[Byte](2 * n)
     var i = 0
     while (i < bytes.length) {
-      val v = ((bytes(i) & 0xff) - 128) * 256
+      // clamp keeps off-center renders (m16's center=32) inside 16-bit
+      val v = math.min(32767, math.max(-32768, ((bytes(i) & 0xff) - center) * 256))
       pcm(2 * i) = (v & 0xff).toByte
       pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
       i += 1
@@ -909,13 +910,16 @@ object Multimodal {
 
   /** Voice-activity segmentation over REAL decoded samples — m11's
     * byte-level energy proxy upgraded to the decoded-PCM level the way
-    * m13 upgraded m02: a sample is voiced when |s| ≥ 16384 (|byte−128| ≥
-    * 64 under the encode map), a segment is a maximal voiced run, and a
-    * run counts as speech when ≥ 3 samples long. Emits per doc the
-    * segment count, total voiced samples, longest run, and exact voiced
-    * ppm — the utterance-boundary statistics an audio curation pipeline
-    * cuts training clips on. Returns None when the payload doesn't
-    * sniff as the expected PCM. */
+    * m13 upgraded m02. The render is SPEECH-SHAPED (center = the word
+    * separator, 32): separators land at zero amplitude (silence),
+    * letters land loud — so the waveform has the silence-gapped
+    * utterance structure real VAD segments. A sample is voiced when
+    * |s| ≥ 16384 (byte ≥ 96 under this map), a segment is a maximal
+    * voiced run, and a run counts as speech when ≥ 3 samples long.
+    * Emits per doc the segment count, total voiced samples, longest
+    * run, and exact voiced ppm — the utterance-boundary statistics an
+    * audio curation pipeline cuts training clips on. Returns None when
+    * the payload doesn't sniff as the expected PCM. */
   private[ops] def decodeVad(bytes: Array[Byte]): Option[VadFeatures] =
     decodeWavSamples(bytes).map { samples =>
       val n = samples.length
@@ -973,7 +977,7 @@ object Multimodal {
     val media = mediaTable(s, dir)
       .repartition($"doc_id")
       .select($"doc_id", $"bytes").as[MediaRow]
-      .mapPartitions(_.map(r => WavRow(r.doc_id, encodeWav(r.bytes))))
+      .mapPartitions(_.map(r => WavRow(r.doc_id, encodeWav(r.bytes, center = 32))))
     val batchSize = 64
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -991,8 +995,7 @@ object Multimodal {
   val m16Sql: String =
     """WITH s AS (
       |  SELECT doc_id, i,
-      |    CASE WHEN ascii(text[i]) >= 192 OR ascii(text[i]) <= 64
-      |         THEN 1 ELSE 0 END AS voiced
+      |    CASE WHEN ascii(text[i]) >= 96 THEN 1 ELSE 0 END AS voiced
       |  FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)),
       |isl AS (
       |  SELECT doc_id, i - row_number() OVER (

@@ -1197,27 +1197,65 @@ object Temporal {
   /** Watermark-delay planner — the batch audit that decides what
     * `withWatermark` delay the streaming twins should ship: for each
     * candidate delay, how many events would a watermark drop? An event's
-    * LATENESS is the event-time frontier at its arrival (running max of
-    * ts in event_id = arrival order, inclusive) minus its own ts —
-    * exact integer micros — and a delay D drops it when lateness >
-    * D·10⁶. The four candidate delays (1 min / 10 min / 1 h / 1 d) cover
-    * the decision range of every gate in [[graft.streaming.Streams]].
+    * LATENESS is the event-time frontier at its arrival (inclusive
+    * running max of ts in arrival order) minus its own ts — exact
+    * integer micros — and a delay D drops it when lateness > D·10⁶. The
+    * four candidate delays (1 min / 10 min / 1 h / 1 d) cover the
+    * decision range of every gate in [[graft.streaming.Streams]].
+    * Arrival order models a rate-matched consumer interleaving 8
+    * user-keyed source partitions by per-partition sequence number (see
+    * inline note), so lateness measures the real thing a watermark
+    * fights: cross-partition event-time skew.
     *
-    * Determinism: exact integer micros, total (event_id) arrival order,
+    * Determinism: exact integer micros, total (seq, part) arrival
+    * order with (part, ts, event_id)-total sequence derivation,
     * integer-ppm drop rates.
     *
-    * Scale (100 TB): the global running max rides [[Q.prefixMax]] —
-    * range repartition + pid-ordered driver fold of ≤ one row per
-    * partition + narrow local windows, NO single-partition stage; the
+    * Scale (100 TB): BOTH global passes ride the distributed substrates
+    * — per-partition sequence numbers from [[Q.rankedPrefix]] (global
+    * rank minus the 8-row per-part offsets; a real source provides
+    * offsets natively), the frontier from [[Q.prefixMax]] — range
+    * repartition + pid-ordered driver folds of ≤ one row per partition
+    * + narrow local windows, NO single-partition stage anywhere; the
     * lateness frame then collapses in ONE map-side-combining keyless
     * aggregate (one CASE-sum per candidate delay) and the 4-row output
     * unpivots narrowly (q37's stack). */
   def q77(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val delays = Seq(60L, 600L, 3600L, 86400L)
+    // Modeled ingestion (the ledger's test-data stand-in class): the log
+    // is perfectly time-ordered, so arrival order is modeled as a
+    // rate-matched consumer draining 8 user-keyed source partitions
+    // round-robin by per-partition sequence number — the interleave a
+    // Kafka-style consumer actually produces, where lateness IS the
+    // cross-partition event-time skew. A real deployment reads seq from
+    // the source's own offsets; here it derives scalably: global rank
+    // over (part, ts, event_id) via Q.rankedPrefix (rows of a part are
+    // contiguous in that order) minus the 8-row per-part offsets.
     val ev = Tables.t(s, dir, "events")
-      .select($"event_id", unix_micros($"ts").as("tsu"))
-    val late = Q.prefixMax(ev, Seq($"event_id"), "tsu")
+      .select(($"user_id" % 8).as("part"),
+        unix_micros($"ts").as("tsu"), $"event_id")
+    val (ranked, _, _) = Q.rankedPrefix(ev,
+      Seq($"part".asc, $"tsu".asc, $"event_id".asc), Nil)
+    val partCounts = ev.groupBy($"part").agg(count(lit(1)).as("n"))
+      .orderBy($"part").collect() // 8 rows — fixed modeled-partition domain
+    var cum = 0L
+    val offRows = partCounts.map { r =>
+      val row = org.apache.spark.sql.Row(r.getLong(0), cum)
+      cum += r.getLong(1)
+      row
+    }
+    val offDf = broadcast(s.createDataFrame(
+      s.sparkContext.parallelize(offRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("part",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__poff",
+          org.apache.spark.sql.types.LongType, nullable = false)))))
+    val seqd = ranked.join(offDf, Seq("part"))
+      .withColumn("seq", $"__rank" - $"__poff")
+      .select($"part", $"tsu", $"seq")
+    val late = Q.prefixMax(seqd, Seq($"seq".asc, $"part".asc), "tsu")
       .select(($"__pmax" - $"tsu").as("late_us"))
     val aggs = count(lit(1)).as("n_events") +:
       delays.map(d => sum(when($"late_us" > d * 1000000L, 1L).otherwise(0L))
@@ -1232,11 +1270,16 @@ object Temporal {
   }
 
   val q77Sql: String =
-    """WITH f AS (
-      |  SELECT epoch_us(ts) AS tsu,
-      |    MAX(epoch_us(ts)) OVER (ORDER BY event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmax
+    """WITH e AS (
+      |  SELECT user_id % 8 AS part, epoch_us(ts) AS tsu,
+      |    row_number() OVER (PARTITION BY user_id % 8
+      |      ORDER BY epoch_us(ts), event_id) AS seq
       |  FROM events),
+      |f AS (
+      |  SELECT tsu,
+      |    MAX(tsu) OVER (ORDER BY seq, part
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pmax
+      |  FROM e),
       |l AS (SELECT pmax - tsu AS late_us FROM f),
       |d AS (SELECT CAST(UNNEST([60, 600, 3600, 86400]) AS BIGINT) AS delay_s)
       |SELECT CAST(delay_s AS BIGINT) AS delay_s,
