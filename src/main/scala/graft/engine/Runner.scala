@@ -516,38 +516,78 @@ final class Runner(
       existing0.createOrReplaceTempView(viewName(m.name))
       val (existing, batch) = alignSchemas(m, existing0,
         execSql(m, isIncremental = true))
-      // dbt's merge_exclude_columns: for keys that ALREADY exist, the
-      // listed columns keep their stored value instead of taking the
-      // batch's (the created_at/inserted_at audit-column pattern — MERGE
-      // with those columns dropped from the UPDATE SET list); brand-new
-      // keys still take the batch row whole
-      val mergeExclude = strListConfig(m, "merge_exclude_columns")
-      val merged = m.uniqueKey match {
-        case Some(k) if mergeExclude.nonEmpty =>
-          val kept = existing.join(batch.select(col(k)), Seq(k), "left_anti")
-          val stored = existing.select(
-            col(k).as("_mk") +: mergeExclude.map(c => col(c).as(s"_ex_$c")): _*)
-          // match-flag, not coalesce: a stored NULL in an excluded column
-          // must stay NULL, not fall through to the batch value
-          val upserted = batch.join(stored, col(k) === col("_mk"), "left")
-            .select(batch.columns.toSeq.map { c =>
-              if (mergeExclude.contains(c))
-                when(col("_mk").isNotNull, col(s"_ex_$c")).otherwise(col(c)).as(c)
-              else col(c)
-            }: _*)
-          kept.unionByName(upserted)
-        case Some(k) => existing.join(batch.select(col(k)), Seq(k), "left_anti")
-          .unionByName(batch)
-        case None => existing.unionByName(batch)
+      if (m.partitionBy.nonEmpty && m.uniqueKey.isDefined) {
+        // Partition-scoped MERGE — the 100 TB shape: only the partitions
+        // the batch touches are read, merged and dynamically overwritten;
+        // every other partition's files are never opened (the touched-
+        // values filter is a literal OR-of-ANDs, so it lands in
+        // PartitionFilters and prunes directories). The touched-value
+        // collect is bounded by the batch's partition spread — an
+        // incremental batch touches few partitions by construction.
+        // Caveat (dbt-spark's own for partitioned merges): a key's
+        // partition value must be stable across runs — a key that moves
+        // partitions would leave its old row in an untouched directory.
+        val pinnedBatch = batch.localCheckpoint(eager = false)
+        val touched = pinnedBatch
+          .select(m.partitionBy.map(col): _*).distinct().collect()
+        val touchedFilter = touched.map { r =>
+          m.partitionBy.zipWithIndex.map { case (c, i) =>
+            if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+          }.reduce(_ && _)
+        }.reduceOption(_ || _).getOrElse(lit(false))
+        // EAGER checkpoint: merged reads the touched partitions of the
+        // very path the dynamic overwrite rewrites — materializing it
+        // (bounded by the touched partitions, not the table) breaks the
+        // file-source lineage so the writer sees no self-read, and the
+        // old files are not deleted until the staged commit anyway
+        val merged = mergeByKey(m, existing.filter(touchedFilter), pinnedBatch)
+          .localCheckpoint()
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(m.partitionBy: _*)
+          .parquet(p.toString)
+        Files.writeString(schemaSidecar(p), merged.schema.json)
+        readTable(p)
+      } else {
+        val merged = mergeByKey(m, existing, batch)
+        // write to a temp dir then atomically swap the directories (merged
+        // reads from p, so p can't be overwritten in place; the swap costs a
+        // rename instead of a second full write)
+        val tmp = warehouseDir.resolve(m.name + "__tmp")
+        writeTable(m, merged, tmp)
+        deleteTree(p)
+        Files.move(tmp, p)
+        readTable(p)
       }
-      // write to a temp dir then atomically swap the directories (merged
-      // reads from p, so p can't be overwritten in place; the swap costs a
-      // rename instead of a second full write)
-      val tmp = warehouseDir.resolve(m.name + "__tmp")
-      writeTable(m, merged, tmp)
-      deleteTree(p)
-      Files.move(tmp, p)
-      readTable(p)
+    }
+  }
+
+  /** dbt's MERGE semantics on aligned frames: delete-insert by
+    * unique_key, with `merge_exclude_columns` keeping the stored value
+    * for keys that already exist (the created_at/inserted_at
+    * audit-column pattern — MERGE with those columns dropped from the
+    * UPDATE SET list); brand-new keys take the batch row whole. No key →
+    * plain append. */
+  private def mergeByKey(m: ModelNode, existing: DataFrame,
+      batch: DataFrame): DataFrame = {
+    val mergeExclude = strListConfig(m, "merge_exclude_columns")
+    m.uniqueKey match {
+      case Some(k) if mergeExclude.nonEmpty =>
+        val kept = existing.join(batch.select(col(k)), Seq(k), "left_anti")
+        val stored = existing.select(
+          col(k).as("_mk") +: mergeExclude.map(c => col(c).as(s"_ex_$c")): _*)
+        // match-flag, not coalesce: a stored NULL in an excluded column
+        // must stay NULL, not fall through to the batch value
+        val upserted = batch.join(stored, col(k) === col("_mk"), "left")
+          .select(batch.columns.toSeq.map { c =>
+            if (mergeExclude.contains(c))
+              when(col("_mk").isNotNull, col(s"_ex_$c")).otherwise(col(c)).as(c)
+            else col(c)
+          }: _*)
+        kept.unionByName(upserted)
+      case Some(k) => existing.join(batch.select(col(k)), Seq(k), "left_anti")
+        .unionByName(batch)
+      case None => existing.unionByName(batch)
     }
   }
 

@@ -829,6 +829,47 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq((1L, 1L, "a"), (2L, 2L, "B"), (3L, 3L, "c")))
   }
 
+  test("partitioned unique_key merge rewrites ONLY the touched partitions") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: pm\n",
+      "models/facts.sql" ->
+        """{{ config(materialized='incremental', unique_key='id',
+          |          partition_by='day') }}
+          |select id, day, v from pm_input
+          |{% if is_incremental() %}
+          |where day >= 2
+          |{% endif %}""".stripMargin)
+    Seq((1L, 1L, "a"), (2L, 2L, "b"), (3L, 2L, "c"))
+      .toDF("id", "day", "v").createOrReplaceTempView("pm_input")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_pm")
+    val runner = new Runner(spark, manifest, cfg, wh, enforceAccess = false)
+    runner.run()
+    val day1 = wh.resolve("facts/day=1")
+    def day1Files() = {
+      import scala.jdk.CollectionConverters._
+      Files.list(day1).iterator().asScala
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p))
+        .toSeq.sortBy(_._1)
+    }
+    val before = day1Files()
+    // batch: key 2 UPDATED in day 2, key 4 new in day 3; day 1 untouched
+    Seq((1L, 1L, "STALE"), (2L, 2L, "B"), (4L, 3L, "d"))
+      .toDF("id", "day", "v").createOrReplaceTempView("pm_input")
+    val out = runner.run()("model.pm.facts").orderBy("id")
+      .as[(Long, Long, String)].collect().toSeq
+    // MERGE semantics: key 2 replaced, key 3 kept (same partition), key 4
+    // appended — and key 1 keeps its FIRST-run value because day 1 was
+    // never read or rewritten
+    assert(out == Seq((1L, 1L, "a"), (2L, 2L, "B"), (3L, 2L, "c"),
+      (4L, 3L, "d")))
+    assert(day1Files() == before,
+      "untouched partition files were rewritten — the merge is not partition-scoped")
+  }
+
   test("inline partition_by list literal parses into its column names") {
     val root = writeProject(Map(
       "dbt_project.yml" -> "name: pl\n",
