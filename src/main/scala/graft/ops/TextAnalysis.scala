@@ -3501,6 +3501,79 @@ object TextAnalysis {
        |FROM ntiled GROUP BY decile ORDER BY decile""".stripMargin
 
 
+  // ---------------------------------------------------------------- t53
+  /** Discrimination (ranking-quality) audit of t51's trained classifier —
+    * the exact Mann-Whitney AUC of the NB score separating correct from
+    * incorrect predictions, the companion readout to t52's calibration:
+    * calibration says whether a cutoff's accuracy is what the score
+    * promises, AUC says whether ANY cutoff can separate at all. Computed
+    * tie-exactly from midranks — AUC = (Σ midrank(pos) − P(P+1)/2)/(P·N)
+    * — in pure integer arithmetic: per distinct score, (n, n_pos) counts;
+    * cumulative n on [[Q.rankedPrefix]]; the ×2-scaled midrank identity
+    * Σ2·MR(pos) = Σ n_pos·(2·cum − n + 1); one DECIMAL(38)-promoted
+    * integral division to ppm (the d31 rule — at 10¹⁰ docs the rank
+    * products overflow a long).
+    *
+    * Scale (100 TB): scoring is t51's narrow literal-model scan; the
+    * per-score collapse is one map-side-combining aggregate over the
+    * (unbounded, sublinear) distinct-score domain; the cumulative ranks
+    * ride the distributed substrate — no single-partition window; the
+    * final is a keyless aggregate (exactly one row on any input). */
+  def t53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.t(s, dir, "documents")
+    rankAuc(nbClassify(docs, nbModel(docs)).select($"score", $"is_match"))
+  }
+
+  /** Exact midrank AUC of a (score, is_match) frame — split out so the
+    * spec can pin the Mann-Whitney identities (perfect separation = 10⁶,
+    * all-tied = ½·10⁶). */
+  private[graft] def rankAuc(scored: DataFrame): DataFrame = {
+    val s = scored.sparkSession
+    import s.implicits._
+    val grp = scored.groupBy($"score").agg(
+      count(lit(1)).as("n"),
+      sum(when($"is_match", 1L).otherwise(0L)).as("np"))
+    val (ranked, _, _) = Q.rankedPrefix(grp, Seq($"score".asc), Seq("n"))
+    ranked
+      .agg(
+        sum($"np".cast(DecimalType(38, 0)) *
+          (lit(2) * $"__cum_n" - $"n" + 1)).as("s2"),
+        sum($"np").as("p"), sum($"n").as("tot"))
+      .select(
+        coalesce($"tot", lit(0L)).as("n_docs"),
+        coalesce($"p", lit(0L)).as("n_pos"),
+        coalesce($"tot" - $"p", lit(0L)).as("n_neg"),
+        expr("""cast(case when p > 0 and tot - p > 0 then
+                ((s2 - cast(p as decimal(38,0)) * (p + 1)) * 1000000)
+                  div (2 * cast(p as decimal(38,0)) * (tot - p))
+                end as bigint)""").as("auc_ppm"))
+  }
+
+  val t53Sql: String =
+    s"""WITH $nbSqlLadder,
+       |perdoc AS (
+       |  SELECT d.doc_id, CAST(b.score AS BIGINT) AS score,
+       |    b.plang = d.lang AS ok
+       |  FROM documents d JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1),
+       |grp AS (
+       |  SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM perdoc GROUP BY score),
+       |cml AS (
+       |  SELECT *, SUM(n) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM grp),
+       |t AS (SELECT SUM(np * (2 * cum - n + 1)) AS s2,
+       |             SUM(np) AS p, SUM(n) AS tot FROM cml)
+       |SELECT CAST(COALESCE(tot, 0) AS BIGINT) AS n_docs,
+       |  CAST(COALESCE(p, 0) AS BIGINT) AS n_pos,
+       |  CAST(COALESCE(tot - p, 0) AS BIGINT) AS n_neg,
+       |  CAST(CASE WHEN p > 0 AND tot - p > 0 THEN
+       |    ((s2 - p * (p + 1)) * 1000000) // (2 * p * (tot - p))
+       |  END AS BIGINT) AS auc_ppm
+       |FROM t""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -3553,5 +3626,6 @@ object TextAnalysis {
     Q("t49_pps_sample", t49, Some(t49Sql)),
     Q("t50_cms_audit", t50, Some(t50Sql)),
     Q("t51_nb_langid", t51, Some(t51Sql)),
-    Q("t52_nb_calibration", t52, Some(t52Sql)))
+    Q("t52_nb_calibration", t52, Some(t52Sql)),
+    Q("t53_nb_auc", t53, Some(t53Sql)))
 }

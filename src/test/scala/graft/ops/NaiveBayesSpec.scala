@@ -74,6 +74,27 @@ class NaiveBayesSpec extends AnyFunSuite with SparkFixture {
     assert(tied.getString(2) == "aa", "tie must go to the ascending lang")
   }
 
+  test("rankAuc: Mann-Whitney identities — perfect separation, all-tied, reversal") {
+    val s = spark
+    import s.implicits._
+    def auc(rows: Seq[(Long, Boolean)]): Long =
+      TextAnalysis.rankAuc(rows.toDF("score", "is_match"))
+        .collect().head.getLong(3)
+    // positives strictly above negatives → AUC = 1
+    assert(auc(Seq((1L, false), (2L, false), (5L, true), (9L, true))) == 1000000L)
+    // everything tied → midrank AUC = 1/2 exactly
+    assert(auc(Seq((3L, true), (3L, false), (3L, true), (3L, false))) == 500000L)
+    // perfectly reversed → AUC = 0
+    assert(auc(Seq((9L, false), (5L, false), (2L, true), (1L, true))) == 0L)
+    // hand case: scores [1-,2+,2-,3+]: midranks pos = 2.5 + 4 = 6.5,
+    // AUC = (6.5 - 3) / 4 = 0.875
+    assert(auc(Seq((1L, false), (2L, true), (2L, false), (3L, true))) == 875000L)
+    // degenerate classes → NULL auc, counts still exact
+    val r = TextAnalysis.rankAuc(
+      Seq((1L, true), (2L, true)).toDF("score", "is_match")).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L && r.isNullAt(3))
+  }
+
   test("nbClassify: empty model degrades to 'und' at score 0") {
     val s = spark
     import s.implicits._
