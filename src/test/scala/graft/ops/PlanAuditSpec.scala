@@ -35,6 +35,26 @@ object PlanAuditSpec {
           if w.partitionSpec.isEmpty && !limitBelow(w.child) =>
         w.simpleStringWithNodeId()
     }
+
+  /** Raw-payload column names that must never ride a shuffle: at 100 TB
+    * an exchange carrying document text or media bytes IS the job's I/O
+    * bill — every dedup/stat shape here reduces to digests/counts first. */
+  private val payloadNames = Set("text", "bytes", "png", "wav")
+
+  /** Hash/round-robin exchanges whose OUTPUT carries a raw payload
+    * column. Subqueries included; range exchanges (presentation sorts of
+    * per-doc frames) are judged separately by the narrow-sort rule. */
+  def payloadExchanges(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    plan.collectWithSubqueries {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] &&
+            e.output.exists(a => payloadNames.contains(a.name)) =>
+        e.output.filter(a => payloadNames.contains(a.name))
+          .map(_.name).mkString("exchange carrying [", ",", "]")
+    }
+  }
 }
 
 class PlanAuditSpec extends AnyFunSuite with SparkFixture {
@@ -1232,6 +1252,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val stale = allow.keySet -- offenders.toSet
     assert(stale.isEmpty,
       s"allowlist entries no longer plan a global window — prune them: ${stale.mkString(", ")}")
+  }
+
+  /** The companion class-wide guard: NO registered query may plan a hash
+    * or round-robin exchange whose rows carry a raw payload column
+    * (document text, media bytes) — shuffling payloads is the I/O bill
+    * at 100 TB; everything here keys on digests/ids and reduces before
+    * any exchange. The only exception class is the deliberate ONE-TIME
+    * compute fan-out: a single repartition of the compact scan that
+    * spreads expensive per-row kernel/codec work across all cores,
+    * allowlisted below with its site. (m13–m16's identical fan-outs sit
+    * behind their sortedNarrow checkpoints and are pinned by their body
+    * audits instead.) */
+  test("sweep: no registered query shuffles a raw payload column") {
+    val allow = Map(
+      "t04_fingerprint" -> "one-time fan-out: two full-text rolling hashes dominate the scan's parallelism",
+      "m03_frame_sample" -> "one-time codec fan-out of raw bytes (the m03 recipe)",
+      "m04_resize" -> "one-time codec fan-out of raw bytes",
+      "m06_scene_cuts" -> "one-time codec fan-out of raw bytes",
+      "m10_payload_concentration" -> "one-time kernel fan-out (char_stats over payloads)")
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    for (q <- Q.registry) {
+      val df = q.fn(spark, dir)
+      if (PlanAuditSpec.payloadExchanges(df.queryExecution.sparkPlan).nonEmpty)
+        offenders += q.name
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    val unexpected = offenders.filterNot(allow.contains)
+    assert(unexpected.isEmpty,
+      s"payload column crosses an exchange in: ${unexpected.mkString(", ")}")
+    val stale = allow.keySet -- offenders.toSet
+    assert(stale.isEmpty, s"allowlist entries no longer shuffle payloads — prune: $stale")
   }
 
   test("q63: nation pair broadcasts prune both fact sides; scan prunes") {
