@@ -1218,14 +1218,27 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  /** The class-wide scale-killer guard: NO registered query may plan an
-    * unpartitioned WindowExec over unbounded input — that shape sorts a
-    * corpus-proportional frame on ONE partition and is the single most
-    * common way a distributed plan silently degrades to a single node.
-    * Windows over post-limit survivors (TakeOrdered below) are bounded by
-    * construction and auto-exempt; everything else must appear in the
-    * allowlist below with its documented domain bound. */
-  test("sweep: no registered query windows an unbounded frame on one partition") {
+  /** The class-wide scale-killer guards, all checked in ONE pass over
+    * every registered query's physical plan (subqueries included):
+    *
+    *  1. no unpartitioned WindowExec over unbounded input — that shape
+    *     sorts a corpus-proportional frame on ONE partition and is the
+    *     single most common way a distributed plan silently degrades to
+    *     a single node. Windows over post-limit survivors (TakeOrdered
+    *     below) are bounded by construction and auto-exempt; everything
+    *     else must appear in the window allowlist with its domain bound.
+    *  2. no hash/round-robin exchange carrying a raw payload column
+    *     (text/bytes) — shuffling payloads is the I/O bill at 100 TB;
+    *     the only exception class is the deliberate ONE-TIME compute
+    *     fan-out (a single repartition of the compact scan spreading
+    *     expensive kernel/codec work), allowlisted per site. m13–m16's
+    *     identical fan-outs sit behind their sortedNarrow checkpoints
+    *     and are pinned by their body audits instead.
+    *  3. no CartesianProduct, anywhere, ever — no allowlist. Every
+    *     all-pairs semantics here is bucketed (LSH bands, IVF cells,
+    *     blocking keys) or broadcast-nested over a bounded side.
+    */
+  test("sweep: scale-killer plan shapes are locked shut across the registry") {
     // name -> why the window input is bounded by something other than a limit
     val allow = Map(
       "q44_skew_profile" -> "percentile window over the count-of-counts histogram (|distinct per-key counts| rows)",
@@ -1236,53 +1249,41 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "t45_quality_quantiles" -> "documented <=1e6+1 quantile grid (clamped before the window)",
       "s09_cell_balance" -> "balance window over the per-IVF-cell histogram (n_lists rows, algorithm parameter)",
       "s16_pair_density" -> "density census over the documented bounded sample (O(sample^2) requires it)")
-    val offenders = scala.collection.mutable.ListBuffer[String]()
-    for (q <- Q.registry) {
-      val df = q.fn(spark, dir)
-      if (PlanAuditSpec.unboundedGlobalWindows(df.queryExecution.sparkPlan).nonEmpty)
-        offenders += q.name
-      // queries pin layouts with lazy localCheckpoints; free the blocks so
-      // the 217-query sweep doesn't accumulate them (CLAUDE.md rule)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    }
-    val unexpected = offenders.filterNot(allow.contains)
-    assert(unexpected.isEmpty,
-      s"unpartitioned window over unbounded input in: ${unexpected.mkString(", ")} — " +
-        "repartition the window, lower the top-k to orderBy+limit, or document the bound here")
-    val stale = allow.keySet -- offenders.toSet
-    assert(stale.isEmpty,
-      s"allowlist entries no longer plan a global window — prune them: ${stale.mkString(", ")}")
-  }
-
-  /** The companion class-wide guard: NO registered query may plan a hash
-    * or round-robin exchange whose rows carry a raw payload column
-    * (document text, media bytes) — shuffling payloads is the I/O bill
-    * at 100 TB; everything here keys on digests/ids and reduces before
-    * any exchange. The only exception class is the deliberate ONE-TIME
-    * compute fan-out: a single repartition of the compact scan that
-    * spreads expensive per-row kernel/codec work across all cores,
-    * allowlisted below with its site. (m13–m16's identical fan-outs sit
-    * behind their sortedNarrow checkpoints and are pinned by their body
-    * audits instead.) */
-  test("sweep: no registered query shuffles a raw payload column") {
-    val allow = Map(
+    val allowPayload = Map(
       "t04_fingerprint" -> "one-time fan-out: two full-text rolling hashes dominate the scan's parallelism",
       "m03_frame_sample" -> "one-time codec fan-out of raw bytes (the m03 recipe)",
       "m04_resize" -> "one-time codec fan-out of raw bytes",
       "m06_scene_cuts" -> "one-time codec fan-out of raw bytes",
       "m10_payload_concentration" -> "one-time kernel fan-out (char_stats over payloads)")
-    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val winHits = scala.collection.mutable.ListBuffer[String]()
+    val payloadHits = scala.collection.mutable.ListBuffer[String]()
+    val cartesianHits = scala.collection.mutable.ListBuffer[String]()
     for (q <- Q.registry) {
-      val df = q.fn(spark, dir)
-      if (PlanAuditSpec.payloadExchanges(df.queryExecution.sparkPlan).nonEmpty)
-        offenders += q.name
+      val plan = q.fn(spark, dir).queryExecution.sparkPlan
+      if (PlanAuditSpec.unboundedGlobalWindows(plan).nonEmpty) winHits += q.name
+      if (PlanAuditSpec.payloadExchanges(plan).nonEmpty) payloadHits += q.name
+      if (plan.collectWithSubqueries {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.nonEmpty) cartesianHits += q.name
+      // queries pin layouts with lazy localCheckpoints; free the blocks so
+      // the full-registry sweep doesn't accumulate them (CLAUDE.md rule)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    val unexpected = offenders.filterNot(allow.contains)
-    assert(unexpected.isEmpty,
-      s"payload column crosses an exchange in: ${unexpected.mkString(", ")}")
-    val stale = allow.keySet -- offenders.toSet
-    assert(stale.isEmpty, s"allowlist entries no longer shuffle payloads — prune: $stale")
+    val unexpectedWin = winHits.filterNot(allow.contains)
+    assert(unexpectedWin.isEmpty,
+      s"unpartitioned window over unbounded input in: ${unexpectedWin.mkString(", ")} — " +
+        "repartition the window, lower the top-k to orderBy+limit, or document the bound here")
+    val stale = allow.keySet -- winHits.toSet
+    assert(stale.isEmpty,
+      s"window allowlist entries no longer plan a global window — prune them: ${stale.mkString(", ")}")
+    val unexpectedPayload = payloadHits.filterNot(allowPayload.contains)
+    assert(unexpectedPayload.isEmpty,
+      s"payload column crosses an exchange in: ${unexpectedPayload.mkString(", ")}")
+    val stalePayload = allowPayload.keySet -- payloadHits.toSet
+    assert(stalePayload.isEmpty,
+      s"payload allowlist entries no longer shuffle payloads — prune them: ${stalePayload.mkString(", ")}")
+    assert(cartesianHits.isEmpty,
+      s"CartesianProduct planned in: ${cartesianHits.mkString(", ")}")
   }
 
   test("q63: nation pair broadcasts prune both fact sides; scan prunes") {
