@@ -425,7 +425,13 @@ object Main {
         val sel = if (selectionActive) selection(m) else m.nodes.keySet
         val persistent = Set("table", "incremental", "snapshot", "seed")
         val s = spark()
-        val runner = new Runner(s, m, cfg, warehouse(),
+        // clones ALWAYS land in the durable project-local catalog — a
+        // throwaway temp warehouse would defeat clone's purpose (the
+        // artifact must survive this process so a later `run --defer`
+        // or `run --read-catalog` can serve from it)
+        val cloneWh = Files.createDirectories(
+          root.resolve(".graft").resolve("warehouse"))
+        val runner = new Runner(s, m, cfg, cloneWh,
           enforceAccess = false, projectRoot = Some(root),
           readCatalog = readCatalog)
         val cloned = sel.toSeq.sorted.flatMap { id =>

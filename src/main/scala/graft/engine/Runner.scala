@@ -163,6 +163,26 @@ final class Runner(
         }.flatten.toMap
       case _ => Map.empty
     }
+    // rehydrate deferred relations that are not resolvable in THIS
+    // session: a `graft clone` artifact records the clone's view names,
+    // which die with the clone process — but the cloned table itself
+    // lives in the warehouse under the model's own path, so a fresh
+    // process re-registers it here (this run's warehouse first, then the
+    // project-local catalog clone writes to). An unresolvable relation
+    // with no warehouse table is left alone and fails loudly at use,
+    // exactly as before.
+    deferTargets.foreach { case (name, rel) =>
+      // only plain view names rehydrate — a qualified relation
+      // (db.schema.table) belongs to a real catalog, not this warehouse
+      if (!rel.contains('.') &&
+        !scala.util.Try(spark.catalog.tableExists(rel)).getOrElse(false)) {
+        val candidates = warehouseDir.resolve(name) +:
+          projectRoot.map(_.resolve(".graft").resolve("warehouse")
+            .resolve(name)).toSeq
+        candidates.find(Files.exists(_)).foreach(p =>
+          readTable(p).createOrReplaceTempView(rel))
+      }
+    }
     // scheduling edges: the manifest's depends_on, plus an implicit edge
     // from any model reading a source whose table a same-project seed
     // materializes (the jaffle pattern — dbt orders this via `dbt seed`
@@ -502,14 +522,7 @@ final class Runner(
       existing.createOrReplaceTempView(viewName(m.name))
       val (_, batch) = alignSchemas(m, existing,
         execSql(m, isIncremental = true))
-      batch.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(m.partitionBy: _*)
-        .parquet(p.toString)
-      // the aligned batch schema IS the table's schema now; files from
-      // older partitions missing an appended column read as null under
-      // the explicit sidecar schema
-      Files.writeString(schemaSidecar(p), batch.schema.json)
+      overwritePartitions(m, batch, p)
       readTable(p)
     } else {
       val existing0 = readTable(p)
@@ -527,6 +540,7 @@ final class Runner(
         // Caveat (dbt-spark's own for partitioned merges): a key's
         // partition value must be stable across runs — a key that moves
         // partitions would leave its old row in an untouched directory.
+        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
         val pinnedBatch = batch.localCheckpoint(eager = false)
         val touched = pinnedBatch
           .select(m.partitionBy.map(col): _*).distinct().collect()
@@ -539,15 +553,20 @@ final class Runner(
         // very path the dynamic overwrite rewrites — materializing it
         // (bounded by the touched partitions, not the table) breaks the
         // file-source lineage so the writer sees no self-read, and the
-        // old files are not deleted until the staged commit anyway
+        // old files are not deleted until the staged commit anyway.
+        // Checkpoint blocks free only on driver GC (the CLAUDE.md
+        // eviction lesson), so the ones THIS call created are
+        // unpersisted before returning — by id diff (captured before the
+        // batch pin above), never a blanket sweep that could kill a
+        // caller's own cached frames.
         val merged = mergeByKey(m, existing.filter(touchedFilter), pinnedBatch)
           .localCheckpoint()
-        merged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(m.partitionBy: _*)
-          .parquet(p.toString)
-        Files.writeString(schemaSidecar(p), merged.schema.json)
-        readTable(p)
+        overwritePartitions(m, merged, p)
+        val out = readTable(p)
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !persistedBefore.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        out
       } else {
         val merged = mergeByKey(m, existing, batch)
         // write to a temp dir then atomically swap the directories (merged
@@ -560,6 +579,21 @@ final class Runner(
         readTable(p)
       }
     }
+  }
+
+  /** The shared partitioned-overwrite sink (insert_overwrite + the
+    * partition-scoped merge): dynamic partition overwrite replaces ONLY
+    * the partitions present in `df`, and the sidecar pins the aligned
+    * schema — files from older partitions missing an appended column
+    * read as null under the explicit sidecar schema. Parquet by
+    * construction: both callers sit behind writeTable's file_format
+    * guard on the first full build. */
+  private def overwritePartitions(m: ModelNode, df: DataFrame, p: Path): Unit = {
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(m.partitionBy: _*)
+      .parquet(p.toString)
+    Files.writeString(schemaSidecar(p), df.schema.json)
   }
 
   /** dbt's MERGE semantics on aligned frames: delete-insert by

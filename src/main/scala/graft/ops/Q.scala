@@ -92,7 +92,12 @@ object Q {
     * localCheckpoint BEFORE the offsets and local passes read it,
     * ≤ one row per partition to the driver, pid-ordered exclusive fold,
     * narrow pid-local window + broadcast offsets. Adds `__pmax` = the
-    * inclusive prefix max of LongType `valueCol` in key order. */
+    * inclusive prefix max of `valueCol` in key order.
+    *
+    * Contract: `valueCol` must be a NON-NULL LongType column — a null
+    * would silently vanish from both the partition max and the local
+    * window (unspecifiable semantics for a running max), so an all-null
+    * partition fails loudly here instead of NPE-ing on the driver. */
   private[ops] def prefixMax(dfIn: DataFrame,
       keys: Seq[org.apache.spark.sql.Column], valueCol: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -109,6 +114,9 @@ object Q {
       .orderBy(col("__pid")).collect()
     var cur = Long.MinValue
     val offRows = partMax.map { r =>
+      require(!r.isNullAt(1),
+        s"prefixMax: '$valueCol' must be non-null (partition ${r.getInt(0)} " +
+          "aggregated to a NULL max)")
       val off = cur
       cur = math.max(cur, r.getLong(1))
       org.apache.spark.sql.Row(r.getInt(0), off)

@@ -1257,15 +1257,21 @@ object Temporal {
       .select($"part", $"tsu", $"seq")
     val late = Q.prefixMax(seqd, Seq($"seq".asc, $"part".asc), "tsu")
       .select(($"__pmax" - $"tsu").as("late_us"))
+    // keyless agg → exactly ONE wide row on any input, so the stack
+    // always yields |delays| rows; sums coalesce to 0 and the ppm NULLs
+    // on an empty log — the oracle's correlated-subquery form matches
+    // both shapes row for row (the q68 empty-input rule, both ways)
     val aggs = count(lit(1)).as("n_events") +:
-      delays.map(d => sum(when($"late_us" > d * 1000000L, 1L).otherwise(0L))
+      delays.map(d => coalesce(
+        sum(when($"late_us" > d * 1000000L, 1L).otherwise(0L)), lit(0L))
         .as(s"late_$d"))
     val wide = late.agg(aggs.head, aggs.tail: _*)
     val stackArgs = delays.map(d => s"${d}L, late_$d").mkString(", ")
     wide.select($"n_events", expr(
         s"stack(${delays.size}, $stackArgs) as (delay_s, n_late)"))
       .select($"delay_s", $"n_events", $"n_late",
-        expr("(1000000 * n_late) div n_events").as("late_ppm"))
+        expr("case when n_events > 0 then (1000000 * n_late) div n_events end")
+          .as("late_ppm"))
       .orderBy($"delay_s")
   }
 
@@ -1282,13 +1288,16 @@ object Temporal {
       |  FROM e),
       |l AS (SELECT pmax - tsu AS late_us FROM f),
       |d AS (SELECT CAST(UNNEST([60, 600, 3600, 86400]) AS BIGINT) AS delay_s)
-      |SELECT CAST(delay_s AS BIGINT) AS delay_s,
-      |  CAST(COUNT(*) AS BIGINT) AS n_events,
-      |  CAST(SUM(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_late,
-      |  CAST((1000000 * SUM(CASE WHEN late_us > delay_s * 1000000
-      |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS late_ppm
-      |FROM l, d GROUP BY delay_s ORDER BY delay_s""".stripMargin
+      |SELECT d.delay_s,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM l) AS n_events,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM l
+      |   WHERE late_us > d.delay_s * 1000000) AS n_late,
+      |  CASE WHEN (SELECT COUNT(*) FROM l) > 0 THEN
+      |    CAST((1000000 * (SELECT COUNT(*) FROM l
+      |      WHERE late_us > d.delay_s * 1000000))
+      |      // (SELECT COUNT(*) FROM l) AS BIGINT)
+      |  END AS late_ppm
+      |FROM d ORDER BY d.delay_s""".stripMargin
 
   def all: Seq[Q] = Seq(
     Q("q17_sessionize", q17, Some(q17Sql), headline = true),

@@ -546,7 +546,11 @@ class MainSpec extends AnyFunSuite {
     assert(Files.readString(root.resolve("target/manifest.json"))
       .contains("shop2__stg_c"))
 
-    // downstream defers its unselected upstream to the clone
+    // downstream defers its unselected upstream to the clone — and the
+    // clone must survive a PROCESS boundary: drop the session views the
+    // clone command registered so the run can only succeed by
+    // rehydrating the deferred relation from the warehouse artifact
+    s.catalog.dropTempView("shop2__stg_c")
     val out2 = new java.io.ByteArrayOutputStream()
     Console.withOut(new java.io.PrintStream(out2)) {
       Main.main(Array("run", "--select", "mart_c", "--defer",
