@@ -371,7 +371,7 @@ final class Runner(
     * dbt-spark's own v2-format restriction in spirit). */
   private def fileFormat(m: ModelNode): String =
     m.config.get("file_format").map(_.asStr)
-      .orElse(JinjaLite.findConfig(m.rawCode).get("file_format"))
+      .orElse(inlineConfig(m).get("file_format"))
       .getOrElse("parquet")
 
   private def formatSidecar(p: Path): Path = p.resolve("_graft_format")
@@ -459,7 +459,7 @@ final class Runner(
     val added = b.filterNot(ex.contains)
     val removed = ex.filterNot(b.contains)
     val policy = m.config.get("on_schema_change").map(_.asStr)
-      .orElse(JinjaLite.findConfig(m.rawCode).get("on_schema_change"))
+      .orElse(inlineConfig(m).get("on_schema_change"))
       .getOrElse("ignore")
     policy match {
       case "fail" => throw new IllegalStateException(
@@ -486,11 +486,19 @@ final class Runner(
     }
   }
 
+  /** Inline `{{ config(...) }}` of a model, parsed ONCE per model per
+    * Runner (the raw-SQL re-parse showed up ~6x per incremental/snapshot
+    * run across fileFormat/strategy/updated_at/check_cols lookups). */
+  private val inlineConfigCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, String]]
+  private def inlineConfig(m: ModelNode): Map[String, String] =
+    inlineConfigCache.getOrElseUpdate(m.uniqueId, JinjaLite.findConfig(m.rawCode))
+
   /** Config value that may be a YAML list, an inline `['a','b']`
     * literal, or a bare string (check_cols / merge_exclude_columns). */
   private def strListConfig(m: ModelNode, key: String): Seq[String] = {
     val conf = m.config.get(key)
-      .orElse(JinjaLite.findConfig(m.rawCode).get(key)
+      .orElse(inlineConfig(m).get(key)
         .map(graft.core.yaml.YStr.apply))
     conf match {
       case Some(graft.core.yaml.YList(items)) => items.map(_.asStr)
@@ -506,13 +514,22 @@ final class Runner(
 
   private def boolConfig(m: ModelNode, key: String): Boolean =
     m.config.get(key).map(_.asStr)
-      .orElse(JinjaLite.findConfig(m.rawCode).get(key))
+      .orElse(inlineConfig(m).get(key))
       .exists(v => v.equalsIgnoreCase("true"))
 
   private def runIncremental(m: ModelNode): DataFrame = {
+    recoverSwap(m)
     val p = tablePath(m)
     val strategy = m.config.get("incremental_strategy").map(_.asStr)
-      .orElse(JinjaLite.findConfig(m.rawCode).get("incremental_strategy"))
+      .orElse(inlineConfig(m).get("incremental_strategy"))
+    // dbt-spark's strategy vocabulary — an unknown spelling must fail
+    // loudly (a typo silently landing in the merge path would change
+    // row counts), and 'append' must NOT dedupe by unique_key
+    strategy.foreach { s =>
+      if (!Set("append", "merge", "delete+insert", "insert_overwrite")(s))
+        throw new IllegalArgumentException(
+          s"incremental model ${m.name}: unknown incremental_strategy '$s'")
+    }
     if (fullRefresh || !Files.exists(p))
       persist(m, execSql(m, isIncremental = false))
     else if (strategy.contains("insert_overwrite")) {
@@ -529,7 +546,15 @@ final class Runner(
       existing0.createOrReplaceTempView(viewName(m.name))
       val (existing, batch) = alignSchemas(m, existing0,
         execSql(m, isIncremental = true))
-      if (m.partitionBy.nonEmpty && m.uniqueKey.isDefined) {
+      if (strategy.contains("append")) {
+        // dbt-spark 'append': insert the batch as-is, even when a
+        // unique_key is configured (the key is merge-path metadata)
+        val merged = existing.unionByName(batch)
+        val tmp = warehouseDir.resolve(m.name + "__tmp")
+        writeTable(m, merged, tmp)
+        swapDirs(p, tmp)
+        readTable(p)
+      } else if (m.partitionBy.nonEmpty && m.uniqueKey.isDefined) {
         // Partition-scoped MERGE — the 100 TB shape: only the partitions
         // the batch touches are read, merged and dynamically overwritten;
         // every other partition's files are never opened (the touched-
@@ -540,8 +565,7 @@ final class Runner(
         // Caveat (dbt-spark's own for partitioned merges): a key's
         // partition value must be stable across runs — a key that moves
         // partitions would leave its old row in an untouched directory.
-        val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
-        val pinnedBatch = batch.localCheckpoint(eager = false)
+        val (pinnedBatch, batchIds) = trackedCheckpoint(batch)
         val touched = pinnedBatch
           .select(m.partitionBy.map(col): _*).distinct().collect()
         val touchedFilter = touched.map { r =>
@@ -549,37 +573,50 @@ final class Runner(
             if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
           }.reduce(_ && _)
         }.reduceOption(_ || _).getOrElse(lit(false))
-        // EAGER checkpoint: merged reads the touched partitions of the
-        // very path the dynamic overwrite rewrites — materializing it
-        // (bounded by the touched partitions, not the table) breaks the
-        // file-source lineage so the writer sees no self-read, and the
-        // old files are not deleted until the staged commit anyway.
+        // Checkpoint: merged reads the touched partitions of the very
+        // path the dynamic overwrite rewrites — materializing it FULLY
+        // before the write (bounded by the touched partitions, not the
+        // table) breaks the file-source lineage so the writer sees no
+        // self-read and no task retry can rescan replaced files.
         // Checkpoint blocks free only on driver GC (the CLAUDE.md
-        // eviction lesson), so the ones THIS call created are
-        // unpersisted before returning — by id diff (captured before the
-        // batch pin above), never a blanket sweep that could kill a
-        // caller's own cached frames.
-        val merged = mergeByKey(m, existing.filter(touchedFilter), pinnedBatch)
-          .localCheckpoint()
+        // eviction lesson), so the ids THIS call registered are
+        // unpersisted before returning — ownership-tracked under
+        // trackedCheckpoint's lock, never a time-window diff that would
+        // claim a concurrently-running model's blocks (run --threads).
+        val (merged, mergedIds) =
+          trackedCheckpoint(mergeByKey(m, existing.filter(touchedFilter), pinnedBatch))
+        merged.queryExecution.toRdd.count() // materialize pre-write
         overwritePartitions(m, merged, p)
         val out = readTable(p)
-        spark.sparkContext.getPersistentRDDs
-          .filter { case (id, _) => !persistedBefore.contains(id) }
-          .values.foreach(_.unpersist(blocking = false))
+        (batchIds ++ mergedIds).foreach(id =>
+          spark.sparkContext.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(blocking = false)))
         out
       } else {
         val merged = mergeByKey(m, existing, batch)
-        // write to a temp dir then atomically swap the directories (merged
-        // reads from p, so p can't be overwritten in place; the swap costs a
-        // rename instead of a second full write)
+        // write to a temp dir then crash-safely swap the directories
+        // (merged reads from p, so p can't be overwritten in place; the
+        // swap costs renames instead of a second full write)
         val tmp = warehouseDir.resolve(m.name + "__tmp")
         writeTable(m, merged, tmp)
-        deleteTree(p)
-        Files.move(tmp, p)
+        swapDirs(p, tmp)
         readTable(p)
       }
     }
   }
+
+  /** A LAZY localCheckpoint plus the persistent-RDD ids it registered,
+    * captured under a lock so ids created by a concurrently-running
+    * model (run --threads) are never attributed to this one. Creation
+    * registers persistence immediately (no job runs inside the lock);
+    * the caller materializes with an action when it needs the blocks. */
+  private val checkpointLock = new Object
+  private def trackedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) =
+    checkpointLock.synchronized {
+      val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint(eager = false)
+      (out, spark.sparkContext.getPersistentRDDs.keySet.toSet -- before)
+    }
 
   /** The shared partitioned-overwrite sink (insert_overwrite + the
     * partition-scoped merge): dynamic partition overwrite replaces ONLY
@@ -638,11 +675,12 @@ final class Runner(
     val key = m.uniqueKey.getOrElse(throw new IllegalArgumentException(
       s"snapshot ${m.name} needs unique_key"))
     val strategy = m.config.get("strategy").map(_.asStr)
-      .orElse(JinjaLite.findConfig(m.rawCode).get("strategy"))
+      .orElse(inlineConfig(m).get("strategy"))
       .getOrElse("timestamp")
     if (strategy == "check") return runSnapshotCheck(m, key)
+    recoverSwap(m)
     val updatedAt = m.config.get("updated_at").map(_.asStr)
-      .orElse(JinjaLite.findConfig(m.rawCode).get("updated_at"))
+      .orElse(inlineConfig(m).get("updated_at"))
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot ${m.name} needs updated_at"))
     val p = tablePath(m)
@@ -650,6 +688,16 @@ final class Runner(
     val stamped = source
       .withColumn("dbt_valid_from", col(updatedAt))
       .withColumn("dbt_valid_to", lit(null).cast(source.schema(updatedAt).dataType))
+    // a NULL updated_at would NULL every <=/>-comparison in the SCD2
+    // merge and silently DROP that key's rows from the rewritten
+    // snapshot (it falls out of keptCurrent, closedNow and inserted
+    // alike) — data loss must be loud, like the numeric-updated_at case
+    if (source.schema(updatedAt).nullable &&
+        stamped.filter(col(updatedAt).isNull).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"snapshot ${m.name}: updated_at '$updatedAt' is NULL for some " +
+          "source rows — their keys would silently vanish from the " +
+          "snapshot; filter or coalesce them in the snapshot query")
     if (fullRefresh || !Files.exists(p)) persist(m, stamped)
     else {
       val existing = readTable(p)
@@ -709,8 +757,7 @@ final class Runner(
         .unionByName(closedNow).unionByName(inserted)
       val tmp = warehouseDir.resolve(m.name + "__tmp")
       writeTable(m, merged, tmp)
-      deleteTree(p)
-      Files.move(tmp, p)
+      swapDirs(p, tmp)
       readTable(p)
     }
   }
@@ -722,6 +769,7 @@ final class Runner(
     * (`snapshotAt`, injectable for determinism) since the source carries
     * no event time. `check_cols='all'` compares every non-key column. */
   private def runSnapshotCheck(m: ModelNode, key: String): DataFrame = {
+    recoverSwap(m)
     val p = tablePath(m)
     val at = snapshotAt.getOrElse(
       new java.sql.Timestamp(System.currentTimeMillis()))
@@ -730,24 +778,14 @@ final class Runner(
     val stamped = source
       .withColumn("dbt_valid_from", lit(at).cast(tsType))
       .withColumn("dbt_valid_to", lit(null).cast(tsType))
-    val checkCols: Seq[String] = {
-      val conf = m.config.get("check_cols")
-        .orElse(JinjaLite.findConfig(m.rawCode).get("check_cols")
-          .map(graft.core.yaml.YStr.apply))
-      conf match {
-        case Some(graft.core.yaml.YList(items)) => items.map(_.asStr)
-        case Some(y) if y.asStr == "all" =>
-          source.columns.filterNot(_ == key).toSeq
-        case Some(y) if y.asStr.trim.startsWith("[") =>
-          // inline config list literal: check_cols=['a', 'b']
-          y.asStr.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
-            .map(_.trim.stripPrefix("'").stripSuffix("'")
-              .stripPrefix("\"").stripSuffix("\""))
-            .filter(_.nonEmpty)
-        case Some(y) => Seq(y.asStr)
-        case None => throw new IllegalArgumentException(
-          s"snapshot ${m.name}: strategy='check' needs check_cols")
-      }
+    // strListConfig owns the YList / inline-bracket / bare-string
+    // parsing (it names check_cols in its own doc); only the 'all'
+    // expansion and the missing-config error live here
+    val checkCols: Seq[String] = strListConfig(m, "check_cols") match {
+      case Seq("all") => source.columns.filterNot(_ == key).toSeq
+      case cols if cols.nonEmpty => cols
+      case _ => throw new IllegalArgumentException(
+        s"snapshot ${m.name}: strategy='check' needs check_cols")
     }
     if (fullRefresh || !Files.exists(p)) persist(m, stamped)
     else {
@@ -789,8 +827,7 @@ final class Runner(
         .unionByName(closedNow).unionByName(inserted)
       val tmp = warehouseDir.resolve(m.name + "__tmp")
       writeTable(m, merged, tmp)
-      deleteTree(p)
-      Files.move(tmp, p)
+      swapDirs(p, tmp)
       readTable(p)
     }
   }
@@ -801,6 +838,35 @@ final class Runner(
       Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
         .iterator().asScala.foreach(Files.deleteIfExists(_))
     }
+
+  /** Crash-safe directory swap: a COMPLETE `tmp` replaces `p` by
+    * move-aside (p → __old, tmp → p, drop __old) — never
+    * delete-then-move, whose crash window leaves NO table at p (for a
+    * snapshot that silently rebuilt a fresh baseline, losing all SCD2
+    * history). Every window here leaves a complete table recoverable by
+    * [[recoverSwap]] on the next run. */
+  private def swapDirs(p: Path, tmp: Path): Unit = {
+    val old = p.resolveSibling(p.getFileName.toString + "__old")
+    deleteTree(old)
+    Files.move(p, old)
+    Files.move(tmp, p)
+    deleteTree(old)
+  }
+
+  /** Finish an interrupted [[swapDirs]] before any exists(p) decision:
+    * p missing + complete leftovers ⇒ restore (tmp is newest — it was
+    * complete before p moved aside; __old is the pre-swap table); p
+    * intact ⇒ any leftover __old is stale and any leftover __tmp is an
+    * incomplete write the coming overwrite replaces anyway. */
+  private def recoverSwap(m: ModelNode): Unit = {
+    val p = tablePath(m)
+    val tmp = warehouseDir.resolve(m.name + "__tmp")
+    val old = p.resolveSibling(p.getFileName.toString + "__old")
+    if (!Files.exists(p)) {
+      if (Files.exists(tmp)) Files.move(tmp, p)
+      else if (Files.exists(old)) Files.move(old, p)
+    } else deleteTree(old)
+  }
 
   // --------------------------------------------------------- freshness
   /** dbt `source freshness`: for every source carrying `freshness:` +
@@ -818,7 +884,19 @@ final class Runner(
         val view =
           if (src.external.isDefined) externalView(src) else sourceView(src)
         val res = try {
-          val row = spark.table(view)
+          val table = spark.table(view)
+          // an epoch-long loaded_at_field casts as SECONDS — a ms/ns
+          // encoding lands millennia ahead, the age goes negative and a
+          // stale source reports 'pass' forever; ambiguous units fail
+          // loudly like the snapshot invalidate_hard_deletes path
+          val dt = table.schema(src.loadedAtField.get).dataType
+          if (dt.isInstanceOf[org.apache.spark.sql.types.NumericType])
+            throw new IllegalArgumentException(
+              s"source freshness $id: loaded_at_field " +
+                s"'${src.loadedAtField.get}' is ${dt.simpleString} — " +
+                "epoch-long encodings are ambiguous (sec/ms/ns); cast it " +
+                "to a timestamp in the source or a staging model")
+          val row = table
             .agg(max(col(src.loadedAtField.get).cast("timestamp"))).head()
           if (row.isNullAt(0)) ("error", None) // empty source: stale by definition
           else {
@@ -853,20 +931,49 @@ final class Runner(
       val violations: Long = t.testType match {
         case "not_null" => df.filter(col(colName).isNull).count()
         case "unique" =>
-          df.groupBy(col(colName)).count().filter(col("count") > 1).count()
+          // dbt's compiled test filters NULLs before grouping (pairing
+          // unique + not_null is the standard pattern; double-reporting
+          // the NULLs here would fail a green-in-dbt project)
+          df.filter(col(colName).isNotNull)
+            .groupBy(col(colName)).count().filter(col("count") > 1).count()
         case "accepted_values" =>
+          // accept the same shapes strListConfig does for model configs:
+          // a parsed YAML list, an inline ['a','b'] literal the lite
+          // parser surfaces as a bare string, or a single value — and
+          // fail loudly when values are missing (an empty list would
+          // flag EVERY non-null row)
           val vals = t.config.get("values") match {
             case Some(graft.core.yaml.YList(vs)) => vs.map(_.asStr)
-            case _ => Vector.empty
+            case Some(y) if y.asStr.trim.startsWith("[") =>
+              y.asStr.trim.stripPrefix("[").stripSuffix("]").split(",")
+                .toVector
+                .map(_.trim.stripPrefix("'").stripSuffix("'")
+                  .stripPrefix("\"").stripSuffix("\""))
+                .filter(_.nonEmpty)
+            case Some(y) => Vector(y.asStr)
+            case None => throw new IllegalArgumentException(
+              s"accepted_values test $tid needs `values`")
           }
           df.filter(!col(colName).cast("string").isin(vals: _*)).count()
         case "relationships" =>
-          val toModel = t.dependsOn.nodes.filter(_.startsWith("model."))
-            .find(_ != modelId)
-            .getOrElse(throw new IllegalArgumentException(s"relationships test $tid needs `to`"))
+          // the TESTED model vs the `to` target: dep ORDER is not a
+          // contract (dbt-core manifests list refs arbitrarily), so the
+          // target resolves from the test's own `to: ref(...)` config
+          // when present; the tested frame is then the OTHER model dep
+          val modelDeps = t.dependsOn.nodes.filter(_.startsWith("model."))
+          val toModel = t.config.get("to").toSeq
+            .flatMap(to => JinjaLite.findRefs(to.asStr).map(_.name))
+            .flatMap(nm => modelDeps.find(d =>
+              manifest.nodes.get(d).exists(_.name == nm)))
+            .headOption
+            .orElse(modelDeps.find(_ != modelId))
+            .getOrElse(throw new IllegalArgumentException(
+              s"relationships test $tid needs `to`"))
+          val tested = modelDeps.find(_ != toModel).getOrElse(modelId)
+          val tdf = spark.table(viewName(manifest.nodes(tested).name))
           val field = t.config.get("field").map(_.asStr).getOrElse("id")
           val target = spark.table(viewName(manifest.nodes(toModel).name))
-          df.filter(col(colName).isNotNull)
+          tdf.filter(col(colName).isNotNull)
             .join(target, col(colName) === target(field), "left_anti").count()
         case custom =>
           // custom generic test: a {% test %} block returning violating

@@ -926,4 +926,116 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(cachedBase.schema.fieldNames.toSeq == Seq("id", "region", "code"))
     assert(cachedBase.count() == 3)
   }
+
+  test("incremental_strategy='append' inserts as-is, even with unique_key; typos fail loudly") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: ap\n",
+      "models/log.sql" ->
+        """{{ config(materialized='incremental', unique_key='id',
+          |          incremental_strategy='append') }}
+          |select id, v from ap_input""".stripMargin)
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("ap_input")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_ap")
+    val runner = new Runner(spark, manifest, cfg, wh, enforceAccess = false)
+    runner.run()
+    // re-seen key 1 must APPEND (dbt-spark semantics), not merge
+    Seq((1L, "a2"), (2L, "b")).toDF("id", "v")
+      .createOrReplaceTempView("ap_input")
+    val out = runner.run()("model.ap.log").orderBy("id", "v")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (1L, "a2"), (2L, "b")))
+    // unknown spelling: loud failure, never a silent merge
+    val bad = writeProject(proj.updated("models/log.sql",
+      "{{ config(materialized='incremental', unique_key='id', " +
+        "incremental_strategy='insert_overwrte') }}\nselect id, v from ap_input"))
+    val (cfg2, m2) = ProjectLoader.load(bad)
+    val r2 = new Runner(spark, m2, cfg2,
+      Files.createTempDirectory("graft_wh_ap2"), enforceAccess = false)
+    val e = intercept[Exception](r2.run()) // rejected before ANY build
+    assert(e.getMessage.contains("unknown incremental_strategy"), e.getMessage)
+  }
+
+  test("snapshot: NULL updated_at fails loudly instead of silently dropping keys") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: sn\n",
+      "models/dim.sql" ->
+        ("{{ config(materialized='snapshot', unique_key='id', " +
+          "updated_at='updated_at') }}\nselect * from sn_input"))
+    Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "b", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "v", "updated_at").createOrReplaceTempView("sn_input")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val runner = new Runner(spark, manifest, cfg,
+      Files.createTempDirectory("graft_wh_sn"), enforceAccess = false)
+    val e = intercept[Exception](runner.run())
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+  }
+
+  test("interrupted table swap recovers: the complete __tmp restores on the next run") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: rc\n",
+      "models/inc.sql" ->
+        """{{ config(materialized='incremental', unique_key='id') }}
+          |select id, v from rc_input""".stripMargin)
+    Seq((1L, "a")).toDF("id", "v").createOrReplaceTempView("rc_input")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_rc")
+    val runner = new Runner(spark, manifest, cfg, wh, enforceAccess = false)
+    runner.run()
+    // simulate the crash window: the swap moved p aside and died before
+    // moving the COMPLETE tmp in — p is gone, tmp holds the merged table
+    val p = wh.resolve("inc")
+    Files.move(p, wh.resolve("inc__tmp"))
+    assert(!Files.exists(p))
+    Seq((2L, "b")).toDF("id", "v").createOrReplaceTempView("rc_input")
+    val out = runner.run()("model.rc.inc").orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    // recovery restored the pre-crash table, so the new batch MERGED
+    // into it instead of silently rebuilding from scratch
+    assert(out == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("generic tests: unique ignores NULLs (dbt parity); accepted_values parses inline literals") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: gt\n",
+      "models/m.sql" -> "select * from gt_input",
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: m
+          |    columns:
+          |      - name: k
+          |        tests:
+          |          - unique
+          |      - name: status
+          |        tests:
+          |          - accepted_values:
+          |              values: ['open', 'closed']
+          |""".stripMargin)
+    Seq((Some(1L), "open"), (None, "closed"), (None, "open"))
+      .toDF("k", "status").createOrReplaceTempView("gt_input")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val runner = new Runner(spark, manifest, cfg,
+      Files.createTempDirectory("graft_wh_gt"), enforceAccess = false)
+    runner.run()
+    val results = runner.runTests()
+    // two NULL keys are NOT a uniqueness violation (dbt filters them)
+    assert(results("test.gt.unique_m_k") == 0L, results.toString)
+    // both statuses sit in the accepted list, whatever YAML shape the
+    // lite parser surfaced it as
+    assert(results("test.gt.accepted_values_m_status") == 0L, results.toString)
+  }
 }
