@@ -113,7 +113,12 @@ object Streams {
               val t = e.ts.getTime
               open match {
                 case Some(st) if t - st.lastTs < gapMs =>
-                  open = Some(SessionState(st.start, t, st.n + 1, st.total + e.value))
+                  // a LATE-but-within-watermark event may precede the
+                  // session's current bounds: extend start backward and
+                  // never move lastTs backward — native session_window
+                  // merges windows the same way (kappa parity)
+                  open = Some(SessionState(math.min(st.start, t),
+                    math.max(st.lastTs, t), st.n + 1, st.total + e.value))
                 case Some(st) =>
                   closed += emit(uid, st)
                   open = Some(SessionState(t, t, 1, e.value))
@@ -168,6 +173,27 @@ object Streams {
     * gets a new id, so its batch numbering (restarting at 0) can never
     * collide with — or overwrite — partitions a previous run wrote to the
     * same sink. */
+  /** localCheckpoint + the persistent-RDD ids it registered, captured
+    * under a lock (concurrent queries on one session must never claim
+    * each other's blocks); eager materialization runs OUTSIDE the lock.
+    * foreachBatch bodies unpersist their own ids at batch end — the
+    * blocks otherwise free only on driver GC and accumulate for the
+    * stream's lifetime (the CLAUDE.md eviction lesson). */
+  private val checkpointLock = new Object
+  private def trackedCheckpoint(df: DataFrame, eager: Boolean): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val (out, ids) = checkpointLock.synchronized {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val o = df.localCheckpoint(eager = false)
+      (o, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    if (eager) out.queryExecution.toRdd.count()
+    (out, ids)
+  }
+  private def unpersistIds(spark: SparkSession, ids: Set[Int]): Unit =
+    ids.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(blocking = false)))
+
   private def checkpointRunId(spark: SparkSession, checkpoint: String): String = {
     val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_run_id")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -191,7 +217,18 @@ object Streams {
       val out = fs.create(tmp, true)
       try out.write(id.getBytes("UTF-8")) finally out.close()
       if (fs.rename(tmp, p)) id
-      else { fs.delete(tmp, false); readId() } // lost a concurrent race: reuse theirs
+      else {
+        // rename=false means EITHER a lost concurrent race (their id is
+        // now readable — reuse it) or a filesystem refusal (HDFS returns
+        // false rather than throwing). An empty re-read must fail loudly:
+        // "" as run_id round-trips through the partition column as NULL
+        // and breaks the replay-exclusion filter.
+        fs.delete(tmp, false)
+        val theirs = readId()
+        if (theirs.nonEmpty) theirs
+        else throw new java.io.IOException(
+          s"could not persist run id under $checkpoint (rename refused and no id present)")
+      }
     }
   }
 
@@ -215,6 +252,13 @@ object Streams {
           }
       }
     spark.streams.addListener(listener)
+    // missed-event guard: an AvailableNow query over a tiny source can
+    // terminate BEFORE the listener registers; unpersist is idempotent,
+    // so firing both paths in the race window is harmless
+    if (!q.isActive) {
+      cached.unpersist()
+      spark.streams.removeListener(listener)
+    }
   }
 
   /** Read a persistent index/target sink, treating ONLY "not created yet"
@@ -271,9 +315,13 @@ object Streams {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
         import spark.implicits._
+        // pin the micro-batch ONCE: both the signature pass and the
+        // accepted anti-join read it, and each action on the raw batch
+        // frame would re-execute the source read
+        val (batch, srcIds) = trackedCheckpoint(batch0, eager = false)
         val perDoc = batch
           // fused tokenize+shingle kernel — THE batch d03 expression;
           // <3-word docs have no shingles and are excluded (empty-array
@@ -283,7 +331,8 @@ object Streams {
           .filter(size($"arr") > 0)
           .select($"doc_id",
             graft.functions.ShingleKernels.minHash64($"arr").as("sigs"))
-        val keys = graft.ops.Dedup.bandKeys(perDoc).localCheckpoint()
+        val (keys, keyIds) =
+          trackedCheckpoint(graft.ops.Dedup.bandKeys(perDoc), eager = true)
         val histDup = readIfPresent(spark, indexPath) match {
           case None => spark.emptyDataset[Long].toDF("drop_id")
           case Some(hist) => keys.join(
@@ -307,7 +356,8 @@ object Streams {
           .join(owners, $"b" === $"ob" && $"key" === $"ok")
           .filter($"doc_id" > $"owner")
           .select($"doc_id".as("drop_id")).distinct()
-        val dropIds = histDup.union(batchDup).distinct().localCheckpoint()
+        val (dropIds, dropIdSet) =
+          trackedCheckpoint(histDup.union(batchDup).distinct(), eager = true)
         val accepted = batch
           .join(dropIds, batch("doc_id") === dropIds("drop_id"), "left_anti")
         keys.join(dropIds, keys("doc_id") === dropIds("drop_id"), "left_anti")
@@ -319,6 +369,7 @@ object Streams {
           .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("run_id", "batch_id").parquet(outPath)
+        unpersistIds(spark, srcIds ++ keyIds ++ dropIdSet)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -415,10 +466,15 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         import s.implicits._
-        val hashed = batch
+        // unhex: store the REAL 16-byte digest, not the 32-char hex
+        // string (half the index); coalesce: a NULL text must dedup
+        // deterministically (as the empty document) — a NULL h would
+        // match NOTHING in either join and every null-text duplicate
+        // would be admitted forever
+        val (hashed, hashedIds) = trackedCheckpoint(batch
           .select($"doc_id", $"source", $"text",
-            md5($"text".cast(BinaryType)).as("h"))
-          .localCheckpoint()
+            unhex(md5(coalesce($"text", lit("")).cast(BinaryType))).as("h")),
+          eager = true)
         val hist = readIfPresent(s, indexPath) match {
           case None => s.emptyDataset[String].toDF("h")
           case Some(ix) => ix
@@ -429,8 +485,9 @@ object Streams {
         val owners = hashed.groupBy($"h").agg(min($"doc_id").as("owner"))
         val batchDup = hashed.join(owners, Seq("h"))
           .filter($"doc_id" > $"owner").select($"doc_id")
-        val dupIds = histDup.union(batchDup).distinct()
-          .withColumn("e", lit(true)).localCheckpoint()
+        val (dupIds, dupIdSet) = trackedCheckpoint(
+          histDup.union(batchDup).distinct().withColumn("e", lit(true)),
+          eager = true)
         val contamIds = hashed
           .select($"doc_id",
             explode(graft.functions.ShingleKernels.shinglesText($"text", 4)).as("g"))
@@ -458,6 +515,7 @@ object Streams {
           .withColumn("run_id", lit(runId)).withColumn("batch_id", lit(batchId))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("run_id", "batch_id").parquet(countersPath)
+        unpersistIds(s, hashedIds ++ dupIdSet)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -585,18 +643,6 @@ object Streams {
     q
   }
 
-  /** Streaming quality-rules gate — the live twin of batch t37: every
-    * arriving document is flagged by the SAME four rule Columns
-    * ([[graft.ops.TextAnalysis.ruleFailures]] — token-count bounds,
-    * integer-cross-multiplied mean word length, stopword floor,
-    * top-bigram dominance), so backfill and ingest make bit-identical
-    * keep/drop decisions. Stateless narrow per-row work (no watermark,
-    * no state store) — pipelines at source parallelism like
-    * [[scrubIngest]], which this composes with in a real ingest.
-    *
-    * Emits (doc_id, f_len, f_wordlen, f_stop, f_rep, passes) for every
-    * arriving doc; the caller filters on `passes` or routes failures to
-    * a quarantine sink. */
   /** Streaming component maintenance — the live twin of batch g18: a
     * stream of near-dup EDGES (the band tier's output) folds into a
     * persistent component-label store per micro-batch via the same
@@ -812,13 +858,31 @@ object Streams {
         coalesce($"own_d2" < $"other_d2", lit(false)))
   }
 
+  /** Streaming quality-rules gate — the live twin of batch t37: every
+    * arriving document is flagged by the SAME four rule Columns
+    * ([[graft.ops.TextAnalysis.ruleFailures]] — token-count bounds,
+    * integer-cross-multiplied mean word length, stopword floor,
+    * top-bigram dominance), so backfill and ingest make bit-identical
+    * keep/drop decisions. Stateless narrow per-row work (no watermark,
+    * no state store) — pipelines at source parallelism like
+    * [[scrubIngest]], which this composes with in a real ingest.
+    *
+    * Emits (doc_id, f_len, f_wordlen, f_stop, f_rep, passes) for every
+    * arriving doc; the caller filters on `passes` or routes failures to
+    * a quarantine sink. */
   def rulesGateIngest(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val flags = graft.ops.TextAnalysis.ruleFailures($"text")
+    // NULL text NULLs every rule Column, and a NULL `passes` escapes
+    // BOTH filter(passes) and filter(!passes) — the centroidGate
+    // NULL-escape. Unevaluable rules FAIL the gate (flag 1, passes
+    // false): a null-text doc routes to quarantine, never vanishes.
     docs.select($"doc_id" +:
-      (flags.map { case (n, c) => c.cast("long").as(s"f_$n") } :+
-        flags.map(_._2).reduce(_ || _).unary_!.as("passes")): _*)
+      (flags.map { case (n, c) =>
+        coalesce(c.cast("long"), lit(1L)).as(s"f_$n") } :+
+        coalesce(flags.map(_._2).reduce(_ || _).unary_!, lit(false))
+          .as("passes")): _*)
   }
 
   /** Running per-source vocabulary estimate emitted by [[vocabSketch]]. */
@@ -1355,7 +1419,13 @@ object Streams {
         // deleting the target and renaming the (complete) tmp over it —
         // finish that swap before reading history, or the merge would
         // silently restart from the current batch alone
-        if (fs.exists(tmp) && readIfPresent(spark, path).isEmpty) {
+        // ... and only a COMPLETE tmp: a crash DURING the very first
+        // batch's tmp write leaves a partial directory (no _SUCCESS
+        // marker) that must never be promoted — corrupt footers would
+        // wedge every subsequent retry on the readIfPresent rethrow
+        if (fs.exists(tmp) &&
+            fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")) &&
+            readIfPresent(spark, path).isEmpty) {
           fs.delete(target, true)
           fs.rename(tmp, target)
         }

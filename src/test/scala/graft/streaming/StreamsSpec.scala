@@ -104,6 +104,40 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("sessionsStateful: a late-but-within-watermark event extends the session BACKWARD") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Streams.Evt]
+    val q = Streams.sessionsStateful(in.toDS())
+      .writeStream.format("memory").queryName("stateful_late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.Evt(1, ts("2024-01-01 09:50:00"), 1.0),
+        Streams.Evt(1, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // watermark sits 30 min behind 10:00 → a 09:40 arrival is LATE but
+      // admissible; it must extend the session start to 09:40 and must
+      // NOT move the frontier back (the close stays 10:00 + gap)
+      in.addData(Streams.Evt(1, ts("2024-01-01 09:40:00"), 1.0))
+      q.processAllAvailable()
+      // a next event 25 min after the real last event CONTINUES the
+      // session (the regression closed it: lastTs had slid back to 09:40)
+      in.addData(Streams.Evt(1, ts("2024-01-01 10:25:00"), 1.0))
+      q.processAllAvailable()
+      in.addData(Streams.Evt(9, ts("2024-01-01 20:00:00"), 0.0)) // close all
+      q.processAllAvailable()
+      val rows = s.table("stateful_late_out")
+        .filter($"user_id" === 1L).orderBy("session_start").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+          r.getLong(3)))
+      assert(rows.toSeq ==
+        Seq(("2024-01-01 09:40:00.0", "2024-01-01 10:55:00.0", 4L)),
+        rows.mkString(", "))
+    } finally q.stop()
+  }
+
   test("dedup drops duplicate keys within the watermark window") {
     val s = spark
     import s.implicits._
