@@ -88,7 +88,8 @@ object Bench {
     // across idle-machine runs); the JVM caches only compiled code
     // between runs; no data or shuffle output is reused (each run
     // re-executes the full physical plan).
-    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(3)
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT")
+      .flatMap(_.toIntOption).getOrElse(3))
     val results = picked.map { case (name, fn) =>
       val runs = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
@@ -118,15 +119,20 @@ object Bench {
     }
     // a failed query must not read as a fast pass: sentinel -1 in the map,
     // name in "failed", wall-clock excluded from the total
+    // Locale.ROOT formatting: the f-interpolator uses the JVM default
+    // locale, and a comma-decimal locale (de_DE ...) would emit
+    // "value":125,832 — invalid JSON on the one line the harness parses
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def entry(k: String, v: Double, ok: Boolean): String =
-      s"\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+      s"\"" + k + "\":" + (if (ok) num(v) else "-1")
     val qs = results.map { case (k, v, ok) => entry(k, v, ok) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$repeat,"timing":"min","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // The round harness keeps only the LAST ~2000 chars of combined
     // stdout/stderr (observed in BENCH_r01–r06: every artifact stored a
     // mid-line tail fragment, parsed:null — the full per-query map has
@@ -147,12 +153,29 @@ object Bench {
         kept.append(e)
       } else omitted += 1
     }
+    // the stdout failed-array shares the size budget: the failed names
+    // already lead `kept` (as -1 entries), so an unbounded copy here
+    // would overflow the harness's tail window in exactly the
+    // mass-failure round where the parse matters most
+    val failedNames = results.collect { case (k, _, false) => s"\"$k\"" }
+    val failedKept = new StringBuilder
+    var failedOmitted = 0
+    failedNames.foreach { e =>
+      if (failedKept.length + e.length + 1 <= 300) {
+        if (failedKept.nonEmpty) failedKept.append(',')
+        failedKept.append(e)
+      } else failedOmitted += 1
+    }
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val stdoutJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs_per_query":$repeat,"timing":"min","n_queries":${results.size},"queries":{$kept},"queries_omitted":$omitted,"queries_full":"BENCH_LOCAL.json","failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min","n_queries":${results.size},"queries":{$kept},"queries_omitted":$omitted,"queries_full":"$benchOut","failed":[$failedKept],"failed_omitted":$failedOmitted,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(benchOut), json + "\n")
+    catch { case e: Throwable =>
+      // never silent: a stale committed BENCH_LOCAL.json surviving a
+      // failed write would masquerade as this run's evidence
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}")
+    }
     // drain every outstanding checkpoint block SYNCHRONOUSLY, stop Spark,
     // and only then print the JSON — nothing (async unpersist WARNs,
     // executor shutdown chatter) may interleave after the line the round

@@ -10,6 +10,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)       => (s, o, Set.empty[String])
       case Array(s, o, sel)  => (s, o, sel.split(',').toSet)
+      case _ =>
+        System.err.println(
+          "usage: graft.Verify <sfDir> <outDir> [name1,name2,...]")
+        sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -24,13 +28,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var nFailed = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce propagates a 1-task
+      // constraint up an entire shuffle-free pipeline (the codec/text
+      // kernel queries run on one of the 32 cores); the extra tiny
+      // shuffle of the final rows is irrelevant to the sorted-rows
+      // oracle compare
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        nFailed += 1
+        // a failure BEFORE the overwrite kicked in leaves the PREVIOUS
+        // run's parquet in place — localverify would read the stale dir
+        // and report a silent PASS on a broken query; delete it so the
+        // gate reads red
+        val stale = Paths.get(s"$outDir/$name")
+        if (Files.exists(stale)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(stale).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
       }
       // release this query's lazy-checkpoint blocks (same accumulation
       // Bench hit: 160+ queries of retained MEMORY_AND_DISK blocks force
@@ -56,5 +77,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // a nonzero exit makes a failed dump unmissable even when only the
+    // tail of stdout/stderr is captured
+    if (nFailed > 0) {
+      System.err.println(s"[verify] $nFailed quer${if (nFailed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }
