@@ -140,14 +140,19 @@ object Main {
       val byName = args.flags("selector").headOption.map { name =>
         Selector.namedSelector(m, readFile("selectors.yml"), name)
       }.getOrElse(Set.empty)
-      val excluded =
+      // lazy: the standalone exclude evaluation (a second full
+      // fingerprint sweep for state: methods) only runs when something
+      // actually consumes it — the named-selector subtraction or the
+      // bare-exclude branch; the --select path already applied it inside
+      // the grammar
+      lazy val excluded =
         if (args.flags("exclude").nonEmpty)
           Selector.select(m, args.flags("exclude"), Nil, state, results)
         else Set.empty[String]
       if (args.flags("select").nonEmpty || args.flags("selector").nonEmpty)
         // --exclude narrows the named-selector set too (dbt subtracts the
         // exclusion from whatever was selected, never widens)
-        bySelect ++ (byName -- excluded)
+        bySelect ++ (if (byName.isEmpty) byName else byName -- excluded)
       else if (excluded.nonEmpty)
         // dbt: a bare --exclude applies against the FULL resource set
         // (`dbt ls --exclude x` = everything but x's selection)
@@ -188,13 +193,22 @@ object Main {
           graft.core.yaml.Yaml.parseMap(y).entries
             .map { case (k, v) => k -> v.asStr }.toMap
         }.getOrElse(Map.empty[String, String])
-        val out = new Runner(spark(), m, cfg,
+        val (out, status) = new Runner(spark(), m, cfg,
           warehouse(), projectRoot = Some(root),
           readCatalog = readCatalog,
           fullRefresh = args.switches("full-refresh"),
           varOverrides = varOv,
-          defer = deferM).run(sel, parallelism = threads)
+          defer = deferM).runWithStatus(sel, parallelism = threads)
         out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
+        status.toSeq.sorted.collect { case (id, st) if st != "success" =>
+          println(s"$st $id") }
+        // dbt writes run_results.json after every invocation — it is the
+        // artifact `graft retry` (default --state ./target) and the
+        // result: selector methods read, so failures become re-runnable
+        graft.core.parse.RunResultsJson.write(
+          root.resolve("target").resolve("run_results.json"),
+          status.toSeq.sorted)
+        if (status.values.exists(_ == "error")) sys.exit(1)
 
       case "split" =>
         val name = args.positional.head
@@ -223,18 +237,23 @@ object Main {
             val dir = root.resolve(mp)
             if (!Files.isDirectory(dir)) Nil
             else {
-              val it = Files.walk(dir).iterator()
-              val found = Vector.newBuilder[String]
-              while (it.hasNext) {
-                val p = it.next()
-                val fn = p.getFileName.toString
-                if ((fn.endsWith(".yml") || fn.endsWith(".yaml")) &&
-                  scala.util.Try(graft.core.yaml.Yaml
-                    .parseMap(Files.readString(p)).contains("groups"))
-                    .getOrElse(false))
-                  found += root.relativize(p).toString
+              // Using: Files.walk streams hold directory handles open
+              // until closed — abandoning the stream leaks FDs per
+              // invocation in a long-lived embedding JVM
+              scala.util.Using.resource(Files.walk(dir)) { stream =>
+                val it = stream.iterator()
+                val found = Vector.newBuilder[String]
+                while (it.hasNext) {
+                  val p = it.next()
+                  val fn = p.getFileName.toString
+                  if ((fn.endsWith(".yml") || fn.endsWith(".yaml")) &&
+                    scala.util.Try(graft.core.yaml.Yaml
+                      .parseMap(Files.readString(p)).contains("groups"))
+                      .getOrElse(false))
+                    found += root.relativize(p).toString
+                }
+                found.result()
               }
-              found.result()
             }
           }
           existing match {
@@ -252,12 +271,14 @@ object Main {
           // the project first so schemas exist (the reference reads the
           // warehouse catalog here)
           val s = spark()
-          val (cfg2, m2) = ProjectLoader.load(root)
-          val runner = new Runner(s, m2, cfg2,
+          // the already-loaded (cfg0, m) pair is still current — nothing
+          // edited the tree between the loads; re-walking every file
+          // doubled command startup for nothing
+          val runner = new Runner(s, m, cfg0,
             warehouse(), enforceAccess = false,
             projectRoot = Some(root), readCatalog = readCatalog)
           runner.run()
-          apply(Commands.group(s, m2, name, owner, selected, path,
+          apply(Commands.group(s, m, name, owner, selected, path,
             runner.viewName, p => scala.util.Try(readFile(p)).toOption))
         }
 
@@ -308,13 +329,21 @@ object Main {
         val runner = new Runner(spark(), m, cfg,
           warehouse(), projectRoot = Some(root), readCatalog = readCatalog)
         runner.run()
-        val results = runner.runTests()
+        // --select scopes the tests (dbt: tests attached to selected
+        // nodes, plus directly selected tests); the DAG still
+        // materializes in full so every test's relations exist
+        val results = runner.runTests(
+          if (!selectionActive) None else Some(selection(m)))
         results.toSeq.sortBy(_._1).foreach { case (tid, violations) =>
           println(s"${if (violations == 0) "PASS" else "FAIL"} $tid" +
             (if (violations == 0) "" else s" ($violations violations)"))
         }
         val nFail = results.count(_._2 > 0)
         println(s"== ${results.size - nFail} pass, $nFail fail ==")
+        graft.core.parse.RunResultsJson.write(
+          root.resolve("target").resolve("run_results.json"),
+          results.toSeq.map { case (tid, v) =>
+            tid -> (if (v == 0) "pass" else "fail") }.sorted)
         if (nFail > 0) sys.exit(1)
 
       case "build" =>
@@ -325,13 +354,23 @@ object Main {
         // relation, so run-then-test yields the same verdicts — tests are
         // scoped to exactly the models this invocation materialized.
         val (cfg, m) = ProjectLoader.load(root)
-        val sel = if (!selectionActive) None else Some(selection(m))
+        val sel0 = if (!selectionActive) None else Some(selection(m))
+        // a DIRECTLY selected test pulls its parent models into the build
+        // (dbt builds what the test needs; without this, a test-shaped
+        // selection materialized nothing and the test silently no-opped)
+        val sel = sel0.map { s =>
+          s ++ m.tests.collect { case (tid, tn) if s(tid) =>
+            tn.dependsOn.nodes.filter(_.startsWith("model."))
+          }.flatten.toSet
+        }
         val threads = args.flags("threads").headOption.map(_.toInt).getOrElse(1)
         val runner = new Runner(spark(), m, cfg, warehouse(),
           projectRoot = Some(root), readCatalog = readCatalog,
           fullRefresh = args.switches("full-refresh"))
-        val ran = runner.run(sel, parallelism = threads)
+        val (ran, status) = runner.runWithStatus(sel, parallelism = threads)
         ran.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
+        status.toSeq.sorted.collect { case (id, st) if st != "success" =>
+          println(s"$st $id") }
         // tests scope to the SELECTION (dbt build --select tests only
         // selected nodes); ancestors materialize as session views out of
         // necessity but their tests don't run unless selected
@@ -342,7 +381,11 @@ object Main {
         }
         val nFail = results.count(_._2 > 0)
         println(s"== ${ran.size} ran, ${results.size - nFail} pass, $nFail fail ==")
-        if (nFail > 0) sys.exit(1)
+        graft.core.parse.RunResultsJson.write(
+          root.resolve("target").resolve("run_results.json"),
+          (status.toSeq ++ results.toSeq.map { case (tid, v) =>
+            tid -> (if (v == 0) "pass" else "fail") }).sorted)
+        if (nFail > 0 || status.values.exists(_ == "error")) sys.exit(1)
 
       case "retry" =>
         // dbt retry: re-select the nodes the previous invocation left in
@@ -439,8 +482,21 @@ object Main {
             node <- m.nodes.get(id)
             if persistent(node.materialized)
             rel <- stateM.nodes.get(id).flatMap(_.relationName)
+            // a state relation may not resolve in THIS session (a
+            // dbt-core manifest's db.schema.table against a local
+            // session, or a dead view name): SKIP it loudly and keep
+            // cloning the rest — a mid-run crash here would leave
+            // partial warehouse tables with no manifest at all
+            df <- scala.util.Try(s.table(rel)) match {
+              case scala.util.Success(df) => Some(df)
+              case scala.util.Failure(e) =>
+                System.err.println(
+                  s"clone: skipping $id — state relation '$rel' is not " +
+                    s"resolvable here (${e.getMessage.linesIterator.next()})")
+                None
+            }
           } yield {
-            runner.cloneRelation(node, s.table(rel))
+            runner.cloneRelation(node, df)
             println(s"cloned $id from $rel")
             id
           }
@@ -530,16 +586,18 @@ object Main {
         // installed-package trees (`main.py:153-168`); --exclude-projects
         // drops discovered projects by name
         val discovered = projectsDir.toVector.flatMap { dir =>
-          val it = Files.walk(dir).iterator()
-          val found = Vector.newBuilder[Path]
-          while (it.hasNext) {
-            val p = it.next()
-            val parts = (0 until p.getNameCount).map(p.getName(_).toString)
-            if (p.getFileName.toString == "dbt_project.yml" &&
-              !parts.contains("dbt_packages") && !parts.contains("site-packages"))
-              found += p.getParent
+          scala.util.Using.resource(Files.walk(dir)) { stream =>
+            val it = stream.iterator()
+            val found = Vector.newBuilder[Path]
+            while (it.hasNext) {
+              val p = it.next()
+              val parts = (0 until p.getNameCount).map(p.getName(_).toString)
+              if (p.getFileName.toString == "dbt_project.yml" &&
+                !parts.contains("dbt_packages") && !parts.contains("site-packages"))
+                found += p.getParent
+            }
+            found.result()
           }
-          found.result()
         }
         val excluded = args.flags("exclude-projects").toSet
         val paths = if (explicit.nonEmpty) explicit else discovered

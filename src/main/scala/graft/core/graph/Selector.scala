@@ -99,7 +99,14 @@ object Selector {
         m.group, m.version, m.latestVersion, m.tags.sorted,
         m.contractEnforced, m.patchPath, m.language)
     case s: graft.core.model.SourceDefinition =>
-      (s.sourceName, s.name, s.relationName, s.external)
+      // quoting-normalized: dbt-core writes relation_name as
+      // "db"."schema"."tbl" while the native loader builds db.schema.tbl
+      // — a raw compare would mark EVERY source modified against a real
+      // dbt --state manifest and rebuild the whole DAG (the cross-front-
+      // end hazard the rawCode trim above exists to prevent)
+      (s.sourceName, s.name,
+        s.relationName.map(_.replace("\"", "").replace("`", "")),
+        s.external)
     case mc: graft.core.model.MacroNode => mc.macroSql.trim
     case d: graft.core.model.Documentation => d.blockContents.trim
     case t: graft.core.model.TestNode => (t.testType, t.column, t.dependsOn)
@@ -123,10 +130,18 @@ object Selector {
           manifest.allResources.contains(id) => id
       }.toSet
     case Some("tag") =>
-      manifest.nodes.collect { case (id, n) if n.tags.contains(c.name) => id }.toSet
+      // fnmatch like every other method: tag:night* must match 'nightly'
+      // instead of silently selecting nothing
+      manifest.nodes.collect {
+        case (id, n) if n.tags.exists(matches(c.name)) => id }.toSet
     case Some("path") =>
+      // dbt's path method matches whole path COMPONENTS: path:models must
+      // not select models_archive/. A prefix only matches at a separator
+      // (or exactly); wildcards go through fnmatch as before.
+      val prefix = c.name.stripSuffix("/")
       manifest.allResources.collect {
-        case (id, r) if r.filePath.startsWith(c.name) ||
+        case (id, r) if r.filePath == prefix ||
+          r.filePath.startsWith(prefix + "/") ||
           matches(c.name)(r.filePath) => id
       }.toSet
     case Some("source") =>

@@ -37,6 +37,24 @@ object RunResultsJson {
     }.toMap
   }
 
+  /** Writer for the same artifact: first-party `graft run/build/test`
+    * emit it so `graft retry` and `result:` selectors work without a
+    * dbt-core invocation ever having produced one. Emits exactly the
+    * fields the loader requires; dbt-core's extra fields are additive. */
+  def write(path: java.nio.file.Path,
+      results: Seq[(String, String)]): Unit = {
+    val om = new ObjectMapper()
+    val root = om.createObjectNode()
+    val arr = root.putArray("results")
+    results.foreach { case (id, status) =>
+      val e = arr.addObject()
+      e.put("unique_id", id)
+      e.put("status", status)
+    }
+    Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(path, om.writeValueAsString(root))
+  }
+
   /** The artifact conventionally sits next to manifest.json in the
     * --state directory; absent file → None (the selector then fails
     * loudly only when `result:` is actually used). */

@@ -146,7 +146,19 @@ final class Runner(
     * independent subtrees keep the executors busy while slow models
     * materialize — the scheduler a 1000-executor cluster needs). */
   def run(selected: Option[Set[String]] = None,
-      parallelism: Int = 1): Map[String, DataFrame] = {
+      parallelism: Int = 1): Map[String, DataFrame] =
+    runWithStatus(selected, parallelism, continueOnError = false)._1
+
+  /** Like [[run]], but dbt-faithful on failure when `continueOnError`:
+    * a model that throws records status 'error', its in-run descendants
+    * record 'skipped' and never execute, and independent branches keep
+    * running — the statuses feed target/run_results.json, which
+    * `graft retry` and `result:` selectors consume. With
+    * `continueOnError = false` the first failure propagates (the
+    * library contract [[run]] keeps). */
+  def runWithStatus(selected: Option[Set[String]] = None,
+      parallelism: Int = 1, continueOnError: Boolean = true)
+      : (Map[String, DataFrame], Map[String, String]) = {
     if (enforceAccess)
       AccessControl.forSession(spark).registerManifest(manifest, viewName)
     val modelIds = manifest.nodes.keySet
@@ -215,8 +227,22 @@ final class Runner(
       Dag.ancestorsTo(parentMapSched, id, Int.MaxValue,
         stopAt = deferredIds).filter(manifest.nodes.contains)) ++ modelIds
     val order = Dag.topoSort(all, parentMapSched)
+    val status = scala.collection.concurrent.TrieMap.empty[String, String]
+    val out = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    def parentBad(id: String): Boolean =
+      parentMapSched.getOrElse(id, Set.empty).exists(pid =>
+        status.get(pid).exists(s => s == "error" || s == "skipped"))
+    def execute(id: String, m: ModelNode): Unit =
+      if (parentBad(id)) status(id) = "skipped"
+      else
+        try { out(id) = runModel(m); status(id) = "success" }
+        catch {
+          case e: Throwable if continueOnError =>
+            System.err.println(s"[run] $id failed: ${e.getMessage}")
+            status(id) = "error"
+        }
     if (parallelism <= 1)
-      order.flatMap(id => manifest.nodes.get(id).map(m => id -> runModel(m))).toMap
+      order.foreach(id => manifest.nodes.get(id).foreach(execute(id, _)))
     else {
       // Kahn levels: a model's level = 1 + max level of its in-set parents
       val level = scala.collection.mutable.Map.empty[String, Int]
@@ -228,14 +254,18 @@ final class Runner(
       import scala.concurrent.duration.Duration
       val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try {
-        order.groupBy(level).toSeq.sortBy(_._1).flatMap { case (_, ids) =>
+      try
+        // a level's models are mutually independent; every parent's
+        // status is final before its level launches, so parentBad inside
+        // execute reads settled state
+        order.groupBy(level).toSeq.sortBy(_._1).foreach { case (_, ids) =>
           val fs = ids.flatMap(id => manifest.nodes.get(id).map(m =>
-            Future(id -> runModel(m))))
-          fs.map(Await.result(_, Duration.Inf))
-        }.toMap
-      } finally pool.shutdown()
+            Future(execute(id, m))))
+          fs.foreach(Await.result(_, Duration.Inf))
+        }
+      finally pool.shutdown()
     }
+    (out.toMap, status.toMap)
   }
 
   def runModel(m: ModelNode): DataFrame = {
@@ -921,8 +951,11 @@ final class Runner(
     manifest.tests
       // `graft build` scopes tests to the models it materialized; the
       // bare `graft test` keeps the full suite (onModels = None)
-      .filter { case (_, t) =>
-        onModels.forall(ran => t.dependsOn.nodes.exists(ran)) }
+      .filter { case (tid, t) =>
+        // a test is in scope when a node it depends on was selected OR
+        // when the test ITSELF was (dbt build --select some_test must
+        // run it, not silently no-op)
+        onModels.forall(sel => sel(tid) || t.dependsOn.nodes.exists(sel)) }
       .map { case (tid, t) =>
       val modelId = t.dependsOn.nodes.find(_.startsWith("model."))
         .getOrElse(throw new IllegalStateException(s"test $tid has no model dep"))

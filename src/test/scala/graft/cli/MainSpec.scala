@@ -508,6 +508,43 @@ class MainSpec extends AnyFunSuite {
     assert(Files.exists(base.resolve("down/dependencies.yml")))
   }
 
+  test("run writes target/run_results.json; test honors --select") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: rr\n",
+      "models/one.sql" -> "select 1 as id",
+      "models/two.sql" -> "select 2 as id",
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: one
+          |    columns:
+          |      - name: id
+          |        tests: [not_null]
+          |  - name: two
+          |    columns:
+          |      - name: id
+          |        tests: [not_null]
+          |""".stripMargin))
+    Main.main(Array("run", "--project-dir", root.toString))
+    val rr = graft.core.parse.RunResultsJson.load(
+      root.resolve("target/run_results.json"))
+    assert(rr == Map("model.rr.one" -> "success", "model.rr.two" -> "success"),
+      rr.toString)
+    // scoped test: only one's test runs
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      Main.main(Array("test", "--select", "one", "--project-dir", root.toString))
+    }
+    assert(out.toString.contains("PASS test.rr.not_null_one_id"), out.toString)
+    assert(!out.toString.contains("not_null_two_id"),
+      "unselected model's test must not run:\n" + out.toString)
+    // the test invocation refreshed the artifact with test statuses —
+    // the retry/result: selectors' first-party input
+    val rr2 = graft.core.parse.RunResultsJson.load(
+      root.resolve("target/run_results.json"))
+    assert(rr2 == Map("test.rr.not_null_one_id" -> "pass"), rr2.toString)
+  }
+
   test("clone + run --defer: state relations copy without recompute and serve refs") {
     val root = writeProject(Map(
       "dbt_project.yml" -> "name: shop2\n",

@@ -49,6 +49,18 @@ class SelectorSpec extends AnyFunSuite {
       Set("c", "d"))
   }
 
+  test("tag: supports fnmatch wildcards; path: matches whole components only") {
+    // tag:night* must select the 'nightly' carriers, not silently nothing
+    assert(ids(Selector.select(manifest, Seq("tag:night*"))) == Set("a", "b"))
+    // path:models must not over-select a sibling dir sharing the prefix
+    val archived = ModelNode("model.p.z", "z", "p",
+      "models_archive/z.sql", "")
+    val m2 = manifest.copy(nodes = manifest.nodes + (archived.uniqueId -> archived))
+    val picked = Selector.select(m2, Seq("path:models"))
+    assert(!picked.contains("model.p.z"), picked.toString)
+    assert(ids(picked).contains("a") && ids(picked).contains("b"))
+  }
+
   test("intersection with comma") {
     // descendants of a that carry tag nightly
     assert(ids(Selector.select(manifest, Seq("a+,tag:nightly"))) == Set("a", "b"))

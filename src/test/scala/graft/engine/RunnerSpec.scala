@@ -1005,6 +1005,27 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("runWithStatus: a failed model skips its descendants, independent branches continue") {
+    val s = spark
+    import s.implicits._
+    val proj = Map(
+      "dbt_project.yml" -> "name: st\n",
+      "models/bad.sql" -> "select * from missing_table_xyz",
+      "models/child.sql" -> "select * from {{ ref('bad') }}",
+      "models/ok.sql" -> "select 1 as id")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val runner = new Runner(spark, manifest, cfg,
+      Files.createTempDirectory("graft_wh_st"), enforceAccess = false)
+    val (out, status) = runner.runWithStatus()
+    assert(status("model.st.bad") == "error")
+    assert(status("model.st.child") == "skipped", "descendant must not run")
+    assert(status("model.st.ok") == "success")
+    assert(out.keySet == Set("model.st.ok"))
+    // the library contract stays fail-fast
+    intercept[Exception](runner.run())
+  }
+
   test("generic tests: unique ignores NULLs (dbt parity); accepted_values parses inline literals") {
     val s = spark
     import s.implicits._
