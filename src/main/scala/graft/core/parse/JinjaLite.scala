@@ -48,6 +48,9 @@ object JinjaLite {
       RefCall(proj, name, Option(m.group(3)).map(_.toInt))
     }.toVector
 
+  private val bareSourceRe: Regex =
+    """source\s*\(\s*['"]([A-Za-z0-9_.\-]+)['"]\s*,\s*['"]([A-Za-z0-9_.\-]+)['"]\s*\)""".r
+
   def findSources(code: String): Vector[SourceCall] =
     sourceRe.findAllMatchIn(code).map(m => SourceCall(m.group(1), m.group(2))).toVector
 
@@ -93,7 +96,9 @@ object JinjaLite {
   /** `{% docs name %}…{% enddocs %}` / macro / test block spans
     * (`storage/jinja_blocks.py:20-72`). */
   def findBlocks(text: String, kind: String): Vector[JinjaBlock] = {
-    val re = (s"""\\{%\\s*$kind\\s+([A-Za-z0-9_\\-]+)[^%]*%\\}([\\s\\S]*?)\\{%\\s*end$kind\\s*%\\}""").r
+    // header chars: anything except a '%' that closes the tag — a bare
+    // '%' inside a default value ('%Y-%m-%d') must not end the header
+    val re = (s"""\\{%\\s*$kind\\s+([A-Za-z0-9_\\-]+)(?:[^%]|%(?!\\}))*%\\}([\\s\\S]*?)\\{%\\s*end$kind\\s*%\\}""").r
     re.findAllMatchIn(text).map { m =>
       JinjaBlock(kind, m.group(1), m.start, m.end, m.matched)
     }.toVector
@@ -118,7 +123,10 @@ object JinjaLite {
             case Array(n) => n.trim -> None
           }
         }
-        val body = b.content.substring(h.end - b.start)
+        // h matched WITHIN b.content, so h.end is already
+        // content-relative — subtracting the block's absolute start
+        // crashed on any macro block not at file offset 0
+        val body = b.content.substring(h.end)
           .replaceAll(s"""\\{%\\s*end$kind\\s*%\\}\\s*$$""", "").trim
         MacroDef(h.group(1), params, body)
       }
@@ -800,7 +808,31 @@ object JinjaLite {
     // is_incremental() evaluates natively here — the old regex pre-pass
     // (renderIncremental) mangled NESTED {% if %} blocks by matching the
     // first {% endif %} non-greedily, so it is no longer in the pipeline.
-    out = renderControlFlow(out, typedEnv(vars), isIncremental)
+    // But ref()/source() calls INSIDE control tags — the very common
+    // {% set rel = ref('stg') %} idiom — resolve FIRST, to quoted
+    // relation-name literals the evaluator treats as plain strings
+    // (dbt itself resolves refs during render, so a set-bound ref is a
+    // string there too); likewise target.name binds to the profile
+    // target (vars override, 'default' like dbt's default profile).
+    val tagSpanRe = """\{%(?:[^%]|%(?!\}))*%\}""".r
+    out = tagSpanRe.replaceAllIn(out, tm => Regex.quoteReplacement {
+      var s = tm.matched
+      s = bareRefRe.replaceAllIn(s, m => {
+        val (proj, name) =
+          if (m.group(2) != null) (Some(m.group(1)), m.group(2))
+          else (None, m.group(1))
+        Regex.quoteReplacement(
+          "'" + resolveRef(RefCall(proj, name,
+            Option(m.group(3)).map(_.toInt))) + "'")
+      })
+      s = bareSourceRe.replaceAllIn(s, m => Regex.quoteReplacement(
+        "'" + resolveSource(SourceCall(m.group(1), m.group(2))) + "'"))
+      s
+    })
+    val cfEnv = typedEnv(vars) ++ Map(
+      "target.name" -> JStr(vars.getOrElse("target.name",
+        vars.getOrElse("target", "default"))))
+    out = renderControlFlow(out, cfEnv, isIncremental)
     out = refRe.replaceAllIn(out, m => {
       val (proj, name) =
         if (m.group(2) != null) (Some(m.group(1)), m.group(2)) else (None, m.group(1))

@@ -78,9 +78,11 @@ object ProjectLoader {
 
   private def walk(dir: Path, ext: String): Vector[Path] =
     if (!Files.exists(dir)) Vector.empty
-    else Files.walk(dir).iterator().asScala
+    // Using: a Files.walk stream holds directory handles until closed —
+    // abandoning it leaks FDs on every project (and package) load
+    else scala.util.Using.resource(Files.walk(dir))(_.iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(ext))
-      .toVector.sortBy(_.toString)
+      .toVector.sortBy(_.toString))
 
   /** Installed-package project roots: `local:` entries in packages.yml
     * (resolved without vendoring — dbt would copy them into dbt_packages
@@ -99,7 +101,8 @@ object ProjectLoader {
     val vendorDir = root.resolve("dbt_packages")
     val vendored =
       if (!Files.isDirectory(vendorDir)) Vector.empty
-      else Files.list(vendorDir).iterator().asScala.toVector
+      else scala.util.Using.resource(Files.list(vendorDir))(
+        _.iterator().asScala.toVector)
     (fromYml ++ vendored).filter(p => Files.exists(p.resolve("dbt_project.yml")))
   }
 
@@ -131,6 +134,8 @@ object ProjectLoader {
           JinjaLite.findTestDefs(text).map(md => (md, root.relativize(p).toString, text))
         }
     val macroNames = macroDefs.map(_._1.name).toSet
+    // built ONCE: the compile pre-pass consults it per model file
+    val macroByName = macroDefs.map(_._1).map(md => md.name -> md).toMap
     val macros = macroDefs.map { case (md, rel, _) =>
       val id = s"macro.$proj.${md.name}"
       id -> MacroNode(id, md.name, proj, rel, md.body, params = md.params,
@@ -343,22 +348,27 @@ object ProjectLoader {
       // only exist after rendering — `{% for t in [...] %}{{ ref(t) }}`
       // loops produce literal ref() calls dbt's own compile would see.
       // Best-effort: anything unrenderable falls back to the raw code.
+      // {# ... #} comments vanish BEFORE dependency extraction — a
+      // commented-out {{ ref('legacy') }} must not create a phantom DAG
+      // edge (render() strips comments first for the same reason)
+      val depCode =
+        if (lang == "python") code
+        else JinjaLite.commentRe.replaceAllIn(code, "")
       val compiled =
         if (lang == "python") code
         else scala.util.Try {
-          val byName = macroDefs.map(_._1).map(md => md.name -> md).toMap
           JinjaLite.renderControlFlow(
-            JinjaLite.expandMacros(code, byName),
+            JinjaLite.expandMacros(depCode, macroByName),
             JinjaLite.typedEnv(cfg.vars.entries.map {
               case (k, v) => k -> v.asStr
             }.toMap))
         }.getOrElse(code)
       val refCalls =
         if (lang == "python") JinjaLite.findPythonRefs(code)
-        else (JinjaLite.findRefs(code) ++ JinjaLite.findRefs(compiled)).distinct
+        else (JinjaLite.findRefs(depCode) ++ JinjaLite.findRefs(compiled)).distinct
       val srcCalls =
         if (lang == "python") JinjaLite.findPythonSources(code)
-        else (JinjaLite.findSources(code) ++ JinjaLite.findSources(compiled)).distinct
+        else (JinjaLite.findSources(depCode) ++ JinjaLite.findSources(compiled)).distinct
       val pkgNames = pkgManifests.map(_.projectName).toSet + proj
       // refs/sources inside called macros (transitively) are the model's
       // dependencies too — dbt resolves them at compile time (e.g. the
@@ -386,18 +396,22 @@ object ProjectLoader {
       val conf =
         if (lang == "python") JinjaLite.findPythonConfig(code)
         else JinjaLite.findConfig(code)
-      // dbt drops disabled models from the manifest (the fixture's Python
-      // model sets dbt.config(enabled=False))
-      if (conf.get("enabled").exists(_.equalsIgnoreCase("false"))) ()
-      else {
       val patch = modelPatches.get(name)
       val patchEntry = patch.map(_._2).getOrElse(YMap.empty)
       val patchConfig = patchEntry.get("config").collect { case m: YMap => m }.getOrElse(YMap.empty)
+      // dbt drops disabled models from the manifest — whether disabled
+      // inline (the fixture's dbt.config(enabled=False)) or via the
+      // properties yml `config: {enabled: false}`
+      if (conf.get("enabled").exists(_.equalsIgnoreCase("false")) ||
+        patchConfig.get("enabled").contains(YBool(false))) ()
+      else {
       val access = patchEntry.get("access").map(a => AccessType.parse(a.asStr))
         .getOrElse(AccessType.Protected)
       // dbt's default generate_schema_name: the target schema, or
       // `<target>_<custom>` when the model sets a custom schema
-      val schema = conf.get("schema").map(c => s"${baseSchema}_$c")
+      val schema = conf.get("schema")
+        .orElse(patchConfig.get("schema").map(_.asStr))
+        .map(c => s"${baseSchema}_$c")
         .getOrElse(baseSchema)
       // Contract columns are parsed only for enforced contracts: a
       // non-enforced model's data_type strings are docs/catalog vocabulary
@@ -417,11 +431,16 @@ object ProjectLoader {
         patchPath = patch.map(_._1),
         access = access,
         group = patchEntry.get("group").map(_.asStr),
-        version = patchEntry.get("versions").collect { case YList(vs) =>
-          // lenient: non-integer versions only error in the Versioner
-          vs.collect { case vm: YMap => vm("v").asStr }
-            .flatMap(v => scala.util.Try(v.toLong).toOption).maxOption
-        }.flatten,
+        // the base node REPRESENTS the latest version: an explicit
+        // latest_version pin (dbt's prerelease pattern — versions [1, 2]
+        // with latest_version: 1) wins over max(versions), which would
+        // label the pinned code with the prerelease's number
+        version = patchEntry.get("latest_version").collect { case YInt(i) => i }
+          .orElse(patchEntry.get("versions").collect { case YList(vs) =>
+            // lenient: non-integer versions only error in the Versioner
+            vs.collect { case vm: YMap => vm("v").asStr }
+              .flatMap(v => scala.util.Try(v.toLong).toOption).maxOption
+          }.flatten),
         latestVersion = patchEntry.get("latest_version").collect { case YInt(i) => i },
         materialized = conf.getOrElse("materialized",
           patchConfig.get("materialized").map(_.asStr).getOrElse("view")),
@@ -460,8 +479,11 @@ object ProjectLoader {
               case _ => ("custom", YMap.empty)
             }
             val tid = s"test.$proj.${tType}_${name}_$colName"
+            // YAML `to:` strings are bare ref('x'), not {{ ref('x') }}
+            // (same convention the exposure loader documents); the braced
+            // form still matches
             val extraDeps = tConf.get("to").toSeq.flatMap(to =>
-              JinjaLite.findRefs(to.asStr).map(r => s"model.$proj.${r.name}"))
+              JinjaLite.findBareRefs(to.asStr).map(r => s"model.$proj.${r.name}"))
             tests += tid -> TestNode(tid, s"${tType}_${name}_$colName", proj,
               patch.map(_._1).getOrElse(rel),
               DependsOn(nodes = (id +: extraDeps).distinct.toVector),
