@@ -156,9 +156,16 @@ object Dedup {
   /** (da, db, jaccard) for candidate pairs (see [[pairStats]]), jaccard ≥
     * minJ. Package-visible: GraphOps builds its component graph on these
     * edges. */
-  private[ops] def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame = {
+  private[ops] def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame =
+    jaccardPairsOf(shingleArrays(s, dir), minJ)
+
+  /** [[jaccardPairs]] over a caller-supplied (doc_id, arr) frame — for
+    * queries that already hold a pinned shingle frame (d26 derives md5
+    * digests and shingles from ONE scan) and must not re-derive it. */
+  private[ops] def jaccardPairsOf(docsArr: DataFrame, minJ: Double): DataFrame = {
+    val s = docsArr.sparkSession
     import s.implicits._
-    pairStats(shingleArrays(s, dir))
+    pairStats(docsArr)
       .withColumn("jac", dbl($"i") / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= minJ)
       .select($"da", $"db", round($"jac", 6).as("jaccard"))
@@ -1946,21 +1953,32 @@ object Dedup {
     * (history side is the big one — it stays hash-partitioned, the
     * batch streams); the near tier rides the shared inverted-index
     * pair substrate restricted to cross-parity pairs; nothing here
-    * rescans history text. In production the near tier probes the
-    * persisted BAND-KEY index instead of re-deriving pairs — same
-    * decisions, index-sized state (the streaming twin does exactly
-    * that). */
+    * rescans history text. Both tiers derive from ONE pinned scan of
+    * documents (md5 digest AND shingle array computed side by side in
+    * the same narrow projection) — the round-12 shape paid four
+    * text-column scans for the same answer. In production the near
+    * tier probes the persisted BAND-KEY index instead of re-deriving
+    * pairs — same decisions, index-sized state (the streaming twin
+    * does exactly that). */
   def d26(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.t(s, dir, "documents")
-    val withH = docs.select($"doc_id", $"source",
-      md5($"text".cast(BinaryType)).as("h"))
+    // one scan, one kernel pass, pinned: digests for the exact tier,
+    // shingle arrays for the near tier, (doc_id, source) for the rollup
+    val base = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source",
+        md5($"text".cast(BinaryType)).as("h"),
+        graft.functions.ShingleKernels.shinglesText($"text", 3).as("arr"))
+      .localCheckpoint(eager = false)
+    val withH = base.select($"doc_id", $"source", $"h")
     val hist = withH.filter($"doc_id" % 2 === 0)
     val batch = withH.filter($"doc_id" % 2 === 1)
     val exactIds = batch.join(hist.select($"h").distinct(), Seq("h"), "left_semi")
       .select($"doc_id")
-    // cross-parity near-dup pairs: the odd side is the new doc
-    val nearIds = jaccardPairs(s, dir, 0.5)
+    // cross-parity near-dup pairs: the odd side is the new doc. The <3
+    // word empty-array filter mirrors shinglesOfDocs (no shingles, no
+    // pairs — identical to the oracle's empty generate_series).
+    val nearIds = jaccardPairsOf(
+        base.select($"doc_id", $"arr").filter(size($"arr") > 0), 0.5)
       .filter($"da" % 2 =!= $"db" % 2)
       .select(when($"da" % 2 === 1, $"da").otherwise($"db").as("doc_id"))
       .distinct()

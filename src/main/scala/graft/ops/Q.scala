@@ -99,7 +99,22 @@ object Q {
     * window (unspecifiable semantics for a running max), so an all-null
     * partition fails loudly here instead of NPE-ing on the driver. */
   private[ops] def prefixMax(dfIn: DataFrame,
-      keys: Seq[org.apache.spark.sql.Column], valueCol: String): DataFrame = {
+      keys: Seq[org.apache.spark.sql.Column], valueCol: String): DataFrame =
+    prefixMaxImpl(dfIn, keys, valueCol, inclusive = true)
+
+  /** EXCLUSIVE running max over a total `keys…` order — `__pmax` for a
+    * row is the max of `valueCol` over STRICT predecessors only. The
+    * first row in key order (no predecessor) gets the `Long.MinValue`
+    * sentinel rather than NULL, so downstream `greatest(...)` folds stay
+    * null-free; callers comparing against it must treat it as "-∞", not
+    * a value. Same substrate invariants as [[prefixMax]]. */
+  private[ops] def prefixMaxExclusive(dfIn: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column], valueCol: String): DataFrame =
+    prefixMaxImpl(dfIn, keys, valueCol, inclusive = false)
+
+  private def prefixMaxImpl(dfIn: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column], valueCol: String,
+      inclusive: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
@@ -126,10 +141,15 @@ object Q {
       StructType(Seq(
         StructField("__pid", IntegerType, nullable = false),
         StructField("__off_max", LongType, nullable = false)))))
+    // inclusive: frame ends at CURRENT ROW; exclusive: at the preceding
+    // row, yielding NULL for each partition's first row — coalesced to
+    // the same -∞ sentinel the cross-partition offset fold starts from
     val wLocal = Window.partitionBy(col("__pid")).orderBy(keys: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .rowsBetween(Window.unboundedPreceding,
+        if (inclusive) Window.currentRow else -1)
     ranged
-      .withColumn("__lmax", max(col(valueCol)).over(wLocal))
+      .withColumn("__lmax",
+        coalesce(max(col(valueCol)).over(wLocal), lit(Long.MinValue)))
       .join(offDf, Seq("__pid"))
       .withColumn("__pmax", greatest(col("__lmax"), col("__off_max")))
       .drop("__pid", "__lmax", "__off_max")

@@ -1211,17 +1211,25 @@ object Temporal {
     * order with (part, ts, event_id)-total sequence derivation,
     * integer-ppm drop rates.
     *
-    * Scale (100 TB): BOTH global passes ride the distributed substrates
-    * — per-partition sequence numbers from [[Q.rankedPrefix]] (global
-    * rank minus the 8-row per-part offsets; a real source provides
-    * offsets natively), the frontier from [[Q.prefixMax]] — range
-    * repartition + pid-ordered driver folds of ≤ one row per partition
-    * + narrow local windows, NO single-partition stage anywhere; the
-    * lateness frame then collapses in ONE map-side-combining keyless
-    * aggregate (one CASE-sum per candidate delay) and the 4-row output
-    * unpivots narrowly (q37's stack). */
+    * Scale (100 TB): ONE corpus-sized substrate pass (fused from the
+    * round-12 shape's two). The range layout on (part, ts, event_id)
+    * serves BOTH driver folds in a single ≤(pids+parts)-row collect —
+    * parts are contiguous in that order, so per-(pid, part) cell counts
+    * fold into the global-rank pid offsets AND the per-part start
+    * offsets together — and seq derives narrowly (local row_number +
+    * two map-literal lookups, no join). The arrival frontier then
+    * avoids a second full-corpus ordered pass via the identity
+    * frontier(s, p) = max(R(s−1), cmax(s, p)): rounds collapse 8:1 into
+    * hard-bounded (≤ |parts| elements) sorted struct arrays in one hash
+    * exchange, only that ROUND-domain frame rides
+    * [[Q.prefixMaxExclusive]], and the intra-round fold (running cmax +
+    * one lateness counter per candidate delay) is a per-row `aggregate`
+    * expression. One keyless map-side-combining aggregate sums the
+    * counters and the 4-row output unpivots narrowly (q37's stack). No
+    * single-partition stage anywhere. */
   def q77(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val delays = Seq(60L, 600L, 3600L, 86400L)
     // Modeled ingestion (the ledger's test-data stand-in class): the log
     // is perfectly time-ordered, so arrival order is modeled as a
@@ -1229,43 +1237,75 @@ object Temporal {
     // round-robin by per-partition sequence number — the interleave a
     // Kafka-style consumer actually produces, where lateness IS the
     // cross-partition event-time skew. A real deployment reads seq from
-    // the source's own offsets; here it derives scalably: global rank
-    // over (part, ts, event_id) via Q.rankedPrefix (rows of a part are
-    // contiguous in that order) minus the 8-row per-part offsets.
+    // the source's own offsets; here it derives scalably in ONE range
+    // pass: rows of a part are contiguous under (part, ts, event_id)
+    // order, so seq = pid-local row_number + rows-in-earlier-pids −
+    // rows-before-the-part, both offsets from one tiny pid-ordered fold.
     val ev = Tables.t(s, dir, "events")
       .select(($"user_id" % 8).as("part"),
         unix_micros($"ts").as("tsu"), $"event_id")
-    val (ranked, _, _) = Q.rankedPrefix(ev,
-      Seq($"part".asc, $"tsu".asc, $"event_id".asc), Nil)
-    val partCounts = ev.groupBy($"part").agg(count(lit(1)).as("n"))
-      .orderBy($"part").collect() // 8 rows — fixed modeled-partition domain
+    val keys = Seq($"part".asc, $"tsu".asc, $"event_id".asc)
+    val nPids = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = ev.repartitionByRange(nPids, keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+    val cells = ranged.groupBy($"__pid", $"part")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"__pid", $"part").collect() // ≤ pids + parts rows
     var cum = 0L
-    val offRows = partCounts.map { r =>
-      val row = org.apache.spark.sql.Row(r.getLong(0), cum)
-      cum += r.getLong(1)
-      row
+    val pidOff = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+    val partOff = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    cells.foreach { r =>
+      // (pid, part) cell order IS global row order here: range partitions
+      // are key-ordered and part leads the key, so the first time a pid
+      // (resp. part) appears, `cum` counts exactly the rows before it
+      val pid = r.getInt(0); val part = r.getLong(1)
+      if (!pidOff.contains(pid)) pidOff(pid) = cum
+      if (!partOff.contains(part)) partOff(part) = cum
+      cum += r.getLong(2)
     }
-    val offDf = broadcast(s.createDataFrame(
-      s.sparkContext.parallelize(offRows.toSeq, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("part",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("__poff",
-          org.apache.spark.sql.types.LongType, nullable = false)))))
-    val seqd = ranked.join(offDf, Seq("part"))
-      .withColumn("seq", $"__rank" - $"__poff")
+    val wPid = Window.partitionBy($"__pid").orderBy(keys: _*)
+    val seqd = ranged
+      .withColumn("seq",
+        row_number().over(wPid).cast(org.apache.spark.sql.types.LongType)
+          + element_at(typedLit(pidOff.toMap), $"__pid")
+          - element_at(typedLit(partOff.toMap), $"part"))
       .select($"part", $"tsu", $"seq")
-    val late = Q.prefixMax(seqd, Seq($"seq".asc, $"part".asc), "tsu")
-      .select(($"__pmax" - $"tsu").as("late_us"))
+    // frontier(s, p) = max over arrival predecessors-or-self of tsu
+    //               = max(R(s−1), cmax(s, p))
+    // where cmax is the intra-round running max over parts ≤ p and R the
+    // running per-round max. A round holds ≤ |parts| = 8 events (seq is
+    // unique within a part), so collapsing rounds to sorted (part, tsu)
+    // structs is a HARD-BOUNDED collect (8 elements), the only ordered
+    // pass runs on the 8:1-collapsed round frame via
+    // [[Q.prefixMaxExclusive]], and the whole intra-round frontier fold
+    // — running cmax plus one lateness counter per candidate delay — is
+    // a single codegen-friendly `aggregate` over each tiny array. No
+    // corpus-sized join, window, or second checkpoint.
+    val roundAgg = seqd.groupBy($"seq")
+      .agg(sort_array(collect_list(struct($"part", $"tsu"))).as("evs"),
+        max($"tsu").as("m"))
+      // pinned: prefixMax's range sampling and the fold both consume it
+      .localCheckpoint(eager = false)
+    val rPrev = Q.prefixMaxExclusive(roundAgg, Seq($"seq".asc), "m")
+    // fold acc: (cmax = frontier so far, one counter per delay); rprev's
+    // Long.MinValue sentinel on round 1 is absorbed by greatest()
+    val accInit = "struct(__pmax as cmax" +
+      delays.map(d => s", 0L as c$d").mkString + ")"
+    val accStep = "(acc, x) -> struct(greatest(acc.cmax, x.tsu) as cmax" +
+      delays.map(d => s", acc.c$d + (case when greatest(acc.cmax, x.tsu)" +
+        s" - x.tsu > ${d}000000L then 1L else 0L end) as c$d").mkString + ")"
+    val perRound = rPrev.select(
+      size($"evs").cast(org.apache.spark.sql.types.LongType).as("n"),
+      expr(s"aggregate(evs, $accInit, $accStep)").as("cs"))
     // keyless agg → exactly ONE wide row on any input, so the stack
     // always yields |delays| rows; sums coalesce to 0 and the ppm NULLs
     // on an empty log — the oracle's correlated-subquery form matches
     // both shapes row for row (the q68 empty-input rule, both ways)
-    val aggs = count(lit(1)).as("n_events") +:
-      delays.map(d => coalesce(
-        sum(when($"late_us" > d * 1000000L, 1L).otherwise(0L)), lit(0L))
-        .as(s"late_$d"))
-    val wide = late.agg(aggs.head, aggs.tail: _*)
+    val aggs = coalesce(sum($"n"), lit(0L)).as("n_events") +:
+      delays.map(d =>
+        coalesce(sum(col(s"cs.c$d")), lit(0L)).as(s"late_$d"))
+    val wide = perRound.agg(aggs.head, aggs.tail: _*)
     val stackArgs = delays.map(d => s"${d}L, late_$d").mkString(", ")
     wide.select($"n_events", expr(
         s"stack(${delays.size}, $stackArgs) as (delay_s, n_late)"))
