@@ -79,9 +79,17 @@ object Main {
   }
 
   def main(argv: Array[String]): Unit = {
+    val code = run(argv)
+    if (code != 0) sys.exit(code)
+  }
+
+  /** [[main]] without the process exit: returns the would-be exit code so
+    * embedders and specs can exercise failure paths (a sys.exit in a
+    * forked test JVM aborts the whole suite). */
+  def run(argv: Array[String]): Int = {
     // global --version prints the version string and exits, wherever it
     // appears (the reference's group-level flag, main.py:80,88-90)
-    if (argv.contains("--version")) { println(Version); return }
+    if (argv.contains("--version")) { println(Version); return 0 }
     // `operation <cmd>` is the reference's namespacing for the single-op
     // commands (main.py:114-118); accept and flatten it so invocations
     // port verbatim
@@ -163,6 +171,26 @@ object Main {
     def selectionActive: Boolean =
       args.flags("select").nonEmpty || args.flags("selector").nonEmpty ||
         args.flags("exclude").nonEmpty
+    // shared test-result reporting for test/build/retry (pass/fail by
+    // violations; skipped = model not built this invocation; error =
+    // the test itself threw)
+    def printTestResults(results: Map[String, (String, Long)],
+        ran: Option[Int] = None): Unit = {
+      results.toSeq.sortBy(_._1).foreach { case (tid, (st, v)) =>
+        println(st match {
+          case "pass" => s"PASS $tid"
+          case "fail" => s"FAIL $tid ($v violations)"
+          case "skipped" => s"SKIP $tid (model not built)"
+          case _ => s"ERROR $tid"
+        })
+      }
+      val nPass = results.values.count(_._1 == "pass")
+      val nBad = results.values.count(r => r._1 == "fail" || r._1 == "error")
+      val nSkip = results.values.count(_._1 == "skipped")
+      println(ran.map(n => s"== $n ran, ").getOrElse("== ") +
+        s"$nPass pass, $nBad fail" +
+        (if (nSkip > 0) s", $nSkip skipped ==" else " =="))
+    }
     def spark(): SparkSession = {
       val s = SparkSession.builder()
         .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
@@ -208,7 +236,7 @@ object Main {
         graft.core.parse.RunResultsJson.write(
           root.resolve("target").resolve("run_results.json"),
           status.toSeq.sorted)
-        if (status.values.exists(_ == "error")) sys.exit(1)
+        if (status.values.exists(_ == "error")) return 1
 
       case "split" =>
         val name = args.positional.head
@@ -312,7 +340,7 @@ object Main {
             maxTs.map(t => s" (max loaded_at $t)").getOrElse(""))
         }
         if (results.values.exists(v => v._1.startsWith("error") || v._1.startsWith("runtime")))
-          sys.exit(1)
+          return 1
 
       case "ls" | "list" =>
         // dbt-ls shape: evaluate the selection grammar and print matching
@@ -328,23 +356,23 @@ object Main {
         val (cfg, m) = ProjectLoader.load(root)
         val runner = new Runner(spark(), m, cfg,
           warehouse(), projectRoot = Some(root), readCatalog = readCatalog)
-        runner.run()
+        // continue-on-error: a broken model must not crash the test
+        // command before any artifact is written — its tests record
+        // `skipped` below (dbt's behavior) and the model's own error
+        // status rides the artifact so `graft retry` can rebuild it
+        val (_, mStatus) = runner.runWithStatus()
         // --select scopes the tests (dbt: tests attached to selected
         // nodes, plus directly selected tests); the DAG still
         // materializes in full so every test's relations exist
-        val results = runner.runTests(
-          if (!selectionActive) None else Some(selection(m)))
-        results.toSeq.sortBy(_._1).foreach { case (tid, violations) =>
-          println(s"${if (violations == 0) "PASS" else "FAIL"} $tid" +
-            (if (violations == 0) "" else s" ($violations violations)"))
-        }
-        val nFail = results.count(_._2 > 0)
-        println(s"== ${results.size - nFail} pass, $nFail fail ==")
+        val results = runner.runTestsDetailed(
+          if (!selectionActive) None else Some(selection(m)), mStatus)
+        printTestResults(results)
         graft.core.parse.RunResultsJson.write(
           root.resolve("target").resolve("run_results.json"),
-          results.toSeq.map { case (tid, v) =>
-            tid -> (if (v == 0) "pass" else "fail") }.sorted)
-        if (nFail > 0) sys.exit(1)
+          (results.toSeq.map { case (tid, (st, _)) => tid -> st } ++
+            mStatus.toSeq.filter(_._2 != "success")).sorted)
+        if (results.values.exists(r => r._1 == "fail" || r._1 == "error") ||
+          mStatus.values.exists(_ == "error")) return 1
 
       case "build" =>
         // dbt build: materialize the (selected) DAG AND run its data
@@ -371,21 +399,60 @@ object Main {
         ran.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
         status.toSeq.sorted.collect { case (id, st) if st != "success" =>
           println(s"$st $id") }
-        // tests scope to the SELECTION (dbt build --select tests only
-        // selected nodes); ancestors materialize as session views out of
-        // necessity but their tests don't run unless selected
-        val results = runner.runTests(Some(sel.getOrElse(ran.keySet)))
-        results.toSeq.sortBy(_._1).foreach { case (tid, violations) =>
-          println(s"${if (violations == 0) "PASS" else "FAIL"} $tid" +
-            (if (violations == 0) "" else s" ($violations violations)"))
-        }
-        val nFail = results.count(_._2 > 0)
-        println(s"== ${ran.size} ran, ${results.size - nFail} pass, $nFail fail ==")
+        // tests scope to the ORIGINAL selection sel0, not the
+        // parent-widened sel: a directly selected test runs, but its
+        // parents materialize silently — dbt build --select <test> does
+        // NOT run the parents' other tests. Tests whose model errored or
+        // was skipped this invocation record `skipped` (not a crash on
+        // the never-materialized relation).
+        val results = runner.runTestsDetailed(
+          // status.keySet, not ran.keySet: an errored/skipped model is
+          // still in scope so its tests REPORT as skipped instead of
+          // silently vanishing from the artifact
+          Some(sel0.getOrElse(status.keySet)), status)
+        printTestResults(results, ran = Some(ran.size))
+        val nBad = results.values.count(r => r._1 == "fail" || r._1 == "error")
         graft.core.parse.RunResultsJson.write(
           root.resolve("target").resolve("run_results.json"),
-          (status.toSeq ++ results.toSeq.map { case (tid, v) =>
-            tid -> (if (v == 0) "pass" else "fail") }).sorted)
-        if (nFail > 0 || status.values.exists(_ == "error")) sys.exit(1)
+          (status.toSeq ++
+            results.toSeq.map { case (tid, (st, _)) => tid -> st }).sorted)
+        if (nBad > 0 || status.values.exists(_ == "error")) return 1
+
+      case "compile" =>
+        // dbt compile: render every selected model's SQL — Jinja
+        // expanded, ref()/source() resolved to the relation names a run
+        // would use — into target/compiled/<project>/<model path>,
+        // executing NOTHING. Slim-CI tooling and humans read these files;
+        // the rendering is byte-identical to what `graft run` executes
+        // (same renderSql). is_incremental() renders false (dbt's
+        // empty-state behavior); python models have no SQL form and are
+        // listed-skipped loudly rather than silently omitted.
+        val (cfg, m) = ProjectLoader.load(root)
+        val sel = if (!selectionActive) None else Some(selection(m))
+        val runner = new Runner(spark(), m, cfg, warehouse(),
+          enforceAccess = false, projectRoot = Some(root),
+          readCatalog = readCatalog)
+        val outDir = root.resolve("target").resolve("compiled")
+          .resolve(m.projectName)
+        var nWritten = 0
+        m.nodes.toSeq.sortBy(_._1).foreach { case (id, node) =>
+          if (sel.forall(_(id)) && node.packageName == m.projectName) {
+            if (node.language == "python")
+              println(s"skipped $id (python model, no compiled SQL form)")
+            else if (node.materialized == "seed")
+              () // seeds have no SQL to compile (dbt skips them too)
+            else {
+              val sql = runner.renderSql(node, isIncremental = false)
+              val p = outDir.resolve(node.filePath)
+              Files.createDirectories(p.getParent)
+              Files.writeString(p, sql)
+              nWritten += 1
+              println(s"compiled $id")
+            }
+          }
+        }
+        println(s"wrote $nWritten compiled models under " +
+          s"${root.resolve("target").resolve("compiled")}")
 
       case "retry" =>
         // dbt retry: re-select the nodes the previous invocation left in
@@ -408,10 +475,35 @@ object Main {
           Nil, None, Some(rs))
         if (sel.isEmpty) println("nothing to retry")
         else {
-          val out = new Runner(spark(), m, cfg, warehouse(),
+          val runner = new Runner(spark(), m, cfg, warehouse(),
             projectRoot = Some(root), readCatalog = readCatalog)
-            .run(Some(sel))
-          out.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
+          // status-tracked like run/build — a retry that fails again must
+          // refresh the artifact with its OWN statuses, and a fully
+          // successful retry must clear the stale error/skipped entries
+          // (dbt retry rewrites run_results.json; without this a second
+          // `graft retry` re-ran already-fixed nodes forever)
+          val (ran, status) = runner.runWithStatus(Some(sel))
+          ran.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
+          status.toSeq.sorted.collect { case (id, st) if st != "success" =>
+            println(s"$st $id") }
+          // failed/skipped TESTS selected by result: re-run too (dbt
+          // retry covers test nodes); their models either just re-ran or
+          // carry their previous state in the session/warehouse
+          val testSel = sel.filter(m.tests.contains)
+          val tResults =
+            if (testSel.isEmpty) Map.empty[String, (String, Long)]
+            else runner.runTestsDetailed(Some(testSel), status)
+          if (tResults.nonEmpty) printTestResults(tResults)
+          // merge this retry's outcomes over the previous artifact: nodes
+          // not retried keep their old status, retried nodes record what
+          // just happened
+          val merged = (rs ++ status ++
+            tResults.map { case (tid, (st, _)) => tid -> st }).toSeq.sorted
+          graft.core.parse.RunResultsJson.write(
+            root.resolve("target").resolve("run_results.json"), merged)
+          if (status.values.exists(_ == "error") ||
+            tResults.values.exists(r => r._1 == "fail" || r._1 == "error"))
+            return 1
         }
 
       case "contract" | "add-contract" =>
@@ -624,10 +716,11 @@ object Main {
       case other =>
         println(
           s"""unknown command: $other
-             |usage: graft {run|build|retry|test|ls|seed|snapshot|clone|docs|split|create-group|group|contract|version|connect} [options]
+             |usage: graft {run|build|retry|test|compile|ls|seed|snapshot|clone|docs|split|create-group|group|contract|version|connect} [options]
              |""".stripMargin)
-        sys.exit(if (other == "help") 0 else 1)
+        return if (other == "help") 0 else 1
     }
+    0
   }
 
 }

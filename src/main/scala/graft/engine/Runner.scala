@@ -55,7 +55,11 @@ final class Runner(
       * slim-CI pattern: build only what changed, read the rest from
       * prod. An unselected model with no state relation still runs
       * locally. Only meaningful with a selection. */
-    defer: Option[Manifest] = None) {
+    defer: Option[Manifest] = None,
+    /** Observability seam for hook execution (dbt's per-hook log line):
+      * called with each hook's RENDERED SQL after it executes
+      * successfully. Default: silent. */
+    onHookRun: String => Unit = _ => ()) {
 
   /** model name → deferred relation, populated per run(). */
   @volatile private var deferTargets: Map[String, String] = Map.empty
@@ -115,8 +119,19 @@ final class Runner(
 
   /** Render a model's SQL to executable Spark SQL. */
   def renderSql(m: ModelNode, isIncremental: Boolean): String =
+    renderStr(m.rawCode, Some(viewName(m.name)), m.name,
+      isIncremental = isIncremental)
+
+  /** The shared Jinja→Spark-SQL rendering for ANY project-owned SQL
+    * string (model bodies, pre/post-hooks, on-run-start/end hooks):
+    * ref()/source() resolve exactly as in models, project vars (plus
+    * `extraVars`, e.g. the on-run-end `results` binding) apply, and
+    * `{{ this }}` binds to `thisRel` when given. */
+  private def renderStr(code: String, thisRel: Option[String],
+      where: String, extraVars: Map[String, String] = Map.empty,
+      isIncremental: Boolean = false): String =
     JinjaLite.render(
-      m.rawCode,
+      code,
       resolveRef = rc =>
         if (rc.project.forall(_ == manifest.projectName))
           deferTargets.getOrElse(rc.name, refView(rc))
@@ -125,7 +140,7 @@ final class Runner(
         val src = manifest.sources.values
           .find(s => s.sourceName == sc.sourceName && s.name == sc.table)
           .getOrElse(throw new IllegalArgumentException(
-            s"unknown source ${sc.sourceName}.${sc.table} in ${m.name}"))
+            s"unknown source ${sc.sourceName}.${sc.table} in $where"))
         // a same-project seed with the source table's name materializes it
         // in-session (the jaffle pattern: seeds stand in for raw tables);
         // an `external:` source registers its file read; otherwise the
@@ -135,10 +150,88 @@ final class Runner(
         else if (src.external.isDefined) externalView(src)
         else sourceView(src)
       },
-      vars = vars,
-      thisRelation = Some(viewName(m.name)),
+      vars = vars ++ extraVars,
+      thisRelation = thisRel,
       macros = macroDefs,
       isIncremental = isIncremental)
+
+  // ------------------------------------------------------------- hooks
+  /** dbt's hook surface (the reference's own source-hack fixture declares
+    * `on-run-end: "select true as col"`, dbt_project.yml:27 — dbt runs it,
+    * so graft must too):
+    *
+    *  - model-level `pre-hook` / `post-hook` (patch-YAML `config:` or
+    *    inline `config(pre_hook=...)`; string or list; both dash and
+    *    underscore spellings). Pre-hooks run immediately before the
+    *    model executes, post-hooks after it materializes and its view is
+    *    registered; both render through the model's full Jinja context
+    *    ({{ this }} = the model's relation) and a throwing hook fails
+    *    the node exactly like a throwing model (dbt's behavior). Patch
+    *    hooks run before inline hooks (dbt accumulates outer→inner).
+    *    Ephemeral models never run hooks (dbt: nothing materializes).
+    *  - project-level `on-run-start` / `on-run-end` (dbt_project.yml;
+    *    string or list): start hooks run before any node (a failure
+    *    aborts the run), end hooks run after every node settles — on the
+    *    continue-on-error path they see the run's outcomes as
+    *    `{{ results }}`, rendered as "uniqueId=status" pairs
+    *    comma-joined in id order. On the fail-fast library path
+    *    (`continueOnError = false`) a model failure propagates
+    *    immediately and end hooks do NOT run (there is no settled result
+    *    set to report).
+    *
+    * Hooks execute eagerly (`.collect()`): DDL/DML runs on `spark.sql`
+    * anyway, and a SELECT-shaped hook (the fixture's) must actually
+    * execute, not lazily construct a frame. `dbt_project.yml`'s nested
+    * `models:` config tree is not part of graft's config cascade, so
+    * `+pre-hook` declared there is (documented) out of scope. */
+  private def runHookSql(rendered: String): Unit = {
+    spark.sql(rendered).collect()
+    onHookRun(rendered)
+  }
+
+  /** Accumulated hook strings for `dashKey` ∈ {pre-hook, post-hook}:
+    * patch-YAML config first, then inline config; each value may be a
+    * YAML list, a `['a', 'b']` literal, or a bare SQL string. The
+    * bracket-literal split is QUOTE-AWARE — hook SQL routinely contains
+    * commas inside quotes (`insert into audit values ('x', 1)`), which
+    * the naive check_cols splitter would mangle. */
+  private def hookList(m: ModelNode, dashKey: String): Seq[String] = {
+    val keys = Seq(dashKey, dashKey.replace('-', '_'))
+    val fromPatch = keys.flatMap(k => m.config.get(k)).flatMap {
+      case graft.core.yaml.YList(items) => items.map(_.asStr)
+      case y => splitBracketList(y.asStr)
+    }
+    val fromInline = keys.flatMap(k => inlineConfig(m).get(k))
+      .flatMap(splitBracketList)
+    fromPatch ++ fromInline
+  }
+
+  /** "[ 'a', 'b' ]" → Seq(a, b) respecting quotes; anything else → Seq(it). */
+  private def splitBracketList(raw: String): Seq[String] = {
+    val t = raw.trim
+    if (!(t.startsWith("[") && t.endsWith("]"))) return Seq(raw)
+    val body = t.stripPrefix("[").stripSuffix("]")
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var quote: Char = 0
+    body.foreach { c =>
+      if (quote != 0) { if (c == quote) quote = 0; cur += c }
+      else if (c == '\'' || c == '"') { quote = c; cur += c }
+      else if (c == ',') { out += cur.toString; cur.clear() }
+      else cur += c
+    }
+    out += cur.toString
+    out.result().map(_.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+  }
+
+  /** Project-level hooks from dbt_project.yml (string or list). */
+  private def projectHooks(dashKey: String): Seq[String] =
+    Seq(dashKey, dashKey.replace('-', '_'))
+      .flatMap(k => cfg.raw.get(k)).flatMap {
+        case graft.core.yaml.YList(items) => items.map(_.asStr)
+        case y => Seq(y.asStr)
+      }
 
   /** Execute all models in topological order; returns produced frames.
     * With `parallelism > 1`, each dependency level's models run as
@@ -161,6 +254,10 @@ final class Runner(
       : (Map[String, DataFrame], Map[String, String]) = {
     if (enforceAccess)
       AccessControl.forSession(spark).registerManifest(manifest, viewName)
+    // on-run-start: before ANY node; a failure aborts the whole run
+    // (dbt's behavior — the project declared a precondition)
+    projectHooks("on-run-start").foreach(h =>
+      runHookSql(renderStr(h, None, "on-run-start")))
     val modelIds = manifest.nodes.keySet
       .filter(id => selected.forall(_.contains(id)))
     // --defer: every UNSELECTED model whose state manifest carries a
@@ -265,10 +362,39 @@ final class Runner(
         }
       finally pool.shutdown()
     }
+    // on-run-end: after every node settles; {{ results }} carries the
+    // run's outcomes (id=status, comma-joined in id order). Reaching
+    // this line on the fail-fast path means nothing threw, so running
+    // the end hooks is correct there too.
+    val endHooks = projectHooks("on-run-end")
+    if (endHooks.nonEmpty) {
+      val results = status.toSeq.sorted
+        .map { case (id, st) => s"$id=$st" }.mkString(",")
+      endHooks.foreach { h =>
+        val bound = h.replaceAll("""\{\{\s*results\s*\}\}""",
+          java.util.regex.Matcher.quoteReplacement(results))
+        runHookSql(renderStr(bound, None, "on-run-end"))
+      }
+    }
     (out.toMap, status.toMap)
   }
 
+  /** Execute one model with its pre/post-hooks (see the hooks scaladoc
+    * above): pre-hooks → body → post-hooks, any failure failing the
+    * node. `{{ this }}` in a hook binds to the model's relation. */
   def runModel(m: ModelNode): DataFrame = {
+    val hooksOn = m.materialized != "ephemeral"
+    if (hooksOn)
+      hookList(m, "pre-hook").foreach(h =>
+        runHookSql(renderStr(h, Some(viewName(m.name)), s"pre-hook of ${m.name}")))
+    val out = runModelBody(m)
+    if (hooksOn)
+      hookList(m, "post-hook").foreach(h =>
+        runHookSql(renderStr(h, Some(viewName(m.name)), s"post-hook of ${m.name}")))
+    out
+  }
+
+  private def runModelBody(m: ModelNode): DataFrame = {
     if (m.language == "python") {
       // --read-catalog applies language-independently: a persisted python
       // table model is read back, not recomputed
@@ -948,15 +1074,47 @@ final class Runner(
   /** Run generic data tests as violation queries; returns violations per
     * test id (0 = pass), mirroring dbt test semantics (SURVEY §2.F). */
   def runTests(onModels: Option[Set[String]] = None): Map[String, Long] =
-    manifest.tests
-      // `graft build` scopes tests to the models it materialized; the
-      // bare `graft test` keeps the full suite (onModels = None)
-      .filter { case (tid, t) =>
-        // a test is in scope when a node it depends on was selected OR
-        // when the test ITSELF was (dbt build --select some_test must
-        // run it, not silently no-op)
-        onModels.forall(sel => sel(tid) || t.dependsOn.nodes.exists(sel)) }
-      .map { case (tid, t) =>
+    testsInScope(onModels).map { case (tid, t) => tid -> runOneTest(tid, t) }
+
+  /** dbt-faithful test execution for the CLI: per-test terminal status
+    * instead of propagate-first-exception. A test whose model dependency
+    * the SAME invocation left in error/skipped state (per `modelStatus`)
+    * records `skipped` WITHOUT executing — dbt build marks such tests
+    * skipped rather than crashing on the never-materialized relation —
+    * and a test that itself throws (missing relation, bad config)
+    * records `error` with violations −1. Everything else is pass/fail
+    * by violation count. */
+  def runTestsDetailed(onModels: Option[Set[String]] = None,
+      modelStatus: Map[String, String] = Map.empty)
+      : Map[String, (String, Long)] =
+    testsInScope(onModels).map { case (tid, t) =>
+      val depBlocked = t.dependsOn.nodes.exists(d =>
+        modelStatus.get(d).exists(s => s == "error" || s == "skipped"))
+      tid -> {
+        if (depBlocked) ("skipped", 0L)
+        else
+          try {
+            val v = runOneTest(tid, t)
+            (if (v == 0) "pass" else "fail", v)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[test] $tid errored: ${e.getMessage}")
+              ("error", -1L)
+          }
+      }
+    }
+
+  /** `graft build` scopes tests to the models it materialized; the
+    * bare `graft test` keeps the full suite (onModels = None). A test is
+    * in scope when a node it depends on was selected OR when the test
+    * ITSELF was (dbt build --select some_test must run it, not silently
+    * no-op). */
+  private def testsInScope(onModels: Option[Set[String]])
+      : Map[String, graft.core.model.TestNode] =
+    manifest.tests.filter { case (tid, t) =>
+      onModels.forall(sel => sel(tid) || t.dependsOn.nodes.exists(sel)) }
+
+  private def runOneTest(tid: String, t: graft.core.model.TestNode): Long = {
       val modelId = t.dependsOn.nodes.find(_.startsWith("model."))
         .getOrElse(throw new IllegalStateException(s"test $tid has no model dep"))
       val df = spark.table(viewName(manifest.nodes(modelId).name))
@@ -1026,8 +1184,8 @@ final class Runner(
             vars = vars)
           spark.sql(sql).count()
       }
-      tid -> violations
-    }
+      violations
+  }
 }
 
 object Runner {

@@ -315,6 +315,95 @@ class MainSpec extends AnyFunSuite {
     assert(out2.toString.contains("== 2 ran, 0 pass, 0 fail =="), out2.toString)
   }
 
+  test("build with a failed model: its tests SKIP, the artifact still writes, exit 1") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: bf\n",
+      "models/broken.sql" -> "select * from bf_no_such_relation",
+      "models/ok.sql" -> "select 1 as id",
+      "models/schema.yml" ->
+        """version: 2
+          |models:
+          |  - name: broken
+          |    columns:
+          |      - name: id
+          |        tests: [not_null]
+          |  - name: ok
+          |    columns:
+          |      - name: id
+          |        tests: [not_null]
+          |""".stripMargin))
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("build", "--project-dir", root.toString))
+    }
+    val text = out.toString
+    assert(code == 1, text)
+    // the broken model's test skips (no crash on the missing relation),
+    // the healthy model's test still runs and passes
+    assert(text.contains("SKIP test.bf.not_null_broken_id"), text)
+    assert(text.contains("PASS test.bf.not_null_ok_id"), text)
+    // run_results.json was written DESPITE the failure — retry's input
+    val rs = graft.core.parse.RunResultsJson.load(
+      root.resolve("target").resolve("run_results.json"))
+    assert(rs("model.bf.broken") == "error", rs.toString)
+    assert(rs("test.bf.not_null_broken_id") == "skipped", rs.toString)
+    assert(rs("test.bf.not_null_ok_id") == "pass", rs.toString)
+  }
+
+  test("build --select <test> runs only that test; parents build silently") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: bt\n",
+      "models/stg.sql" -> "select 1 as id",
+      "models/schema.yml" ->
+        """version: 2
+          |models:
+          |  - name: stg
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - not_null
+          |          - unique
+          |""".stripMargin))
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("build", "--select", "not_null_stg_id",
+        "--project-dir", root.toString))
+    }
+    val text = out.toString
+    assert(code == 0, text)
+    // the parent materialized for the test...
+    assert(text.contains("ran model.bt.stg"), text)
+    // ...but ONLY the selected test ran — not the parent's other test
+    assert(text.contains("PASS test.bt.not_null_stg_id"), text)
+    assert(!text.contains("unique_stg_id"), text)
+  }
+
+  test("retry refreshes run_results.json with its own outcomes") {
+    val root = writeProject(project)
+    Files.createDirectories(root.resolve("target"))
+    Files.writeString(root.resolve("target").resolve("run_results.json"),
+      """{"results": [
+        |  {"unique_id": "model.shop.stg", "status": "success"},
+        |  {"unique_id": "model.shop.mart", "status": "error"}
+        |]}""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("retry", "--project-dir", root.toString))
+    }
+    assert(code == 0, out.toString)
+    // the artifact now records the retry's success — a second retry has
+    // nothing to do (previously the stale 'error' made retry loop forever)
+    val rs = graft.core.parse.RunResultsJson.load(
+      root.resolve("target").resolve("run_results.json"))
+    assert(rs("model.shop.mart") == "success", rs.toString)
+    assert(rs("model.shop.stg") == "success", rs.toString)
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      Main.run(Array("retry", "--project-dir", root.toString))
+    }
+    assert(out2.toString.contains("nothing to retry"), out2.toString)
+  }
+
   test("retry re-runs what run_results.json says failed or was skipped") {
     val root = writeProject(project)
     Files.createDirectories(root.resolve("target"))
@@ -337,6 +426,45 @@ class MainSpec extends AnyFunSuite {
       Main.main(Array("retry", "--project-dir", root.toString))
     }
     assert(out2.toString.contains("nothing to retry"), out2.toString)
+  }
+
+  test("compile renders selected models to target/compiled without executing") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: cp\nvars:\n  cutoff: '2099'\n",
+      "macros/c2d.sql" ->
+        "{% macro c2d(col) %}cast({{ col }} / 100.0 as decimal(16,2)){% endmacro %}",
+      "models/stg.sql" ->
+        "select 1 as id, 100 as cents where '{{ var('cutoff') }}' > '2000'",
+      "models/mart.sql" ->
+        "select id, {{ c2d('cents') }} as dollars from {{ ref('stg') }}",
+      "models/py_model.py" ->
+        "def model(dbt, session):\n    return dbt.ref(\"stg\")\n"))
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("compile", "--project-dir", root.toString))
+    }
+    assert(code == 0, out.toString)
+    // the compiled files sit where a dbt user expects and read as plain
+    // executable SQL: refs resolved to relations, macros expanded, vars
+    // substituted, nothing executed (no warehouse table was written)
+    val mart = Files.readString(
+      root.resolve("target/compiled/cp/models/mart.sql"))
+    assert(mart.contains("from cp__stg"), mart)
+    assert(mart.contains("cast(cents / 100.0 as decimal(16,2))"), mart)
+    assert(!mart.contains("{{"), mart)
+    val stg = Files.readString(
+      root.resolve("target/compiled/cp/models/stg.sql"))
+    assert(stg.contains("'2099' > '2000'"), stg)
+    // the python model is loudly listed as skipped, not silently dropped
+    assert(out.toString.contains("skipped model.cp.py_model"), out.toString)
+    // --select scopes: only stg recompiles into a fresh tree
+    val root2 = writeProject(Map(
+      "dbt_project.yml" -> "name: cp\nvars:\n  cutoff: '2099'\n",
+      "models/stg.sql" -> "select 1 as id",
+      "models/mart.sql" -> "select id from {{ ref('stg') }}"))
+    Main.run(Array("compile", "--select", "stg", "--project-dir", root2.toString))
+    assert(Files.exists(root2.resolve("target/compiled/cp/models/stg.sql")))
+    assert(!Files.exists(root2.resolve("target/compiled/cp/models/mart.sql")))
   }
 
   test("docs generate writes dbt-core manifest.json + catalog.json that round-trip") {

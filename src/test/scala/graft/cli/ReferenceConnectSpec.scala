@@ -10,7 +10,7 @@ import java.util.Comparator
   * shared_model through a source stanza (with an UPPER-CASE identifier,
   * exercising case-insensitive relation matching). Skipped when the
   * reference checkout isn't present. */
-class ReferenceConnectSpec extends AnyFunSuite {
+class ReferenceConnectSpec extends AnyFunSuite with graft.SparkFixture {
 
   private val base = Paths.get("/root/reference/test-projects/source-hack")
 
@@ -53,6 +53,22 @@ class ReferenceConnectSpec extends AnyFunSuite {
 
     Files.walk(work).sorted(Comparator.reverseOrder[Path]())
       .forEach(p => Files.delete(p))
+  }
+
+  test("the source-hack fixture's on-run-end hook executes when the project runs") {
+    assume(Files.isDirectory(base), "reference checkout not present")
+    // src_proj_a declares `on-run-end: "select true as col"`
+    // (dbt_project.yml:27) — dbt executes it after every run, so graft
+    // must too, straight off the unmodified fixture
+    val (cfg, manifest) =
+      graft.core.parse.ProjectLoader.load(base.resolve("src_proj_a"))
+    var hooks = Vector.empty[String]
+    val runner = new graft.engine.Runner(spark, manifest, cfg,
+      Files.createTempDirectory("graft_ref_hook"), enforceAccess = false,
+      onHookRun = h => hooks :+= h)
+    val (_, status) = runner.runWithStatus()
+    assert(status.values.forall(_ == "success"), status.toString)
+    assert(hooks == Vector("select true as col"), hooks.toString)
   }
 
   test("a 4-project sweep credits the OWNING project, not an installer that matched first") {

@@ -1059,4 +1059,117 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     // lite parser surfaced it as
     assert(results("test.gt.accepted_values_m_status") == 0L, results.toString)
   }
+
+  test("hooks: pre-hook runs before the model, post-hook after it, {{ this }} binds") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: hk\n",
+      // the model can only run if the pre-hook already created pre_mark;
+      // the post-hook can only count {{ this }} if the model already
+      // materialized — ordering is proven by construction
+      "models/m1.sql" ->
+        ("""{{ config(materialized='table', """ +
+          """pre_hook="create or replace temp view pre_mark as select 42 as v", """ +
+          """post_hook="create or replace temp view post_mark as select count(*) as n, 'x, y' as lit from {{ this }}") }}""" +
+          "\nselect v as id from pre_mark"))
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    val out = runner.run()
+    assert(out("model.hk.m1").collect().map(_.getInt(0)).toSeq == Seq(42))
+    assert(spark.table("post_mark").collect().head.getLong(0) == 1L)
+    spark.catalog.dropTempView("pre_mark")
+    spark.catalog.dropTempView("post_mark")
+  }
+
+  test("hooks: patch-YAML pre-hook lists run in order, before inline hooks") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: hk2\n",
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: m1
+          |    config:
+          |      pre-hook:
+          |        - "create or replace temp view hk2_a as select 1 as v"
+          |        - "create or replace temp view hk2_b as select v + 1 as v from hk2_a"
+          |""".stripMargin,
+      // inline hook runs AFTER the patch hooks (outer→inner), so it can
+      // read hk2_b; the model then reads the inline hook's view
+      "models/m1.sql" ->
+        ("""{{ config(pre_hook="create or replace temp view hk2_c as select v + 1 as v from hk2_b") }}""" +
+          "\nselect v from hk2_c"))
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    val out = runner.run()
+    assert(out("model.hk2.m1").collect().map(_.getInt(0)).toSeq == Seq(3))
+    Seq("hk2_a", "hk2_b", "hk2_c").foreach(spark.catalog.dropTempView)
+  }
+
+  test("hooks: a failing post-hook fails the node and skips its descendants") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: hk3\n",
+      "models/bad.sql" ->
+        ("""{{ config(post_hook="select * from hk3_no_such_view") }}""" +
+          "\nselect 1 as id"),
+      "models/child.sql" -> "select id from {{ ref('bad') }}")
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    val (_, status) = runner.runWithStatus()
+    assert(status("model.hk3.bad") == "error", status.toString)
+    assert(status("model.hk3.child") == "skipped", status.toString)
+  }
+
+  test("project hooks: on-run-start precedes all nodes; on-run-end sees {{ results }}") {
+    val proj = Map(
+      "dbt_project.yml" ->
+        """name: hk4
+          |on-run-start: "create or replace temp view hk4_start as select 7 as v"
+          |on-run-end:
+          |  - "create or replace temp view hk4_end as select '{{ results }}' as r"
+          |""".stripMargin,
+      // only runnable if the start hook already created hk4_start
+      "models/m1.sql" -> "select v from hk4_start")
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    val (_, status) = runner.runWithStatus()
+    assert(status("model.hk4.m1") == "success")
+    val r = spark.table("hk4_end").collect().head.getString(0)
+    assert(r == "model.hk4.m1=success", r)
+    Seq("hk4_start", "hk4_end").foreach(spark.catalog.dropTempView)
+  }
+
+  test("project hooks: on-run-end reports error statuses too (continue-on-error)") {
+    val proj = Map(
+      "dbt_project.yml" ->
+        """name: hk5
+          |on-run-end: "create or replace temp view hk5_end as select '{{ results }}' as r"
+          |""".stripMargin,
+      "models/bad.sql" -> "select * from hk5_no_such_view",
+      "models/ok.sql" -> "select 1 as id")
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    val (_, status) = runner.runWithStatus()
+    assert(status("model.hk5.bad") == "error")
+    val r = spark.table("hk5_end").collect().head.getString(0)
+    assert(r == "model.hk5.bad=error,model.hk5.ok=success", r)
+    spark.catalog.dropTempView("hk5_end")
+  }
+
+  test("hooks: ephemeral models never run hooks") {
+    var hooks = Vector.empty[String]
+    val proj = Map(
+      "dbt_project.yml" -> "name: hk6\n",
+      "models/eph.sql" ->
+        ("""{{ config(materialized='ephemeral', pre_hook="select * from hk6_missing") }}""" +
+          "\nselect 1 as id"),
+      "models/m.sql" -> "select id from {{ ref('eph') }}")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val runner = new Runner(spark, manifest, cfg,
+      Files.createTempDirectory("graft_wh_hk6"), enforceAccess = false,
+      onHookRun = h => hooks :+= h)
+    val (_, status) = runner.runWithStatus()
+    // the pre-hook would throw if it ran; ephemeral skips it entirely
+    assert(status.values.forall(_ == "success"), status.toString)
+    assert(hooks.isEmpty, hooks.toString)
+  }
 }
