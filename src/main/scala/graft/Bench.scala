@@ -7,7 +7,18 @@ import org.apache.spark.sql.SparkSession
   * a bare count lets Catalyst prune away the very columns being benchmarked.
   */
 object Bench {
+  /** 1-minute system load average (−1 where unsupported) — recorded at
+    * sweep start and end so every bench artifact carries its own drift
+    * disclaimer: absolute totals on this class of VM swing ±50% with
+    * host load (CLAUDE.md; the round-12 driver window read 16% worse
+    * than the settled pair with ZERO code change). Compare totals only
+    * between runs whose load fields are both near-idle. */
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -131,8 +142,11 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // machine-state stamp: 1-min loadavg at sweep start/end (see loadAvg)
+    val machine =
+      s""""load_start":${num(loadStart)},"load_end":${num(loadAvg)}"""
     val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min",$machine,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     // The round harness keeps only the LAST ~2000 chars of combined
     // stdout/stderr (observed in BENCH_r01–r06: every artifact stored a
     // mid-line tail fragment, parsed:null — the full per-query map has
@@ -141,7 +155,10 @@ object Bench {
     // informative ones), capped so line + sbt's trailing "[success]"
     // banner stay inside the window. The complete map is persisted to
     // BENCH_LOCAL.json (committed evidence) either way.
-    val budget = 1500
+    // 1450, not 1500: the load_start/load_end stamp joined the fixed
+    // fields, and the whole line must keep clearing the harness's
+    // ~2000-char tail window
+    val budget = 1450
     val ordered = results.filterNot(_._3) ++
       results.filter(_._3).sortBy(-_._2) // failed first, then slowest
     val kept = new StringBuilder
@@ -168,7 +185,7 @@ object Bench {
     }
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val stdoutJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min","n_queries":${results.size},"queries":{$kept},"queries_omitted":$omitted,"queries_full":"$benchOut","failed":[$failedKept],"failed_omitted":$failedOmitted,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min",$machine,"n_queries":${results.size},"queries":{$kept},"queries_omitted":$omitted,"queries_full":"$benchOut","failed":[$failedKept],"failed_omitted":$failedOmitted,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(benchOut), json + "\n")
     catch { case e: Throwable =>

@@ -179,7 +179,9 @@ object Main {
       results.toSeq.sortBy(_._1).foreach { case (tid, (st, v)) =>
         println(st match {
           case "pass" => s"PASS $tid"
-          case "fail" => s"FAIL $tid ($v violations)"
+          // v < 0: no violation count applies (unit tests diff rows)
+          case "fail" if v >= 0 => s"FAIL $tid ($v violations)"
+          case "fail" => s"FAIL $tid"
           case "skipped" => s"SKIP $tid (model not built)"
           case _ => s"ERROR $tid"
         })
@@ -364,14 +366,22 @@ object Main {
         // --select scopes the tests (dbt: tests attached to selected
         // nodes, plus directly selected tests); the DAG still
         // materializes in full so every test's relations exist
-        val results = runner.runTestsDetailed(
-          if (!selectionActive) None else Some(selection(m)), mStatus)
-        printTestResults(results)
+        val tSel = if (!selectionActive) None else Some(selection(m))
+        val results = runner.runTestsDetailed(tSel, mStatus)
+        // dbt 1.8: `dbt test` runs unit tests alongside data tests
+        val uResults = runner.runUnitTests(tSel, mStatus)
+        printTestResults(results ++
+          uResults.map { case (uid, (st, d)) =>
+            uid -> (st, -1L) })
+        uResults.toSeq.sorted.collect { case (uid, ("fail" | "error", d)) =>
+          println(s"  $uid: $d") }
         graft.core.parse.RunResultsJson.write(
           root.resolve("target").resolve("run_results.json"),
           (results.toSeq.map { case (tid, (st, _)) => tid -> st } ++
+            uResults.toSeq.map { case (uid, (st, _)) => uid -> st } ++
             mStatus.toSeq.filter(_._2 != "success")).sorted)
-        if (results.values.exists(r => r._1 == "fail" || r._1 == "error") ||
+        if ((results.values.map(_._1) ++ uResults.values.map(_._1))
+            .exists(s => s == "fail" || s == "error") ||
           mStatus.values.exists(_ == "error")) return 1
 
       case "build" =>
@@ -405,17 +415,25 @@ object Main {
         // NOT run the parents' other tests. Tests whose model errored or
         // was skipped this invocation record `skipped` (not a crash on
         // the never-materialized relation).
-        val results = runner.runTestsDetailed(
-          // status.keySet, not ran.keySet: an errored/skipped model is
-          // still in scope so its tests REPORT as skipped instead of
-          // silently vanishing from the artifact
-          Some(sel0.getOrElse(status.keySet)), status)
-        printTestResults(results, ran = Some(ran.size))
-        val nBad = results.values.count(r => r._1 == "fail" || r._1 == "error")
+        // status.keySet, not ran.keySet: an errored/skipped model is
+        // still in scope so its tests REPORT as skipped instead of
+        // silently vanishing from the artifact
+        val buildScope = Some(sel0.getOrElse(status.keySet))
+        val results = runner.runTestsDetailed(buildScope, status)
+        // dbt build includes unit tests of the built models
+        val uResults = runner.runUnitTests(buildScope, status)
+        printTestResults(results ++
+          uResults.map { case (uid, (st, _)) => uid -> (st, -1L) },
+          ran = Some(ran.size))
+        uResults.toSeq.sorted.collect { case (uid, ("fail" | "error", d)) =>
+          println(s"  $uid: $d") }
+        val nBad = (results.values.map(_._1) ++ uResults.values.map(_._1))
+          .count(s => s == "fail" || s == "error")
         graft.core.parse.RunResultsJson.write(
           root.resolve("target").resolve("run_results.json"),
           (status.toSeq ++
-            results.toSeq.map { case (tid, (st, _)) => tid -> st }).sorted)
+            results.toSeq.map { case (tid, (st, _)) => tid -> st } ++
+            uResults.toSeq.map { case (uid, (st, _)) => uid -> st }).sorted)
         if (nBad > 0 || status.values.exists(_ == "error")) return 1
 
       case "compile" =>

@@ -173,6 +173,28 @@ final case class TestNode(
     column: Option[String] = None,
     config: YMap = YMap.empty) extends Resource
 
+/** One `given:` fixture of a dbt 1.8 unit test: the input it replaces
+  * (a bare `ref('x')` / `source('s', 't')` string, dbt's spelling) and
+  * its fixture rows (each a column→value map; unlisted columns read as
+  * NULL of the input's real type). */
+final case class UnitTestGiven(input: String, rows: Vector[YMap])
+
+/** dbt 1.8 `unit_tests:` block: run `model` against `given` fixtures and
+  * diff the output against `expect` rows, exactly. Declared in
+  * properties YAML (newer than the reference, which predates dbt 1.8 —
+  * parity item for graft as the runner). */
+final case class UnitTestNode(
+    uniqueId: String,
+    name: String,
+    packageName: String,
+    filePath: String,
+    /** the tested model's NAME (dbt's `model:` key). */
+    model: String,
+    given: Vector[UnitTestGiven] = Vector.empty,
+    expect: Vector[YMap] = Vector.empty,
+    dependsOn: DependsOn = DependsOn(),
+    config: YMap = YMap.empty) extends Resource
+
 /** The typed bag of project resources keyed by unique_id, plus the
   * adjacency maps the graph operators consume (`dbt_projects.py:92-95`). */
 final case class Manifest(
@@ -185,11 +207,12 @@ final case class Manifest(
     semanticModels: Map[String, SemanticModel] = Map.empty,
     groups: Map[String, GroupNode] = Map.empty,
     tests: Map[String, TestNode] = Map.empty,
-    metrics: Map[String, MetricNode] = Map.empty) {
+    metrics: Map[String, MetricNode] = Map.empty,
+    unitTests: Map[String, UnitTestNode] = Map.empty) {
 
   def allResources: Map[String, Resource] =
     nodes ++ sources ++ macros ++ docs ++ exposures ++ semanticModels ++
-      groups ++ tests ++ metrics
+      groups ++ tests ++ metrics ++ unitTests
 
   /** All depends_on edges (child -> parents). Tests and exposures and
     * semantic models have node deps; models have node + macro deps. */
@@ -199,8 +222,9 @@ final case class Manifest(
     val fromExp = exposures.view.mapValues(_.dependsOn.nodes.toSet)
     val fromSem = semanticModels.view.mapValues(_.dependsOn.nodes.toSet)
     val fromMet = metrics.view.mapValues(_.dependsOn.nodes.toSet)
-    (fromModels ++ fromTests ++ fromExp ++ fromSem ++ fromMet).toMap
-      .withDefaultValue(Set.empty)
+    val fromUnit = unitTests.view.mapValues(_.dependsOn.nodes.toSet)
+    (fromModels ++ fromTests ++ fromExp ++ fromSem ++ fromMet ++ fromUnit)
+      .toMap.withDefaultValue(Set.empty)
   }
 
   /** Inverted adjacency (parent -> children), built once (A3). */

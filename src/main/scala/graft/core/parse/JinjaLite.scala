@@ -51,6 +51,12 @@ object JinjaLite {
   private val bareSourceRe: Regex =
     """source\s*\(\s*['"]([A-Za-z0-9_.\-]+)['"]\s*,\s*['"]([A-Za-z0-9_.\-]+)['"]\s*\)""".r
 
+  /** Bare `source('s', 't')` strings (no `{{ }}`) — unit-test `given:`
+    * inputs use this form, like exposure depends_on uses bare refs. */
+  def findBareSources(text: String): Vector[SourceCall] =
+    bareSourceRe.findAllMatchIn(text)
+      .map(m => SourceCall(m.group(1), m.group(2))).toVector
+
   def findSources(code: String): Vector[SourceCall] =
     sourceRe.findAllMatchIn(code).map(m => SourceCall(m.group(1), m.group(2))).toVector
 

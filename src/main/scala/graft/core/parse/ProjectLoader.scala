@@ -164,6 +164,7 @@ object ProjectLoader {
     var metrics = Map.empty[String, MetricNode]
     var modelPatches = Map.empty[String, (String, YMap)] // model name -> (patch path, entry)
     var seedPatches = Map.empty[String, (String, YMap)] // seed name -> (patch path, entry)
+    var unitTests = Map.empty[String, UnitTestNode]
 
     ymlFiles.foreach { p =>
       val rel = root.relativize(p).toString
@@ -262,6 +263,38 @@ object ProjectLoader {
       }
       doc.get("seeds").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
         case m: YMap => seedPatches += m("name").asStr -> (rel, m)
+        case _ =>
+      }
+      // dbt 1.8 `unit_tests:` blocks — given/expect fixtures the Runner
+      // executes against temp-view stand-ins (Runner.runUnitTests). Only
+      // the dict row format is supported; csv/sql fixture formats fail
+      // loudly here rather than silently yielding wrong comparisons.
+      doc.get("unit_tests").collect { case YList(items) => items }.getOrElse(Vector.empty).foreach {
+        case ut: YMap =>
+          val n = ut("name").asStr
+          val modelName = ut("model").asStr
+          def rowsOf(m: YMap, what: String): Vector[YMap] = {
+            m.get("format").map(_.asStr).filter(_ != "dict").foreach { f =>
+              throw new IllegalArgumentException(
+                s"unit test $n: unsupported $what format '$f' (only dict rows)")
+            }
+            m.get("rows").collect { case YList(rs) => rs.collect {
+              case r: YMap => r } }.getOrElse(Vector.empty)
+          }
+          val given = ut.get("given").collect { case YList(gs) => gs.collect {
+            case g: YMap => UnitTestGiven(g("input").asStr, rowsOf(g, "given"))
+          } }.getOrElse(Vector.empty)
+          val expect = ut.get("expect").collect { case e: YMap =>
+            rowsOf(e, "expect") }.getOrElse(Vector.empty)
+          val id = s"unit_test.$proj.$n"
+          // depends on the tested model (selection graph: model+ pulls
+          // its unit tests); given-inputs are REPLACED by fixtures at run
+          // time, so they are not execution dependencies
+          unitTests += id -> UnitTestNode(id, n, proj, rel, modelName,
+            given, expect,
+            DependsOn(nodes = Vector(s"model.$proj.$modelName")),
+            config = ut.get("config").collect { case c: YMap => c }
+              .getOrElse(YMap.empty))
         case _ =>
       }
     }
@@ -499,7 +532,7 @@ object ProjectLoader {
     val pkgMacros = pkgManifests.flatMap(_.macros).toMap
     Manifest(proj, pkgNodes ++ nodes, pkgSources ++ sources,
       pkgMacros ++ macros, docs, exposures, semanticModels,
-      groups, tests, metrics)
+      groups, tests, metrics, unitTests)
   }
 
   private def baseName(p: Path): String = {

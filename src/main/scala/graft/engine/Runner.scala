@@ -132,28 +132,35 @@ final class Runner(
       isIncremental: Boolean = false): String =
     JinjaLite.render(
       code,
-      resolveRef = rc =>
-        if (rc.project.forall(_ == manifest.projectName))
-          deferTargets.getOrElse(rc.name, refView(rc))
-        else refView(rc),
-      resolveSource = sc => {
-        val src = manifest.sources.values
-          .find(s => s.sourceName == sc.sourceName && s.name == sc.table)
-          .getOrElse(throw new IllegalArgumentException(
-            s"unknown source ${sc.sourceName}.${sc.table} in $where"))
-        // a same-project seed with the source table's name materializes it
-        // in-session (the jaffle pattern: seeds stand in for raw tables);
-        // an `external:` source registers its file read; otherwise the
-        // configured resolver (default: raw table name)
-        val seedId = s"seed.${manifest.projectName}.${src.name}"
-        if (manifest.nodes.contains(seedId)) viewName(src.name)
-        else if (src.external.isDefined) externalView(src)
-        else sourceView(src)
-      },
+      resolveRef = refResolver,
+      resolveSource = sourceResolver(where),
       vars = vars ++ extraVars,
       thisRelation = thisRel,
       macros = macroDefs,
       isIncremental = isIncremental)
+
+  /** The canonical ref() resolution every rendered SQL string uses. */
+  private def refResolver: JinjaLite.RefCall => String = rc =>
+    if (rc.project.forall(_ == manifest.projectName))
+      deferTargets.getOrElse(rc.name, refView(rc))
+    else refView(rc)
+
+  /** The canonical source() resolution: a same-project seed with the
+    * source table's name materializes it in-session (the jaffle pattern:
+    * seeds stand in for raw tables); an `external:` source registers its
+    * file read; otherwise the configured resolver (default: raw table
+    * name). */
+  private def sourceResolver(where: String): JinjaLite.SourceCall => String =
+    sc => {
+      val src = manifest.sources.values
+        .find(s => s.sourceName == sc.sourceName && s.name == sc.table)
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown source ${sc.sourceName}.${sc.table} in $where"))
+      val seedId = s"seed.${manifest.projectName}.${src.name}"
+      if (manifest.nodes.contains(seedId)) viewName(src.name)
+      else if (src.external.isDefined) externalView(src)
+      else sourceView(src)
+    }
 
   // ------------------------------------------------------------- hooks
   /** dbt's hook surface (the reference's own source-hack fixture declares
@@ -464,6 +471,17 @@ final class Runner(
       else None
     }
     val out = m.materialized match {
+      // Ephemeral lowers to a session TEMP VIEW rather than dbt's CTE
+      // inlining — semantically equivalent on Spark: a temp view is a
+      // named LAZY logical plan, so referencing models splice the
+      // ephemeral's plan into their own exactly where dbt would splice
+      // CTE text, Catalyst optimizes across the boundary identically
+      // (filter/projection pushdown through views is unrestricted), and
+      // nothing materializes. What differs is only NAME SCOPING: dbt's
+      // inlined CTE is invisible outside the consuming model, while the
+      // session view is visible session-wide under viewName() — the
+      // same visibility every other materialization gets here, and
+      // access control still guards cross-group reads.
       case "view" | "ephemeral" => execSql(m, isIncremental = false)
       case "table" =>
         cached.getOrElse(persist(m, execSql(m, isIncremental = false)))
@@ -1075,6 +1093,170 @@ final class Runner(
     * test id (0 = pass), mirroring dbt test semantics (SURVEY §2.F). */
   def runTests(onModels: Option[Set[String]] = None): Map[String, Long] =
     testsInScope(onModels).map { case (tid, t) => tid -> runOneTest(tid, t) }
+
+  // -------------------------------------------------------- unit tests
+  /** dbt 1.8 `unit_tests:` execution: render the tested model with each
+    * `given:` input swapped for a fixture temp view, run the SQL, and
+    * diff the output against `expect:` EXACTLY on the expect rows'
+    * column set (dbt compares only the columns you list). Returns
+    * uniqueId → (status, detail): `pass`; `fail` with a row diff;
+    * `skipped` when `modelStatus` says the tested model errored/was
+    * skipped this invocation; `error` for resolution/config problems.
+    *
+    * Fixture typing: when the REAL input relation resolves in this
+    * session (the normal case — test/build materialize the DAG first),
+    * fixture rows are cast to its schema and unlisted columns become
+    * typed NULLs (dbt's semantics). Otherwise types are inferred from
+    * the fixture literals (int→bigint, float→double, bool, else
+    * string). Inputs with no `given:` entry read the real relation.
+    * Scalar column types only — array/struct fixture literals are not
+    * castable from strings and fail loudly. */
+  def runUnitTests(selected: Option[Set[String]] = None,
+      modelStatus: Map[String, String] = Map.empty)
+      : Map[String, (String, String)] =
+    manifest.unitTests
+      .filter { case (uid, ut) => selected.forall(sel =>
+        sel(uid) || ut.dependsOn.nodes.exists(sel)) }
+      .map { case (uid, ut) =>
+        val blocked = ut.dependsOn.nodes.exists(d =>
+          modelStatus.get(d).exists(s => s == "error" || s == "skipped"))
+        uid -> {
+          if (blocked) ("skipped", "model not built")
+          else
+            try runOneUnitTest(ut)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                ("error", Option(e.getMessage).getOrElse(e.toString))
+            }
+        }
+      }
+
+  /** The session view a `given:` input string stands for. */
+  private def inputView(input: String, utName: String): String = {
+    val refs = JinjaLite.findBareRefs(input)
+    val srcs = JinjaLite.findBareSources(input)
+    if (refs.nonEmpty) refResolver(refs.head)
+    else if (srcs.nonEmpty) sourceResolver(s"unit test $utName")(srcs.head)
+    else throw new IllegalArgumentException(
+      s"unit test $utName: given input '$input' is neither ref() nor source()")
+  }
+
+  /** Build one fixture frame: provided values parse as strings and cast
+    * to the target column types; unlisted target columns become typed
+    * NULLs. */
+  private def fixtureFrame(target: String,
+      rows: Vector[graft.core.yaml.YMap]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.core.yaml.{YBool, YDbl, YInt}
+    val realSchema: Option[StructType] =
+      if (scala.util.Try(spark.catalog.tableExists(target)).getOrElse(false))
+        Some(spark.table(target).schema)
+      else None
+    val schema = realSchema.getOrElse {
+      // no live relation: infer each provided column's type from its
+      // first non-null literal
+      val cols = rows.flatMap(_.entries.map(_._1)).distinct
+      StructType(cols.map { c =>
+        val t = rows.iterator.flatMap(_.get(c)).collectFirst {
+          case YInt(_) => LongType
+          case YDbl(_) => DoubleType
+          case YBool(_) => BooleanType
+        }.getOrElse(StringType)
+        StructField(c, t)
+      })
+    }
+    fixtureFrameFrom(schema, rows)
+  }
+
+  private def runOneUnitTest(ut: graft.core.model.UnitTestNode)
+      : (String, String) = {
+    val m = manifest.nodes.values
+      .find(n => n.name == ut.model && n.uniqueId.startsWith("model."))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unit test ${ut.name}: unknown model '${ut.model}'"))
+    if (m.language != "sql") throw new UnsupportedOperationException(
+      s"unit test ${ut.name}: only SQL models are unit-testable")
+    // given inputs → uniquely named fixture views; the model renders with
+    // resolvers that substitute them, so NO shared session view mutates
+    // (concurrent runs on this session stay correct)
+    val fixtures: Map[String, String] = ut.given.zipWithIndex.map {
+      case (g, i) =>
+        val target = inputView(g.input, ut.name)
+        val fix = s"__graft_ut_${ut.name}_$i"
+        fixtureFrame(target, g.rows).createOrReplaceTempView(fix)
+        target -> fix
+    }.toMap
+    try {
+      val where = s"unit test ${ut.name}"
+      val sql = JinjaLite.render(m.rawCode,
+        resolveRef = rc => { val v = refResolver(rc); fixtures.getOrElse(v, v) },
+        resolveSource = sc => {
+          val v = sourceResolver(where)(sc); fixtures.getOrElse(v, v) },
+        vars = vars,
+        thisRelation = Some(viewName(m.name)),
+        macros = macroDefs,
+        isIncremental = false)
+      val actual = spark.sql(sql)
+      val expectCols = ut.expect.flatMap(_.entries.map(_._1)).distinct
+      val missing = expectCols.filterNot(actual.columns.contains)
+      if (missing.nonEmpty) throw new IllegalArgumentException(
+        s"unit test ${ut.name}: expect column(s) ${missing.mkString(", ")} " +
+          s"not produced by ${ut.model} (has: ${actual.columns.mkString(", ")})")
+      if (expectCols.isEmpty && ut.expect.nonEmpty)
+        throw new IllegalArgumentException(
+          s"unit test ${ut.name}: expect rows carry no columns")
+      if (ut.expect.isEmpty) {
+        // expect: {rows: []} — the model must produce ZERO rows
+        val n = actual.count()
+        return (if (n == 0) ("pass", "")
+                else ("fail", s"expected 0 rows, got $n"))
+      }
+      // compare EXACTLY, as value strings of the model's own output types
+      // (expected literals cast to those types first, so 1 == 1.0 when
+      // the column is double — dbt type-coerces fixture literals too)
+      val proj: Seq[org.apache.spark.sql.Column] =
+        expectCols.map(c => col(c).cast("string").as(c))
+      def key(r: org.apache.spark.sql.Row): String =
+        (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "␀" else r.getString(i)).mkString("|")
+      val actualRows = actual.select(proj: _*).collect().toSeq.map(key)
+      val expSchema = org.apache.spark.sql.types.StructType(
+        expectCols.map(c => actual.schema(c).copy(name = c)))
+      val expectedRows = fixtureFrameFrom(expSchema, ut.expect)
+        .select(proj: _*).collect().toSeq.map(key)
+      if (actualRows.sorted == expectedRows.sorted) ("pass", "")
+      else {
+        val a = actualRows.groupBy(identity).view.mapValues(_.size).toMap
+        val e = expectedRows.groupBy(identity).view.mapValues(_.size).toMap
+        val onlyA = actualRows.filter(r => a(r) > e.getOrElse(r, 0)).distinct
+        val onlyE = expectedRows.filter(r => e(r) > a.getOrElse(r, 0)).distinct
+        ("fail",
+          s"rows differ on (${expectCols.mkString(", ")}) — " +
+            s"unexpected: [${onlyA.take(5).mkString("; ")}] " +
+            s"missing: [${onlyE.take(5).mkString("; ")}]")
+      }
+    } finally
+      fixtures.values.foreach(spark.catalog.dropTempView(_))
+  }
+
+  /** [[fixtureFrame]] against an explicit schema (the expect compare). */
+  private def fixtureFrameFrom(schema: org.apache.spark.sql.types.StructType,
+      rows: Vector[graft.core.yaml.YMap]): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.core.yaml.YNull
+    val strSchema = StructType(schema.map(f => f.copy(dataType = StringType,
+      nullable = true)))
+    val data = rows.map { r =>
+      org.apache.spark.sql.Row.fromSeq(schema.map(f =>
+        r.get(f.name) match {
+          case None | Some(YNull) => null
+          case Some(y) => y.asStr
+        }))
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1), strSchema)
+      .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
 
   /** dbt-faithful test execution for the CLI: per-test terminal status
     * instead of propagate-first-exception. A test whose model dependency

@@ -476,10 +476,25 @@ object Streams {
             unhex(md5(coalesce($"text", lit("")).cast(BinaryType))).as("h")),
           eager = true)
         val hist = readIfPresent(s, indexPath) match {
-          case None => s.emptyDataset[String].toDF("h")
-          case Some(ix) => ix
-            .filter(!($"run_id" === runId && $"batch_id" === batchId))
-            .select($"h").distinct()
+          // Array[Byte], not String: the empty fallback must carry the
+          // SAME BinaryType column the populated index has, or the very
+          // first batch's semi-join plans string-vs-binary
+          case None => s.emptyDataset[Array[Byte]].toDF("h")
+          case Some(ix) =>
+            // index-format guard: pre-binary indexes stored h as a
+            // 32-char hex STRING. Joining those against binary digests
+            // would match nothing and silently re-admit every historical
+            // duplicate — fail loudly instead (delete the index or
+            // migrate it with unhex(h) to keep its history).
+            val ht = ix.schema("h").dataType
+            if (ht != org.apache.spark.sql.types.BinaryType)
+              throw new IllegalStateException(
+                s"funnel index at $indexPath stores 'h' as $ht, but this " +
+                  "version writes 16-byte binary digests (unhex(md5)). " +
+                  "Migrate the index (select unhex(h) as h, run_id, " +
+                  "batch_id) or delete it to rebuild history.")
+            ix.filter(!($"run_id" === runId && $"batch_id" === batchId))
+              .select($"h").distinct()
         }
         val histDup = hashed.join(hist, Seq("h"), "left_semi").select($"doc_id")
         val owners = hashed.groupBy($"h").agg(min($"doc_id").as("owner"))

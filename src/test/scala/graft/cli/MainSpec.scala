@@ -428,6 +428,57 @@ class MainSpec extends AnyFunSuite {
     assert(out2.toString.contains("nothing to retry"), out2.toString)
   }
 
+  test("unit tests ride test/build and the selection grammar") {
+    val files = Map(
+      "dbt_project.yml" -> "name: un\n",
+      "models/base.sql" -> "select 1 as id, 'a@b.c' as email",
+      "models/flags.sql" ->
+        ("select id, case when email like '%@%' then true else false end " +
+          "as ok from {{ ref('base') }}"),
+      "models/_unit.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: flag_logic
+          |    model: flags
+          |    given:
+          |      - input: ref('base')
+          |        rows:
+          |          - {id: 1, email: good@x.y}
+          |          - {id: 2, email: bad}
+          |    expect:
+          |      rows:
+          |        - {id: 1, ok: true}
+          |        - {id: 2, ok: false}
+          |""".stripMargin)
+    val root = writeProject(files)
+    // ls: the dbt vocabulary selects the unit test as a resource
+    val ls = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(ls)) {
+      Main.run(Array("ls", "--select", "resource_type:unit_test",
+        "--project-dir", root.toString))
+    }
+    assert(ls.toString.trim == "unit_test.un.flag_logic", ls.toString)
+    // test command runs it
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("test", "--project-dir", root.toString))
+    }
+    assert(code == 0, out.toString)
+    assert(out.toString.contains("PASS unit_test.un.flag_logic"), out.toString)
+    // build includes it and a failing expectation fails the build
+    val broken = writeProject(files.updated("models/_unit.yml",
+      files("models/_unit.yml").replace("ok: false", "ok: true")))
+    val out2 = new java.io.ByteArrayOutputStream()
+    val code2 = Console.withOut(new java.io.PrintStream(out2)) {
+      Main.run(Array("build", "--project-dir", broken.toString))
+    }
+    assert(code2 == 1, out2.toString)
+    assert(out2.toString.contains("FAIL unit_test.un.flag_logic"), out2.toString)
+    val rs = graft.core.parse.RunResultsJson.load(
+      broken.resolve("target").resolve("run_results.json"))
+    assert(rs("unit_test.un.flag_logic") == "fail", rs.toString)
+  }
+
   test("compile renders selected models to target/compiled without executing") {
     val root = writeProject(Map(
       "dbt_project.yml" -> "name: cp\nvars:\n  cutoff: '2099'\n",

@@ -1154,6 +1154,105 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.dropTempView("hk5_end")
   }
 
+  test("unit tests: given/expect fixtures pass, fail with a row diff, and mock sources") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: ut\n",
+      "models/_src.yml" ->
+        """version: 2
+          |sources:
+          |  - name: raw
+          |    tables:
+          |      - name: raw_emails
+          |""".stripMargin,
+      "models/stg_emails.sql" ->
+        "select id, email from {{ source('raw', 'raw_emails') }}",
+      "models/dim_emails.sql" ->
+        """select id, email,
+          |  case when email like '%@%' then true else false end as is_valid
+          |from {{ ref('stg_emails') }}""".stripMargin,
+      "models/_unit.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: valid_email_flags
+          |    model: dim_emails
+          |    given:
+          |      - input: ref('stg_emails')
+          |        rows:
+          |          - {id: 1, email: ok@example.com}
+          |          - {id: 2, email: broken-at-example.com}
+          |    expect:
+          |      rows:
+          |        - {id: 1, is_valid: true}
+          |        - {id: 2, is_valid: false}
+          |  - name: wrong_expectation
+          |    model: dim_emails
+          |    given:
+          |      - input: ref('stg_emails')
+          |        rows:
+          |          - {id: 1, email: ok@example.com}
+          |    expect:
+          |      rows:
+          |        - {id: 1, is_valid: false}
+          |  - name: source_fixture
+          |    model: stg_emails
+          |    given:
+          |      - input: source('raw', 'raw_emails')
+          |        rows:
+          |          - {id: 9, email: via@source.fixture}
+          |    expect:
+          |      rows:
+          |        - {id: 9, email: via@source.fixture}
+          |""".stripMargin)
+    val s = spark
+    import s.implicits._
+    Seq((100L, "real@row.com")).toDF("id", "email")
+      .createOrReplaceTempView("raw_emails")
+    val root = writeProject(proj)
+    val (runner, manifest) = mkRunner(root, enforceAccess = false)
+    assert(manifest.unitTests.keySet == Set(
+      "unit_test.ut.valid_email_flags", "unit_test.ut.wrong_expectation",
+      "unit_test.ut.source_fixture"))
+    runner.run()
+    val res = runner.runUnitTests()
+    assert(res("unit_test.ut.valid_email_flags") == ("pass", ""), res.toString)
+    val (st, diff) = res("unit_test.ut.wrong_expectation")
+    assert(st == "fail", res.toString)
+    // the diff names both sides of the mismatch
+    assert(diff.contains("unexpected") && diff.contains("missing"), diff)
+    assert(res("unit_test.ut.source_fixture") == ("pass", ""), res.toString)
+    // fixtures replaced the inputs ONLY inside the unit test: the real
+    // model output still derives from the real source rows
+    assert(runner.runModel(manifest.nodes("model.ut.dim_emails"))
+      .collect().map(_.getLong(0)).toSeq == Seq(100L))
+  }
+
+  test("unit tests: unlisted fixture columns become typed NULLs of the real schema") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: ut2\n",
+      "models/base.sql" ->
+        "select 1 as id, cast(2.5 as double) as score, 'x' as tag",
+      "models/top.sql" ->
+        "select id, coalesce(score, 0.0) as score2, tag from {{ ref('base') }}",
+      "models/_unit.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: null_fill
+          |    model: top
+          |    given:
+          |      - input: ref('base')
+          |        rows:
+          |          - {id: 7}
+          |    expect:
+          |      rows:
+          |        - {id: 7, score2: 0.0, tag: null}
+          |""".stripMargin)
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    runner.run()
+    val res = runner.runUnitTests()
+    assert(res("unit_test.ut2.null_fill") == ("pass", ""), res.toString)
+  }
+
   test("hooks: ephemeral models never run hooks") {
     var hooks = Vector.empty[String]
     val proj = Map(

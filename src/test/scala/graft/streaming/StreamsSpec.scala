@@ -1089,6 +1089,32 @@ class StreamsSpec extends AnyFunSuite with SparkFixture {
     assert(summed() == Map("a" -> ((3L, 2L, 2L)), "b" -> ((3L, 1L, 0L))))
   }
 
+  test("funnelIngest: a pre-binary (hex string) index fails loudly, not silently readmits") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val base = Files.createTempDirectory("graft_funnel_fmt")
+    // an index written by the old hex-string format: same layout, h: string
+    Seq(("d41d8cd98f00b204e9800998ecf8427e", "legacy", 0L))
+      .toDF("h", "run_id", "batch_id")
+      .write.partitionBy("run_id", "batch_id")
+      .parquet(base.resolve("index").toString)
+    val evalGrams = Streams.evalGramsOf(Seq("held out eval").toDF("text"))
+    val in = MemoryStream[(Long, String, String)]
+    in.addData((1L, "a", "some doc"))
+    val q = Streams.funnelIngest(in.toDF().toDF("doc_id", "source", "text"),
+      evalGrams, base.resolve("counters").toString,
+      base.resolve("index").toString, base.resolve("ckpt").toString)
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        { q.processAllAvailable(); q.awaitTermination(10000) })
+      def hasGuard(t: Throwable): Boolean = t != null &&
+        (Option(t.getMessage).exists(_.contains("binary digests")) ||
+          hasGuard(t.getCause))
+      assert(hasGuard(e), s"expected the index-format guard, got $e")
+    } finally q.stop()
+  }
+
   test("anomalyIngest: scored closed hours match batch q43 (kappa)") {
     val s = spark
     import s.implicits._
