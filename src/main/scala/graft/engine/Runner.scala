@@ -1179,10 +1179,14 @@ final class Runner(
     // given inputs → uniquely named fixture views; the model renders with
     // resolvers that substitute them, so NO shared session view mutates
     // (concurrent runs on this session stay correct)
+    // view-safe name: YAML allows unit-test names Spark identifiers
+    // don't (dashes, dots) — sanitized here so such a test still RUNS
+    // instead of erroring on view creation
+    val safe = ut.name.replaceAll("[^A-Za-z0-9_]", "_")
     val fixtures: Map[String, String] = ut.given.zipWithIndex.map {
       case (g, i) =>
         val target = inputView(g.input, ut.name)
-        val fix = s"__graft_ut_${ut.name}_$i"
+        val fix = s"__graft_ut_${safe}_$i"
         fixtureFrame(target, g.rows).createOrReplaceTempView(fix)
         target -> fix
     }.toMap

@@ -1253,6 +1253,31 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(res("unit_test.ut2.null_fill") == ("pass", ""), res.toString)
   }
 
+  test("unit tests: a dashed YAML name still runs (fixture views sanitize)") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: ut3\n",
+      "models/base.sql" -> "select 1 as id",
+      "models/top.sql" -> "select id from {{ ref('base') }}",
+      "models/_unit.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: dashed-name.check
+          |    model: top
+          |    given:
+          |      - input: ref('base')
+          |        rows:
+          |          - {id: 42}
+          |    expect:
+          |      rows:
+          |        - {id: 42}
+          |""".stripMargin)
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    runner.run()
+    val res = runner.runUnitTests()
+    assert(res("unit_test.ut3.dashed-name.check") == ("pass", ""), res.toString)
+  }
+
   test("hooks: ephemeral models never run hooks") {
     var hooks = Vector.empty[String]
     val proj = Map(
