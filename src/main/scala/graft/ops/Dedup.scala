@@ -113,20 +113,32 @@ object Dedup {
   /** Pre-checkpoint pair-count build: posting lists explode narrowly into
     * co-occurring (da ≤ db) pairs and ONE hash aggregation counts them —
     * diagonal rows included (they carry the pruned set sizes, see
-    * [[pairStats]]). Exposed for the plan audit. */
-  private[graft] def pairCounts(docsArr: DataFrame, tau: Long): DataFrame = {
+    * [[pairStats]]). Exposed for the plan audit.
+    *
+    * `crossParityOnly`: restrict off-diagonal pairs to mixed doc_id
+    * parity AT GENERATION (the filter runs map-side, inside the
+    * explode) — for the history-vs-batch probe shape (d26) where
+    * same-parity pairs are discarded downstream anyway, this halves
+    * both the pair shuffle and the aggregation key space. Diagonal
+    * rows always survive (they carry the sizes). */
+  private[graft] def pairCounts(docsArr: DataFrame, tau: Long,
+      crossParityOnly: Boolean = false): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
+    val keep =
+      if (crossParityOnly) $"da" === $"db" || ($"da" % 2 =!= $"db" % 2)
+      else lit(true)
     postings(docsArr, tau)
       .select(explode($"ds").as("da"), $"ds")
       .select($"da", explode($"ds").as("db"))
-      .filter($"da" <= $"db")
+      .filter($"da" <= $"db" && keep)
       .groupBy($"da", $"db")
       .agg(count(lit(1)).as("i"))
   }
 
   private[graft] def pairStats(docsArr: DataFrame,
-      tau: Long = StopShingleDf): DataFrame = {
+      tau: Long = StopShingleDf,
+      crossParityOnly: Boolean = false): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
     // ONE aggregation carries both intersections AND pruned set sizes:
@@ -139,7 +151,7 @@ object Dedup {
     // frame, no driver-side structure (a hot-shingle-key broadcast
     // variant measured the same at bench scale but its key set grows as
     // |postings|/τ, corpus-proportional — not broadcast-safe).
-    val grouped = pairCounts(docsArr, tau)
+    val grouped = pairCounts(docsArr, tau, crossParityOnly)
       // consumed twice (pairs + diagonal); lazy so it materializes
       // inside the first consumer's job — far smaller than the posting
       // index the previous shape checkpointed
@@ -162,10 +174,11 @@ object Dedup {
   /** [[jaccardPairs]] over a caller-supplied (doc_id, arr) frame — for
     * queries that already hold a pinned shingle frame (d26 derives md5
     * digests and shingles from ONE scan) and must not re-derive it. */
-  private[ops] def jaccardPairsOf(docsArr: DataFrame, minJ: Double): DataFrame = {
+  private[ops] def jaccardPairsOf(docsArr: DataFrame, minJ: Double,
+      crossParityOnly: Boolean = false): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
-    pairStats(docsArr)
+    pairStats(docsArr, crossParityOnly = crossParityOnly)
       .withColumn("jac", dbl($"i") / ($"na" + $"nb" - $"i"))
       .filter($"jac" >= minJ)
       .select($"da", $"db", round($"jac", 6).as("jaccard"))
@@ -1987,8 +2000,13 @@ object Dedup {
     // cross-parity near-dup pairs: the odd side is the new doc. The <3
     // word empty-array filter mirrors shinglesOfDocs (no shingles, no
     // pairs — identical to the oracle's empty generate_series).
+    // crossParityOnly: same-parity pairs would be filtered right back
+    // out, so the substrate never generates them (halves the pair
+    // shuffle; the oracle computes the full space then filters — same
+    // surviving set either way)
     val nearIds = jaccardPairsOf(
-        base.select($"doc_id", $"arr").filter(size($"arr") > 0), 0.5)
+        base.select($"doc_id", $"arr").filter(size($"arr") > 0), 0.5,
+        crossParityOnly = true)
       .filter($"da" % 2 =!= $"db" % 2)
       .select(when($"da" % 2 === 1, $"da").otherwise($"db").as("doc_id"))
       .distinct()
