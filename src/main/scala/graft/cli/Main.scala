@@ -187,11 +187,16 @@ object Main {
         })
       }
       val nPass = results.values.count(_._1 == "pass")
-      val nBad = results.values.count(r => r._1 == "fail" || r._1 == "error")
+      val nFail = results.values.count(_._1 == "fail")
+      val nErr = results.values.count(_._1 == "error")
       val nSkip = results.values.count(_._1 == "skipped")
+      // errors get their own bucket: '1 fail' when the test never ran
+      // misreports an execution error as a data-quality failure
+      val parts = Seq(s"$nPass pass", s"$nFail fail") ++
+        (if (nErr > 0) Seq(s"$nErr error") else Nil) ++
+        (if (nSkip > 0) Seq(s"$nSkip skipped") else Nil)
       println(ran.map(n => s"== $n ran, ").getOrElse("== ") +
-        s"$nPass pass, $nBad fail" +
-        (if (nSkip > 0) s", $nSkip skipped ==" else " =="))
+        parts.mkString(", ") + " ==")
     }
     def spark(): SparkSession = {
       val s = SparkSession.builder()
@@ -399,13 +404,44 @@ object Main {
         val sel = sel0.map { s =>
           s ++ m.tests.collect { case (tid, tn) if s(tid) =>
             tn.dependsOn.nodes.filter(_.startsWith("model."))
-          }.flatten.toSet
+          }.flatten.toSet ++
+            // a directly selected UNIT test likewise pulls its model in
+            // (otherwise nothing materializes and the unit test errors
+            // on unresolvable non-fixtured inputs)
+            m.unitTests.collect { case (uid, ut) if s(uid) =>
+              ut.dependsOn.nodes.filter(_.startsWith("model."))
+            }.flatten.toSet
         }
         val threads = args.flags("threads").headOption.map(_.toInt).getOrElse(1)
         val runner = new Runner(spark(), m, cfg, warehouse(),
           projectRoot = Some(root), readCatalog = readCatalog,
           fullRefresh = args.switches("full-refresh"))
-        val (ran, status) = runner.runWithStatus(sel, parallelism = threads)
+        // dbt 1.8 build: a model's unit tests run BEFORE it materializes;
+        // a failure records the unit test AND skips the model (nothing
+        // bad reaches the warehouse) — descendants skip via the normal
+        // parent cascade. Scope matches runUnitTests' rule: directly
+        // selected, or attached to a selected model.
+        val utRun =
+          scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+        val utInScope: String => Boolean = uid =>
+          sel0.forall(s => s(uid) ||
+            m.unitTests(uid).dependsOn.nodes.exists(s))
+        def unitTestGate(node: graft.core.model.ModelNode): Option[String] = {
+          val uids = m.unitTests.collect {
+            case (uid, ut) if ut.model == node.name && utInScope(uid) => uid
+          }.toSet
+          if (uids.isEmpty) None
+          else {
+            val res = runner.runUnitTests(Some(uids))
+            res.foreach { case (uid, r) => utRun(uid) = r }
+            val bad = res.collect {
+              case (uid, (st, _)) if st == "fail" || st == "error" => uid }
+            if (bad.isEmpty) None
+            else Some(s"unit test(s) failed: ${bad.toSeq.sorted.mkString(", ")}")
+          }
+        }
+        val (ran, status) = runner.runWithStatus(sel, parallelism = threads,
+          gate = unitTestGate)
         ran.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
         status.toSeq.sorted.collect { case (id, st) if st != "success" =>
           println(s"$st $id") }
@@ -420,8 +456,13 @@ object Main {
         // silently vanishing from the artifact
         val buildScope = Some(sel0.getOrElse(status.keySet))
         val results = runner.runTestsDetailed(buildScope, status)
-        // dbt build includes unit tests of the built models
-        val uResults = runner.runUnitTests(buildScope, status)
+        // unit tests already ran inside the pre-materialization gate;
+        // in-scope ones whose model never reached its gate (parent
+        // errored/skipped, or outside the run) record skipped
+        val uAll = m.unitTests.keySet.filter(uid => utInScope(uid) &&
+          m.unitTests(uid).dependsOn.nodes.exists(status.contains))
+        val uResults: Map[String, (String, String)] = utRun.toMap ++
+          (uAll -- utRun.keySet).map(_ -> ("skipped", "model not built"))
         printTestResults(results ++
           uResults.map { case (uid, (st, _)) => uid -> (st, -1L) },
           ran = Some(ran.size))
@@ -500,7 +541,21 @@ object Main {
           // successful retry must clear the stale error/skipped entries
           // (dbt retry rewrites run_results.json; without this a second
           // `graft retry` re-ran already-fixed nodes forever)
-          val (ran, status) = runner.runWithStatus(Some(sel))
+          //
+          // Selected TESTS pull their parent models into the run: a fresh
+          // retry process has no session views, so a failed test whose
+          // model previously SUCCEEDED would otherwise error on the
+          // missing relation instead of re-running. Re-materializing a
+          // healthy parent is idempotent (views are free; tables/
+          // incrementals rebuild to the same state) — dbt reads the
+          // existing warehouse table instead, which a session-view engine
+          // doesn't have across processes.
+          val selW = sel ++
+            m.tests.collect { case (tid, tn) if sel(tid) =>
+              tn.dependsOn.nodes.filter(_.startsWith("model.")) }.flatten ++
+            m.unitTests.collect { case (uid, ut) if sel(uid) =>
+              ut.dependsOn.nodes.filter(_.startsWith("model.")) }.flatten
+          val (ran, status) = runner.runWithStatus(Some(selW))
           ran.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
           status.toSeq.sorted.collect { case (id, st) if st != "success" =>
             println(s"$st $id") }
@@ -511,16 +566,30 @@ object Main {
           val tResults =
             if (testSel.isEmpty) Map.empty[String, (String, Long)]
             else runner.runTestsDetailed(Some(testSel), status)
-          if (tResults.nonEmpty) printTestResults(tResults)
+          // failed UNIT tests selected by result: re-run as well (before
+          // this, retry silently dropped them — exit 0 with the stale
+          // 'fail' left in the artifact forever)
+          val utSel = sel.filter(m.unitTests.contains)
+          val uResults =
+            if (utSel.isEmpty) Map.empty[String, (String, String)]
+            else runner.runUnitTests(Some(utSel), status)
+          if (tResults.nonEmpty || uResults.nonEmpty) {
+            printTestResults(tResults ++
+              uResults.map { case (uid, (st, _)) => uid -> (st, -1L) })
+            uResults.toSeq.sorted.collect {
+              case (uid, ("fail" | "error", d)) => println(s"  $uid: $d") }
+          }
           // merge this retry's outcomes over the previous artifact: nodes
           // not retried keep their old status, retried nodes record what
           // just happened
           val merged = (rs ++ status ++
-            tResults.map { case (tid, (st, _)) => tid -> st }).toSeq.sorted
+            tResults.map { case (tid, (st, _)) => tid -> st } ++
+            uResults.map { case (uid, (st, _)) => uid -> st }).toSeq.sorted
           graft.core.parse.RunResultsJson.write(
             root.resolve("target").resolve("run_results.json"), merged)
           if (status.values.exists(_ == "error") ||
-            tResults.values.exists(r => r._1 == "fail" || r._1 == "error"))
+            (tResults.values.map(_._1) ++ uResults.values.map(_._1))
+              .exists(r => r == "fail" || r == "error"))
             return 1
         }
 

@@ -22,7 +22,10 @@ import java.nio.file.{Files, Path}
   * materialization appends only the post-watermark batch.
   */
 final class Runner(
-    spark: SparkSession,
+    /** By-name + lazy: commands that never execute anything (`graft
+      * compile` renders pure strings) construct a Runner without paying
+      * SparkSession startup; the session materializes on first use. */
+    spark0: => SparkSession,
     manifest: Manifest,
     cfg: ProjectConfig,
     /** where table/incremental materializations persist (parquet). */
@@ -60,6 +63,8 @@ final class Runner(
       * called with each hook's RENDERED SQL after it executes
       * successfully. Default: silent. */
     onHookRun: String => Unit = _ => ()) {
+
+  private lazy val spark: SparkSession = spark0
 
   /** model name → deferred relation, populated per run(). */
   @volatile private var deferTargets: Map[String, String] = Map.empty
@@ -124,17 +129,18 @@ final class Runner(
 
   /** The shared Jinja→Spark-SQL rendering for ANY project-owned SQL
     * string (model bodies, pre/post-hooks, on-run-start/end hooks):
-    * ref()/source() resolve exactly as in models, project vars (plus
-    * `extraVars`, e.g. the on-run-end `results` binding) apply, and
-    * `{{ this }}` binds to `thisRel` when given. */
+    * ref()/source() resolve exactly as in models, project vars apply,
+    * and `{{ this }}` binds to `thisRel` when given. (The on-run-end
+    * `{{ results }}` binding is a bare-identifier substitution done by
+    * the caller BEFORE this render — `vars` only feeds `var()`.) */
   private def renderStr(code: String, thisRel: Option[String],
-      where: String, extraVars: Map[String, String] = Map.empty,
+      where: String,
       isIncremental: Boolean = false): String =
     JinjaLite.render(
       code,
       resolveRef = refResolver,
       resolveSource = sourceResolver(where),
-      vars = vars ++ extraVars,
+      vars = vars,
       thisRelation = thisRel,
       macros = macroDefs,
       isIncremental = isIncremental)
@@ -257,7 +263,14 @@ final class Runner(
     * `continueOnError = false` the first failure propagates (the
     * library contract [[run]] keeps). */
   def runWithStatus(selected: Option[Set[String]] = None,
-      parallelism: Int = 1, continueOnError: Boolean = true)
+      parallelism: Int = 1, continueOnError: Boolean = true,
+      /** Pre-materialization gate (dbt 1.8 build: a model's unit tests
+        * run BEFORE it builds; on failure the model records `skipped`
+        * and never writes the warehouse). Called only when the model
+        * would otherwise execute (parents healthy); Some(reason) skips
+        * it — and, through the normal parent cascade, its descendants.
+        * Must be thread-safe under `parallelism > 1`. */
+      gate: ModelNode => Option[String] = _ => None)
       : (Map[String, DataFrame], Map[String, String]) = {
     if (enforceAccess)
       AccessControl.forSession(spark).registerManifest(manifest, viewName)
@@ -338,13 +351,18 @@ final class Runner(
         status.get(pid).exists(s => s == "error" || s == "skipped"))
     def execute(id: String, m: ModelNode): Unit =
       if (parentBad(id)) status(id) = "skipped"
-      else
-        try { out(id) = runModel(m); status(id) = "success" }
-        catch {
-          case e: Throwable if continueOnError =>
-            System.err.println(s"[run] $id failed: ${e.getMessage}")
-            status(id) = "error"
-        }
+      else gate(m) match {
+        case Some(reason) =>
+          System.err.println(s"[run] $id skipped: $reason")
+          status(id) = "skipped"
+        case None =>
+          try { out(id) = runModel(m); status(id) = "success" }
+          catch {
+            case e: Throwable if continueOnError =>
+              System.err.println(s"[run] $id failed: ${e.getMessage}")
+              status(id) = "error"
+          }
+      }
     if (parallelism <= 1)
       order.foreach(id => manifest.nodes.get(id).foreach(execute(id, _)))
     else {
@@ -1143,8 +1161,10 @@ final class Runner(
 
   /** Build one fixture frame: provided values parse as strings and cast
     * to the target column types; unlisted target columns become typed
-    * NULLs. */
-  private def fixtureFrame(target: String,
+    * NULLs. A provided column the target schema doesn't have is a LOUD
+    * config error (dbt errors on unknown fixture columns — silently
+    * dropping it would turn a fixture typo into a typed-NULL test). */
+  private def fixtureFrame(target: String, utName: String,
       rows: Vector[graft.core.yaml.YMap]): DataFrame = {
     import org.apache.spark.sql.types._
     import graft.core.yaml.{YBool, YDbl, YInt}
@@ -1165,6 +1185,12 @@ final class Runner(
         StructField(c, t)
       })
     }
+    val known = schema.map(_.name).toSet
+    val unknown = rows.flatMap(_.entries.map(_._1)).distinct
+      .filterNot(known)
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"unit test $utName: fixture column(s) ${unknown.mkString(", ")} " +
+        s"not in $target's schema (has: ${schema.map(_.name).mkString(", ")})")
     fixtureFrameFrom(schema, rows)
   }
 
@@ -1183,11 +1209,17 @@ final class Runner(
     // don't (dashes, dots) — sanitized here so such a test still RUNS
     // instead of erroring on view creation
     val safe = ut.name.replaceAll("[^A-Za-z0-9_]", "_")
-    val fixtures: Map[String, String] = ut.given.zipWithIndex.map {
-      case (g, i) =>
-        val target = inputView(g.input, ut.name)
+    // duplicate given: blocks for the same input would silently override
+    // each other in the Map (and leak the earlier fixture view) — dbt
+    // errors on duplicate inputs, so reject BEFORE creating any view
+    val targets = ut.given.map(g => inputView(g.input, ut.name))
+    val dups = targets.diff(targets.distinct).distinct
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"unit test ${ut.name}: duplicate given input(s) ${dups.mkString(", ")}")
+    val fixtures: Map[String, String] = ut.given.zip(targets).zipWithIndex.map {
+      case ((g, target), i) =>
         val fix = s"__graft_ut_${safe}_$i"
-        fixtureFrame(target, g.rows).createOrReplaceTempView(fix)
+        fixtureFrame(target, ut.name, g.rows).createOrReplaceTempView(fix)
         target -> fix
     }.toMap
     try {
@@ -1220,9 +1252,15 @@ final class Runner(
       // the column is double — dbt type-coerces fixture literals too)
       val proj: Seq[org.apache.spark.sql.Column] =
         expectCols.map(c => col(c).cast("string").as(c))
+      // escaped join: a raw '|' join would let ('x|y','z') equal
+      // ('x','y|z') — a false PASS. Backslash-escape the separator (and
+      // itself) in values; NUL marks NULL (unreachable from YAML/SQL
+      // string output).
       def key(r: org.apache.spark.sql.Row): String =
         (0 until r.length).map(i =>
-          if (r.isNullAt(i)) "␀" else r.getString(i)).mkString("|")
+          if (r.isNullAt(i)) "\u0000"
+          else r.getString(i).replace("\\", "\\\\").replace("|", "\\|"))
+          .mkString("|")
       val actualRows = actual.select(proj: _*).collect().toSeq.map(key)
       val expSchema = org.apache.spark.sql.types.StructType(
         expectCols.map(c => actual.schema(c).copy(name = c)))
@@ -1257,9 +1295,22 @@ final class Runner(
           case Some(y) => y.asStr
         }))
     }
-    spark.createDataFrame(
+    val out = spark.createDataFrame(
         spark.sparkContext.parallelize(data, 1), strSchema)
       .select(schema.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // loud casts: fixtures are tiny, so eagerly catch a provided literal
+    // that the (non-ANSI) cast silently turned into NULL — 'abc' on a
+    // bigint column must be a config error, not a surprise NULL test
+    out.collect().zip(data).foreach { case (cast, raw) =>
+      schema.indices.foreach { i =>
+        if (cast.isNullAt(i) && raw.get(i) != null)
+          throw new IllegalArgumentException(
+            s"fixture value '${raw.get(i)}' is not a valid " +
+              s"${schema(i).dataType.simpleString} for column " +
+              s"'${schema(i).name}'")
+      }
+    }
+    out
   }
 
   /** dbt-faithful test execution for the CLI: per-test terminal status

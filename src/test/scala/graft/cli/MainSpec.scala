@@ -479,6 +479,113 @@ class MainSpec extends AnyFunSuite {
     assert(rs("unit_test.un.flag_logic") == "fail", rs.toString)
   }
 
+  test("build: a failing unit test gates its model (skipped, descendants skip)") {
+    val files = Map(
+      "dbt_project.yml" -> "name: ug\n",
+      "models/base.sql" -> "select 1 as id",
+      "models/mid.sql" ->
+        "{{ config(materialized='table') }}\nselect id from {{ ref('base') }}",
+      "models/leaf.sql" -> "select id from {{ ref('mid') }}",
+      "models/_unit.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: mid_check
+          |    model: mid
+          |    given:
+          |      - input: ref('base')
+          |        rows:
+          |          - {id: 7}
+          |    expect:
+          |      rows:
+          |        - {id: 8}
+          |""".stripMargin)
+    val root = writeProject(files)
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("build", "--project-dir", root.toString))
+    }
+    assert(code == 1, out.toString)
+    val rs = graft.core.parse.RunResultsJson.load(
+      root.resolve("target").resolve("run_results.json"))
+    // dbt 1.8: the unit test fails BEFORE mid materializes; mid records
+    // skipped (nothing bad written) and leaf skips through the cascade
+    assert(rs("unit_test.ug.mid_check") == "fail", rs.toString)
+    assert(rs("model.ug.mid") == "skipped", rs.toString)
+    assert(rs("model.ug.leaf") == "skipped", rs.toString)
+    assert(!out.toString.contains("ran model.ug.mid"), out.toString)
+  }
+
+  test("retry re-runs a failed data test whose model previously succeeded") {
+    val files = Map(
+      "dbt_project.yml" -> "name: rt1\n",
+      "models/stg.sql" -> "select 1 as id",
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: stg
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - not_null
+          |""".stripMargin)
+    val root = writeProject(files)
+    Files.createDirectories(root.resolve("target"))
+    // previous invocation: model built fine, test failed (e.g. transient
+    // data). A fresh retry process has no session views — the parent
+    // must re-materialize or the test errors on the missing relation.
+    Files.writeString(root.resolve("target").resolve("run_results.json"),
+      """{"results": [
+        |  {"unique_id": "model.rt1.stg", "status": "success"},
+        |  {"unique_id": "test.rt1.not_null_stg_id", "status": "fail"}
+        |]}""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("retry", "--project-dir", root.toString))
+    }
+    assert(code == 0, out.toString)
+    assert(out.toString.contains("PASS test.rt1.not_null_stg_id"), out.toString)
+    val rs = graft.core.parse.RunResultsJson.load(
+      root.resolve("target").resolve("run_results.json"))
+    assert(rs("test.rt1.not_null_stg_id") == "pass", rs.toString)
+  }
+
+  test("retry re-runs a failed unit test (not silently dropped)") {
+    val files = Map(
+      "dbt_project.yml" -> "name: rt2\n",
+      "models/base.sql" -> "select 1 as id",
+      "models/top.sql" -> "select id from {{ ref('base') }}",
+      "models/_unit.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: top_check
+          |    model: top
+          |    given:
+          |      - input: ref('base')
+          |        rows:
+          |          - {id: 3}
+          |    expect:
+          |      rows:
+          |        - {id: 3}
+          |""".stripMargin)
+    val root = writeProject(files)
+    Files.createDirectories(root.resolve("target"))
+    Files.writeString(root.resolve("target").resolve("run_results.json"),
+      """{"results": [
+        |  {"unique_id": "model.rt2.base", "status": "success"},
+        |  {"unique_id": "model.rt2.top", "status": "success"},
+        |  {"unique_id": "unit_test.rt2.top_check", "status": "fail"}
+        |]}""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("retry", "--project-dir", root.toString))
+    }
+    assert(code == 0, out.toString)
+    assert(out.toString.contains("PASS unit_test.rt2.top_check"), out.toString)
+    val rs = graft.core.parse.RunResultsJson.load(
+      root.resolve("target").resolve("run_results.json"))
+    assert(rs("unit_test.rt2.top_check") == "pass", rs.toString)
+  }
+
   test("compile renders selected models to target/compiled without executing") {
     val root = writeProject(Map(
       "dbt_project.yml" -> "name: cp\nvars:\n  cutoff: '2099'\n",

@@ -1253,6 +1253,61 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(res("unit_test.ut2.null_fill") == ("pass", ""), res.toString)
   }
 
+  test("unit tests: fixture config errors are loud (typo column, bad cast, dup given)") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: ut4\n",
+      "models/base.sql" -> "select 1 as id, 'a' as email",
+      "models/top.sql" -> "select id, email from {{ ref('base') }}",
+      "models/_unit.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: typo_col
+          |    model: top
+          |    given:
+          |      - input: ref('base')
+          |        rows:
+          |          - {id: 1, emial: a@b.c}
+          |    expect:
+          |      rows:
+          |        - {id: 1, email: null}
+          |  - name: bad_cast
+          |    model: top
+          |    given:
+          |      - input: ref('base')
+          |        rows:
+          |          - {id: abc, email: x}
+          |    expect:
+          |      rows:
+          |        - {id: null, email: x}
+          |  - name: dup_given
+          |    model: top
+          |    given:
+          |      - input: ref('base')
+          |        rows:
+          |          - {id: 1, email: x}
+          |      - input: ref('base')
+          |        rows:
+          |          - {id: 2, email: y}
+          |    expect:
+          |      rows:
+          |        - {id: 1, email: x}
+          |""".stripMargin)
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    runner.run()
+    val res = runner.runUnitTests()
+    // a typo'd fixture column must NOT silently become a typed-NULL test
+    val (st1, d1) = res("unit_test.ut4.typo_col")
+    assert(st1 == "error" && d1.contains("emial"), res.toString)
+    // a literal that can't cast to the real column type is a config
+    // error, not a silent NULL
+    val (st2, d2) = res("unit_test.ut4.bad_cast")
+    assert(st2 == "error" && d2.contains("abc"), res.toString)
+    // duplicate given blocks for one input error (dbt rejects them too)
+    val (st3, d3) = res("unit_test.ut4.dup_given")
+    assert(st3 == "error" && d3.contains("duplicate"), res.toString)
+  }
+
   test("unit tests: a dashed YAML name still runs (fixture views sanitize)") {
     val proj = Map(
       "dbt_project.yml" -> "name: ut3\n",
