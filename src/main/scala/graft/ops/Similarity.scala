@@ -83,12 +83,24 @@ object Similarity {
     val all = vecs(s, dir)
     val cent = all.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy(round($"csim", 6).desc, $"cid")
-    val assigned = all.join(broadcast(cent))
-      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter($"arank" === 1)
+    // Nearest-centroid assignment with NARROW intermediates: the
+    // broadcast fan-out emits only (vec_id, rounded sim, cid) triples —
+    // 24 B — and a map-side-combining max_by collapses a vector's nlist
+    // candidates to one row inside the scan partition, so the exchange
+    // carries n tiny rows. The round-12 shape (row_number window over
+    // the fan-out) shuffled and sorted all n·nlist rows EACH CARRYING
+    // the full vector `v` (round-13 stress at 40×: 64M × ~550 B ≈ 35 GB
+    // through one exchange — s02 ran SLOWER than brute-force s01).
+    // Vectors re-attach afterward by a plain n-row equi-join on vec_id.
+    // Ordering matches the oracle's window exactly: round-6 sim desc,
+    // then lowest cid (max of the (csim6, -cid) struct).
+    val cellOf = all.join(broadcast(cent))
+      .select($"vec_id",
+        round(dot($"cv", $"v") / ($"cnorm" * $"norm"), 6).as("csim6"),
+        $"cid")
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"csim6", -$"cid")).as("cid"))
+    val assigned = all.join(cellOf, Seq("vec_id"))
       .select($"vec_id", $"label", $"v", $"norm", $"cid")
     val q2 = assigned.filter($"vec_id" % 71 === 0)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"), $"cid".as("qcid"))
