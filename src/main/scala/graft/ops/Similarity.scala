@@ -94,13 +94,7 @@ object Similarity {
     // Vectors re-attach afterward by a plain n-row equi-join on vec_id.
     // Ordering matches the oracle's window exactly: round-6 sim desc,
     // then lowest cid (max of the (csim6, -cid) struct).
-    val cellOf = all.join(broadcast(cent))
-      .select($"vec_id",
-        round(dot($"cv", $"v") / ($"cnorm" * $"norm"), 6).as("csim6"),
-        $"cid")
-      .groupBy($"vec_id")
-      .agg(max_by($"cid", struct($"csim6", -$"cid")).as("cid"))
-    val assigned = all.join(cellOf, Seq("vec_id"))
+    val assigned = all.join(cellOf(all, cent), Seq("vec_id"))
       .select($"vec_id", $"label", $"v", $"norm", $"cid")
     val q2 = assigned.filter($"vec_id" % 71 === 0)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"), $"cid".as("qcid"))
@@ -459,6 +453,44 @@ object Similarity {
        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- shared IVF assignment substrate (round-13: rank narrow, re-join
+  // wide — see s02's scaladoc; the round-13 stress measured the old
+  // vector-carrying assignment windows at 35 GB through one exchange at
+  // 40× sf0.1, with s02 LOSING to brute force until the rewrite)
+  /** (vec_id, cid): nearest coarse centroid per vector — a map-side-
+    * combining max_by over NARROW (vec_id, round-6 sim, cid) triples;
+    * the exchange carries one 24 B row per vector, never `v`. Ordering
+    * matches the oracle windows: round-6 cosine desc, then lowest cid. */
+  private def cellOf(all: DataFrame, cent: DataFrame): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    all.join(broadcast(cent))
+      .select($"vec_id",
+        round(dot($"cv", $"v") / ($"cnorm" * $"norm"), 6).as("csim6"),
+        $"cid")
+      .groupBy($"vec_id")
+      .agg(max_by($"cid", struct($"csim6", -$"cid")).as("cid"))
+  }
+
+  /** (vec_id, arank, cid): centroids ranked 1..maxRank per vector — the
+    * probe-N generalization of [[cellOf]]. The ranking window runs over
+    * the same narrow triples; callers re-attach vectors/labels with an
+    * n-row equi-join on vec_id. */
+  private def cellRanks(all: DataFrame, cent: DataFrame,
+      maxRank: Int): DataFrame = {
+    val s = all.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"vec_id").orderBy($"csim6".desc, $"cid")
+    all.join(broadcast(cent))
+      .select($"vec_id",
+        round(dot($"cv", $"v") / ($"cnorm" * $"norm"), 6).as("csim6"),
+        $"cid")
+      .withColumn("arank", row_number().over(w))
+      .filter($"arank" <= maxRank)
+      .select($"vec_id", $"arank", $"cid")
+  }
+
   // ---------------------------------------------------------------- s08
   /** Multi-probe IVF + exact re-rank — the standard two-stage retrieval
     * architecture (and the recall lever s06 measures): the query probes
@@ -478,14 +510,13 @@ object Similarity {
     val all = vecs(s, dir)
     val cent = all.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy(round($"csim", 6).desc, $"cid")
-    val scored = all.join(broadcast(cent))
-      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
-      .withColumn("arank", row_number().over(wAssign))
-    val assigned = scored.filter($"arank" === 1)
+    // narrow ranks, shared by the cell map and the probe list (the
+    // recompute would cross the ranking exchange — checkpoint rule)
+    val ranks = cellRanks(all, cent, 2).localCheckpoint(eager = false)
+    val assigned = all.join(ranks.filter($"arank" === 1), Seq("vec_id"))
       .select($"vec_id", $"v", $"norm", $"cid")
-    val probes = scored.filter($"vec_id" % 71 === 0 && $"arank" <= 2)
+    val probes = all.filter($"vec_id" % 71 === 0)
+      .join(ranks.filter($"arank" <= 2), Seq("vec_id"))
       .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"),
         $"cid".as("pcell"))
     val wTop = Window.partitionBy($"qid")
@@ -892,16 +923,15 @@ object Similarity {
     val all = vecs(s, dir)
     val cent = all.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy(round($"csim", 6).desc, $"cid")
-    val scored = all.join(broadcast(cent))
-      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
-      .withColumn("arank", row_number().over(wAssign))
-    val assigned = scored.filter($"arank" === 1)
+    // narrow ranks shared by the cell map and the probe list (s08's
+    // checkpoint rule)
+    val ranks = cellRanks(all, cent, 3).localCheckpoint(eager = false)
+    val assigned = all.join(ranks.filter($"arank" === 1), Seq("vec_id"))
       .select($"vec_id", $"v", $"norm", $"cid")
     val q = all.filter($"vec_id" % 71 === 0)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
-    val probes = scored.filter($"vec_id" % 71 === 0 && $"arank" <= 3)
+    val probes = all.filter($"vec_id" % 71 === 0)
+      .join(ranks.filter($"arank" <= 3), Seq("vec_id"))
       .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"),
         $"cid".as("pcell"), $"arank".as("prank"))
     val wTop = Window.partitionBy($"qid")
@@ -1189,12 +1219,7 @@ object Similarity {
     val all = vecs(s, dir)
     val cent = all.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy(round($"csim", 6).desc, $"cid")
-    val assigned = all.join(broadcast(cent))
-      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter($"arank" === 1)
+    val assigned = all.join(cellOf(all, cent), Seq("vec_id"))
       .select($"vec_id", $"label", $"v", $"norm", $"cid")
     val anchors = assigned.filter($"vec_id" % 53 === 0)
       .select($"vec_id".as("aid"), $"label".as("alabel"),
@@ -1269,12 +1294,7 @@ object Similarity {
     val all = vecs(s, dir)
     val cent = all.filter($"vec_id" % 100 === 0)
       .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
-    val wAssign = Window.partitionBy($"vec_id")
-      .orderBy(round($"csim", 6).desc, $"cid")
-    val assigned = all.join(broadcast(cent))
-      .withColumn("csim", dot($"cv", $"v") / ($"cnorm" * $"norm"))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter($"arank" === 1)
+    val assigned = all.join(cellOf(all, cent), Seq("vec_id"))
       .select($"vec_id", $"v", $"cid")
     val agg = assigned
       .select($"cid", posexplode($"v").as(Seq("dim", "e")))
