@@ -183,7 +183,16 @@ object Bench {
         failedKept.append(e)
       } else failedOmitted += 1
     }
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // BENCH_LOCAL.json is committed evidence and must ONLY ever hold a
+    // full-registry run at the default SF: round 13's end-of-round snapshot
+    // committed a 4-query stress leftover over the real 228-query pair
+    // (VERDICT r13). Subset (SPARK_GRAFT_ONLY) or non-default-SF runs are
+    // dev-loop scratch and land in BENCH_SCRATCH.json unless the caller
+    // explicitly overrides the path.
+    val isFullDefaultRun =
+      only.isEmpty && sfDir == "/root/testdata/sf0.1"
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (isFullDefaultRun) "BENCH_LOCAL.json" else "BENCH_SCRATCH.json")
     val stdoutJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min",$machine,"n_queries":${results.size},"queries":{$kept},"queries_omitted":$omitted,"queries_full":"$benchOut","failed":[$failedKept],"failed_omitted":$failedOmitted,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(

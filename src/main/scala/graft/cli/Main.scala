@@ -63,7 +63,7 @@ object Main {
       if (a == "--dry-run" || a == "--prerelease" || a == "--increment" ||
         a == "--latest" || a == "--debug" || a == "--read-catalog" ||
         a == "--public-only" || a == "--full-refresh" || a == "--defer" ||
-        a == "--no-compile")
+        a == "--no-compile" || a == "--store-failures")
         switches += a.stripPrefix("--")
       else if (a.startsWith("--")) {
         val key = a.stripPrefix("--")
@@ -172,8 +172,9 @@ object Main {
       args.flags("select").nonEmpty || args.flags("selector").nonEmpty ||
         args.flags("exclude").nonEmpty
     // shared test-result reporting for test/build/retry (pass/fail by
-    // violations; skipped = model not built this invocation; error =
-    // the test itself threw)
+    // violations; warn = advisory severity/warn_if threshold, never
+    // affects the exit code; skipped = model not built this invocation;
+    // error = the test itself threw)
     def printTestResults(results: Map[String, (String, Long)],
         ran: Option[Int] = None): Unit = {
       results.toSeq.sortBy(_._1).foreach { case (tid, (st, v)) =>
@@ -182,17 +183,21 @@ object Main {
           // v < 0: no violation count applies (unit tests diff rows)
           case "fail" if v >= 0 => s"FAIL $tid ($v violations)"
           case "fail" => s"FAIL $tid"
+          case "warn" if v >= 0 => s"WARN $tid ($v violations)"
+          case "warn" => s"WARN $tid"
           case "skipped" => s"SKIP $tid (model not built)"
           case _ => s"ERROR $tid"
         })
       }
       val nPass = results.values.count(_._1 == "pass")
       val nFail = results.values.count(_._1 == "fail")
+      val nWarn = results.values.count(_._1 == "warn")
       val nErr = results.values.count(_._1 == "error")
       val nSkip = results.values.count(_._1 == "skipped")
       // errors get their own bucket: '1 fail' when the test never ran
       // misreports an execution error as a data-quality failure
       val parts = Seq(s"$nPass pass", s"$nFail fail") ++
+        (if (nWarn > 0) Seq(s"$nWarn warn") else Nil) ++
         (if (nErr > 0) Seq(s"$nErr error") else Nil) ++
         (if (nSkip > 0) Seq(s"$nSkip skipped") else Nil)
       println(ran.map(n => s"== $n ran, ").getOrElse("== ") +
@@ -372,7 +377,8 @@ object Main {
         // nodes, plus directly selected tests); the DAG still
         // materializes in full so every test's relations exist
         val tSel = if (!selectionActive) None else Some(selection(m))
-        val results = runner.runTestsDetailed(tSel, mStatus)
+        val results = runner.runTestsDetailed(tSel, mStatus,
+          storeFailures = args.switches("store-failures"))
         // dbt 1.8: `dbt test` runs unit tests alongside data tests
         val uResults = runner.runUnitTests(tSel, mStatus)
         printTestResults(results ++
@@ -455,12 +461,20 @@ object Main {
         // still in scope so its tests REPORT as skipped instead of
         // silently vanishing from the artifact
         val buildScope = Some(sel0.getOrElse(status.keySet))
-        val results = runner.runTestsDetailed(buildScope, status)
+        val results = runner.runTestsDetailed(buildScope, status,
+          storeFailures = args.switches("store-failures"))
         // unit tests already ran inside the pre-materialization gate;
-        // in-scope ones whose model never reached its gate (parent
-        // errored/skipped, or outside the run) record skipped
-        val uAll = m.unitTests.keySet.filter(uid => utInScope(uid) &&
-          m.unitTests(uid).dependsOn.nodes.exists(status.contains))
+        // in-scope ones whose OWN tested model was in this run but never
+        // reached its gate (parent errored/skipped) record skipped. A
+        // unit test in scope only through a fixture-INPUT dependency is
+        // omitted, like dbt: its model wasn't part of this run, so
+        // 'model not built' would be a lie (ADVICE r13).
+        val uAll = m.unitTests.keySet.filter { uid =>
+          val ut = m.unitTests(uid)
+          val ownModel = m.nodes.collectFirst {
+            case (id, n) if id.startsWith("model.") && n.name == ut.model => id }
+          utInScope(uid) && ownModel.exists(status.contains)
+        }
         val uResults: Map[String, (String, String)] = utRun.toMap ++
           (uAll -- utRun.keySet).map(_ -> ("skipped", "model not built"))
         printTestResults(results ++
@@ -549,7 +563,12 @@ object Main {
           // healthy parent is idempotent (views are free; tables/
           // incrementals rebuild to the same state) — dbt reads the
           // existing warehouse table instead, which a session-view engine
-          // doesn't have across processes.
+          // doesn't have across processes. KNOWN DIVERGENCE: that
+          // re-materialization also re-fires the parent's pre/post hooks
+          // (dbt never re-runs a succeeded model, so its hooks fire once);
+          // a hook with side effects (audit insert, notification) executes
+          // an extra time under graft retry. Idempotent hooks — the dbt
+          // best practice — are unaffected.
           val selW = sel ++
             m.tests.collect { case (tid, tn) if sel(tid) =>
               tn.dependsOn.nodes.filter(_.startsWith("model.")) }.flatten ++
@@ -565,7 +584,8 @@ object Main {
           val testSel = sel.filter(m.tests.contains)
           val tResults =
             if (testSel.isEmpty) Map.empty[String, (String, Long)]
-            else runner.runTestsDetailed(Some(testSel), status)
+            else runner.runTestsDetailed(Some(testSel), status,
+              storeFailures = args.switches("store-failures"))
           // failed UNIT tests selected by result: re-run as well (before
           // this, retry silently dropped them — exit 0 with the stale
           // 'fail' left in the artifact forever)
@@ -800,10 +820,74 @@ object Main {
             .process(Seq(cs))
         }
 
+      case "run-operation" =>
+        // dbt run-operation: invoke a project macro by name with --args
+        // (an inline YAML map, parsed exactly like --vars) and execute
+        // whatever SQL it renders to. The macro plumbing is the hook
+        // executor (Runner.runOperation), so ref()/source()/var() resolve
+        // as they do in hooks.
+        val name = args.positional.headOption.getOrElse(
+          throw new IllegalArgumentException(
+            "run-operation requires a macro name"))
+        val (cfg, m) = ProjectLoader.load(root)
+        val macroArgs = args.flags("args").headOption.map { y =>
+          graft.core.yaml.Yaml.parseMap(y).entries
+            .map { case (k, v) => k -> v.asStr }.toMap
+        }.getOrElse(Map.empty[String, String])
+        val varOv = args.flags("vars").headOption.map { y =>
+          graft.core.yaml.Yaml.parseMap(y).entries
+            .map { case (k, v) => k -> v.asStr }.toMap
+        }.getOrElse(Map.empty[String, String])
+        val runner = new Runner(spark(), m, cfg, warehouse(),
+          projectRoot = Some(root), readCatalog = readCatalog,
+          varOverrides = varOv)
+        runner.runOperation(name, macroArgs)
+        println(s"ran operation $name")
+
+      case "show" =>
+        // dbt show: compile the selected model(s), execute the rendered
+        // SQL, and print the first --limit rows — a preview that leaves
+        // NOTHING behind (no warehouse table, no session view for the
+        // shown model). Upstream models materialize first (a session
+        // engine has no standing warehouse to read them from), into the
+        // usual throwaway temp warehouse unless --read-catalog.
+        val (cfg, m) = ProjectLoader.load(root)
+        val limit = args.flags("limit").headOption.map(_.toInt).getOrElse(5)
+        if (!selectionActive)
+          throw new IllegalArgumentException("show requires --select")
+        val models = selection(m).toSeq.sorted.flatMap(m.nodes.get)
+          .filter(n => n.uniqueId.startsWith("model."))
+        if (models.isEmpty) {
+          System.err.println("show: selection matches no models")
+          return 1
+        }
+        val s = spark()
+        val runner = new Runner(s, m, cfg, warehouse(),
+          enforceAccess = false, projectRoot = Some(root),
+          readCatalog = readCatalog)
+        models.foreach { node =>
+          if (node.language == "python")
+            println(s"skipped ${node.uniqueId} (python model, no SQL preview)")
+          else {
+            // ancestors only — the grammar's `+name` minus the node itself
+            val up = Selector.select(m, Seq(s"+${node.name}"), Nil, None) -
+              node.uniqueId
+            if (up.nonEmpty) runner.run(Some(up))
+            val df = s.sql(runner.renderSql(node, isIncremental = false))
+              .limit(limit)
+            val rows = df.collect()
+            println(s"-- ${node.uniqueId}")
+            println(df.columns.mkString(" | "))
+            rows.foreach(r => println((0 until r.length).map(i =>
+              if (r.isNullAt(i)) "NULL" else r.get(i).toString)
+              .mkString(" | ")))
+          }
+        }
+
       case other =>
         println(
           s"""unknown command: $other
-             |usage: graft {run|build|retry|test|compile|ls|seed|snapshot|clone|docs|split|create-group|group|contract|version|connect} [options]
+             |usage: graft {run|build|retry|test|compile|show|run-operation|ls|seed|snapshot|clone|docs|split|create-group|group|contract|version|connect} [options]
              |""".stripMargin)
         return if (other == "help") 0 else 1
     }

@@ -202,6 +202,34 @@ final class Runner(
     onHookRun(rendered)
   }
 
+  /** dbt `run-operation <macro> --args '{...}'`: render `{{ macro(k=v) }}`
+    * through the same Jinja context hooks use (ref()/source()/var()
+    * resolve; no `{{ this }}`) and execute the rendered SQL eagerly via
+    * the hook executor. Numeric argument values pass as bare literals,
+    * everything else as quoted strings (matching `--vars` typing). An
+    * unknown macro fails LOUDLY with the known names; a macro rendering
+    * to blank is a no-op (dbt allows log-only operations). Returns the
+    * rendered SQL for observability. Like dbt, the operation runs
+    * against whatever relations already exist — nothing materializes
+    * first, so a ref() to a never-built model errors at execution. */
+  def runOperation(macroName: String,
+      macroArgs: Map[String, String] = Map.empty): String = {
+    if (!macroDefs.contains(macroName))
+      throw new IllegalArgumentException(
+        s"run-operation: no macro named '$macroName' (known: " +
+          s"${macroDefs.keys.toSeq.sorted.mkString(", ")})")
+    val kwargs = macroArgs.toSeq.sortBy(_._1).map { case (k, v) =>
+      val lit =
+        if (v.matches("""-?\d+(\.\d+)?""")) v
+        else s"'${v.replace("'", "''")}'"
+      s"$k=$lit"
+    }.mkString(", ")
+    val rendered = renderStr(s"{{ $macroName($kwargs) }}", None,
+      s"run-operation $macroName").trim
+    if (rendered.nonEmpty) runHookSql(rendered)
+    rendered
+  }
+
   /** Accumulated hook strings for `dashKey` ∈ {pre-hook, post-hook}:
     * patch-YAML config first, then inline config; each value may be a
     * YAML list, a `['a', 'b']` literal, or a bare SQL string. The
@@ -1207,8 +1235,13 @@ final class Runner(
     // (concurrent runs on this session stay correct)
     // view-safe name: YAML allows unit-test names Spark identifiers
     // don't (dashes, dots) — sanitized here so such a test still RUNS
-    // instead of erroring on view creation
-    val safe = ut.name.replaceAll("[^A-Za-z0-9_]", "_")
+    // instead of erroring on view creation. The raw name's hash rides
+    // along because sanitization is lossy ('a-b' and 'a.b' both map to
+    // a_b): under build --threads>1 two such tests would otherwise
+    // createOrReplace/drop EACH OTHER'S fixture views mid-evaluation —
+    // a silent wrong pass/fail, not an error.
+    val safe = ut.name.replaceAll("[^A-Za-z0-9_]", "_") +
+      f"_${ut.name.hashCode & 0xffffff}%06x"
     // duplicate given: blocks for the same input would silently override
     // each other in the Map (and leak the earlier fixture view) — dbt
     // errors on duplicate inputs, so reject BEFORE creating any view
@@ -1254,12 +1287,15 @@ final class Runner(
         expectCols.map(c => col(c).cast("string").as(c))
       // escaped join: a raw '|' join would let ('x|y','z') equal
       // ('x','y|z') — a false PASS. Backslash-escape the separator (and
-      // itself) in values; NUL marks NULL (unreachable from YAML/SQL
-      // string output).
+      // itself) in values; a bare NUL marks NULL. A GENUINE NUL inside a
+      // value (SQL chr(0) — reachable from model output even though YAML
+      // can't spell one) escapes to \0 so it can never alias the NULL
+      // sentinel into a false pass.
       def key(r: org.apache.spark.sql.Row): String =
         (0 until r.length).map(i =>
           if (r.isNullAt(i)) "\u0000"
-          else r.getString(i).replace("\\", "\\\\").replace("|", "\\|"))
+          else r.getString(i).replace("\\", "\\\\").replace("|", "\\|")
+            .replace("\u0000", "\\0"))
           .mkString("|")
       val actualRows = actual.select(proj: _*).collect().toSeq.map(key)
       val expSchema = org.apache.spark.sql.types.StructType(
@@ -1322,7 +1358,8 @@ final class Runner(
     * records `error` with violations −1. Everything else is pass/fail
     * by violation count. */
   def runTestsDetailed(onModels: Option[Set[String]] = None,
-      modelStatus: Map[String, String] = Map.empty)
+      modelStatus: Map[String, String] = Map.empty,
+      storeFailures: Boolean = false)
       : Map[String, (String, Long)] =
     testsInScope(onModels).map { case (tid, t) =>
       val depBlocked = t.dependsOn.nodes.exists(d =>
@@ -1331,8 +1368,24 @@ final class Runner(
         if (depBlocked) ("skipped", 0L)
         else
           try {
-            val v = runOneTest(tid, t)
-            (if (v == 0) "pass" else "fail", v)
+            val frame = violationFrame(tid, t)
+            // dbt store_failures: the violating rows persist to an audit
+            // relation (<warehouse>/dbt_test__audit/<test_name>) for the
+            // debugging workflow; per-test config wins over the CLI flag
+            // in BOTH directions (store_failures: false opts a test out
+            // of --store-failures, like dbt). The count then reads off
+            // the written parquet so the violation query runs once.
+            val store = testConfOpt(t, "store_failures")
+              .map(s => s.trim.equalsIgnoreCase("true"))
+              .getOrElse(storeFailures)
+            val v =
+              if (store) {
+                val p = storeFailuresPath(t)
+                Files.createDirectories(p.getParent)
+                frame.write.mode("overwrite").parquet(p.toString)
+                spark.read.parquet(p.toString).count()
+              } else frame.count()
+            (testStatus(t, v), v)
           } catch {
             case scala.util.control.NonFatal(e) =>
               System.err.println(s"[test] $tid errored: ${e.getMessage}")
@@ -1340,6 +1393,62 @@ final class Runner(
           }
       }
     }
+
+  /** Audit relation for a test's stored failures — dbt's
+    * `<schema>_dbt_test__audit.<test_name>` mapped onto the file
+    * warehouse. Sanitized like view names so any YAML test name lands on
+    * a writable path. */
+  def storeFailuresPath(t: graft.core.model.TestNode): Path =
+    warehouseDir.resolve("dbt_test__audit")
+      .resolve(t.name.replaceAll("[^A-Za-z0-9_]", "_"))
+
+  /** A test-config key, read from the kwargs map or its nested `config:`
+    * block (dbt accepts both spellings). */
+  private def testConfOpt(t: graft.core.model.TestNode,
+      key: String): Option[String] =
+    t.config.get(key)
+      .orElse(t.config.get("config")
+        .collect { case c: graft.core.yaml.YMap => c }.flatMap(_.get(key)))
+      .map(_.asStr)
+
+  /** dbt severity semantics: `severity: error` (default) checks
+    * `error_if` (default `!=0`) first → fail, then `warn_if` (default
+    * `!=0`) → warn; `severity: warn` skips error_if entirely and only
+    * ever warns. Conditions are the dbt comparison strings ('>5',
+    * '>=10', '!=0', '=0'); anything else is a LOUD config error — a
+    * typo'd threshold must not silently pass a failing test. */
+  private def testStatus(t: graft.core.model.TestNode,
+      violations: Long): String = {
+    def met(key: String): Boolean = {
+      val cond = testConfOpt(t, key).getOrElse("!=0")
+      val m = """^(>=|<=|!=|<>|==|=|>|<)\s*(-?\d+)$""".r
+      cond.trim match {
+        case m(op, num) =>
+          val k = num.toLong
+          op match {
+            case ">" => violations > k
+            case "<" => violations < k
+            case ">=" => violations >= k
+            case "<=" => violations <= k
+            case "=" | "==" => violations == k
+            case "!=" | "<>" => violations != k
+          }
+        case other => throw new IllegalArgumentException(
+          s"test ${t.uniqueId}: unparseable $key condition '$other' " +
+            "(expected e.g. '>10', '>=1', '!=0')")
+      }
+    }
+    testConfOpt(t, "severity").map(_.trim.toLowerCase)
+      .getOrElse("error") match {
+      case "warn" => if (met("warn_if")) "warn" else "pass"
+      case "error" =>
+        if (met("error_if")) "fail"
+        else if (met("warn_if")) "warn"
+        else "pass"
+      case other => throw new IllegalArgumentException(
+        s"test ${t.uniqueId}: severity must be warn or error, got '$other'")
+    }
+  }
 
   /** `graft build` scopes tests to the models it materialized; the
     * bare `graft test` keeps the full suite (onModels = None). A test is
@@ -1351,19 +1460,26 @@ final class Runner(
     manifest.tests.filter { case (tid, t) =>
       onModels.forall(sel => sel(tid) || t.dependsOn.nodes.exists(sel)) }
 
-  private def runOneTest(tid: String, t: graft.core.model.TestNode): Long = {
+  private def runOneTest(tid: String, t: graft.core.model.TestNode): Long =
+    violationFrame(tid, t).count()
+
+  /** The violating-rows frame a generic test compiles to (what dbt's
+    * rendered test SELECTs); `count()` of it is the violation count and
+    * `store_failures` persists it as-is. */
+  private def violationFrame(tid: String,
+      t: graft.core.model.TestNode): DataFrame = {
       val modelId = t.dependsOn.nodes.find(_.startsWith("model."))
         .getOrElse(throw new IllegalStateException(s"test $tid has no model dep"))
       val df = spark.table(viewName(manifest.nodes(modelId).name))
       val colName = t.column.getOrElse("id")
-      val violations: Long = t.testType match {
-        case "not_null" => df.filter(col(colName).isNull).count()
+      t.testType match {
+        case "not_null" => df.filter(col(colName).isNull)
         case "unique" =>
           // dbt's compiled test filters NULLs before grouping (pairing
           // unique + not_null is the standard pattern; double-reporting
           // the NULLs here would fail a green-in-dbt project)
           df.filter(col(colName).isNotNull)
-            .groupBy(col(colName)).count().filter(col("count") > 1).count()
+            .groupBy(col(colName)).count().filter(col("count") > 1)
         case "accepted_values" =>
           // accept the same shapes strListConfig does for model configs:
           // a parsed YAML list, an inline ['a','b'] literal the lite
@@ -1382,7 +1498,7 @@ final class Runner(
             case None => throw new IllegalArgumentException(
               s"accepted_values test $tid needs `values`")
           }
-          df.filter(!col(colName).cast("string").isin(vals: _*)).count()
+          df.filter(!col(colName).cast("string").isin(vals: _*))
         case "relationships" =>
           // the TESTED model vs the `to` target: dep ORDER is not a
           // contract (dbt-core manifests list refs arbitrarily), so the
@@ -1402,7 +1518,7 @@ final class Runner(
           val field = t.config.get("field").map(_.asStr).getOrElse("id")
           val target = spark.table(viewName(manifest.nodes(toModel).name))
           tdf.filter(col(colName).isNotNull)
-            .join(target, col(colName) === target(field), "left_anti").count()
+            .join(target, col(colName) === target(field), "left_anti")
         case custom =>
           // custom generic test: a {% test %} block returning violating
           // rows; `model` binds to the model's view, `column_name` to the
@@ -1419,9 +1535,8 @@ final class Runner(
             resolveSource = _ => throw new IllegalArgumentException(
               s"source() unsupported in generic test $custom"),
             vars = vars)
-          spark.sql(sql).count()
+          spark.sql(sql)
       }
-      violations
   }
 }
 

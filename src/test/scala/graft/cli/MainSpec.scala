@@ -61,6 +61,116 @@ class MainSpec extends AnyFunSuite {
     assert(printed.contains("== 2 pass, 0 fail =="), printed)
   }
 
+  test("test/build: severity warn reports WARN, exits 0, records warn in run_results") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "models/stg.sql" -> "select * from values (1), (null) as t(id)",
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: stg
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - not_null:
+          |              config:
+          |                severity: warn
+          |""".stripMargin))
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("test", "--project-dir", root.toString))
+    }
+    val printed = out.toString
+    assert(code == 0, s"exit $code\n$printed")
+    assert(printed.contains("WARN test.shop.not_null_stg_id (1 violations)"),
+      printed)
+    assert(printed.contains("1 warn"), printed)
+    val rr = Files.readString(root.resolve("target/run_results.json"))
+    assert(rr.contains("warn"), rr)
+    // build treats warn exactly like pass for the exit code
+    val code2 = Console.withOut(new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream())) {
+      Main.run(Array("build", "--project-dir", root.toString))
+    }
+    assert(code2 == 0)
+  }
+
+  test("test --store-failures persists violating rows under .graft/warehouse") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "models/stg.sql" -> "select * from values (1), (1), (2) as t(id)",
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: stg
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - unique
+          |""".stripMargin))
+    val code = Console.withOut(new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream())) {
+      Main.run(Array("test", "--project-dir", root.toString,
+        "--store-failures", "--read-catalog"))
+    }
+    assert(code == 1) // the unique test still fails
+    val audit = root.resolve(".graft/warehouse/dbt_test__audit/unique_stg_id")
+    assert(Files.exists(audit), audit.toString)
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[*]").getOrCreate()
+    val rows = s.read.parquet(audit.toString).collect()
+    assert(rows.length == 1 && rows.head.getInt(0) == 1, rows.toSeq)
+  }
+
+  test("run-operation invokes a macro with --args; unknown macro fails loudly") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "macros/mk.sql" ->
+        ("{% macro mk(nm) %}" +
+          "create or replace temporary view {{ nm }} as select 42 as answer" +
+          "{% endmacro %}")))
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("run-operation", "mk", "--args", "nm: cli_op_out",
+        "--project-dir", root.toString))
+    }
+    assert(code == 0, out.toString)
+    assert(out.toString.contains("ran operation mk"), out.toString)
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[*]").getOrCreate()
+    assert(s.table("cli_op_out").collect().map(_.getInt(0)).toSeq == Seq(42))
+    intercept[IllegalArgumentException] {
+      Main.run(Array("run-operation", "definitely_missing",
+        "--project-dir", root.toString))
+    }
+  }
+
+  test("show compiles+previews with --limit and leaves no table behind") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: shop\n",
+      "models/stg.sql" ->
+        "{{ config(materialized='table') }}\nselect * from values (1), (2), (3) as t(id)",
+      "models/mart.sql" ->
+        "{{ config(materialized='table') }}\nselect id from {{ ref('stg') }} order by id"))
+    val out = new java.io.ByteArrayOutputStream()
+    val code = Console.withOut(new java.io.PrintStream(out)) {
+      Main.run(Array("show", "--select", "mart", "--limit", "2",
+        "--project-dir", root.toString, "--read-catalog"))
+    }
+    val printed = out.toString
+    assert(code == 0, printed)
+    assert(printed.contains("-- model.shop.mart"), printed)
+    // header + exactly --limit data rows
+    val lines = printed.linesIterator.toVector
+      .dropWhile(_ != "-- model.shop.mart").drop(1)
+    assert(lines.headOption.contains("id"), printed)
+    assert(lines.slice(1, 4).count(_.trim.nonEmpty) == 2, printed)
+    // upstream materialized (a table model needs its parents), but the
+    // PREVIEWED model itself never reached the warehouse
+    assert(Files.exists(root.resolve(".graft/warehouse/stg")))
+    assert(!Files.exists(root.resolve(".graft/warehouse/mart")))
+  }
+
   test("create-group applies access patches") {
     val root = writeProject(project)
     Main.main(Array("create-group", "core", "--select", "stg", "mart",

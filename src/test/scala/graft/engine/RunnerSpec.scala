@@ -1060,6 +1060,141 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(results("test.gt.accepted_values_m_status") == 0L, results.toString)
   }
 
+  test("test severity/warn_if/error_if: warn statuses, thresholds, loud typos") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: sev\n",
+      "models/base.sql" ->
+        "select * from values (1,'a'), (1,'a'), (2,'a'), (null,'b') as t(id, k)",
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: base
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - not_null:
+          |              config:
+          |                severity: warn
+          |          - unique:
+          |              error_if: '>5'
+          |              warn_if: '>10'
+          |      - name: k
+          |        tests:
+          |          - unique:
+          |              config:
+          |                error_if: '> 0'
+          |          - accepted_values:
+          |              values: ['a', 'b']
+          |              config:
+          |                severity: banana
+          |""".stripMargin)
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    runner.run()
+    val res = runner.runTestsDetailed()
+    // severity: warn (nested config spelling) — 1 NULL id warns, never fails
+    assert(res("test.sev.not_null_base_id") == ("warn", 1L), res.toString)
+    // thresholds as direct kwargs: 1 duplicate id value meets neither
+    // error_if '>5' nor warn_if '>10' → pass despite violations
+    assert(res("test.sev.unique_base_id") == ("pass", 1L), res.toString)
+    // default warn_if with explicit error_if '> 0' (space-tolerant): fail
+    assert(res("test.sev.unique_base_k") == ("fail", 1L), res.toString)
+    // a typo'd severity is a loud config error, not a silent pass
+    assert(res("test.sev.accepted_values_base_k")._1 == "error", res.toString)
+  }
+
+  test("store_failures: audit parquet holds exactly the violating rows; config beats flag") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: sf\n",
+      "models/base.sql" ->
+        "select * from values (1), (1), (2), (null) as t(id)",
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: base
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - unique
+          |          - not_null:
+          |              config:
+          |                store_failures: false
+          |""".stripMargin)
+    val root = writeProject(proj)
+    val (runner, manifest) = mkRunner(root, enforceAccess = false)
+    runner.run()
+    val res = runner.runTestsDetailed(storeFailures = true)
+    assert(res("test.sf.unique_base_id") == ("fail", 1L), res.toString)
+    val uniquePath = runner.storeFailuresPath(
+      manifest.tests("test.sf.unique_base_id"))
+    assert(Files.exists(uniquePath))
+    // the unique test's compiled frame: (value, count) per duplicated key
+    val rows = spark.read.parquet(uniquePath.toString).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getInt(0) == 1 && rows.head.getLong(1) == 2L, rows.toSeq)
+    // per-test `store_failures: false` opts OUT of the CLI flag
+    assert(!Files.exists(runner.storeFailuresPath(
+      manifest.tests("test.sf.not_null_base_id"))))
+    // and `store_failures: true` opts IN without the flag — rerunning
+    // with flag=false still persists the configured test
+    val root2 = writeProject(proj.updated("models/_props.yml",
+      """version: 2
+        |models:
+        |  - name: base
+        |    columns:
+        |      - name: id
+        |        tests:
+        |          - not_null:
+        |              config:
+        |                store_failures: true
+        |""".stripMargin))
+    val (runner2, manifest2) = mkRunner(root2, enforceAccess = false)
+    runner2.run()
+    runner2.runTestsDetailed()
+    val nnPath = runner2.storeFailuresPath(
+      manifest2.tests("test.sf.not_null_base_id"))
+    assert(Files.exists(nnPath))
+    assert(spark.read.parquet(nnPath.toString).count() == 1L)
+  }
+
+  test("run-operation renders and executes a macro; unknown macro is loud") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: op\n",
+      "macros/make_view.sql" ->
+        ("{% macro make_view(n, nm) %}" +
+          "create or replace temporary view {{ nm }} as select {{ n }} as x" +
+          "{% endmacro %}"))
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    val rendered = runner.runOperation("make_view",
+      Map("n" -> "7", "nm" -> "op_out"))
+    assert(rendered.contains("select 7 as x"), rendered)
+    assert(spark.table("op_out").collect().map(_.getInt(0)).toSeq == Seq(7))
+    val e = intercept[IllegalArgumentException](runner.runOperation("nope"))
+    assert(e.getMessage.contains("make_view"), e.getMessage)
+  }
+
+  test("unit tests: a genuine NUL char in output must not alias NULL") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: nul\n",
+      "models/m.sql" -> "select chr(0) as v",
+      "models/_unit.yml" ->
+        """version: 2
+          |unit_tests:
+          |  - name: nul_is_not_null
+          |    model: m
+          |    expect:
+          |      rows:
+          |        - {v: null}
+          |""".stripMargin)
+    val root = writeProject(proj)
+    val (runner, _) = mkRunner(root, enforceAccess = false)
+    runner.run()
+    // chr(0) is a real one-char string; expecting NULL must FAIL (the
+    // compare key escapes embedded NULs so they can't hit the sentinel)
+    assert(runner.runUnitTests()("unit_test.nul.nul_is_not_null")._1 == "fail")
+  }
+
   test("hooks: pre-hook runs before the model, post-hook after it, {{ this }} binds") {
     val proj = Map(
       "dbt_project.yml" -> "name: hk\n",
