@@ -1565,7 +1565,24 @@ object GraphOps {
     * a map-side-combining (x, y) aggregation; existing edges leave via
     * left_anti on the low→high pair key; top-20 is TakeOrdered — no
     * global sort ever materializes. No collect, no broadcast of
-    * anything vertex-sized. */
+    * anything vertex-sized.
+    *
+    * Floor adjudication (round 14, settled isolated A/B at sf0.1):
+    * 2.48 s → 2.10 s after replacing the two lazy checkpoints with one
+    * forced repartition(da) that ReuseExchange shares across deg + both
+    * wedge sides (two scheduling barriers and one exchange gone). The
+    * remaining 2.10 s vs the 0.57 s DuckDB CTE is stage-round floor,
+    * not data: the per-stage profile (tools/devscratch/ProfG22.scala)
+    * measured the substrate at ~0.8 s (600k-row lineitem scan + basket
+    * collect_set + support agg — real work) and EVERY post-support frame
+    * at ≤ 10k rows, with each of the ~6 sequential AQE stage rounds
+    * costing ~0.2-0.3 s of scheduling; forcing
+    * spark.sql.shuffle.partitions=8 (fewer tasks/round, same plan) drops
+    * the same code to 1.32 s, and disabling AQE raises it to 2.5 s —
+    * both knob probes confirm overhead, not algorithm. The shape keeps
+    * its 100 TB properties (map-side support collapse, hub cap,
+    * exchange-free cascade), so the bench-SF ratio is the price of a
+    * 32-way scheduler running a 3.5k-edge graph. */
   val RaMaxMiddleDegree = 1000L
   val RaMinSupport = 2L
 
@@ -1586,9 +1603,16 @@ object GraphOps {
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= RaMinSupport)
       .select($"da", $"db")
-      .localCheckpoint(eager = false) // reused: sym + the anti-join probe
+    // ONE forced hash layout on the middle-vertex key instead of lazy
+    // checkpoints: every consumer below (deg's groupBy(da), the mid
+    // join's both sides, the wedge join's probe side) names the same
+    // partitioning, so ReuseExchange computes the substrate once and the
+    // whole degree→mid→wedge cascade runs exchange-free on top of it
+    // (the q58-q60 subset-rule pattern). The checkpoint variant paid two
+    // extra scheduling rounds (eager materialization barriers) plus a
+    // fourth exchange; measured A/B below in the scaladoc.
     val sym = e.union(e.select($"db".as("da"), $"da".as("db")))
-      .localCheckpoint(eager = false) // reused: degrees + both wedge sides
+      .repartition($"da")
     val deg = sym.groupBy($"da").agg(count(lit(1)).as("d"))
     // middle-degree weight joins on da — the wedge join's own key
     val mid = sym.join(deg.filter($"d" <= RaMaxMiddleDegree), Seq("da"))
@@ -1650,7 +1674,19 @@ object GraphOps {
     * cap·|E|, and the reach counts then collapse to a histogram no
     * larger than the degree domain. No collect, no broadcast of
     * anything vertex-sized, no global sort (the final order-by rides
-    * the |histogram|-row frame). */
+    * the |histogram|-row frame).
+    *
+    * Floor adjudication (round 14, settled isolated A/B at sf0.1):
+    * 2.80 s → 2.14 s from two shape fixes — the shared repartition(da)
+    * replacing the lazy checkpoint (see g21), and hashing the dedup on
+    * x alone so the (x, y) distinct AND the per-x reach count ride ONE
+    * pair-scale exchange instead of two. The residue vs the 0.32 s
+    * DuckDB CTE is the same stage-round floor g21 documents (per-stage
+    * profile in tools/devscratch/ProfG22.scala: substrate ~0.8 s, every
+    * later frame ≤ 10k rows, ~0.2-0.3 s per sequential stage round;
+    * shuffle.partitions=8 → 1.41 s, AQE off → 3.7 s). Scale shape
+    * unchanged: the hub cap still bounds the expansion and no stage
+    * materializes anything vertex-quadratic. */
   def g22(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val baskets = Tables.t(s, dir, "lineitem")
@@ -1663,8 +1699,11 @@ object GraphOps {
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= RaMinSupport)
       .select($"da", $"db")
+    // same forced-layout trick as g21: one repartition on the middle key,
+    // ReuseExchange shares it across deg + both wedge sides, zero
+    // checkpoints, zero extra exchanges
     val sym = e.union(e.select($"db".as("da"), $"da".as("db")))
-      .localCheckpoint(eager = false) // reused: degrees + both wedge sides
+      .repartition($"da")
     val deg = sym.groupBy($"da").agg(count(lit(1)).as("d"))
     // (z → x) legs whose middle z stays under the hub cap; the join key
     // da is the wedge join's own key, so degrees attach with no extra
@@ -1674,7 +1713,12 @@ object GraphOps {
     val twoHop = mid.as("l").join(sym.as("r"),
       col("l.z") === col("r.da") && col("l.x") =!= col("r.db"))
       .select(col("l.x").as("x"), col("r.db").as("y"))
+    // ONE pair-scale exchange for dedup + reach: hash on x alone —
+    // HashPartitioning(x) clusters (x, y) too (subset rule), so the
+    // distinct AND the per-x count both run exchange-free on top of it
+    // (a distinct-then-groupBy(x) would pay two pair-scale exchanges)
     val reach = twoHop.union(sym.select($"da".as("x"), $"db".as("y")))
+      .repartition($"x")
       .distinct()
       .groupBy($"x").agg(count(lit(1)).as("reach"))
     reach.groupBy($"reach").agg(count(lit(1)).as("n_nodes"))
