@@ -46,6 +46,13 @@ object GraphOps {
     // the local branch's tuple encoder is non-nullable; dropping null
     // endpoints (meaningless in an edge list) and coalescing forces
     // non-nullable on both paths.
+    // EAGER checkpoint, kept deliberately: the round-14 40× stress A/B'd
+    // the lazy (eager=false, count-triggered) form at 212-330 s per g01
+    // run vs 178 s eager on 200k docs — the checkpoint job itself costs
+    // ~1.4× a bare substrate pass either way (143.6 vs 104.6 s isolated),
+    // and the substrate (the d02-class candidate aggregation) dominates
+    // the query at every stressed scale; the single-process oracle never
+    // finishes the loop families at all there (SURVEY §6 round-14).
     val edges = edgesIn.na.drop(Seq("da", "db"))
       .select(
         coalesce($"da".cast("long"), lit(0L)).as("da"),
@@ -1677,16 +1684,27 @@ object GraphOps {
     * the |histogram|-row frame).
     *
     * Floor adjudication (round 14, settled isolated A/B at sf0.1):
-    * 2.80 s → 2.14 s from two shape fixes — the shared repartition(da)
-    * replacing the lazy checkpoint (see g21), and hashing the dedup on
-    * x alone so the (x, y) distinct AND the per-x reach count ride ONE
-    * pair-scale exchange instead of two. The residue vs the 0.32 s
-    * DuckDB CTE is the same stage-round floor g21 documents (per-stage
-    * profile in tools/devscratch/ProfG22.scala: substrate ~0.8 s, every
-    * later frame ≤ 10k rows, ~0.2-0.3 s per sequential stage round;
-    * shuffle.partitions=8 → 1.41 s, AQE off → 3.7 s). Scale shape
-    * unchanged: the hub cap still bounds the expansion and no stage
-    * materializes anything vertex-quadratic. */
+    * 2.80 s → ~2.4 s from the shared repartition(da) substrate (see
+    * g21). The residue vs the 0.32 s DuckDB CTE is the same stage-round
+    * floor g21 documents (per-stage profile in
+    * tools/devscratch/ProfG22.scala: substrate ~0.8 s, every later
+    * frame ≤ 10k rows, ~0.2-0.3 s per sequential stage round;
+    * shuffle.partitions=8 → 1.41 s, AQE off → 3.7 s).
+    *
+    * Dedup-layout adjudication (round-14 10× lineitem stress — Zipf
+    * part popularity, 770k support edges, hub cap live with 135 hubs,
+    * 137M wedge rows): a repartition($"x")-then-distinct fusion (one
+    * pair-scale exchange, per-x counts free by the subset rule) beat
+    * this shape at Bench's pinned 32 partitions (14.3 vs 37.8 s) but
+    * COLLAPSED at the production partition count
+    * (initialPartitionNum=256: 78.6 s vs this shape's 17.4 s) — a hot
+    * part's entire pre-dedup 2-hop fan-in (Σ deg over its ≤cap middles)
+    * hashes to ONE partition and becomes the straggler once partitions
+    * are plentiful. The full (x, y) exchange spreads that mass evenly
+    * and dedups partially map-side, and the follow-up groupBy(x)
+    * exchanges only per-partition partial counts. Partition count, not
+    * layout, is the 10×+ knob (the d02 finding): Bench keeps 32 for
+    * sf0.1; a cluster sizes initialPartitionNum to volume. */
   def g22(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val baskets = Tables.t(s, dir, "lineitem")
@@ -1713,12 +1731,15 @@ object GraphOps {
     val twoHop = mid.as("l").join(sym.as("r"),
       col("l.z") === col("r.da") && col("l.x") =!= col("r.db"))
       .select(col("l.x").as("x"), col("r.db").as("y"))
-    // ONE pair-scale exchange for dedup + reach: hash on x alone —
-    // HashPartitioning(x) clusters (x, y) too (subset rule), so the
-    // distinct AND the per-x count both run exchange-free on top of it
-    // (a distinct-then-groupBy(x) would pay two pair-scale exchanges)
+    // dedup on the FULL (x, y) key, not a repartition($"x") fusion: the
+    // round-14 10× stress (Zipf part popularity, hub cap live) measured
+    // the x-only layout concentrating a hot part's entire pre-dedup
+    // 2-hop fan-in (Σ deg of its ≤cap middles — tens of millions of
+    // rows) into ONE partition. The (x, y) exchange spreads evenly and
+    // dedups partially map-side; the follow-up groupBy(x) then only
+    // exchanges per-partition partial counts — NOT a second pair-scale
+    // shuffle.
     val reach = twoHop.union(sym.select($"da".as("x"), $"db".as("y")))
-      .repartition($"x")
       .distinct()
       .groupBy($"x").agg(count(lit(1)).as("reach"))
     reach.groupBy($"reach").agg(count(lit(1)).as("n_nodes"))

@@ -1937,6 +1937,150 @@ object Similarity {
       |    // COUNT(*) AS BIGINT) AS closer_ppm
       |FROM d GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- s29
+  /** Composed IVF-PQ retrieval — the full production ANN stack in ONE
+    * gated plan (the round-13 verdict's "s02 cells + s07 codes + s08
+    * re-rank" composition): queries probe their 2 nearest coarse cells
+    * (s08's recall lever), every candidate in a probed cell is scored by
+    * PQ asymmetric distance from its 4×16-dim subquantizer codes (s07's
+    * ADC — no full vector touched), the per-query top-10 ADC shortlist
+    * is then re-ranked by EXACT cosine, and the top-3 ship. This is the
+    * FAISS IVFPQ + refine architecture (Jégou, Douze & Schmid, TPAMI
+    * 2011, §IV; Johnson, Douze & Jégou, IEEE Big Data 2019) expressed as
+    * one Spark plan.
+    *
+    * Determinism: the ADC shortlist ranks DECIMAL(18,6) sums of round-6
+    * subdistances with vec_id tiebreaks (bit-stable in both engines),
+    * and the final rank uses the house round-6 cosine ordering — every
+    * boundary (cell assignment, shortlist cut, final top-3) is exact.
+    *
+    * Scale (100 TB): coarse centroids, PQ codebooks, the query LUT
+    * (|queries|·M·k rows — parameter-bounded) and the probe list all
+    * broadcast; the corpus contributes ONE narrow codes pass
+    * (vec_id, j, code) and ONE narrow cell-map pass, candidates are
+    * generated map-side on the cell key, ADC scoring joins codes to the
+    * broadcast LUT without touching vectors, and full vectors re-attach
+    * only for the |queries|·10 shortlist rows (rank narrow, re-join
+    * wide — the s02 stress lesson applied end-to-end). */
+  def s29(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val M = 4
+    val SubDim = 16
+    val dd = DecimalType(18, 6)
+    val d2 = (a: Column, b: Column) => graft.functions.SqDist(a, b)
+    val all = vecs(s, dir)
+    val cent = all.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("cid"), $"v".as("cv"), $"norm".as("cnorm"))
+    // narrow (vec_id, arank, cid) ranks shared by the corpus cell map
+    // and the query probe list (checkpoint rule: both consumers sit
+    // above the ranking exchange)
+    val ranks = cellRanks(all, cent, 2).localCheckpoint(eager = false)
+    val cellMap = ranks.filter($"arank" === 1).select($"vec_id", $"cid")
+    val probes = ranks.filter($"arank" <= 2 && $"vec_id" % 71 === 0)
+      .select($"vec_id".as("qid"), $"cid".as("pcell"))
+    // PQ substrate (s07's): 4 subspaces, codebook = vec_id % 37
+    val subs = Tables.t(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast(DoubleType)).as("v"))
+      .select($"vec_id", explode(sequence(lit(0), lit(M - 1))).as("j"), $"v")
+      .select($"vec_id", $"j", slice($"v", $"j" * SubDim + 1, lit(SubDim)).as("sub"))
+      .localCheckpoint(eager = false) // consumed by codes + LUT passes
+    val pqc = subs.filter($"vec_id" % 37 === 0)
+      .select($"vec_id".as("pcid"), $"j".as("cj"), $"sub".as("csub"))
+    val codes = subs.join(broadcast(pqc), $"j" === $"cj")
+      .withColumn("dc", round(d2($"sub", $"csub"), 6).cast(dd))
+      .groupBy($"vec_id", $"j")
+      .agg(min(struct($"dc", $"pcid")).as("m"))
+      .select($"vec_id", $"j", $"m.pcid".as("code"))
+    val lut = subs.filter($"vec_id" % 71 === 0)
+      .select($"vec_id".as("lqid"), $"j".as("qj"), $"sub".as("qsub"))
+      .join(broadcast(pqc), $"qj" === $"cj")
+      .select($"lqid", $"qj", $"pcid",
+        round(d2($"qsub", $"csub"), 6).cast(dd).as("dq"))
+    // candidates: probed-cell members, ADC-scored from codes alone
+    val cand = cellMap
+      .join(broadcast(probes), $"cid" === $"pcell" && $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id", $"cid")
+    val wShort = Window.partitionBy($"qid").orderBy($"adist".asc, $"vec_id")
+    val short = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(lut),
+        $"qid" === $"lqid" && $"j" === $"qj" && $"code" === $"pcid")
+      .groupBy($"qid", $"vec_id", $"cid")
+      .agg(sum($"dq").as("adist"))
+      .withColumn("prank", row_number().over(wShort))
+      .filter($"prank" <= 10)
+    // exact re-rank of the 10-row-per-query shortlist (vectors re-join
+    // HERE, never earlier)
+    val qv = all.filter($"vec_id" % 71 === 0)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"norm".as("qnorm"))
+    val wTop = Window.partitionBy($"qid")
+      .orderBy(round($"sim", 6).desc, $"vec_id")
+    short.join(all.select($"vec_id", $"v", $"norm"), Seq("vec_id"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("sim", dot($"qv", $"v") / ($"qnorm" * $"norm"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= 3)
+      .select($"qid", $"rank", $"vec_id".as("neighbor_id"),
+        $"cid".as("cell"), $"adist".cast(DoubleType).as("approx_dist2"),
+        round($"sim", 4).as("sim"))
+      .orderBy($"qid", $"rank")
+  }
+
+  val s29Sql: String = {
+    def sd2(a: String, b: String): String =
+      s"list_reduce(list_transform(generate_series(1, 16), " +
+        s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+        s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+    s"""WITH v AS (SELECT vec_id, embedding,
+       |    sqrt(${dotSql("embedding", "embedding")}) AS norm FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, embedding AS ce, norm AS cnorm FROM v WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT v.vec_id, cent.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY round(${dotSql("ce", "embedding")} / (cnorm * norm), 6) DESC, cid) AS arank
+       |  FROM v CROSS JOIN cent),
+       |cellmap AS (SELECT vec_id, cid FROM scored WHERE arank = 1),
+       |probes AS (SELECT vec_id AS qid, cid AS pcell FROM scored
+       |           WHERE vec_id % 71 = 0 AND arank <= 2),
+       |subs AS (
+       |  SELECT vec_id, j, list_slice(embedding, j*16 + 1, j*16 + 16) AS sub
+       |  FROM embeddings, UNNEST(generate_series(0, 3)) AS t(j)),
+       |pqc AS (SELECT vec_id AS pcid, j AS cj, sub AS csub
+       |        FROM subs WHERE vec_id % 37 = 0),
+       |codes AS (SELECT vec_id, j, pcid AS code FROM (
+       |    SELECT s.vec_id, s.j, c.pcid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.j
+       |        ORDER BY CAST(round(${sd2("s.sub", "c.csub")}, 6) AS DECIMAL(18,6)) ASC,
+       |                 c.pcid) AS crank
+       |    FROM subs s JOIN pqc c ON s.j = c.cj)
+       |  WHERE crank = 1),
+       |lut AS (SELECT s.vec_id AS qid, s.j AS qj, c.pcid,
+       |    CAST(round(${sd2("s.sub", "c.csub")}, 6) AS DECIMAL(18,6)) AS dq
+       |  FROM subs s JOIN pqc c ON s.j = c.cj
+       |  WHERE s.vec_id % 71 = 0),
+       |cand AS (SELECT p.qid, m.vec_id, m.cid FROM cellmap m
+       |         JOIN probes p ON m.cid = p.pcell AND m.vec_id <> p.qid),
+       |adc AS (SELECT cand.qid, cand.vec_id, cand.cid, SUM(l.dq) AS adist
+       |        FROM cand JOIN codes co ON co.vec_id = cand.vec_id
+       |        JOIN lut l ON l.qid = cand.qid AND l.qj = co.j AND l.pcid = co.code
+       |        GROUP BY 1, 2, 3),
+       |short AS (SELECT qid, vec_id, cid, adist FROM (
+       |    SELECT qid, vec_id, cid, adist,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id) AS prank
+       |    FROM adc) WHERE prank <= 10),
+       |rer AS (SELECT s.qid, s.vec_id, s.cid, s.adist,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm) AS sim
+       |  FROM short s JOIN v c ON c.vec_id = s.vec_id
+       |  JOIN v q ON q.vec_id = s.qid),
+       |ranked AS (SELECT qid, vec_id, cid, adist, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(sim, 6) DESC, vec_id) AS INTEGER) AS rank
+       |  FROM rer)
+       |SELECT qid, rank, vec_id AS neighbor_id, cid AS cell,
+       |  CAST(adist AS DOUBLE) AS approx_dist2, round(sim, 4) AS sim
+       |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("s01_cosine_topk", s01, Some(s01Sql), headline = true),
     Q("s02_ivf_ann", s02, Some(s02Sql), headline = true),
@@ -1965,7 +2109,8 @@ object Similarity {
     Q("s25_knn_confusion", s25, Some(s25Sql)),
     Q("s26_margin_mining", s26, Some(s26Sql)),
     Q("s27_quantization_error", s27, Some(s27Sql)),
-    Q("s28_silhouette_audit", s28, Some(s28Sql)))
+    Q("s28_silhouette_audit", s28, Some(s28Sql)),
+    Q("s29_ivfpq_retrieval", s29, Some(s29Sql)))
 
   // ---------------------------------------------------------------- s26
   /** Margin-based candidate-pair mining (Artetxe & Schwenk, ACL 2019 —

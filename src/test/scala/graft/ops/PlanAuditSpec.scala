@@ -24,17 +24,35 @@ object PlanAuditSpec {
       case _ => false
     }.isDefined
 
+  /** `plan` plus every PHYSICAL subquery plan under it, recursively.
+    * `collectWithSubqueries` can't be used directly on a pre-execution
+    * `sparkPlan`: subquery expressions there may still hold LOGICAL
+    * plans (e.g. the bloom-filter subquery InjectRuntimeFilter adds to a
+    * broadcast join's probe side — first seen on s29) and the unchecked
+    * cast inside it throws. Logical subqueries are planned at
+    * executedPlan time; their eventual physical shape is a sub-plan of
+    * the frames already audited here. */
+  def withPhysicalSubqueries(plan: SparkPlan): Seq[SparkPlan] = {
+    val subs = plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+          e.plan
+      })
+    }.flatten.collect { case sp: SparkPlan => sp }
+    plan +: subs.flatMap(withPhysicalSubqueries)
+  }
+
   /** Unpartitioned window operators whose input is NOT bounded by a limit
     * — the single-partition global-sort shape that kills distributed
-    * plans. Subqueries included. */
+    * plans. Physical subqueries included. */
   def unboundedGlobalWindows(plan: SparkPlan): Seq[String] =
-    plan.collectWithSubqueries {
+    withPhysicalSubqueries(plan).flatMap(_.collect {
       case w: WindowExec if w.partitionSpec.isEmpty && !limitBelow(w.child) =>
         w.simpleStringWithNodeId()
       case w: WindowGroupLimitExec
           if w.partitionSpec.isEmpty && !limitBelow(w.child) =>
         w.simpleStringWithNodeId()
-    }
+    })
 
   /** Raw-payload column names that must never ride a shuffle: at 100 TB
     * an exchange carrying document text or media bytes IS the job's I/O
@@ -46,14 +64,14 @@ object PlanAuditSpec {
     * per-doc frames) are judged separately by the narrow-sort rule. */
   def payloadExchanges(plan: SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    plan.collectWithSubqueries {
+    withPhysicalSubqueries(plan).flatMap(_.collect {
       case e: ShuffleExchangeExec
           if !e.outputPartitioning.isInstanceOf[
             org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] &&
             e.output.exists(a => payloadNames.contains(a.name)) =>
         e.output.filter(a => payloadNames.contains(a.name))
           .map(_.name).mkString("exchange carrying [", ",", "]")
-    }
+    })
   }
 }
 
@@ -362,6 +380,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = simplePlan(Similarity.s07(spark, dir))
     assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"codebook/LUT not broadcast:\n$p")
+  }
+
+  test("s29: composed IVF-PQ — codebooks/LUT/probes broadcast, no cartesian") {
+    val p = simplePlan(Similarity.s29(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"LUT/probes not broadcast:\n$p")
   }
 
   test("q37: melt adds no exchange — one aggregation shuffle, then a narrow Generate") {
@@ -1262,9 +1286,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       val plan = q.fn(spark, dir).queryExecution.sparkPlan
       if (PlanAuditSpec.unboundedGlobalWindows(plan).nonEmpty) winHits += q.name
       if (PlanAuditSpec.payloadExchanges(plan).nonEmpty) payloadHits += q.name
-      if (plan.collectWithSubqueries {
+      if (PlanAuditSpec.withPhysicalSubqueries(plan).flatMap(_.collect {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-      }.nonEmpty) cartesianHits += q.name
+      }).nonEmpty) cartesianHits += q.name
       // queries pin layouts with lazy localCheckpoints; free the blocks so
       // the full-registry sweep doesn't accumulate them (CLAUDE.md rule)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
