@@ -186,11 +186,15 @@ object Bench {
     // BENCH_LOCAL.json is committed evidence and must ONLY ever hold a
     // full-registry run at the default SF: round 13's end-of-round snapshot
     // committed a 4-query stress leftover over the real 228-query pair
-    // (VERDICT r13). Subset (SPARK_GRAFT_ONLY) or non-default-SF runs are
-    // dev-loop scratch and land in BENCH_SCRATCH.json unless the caller
-    // explicitly overrides the path.
+    // (VERDICT r13). Subset (SPARK_GRAFT_ONLY), non-default-SF, conf-overlay
+    // (SPARK_GRAFT_CONF — knob probes like shuffle.partitions=8 measure a
+    // different engine config) and non-default-repeat runs are dev-loop
+    // scratch and land in BENCH_SCRATCH.json unless the caller explicitly
+    // overrides the path.
     val isFullDefaultRun =
-      only.isEmpty && sfDir == "/root/testdata/sf0.1"
+      only.isEmpty && sfDir == "/root/testdata/sf0.1" &&
+        sys.env.get("SPARK_GRAFT_CONF").forall(_.trim.isEmpty) &&
+        repeat == 3
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (isFullDefaultRun) "BENCH_LOCAL.json" else "BENCH_SCRATCH.json")
     val stdoutJson =

@@ -83,6 +83,15 @@ object Main {
     if (code != 0) sys.exit(code)
   }
 
+  /** `--read-catalog` resolution: the flag, or either env-var spelling —
+    * graft's own GRAFT_READ_CATALOG and the reference's
+    * DBT_MESHIFY_READ_CATALOG (cli.py:98-104 reads the env var as an
+    * alias of the flag). Pure over an env map so specs can exercise both
+    * spellings without mutating process env. */
+  def readCatalogFrom(flag: Boolean, env: Map[String, String]): Boolean =
+    flag || env.contains("GRAFT_READ_CATALOG") ||
+      env.contains("DBT_MESHIFY_READ_CATALOG")
+
   /** [[main]] without the process exit: returns the would-be exit code so
     * embedders and specs can exercise failure paths (a sys.exit in a
     * forked test JVM aborts the whole suite). */
@@ -103,11 +112,13 @@ object Main {
     val dryRun = args.switches("dry-run")
     // --debug maps the reference's DEBUG log level to Spark's (main.py:83)
     val logLevel = if (args.switches("debug")) "INFO" else "WARN"
-    // --read-catalog (or the env-var form, mirroring
-    // DBT_MESHIFY_READ_CATALOG): reuse the project-local warehouse across
-    // invocations instead of rebuilding into a throwaway temp dir
-    val readCatalog = args.switches("read-catalog") ||
-      sys.env.contains("GRAFT_READ_CATALOG")
+    // --read-catalog (or the env-var forms: GRAFT_READ_CATALOG, plus the
+    // reference's own spelling DBT_MESHIFY_READ_CATALOG — cli.py:98-104
+    // reads the env var as an alias of the flag): reuse the project-local
+    // warehouse across invocations instead of rebuilding into a throwaway
+    // temp dir
+    val readCatalog = Main.readCatalogFrom(
+      args.switches("read-catalog"), sys.env)
     def warehouse(): Path =
       if (readCatalog) Files.createDirectories(root.resolve(".graft").resolve("warehouse"))
       else Files.createTempDirectory("graft_wh")
@@ -563,18 +574,25 @@ object Main {
           // healthy parent is idempotent (views are free; tables/
           // incrementals rebuild to the same state) — dbt reads the
           // existing warehouse table instead, which a session-view engine
-          // doesn't have across processes. KNOWN DIVERGENCE: that
-          // re-materialization also re-fires the parent's pre/post hooks
-          // (dbt never re-runs a succeeded model, so its hooks fire once);
-          // a hook with side effects (audit insert, notification) executes
-          // an extra time under graft retry. Idempotent hooks — the dbt
-          // best practice — are unaffected.
+          // doesn't have across processes. Parents whose table IS in the
+          // warehouse (--read-catalog) are served hook-free via
+          // runWithStatus(reuseHealthy=...) — dbt parity: a succeeded
+          // node's hooks fired once, in the run that built it. RESIDUAL
+          // DIVERGENCE, view parents only: a healthy view-materialized
+          // parent re-renders (its session view died with the previous
+          // process), which re-fires its hooks; idempotent hooks — the
+          // dbt best practice — are unaffected.
           val selW = sel ++
             m.tests.collect { case (tid, tn) if sel(tid) =>
               tn.dependsOn.nodes.filter(_.startsWith("model.")) }.flatten ++
             m.unitTests.collect { case (uid, ut) if sel(uid) =>
               ut.dependsOn.nodes.filter(_.startsWith("model.")) }.flatten
-          val (ran, status) = runner.runWithStatus(Some(selW))
+          // healthy = pulled in only for ref resolution AND previously
+          // succeeded; the runner reuses those whose table exists
+          val healthy = (selW -- sel).filter(id =>
+            rs.get(id).contains("success"))
+          val (ran, status) = runner.runWithStatus(Some(selW),
+            reuseHealthy = healthy)
           ran.keys.toSeq.sorted.foreach(id => println(s"ran $id"))
           status.toSeq.sorted.collect { case (id, st) if st != "success" =>
             println(s"$st $id") }
@@ -865,14 +883,19 @@ object Main {
         val runner = new Runner(s, m, cfg, warehouse(),
           enforceAccess = false, projectRoot = Some(root),
           readCatalog = readCatalog)
+        // ancestors of the WHOLE selection, materialized once up front —
+        // per-model runner.run re-ran shared upstream tables once per
+        // selected model (idempotent but wasteful; ADVICE r14). Each
+        // model's own id stays OUT unless another selected model depends
+        // on it (show previews, never materializes, the shown model).
+        val allUp = models.filter(_.language != "python").map(node =>
+          Selector.select(m, Seq(s"+${node.name}"), Nil, None) -
+            node.uniqueId).foldLeft(Set.empty[String])(_ ++ _)
+        if (allUp.nonEmpty) runner.run(Some(allUp))
         models.foreach { node =>
           if (node.language == "python")
             println(s"skipped ${node.uniqueId} (python model, no SQL preview)")
           else {
-            // ancestors only — the grammar's `+name` minus the node itself
-            val up = Selector.select(m, Seq(s"+${node.name}"), Nil, None) -
-              node.uniqueId
-            if (up.nonEmpty) runner.run(Some(up))
             val df = s.sql(runner.renderSql(node, isIncremental = false))
               .limit(limit)
             val rows = df.collect()

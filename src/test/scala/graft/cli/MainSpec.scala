@@ -3,6 +3,7 @@ package graft.cli
 import graft.core.parse.ProjectLoader
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
 
 /** The CLI surface: commands parse, dry-run plans without writing, and
   * execution edits the project like the underlying planners. */
@@ -114,12 +115,23 @@ class MainSpec extends AnyFunSuite {
         "--store-failures", "--read-catalog"))
     }
     assert(code == 1) // the unique test still fails
-    val audit = root.resolve(".graft/warehouse/dbt_test__audit/unique_stg_id")
-    assert(Files.exists(audit), audit.toString)
+    // audit paths carry a uniqueId-hash suffix (lossy-sanitization guard)
+    val auditDir = root.resolve(".graft/warehouse/dbt_test__audit")
+    val audit = Files.list(auditDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("unique_stg_id"))
+      .getOrElse(fail(s"no unique_stg_id audit under $auditDir"))
     val s = org.apache.spark.sql.SparkSession.builder()
       .master("local[*]").getOrCreate()
     val rows = s.read.parquet(audit.toString).collect()
     assert(rows.length == 1 && rows.head.getInt(0) == 1, rows.toSeq)
+  }
+
+  test("read-catalog: flag and both env-var spellings agree (cli.py:98-104)") {
+    assert(Main.readCatalogFrom(flag = true, Map.empty))
+    assert(Main.readCatalogFrom(flag = false, Map("GRAFT_READ_CATALOG" -> "1")))
+    assert(Main.readCatalogFrom(flag = false,
+      Map("DBT_MESHIFY_READ_CATALOG" -> "1")))
+    assert(!Main.readCatalogFrom(flag = false, Map("UNRELATED" -> "1")))
   }
 
   test("run-operation invokes a macro with --args; unknown macro fails loudly") {

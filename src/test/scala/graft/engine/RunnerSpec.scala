@@ -1468,6 +1468,36 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(res("unit_test.ut3.dashed-name.check") == ("pass", ""), res.toString)
   }
 
+  test("retry parity: a healthy table parent reuses its warehouse table, zero hooks") {
+    var hooks = Vector.empty[String]
+    val proj = Map(
+      "dbt_project.yml" -> "name: hk7\n",
+      "models/base.sql" ->
+        ("""{{ config(materialized='table', post_hook="create or replace temp view hk7_audit as select 1 as fired") }}""" +
+          "\nselect 7 as id"),
+      "models/child.sql" -> "select id from {{ ref('base') }}")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_hk7")
+    // first run (the one that "succeeded" before the retry): hooks fire once
+    val r1 = new Runner(spark, manifest, cfg, wh, enforceAccess = false,
+      onHookRun = h => hooks :+= h)
+    val (_, st1) = r1.runWithStatus()
+    assert(st1.values.forall(_ == "success"), st1.toString)
+    assert(hooks.size == 1, hooks.toString)
+    // retry process: fresh Runner over the same warehouse; base is pulled
+    // in only as a healthy parent → served from its table, NO hook re-fire
+    val r2 = new Runner(spark, manifest, cfg, wh, enforceAccess = false,
+      readCatalog = true, onHookRun = h => hooks :+= h)
+    val (ran, st2) = r2.runWithStatus(
+      Some(Set("model.hk7.base", "model.hk7.child")),
+      reuseHealthy = Set("model.hk7.base"))
+    assert(st2.values.forall(_ == "success"), st2.toString)
+    assert(hooks.size == 1, s"parent hook re-fired on retry: $hooks")
+    // the reused relation still resolves for the child
+    assert(ran("model.hk7.child").collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
   test("hooks: ephemeral models never run hooks") {
     var hooks = Vector.empty[String]
     val proj = Map(

@@ -33,12 +33,28 @@ object PlanAuditSpec {
     * executedPlan time; their eventual physical shape is a sub-plan of
     * the frames already audited here. */
   def withPhysicalSubqueries(plan: SparkPlan): Seq[SparkPlan] = {
-    val subs = plan.collect { case p =>
+    val all = plan.collect { case p =>
       p.expressions.flatMap(_.collect {
         case e: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
           e.plan
       })
-    }.flatten.collect { case sp: SparkPlan => sp }
+    }.flatten
+    val subs = all.collect { case sp: SparkPlan => sp }
+    // the skipped-still-logical set must be loudly empty of auditable
+    // shapes, or an unbounded window / cartesian hiding in a subquery
+    // escapes every audit above (ADVICE r14): assert each one is free of
+    // logical global windows and condition-less joins before skipping it.
+    all.collect {
+      case lp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => lp
+    }.foreach { lp =>
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, Window}
+      val bad = lp.collect {
+        case w: Window if w.partitionSpec.isEmpty => w.nodeName
+        case j: Join if j.condition.isEmpty => j.nodeName
+      }
+      assert(bad.isEmpty,
+        s"logical subquery holds auditable shapes ${bad.mkString(",")}:\n$lp")
+    }
     plan +: subs.flatMap(withPhysicalSubqueries)
   }
 
