@@ -36,7 +36,11 @@ object Bench {
       // reads) and costs window/sort-heavy queries 2×. On a real cluster
       // compression stays ON (the default); this mirrors the oracle's
       // uncompressed in-memory exchanges for a like-for-like single-node
-      // comparison.
+      // comparison. The crossover is measured, not guessed: once an
+      // exchange carries pair-scale frames (g22's 70M wedge rows at 10x
+      // lineitem) compression flips to a win — graft.Stress, the at-scale
+      // bench surface, pins compress=true + initialPartitionNum=256 for
+      // exactly that regime (SURVEY §6).
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       // the posting-list index (Dedup.allPostings) is an object

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The repeatable scale gate (VERDICT r14 item 6): runs the
+  * stress-measured families against the deterministic scaled substrates
+  * under /tmp (regenerate with `python3 tools/gen_stress_data.py`) at the
+  * SCALE config — shuffle compression ON and a production-sized
+  * `initialPartitionNum` — and writes the full result map to
+  * STRESS_LOCAL.json.
+  *
+  * Why a separate conf from graft.Bench: sf0.1's exchanges are tiny
+  * (compression pure CPU overhead, 32 partitions plenty), while the
+  * 10x-160x pair/wedge frames are exactly where compression and partition
+  * count flip sign (SURVEY §6, rounds 13-14: d02 and g22 both measured
+  * >2x swings on the partition knob alone; g22's 137M-row wedge shuffle
+  * amplified the gap with compression off). This main IS the documented
+  * crossover: small-SF numbers come from Bench's conf, at-scale numbers
+  * from this one.
+  *
+  * Knobs: SPARK_GRAFT_STRESS_TIER=10|40|all (default 10 — the 40x tiers
+  * run minutes); SPARK_GRAFT_ONLY=g21,d02 name-prefix subset;
+  * SPARK_GRAFT_CONF="k=v;k=v" overlay; SPARK_GRAFT_REPEAT (default 1 —
+  * single-run timings, these queries run tens of seconds and the
+  * JVM/codegen warmup is amortized by the per-tier warm load).
+  * Compare against DuckDB on the SAME dirs:
+  * `python3 tools/time_oracle.py /tmp/scaleli/n10x <oracle.json>` with a
+  * matching subset oracle map from a Verify run. */
+object Stress {
+
+  final case class Tier(label: String, dir: String, queries: Seq[String])
+
+  /** 10x tiers: the default gate. */
+  val tiers10: Seq[Tier] = Seq(
+    Tier("li10x", "/tmp/scaleli/n10x",
+      Seq("g21_link_prediction", "g22_two_hop_reach")),
+    Tier("docs10x", "/tmp/scaledocs/n50000",
+      Seq("d02_ngram_jaccard", "g01_components", "g04_pagerank",
+        "g15_contamination_ppr", "g20_lpa_communities")),
+    Tier("emb10x", "/tmp/scaleemb/n20000",
+      Seq("s02_ivf_ann", "s29_ivfpq_retrieval")))
+
+  /** 40x+ tiers: the extrapolation check (run count documented in
+    * SURVEY §6; minutes of wall clock). */
+  val tiers40: Seq[Tier] = Seq(
+    Tier("li40x", "/tmp/scaleli/n40x",
+      Seq("g21_link_prediction", "g22_two_hop_reach")),
+    Tier("docs40x", "/tmp/scaledocs/n200000",
+      Seq("d02_ngram_jaccard", "g01_components")),
+    // s29 stays on the 10x tier only: its centroid/codebook sets are
+    // FIXED FRACTIONS of the corpus (vec_id % 100 / % 37 — the oracle
+    // mirrors them), so training cost grows quadratically BY DEFINITION
+    // in both engines (Spark 40.6s vs DuckDB 72.1s at 10x, ratio 0.56);
+    // at 50x it is a ~17 min query that measures the spec, not the plan.
+    Tier("emb50x", "/tmp/scaleemb/n100000", Seq("s02_ivf_ann")))
+
+  def main(args: Array[String]): Unit = {
+    val tierSel = sys.env.getOrElse("SPARK_GRAFT_STRESS_TIER", "10")
+    val tiers = tierSel match {
+      case "10" => tiers10
+      case "40" => tiers40
+      case "all" => tiers10 ++ tiers40
+      case other => sys.error(s"SPARK_GRAFT_STRESS_TIER=$other (want 10|40|all)")
+    }
+    val missing = tiers.map(_.dir).distinct
+      .filterNot(d => new java.io.File(d, "lineitem.parquet").exists())
+    if (missing.nonEmpty) {
+      System.err.println(
+        s"""stress substrates missing: ${missing.mkString(", ")}
+           |regenerate with: python3 tools/gen_stress_data.py""".stripMargin)
+      sys.exit(2)
+    }
+    val builder = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-stress")
+      // the SCALE config (see scaladoc): Bench's small-SF pins inverted
+      // where the stress rounds measured the crossover
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+      .config("spark.shuffle.compress", "true")
+      .config("spark.shuffle.spill.compress", "true")
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (4 * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .foreach { case Array(k, v) => builder.config(k, v); case _ => }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.scheduler.DAGScheduler",
+      org.apache.logging.log4j.Level.OFF)
+    // session warmup (Bench's): codegen, shuffle system, broadcast
+    // machinery — one-time JVM setup must not be charged to the first
+    // timed query
+    locally {
+      import org.apache.spark.sql.functions.expr
+      spark.range(1 << 20).groupBy(expr("id % 7")).count()
+        .queryExecution.toRdd.count()
+    }
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT")
+      .flatMap(_.toIntOption).getOrElse(1))
+    def num(d: Double): String = f"$d%.3f"
+
+    val results = tiers.map { tier =>
+      ops.Tables.load(spark, tier.dir)
+      val picked = tier.queries.filter(n => only.forall(_.exists(n.startsWith)))
+      val qs = picked.map { name =>
+        val fn = SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown stress query $name"))
+        val runs = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, tier.dir).queryExecution.toRdd.count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[stress] ${tier.label}/$name failed: " +
+                e.getMessage)
+              false
+            }
+          // free lazily-checkpointed blocks NOW — they only release on
+          // driver GC otherwise and poison the next query's memory
+          // (the d24 in-sweep lesson, CLAUDE.md)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          ((System.nanoTime() - t0) / 1e9, ok)
+        }
+        val ok = runs.forall(_._2)
+        (name, if (ok) runs.map(_._1).min else -1.0, ok)
+      }
+      (tier, qs)
+    }
+    val failed = results.flatMap(_._2).collect { case (n, _, false) => n }
+    val total = results.flatMap(_._2).filter(_._3).map(_._2).sum
+    val tierJson = results.map { case (tier, qs) =>
+      val qj = qs.map { case (n, v, ok) =>
+        s""""$n":${if (ok) num(v) else "-1"}""" }.mkString(",")
+      s""""${tier.label}":{"dir":"${tier.dir}","queries":{$qj}}"""
+    }.mkString(",")
+    val json =
+      s"""{"metric":"stress_total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min","tier":"$tierSel","tiers":{$tierJson},"failed":[${failed.map(n => s""""$n"""").mkString(",")}]}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
+        "STRESS_LOCAL.json")), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[stress] could not write: ${e.getMessage}")
+    }
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
+    System.out.flush(); System.err.flush()
+    println(json)
+    System.out.flush()
+    if (failed.nonEmpty) sys.exit(1)
+  }
+}

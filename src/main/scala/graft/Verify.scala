@@ -6,7 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // 2-arg form (driver contract) dumps every query; an optional third
-    // arg restricts to comma-separated names for fast local iteration.
+    // arg restricts to comma-separated name PREFIXES for fast local
+    // iteration (matching Bench's SPARK_GRAFT_ONLY semantics: "d,g21"
+    // selects every d-family query plus g21).
     val (sfDir, outDir, only) = args match {
       case Array(s, o)       => (s, o, Set.empty[String])
       case Array(s, o, sel)  => (s, o, sel.split(',').toSet)
@@ -30,7 +32,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var nFailed = 0
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => only.isEmpty || only.exists(name.startsWith) }
       .foreach { case (name, fn) =>
       // repartition(1), NOT coalesce(1): coalesce propagates a 1-task
       // constraint up an entire shuffle-free pipeline (the codec/text
@@ -73,7 +75,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
+      .filter { case (k, _) => only.isEmpty || only.exists(k.startsWith) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -52,6 +52,12 @@ object ShingleKernels {
     * exploded shingles (property-tested in ExpressionsSpec). */
   def minHash64(arr: Column): Column =
     Bridge.column(MinHash64(Bridge.expression(arr)))
+
+  /** Column API: distinct xxhash64 values of the word-k-gram shingles of
+    * raw text — [[shinglesText]] with the string materialization deleted.
+    * See [[ShingleHashesText]] for semantics and the collision bound. */
+  def shingleHashesText(text: Column, k: Int): Column =
+    Bridge.column(ShingleHashesText(Bridge.expression(text), k))
 }
 
 /** Distinct word-3-gram shingles: `shingles3(ws)[k] = ws[k] ⧺ ' ' ⧺
@@ -289,6 +295,88 @@ object ShinglesText {
     var p = 0
     while (it.hasNext) { out(p) = it.next(); p += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** Hashed-key shingling: the distinct word-k-gram shingles of raw text as
+  * xxhash64 values (sorted ascending), never materializing the gram
+  * strings — each hash is computed directly over the verbatim byte slice
+  * `bytes[start(i) .. end(i+k-1)]` (grams join consecutive words with the
+  * original single-space separators, so the slice IS the gram). This is
+  * the inverted-index key form for corpus scale (the trade documented at
+  * Dedup.allPostings): 8-byte fixed keys through the posting-list
+  * exchange instead of ~25-byte strings, no per-gram allocation at all
+  * on the map side.
+  *
+  * Distinct-by-hash equals distinct-by-string except under an xxhash64
+  * collision between two grams of the SAME corpus — probability
+  * ~ n²/2⁶⁵ (~10⁻⁶ even at 10⁸ distinct grams), detectable as a df
+  * merge, and bit-exactness against the string-keyed oracle is verified
+  * at every tested SF. Fewer than k words yields an empty array. */
+case class ShingleHashesText(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"shingle width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_text expects string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashesText.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleHashesText.compute($c, $k);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ShingleHashesText =
+    copy(child = newChild)
+
+  override def prettyName: String = s"shingle_hashes_text$k"
+}
+
+object ShingleHashesText {
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nWords = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) nWords += 1; i += 1 }
+    if (nWords < k) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](nWords)
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val nGrams = nWords - k + 1
+    val hs = new Array[Long](nGrams)
+    var j = 0
+    while (j < nGrams) {
+      val from = starts(j)
+      val until = if (j + k < nWords) starts(j + k) - 1 else len
+      hs(j) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        until - from, 42L)
+      j += 1
+    }
+    // sorted distinct (order is irrelevant to every consumer — the arrays
+    // feed explode+group — and a primitive sort beats any boxed set)
+    java.util.Arrays.sort(hs)
+    var uniq = 1
+    j = 1
+    while (j < nGrams) {
+      if (hs(j) != hs(j - 1)) { hs(uniq) = hs(j); uniq += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, uniq))
   }
 }
 

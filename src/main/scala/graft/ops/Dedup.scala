@@ -56,6 +56,33 @@ object Dedup {
       .filter(size($"arr") > 0)
   }
 
+  /** [[shingleArrays]] with HASHED keys — (doc_id, arr = distinct
+    * xxhash64-of-shingle longs) — for the pair-stat consumers that never
+    * look at the gram text (d02/d09/d15, the g01-g03 edge sets): the
+    * shingle key exists only to group co-occurrences, so an 8-byte long
+    * serves, the posting-list exchange shrinks ~3× and the map side
+    * allocates no gram strings at all (the kernel hashes byte slices in
+    * place). Measured at the 40×-docs stress: see the A/B note at
+    * [[allPostings]]. Consumers that DO need gram text (d03/d12/d21
+    * minhash sketches, d28's shingle output column) stay on
+    * [[shingleArrays]]. Distinct-by-hash vs distinct-by-string: collision
+    * odds ~n²/2⁶⁵ (bit-exactness verified against the string-keyed
+    * DuckDB oracle at every tested SF). */
+  private[ops] def shingleHashArrays(s: SparkSession, dir: String): DataFrame =
+    hashedShinglesOfDocs(Tables.t(s, dir, "documents"))
+      .localCheckpoint(eager = false)
+
+  /** The narrow hashed-shingling projection over any (doc_id, text)
+    * frame. */
+  private[graft] def hashedShinglesOfDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs
+      .select($"doc_id",
+        graft.functions.ShingleKernels.shingleHashesText($"text", 3).as("arr"))
+      .filter(size($"arr") > 0)
+  }
+
   /** Stop-shingle document-frequency cut for the inverted-index pair
     * generators: a shingle occurring in more than this many documents is
     * dropped from the shingle space entirely — index AND set sizes —
@@ -88,12 +115,17 @@ object Dedup {
     * and OOM exactly on that skew). A group that fits (df ≤ τ) never
     * hits the cap, so its list is complete; a hot group saturates at τ+1
     * ids, enough for consumers to DETECT hotness (size > τ) without an
-    * exact df. Index keys stay raw shingle strings: at 100 TB the
-    * production move is hashing them to int64 before the exchange (d08's
-    * comment; d03 does it for its sketch), but measured here the per-row
-    * hash costs more than the smaller shuffle rows save — the bench
-    * scale is stage-bound, not byte-bound, and the string form keeps the
-    * oracle trivially identical. */
+    * exact df. Index keys: callers choose string shingles
+    * ([[shingleArrays]] — needed where the gram text surfaces: d21/d28,
+    * the minhash sketches) or hashed int64 keys ([[shingleHashArrays]] —
+    * every pure pair-identity consumer). The round-15 40×-docs A/B
+    * settled the trade the earlier string-keyed note had left open:
+    * hashed keys took d02 102.8 s → 53.4 s and g01 63.4 s → 41.4 s
+    * (back-to-back, scale conf), because the fused hash kernel is
+    * CHEAPER per row than building gram strings (no allocation) on top
+    * of the 3× smaller exchange. At bench SF the two forms measure the
+    * same (stage-bound); the crossover is wherever the posting exchange
+    * stops being noise. */
   private[ops] def allPostings(docsArr: DataFrame, tau: Long): DataFrame = {
     require(tau >= 0 && tau < Int.MaxValue, s"tau out of cap range: $tau")
     val s = docsArr.sparkSession
@@ -169,7 +201,10 @@ object Dedup {
     * minJ. Package-visible: GraphOps builds its component graph on these
     * edges. */
   private[ops] def jaccardPairs(s: SparkSession, dir: String, minJ: Double): DataFrame =
-    jaccardPairsOf(shingleArrays(s, dir), minJ)
+    // hashed shingle keys: every consumer of this entry (d02, the whole
+    // g-family edge set, d07/d16/d24/d26/d28-qualifying...) reads pair
+    // ids and Jaccard only — the gram text never surfaces
+    jaccardPairsOf(shingleHashArrays(s, dir), minJ)
 
   /** [[jaccardPairs]] over a caller-supplied (doc_id, arr) frame — for
     * queries that already hold a pinned shingle frame (d26 derives md5
@@ -640,7 +675,7 @@ object Dedup {
     * pair set is engine-exact, no FP compare. `contained_id` tags the
     * smaller doc — the one a curation pass would drop. */
   def d09(s: SparkSession, dir: String): DataFrame =
-    containmentPairs(shingleArrays(s, dir))
+    containmentPairs(shingleHashArrays(s, dir))
 
   /** d09's kernel over an explicit (doc_id, arr) shingle frame — split out
     * so specs can pin the case the synthetic corpus lacks: a short doc
@@ -1245,7 +1280,7 @@ object Dedup {
     * on documents. One extra shuffle on t₁₀ beyond d02's own plan. */
   def d15(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sweep = pairStats(shingleArrays(s, dir))
+    val sweep = pairStats(shingleHashArrays(s, dir))
       .select($"da", $"db", $"i", ($"na" + $"nb" - $"i").as("u"))
       .select($"da", $"db", $"i", $"u",
         explode(array((5 to 9).map(t => lit(t.toLong)): _*)).as("threshold_x10"))

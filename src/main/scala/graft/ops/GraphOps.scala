@@ -1108,7 +1108,7 @@ object GraphOps {
   def g14(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     thresholdStability(
-      Dedup.pairStats(Dedup.shingleArrays(s, dir))
+      Dedup.pairStats(Dedup.shingleHashArrays(s, dir))
         .withColumn("jac",
           $"i".cast("double") / ($"na" + $"nb" - $"i"))
         .select($"da", $"db", $"jac"))

@@ -304,6 +304,33 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ShingleHashesText equals sorted-distinct xxhash64 over ShinglesText") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val cases = Seq("", " ", "  ", "a", "a b c d e", "a  b c d", " lead",
+      "trail ", "r r r r", "a b", "é ü ö ß µ") ++
+      (1 to 60).map { _ =>
+        (0 until rnd.nextInt(12)).map(_ =>
+          Seq("a", "bb", "", "ccc", "d").apply(rnd.nextInt(5))).mkString(" ")
+      }
+    for (k <- Seq(2, 3, 4)) {
+      val rows = cases.toDF("text")
+        .select(
+          ShingleKernels.shingleHashesText($"text", k).as("fused"),
+          // reference: hash each string shingle with the same xxhash64
+          // seed, distinct, sorted
+          array_sort(array_distinct(transform(
+            ShingleKernels.shinglesText($"text", k),
+            g => xxhash64(g)))).as("ref"))
+        .collect()
+      rows.zip(cases).foreach { case (r, c) =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"k=$k text='$c' fused=${r.getSeq[Long](0)} ref=${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("NgramCountsText equals explode+groupBy counting over split words") {
     val s = spark
     import s.implicits._
