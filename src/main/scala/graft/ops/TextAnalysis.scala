@@ -3574,6 +3574,107 @@ object TextAnalysis {
        |  END AS BIGINT) AS auc_ppm
        |FROM t""".stripMargin
 
+  // ---------------------------------------------------------------- t54
+  /** End-to-end curation pipeline — the cross-family composition the
+    * standalone metrics feed (VERDICT r14 item 7's un-mined seam): ONE
+    * gated plan chains
+    *   (1) d30's soft-dedup mass: per-source EFFECTIVE document counts
+    *       under 1/cluster-size reweighting (He et al. 2024,
+    *       arXiv:2407.04126) — duplicates stop inflating a source's
+    *       claim on the budget;
+    *   (2) t23's temperature-scaled apportionment: 1000 training slots
+    *       split ∝ sqrt(effective mass) by the largest-remainder method
+    *       (the [[mixtureBudget]] kernel, reused verbatim);
+    *   (3) t44's weighted round-robin interleave over ONLY the kept
+    *       docs: each source contributes its first target_docs documents
+    *       in content-keyed order (md5, doc_id), stride 10⁶ div
+    *       alloc_ppm, first 200 schedule slots emitted.
+    * The readout is the first-batch manifest a training run would
+    * actually consume after dedup-aware budgeting — the three planning
+    * artifacts composed the way a pipeline composes them.
+    *
+    * Determinism: integer floor divisions end to end except t23's
+    * sqrt+round(·,6) (the pinned engine-exact pattern); total order
+    * (k, source, p) with md5/doc_id tiebreaks.
+    *
+    * Scale (100 TB): text never shuffles (both passes project doc_id/
+    * source/md5 map-side — recomputing the cheap digest scan beats
+    * checkpointing a corpus frame, the t38 lesson); the cluster window
+    * rides the d30 digest-keyed collapsed frame; budget and allocation
+    * are |sources|-row broadcasts; the keep-filter bounds everything
+    * downstream by the BUDGET (≤ 1000 rows), so the interleave and
+    * final top-200 are parameter-scale. The per-source position window
+    * is the once-per-epoch shard sort (t44's). */
+  def t54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def perDoc = Tables.t(s, dir, "documents")
+      .select($"doc_id", $"source", md5($"text").as("h"))
+    // (1) d30 substrate: effective per-source mass under 1/c weights
+    val grp = perDoc.groupBy($"h", $"source").agg(count(lit(1)).as("n"))
+    val eff = grp
+      .withColumn("c", sum($"n").over(Window.partitionBy($"h")))
+      .groupBy($"source")
+      .agg(sum(expr("n * (1000000 div c)")).as("n_docs"))
+    // (2) t23 kernel on the effective mass
+    val alloc = mixtureBudget(eff, 1000L)
+      .filter($"target_docs" > 0)
+      .select($"source", $"target_docs",
+        expr("(1000000 * target_docs) div 1000").as("alloc_ppm"))
+    // (3) t44 interleave over the kept prefix of each source
+    val pos = perDoc.withColumn("p",
+      row_number().over(Window.partitionBy($"source").orderBy($"h", $"doc_id"))
+        .cast(LongType))
+    val first = pos.join(broadcast(alloc), Seq("source"))
+      .filter($"p" <= $"target_docs")
+      .withColumn("k", expr("(p * 1000000) div alloc_ppm"))
+      .select($"doc_id", $"source", $"p", $"k")
+      .orderBy($"k", $"source", $"p").limit(200)
+    first
+      .withColumn("train_pos",
+        row_number().over(Window.orderBy($"k", $"source", $"p")).cast(LongType))
+      .select($"train_pos", $"doc_id", $"source", $"p", $"k")
+      .orderBy($"train_pos")
+  }
+
+  val t54Sql: String =
+    """WITH perdoc AS (
+      |  SELECT doc_id, source, md5(text) AS h FROM documents),
+      |g AS (SELECT h, source, COUNT(*) AS n FROM perdoc GROUP BY 1, 2),
+      |cw AS (SELECT *, SUM(n) OVER (PARTITION BY h) AS c FROM g),
+      |eff AS (SELECT source, CAST(SUM(n * (1000000 // c)) AS BIGINT) AS n_docs
+      |        FROM cw GROUP BY source),
+      |counts AS (SELECT source, n_docs,
+      |    CAST(floor(round(sqrt(n_docs), 6) * 1000000) AS BIGINT) AS w_ppm
+      |  FROM eff),
+      |tot AS (SELECT CAST(SUM(w_ppm) AS BIGINT) AS w_sum FROM counts),
+      |based AS (SELECT source, n_docs, w_ppm, w_sum,
+      |    (w_ppm * 1000) // w_sum AS base,
+      |    w_ppm * 1000 - ((w_ppm * 1000) // w_sum) * w_sum AS rem
+      |  FROM counts, tot),
+      |ranked AS (SELECT *, SUM(base) OVER () AS n_base,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS rrank
+      |  FROM based),
+      |alloc AS (SELECT source,
+      |    CAST(base + CASE WHEN rrank <= 1000 - n_base THEN 1 ELSE 0 END
+      |      AS BIGINT) AS target_docs
+      |  FROM ranked),
+      |pos AS (SELECT doc_id, source,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+      |      AS BIGINT) AS p
+      |  FROM perdoc),
+      |kept AS (SELECT pos.doc_id, pos.source, p,
+      |    (1000000 * a.target_docs) // 1000 AS alloc_ppm
+      |  FROM pos JOIN alloc a ON pos.source = a.source
+      |  WHERE a.target_docs > 0 AND p <= a.target_docs),
+      |keyed AS (SELECT doc_id, source, p,
+      |    CAST((p * 1000000) // alloc_ppm AS BIGINT) AS k FROM kept),
+      |lim AS (SELECT * FROM keyed ORDER BY k, source, p LIMIT 200)
+      |SELECT CAST(row_number() OVER (ORDER BY k, source, p) AS BIGINT)
+      |    AS train_pos,
+      |  doc_id, source, p, k
+      |FROM lim ORDER BY train_pos""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("t01_token_stats", t01, Some(t01Sql)),
     Q("t02_quality_score", t02, Some(t02Sql)),
@@ -3627,5 +3728,6 @@ object TextAnalysis {
     Q("t50_cms_audit", t50, Some(t50Sql)),
     Q("t51_nb_langid", t51, Some(t51Sql)),
     Q("t52_nb_calibration", t52, Some(t52Sql)),
-    Q("t53_nb_auc", t53, Some(t53Sql)))
+    Q("t53_nb_auc", t53, Some(t53Sql)),
+    Q("t54_curation_pipeline", t54, Some(t54Sql)))
 }

@@ -1285,6 +1285,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       "q40_user_growth" -> "cumulative window over the per-day spine (|days| rows)",
       "q43_hourly_anomaly" -> "z-score windows over the per-hour spine (|hours| rows)",
       "t23_mixture_budget" -> "largest-remainder windows over the per-source budget frame (|sources| rows)",
+      "t54_curation_pipeline" -> "same mixtureBudget kernel windows (|sources| rows); the schedule windows are budget- (<=1000) and limit- (200) bounded",
       "t26_vocab_growth" -> "Heaps-curve window over the per-batch frame (|batches| rows)",
       "t45_quality_quantiles" -> "documented <=1e6+1 quantile grid (clamped before the window)",
       "s09_cell_balance" -> "balance window over the per-IVF-cell histogram (n_lists rows, algorithm parameter)",
