@@ -125,6 +125,14 @@ object Bench {
         // eagerly once the run is timed.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // drive ContextCleaner too: shuffle files and broadcasts free
+        // only when the driver GCs their references; across 230 queries
+        // × 3 runs the leftovers tax later queries through page-cache
+        // pressure with no plan-side cause (round-15 adjudication of the
+        // r14 "in-sweep regression": g22 at the 40× stress measured
+        // 52.1 s after g21 in-JVM vs 27.0 s alone — the GC closes it;
+        // untimed, runs between measurements)
+        System.gc()
         (dt, ok)
       }
       val best = runs.filter(_._2).map(_._1).sorted.headOption.getOrElse(-1.0)

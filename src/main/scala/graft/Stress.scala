@@ -127,6 +127,12 @@ object Stress {
           // (the d24 in-sweep lesson, CLAUDE.md)
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = true))
+          // ...and drive ContextCleaner: shuffle files and broadcasts
+          // free only when the driver GCs their references, and at
+          // stress scale a prior query's tens of GB of map output
+          // lingering in the page cache taxes the next one ~2x (g22
+          // measured 52.1 s after g21 in-JVM vs 27.0 s alone, round 15)
+          System.gc()
           ((System.nanoTime() - t0) / 1e9, ok)
         }
         val ok = runs.forall(_._2)

@@ -21,6 +21,15 @@ object PairKernels {
     * and two intermediate nested arrays per basket. */
   def sortedPairs(arr: Column): Column =
     Bridge.column(SortedPairs(Bridge.expression(arr)))
+
+  /** Column API: [[sortedPairs]] with each (da, db) pair PACKED into one
+    * long `(da << 32) | db` — the support-aggregation key form (half the
+    * exchange bytes, one hash, no per-pair struct allocation). Requires
+    * every element in [0, 2^31); the kernel throws loudly otherwise
+    * (same contract as GraphOps' checkedVertex — a 2B-key catalog must
+    * fail, not silently merge). */
+  def sortedPairsPacked(arr: Column): Column =
+    Bridge.column(SortedPairsPacked(Bridge.expression(arr)))
 }
 
 /** All (arr(i), arr(j)) with i < j, basket-pair order. C(n,2) output
@@ -78,6 +87,66 @@ object SortedPairs {
       while (j < n) {
         out(k) = new GenericInternalRow(
           Array[Any](a, arr.getLong(j))): InternalRow
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** [[SortedPairs]] emitting packed long keys `(arr(i) << 32) | arr(j)`
+  * for i < j — see [[PairKernels.sortedPairsPacked]] for the contract.
+  * C(n,2) primitive longs, no per-pair row allocation. */
+case class SortedPairsPacked(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pairs_packed expects array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SortedPairsPacked.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SortedPairsPacked.compute($c);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedPairsPacked =
+    copy(child = newChild)
+
+  override def prettyName: String = "sorted_pairs_packed"
+}
+
+object SortedPairsPacked {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Long])
+    val m = n.toLong * (n - 1) / 2
+    require(m <= Int.MaxValue,
+      s"sorted_pairs_packed: group of $n elements expands to $m pairs; " +
+        "cap the group size upstream")
+    val out = new Array[Long](m.toInt)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.getLong(i)
+      require(a >= 0L && a < (1L << 31),
+        s"sorted_pairs_packed: key $a outside [0, 2^31) — " +
+          "use the two-column sorted_pairs form")
+      var j = i + 1
+      while (j < n) {
+        val b = arr.getLong(j)
+        require(b >= 0L && b < (1L << 31),
+          s"sorted_pairs_packed: key $b outside [0, 2^31) — " +
+            "use the two-column sorted_pairs form")
+        out(k) = (a << 32) | b
         k += 1
         j += 1
       }

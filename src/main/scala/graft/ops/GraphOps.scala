@@ -1600,23 +1600,15 @@ object GraphOps {
     * (9.2 s vs 11.9 s for the bare distinct; g22 end-to-end 8.0 s vs
     * 9.8 s): half the key bytes, one hash instead of two, and a
     * primitive-array spill sort. Injectivity needs both coordinates in
-    * [0, 2^31); [[checkedVertex]] enforces that bound LOUDLY on the
-    * edge-scale frame (never silently wrong at a 2B-part domain — flip
-    * to the two-column form if a catalog ever exceeds it). */
+    * [0, 2^31); the SortedPairsPacked generator kernel
+    * enforces that bound LOUDLY at pair-generation time (never silently
+    * wrong at a 2B-part domain — flip to the two-column form if a
+    * catalog ever exceeds it), and every value below derives from it. */
   private def packPair(x: Column, y: Column): Column =
     shiftleft(x, 32) + y
 
   private def unpackX(p: Column): Column = shiftright(p, 32)
   private def unpackY(p: Column): Column = p.bitwiseAND(lit(0xffffffffL))
-
-  /** Range guard for [[packPair]], applied on the EDGE-scale frame (770k
-    * rows at 10x) so the 70M-row wedge projection pays nothing. */
-  private def checkedVertex(c: Column): Column =
-    when(c < 0L || c >= (1L << 31),
-      raise_error(concat(lit("wedge pair-pack overflow: part key "),
-        c.cast("string"),
-        lit(" outside [0, 2^31) — use the two-column form"))).cast("long"))
-      .otherwise(c)
 
   def g21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1628,13 +1620,16 @@ object GraphOps {
     val baskets = Tables.t(s, dir, "lineitem")
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey".cast("long"))).as("parts"))
+    // packed pair generation: the C(basket,2) expand emits ONE long per
+    // pair (kernel range-guarded at 2^31, so every downstream pack
+    // inherits the bound) and the support aggregation — the second
+    // biggest exchange at stress scale — keys on it directly
     val inst = baskets.select(explode(
-        graft.functions.PairKernels.sortedPairs($"parts")).as("p"))
-      .select($"p.da".as("da"), $"p.db".as("db"))
-    val e = inst.groupBy($"da", $"db")
+        graft.functions.PairKernels.sortedPairsPacked($"parts")).as("p"))
+    val e = inst.groupBy($"p")
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= RaMinSupport)
-      .select(checkedVertex($"da").as("da"), checkedVertex($"db").as("db"))
+      .select(unpackX($"p").as("da"), unpackY($"p").as("db"))
     // ONE forced hash layout on the middle-vertex key instead of lazy
     // checkpoints: every consumer below (deg's groupBy(da), the mid
     // join's both sides, the wedge join's probe side) names the same
@@ -1741,13 +1736,16 @@ object GraphOps {
     val baskets = Tables.t(s, dir, "lineitem")
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey".cast("long"))).as("parts"))
+    // packed pair generation: the C(basket,2) expand emits ONE long per
+    // pair (kernel range-guarded at 2^31, so every downstream pack
+    // inherits the bound) and the support aggregation — the second
+    // biggest exchange at stress scale — keys on it directly
     val inst = baskets.select(explode(
-        graft.functions.PairKernels.sortedPairs($"parts")).as("p"))
-      .select($"p.da".as("da"), $"p.db".as("db"))
-    val e = inst.groupBy($"da", $"db")
+        graft.functions.PairKernels.sortedPairsPacked($"parts")).as("p"))
+    val e = inst.groupBy($"p")
       .agg(count(lit(1)).as("support"))
       .filter($"support" >= RaMinSupport)
-      .select(checkedVertex($"da").as("da"), checkedVertex($"db").as("db"))
+      .select(unpackX($"p").as("da"), unpackY($"p").as("db"))
     // same forced-layout trick as g21: one repartition on the middle key,
     // ReuseExchange shares it across deg + both wedge sides, zero
     // checkpoints, zero extra exchanges

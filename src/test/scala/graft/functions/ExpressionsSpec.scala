@@ -651,6 +651,35 @@ class ExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(n == 6 + 1 + 0 + 0)
   }
 
+  test("SortedPairsPacked equals packed SortedPairs; guards the 2^31 bound") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      Seq(1L, 2L, 3L, 4L),
+      Seq(7L, 9L),
+      Seq((1L << 31) - 1L, 0L), // boundary keys still pack
+      Seq(5L),
+      Seq.empty[Long])
+      .toDF("parts")
+    val rows = df.select(
+      PairKernels.sortedPairsPacked($"parts").as("fast"),
+      transform(PairKernels.sortedPairs($"parts"),
+        p => shiftleft(p.getField("da"), 32) + p.getField("db")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"fast=${r.getSeq(0)} ref=${r.getSeq(1)}")
+    }
+    // out-of-range key fails LOUDLY, never silently merges
+    val boom = intercept[Exception] {
+      Seq(Seq(1L << 31, 2L)).toDF("parts")
+        .select(PairKernels.sortedPairsPacked($"parts")).collect()
+    }
+    assert(boom.getMessage.contains("sorted_pairs_packed") ||
+      Option(boom.getCause).exists(_.getMessage.contains("sorted_pairs_packed")),
+      boom.toString)
+  }
+
   test("SqDistLong equals the integer HOF fold, negatives included") {
     val s = spark
     import s.implicits._
