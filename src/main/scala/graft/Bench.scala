@@ -125,16 +125,19 @@ object Bench {
         // eagerly once the run is timed.
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        // drive ContextCleaner too: shuffle files and broadcasts free
-        // only when the driver GCs their references; across 230 queries
-        // × 3 runs the leftovers tax later queries through page-cache
-        // pressure with no plan-side cause (round-15 adjudication of the
-        // r14 "in-sweep regression": g22 at the 40× stress measured
-        // 52.1 s after g21 in-JVM vs 27.0 s alone — the GC closes it;
-        // untimed, runs between measurements)
-        System.gc()
         (dt, ok)
       }
+      // drive ContextCleaner between QUERIES (not between the min-of-3
+      // runs): shuffle files and broadcasts free only when the driver
+      // GCs their references, and the accumulated residue taxed later
+      // queries through page-cache pressure with no plan-side cause
+      // (round-15 adjudication of the r14 "in-sweep regression": d14
+      // 5.16 s late in a full sweep vs 2.30 s with cleanup; g22 at the
+      // 40× stress 52.1 s after g21 in-JVM vs 27.0 s alone). Between
+      // runs it is NOT run — a per-run full GC measured a uniform
+      // ~80 ms median tax on the next timed run (+18 s over the suite),
+      // which is the min-of-3's warm state being evacuated for nothing.
+      System.gc()
       val best = runs.filter(_._2).map(_._1).sorted.headOption.getOrElse(-1.0)
       // ok requires EVERY run to pass — a query that flakes on any run is
       // a failure, not a pass with its fastest lucky time
