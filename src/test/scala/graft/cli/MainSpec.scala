@@ -126,6 +126,45 @@ class MainSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getInt(0) == 1, rows.toSeq)
   }
 
+  test("retry --read-catalog serves a healthy table parent from the warehouse untouched") {
+    val root = writeProject(Map(
+      "dbt_project.yml" -> "name: rt9\n",
+      "models/base.sql" ->
+        "{{ config(materialized='table') }}\nselect 3 as id",
+      "models/_props.yml" ->
+        """version: 2
+          |models:
+          |  - name: base
+          |    columns:
+          |      - name: id
+          |        tests:
+          |          - accepted_values:
+          |              values: [1, 2]
+          |""".stripMargin))
+    val devnull = new java.io.PrintStream(new java.io.ByteArrayOutputStream())
+    // build: base materializes into .graft/warehouse, its test FAILS
+    val code = Console.withOut(devnull) {
+      Main.run(Array("build", "--project-dir", root.toString, "--read-catalog"))
+    }
+    assert(code == 1)
+    val tableDir = root.resolve(".graft/warehouse/base")
+    assert(Files.exists(tableDir), tableDir.toString)
+    def tableState(): Seq[(String, Long)] =
+      Files.list(tableDir).iterator().asScala.toSeq
+        .map(p => p.getFileName.toString ->
+          Files.getLastModifiedTime(p).toMillis).sortBy(_._1)
+    val before = tableState()
+    // retry: the failed test re-runs (still fails); base is pulled in only
+    // as a healthy parent and must be SERVED from its table, not rebuilt
+    val code2 = Console.withOut(devnull) {
+      Main.run(Array("retry", "--project-dir", root.toString, "--read-catalog"))
+    }
+    assert(code2 == 1) // data unchanged, test still fails
+    assert(tableState() == before,
+      s"healthy parent's warehouse table was rewritten on retry:\n" +
+        s"before=$before\nafter=${tableState()}")
+  }
+
   test("read-catalog: flag and both env-var spellings agree (cli.py:98-104)") {
     assert(Main.readCatalogFrom(flag = true, Map.empty))
     assert(Main.readCatalogFrom(flag = false, Map("GRAFT_READ_CATALOG" -> "1")))
