@@ -105,7 +105,10 @@ object Stress {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val repeat = math.max(1, sys.env.get("SPARK_GRAFT_REPEAT")
       .flatMap(_.toIntOption).getOrElse(1))
-    def num(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f-interpolator is locale-dependent and a
+    // comma-decimal JVM would emit invalid JSON (same guard as Bench)
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
     val results = tiers.map { tier =>
       ops.Tables.load(spark, tier.dir)
@@ -122,6 +125,10 @@ object Stress {
                 e.getMessage)
               false
             }
+          // elapsed BEFORE cleanup — Bench does the same; charging
+          // unpersist+GC to the measurement biased stress ratios
+          // against Spark (ADVICE r15)
+          val dt = (System.nanoTime() - t0) / 1e9
           // free lazily-checkpointed blocks NOW — they only release on
           // driver GC otherwise and poison the next query's memory
           // (the d24 in-sweep lesson, CLAUDE.md)
@@ -133,7 +140,7 @@ object Stress {
           // lingering in the page cache taxes the next one ~2x (g22
           // measured 52.1 s after g21 in-JVM vs 27.0 s alone, round 15)
           System.gc()
-          ((System.nanoTime() - t0) / 1e9, ok)
+          (dt, ok)
         }
         val ok = runs.forall(_._2)
         (name, if (ok) runs.map(_._1).min else -1.0, ok)

@@ -86,11 +86,17 @@ object Main {
   /** `--read-catalog` resolution: the flag, or either env-var spelling —
     * graft's own GRAFT_READ_CATALOG and the reference's
     * DBT_MESHIFY_READ_CATALOG (cli.py:98-104 reads the env var as an
-    * alias of the flag). Pure over an env map so specs can exercise both
-    * spellings without mutating process env. */
-  def readCatalogFrom(flag: Boolean, env: Map[String, String]): Boolean =
-    flag || env.contains("GRAFT_READ_CATALOG") ||
-      env.contains("DBT_MESHIFY_READ_CATALOG")
+    * alias of the flag). The env VALUE is coerced to bool the way
+    * click's is_flag+envvar does — so `DBT_MESHIFY_READ_CATALOG=0`
+    * (or false/no/off/empty) disables rather than enables. Pure over an
+    * env map so specs can exercise both spellings without mutating
+    * process env. */
+  def readCatalogFrom(flag: Boolean, env: Map[String, String]): Boolean = {
+    def truthy(v: String): Boolean =
+      !Set("", "0", "false", "no", "off")(v.trim.toLowerCase)
+    flag || env.get("GRAFT_READ_CATALOG").exists(truthy) ||
+      env.get("DBT_MESHIFY_READ_CATALOG").exists(truthy)
+  }
 
   /** [[main]] without the process exit: returns the would-be exit code so
     * embedders and specs can exercise failure paths (a sys.exit in a

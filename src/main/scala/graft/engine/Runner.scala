@@ -312,8 +312,14 @@ final class Runner(
         * session-view engine and documented at the retry call site. */
       reuseHealthy: Set[String] = Set.empty)
       : (Map[String, DataFrame], Map[String, String]) = {
+    // only table-backed materializations reuse: a model changed from
+    // table to view since the failed run leaves a stale table dir in a
+    // persistent warehouse, and serving it would resurrect dead data —
+    // same condition the readCatalog cached-read path applies
     val reused: Set[String] = reuseHealthy.filter(id =>
-      manifest.nodes.get(id).exists(n => Files.exists(tablePath(n))))
+      manifest.nodes.get(id).exists(n =>
+        Set("table", "incremental")(n.materialized) &&
+          Files.exists(tablePath(n))))
     if (enforceAccess)
       AccessControl.forSession(spark).registerManifest(manifest, viewName)
     // on-run-start: before ANY node; a failure aborts the whole run
@@ -398,12 +404,21 @@ final class Runner(
       if (reused(id)) {
         // warehouse fast path: read the existing table back (sidecar
         // schema honored), re-check the contract, register the view —
-        // and run NO hooks
-        val df = readTable(tablePath(m))
-        for (contract <- m.contract if m.contractEnforced)
-          Contracts.check(m.name, df.schema, contract)
-        df.createOrReplaceTempView(viewName(m.name))
-        out(id) = df; status(id) = "success"
+        // and run NO hooks. Guarded like the normal path: a corrupt /
+        // partially-written table or a contract mismatch marks the node
+        // "error" (descendants skip via parentBad) instead of crashing
+        // the whole retry past the on-run-end hooks.
+        try {
+          val df = readTable(tablePath(m))
+          for (contract <- m.contract if m.contractEnforced)
+            Contracts.check(m.name, df.schema, contract)
+          df.createOrReplaceTempView(viewName(m.name))
+          out(id) = df; status(id) = "success"
+        } catch {
+          case e: Throwable if continueOnError =>
+            System.err.println(s"[run] $id failed: ${e.getMessage}")
+            status(id) = "error"
+        }
       }
       else if (parentBad(id)) status(id) = "skipped"
       else gate(m) match {

@@ -171,6 +171,15 @@ class MainSpec extends AnyFunSuite {
     assert(Main.readCatalogFrom(flag = false,
       Map("DBT_MESHIFY_READ_CATALOG" -> "1")))
     assert(!Main.readCatalogFrom(flag = false, Map("UNRELATED" -> "1")))
+    // click's is_flag+envvar coerces the VALUE: falsy strings disable
+    for (off <- Seq("", "0", "false", "no", "off", "False", " 0 "))
+      assert(!Main.readCatalogFrom(flag = false,
+        Map("DBT_MESHIFY_READ_CATALOG" -> off)), s"'$off' should disable")
+    assert(Main.readCatalogFrom(flag = false,
+      Map("GRAFT_READ_CATALOG" -> "true")))
+    // the explicit flag still wins over a falsy env value
+    assert(Main.readCatalogFrom(flag = true,
+      Map("DBT_MESHIFY_READ_CATALOG" -> "0")))
   }
 
   test("run-operation invokes a macro with --args; unknown macro fails loudly") {

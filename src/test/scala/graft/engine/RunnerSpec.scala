@@ -1498,6 +1498,56 @@ class RunnerSpec extends AnyFunSuite with SparkFixture {
     assert(ran("model.hk7.child").collect().map(_.getInt(0)).toSeq == Seq(7))
   }
 
+  test("retry parity: a corrupt reused table marks error + cascades skip, run completes") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: hk8\n",
+      "models/base.sql" -> "{{ config(materialized='table') }}\nselect 8 as id",
+      "models/child.sql" -> "select id from {{ ref('base') }}")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_hk8")
+    new Runner(spark, manifest, cfg, wh, enforceAccess = false).runWithStatus()
+    // corrupt the persisted table between runs: retry's reuse fast path
+    // must mark base "error" (not crash out of runWithStatus) and skip
+    // child through the normal parent cascade
+    val dir = wh.resolve("base")
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala.toList.foreach(Files.delete)
+    Files.writeString(dir.resolve("part-corrupt.parquet"), "not parquet")
+    val r2 = new Runner(spark, manifest, cfg, wh, enforceAccess = false,
+      readCatalog = true)
+    val (_, st) = r2.runWithStatus(
+      Some(Set("model.hk8.base", "model.hk8.child")),
+      reuseHealthy = Set("model.hk8.base"))
+    assert(st("model.hk8.base") == "error", st.toString)
+    assert(st("model.hk8.child") == "skipped", st.toString)
+  }
+
+  test("retry parity: a model changed table->view ignores its stale table dir") {
+    val proj = Map(
+      "dbt_project.yml" -> "name: hk9\n",
+      "models/base.sql" -> "{{ config(materialized='table') }}\nselect 1 as v",
+      "models/child.sql" -> "select v from {{ ref('base') }}")
+    val root = writeProject(proj)
+    val (cfg, manifest) = ProjectLoader.load(root)
+    val wh = Files.createTempDirectory("graft_wh_hk9")
+    new Runner(spark, manifest, cfg, wh, enforceAccess = false).runWithStatus()
+    assert(Files.exists(wh.resolve("base"))) // stale table dir persists
+    // same project re-declared with base as a VIEW returning different
+    // data: reuseHealthy must NOT serve the stale table
+    val root2 = writeProject(proj.updated(
+      "models/base.sql", "{{ config(materialized='view') }}\nselect 2 as v"))
+    val (cfg2, m2) = ProjectLoader.load(root2)
+    val r2 = new Runner(spark, m2, cfg2, wh, enforceAccess = false,
+      readCatalog = true)
+    val (ran, st) = r2.runWithStatus(
+      Some(Set("model.hk9.base", "model.hk9.child")),
+      reuseHealthy = Set("model.hk9.base"))
+    assert(st.values.forall(_ == "success"), st.toString)
+    assert(ran("model.hk9.child").collect().map(_.getInt(0)).toSeq == Seq(2),
+      "retry served stale table data for a view-materialized model")
+  }
+
   test("hooks: ephemeral models never run hooks") {
     var hooks = Vector.empty[String]
     val proj = Map(
