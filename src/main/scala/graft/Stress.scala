@@ -30,20 +30,36 @@ object Stress {
 
   final case class Tier(label: String, dir: String, queries: Seq[String])
 
-  /** 10x tiers: the default gate. */
+  /** 10x tiers: the default gate. Round 16 widened docs10x to the
+    * previously-unmeasured families — MinHash banding (d03/d21), media
+    * near-dup (m09/m12) and real-codec VAD (m16), the jaccardPairs graph
+    * consumers (g11/g13/g18), and the text floor family (t46/t48/t49/
+    * t50) — and added the scaled-events tier for q77: together these
+    * are the 8 queries VERDICT r15 held as "weak" (sf0.1 stage-floor
+    * ratios with no committed at-scale evidence) plus the band-key
+    * fan-out shapes its item 3 called out. */
   val tiers10: Seq[Tier] = Seq(
     Tier("li10x", "/tmp/scaleli/n10x",
       Seq("g21_link_prediction", "g22_two_hop_reach")),
     Tier("docs10x", "/tmp/scaledocs/n50000",
-      Seq("d02_ngram_jaccard", "g01_components", "g04_pagerank",
-        "g15_contamination_ppr", "g20_lpa_communities")),
+      Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d21_band_sweep",
+        "g01_components", "g04_pagerank", "g11_source_modularity",
+        "g13_knn_degree", "g15_contamination_ppr", "g18_incremental_components",
+        "g20_lpa_communities", "m09_frame_neardup", "m12_perceptual_hash",
+        "m16_audio_vad", "t46_dsir_selection", "t48_token_gini",
+        "t49_pps_sample", "t50_cms_audit")),
+    Tier("ev10x", "/tmp/scaleev/n10x", Seq("q77_watermark_planner")),
     Tier("emb10x", "/tmp/scaleemb/n20000",
       Seq("s02_ivf_ann", "s29_ivfpq_retrieval")))
 
   /** 40x+ tiers: the extrapolation check (run count documented in
-    * SURVEY §6; minutes of wall clock). */
+    * SURVEY §6; minutes of wall clock). li160x (round 16) pushes the
+    * wedge family one tier past its 40x parity point — the pair frame
+    * passes 500M rows there. */
   val tiers40: Seq[Tier] = Seq(
     Tier("li40x", "/tmp/scaleli/n40x",
+      Seq("g21_link_prediction", "g22_two_hop_reach")),
+    Tier("li160x", "/tmp/scaleli/n160x",
       Seq("g21_link_prediction", "g22_two_hop_reach")),
     Tier("docs40x", "/tmp/scaledocs/n200000",
       Seq("d02_ngram_jaccard", "g01_components")),

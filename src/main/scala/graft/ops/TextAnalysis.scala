@@ -2940,12 +2940,16 @@ object TextAnalysis {
     * the exact arithmetic: (bucket, w_ppm) for every bucket, zero
     * buckets included (posexplode of the dense kernel vector), so the
     * packed weight vector always has exactly [[HashBuckets]] entries. */
-  private[graft] def dsirWeights(docsIn: DataFrame): DataFrame = {
-    val s = docsIn.sparkSession
+  private[graft] def dsirWeights(docsIn: DataFrame): DataFrame =
+    dsirWeightsOf(docsIn.select(col("lang"),
+      graft.functions.HashedBowCounts(col("text"), HashBuckets).as("cnts")))
+
+  /** [[dsirWeights]] over an already-vectorized (lang, cnts) frame — the
+    * seam that lets t46 run the BOW kernel ONCE for fit + scoring. */
+  private[graft] def dsirWeightsOf(vecs: DataFrame): DataFrame = {
+    val s = vecs.sparkSession
     import s.implicits._
-    val pairs = docsIn
-      .select($"lang",
-        graft.functions.HashedBowCounts($"text", HashBuckets).as("cnts"))
+    val pairs = vecs
       .select($"lang", posexplode($"cnts").as(Seq("bucket", "cnt")))
     val dist = pairs.groupBy($"bucket").agg(
       sum($"cnt").as("raw_b"),
@@ -2962,6 +2966,12 @@ object TextAnalysis {
   def t46(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.t(s, dir, "documents")
+    // The BOW kernel runs twice (weight fit + scoring) BY CHOICE: a
+    // round-16 A/B that checkpointed the narrow (doc_id, source, lang,
+    // cnts) frame to share one kernel pass measured 0.96 s vs 0.93 s
+    // recomputed (isolated settled min-of-3, sf0.1) — no win even at
+    // bench SF, and the t38 recompute rule says never materialize a
+    // corpus-proportional frame to reuse a narrow codegen scan.
     val perDoc = docs.select($"doc_id", $"source",
       graft.functions.HashedBowCounts($"text", HashBuckets).as("cnts"))
     // pack the B weights into ONE broadcast row → per-doc scoring is narrow
@@ -3265,9 +3275,15 @@ object TextAnalysis {
 
   def t50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // NO checkpoint on the exploded token frame: it is corpus-
+    // proportional. Measured round 16 (isolated settled min-of-3,
+    // sf0.1): recompute 1.12 s vs checkpoint 1.11 s — a wash at bench
+    // SF, so the scale-preferred shape wins (the t38 rule: never
+    // materialize an exploded corpus-proportional frame to reuse a
+    // narrow kernel scan; at 100 TB the checkpoint write is the
+    // bottleneck, the rescan is not)
     val tok = Tables.t(s, dir, "documents")
       .select(explode(words($"text")).as("w"))
-      .localCheckpoint(eager = false) // shared: sketch + exact counts
     val cms = cmsCells(tok)
     val top = tok.groupBy($"w").agg(count(lit(1)).as("true_cnt"))
       .orderBy($"true_cnt".desc, $"w").limit(50)

@@ -13,7 +13,8 @@ Basket sizes are drawn from sf0.1's real per-order item-count profile.
 Only the two columns the graph queries read are written.
 
 Usage: python3 tools/gen_scale_lineitem.py [outbase=/tmp/scaleli]
-Writes <outbase>/n{10,40}x/lineitem.parquet (10x/40x sf0.1's 147k orders).
+Writes <outbase>/n{10,40,160}x/lineitem.parquet (10x/40x/160x sf0.1's
+147k orders — 160x is the wedge family's extrapolation tier, round 16).
 Deterministic (fixed seeds).
 """
 import sys, os
@@ -30,7 +31,7 @@ basket_sizes = np.array([r[0] for r in con.execute(
     "group by l_orderkey").fetchall()])
 N_ORDERS_1X, N_PARTS_1X = 147_236, 20_000
 
-for mult in (10, 40):
+for mult in (10, 40, 160):
     rng = np.random.default_rng(42 + mult)
     n_orders = N_ORDERS_1X * mult
     n_parts = N_PARTS_1X * mult

@@ -6,10 +6,11 @@ SPARK_GRAFT_SF_DIR) can load the full table set from any of them.
 
 Usage: python3 tools/gen_stress_data.py
 Creates:
-  /tmp/scaleli/n{10,40}x            scaled lineitem   (g21/g22 wedge family)
-  /tmp/scaledocs/n{50000,200000,800000}  scaled documents  (d02/g01/g04/g15/g20)
+  /tmp/scaleli/n{10,40,160}x        scaled lineitem   (g21/g22 wedge family)
+  /tmp/scaledocs/n{50000,200000,800000}  scaled documents  (dedup/graph/text/media)
   /tmp/scaleemb/n{20000,100000}     scaled embeddings (s02/s29)
-Deterministic; ~2 min, ~1.5 GB under /tmp.
+  /tmp/scaleev/n10x                 scaled events     (q77 watermark planner)
+Deterministic; ~3 min, ~3.5 GB under /tmp.
 """
 import os, subprocess, sys
 
@@ -20,11 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 for script, outbase in [("gen_scale_lineitem.py", "/tmp/scaleli"),
                         ("gen_scale_docs.py", "/tmp/scaledocs"),
-                        ("gen_scale_embeddings.py", "/tmp/scaleemb")]:
+                        ("gen_scale_embeddings.py", "/tmp/scaleemb"),
+                        ("gen_scale_events.py", "/tmp/scaleev")]:
     subprocess.run([sys.executable, os.path.join(HERE, script), outbase],
                    check=True)
 
-for base in ("/tmp/scaleli", "/tmp/scaledocs", "/tmp/scaleemb"):
+for base in ("/tmp/scaleli", "/tmp/scaledocs", "/tmp/scaleemb", "/tmp/scaleev"):
     for d in sorted(os.listdir(base)):
         p = os.path.join(base, d)
         if not (os.path.isdir(p) and d.startswith("n")):
