@@ -45,7 +45,7 @@ object Stress {
       Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d21_band_sweep",
         "g01_components", "g04_pagerank", "g11_source_modularity",
         "g13_knn_degree", "g15_contamination_ppr", "g18_incremental_components",
-        "g20_lpa_communities", "m09_frame_neardup", "m12_perceptual_hash",
+        "g20_lpa_communities", "m09_video_neardup", "m12_perceptual_neardup",
         "m16_audio_vad", "t46_dsir_selection", "t48_token_gini",
         "t49_pps_sample", "t50_cms_audit")),
     Tier("ev10x", "/tmp/scaleev/n10x", Seq("q77_watermark_planner")),

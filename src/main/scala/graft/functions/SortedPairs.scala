@@ -27,9 +27,13 @@ object PairKernels {
     * exchange bytes, one hash, no per-pair struct allocation). Requires
     * every element in [0, 2^31); the kernel throws loudly otherwise
     * (same contract as GraphOps' checkedVertex — a 2B-key catalog must
-    * fail, not silently merge). */
-  def sortedPairsPacked(arr: Column): Column =
-    Bridge.column(SortedPairsPacked(Bridge.expression(arr)))
+    * fail, not silently merge).
+    *
+    * `withDiagonal = true` additionally emits `(d << 32) | d` for every
+    * element — the da ≤ db posting-list form whose diagonal carries the
+    * per-doc surviving-shingle sizes (Dedup.pairCounts). */
+  def sortedPairsPacked(arr: Column, withDiagonal: Boolean = false): Column =
+    Bridge.column(SortedPairsPacked(Bridge.expression(arr), withDiagonal))
 }
 
 /** All (arr(i), arr(j)) with i < j, basket-pair order. C(n,2) output
@@ -99,7 +103,8 @@ object SortedPairs {
 /** [[SortedPairs]] emitting packed long keys `(arr(i) << 32) | arr(j)`
   * for i < j — see [[PairKernels.sortedPairsPacked]] for the contract.
   * C(n,2) primitive longs, no per-pair row allocation. */
-case class SortedPairsPacked(child: Expression) extends UnaryExpression {
+case class SortedPairsPacked(child: Expression,
+    withDiagonal: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -110,11 +115,11 @@ case class SortedPairsPacked(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    SortedPairsPacked.compute(input.asInstanceOf[ArrayData])
+    SortedPairsPacked.compute(input.asInstanceOf[ArrayData], withDiagonal)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.SortedPairsPacked.compute($c);")
+      s"${ev.value} = graft.functions.SortedPairsPacked.compute($c, $withDiagonal);")
 
   override protected def withNewChildInternal(
       newChild: Expression): SortedPairsPacked =
@@ -125,10 +130,13 @@ case class SortedPairsPacked(child: Expression) extends UnaryExpression {
 
 object SortedPairsPacked {
   /** Static kernel shared by interpreted eval and generated code. */
-  def compute(arr: ArrayData): GenericArrayData = {
+  def compute(arr: ArrayData): GenericArrayData = compute(arr, false)
+
+  def compute(arr: ArrayData, withDiagonal: Boolean): GenericArrayData = {
     val n = arr.numElements()
-    if (n < 2) return new GenericArrayData(Array.empty[Long])
-    val m = n.toLong * (n - 1) / 2
+    if (n < (if (withDiagonal) 1 else 2))
+      return new GenericArrayData(Array.empty[Long])
+    val m = n.toLong * (n - 1) / 2 + (if (withDiagonal) n.toLong else 0L)
     require(m <= Int.MaxValue,
       s"sorted_pairs_packed: group of $n elements expands to $m pairs; " +
         "cap the group size upstream")
@@ -140,6 +148,7 @@ object SortedPairsPacked {
       require(a >= 0L && a < (1L << 31),
         s"sorted_pairs_packed: key $a outside [0, 2^31) — " +
           "use the two-column sorted_pairs form")
+      if (withDiagonal) { out(k) = (a << 32) | a; k += 1 }
       var j = i + 1
       while (j < n) {
         val b = arr.getLong(j)

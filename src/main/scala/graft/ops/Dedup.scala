@@ -157,15 +157,33 @@ object Dedup {
       crossParityOnly: Boolean = false): DataFrame = {
     val s = docsArr.sparkSession
     import s.implicits._
+    // Packed-key pair generation (round 16): the SortedPairsPacked
+    // kernel emits each posting's C(n,2) upper-triangle pairs PLUS the
+    // n diagonal keys as primitive longs `(da << 32) | db` in one
+    // compiled pass — replacing the double explode that generated n²
+    // rows and filtered half of them away, and halving the aggregation
+    // key bytes (the r15 wedge lesson, GraphOps.packPair: one hash, one
+    // long, primitive spill sort). sort_array makes basket order = key
+    // order so the packed pair identity matches the old (da ≤ db) form
+    // bit-exactly; the kernel rejects keys ≥ 2^31 LOUDLY (a 2B-doc
+    // catalog must flip to the two-column form, never silently merge).
+    // Measured (docs10x, settled, single-run): d02 10.3 s → 8.6 s.
+    // parity test on the packed halves: bit 32 is da's low bit, bit 0
+    // db's; diagonal (da = db) always survives — it carries the sizes
     val keep =
-      if (crossParityOnly) $"da" === $"db" || ($"da" % 2 =!= $"db" % 2)
+      if (crossParityOnly)
+        shiftright($"p", 32).bitwiseAND(lit(1L)) =!=
+          $"p".bitwiseAND(lit(1L)) ||
+          shiftright($"p", 32) === $"p".bitwiseAND(lit(0xffffffffL))
       else lit(true)
     postings(docsArr, tau)
-      .select(explode($"ds").as("da"), $"ds")
-      .select($"da", explode($"ds").as("db"))
-      .filter($"da" <= $"db" && keep)
-      .groupBy($"da", $"db")
+      .select(explode(graft.functions.PairKernels
+        .sortedPairsPacked(sort_array($"ds"), withDiagonal = true)).as("p"))
+      .filter(keep)
+      .groupBy($"p")
       .agg(count(lit(1)).as("i"))
+      .select(shiftright($"p", 32).as("da"),
+        $"p".bitwiseAND(lit(0xffffffffL)).as("db"), $"i")
   }
 
   private[graft] def pairStats(docsArr: DataFrame,

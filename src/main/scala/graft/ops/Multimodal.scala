@@ -1056,6 +1056,155 @@ object Multimodal {
       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- m17
+  /** End-to-end media curation chain — the multimodal t54 (VERDICT r15
+    * item 7): ONE gated plan composes the three audited m-family
+    * substrates the way a real asset-curation pass runs them:
+    *   (1) m05's exact tier: content-digest dedup, canonical = min
+    *       doc_id per md5 — identical bytes collapse first;
+    *   (2) m12's perceptual tier ON THE SURVIVORS: per-frame 60-bit
+    *       dHash, 4×15 banding with the hot-bucket (≤ 1000) cut,
+    *       hamming ≤ 6, pairs sharing ≥ 2 tolerant frames — then the
+    *       greedy min-id collapse: any survivor with a perceptual
+    *       near-dup of SMALLER doc_id drops (da < db in every pair, so
+    *       the drop set is exactly the distinct db side — deterministic,
+    *       no closure needed, and both engines compute it identically);
+    *   (3) m08's decode budget OVER THE KEPT SET: the per-source
+    *       cluster-sizing report (batches at size 32, straggler ppm)
+    *       a decode pass would be provisioned with — plus the funnel
+    *       counts (raw → exact-kept → kept) that audit each tier's bite.
+    *
+    * Determinism: digests, bit math and floor divisions end to end;
+    * ORDER BY source.
+    *
+    * Scale (100 TB): payloads never shuffle — the exact tier exchanges
+    * 16-byte digests (m05's argument), the perceptual tier exchanges
+    * (doc_id, sig) longs with the hot-bucket cut bounding pair fan-out
+    * (m12's argument), and the survivor filters are id-only joins (the
+    * frame-hash kernel runs over all docs map-side; re-running it on
+    * the ~2% exact dups beats shuffling payloads to filter first). The
+    * final report is a metadata-only map-side-combining aggregate to
+    * |sources| rows (m08's argument). */
+  def m17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaTable(s, dir)
+    def perDoc = media.select($"doc_id", $"source",
+      md5($"bytes").as("h"), $"meta.n_bytes".cast(LongType).as("n_bytes"))
+    // (1) exact tier: canonical ids per content digest
+    val canon = perDoc.groupBy($"h").agg(min($"doc_id").as("doc_id"))
+    val exactKept = perDoc.join(canon, Seq("h", "doc_id"), "left_semi")
+      .select($"doc_id", $"source", $"n_bytes")
+      .localCheckpoint(eager = false) // reused: sig filter, funnel, budget
+    // (2) perceptual tier on the survivors (m12's banded substrate)
+    val sigs = media
+      .withColumn("txt", decode($"bytes", "UTF-8"))
+      .select($"doc_id",
+        explode(graft.functions.FrameDHash($"txt", 61, 32)).as("sig"))
+      .distinct()
+      .join(exactKept.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint(eager = false) // bucket census + both join sides
+    val bands = sigs
+      .withColumn("b", explode(sequence(lit(0), lit(3))))
+      .select($"doc_id", $"sig", $"b",
+        expr("shiftright(sig, b * 15) & 32767").as("bv"))
+      .localCheckpoint(eager = false)
+    val keptBuckets = bands.groupBy($"b", $"bv")
+      .agg(count(lit(1)).as("n")).filter($"n" <= 1000)
+      .select($"b", $"bv")
+    val kb = bands.join(keptBuckets.hint("SHUFFLE_HASH"), Seq("b", "bv"))
+    val drops = kb.as("a").hint("SHUFFLE_HASH")
+      .join(kb.as("b").hint("SHUFFLE_HASH"),
+        col("a.b") === col("b.b") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.sig ^ b.sig) <= 6"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sig").as("sa"), col("b.sig").as("sb"))
+      .distinct()
+      .groupBy($"da", $"db").agg(count(lit(1)).as("n_matched"))
+      .filter($"n_matched" >= 2)
+      .select($"db".as("doc_id")).distinct()
+    val kept = exactKept.join(drops, Seq("doc_id"), "left_anti")
+    // (3) decode budget + funnel over the kept set
+    val funnel = perDoc.groupBy($"source").agg(count(lit(1)).as("n_raw"))
+      .join(exactKept.groupBy($"source").agg(count(lit(1)).as("n_exact")),
+        Seq("source"))
+    kept.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum($"n_bytes").as("total_bytes"),
+        max($"n_bytes").as("max_bytes"))
+      .join(funnel, Seq("source"))
+      .select(
+        $"source", $"n_raw", $"n_exact", $"n_kept",
+        $"total_bytes", $"max_bytes",
+        expr("(n_kept + 31) div 32").as("n_batches"),
+        expr("(max_bytes * 1000000) div total_bytes").as("straggler_ppm"))
+      .orderBy($"source")
+  }
+
+  val m17Sql: String =
+    """WITH perdoc AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |canon AS (SELECT h, MIN(doc_id) AS doc_id FROM perdoc GROUP BY h),
+      |exact_kept AS (
+      |  SELECT p.doc_id, p.source, p.n_bytes
+      |  FROM perdoc p JOIN canon c ON p.h = c.h AND p.doc_id = c.doc_id),
+      |fr AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(text) >= 61
+      |      THEN (length(text) - 61) // 32 + 1 ELSE 0 END AS nf
+      |  FROM documents),
+      |sg0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(generate_series(1, 60),
+      |        i -> CASE WHEN ascii(text[k * 32 + i]) > ascii(text[k * 32 + i + 1])
+      |          THEN CAST(1 AS BIGINT) << (i - 1) ELSE CAST(0 AS BIGINT) END)),
+      |      (a, b) -> a + b) AS sig
+      |  FROM fr, UNNEST(generate_series(0, CAST(nf AS INT) - 1)) AS t(k)
+      |  WHERE nf > 0),
+      |sg AS (SELECT sg0.* FROM sg0 JOIN exact_kept USING (doc_id)),
+      |bands AS (
+      |  SELECT doc_id, sig, b, (sig >> (b * 15)) & 32767 AS bv
+      |  FROM sg, UNNEST(generate_series(0, 3)) AS t(b)),
+      |keptb AS (SELECT b, bv FROM (
+      |    SELECT b, bv, COUNT(*) AS n FROM bands GROUP BY 1, 2)
+      |  WHERE n <= 1000),
+      |kb AS (SELECT bands.* FROM bands JOIN keptb
+      |       ON bands.b = keptb.b AND bands.bv = keptb.bv),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sig AS sa, b.sig AS sb
+      |  FROM kb a JOIN kb b ON a.b = b.b AND a.bv = b.bv
+      |    AND a.doc_id < b.doc_id
+      |    AND bit_count(xor(a.sig, b.sig)) <= 6),
+      |drops AS (
+      |  SELECT DISTINCT db AS doc_id FROM (
+      |    SELECT da, db, COUNT(*) AS n_matched FROM cand GROUP BY 1, 2)
+      |  WHERE n_matched >= 2),
+      |kept AS (
+      |  SELECT e.* FROM exact_kept e
+      |  WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)),
+      |funnel AS (
+      |  SELECT r.source, r.n_raw, x.n_exact FROM
+      |    (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw
+      |     FROM perdoc GROUP BY source) r
+      |  JOIN
+      |    (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+      |     FROM exact_kept GROUP BY source) x
+      |  ON r.source = x.source)
+      |SELECT k.source, f.n_raw, f.n_exact,
+      |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |  CAST(SUM(k.n_bytes) AS BIGINT) AS total_bytes,
+      |  MAX(k.n_bytes) AS max_bytes,
+      |  CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches,
+      |  CAST((MAX(k.n_bytes) * 1000000) // SUM(k.n_bytes) AS BIGINT)
+      |    AS straggler_ppm
+      |FROM kept k JOIN funnel f ON k.source = f.source
+      |GROUP BY k.source, f.n_raw, f.n_exact
+      |ORDER BY k.source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("m01_binary_meta", m01, Some(m01Sql)),
     Q("m02_feature_extract", m02, Some(m02Sql), headline = true),
@@ -1072,5 +1221,6 @@ object Multimodal {
     Q("m13_image_decode", m13, Some(m13Sql)),
     Q("m14_real_resize", m14, Some(m14Sql)),
     Q("m15_audio_decode", m15, Some(m15Sql)),
-    Q("m16_audio_vad", m16, Some(m16Sql)))
+    Q("m16_audio_vad", m16, Some(m16Sql)),
+    Q("m17_curation_chain", m17, Some(m17Sql)))
 }

@@ -228,13 +228,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!pp.contains("Join"), s"index build should not join:\n$pp")
     val exchanges = pp.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"index build must shuffle exactly once, got $exchanges:\n$pp")
-    // downstream, pairs generate narrowly from the postings (explode, not
-    // a second shuffle of the index through a self-join) and ONE hash
-    // aggregation carries intersections and (diagonal) sizes together —
-    // audited pre-checkpoint, like the index build above
+    // downstream, pairs generate narrowly from the postings in ONE
+    // compiled kernel pass (sorted_pairs_packed: C(n,2) packed longs +
+    // the size-carrying diagonal — not a double explode generating n²
+    // rows to filter, and not a second shuffle of the index through a
+    // self-join) and ONE hash aggregation counts intersections and
+    // (diagonal) sizes together — audited pre-checkpoint, like the
+    // index build above
     val pc = simplePlan(Dedup.pairCounts(Dedup.shinglesOfDocs(docs), 1000L))
+    assert(pc.contains("sorted_pairs_packed"),
+      s"packed pair kernel absent:\n$pc")
     val explodes = pc.linesIterator.count(_.contains("Generate explode"))
-    assert(explodes >= 3, s"posting-list explodes absent ($explodes):\n$pc")
+    assert(explodes == 2,
+      s"pair build = shingle explode + ONE packed-pair explode, got $explodes:\n$pc")
     assert(!pc.contains("Join"), s"pair build should not join:\n$pc")
     val pcExchanges = pc.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(pcExchanges == 2,
