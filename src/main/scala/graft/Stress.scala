@@ -19,7 +19,13 @@ import org.apache.spark.sql.SparkSession
   * from this one.
   *
   * Knobs: SPARK_GRAFT_STRESS_TIER=10|40|all (default 10 — the 40x tiers
-  * run minutes); SPARK_GRAFT_ONLY=g21,d02 name-prefix subset;
+  * run minutes); SPARK_GRAFT_ONLY=g21,d02 name-prefix subset. Keep the
+  * DEFAULT 8 GiB heap: a round-16 SPARK_DRIVER_MEM=32g run measured no
+  * benefit (an 8g run in the adjacent window matched it within host
+  * drift), and memory pressure at 100x+ is handled the production way
+  * instead — per-tier conf ([[Tier.conf]]: li160x lowers the object-agg
+  * sort-based fallback so the basket/support aggregations SPILL), which
+  * bounds per-task state instead of growing the heap;
   * SPARK_GRAFT_CONF="k=v;k=v" overlay; SPARK_GRAFT_REPEAT (default 1 —
   * single-run timings, these queries run tens of seconds and the
   * JVM/codegen warmup is amortized by the per-tier warm load).
@@ -28,7 +34,15 @@ import org.apache.spark.sql.SparkSession
   * matching subset oracle map from a Verify run. */
 object Stress {
 
-  final case class Tier(label: String, dir: String, queries: Seq[String])
+  /** `conf`: per-tier runtime SQL-conf overlay (applied via
+    * `spark.conf.set` before the tier, reverted after) — the r13 d02
+    * lesson made standard: partition count must scale with tier volume,
+    * because AQE only coalesces DOWN from initialPartitionNum and the
+    * per-task object-agg/collect buffers are the memory constraint at
+    * 100×+ (li160x OOM'd a 8 GiB heap at 256 partitions: 32M posting
+    * keys / 256 = 125k × 8 KB buffers × 30 concurrent tasks). */
+  final case class Tier(label: String, dir: String, queries: Seq[String],
+      conf: Map[String, String] = Map.empty)
 
   /** 10x tiers: the default gate. Round 16 widened docs10x to the
     * previously-unmeasured families — MinHash banding (d03/d21), media
@@ -59,10 +73,30 @@ object Stress {
   val tiers40: Seq[Tier] = Seq(
     Tier("li40x", "/tmp/scaleli/n40x",
       Seq("g21_link_prediction", "g22_two_hop_reach")),
+    // li160x per-tier conf — the spill-aware crossover (round 16, two
+    // OOM'd full-window runs taught it): the SCALE conf's
+    // fallbackThreshold=4M entries is itself a small-tier pin — it lets
+    // the basket/support ObjectHashAggregate hold ~750k collect-set
+    // entries per merge task in-heap (AQE's parallelismFirst coalesce
+    // caps useful partition counts near defaultParallelism, so raising
+    // initialPartitionNum alone did NOT shrink per-task state), and 30
+    // concurrent tasks of that is an 8 GiB JVM dead at stage 807. At
+    // 160x the aggregation must SPILL: a 128k-entry fallback bounds
+    // per-task heap regardless of partition geometry, and a smaller
+    // advisory size keeps post-coalesce parallelism up.
     Tier("li160x", "/tmp/scaleli/n160x",
-      Seq("g21_link_prediction", "g22_two_hop_reach")),
+      Seq("g21_link_prediction", "g22_two_hop_reach"),
+      conf = Map(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "2048",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072")),
+    // d02/g13/t49 extend the 10x trend lines (round 16: their sf0.1→10x
+    // ratios collapsed 3.9→2.2x / 96→9x — the 40x point pins whether the
+    // oracle's superlinear growth crosses Spark's near-flat line)
     Tier("docs40x", "/tmp/scaledocs/n200000",
-      Seq("d02_ngram_jaccard", "g01_components")),
+      Seq("d02_ngram_jaccard", "g01_components", "g13_knn_degree",
+        "t49_pps_sample")),
+    Tier("ev40x", "/tmp/scaleev/n40x", Seq("q77_watermark_planner")),
     // s29 stays on the 10x tier only: its centroid/codebook sets are
     // FIXED FRACTIONS of the corpus (vec_id % 100 / % 37 — the oracle
     // mirrors them), so training cost grows quadratically BY DEFINITION
@@ -126,8 +160,34 @@ object Stress {
     def num(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
 
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "STRESS_LOCAL.json"))
+    def emit(results: Seq[(Tier, Seq[(String, Double, Boolean)])],
+        partial: Boolean): String = {
+      val failed = results.flatMap(_._2).collect { case (n, _, false) => n }
+      val total = results.flatMap(_._2).filter(_._3).map(_._2).sum
+      val tierJson = results.map { case (tier, qs) =>
+        val qj = qs.map { case (n, v, ok) =>
+          s""""$n":${if (ok) num(v) else "-1"}""" }.mkString(",")
+        s""""${tier.label}":{"dir":"${tier.dir}","queries":{$qj}}"""
+      }.mkString(",")
+      val json =
+        s"""{"metric":"stress_total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min","tier":"$tierSel"${if (partial) ",\"partial\":true" else ""},"tiers":{$tierJson},"failed":[${failed.map(n => s""""$n"""").mkString(",")}]}"""
+      // write-through after EVERY tier: a late-tier JVM death (the
+      // li160x OOM, round 16) must not lose the whole window's
+      // measurements
+      try java.nio.file.Files.writeString(outPath, json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[stress] could not write: ${e.getMessage}")
+      }
+      json
+    }
+    var done = Seq.empty[(Tier, Seq[(String, Double, Boolean)])]
     val results = tiers.map { tier =>
       ops.Tables.load(spark, tier.dir)
+      val prevConf = tier.conf.keys
+        .map(k => k -> spark.conf.getOption(k)).toMap
+      tier.conf.foreach { case (k, v) => spark.conf.set(k, v) }
       val picked = tier.queries.filter(n => only.forall(_.exists(n.startsWith)))
       val qs = picked.map { name =>
         val fn = SparkEntry.queries.getOrElse(name,
@@ -161,23 +221,16 @@ object Stress {
         val ok = runs.forall(_._2)
         (name, if (ok) runs.map(_._1).min else -1.0, ok)
       }
+      prevConf.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      done = done :+ (tier, qs)
+      emit(done, partial = tier ne tiers.last)
       (tier, qs)
     }
     val failed = results.flatMap(_._2).collect { case (n, _, false) => n }
-    val total = results.flatMap(_._2).filter(_._3).map(_._2).sum
-    val tierJson = results.map { case (tier, qs) =>
-      val qj = qs.map { case (n, v, ok) =>
-        s""""$n":${if (ok) num(v) else "-1"}""" }.mkString(",")
-      s""""${tier.label}":{"dir":"${tier.dir}","queries":{$qj}}"""
-    }.mkString(",")
-    val json =
-      s"""{"metric":"stress_total","value":${num(total)},"unit":"sec","runs_per_query":$repeat,"timing":"min","tier":"$tierSel","tiers":{$tierJson},"failed":[${failed.map(n => s""""$n"""").mkString(",")}]}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT",
-        "STRESS_LOCAL.json")), json + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[stress] could not write: ${e.getMessage}")
-    }
+    val json = emit(results, partial = false)
     spark.sparkContext.setLogLevel("OFF")
     spark.stop()
     System.out.flush(); System.err.flush()

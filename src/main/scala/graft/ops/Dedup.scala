@@ -278,7 +278,23 @@ object Dedup {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- d02
-  /** n-gram Jaccard near-dup pairs (threshold 0.5) via shingle join. */
+  /** n-gram Jaccard near-dup pairs (threshold 0.5) via shingle join.
+    *
+    * Stress adjudication (round 16, committed paired windows): the
+    * residual 2.4-3.1x vs DuckDB at 10x docs (8.3 s settled / 11.4 s
+    * degraded-host vs 3.5-3.7 s) and 2.8x at 40x (54.2 vs 19.5 s) is
+    * the posting-index EXCHANGE — both engines run the identical
+    * algorithm (capped inverted index → co-occurrence counts), DuckDB
+    * in one process-local hash table, Spark through one serialized
+    * shuffle of the (shingle, doc) index plus one of the packed pairs.
+    * The knob probe pins it as parallel work, not plan shape
+    * (partitions=8 + AQE off: 8.3 → 17.7 s), and the packed-key kernel
+    * already halved the pair-side bytes (10.3 → 8.6 s same-window).
+    * The endpoint is committed in SURVEY §6 round-13: at 160x docs the
+    * single-process baseline is OOM-killed (spills ~80 GB then dies
+    * out-of-disk) while this plan completes — the exchange d02 pays at
+    * small scale is precisely what lets it scale past the baseline's
+    * ceiling. */
   def d02(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     jaccardPairs(s, dir, 0.5).orderBy($"da", $"db")

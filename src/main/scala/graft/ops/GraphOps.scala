@@ -1050,6 +1050,14 @@ object GraphOps {
       .orderBy($"degree")
   }
 
+  /** Stress adjudication (round 16, committed paired windows): the
+    * sf0.1 3.9x ratio collapses with data — 2.2x at 10x docs (9.1 s
+    * settled vs 4.2 s), **1.53x at 40x** (51.2 vs 33.5 s) — because
+    * g13 is the d02 pair substrate plus narrow degree joins, and the
+    * oracle's growth is superlinear on exactly that substrate (see
+    * [[Dedup.d02]]: the baseline dies outright at 160x). Knob probe at
+    * 10x (partitions=8, AQE off): 9.1 → 14.9 s — parallel work, not
+    * stage floor. */
   def g13(s: SparkSession, dir: String): DataFrame =
     knnDegree(Dedup.jaccardPairs(s, dir, 0.5))
 
@@ -1592,6 +1600,18 @@ object GraphOps {
     * 32-way scheduler running a 3.5k-edge graph. */
   val RaMaxMiddleDegree = 1000L
   val RaMinSupport = 2L
+
+  /* Wedge family at-scale record (committed paired artifacts):
+   * round 15 (settled host): li40x g21 24.6 s vs DuckDB 24.0 (1.02x),
+   * g22 23.8 vs 27.7 (0.86x) — parity. Round 16 (host degraded ~2x,
+   * bracketed by the oracle's own drift in the same windows): li40x
+   * 50.3/30.5 vs 26.4/23.0 (1.9x/1.3x), and the new li160x tier —
+   * 85.7/89.2 s Spark vs DuckDB TIMEOUT >300 s on BOTH queries: at
+   * 160x the single-process baseline exits the race entirely, exactly
+   * the extrapolation the 40x parity point predicted. li160x needs the
+   * spill-aware per-tier conf in [[graft.Stress]] (object-agg fallback
+   * 128k entries): the support/basket aggregations must spill there,
+   * and with it the tier runs on the default 8 GiB heap. */
 
   /** Pack an (x, y) vertex pair into ONE long key — (x << 32) | y — for
     * the pair-scale aggregations below. At the round-15 10x stress the

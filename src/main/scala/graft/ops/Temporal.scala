@@ -1226,7 +1226,19 @@ object Temporal {
     * one lateness counter per candidate delay) is a per-row `aggregate`
     * expression. One keyless map-side-combining aggregate sums the
     * counters and the 4-row output unpivots narrowly (q37's stack). No
-    * single-partition stage anywhere. */
+    * single-partition stage anywhere.
+    *
+    * Floor adjudication (round 16, committed stress pairs — the ev10x/
+    * ev40x tiers exist for this query): the sf0.1 ratio (~10x vs a
+    * 0.16 s single-process CTE) collapses as data grows — 10x events:
+    * Spark 5.6-7.3 s vs DuckDB 2.7-5.0 s (1.5-2.0x across the two
+    * paired windows); 40x events: Spark 11.5 s vs DuckDB 6.1 s (1.9x)
+    * with Spark growing ~1.6x per 4x data vs the oracle's ~1.2-2.2x.
+    * The knob probe at 10x (shuffle.partitions=8, AQE off → 5.6 to
+    * 7.3 s) confirms the residual is parallel work plus the plan's ~7
+    * sequential stage rounds, not a mis-shape; the absolute gap is the
+    * range-layout exchange a single process skips, which is exactly
+    * the distributable part at cluster scale. */
   def q77(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -9,7 +9,9 @@ watermark fights) is preserved exactly while the volume grows linearly,
 and the construction is deterministic with no RNG at all.
 
 Usage: python3 tools/gen_scale_events.py [outbase=/tmp/scaleev]
-Writes <outbase>/n10x/events.parquet (1M rows).
+Writes <outbase>/n10x/events.parquet (1M rows) and n40x (4M rows —
+round 16: q77's sf0.1→10x ratio trend pointed at a crossover near 20x;
+the 40x tier measures past it).
 """
 import sys, os
 import duckdb
@@ -18,7 +20,7 @@ outbase = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaleev"
 SRC = "/root/testdata/sf0.1/events.parquet"
 
 con = duckdb.connect()
-for mult in (10,):
+for mult in (10, 40):
     d = f"{outbase}/n{mult}x"
     os.makedirs(d, exist_ok=True)
     con.execute(f"""
