@@ -71,8 +71,14 @@ object Stress {
     * wedge family one tier past its 40x parity point — the pair frame
     * passes 500M rows there. */
   val tiers40: Seq[Tier] = Seq(
+    // li40x ships the spill fallback too: an in-window A/B measured g21
+    // 50.3 -> 35.6 s (-29%) with it (g22 30.5 -> 33.7, within drift) —
+    // the support aggregation's in-heap hash pressure starts paying
+    // before it starts OOMing
     Tier("li40x", "/tmp/scaleli/n40x",
-      Seq("g21_link_prediction", "g22_two_hop_reach")),
+      Seq("g21_link_prediction", "g22_two_hop_reach"),
+      conf = Map(
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072")),
     // li160x per-tier conf — the spill-aware crossover (round 16, two
     // OOM'd full-window runs taught it): the SCALE conf's
     // fallbackThreshold=4M entries is itself a small-tier pin — it lets
