@@ -99,9 +99,13 @@ object Stress {
     // d02/g13/t49 extend the 10x trend lines (round 16: their sf0.1→10x
     // ratios collapsed 3.9→2.2x / 96→9x — the 40x point pins whether the
     // oracle's superlinear growth crosses Spark's near-flat line)
+    // m12 extends the banded-media trend line (round 16: the 10x pair
+    // re-measured settled at 5.47/4.07 = 1.35x after two negative shape
+    // A/Bs — the 40x point pins whether band-exchange economics hold as
+    // the bucket census grows)
     Tier("docs40x", "/tmp/scaledocs/n200000",
       Seq("d02_ngram_jaccard", "g01_components", "g13_knn_degree",
-        "t49_pps_sample")),
+        "t49_pps_sample", "m12_perceptual_neardup")),
     Tier("ev40x", "/tmp/scaleev/n40x", Seq("q77_watermark_planner")),
     // s29 stays on the 10x tier only: its centroid/codebook sets are
     // FIXED FRACTIONS of the corpus (vec_id % 100 / % 37 — the oracle

@@ -542,7 +542,19 @@ object Multimodal {
     * compiled scan pass, only (doc_id, sig) longs enter the band
     * exchange, hot band buckets (> 1000 members: letterbox/black-frame
     * families) are cut BEFORE pair generation exactly like the
-    * stop-shingle rule, and the hamming cut sits inside the join. */
+    * stop-shingle rule, and the hamming cut sits inside the join.
+    *
+    * Round-16 adjudication (settled same-window pairs, min of interleaved
+    * runs): docs10x 5.47 s vs DuckDB 4.07 (1.35x), docs40x 17.08 vs 18.05
+    * — **0.95x, Spark crosses ahead at 40x**. Two shape A/Bs measured
+    * NEGATIVE and are not shipped: (a) collapsing the candidate distinct +
+    * pair-count exchanges with a forced repartition(da, db) (9→8
+    * exchanges) lost 7% — the distinct's map-side partial agg dedups the
+    * ×4 band-duplicated candidates BEFORE the exchange, which the bare
+    * repartition gives up (aggregate-before-shuffle beats share-one-
+    * exchange here); (b) dropping the bands lazy checkpoint (the t38
+    * recompute rule) lost 8% — three consumers of a 12-byte-row frame
+    * favor one persist over three recomputes. */
   def m12(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = mediaTable(s, dir)
