@@ -53,6 +53,11 @@ object GraphOps {
     // and the substrate (the d02-class candidate aggregation) dominates
     // the query at every stressed scale; the single-process oracle never
     // finishes the loop families at all there (SURVEY §6 round-14).
+    // Round 16 re-probed the lazy pin for TINY second closures (g18's
+    // contracted graph, hoping to fold the pin into the strategy count
+    // and save one job): 4/4 adjacent A/B pairs at docs10x measured the
+    // lazy form 12-33% SLOWER on the whole query (mins 14.8 vs 11.1 s) —
+    // eager stays for ALL inputs; do not re-try.
     val edges = edgesIn.na.drop(Seq("da", "db"))
       .select(
         coalesce($"da".cast("long"), lit(0L)).as("da"),
