@@ -1,15 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.FormattedMode
 import java.nio.file.{Files, Paths}
 
 /** Optimization-round evidence dump: writes `explain("formatted")` for
   * registered queries to `<outDir>/<name>_<suffix>.txt`, under the SAME
-  * session conf Bench uses (plan shape depends on AQE / split-size /
-  * object-agg conf, so plans must be captured under bench conditions).
+  * session conf Bench uses ([[BenchConf.builder]] — shared, not copied,
+  * per ADVICE r16: plan shape depends on AQE / split-size / object-agg /
+  * shuffle-compression conf and on any SPARK_GRAFT_CONF overlay, so plans
+  * must be captured under exactly the bench conditions).
   *
   * usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> [name1,name2,...]
   * Names are exact (not prefixes); omit the list to dump every query.
+  * Exits non-zero when any dump fails or the name filter matches nothing
+  * (ADVICE r16: a swallowed per-query failure let evidence scripts treat
+  * a bad run as complete).
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
@@ -21,35 +25,32 @@ object PlanDump {
         sys.exit(2)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", (2 * 1024 * 1024).toString)
-      .config("spark.sql.files.openCostInBytes", (128 * 1024).toString)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        (4 * 1024 * 1024).toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BenchConf.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val picked = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .toSeq.sortBy(_._1)
-      .foreach { case (name, fn) =>
-        try {
-          val df = fn(spark, sfDir)
-          val txt = df.queryExecution.explainString(FormattedMode)
-          Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
-          println(s"[plandump] $name -> ${name}_$suffix.txt")
-        } catch { case e: Throwable =>
-          System.err.println(s"[plandump] $name failed: ${e.getMessage}")
-        }
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+    var failures = 0
+    picked.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val txt = df.queryExecution.explainString(FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), txt)
+        println(s"[plandump] $name -> ${name}_$suffix.txt")
+      } catch { case e: Throwable =>
+        failures += 1
+        System.err.println(s"[plandump] $name failed: ${e.getMessage}")
       }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     spark.stop()
+    if (picked.isEmpty) {
+      System.err.println(s"[plandump] no queries match ${only.mkString(",")}")
+      sys.exit(3)
+    }
+    println(s"[plandump] ${picked.size - failures}/${picked.size} dumped")
+    if (failures > 0) sys.exit(1)
   }
 }

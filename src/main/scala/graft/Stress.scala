@@ -55,11 +55,17 @@ object Stress {
   val tiers10: Seq[Tier] = Seq(
     Tier("li10x", "/tmp/scaleli/n10x",
       Seq("g21_link_prediction", "g22_two_hop_reach")),
+    // round 17 widened docs10x with the three expensive never-probed
+    // queries VERDICT r16 item 3 named: d01 (two-level md5 digest agg),
+    // g14/g17 (edge-substrate riders — threshold stability and triangle
+    // support)
     Tier("docs10x", "/tmp/scaledocs/n50000",
-      Seq("d02_ngram_jaccard", "d03_minhash_lsh", "d21_band_sweep",
-        "g01_components", "g04_pagerank", "g11_source_modularity",
-        "g13_knn_degree", "g15_contamination_ppr", "g18_incremental_components",
-        "g20_lpa_communities", "m09_video_neardup", "m12_perceptual_neardup",
+      Seq("d01_exact_dedup", "d02_ngram_jaccard", "d03_minhash_lsh",
+        "d21_band_sweep", "g01_components", "g04_pagerank",
+        "g11_source_modularity", "g13_knn_degree", "g14_threshold_stability",
+        "g15_contamination_ppr", "g17_edge_support",
+        "g18_incremental_components", "g20_lpa_communities",
+        "m09_video_neardup", "m12_perceptual_neardup",
         "m16_audio_vad", "t46_dsir_selection", "t48_token_gini",
         "t49_pps_sample", "t50_cms_audit")),
     Tier("ev10x", "/tmp/scaleev/n10x", Seq("q77_watermark_planner")),
@@ -107,6 +113,19 @@ object Stress {
       Seq("d02_ngram_jaccard", "g01_components", "g13_knn_degree",
         "t49_pps_sample", "m12_perceptual_neardup")),
     Tier("ev40x", "/tmp/scaleev/n40x", Seq("q77_watermark_planner")),
+    // docs160x (round 17, VERDICT r16 item 5): pins the crossover the
+    // 100 TB brief extrapolates from the 10x/40x trend lines, and
+    // re-confirms the r13 d02 endpoint (single-process baseline OOM'd at
+    // this tier) on current code. Ships li160x's spill-aware conf: the
+    // posting/pair object aggregations must SPILL rather than hold
+    // per-task hash state proportional to tier volume (guide §5 — bounded
+    // per-task state, not bigger heap).
+    Tier("docs160x", "/tmp/scaledocs/n800000",
+      Seq("d02_ngram_jaccard", "g13_knn_degree", "t49_pps_sample"),
+      conf = Map(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "2048",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "131072")),
     // s29 stays on the 10x tier only: its centroid/codebook sets are
     // FIXED FRACTIONS of the corpus (vec_id % 100 / % 37 — the oracle
     // mirrors them), so training cost grows quadratically BY DEFINITION
