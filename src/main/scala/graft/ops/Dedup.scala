@@ -238,32 +238,50 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d01
-  /** Exact dedup stats per source, as a TWO-LEVEL aggregation: first
-    * collapse to distinct (source, content-hash) groups, then aggregate
-    * counts per source. The dedup key is md5(text) — 16 bytes — so the
-    * exchange never carries document payloads: grouping by raw `text`
-    * would shuffle every distinct document's full body (the round-5
-    * regression), and a direct multi-countDistinct would Expand every row
-    * 3× on top of that. 128-bit md5 (not a 64-bit hash) because at the
-    * 100 TB design point (~10¹⁰ docs) a 64-bit key is past its birthday
-    * bound; at 128 bits collision odds are ~10⁻¹⁸, so COUNT(DISTINCT
-    * md5(text)) = COUNT(DISTINCT text) and the oracle stays exact. */
+  /** Exact dedup stats per source as ONE multi-distinct aggregation over
+    * 16-byte digests. The dedup key is md5(text) so the exchange never
+    * carries document payloads: grouping by raw `text` would shuffle
+    * every distinct document's full body (the round-5 regression).
+    * 128-bit md5 (not a 64-bit hash) because at the 100 TB design point
+    * (~10¹⁰ docs) a 64-bit key is past its birthday bound; at 128 bits
+    * collision odds are ~10⁻¹⁸, so COUNT(DISTINCT md5(text)) =
+    * COUNT(DISTINCT text) and the oracle stays exact.
+    *
+    * Round 17 shape change (guide §2.3/§2.4): the previous two-level form
+    * — groupBy(source, h).agg(count, min(hn)) then groupBy(source) — put
+    * a STRING (hn) in the first-level aggregation buffer, and a string
+    * buffer disqualifies HashAggregate: the whole corpus was SORTED by
+    * (source, h) on both sides of the exchange (SortAggregate ×2,
+    * plans/r17/d01_exact_dedup_before.txt). The multi-distinct form
+    * Expands each digest row ×3 (gid branches for h / hn / plain count),
+    * but every aggregate buffer is a long, so the whole plan is
+    * map-side-combining HashAggregates — no corpus sort anywhere — and
+    * one exchange fewer (4 → 3; plans/r17/d01_exact_dedup_after.txt).
+    * Digests, not payloads, ride the Expand, and the partial aggregate
+    * dedups each branch map-side before its exchange.
+    *
+    * Measured honestly (docs10x, one settled window, alternating A/B):
+    * warm min-of-3 is FLAT — 0.954 s (new) vs 0.958 s (old) vs DuckDB
+    * 0.32 s; single-run-with-codegen also flat (4.40 vs 4.32 s); sf0.1
+    * isolated 0.47–0.53 s both shapes. At tier scale the corpus is far
+    * too small for an O(n log n) string sort to surface — the change is
+    * kept for the 100 TB regime (hash dedup scans and spills beat two
+    * full string sorts of the corpus; guide §5 "hash aggregate vs sort
+    * aggregate") and for the exchange count, not for a bench win.
+    * Results bit-identical (same aggregate definitions; oracle unchanged,
+    * 231/231 green). */
   def d01(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val per = Tables.t(s, dir, "documents")
+    Tables.t(s, dir, "documents")
       .select($"source",
         md5($"text".cast(BinaryType)).as("h"),
         md5(lower(trim($"text")).cast(BinaryType)).as("hn"))
-      .groupBy($"source", $"h")
-      // hn is a function of h (same text ⇒ same norm), so min() just
-      // picks the one value without assuming per-group ordering
-      .agg(count(lit(1)).as("cnt"), min($"hn").as("hn"))
-    per.groupBy($"source")
+      .groupBy($"source")
       .agg(
-        sum($"cnt").as("n_docs"),
-        count(lit(1)).as("n_distinct"),
+        count(lit(1)).as("n_docs"),
+        countDistinct($"h").as("n_distinct"),
         countDistinct($"hn").as("n_distinct_norm"),
-        (sum($"cnt") - count(lit(1))).as("n_exact_dups"))
+        (count(lit(1)) - countDistinct($"h")).as("n_exact_dups"))
       .orderBy($"source")
   }
 

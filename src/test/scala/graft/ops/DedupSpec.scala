@@ -37,6 +37,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(i.toDouble / (na + nb - i) < 0.5)
   }
 
+  test("d01 counts: exact dups, case/whitespace norm variants, per source") {
+    // round 17 pins the multi-distinct rewrite on hand-computed truth:
+    // source A holds one exact dup pair plus a case variant of the same
+    // text (norm collapses it); source B holds three distinct docs, two
+    // of which normalize together via trim.
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_d01").toString
+    Seq(
+      ("A", "hello world"), ("A", "hello world"), ("A", "Hello World"),
+      ("A", "other text"),
+      ("B", "one"), ("B", "  one  "), ("B", "two")
+    ).toDF("source", "text").write.parquet(s"$tmp/documents.parquet")
+    val rows = Dedup.d01(spark, tmp).collect()
+    // A: 4 docs, 3 distinct raw (dup pair collapses), 2 distinct norm
+    //    ("hello world"/"Hello World" merge), 1 exact dup
+    // B: 3 docs, 3 distinct raw, 2 distinct norm ("one"/"  one  " merge)
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq ==
+      Seq(("A", 4L, 3L, 2L, 1L), ("B", 3L, 3L, 2L, 0L)))
+  }
+
   test("stop-shingle cut drops candidates whose every shared shingle is hot") {
     // three padding docs make "hot hot hot" df=5 > tau=4; docs 10/11
     // share ONLY that shingle, so the pruned index yields no candidate

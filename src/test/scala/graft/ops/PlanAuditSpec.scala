@@ -200,10 +200,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
-  test("d01: two-level dedup aggregation with map-side partials") {
+  test("d01: all-hash multi-distinct aggregation — no corpus sort") {
+    // round 17: the two-level form kept a STRING (the normalized digest)
+    // in the first-level agg buffer, which disqualifies HashAggregate and
+    // sorted the whole corpus twice (SortAggregate both sides of the
+    // exchange). The multi-distinct form Expands digest rows ×3 but every
+    // buffer is a long: the plan must stay hash-aggregated end to end.
     val p = simplePlan(Dedup.d01(spark, dir))
     val aggs = p.linesIterator.count(_.contains("HashAggregate"))
-    assert(aggs >= 4, s"expected two aggregation levels with partials, got $aggs:\n$p")
+    assert(aggs >= 4, s"expected partial+final hash aggregation, got $aggs:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"a corpus sort crept back into d01:\n$p")
+    assert(p.contains("Expand"), s"multi-distinct Expand missing:\n$p")
   }
 
   test("d01: no exchange carries document text — the dedup keys are md5 digests") {
